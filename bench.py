@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + count-style action). A
+warm-up query runs first so JVM/codegen startup isn't attributed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_dts_connector_spark.plans.registry import all_queries
+from flink_dts_connector_spark.session import get_spark
+
+# Headline set: the flagship TPC-H-ish queries plus one representative from
+# each operator family (kept stable across rounds so BENCH_r{N}.json compares).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "win_topk_orders_per_customer",
+    "events_sessionize",
+    "events_hourly_tumbling",
+    "agg_distinct_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="fdcs-bench")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA")
+    if extra:  # opt-in: bench every registered query
+        names = sorted(queries)
+
+    # Warm-up: JVM, codegen, parquet footer caches.
+    queries[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        df = queries[name].fn(spark, sf_dir)
+        # noop sink executes the full plan without collecting to the driver.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
