@@ -1,0 +1,68 @@
+"""Changelog semantics kit — Spark's answer to Flink retraction streams.
+
+The reference emits a retraction changelog (I/UB/UA/D,
+`DTSSubscribeTableSourceFactory.java:50-57`) and relies on the host planner
+to propagate retractions through aggregates
+(`DtsTableISelectTCaseTest.java:91` consumes a retract stream). Spark has no
+RowKind, so downstream correctness is recovered with two explicit patterns
+(SURVEY.md §4.4):
+
+  * signed aggregation — additive measures weighted +1 (I/UA) / −1 (UB/D)
+    aggregate to the same result the retract stream would give;
+  * upsert materialization — reduce the changelog to current state by
+    keeping each key's latest image and dropping deletes.
+
+Both are pure DataFrame ops: one shuffle on the grouping/pk key, AQE-safe,
+streaming-compatible (the same expressions run under foreachBatch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+#: +1 for rows that add to state, −1 for retractions.
+SIGN = {"I": 1, "UA": 1, "UB": -1, "D": -1}
+
+
+def sign_col(op: Column | str = "op") -> Column:
+    op = F.col(op) if isinstance(op, str) else op
+    return (
+        F.when(op.isin("I", "UA"), F.lit(1)).when(op.isin("UB", "D"), F.lit(-1)).otherwise(F.lit(0))
+    )
+
+
+def signed_sum(measure: Column, op: Column | str = "op") -> Column:
+    """SUM(measure) over a changelog — retraction-correct."""
+    return F.sum(measure * sign_col(op))
+
+
+def signed_count(op: Column | str = "op") -> Column:
+    """COUNT(*) over a changelog — retraction-correct."""
+    return F.sum(sign_col(op))
+
+
+def materialize_upsert(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str] = ("ts", "record_id"),
+) -> DataFrame:
+    """Reduce a changelog to current state: latest image per key, deletes
+    removed. UB rows are ignored (they never carry final state).
+
+    One shuffle on ``key_cols``; ``order_cols`` must be a total order per
+    key (commit ts + monotonic record id, which the wire format guarantees —
+    `DtsRecord.java:13`). The changelog's UA beats its UB at equal ts
+    because UB is filtered out up front.
+    """
+    df = changelog.where(F.col("op") != "UB")
+    w = W.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .where(F.col("op") != "D")
+        .drop("_rn", "op")
+    )

@@ -1,1 +1,168 @@
-"""Placeholder — populated later this round."""
+"""CDC pipeline queries — end-to-end oracle coverage for the reference's own
+surface: wire decode → typed projection → changelog semantics.
+
+The deterministic generator (`sources/generator.py`) derives a change
+history from the driver's `orders` table, so every stage of the CDC pipeline
+has a pure-SQL DuckDB oracle over `orders`. This is the strongest check we
+can run without the proprietary DTS endpoint the reference's own tests
+require (their tests need live credentials — SURVEY.md §5).
+
+Shared arithmetic: prices travel as exact cent integers
+(cents = round(price*100)); the price-bump update is cents + cents//10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_dts_connector_spark.formats.decoder import decode_cdc
+from flink_dts_connector_spark.formats.typed import project_table
+from flink_dts_connector_spark.operators.changelog import materialize_upsert, sign_col
+from flink_dts_connector_spark.plans.registry import register
+from flink_dts_connector_spark.sources.generator import DB, TBL, generate_cdc_bytes
+
+ORDERS_CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+# DuckDB fragments for the generator's exact-cents arithmetic.
+SQL_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+SQL_CENTS1 = f"(CASE WHEN o_orderkey % 10 = 0 THEN {SQL_CENTS} + {SQL_CENTS} // 10 ELSE {SQL_CENTS} END)"
+SQL_PRICE0 = f"({SQL_CENTS} / 100.0)"
+SQL_PRICE1 = f"({SQL_CENTS1} / 100.0)"
+SQL_PRIO1 = "(CASE WHEN o_orderkey % 7 = 0 THEN '9-RUSH' ELSE o_orderpriority END)"
+
+
+def _typed_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = generate_cdc_bytes(spark, sf_dir)
+    env = decode_cdc(raw, tables=[f"{DB}.{TBL}"], ops=["INSERT", "UPDATE", "DELETE"])
+    return project_table(env, ORDERS_CDC_SCHEMA, table=f"{DB}.{TBL}")
+
+
+@register(
+    "cdc_envelope_op_counts",
+    oracle=f"""
+WITH expected AS (
+  SELECT 'INSERT' AS operation, COUNT(*) AS n, CAST(SUM(o_orderkey * 4) AS BIGINT) AS id_sum FROM orders
+  UNION ALL
+  SELECT 'UPDATE', COUNT(*) FILTER (WHERE o_orderkey % 10 = 0) + COUNT(*) FILTER (WHERE o_orderkey % 7 = 0),
+         CAST(COALESCE(SUM(CASE WHEN o_orderkey % 10 = 0 THEN o_orderkey * 4 + 1 END), 0)
+            + COALESCE(SUM(CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey * 4 + 2 END), 0) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'DELETE', COUNT(*) FILTER (WHERE o_orderkey % 97 = 0),
+         CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN o_orderkey * 4 + 3 END) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'HEARTBEAT', COUNT(*) FILTER (WHERE o_orderkey % 50 = 0),
+         CAST(SUM(CASE WHEN o_orderkey % 50 = 0 THEN o_orderkey * 4 + 3 END) AS BIGINT) FROM orders
+)
+SELECT * FROM expected WHERE n > 0
+""",
+    tags=("cdc", "decode"),
+)
+def cdc_envelope_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full wire round-trip at the generic-envelope layer: encode every
+    change event, decode with NO filters, count per operation + checksum the
+    record ids (catches any dropped/duplicated/mis-decoded record)."""
+    raw = generate_cdc_bytes(spark, sf_dir)
+    env = decode_cdc(raw)
+    return env.groupBy("operation").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum")
+    )
+
+
+@register(
+    "cdc_typed_changelog",
+    oracle=f"""
+SELECT o_orderdate AS ts, o_orderkey * 4 AS record_id,
+       o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE0} AS o_totalprice, o_orderdate, o_orderpriority, 'I' AS op
+FROM orders
+UNION ALL
+SELECT o_orderdate + INTERVAL 1 HOUR, o_orderkey * 4 + 1, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE0}, o_orderdate, o_orderpriority, 'UB'
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 1 HOUR, o_orderkey * 4 + 1, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, o_orderpriority, 'UA'
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 2 HOUR, o_orderkey * 4 + 2, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, o_orderpriority, 'UB'
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 2 HOUR, o_orderkey * 4 + 2, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, '9-RUSH', 'UA'
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 3 HOUR, o_orderkey * 4 + 3, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, {SQL_PRIO1}, 'D'
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+    tags=("cdc", "typed", "changelog"),
+)
+def cdc_typed_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dts-cdc` format parity: table+op filter (header-only), before/after
+    images projected into the declared row type, UPDATE doubled into UB/UA
+    — compared row-for-row against the SQL reconstruction."""
+    return _typed_changelog(spark, sf_dir)
+
+
+@register(
+    "cdc_upsert_current_state",
+    oracle=f"""
+SELECT o_orderkey, {SQL_PRICE1} AS o_totalprice, {SQL_PRIO1} AS o_orderpriority
+FROM orders
+WHERE o_orderkey % 97 <> 0
+""",
+    tags=("cdc", "changelog", "upsert"),
+)
+def cdc_upsert_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → current state (upsert materialization): latest image per
+    pk, deletes dropped — batch equivalent of foreachBatch-MERGE."""
+    chg = _typed_changelog(spark, sf_dir)
+    return materialize_upsert(chg, ["o_orderkey"], order_cols=["ts", "record_id"]).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
+    "cdc_signed_agg_revenue",
+    oracle=f"""
+SELECT o_orderpriority_final AS o_orderpriority,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_open_price,
+       COUNT(*) AS n_orders
+FROM (
+  SELECT {SQL_PRIO1} AS o_orderpriority_final, {SQL_PRICE1} AS price
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+GROUP BY o_orderpriority_final
+""",
+    tags=("cdc", "changelog", "signed-agg"),
+)
+def cdc_signed_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-correct aggregation straight over the changelog (no
+    materialization): measures weighted +1/−1 reproduce the current-state
+    aggregate — the Spark answer to Flink's retract-stream aggregation."""
+    chg = _typed_changelog(spark, sf_dir)
+    s = sign_col("op")
+    return (
+        chg.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * s)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("total_open_price"),
+            F.sum(s).alias("n_orders"),
+        )
+        .where(F.col("n_orders") > 0)
+    )

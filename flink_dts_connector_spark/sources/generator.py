@@ -1,0 +1,159 @@
+"""Deterministic CDC stream generator over the driver's `orders` table.
+
+Turns each order row into a reproducible little change history, encoded with
+the wire codec — giving the decode → project → changelog pipeline an
+end-to-end DuckDB oracle (the expected outputs are pure SQL over `orders`):
+
+  every order            → INSERT  (id = orderkey*4+0, ts = epoch(orderdate))
+  orderkey % 10 == 0     → UPDATE  price := cents + cents//10   (+1 h)
+  orderkey %  7 == 0     → UPDATE  priority := '9-RUSH'         (+2 h)
+  orderkey % 97 == 0     → DELETE                               (+3 h)
+  every 50th order       → HEARTBEAT (no table, no images)
+
+Prices are carried as exact cent integers (cents = round(price*100)) so both
+engines derive identical decimal text / doubles.
+
+Runs as mapInPandas over `orders` — the generator scales with the source's
+partitioning like any other operator (no driver-side loop).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_dts_connector_spark.datamodel.envelope import (
+    ObjectType,
+    OperationType,
+    SourceType,
+    ValueKind,
+)
+from flink_dts_connector_spark.formats.wire import CdcRecord, FieldDef, encode_record
+from flink_dts_connector_spark.session import load_table
+
+ORDERS_FIELDS = [
+    FieldDef("o_orderkey", "BIGINT", 8, False),
+    FieldDef("o_custkey", "BIGINT", 8, True),
+    FieldDef("o_orderstatus", "VARCHAR", 12, True),
+    FieldDef("o_totalprice", "DECIMAL", 0, True),
+    FieldDef("o_orderdate", "DATETIME", 10, True),
+    FieldDef("o_orderpriority", "VARCHAR", 12, True),
+]
+
+PK_TAG = json.dumps({"PRIMARY": ["o_orderkey"]})
+DB, TBL = "dts_demo", "orders"
+
+
+def order_cents(price: float) -> int:
+    return int(round(price * 100))
+
+
+def _image(okey: int, ckey: int, status: str, cents: int, odate, priority: str):
+    return [
+        (ValueKind.INTEGER, okey),
+        (ValueKind.INTEGER, ckey),
+        (ValueKind.CHARACTER, ("utf8", status.encode())),
+        (ValueKind.DECIMAL, f"{cents // 100}.{cents % 100:02d}"),
+        (
+            ValueKind.DATETIME,
+            {
+                "y": odate.year,
+                "mo": odate.month,
+                "d": odate.day,
+                "h": odate.hour,
+                "mi": odate.minute,
+                "s": odate.second,
+            },
+        ),
+        (ValueKind.TEXT_OBJECT, (ObjectType.TEXT, priority)),
+    ]
+
+
+def _records_for_order(row) -> Iterator[CdcRecord]:
+    okey = int(row.o_orderkey)
+    odate = row.o_orderdate
+    ts0 = int(odate.timestamp())
+    cents0 = order_cents(row.o_totalprice)
+    base = dict(
+        db=DB,
+        tbl=TBL,
+        transaction_id=f"tx-{okey}",
+        source_type=SourceType.MySQL,
+        source_version="5.7.0",
+        tags={"pk_uk_info": PK_TAG},
+        fields=list(ORDERS_FIELDS),
+    )
+    img0 = _image(okey, int(row.o_custkey), row.o_orderstatus, cents0, odate, row.o_orderpriority)
+    yield CdcRecord(id=okey * 4, ts=ts0, operation=OperationType.INSERT, after=img0, **base)
+
+    cents1, prio1 = cents0, row.o_orderpriority
+    if okey % 10 == 0:
+        cents1 = cents0 + cents0 // 10
+        img1 = _image(okey, int(row.o_custkey), row.o_orderstatus, cents1, odate, prio1)
+        yield CdcRecord(
+            id=okey * 4 + 1,
+            ts=ts0 + 3600,
+            operation=OperationType.UPDATE,
+            before=img0,
+            after=img1,
+            **base,
+        )
+    if okey % 7 == 0:
+        prev = _image(okey, int(row.o_custkey), row.o_orderstatus, cents1, odate, prio1)
+        prio1 = "9-RUSH"
+        img2 = _image(okey, int(row.o_custkey), row.o_orderstatus, cents1, odate, prio1)
+        yield CdcRecord(
+            id=okey * 4 + 2,
+            ts=ts0 + 7200,
+            operation=OperationType.UPDATE,
+            before=prev,
+            after=img2,
+            **base,
+        )
+    if okey % 97 == 0:
+        final = _image(okey, int(row.o_custkey), row.o_orderstatus, cents1, odate, prio1)
+        yield CdcRecord(
+            id=okey * 4 + 3,
+            ts=ts0 + 10800,
+            operation=OperationType.DELETE,
+            before=final,
+            **base,
+        )
+    if okey % 50 == 0:  # stream-level heartbeat: no table, no images
+        yield CdcRecord(
+            id=okey * 4 + 3,
+            ts=ts0,
+            operation=OperationType.HEARTBEAT,
+            db="",
+            tbl="",
+            transaction_id=None,
+            source_type=SourceType.MySQL,
+            source_version="5.7.0",
+        )
+
+
+def generate_cdc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → DataFrame[value binary, partition int, offset long].
+
+    partition = orderkey % 4 (≥3 partitions per FIXTURES.md F1), offset =
+    record id (dense ascending per partition is not required by the decoder).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            values, parts, offs = [], [], []
+            for row in pdf.itertuples(index=False):
+                for rec in _records_for_order(row):
+                    values.append(encode_record(rec))
+                    parts.append(int(rec.id % 4))
+                    offs.append(int(rec.id))
+            yield pd.DataFrame({"value": values, "partition": parts, "offset": offs})
+
+    return orders.mapInPandas(fn, schema="value binary, partition int, offset long")

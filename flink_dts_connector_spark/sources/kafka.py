@@ -1,0 +1,110 @@
+"""DTS Kafka source factory — reference connector parity on Spark's Kafka source.
+
+The reference builds a SASL_PLAINTEXT consumer whose username is
+``user-sid`` and whose group id defaults to the sid
+(`fetcher/DtsKafkaUtil.java:13-64`), starts from a timestamp when a
+checkpoint is given, else from group offsets
+(`FlinkDtsKafkaConsumer.java:263-267`, `FlinkDtsRawConsumer.java:60-64`).
+Spark's Kafka source replaces the entire custom fetcher stack (partition
+discovery, offset state, handover threads — SURVEY.md §3.1): all that
+survives is this option builder and the decode step.
+
+No live Kafka exists in the test environment; `read_stream` is exercised in
+integration by substituting the file source (`sources/files.py`), which
+yields the identical downstream DataFrame shape.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_dts_connector_spark.formats.decoder import decode_cdc
+
+
+def dts_kafka_options(
+    broker_url: str,
+    topic: str,
+    sid: str | None,
+    group: str | None,
+    user: str | None,
+    password: str | None,
+    checkpoint_ts: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Build Spark Kafka source options matching `DtsKafkaUtil.getKafkaProperties`.
+
+    Semantics carried over:
+      * SASL PLAIN with login ``user-sid`` (DtsKafkaUtil.java:53-64);
+      * group id = group, else sid (DtsKafkaUtil.java:30-34);
+      * auto-commit off — Spark's checkpoint WAL owns progress;
+      * start position: timestamp when ``checkpoint_ts`` given (DStore
+        failover re-seek, FlinkDtsKafkaConsumer.java:303-333), else
+        earliest (auto.offset.reset=earliest parity, DtsKafkaUtil.java:44).
+    """
+    opts: dict[str, str] = {
+        "kafka.bootstrap.servers": broker_url,
+        "subscribe": topic,
+        "kafka.group.id": group or (sid or ""),
+        "kafka.enable.auto.commit": "false",
+        "failOnDataLoss": "false",  # DStore failover moves offsets; re-seek instead
+    }
+    if sid and user and password is not None:
+        jaas = (
+            "org.apache.kafka.common.security.plain.PlainLoginModule required "
+            f'username="{user}-{sid}" password="{password}";'
+        )
+        opts["kafka.security.protocol"] = "SASL_PLAINTEXT"
+        opts["kafka.sasl.mechanism"] = "PLAIN"
+        opts["kafka.sasl.jaas.config"] = jaas
+    if checkpoint_ts is not None and checkpoint_ts > 0:
+        # per-topic map {-1: ts_ms} = all partitions from that timestamp
+        opts["startingOffsetsByTimestamp"] = json.dumps({topic: {"-1": checkpoint_ts * 1000}})
+    else:
+        opts["startingOffsets"] = "earliest"
+    for k, v in (extra or {}).items():
+        opts[k] = v
+    return opts
+
+
+def read_stream(
+    spark: SparkSession,
+    broker_url: str,
+    topic: str,
+    sid: str | None = None,
+    group: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    checkpoint_ts: int | None = None,
+    tables: list[str] | None = None,
+    ops: list[str] | None = None,
+    available_now: bool = False,
+) -> DataFrame:
+    """Streaming CDC envelope DataFrame from a DTS-subscription Kafka topic.
+
+    Equivalent of `new FlinkDtsKafkaConsumer(...)` + deserializer
+    (`FlinkDtsKafkaConsumer.java:228-280`): Spark handles partition
+    discovery/offset state; we decode and filter.
+    """
+    reader = spark.readStream.format("kafka")
+    for k, v in dts_kafka_options(
+        broker_url, topic, sid, group, user, password, checkpoint_ts
+    ).items():
+        reader = reader.option(k, v)
+    raw = reader.load().selectExpr(
+        "value", "partition AS partition", "offset AS offset"
+    )
+    return decode_cdc(raw, tables=tables, ops=ops)
+
+
+def read_batch_files(
+    spark: SparkSession,
+    path: str,
+    tables: list[str] | None = None,
+    ops: list[str] | None = None,
+) -> DataFrame:
+    """Bounded variant over parquet files of raw records (value/partition/
+    offset) — the `trigger(availableNow)` test path."""
+    raw = spark.read.parquet(path)
+    return decode_cdc(raw, tables=tables, ops=ops)

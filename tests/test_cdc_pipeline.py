@@ -1,0 +1,83 @@
+"""CDC pipeline integration tests beyond the oracle battery: source
+factories, failover glue, changelog kit unit behavior."""
+
+from __future__ import annotations
+
+import json
+
+from flink_dts_connector_spark.sources.kafka import dts_kafka_options
+from flink_dts_connector_spark.streaming.failover import (
+    DtsProgressTracker,
+    compose_checkpoint,
+    parse_checkpoint,
+)
+
+
+def test_kafka_options_sasl_and_group():
+    # DtsKafkaUtil.getKafkaProperties parity: user-sid login, group∥sid
+    opts = dts_kafka_options(
+        "broker:9092", "topic-1", sid="sid123", group=None, user="u", password="p"
+    )
+    assert opts["kafka.group.id"] == "sid123"
+    assert 'username="u-sid123"' in opts["kafka.sasl.jaas.config"]
+    assert opts["kafka.security.protocol"] == "SASL_PLAINTEXT"
+    assert opts["kafka.enable.auto.commit"] == "false"
+    assert opts["startingOffsets"] == "earliest"
+
+
+def test_kafka_options_timestamp_startup():
+    # checkpoint>0 → TIMESTAMP startup mode (FlinkDtsKafkaConsumer.java:263-267)
+    opts = dts_kafka_options("b:9092", "t", "s", "g", "u", "p", checkpoint_ts=1700000000)
+    m = json.loads(opts["startingOffsetsByTimestamp"])
+    assert m == {"t": {"-1": 1700000000000}}
+    assert "startingOffsets" not in opts
+    assert opts["kafka.group.id"] == "g"
+
+
+def test_checkpoint_string_roundtrip():
+    # util/DtsUtil.java:15-25 parity incl. bare-offset tolerance
+    assert parse_checkpoint(compose_checkpoint(12345, 1700000000)) == (12345, 1700000000)
+    assert parse_checkpoint("777") == (777, -1)
+
+
+def test_progress_tracker_roundtrip(tmp_path):
+    path = str(tmp_path / "state.json")
+    t = DtsProgressTracker(state_path=path, cluster_id="cluster-A")
+    t.update_from_batch([(0, 10, 1700000100), (1, 20, 1700000050), (0, 5, 1700000999)])
+    # offset 5 < 10 must not regress partition 0
+    assert t.partitions[0] == (10, 1700000100)
+    t.save()
+
+    back = DtsProgressTracker.load(path)
+    assert back.cluster_id == "cluster-A"
+    assert back.partitions == {0: (10, 1700000100), 1: (20, 1700000050)}
+    # cluster switch detection (ClusterSwitchListener parity)
+    assert not back.cluster_switched("cluster-A")
+    assert back.cluster_switched("cluster-B")
+    # recovery: conservative min-ts, and per-partition ms map for Spark
+    assert back.min_safe_timestamp() == 1700000050
+    m = json.loads(back.starting_offsets_by_timestamp("topic"))
+    assert m == {"topic": {"0": 1700000100000, "1": 1700000050000}}
+
+
+def test_signed_agg_unit(spark):
+    from pyspark.sql import functions as F
+
+    from flink_dts_connector_spark.operators.changelog import signed_count, signed_sum
+
+    rows = [
+        ("k1", 10.0, "I"),  # insert 10
+        ("k1", 10.0, "UB"),  # update 10 -> 15
+        ("k1", 15.0, "UA"),
+        ("k2", 7.0, "I"),
+        ("k2", 7.0, "D"),  # deleted
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, op string")
+    out = {
+        r["k"]: (r["s"], r["n"])
+        for r in df.groupBy("k")
+        .agg(signed_sum(F.col("v")).alias("s"), signed_count().alias("n"))
+        .collect()
+    }
+    assert out["k1"] == (15.0, 1)
+    assert out["k2"] == (0.0, 0)

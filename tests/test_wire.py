@@ -1,0 +1,162 @@
+"""Wire codec unit tests: round-trip of every value-union branch plus the
+edge cases catalogued in FIXTURES.md F4 / SURVEY.md §1.3."""
+
+from __future__ import annotations
+
+from flink_dts_connector_spark.datamodel.envelope import (
+    ObjectType,
+    OperationType,
+    SourceType,
+    ValueKind,
+    full_table_name,
+    split_table_name,
+)
+from flink_dts_connector_spark.formats.wire import (
+    CdcRecord,
+    FieldDef,
+    decode_header,
+    decode_record,
+    encode_record,
+    render_value,
+)
+
+ZOO_FIELDS = [
+    FieldDef("c_bigint", "BIGINT", 8),
+    FieldDef("c_big_integer", "DECIMAL", 0),
+    FieldDef("c_string_utf8", "VARCHAR", 12),
+    FieldDef("c_string_gbk", "VARCHAR", 12),
+    FieldDef("c_string_unknown_charset", "VARCHAR", 12),
+    FieldDef("c_decimal", "DECIMAL", 0),
+    FieldDef("c_decimal_nan", "DECIMAL", 0),
+    FieldDef("c_double", "DOUBLE", 5),
+    FieldDef("c_ts", "TIMESTAMP", 7),
+    FieldDef("c_datetime", "DATETIME", 10),
+    FieldDef("c_zero_date", "DATETIME", 10),
+    FieldDef("c_partial_date", "DATE", 10),
+    FieldDef("c_ts_tz", "TIMESTAMPTZ", 7),
+    FieldDef("c_geom_wkb", "GEOMETRY", 15),
+    FieldDef("c_geom_wkt", "GEOMETRY", 15),
+    FieldDef("c_blob", "BLOB", 252),
+    FieldDef("c_json", "JSON", 245),
+    FieldDef("c_null", "VARCHAR", 12),
+    FieldDef("c_empty", "VARCHAR", 12),
+]
+
+ZOO_IMAGE = [
+    (ValueKind.INTEGER, -(2**63)),  # LONG min
+    (ValueKind.INTEGER, 2**70 + 7),  # beyond LONG (BigInteger territory)
+    (ValueKind.CHARACTER, ("utf8mb4", "héllo 🎉".encode("utf-8"))),
+    (ValueKind.CHARACTER, ("gbk", "中文".encode("gbk"))),
+    (ValueKind.CHARACTER, ("klingon8", b"\xff\xfe\x01")),  # unknown → hex
+    (ValueKind.DECIMAL, "12345.678901"),
+    (ValueKind.DECIMAL, "NaN"),  # SpecialNumeric text form
+    (ValueKind.FLOAT, -2.5e-308),
+    (ValueKind.TIMESTAMP, (1700000000, 123456)),
+    (ValueKind.DATETIME, {"y": 2024, "mo": 2, "d": 29, "h": 23, "mi": 59, "s": 59, "ns": 123456000}),
+    (ValueKind.DATETIME, {"y": 0, "mo": 0, "d": 0}),  # zero date → null
+    (ValueKind.DATETIME, {"y": 2024, "mo": 5, "d": 17}),  # date-only segments
+    (
+        ValueKind.TIMESTAMP_TZ,
+        {"y": 2024, "mo": 1, "d": 1, "h": 8, "mi": 0, "s": 0, "tz": "+08:00"},
+    ),
+    (ValueKind.BINARY_GEOMETRY, bytes.fromhex("010100000000000000000024400000000000003440")),
+    (ValueKind.TEXT_GEOMETRY, "POINT (10 20)"),
+    (ValueKind.BINARY_OBJECT, (ObjectType.BLOB, b"\x00\x01\x02binary")),
+    (ValueKind.TEXT_OBJECT, (ObjectType.JSON, '{"a": [1, 2, 3]}')),
+    (ValueKind.NULL, None),
+    (ValueKind.EMPTY, None),
+]
+
+
+def make_zoo_record() -> CdcRecord:
+    return CdcRecord(
+        id=42,
+        ts=1700000123,
+        operation=OperationType.UPDATE,
+        db="zoo_db",
+        tbl="tbl.with.dots",
+        transaction_id="tx-zoo-1",
+        born_ts=1700000100,
+        source_type=SourceType.PostgreSQL,
+        source_version="14.1",
+        tags={"pk_uk_info": '{"PRIMARY": ["c_bigint"], "uk_1": ["c_double"]}', "l_db_name": "logical_db"},
+        fields=list(ZOO_FIELDS),
+        before=list(ZOO_IMAGE),
+        after=list(ZOO_IMAGE),
+    )
+
+
+def test_roundtrip_all_value_kinds():
+    rec = make_zoo_record()
+    data = encode_record(rec)
+    back = decode_record(data)
+    assert back.id == rec.id
+    assert back.operation is OperationType.UPDATE
+    assert back.source_type is SourceType.PostgreSQL
+    assert back.transaction_id == "tx-zoo-1"
+    assert back.born_ts == 1700000100
+    assert back.db == "zoo_db" and back.tbl == "tbl.with.dots"
+    assert back.tags == rec.tags
+    assert [f.name for f in back.fields] == [f.name for f in rec.fields]
+    assert back.before == list(ZOO_IMAGE)
+    assert back.after == list(ZOO_IMAGE)
+    assert back.pk_cols == ["c_bigint"]
+
+
+def test_born_ts_falls_back_to_commit_ts():
+    rec = make_zoo_record()
+    rec.born_ts = None
+    h = decode_header(encode_record(rec))
+    assert h.born_ts == h.ts == 1700000123
+
+
+def test_header_skips_payload():
+    rec = make_zoo_record()
+    data = encode_record(rec)
+    h = decode_header(data)
+    # lazy contract: header parse must know exactly where payload ends
+    assert h.payload_pos + h.payload_len == len(data)
+    # and a truncated buffer (header only) must still header-decode fine
+    truncated = data[: h.payload_pos]
+    h2 = decode_header(truncated)
+    assert h2.id == 42 and h2.operation is OperationType.UPDATE
+
+
+def test_render_values():
+    assert render_value(ValueKind.INTEGER, 2**70 + 7) == str(2**70 + 7)
+    assert render_value(ValueKind.CHARACTER, ("utf8mb4", "héllo 🎉".encode())) == "héllo 🎉"
+    assert render_value(ValueKind.CHARACTER, ("gbk", "中文".encode("gbk"))) == "中文"
+    # unknown charset → hex fallback (StringValue.java:50-73)
+    assert render_value(ValueKind.CHARACTER, ("klingon8", b"\xff\xfe\x01")) == "fffe01"
+    # 'binary' pseudo-charset → hex
+    assert render_value(ValueKind.CHARACTER, ("binary", b"\x01\x02")) == "0102"
+    assert render_value(ValueKind.DECIMAL, "NaN") == "NaN"
+    assert render_value(ValueKind.TIMESTAMP, (1700000000, 123456)) == "2023-11-14 22:13:20.123456"
+    # zero date → None (DateTime.java:473-482 guard)
+    assert render_value(ValueKind.DATETIME, {"y": 0, "mo": 0, "d": 0}) is None
+    assert render_value(ValueKind.DATETIME, {"y": 2024, "mo": 5, "d": 17}) == "2024-05-17"
+    assert (
+        render_value(ValueKind.TIMESTAMP_TZ, {"y": 2024, "mo": 1, "d": 1, "h": 8, "mi": 0, "s": 0, "tz": "+08:00"})
+        == "2024-01-01 08:00:00 +08:00"
+    )
+    assert render_value(ValueKind.NULL, None) is None
+    assert render_value(ValueKind.EMPTY, None) is None
+    assert render_value(ValueKind.TEXT_OBJECT, (ObjectType.JSON, "{}")) == "{}"
+    assert render_value(ValueKind.BINARY_OBJECT, (ObjectType.BLOB, b"\xab")) == "ab"
+
+
+def test_table_name_escaping():
+    # ObjectNameUtils.java:64-112 parity: dots inside segments are escaped
+    name = full_table_name("db", None, "tbl.with.dots")
+    assert split_table_name(name) == ["db", "tbl.with.dots"]
+    assert split_table_name(full_table_name("a.b", "s", "t")) == ["a.b", "s", "t"]
+
+
+def test_varint_extremes():
+    from flink_dts_connector_spark.formats.wire import read_long, write_long
+
+    for n in (0, -1, 1, 2**62, -(2**62), 2**63 - 1, -(2**63)):
+        buf = bytearray()
+        write_long(buf, n)
+        got, pos = read_long(bytes(buf), 0)
+        assert got == n and pos == len(buf)
