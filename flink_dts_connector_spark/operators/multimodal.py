@@ -1,0 +1,99 @@
+"""Multimodal column plumbing (SURVEY.md §2.7): image/audio/video as opaque
+BINARY columns + typed metadata structs, with decode/feature-extract/resize/
+frame-sample as Arrow-batched Pandas UDF stages.
+
+The container has no image/audio libraries, so the actual media decode is
+STUBBED: `decode_media` raises NotImplementedError for real codecs and
+offers a deterministic fake decoder so the Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — is real and tested end-to-end
+(that plumbing, not the pixel math, is what this engine owns at 100 TB).
+
+Scale notes: media bytes never leave the executor that read them (mapInPandas
+per-partition); metadata-only operations (frame sampling plans, filters)
+work on the struct column without touching the payload — the same
+header/payload laziness idea as the CDC decoder.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SUPPORTED_FAKE_CODEC = "fake"
+
+#: metadata struct carried next to every media payload
+MEDIA_META_FIELDS = "codec string, n_bytes bigint, width int, height int, duration_ms bigint"
+
+
+def attach_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize an opaque media column from text (deterministic fake
+    payload) + its metadata struct. In production this is the parquet/blob
+    reader's output; here it feeds the plumbing tests."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    n = F.octet_length(payload).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        payload.alias("media"),
+        F.struct(
+            F.lit(SUPPORTED_FAKE_CODEC).alias("codec"),
+            n.alias("n_bytes"),
+            (n % 640).cast("int").alias("width"),
+            (n % 480).cast("int").alias("height"),
+            (n * 40).alias("duration_ms"),  # fake: 25 fps, 1 byte/frame
+        ).alias("meta"),
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Metadata-only frame sampling: one row per sampled frame timestamp —
+    never touches the payload column (laziness contract). Pure built-ins:
+    sequence + explode."""
+    return df.select(
+        "doc_id",
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ms"),
+    )
+
+
+def decode_media(df: DataFrame, media_col: str = "media", meta_col: str = "meta") -> DataFrame:
+    """Decode media payloads → fixed-size feature rows (Arrow-batched).
+
+    Real codecs (jpeg/png/wav/mp4…) are unavailable in this image — they
+    raise NotImplementedError by contract; the 'fake' codec decodes
+    deterministically (byte histogram moments) so the full mapInPandas
+    path is exercised. Output: doc_id, n_bytes, byte_sum, byte_mean.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codecs = pdf[meta_col].map(lambda m: m["codec"])
+            bad = codecs[codecs != SUPPORTED_FAKE_CODEC]
+            if len(bad):
+                raise NotImplementedError(
+                    f"media codec(s) {sorted(set(bad))} need external decoders "
+                    "(not available in this environment); only the deterministic "
+                    f"'{SUPPORTED_FAKE_CODEC}' codec is supported here"
+                )
+            raw = pdf[media_col]
+            n_bytes = raw.map(len).astype("int64")
+            byte_sum = raw.map(lambda b: sum(b)).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": n_bytes,
+                    "byte_sum": byte_sum,
+                    "byte_mean": byte_sum / n_bytes,
+                }
+            )
+
+    return df.mapInPandas(fn, schema="doc_id bigint, n_bytes bigint, byte_sum bigint, byte_mean double")

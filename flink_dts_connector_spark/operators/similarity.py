@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (SURVEY.md §2.7 EXT surface).
+
+Two paths:
+  * brute-force cosine top-k — the correctness baseline: broadcast the query
+    set, score every (query, item) pair with JVM-side array expressions;
+  * LSH-bucketed ANN — the scale path: sign-bit bucketing cuts candidates to
+    one bucket's worth per query; same scorer on the survivors.
+
+Determinism contract: embeddings are float32; float dot products are
+order-sensitive, so the scorer quantizes each component to integer
+micro-units (round(x·10⁶)) and accumulates in exact int64 — dot products
+and norms become order-insensitive integers, with ONE final double
+sqrt/divide that every engine rounds identically. Max |component| ~O(1) →
+per-term ≤1e12, 64 dims → ≤6.4e13 ≪ 2^63 (and < 2^53, so the final
+int→double conversions are exact).
+
+Scale notes: the query side is broadcast (top-k against a fixed query set);
+the item side streams — no shuffle of the big table. For all-pairs near-dup
+the blocking key (label / LSH bucket) bounds the quadratic term to within-
+bucket pairs; AQE's skew-join splitting handles hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1_000_000
+
+
+def quantized(emb: Column | str, scale: int = QUANT_SCALE) -> Column:
+    """array<float> → array<long> micro-units (exact, engine-identical)."""
+    emb = F.col(emb) if isinstance(emb, str) else emb
+    return F.transform(emb, lambda x: F.round(x.cast("double") * scale).cast("bigint"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+
+
+def norm_sq_q(a: Column) -> Column:
+    return dot_q(a, a)
+
+
+def cosine_q(dot: Column, n1: Column, n2: Column) -> Column:
+    """cosine from exact integer parts; single deterministic double step."""
+    return dot.cast("double") / F.sqrt(n1.cast("double") * n2.cast("double"))
+
+
+def brute_force_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` (small, broadcast) joins every item — one pass over the big
+    side, partial top-k per partition via the window after a shuffle on
+    query_id (bounded by |queries|·|items| scores, the unavoidable
+    brute-force cost; the ANN path below is the scale answer)."""
+    q = queries.select(
+        F.col(query_id_col),
+        quantized(emb_col).alias("_qe"),
+    ).withColumn("_qn", norm_sq_q(F.col("_qe")))
+    it = items.select(
+        F.col(id_col),
+        quantized(emb_col).alias("_ie"),
+    ).withColumn("_in", norm_sq_q(F.col("_ie")))
+    scored = (
+        it.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine_q(dot_q(F.col("_qe"), F.col("_ie")), F.col("_qn"), F.col("_in")).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def signbit_bucket(emb: Column | str, dims: tuple[int, ...] = (0, 7, 17, 29, 41, 53)) -> Column:
+    """Axis-aligned sign-bit LSH bucket: bit i = sign(embedding[dims[i]]).
+
+    Deterministic, engine-independent, and cheap (no projection matrix to
+    ship). For mean-centered embeddings each bit splits ~half the space, so
+    b bits cut candidate volume ~2^b; recall for near-neighbors is tested
+    against the brute-force baseline in tests/test_similarity.py."""
+    emb = F.col(emb) if isinstance(emb, str) else emb
+    bits = [
+        F.when(F.element_at(emb, d + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, d in enumerate(dims)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's LSH bucket, then the
+    exact quantized scorer. Equi-join on the bucket replaces the cross
+    join — this is the 100 TB path (join key bounds the blow-up)."""
+    q = (
+        queries.select(
+            F.col(query_id_col),
+            quantized(emb_col).alias("_qe"),
+            signbit_bucket(emb_col).alias("_bucket"),
+        )
+        .withColumn("_qn", norm_sq_q(F.col("_qe")))
+    )
+    it = (
+        items.select(
+            F.col(id_col),
+            quantized(emb_col).alias("_ie"),
+            signbit_bucket(emb_col).alias("_bucket"),
+        )
+        .withColumn("_in", norm_sq_q(F.col("_ie")))
+    )
+    scored = (
+        it.join(F.broadcast(q), "_bucket")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine_q(dot_q(F.col("_qe"), F.col("_ie")), F.col("_qn"), F.col("_in")).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs(
+    items: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs near-duplicate detection within blocks: pairs (a < b) in
+    the same ``block_col`` whose quantized cosine ≥ ``threshold``.
+
+    The score is built from exact integers with one correctly-rounded
+    double sqrt/divide, so it is bit-identical in any IEEE engine — the
+    threshold comparison is therefore deterministic too. The block equi-join
+    bounds the quadratic term to within-block pairs (the scale contract)."""
+    a = items.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("a_id"),
+        quantized(emb_col).alias("_ae"),
+    ).withColumn("_an", norm_sq_q(F.col("_ae")))
+    b = items.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("b_id"),
+        quantized(emb_col).alias("_be"),
+    ).withColumn("_bn", norm_sq_q(F.col("_be")))
+    score = cosine_q(dot_q(F.col("_ae"), F.col("_be")), F.col("_an"), F.col("_bn"))
+    return (
+        a.join(b, (a["_blk"] == b["_blk"]) & (F.col("a_id") < F.col("b_id")))
+        .select(F.col("a_id"), F.col("b_id"), score.alias("score"))
+        .where(F.col("score") >= threshold)
+    )

@@ -1,1 +1,322 @@
-"""Placeholder — populated later this round."""
+"""EXT operator queries: dedup / similarity / text / multimodal
+(SURVEY.md §2.7 — the LLM-training-data-pipeline surface BASELINE.json
+mandates on top of reference parity).
+
+Oracle-checked wherever the operator is SQL-expressible; the hash-based ops
+(MinHash-LSH, SimHash) have no DuckDB equivalent of xxhash64/FNV and get the
+rows-only gate plus ground-truth pytest checks against in-engine brute force
+(tests/test_ext_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_dts_connector_spark.operators import dedup as D
+from flink_dts_connector_spark.operators import multimodal as M
+from flink_dts_connector_spark.operators import similarity as S
+from flink_dts_connector_spark.operators import text as X
+from flink_dts_connector_spark.plans.registry import register
+from flink_dts_connector_spark.session import load_table
+
+# Shared DuckDB fragments -----------------------------------------------------
+
+SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
+SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+SQL_Q = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+# signbit LSH bucket over dims (0,7,17,29,41,53) — 1-based in duckdb lists
+_BUCKET_DIMS = (0, 7, 17, 29, 41, 53)
+SQL_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, d in enumerate(_BUCKET_DIMS)
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"SELECT doc_id, md5({SQL_NORM}) AS fp FROM documents",
+    tags=("ext", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (dedup key)."""
+    return t(spark, sf_dir, "documents").select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(list_filter({SQL_TOKS}, t -> t IN ('the','a','of','and'))) AS BIGINT) AS n_stopwords,
+       CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT) AS n_non_alnum,
+       CAST(length(text) AS DOUBLE) / len({SQL_TOKS}) AS chars_per_token,
+       CAST(len(list_filter({SQL_TOKS}, t -> t IN ('the','a','of','and'))) AS DOUBLE) / len({SQL_TOKS}) AS stopword_ratio,
+       CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE) / length(text) AS non_alnum_ratio
+FROM documents
+""",
+    tags=("ext", "text"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length/stopword/punctuation ratios) —
+    integer counts + one double division each."""
+    return X.quality_metrics(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter({SQL_TOKS}, t -> t IN ('der','die','und'))) >= 2 THEN 'de'
+            WHEN len(list_filter({SQL_TOKS}, t -> t IN ('le','la','et'))) >= 2 THEN 'fr'
+            WHEN len(list_filter({SQL_TOKS}, t -> t IN ('el','los','y'))) >= 2 THEN 'es'
+            ELSE 'en' END AS lang_guess
+FROM documents
+""",
+    tags=("ext", "text"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID heuristic vs the labeled lang column."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", X.langid_heuristic("text").alias("lang_guess")
+    )
+
+
+@register(
+    "text_token_stats_by_source",
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CAST(len({SQL_TOKS}) AS BIGINT)) AS total_tokens,
+       SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+       MAX(CAST(len({SQL_TOKS}) AS BIGINT)) AS max_tokens
+FROM documents
+GROUP BY source
+""",
+    tags=("ext", "text"),
+)
+def text_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count rollup per source — the corpus-stats aggregation shape."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count("text")).alias("total_tokens"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        F.max(X.token_count("text")).alias("max_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    oracle=f"""
+SELECT md5({SQL_NORM}) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    tags=("ext", "dedup"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: survivor id + multiplicity per content hash."""
+    return D.exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "neardup_jaccard_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+  FROM toks
+  QUALIFY LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_inter,
+       sa.n_sh + sb.n_sh - n_inter AS n_union,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE 100 * n_inter >= 30 * (sa.n_sh + sb.n_sh - n_inter)
+""",
+    tags=("ext", "dedup"),
+)
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs (≥0.30), integer-exact decision.
+    The shingle equi-join bounds cost to pairs sharing a shingle — the
+    exact-near-dup shape that still works when |docs|² doesn't."""
+    return D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold_pct=30)
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("ext", "dedup", "approx"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (shingle→minhash→band→bucket-join→verify).
+    xxhash64-based — no DuckDB twin, so rows-only here; candidate recall vs
+    exact Jaccard is asserted in tests/test_ext_ops.py."""
+    return D.minhash_lsh_dedup_pairs(t(spark, sf_dir, "documents"), threshold_pct=50)
+
+
+@register("dedup_simhash", oracle=None, tags=("ext", "dedup", "approx"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (banded Hamming≤8) — Pandas-UDF signature
+    path; invariants pytest-checked."""
+    return D.simhash_neardup_pairs(t(spark, sf_dir, "documents"), max_distance=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+SQL_ANN_BASE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {SQL_Q} AS qe, {{bucket}} AS qb
+  FROM embeddings WHERE vec_id % 100 = 0
+), it AS (
+  SELECT vec_id, {SQL_Q} AS ie, {{bucket}} AS ib FROM embeddings
+), qn AS (
+  SELECT query_id, qe, qb, CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nq FROM q
+), itn AS (
+  SELECT vec_id, ie, ib, CAST(list_sum(list_transform(ie, x -> x*x)) AS BIGINT) AS ni FROM it
+), flat_q AS (
+  SELECT query_id, nq, qb, unnest(qe) AS x, generate_subscripts(qe, 1) AS i FROM qn
+), flat_i AS (
+  SELECT vec_id, ni, ib, unnest(ie) AS x, generate_subscripts(ie, 1) AS i FROM itn
+), dots AS (
+  SELECT query_id, vec_id, CAST(SUM(fq.x * fi.x) AS BIGINT) AS dot,
+         ANY_VALUE(nq) AS nq, ANY_VALUE(ni) AS ni
+  FROM flat_q fq JOIN flat_i fi ON fq.i = fi.i {{bucket_cond}}
+  WHERE query_id <> vec_id
+  GROUP BY query_id, vec_id
+), scored AS (
+  SELECT query_id, vec_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(ni AS DOUBLE)) AS score
+  FROM dots
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=SQL_ANN_BASE.format(bucket="0", bucket_cond=""),
+    tags=("ext", "similarity"),
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the fixed query set (vec_id % 100 = 0) —
+    quantized-integer scoring, broadcast query side."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(e, q, k=5)
+
+
+@register(
+    "ann_topk_lsh",
+    oracle=SQL_ANN_BASE.format(bucket=f"({SQL_BUCKET})", bucket_cond="AND fq.qb = fi.ib"),
+    tags=("ext", "similarity", "approx"),
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5: candidates limited to the query's sign-bit
+    bucket, exact scorer on survivors. The bucketing rule is deterministic,
+    so even this approximate path has a full DuckDB oracle."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_topk(e, q, k=5)
+
+
+@register(
+    "neardup_cosine_pairs",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, {SQL_Q} AS qe FROM embeddings
+), n AS (
+  SELECT vec_id, label, qe, CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nrm FROM e
+), flat AS (
+  SELECT vec_id, label, nrm, unnest(qe) AS x, generate_subscripts(qe, 1) AS i FROM n
+), dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, CAST(SUM(a.x * b.x) AS BIGINT) AS dot,
+         ANY_VALUE(a.nrm) AS na, ANY_VALUE(b.nrm) AS nb
+  FROM flat a JOIN flat b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS score
+FROM dots
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.35
+""",
+    tags=("ext", "dedup", "similarity"),
+)
+def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs within a label block scoring
+    ≥0.35 — label plays the blocking key that bounds the quadratic cost."""
+    return S.cosine_pairs(t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_features",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c))) AS BIGINT) AS byte_sum,
+       CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c))) AS DOUBLE)
+         / octet_length(encode(text)) AS byte_mean
+FROM documents
+""",
+    tags=("ext", "multimodal"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: text → opaque media bytes + meta
+    struct → Arrow-batched fake decode → feature rows. (Oracle works because
+    the corpus is ASCII: UTF-8 byte sum == codepoint sum.)"""
+    media = M.attach_media(t(spark, sf_dir, "documents"))
+    return M.decode_media(media)
+
+
+@register(
+    "multimodal_frame_plan",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) * 40 AS BIGINT) AS duration_ms,
+       CAST(unnest(generate_series(0, octet_length(encode(text)) * 40 - 1, 1000)) AS BIGINT) AS frame_ms
+FROM documents
+""",
+    tags=("ext", "multimodal"),
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only frame-sampling plan (1 row per sampled frame) — never
+    touches the payload column (the laziness contract for media bytes)."""
+    media = M.attach_media(t(spark, sf_dir, "documents"))
+    return M.frame_sample_plan(media, every_ms=1000)

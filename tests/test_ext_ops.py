@@ -1,0 +1,101 @@
+"""Ground-truth checks for the approximate EXT operators (no SQL oracle
+exists for xxhash/FNV-based ops, so we verify against in-engine exact
+computation and structural invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_dts_connector_spark.operators import dedup as D
+from flink_dts_connector_spark.operators import similarity as S
+from flink_dts_connector_spark.session import load_table
+
+
+def test_minhash_lsh_finds_exact_duplicates(spark, sf_dir):
+    """Identical documents produce identical signatures → every band
+    collides → the pair MUST be reported (LSH guarantee at j=1)."""
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    both = docs.unionByName(dup)
+    pairs = D.minhash_lsh_dedup_pairs(both, threshold_pct=90)
+    found = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    expected = {(r["doc_id"], r["doc_id"] + 100000) for r in docs.collect()}
+    assert expected <= found, f"missing exact-dup pairs: {sorted(expected - found)[:5]}"
+
+
+def test_minhash_lsh_verified_pairs_subset_of_exact(spark, sf_dir):
+    """LSH output is exact-verified, so it must be a SUBSET of the exact
+    Jaccard pairs at the same threshold (LSH may only lose candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in D.minhash_lsh_dedup_pairs(docs, threshold_pct=30).collect()
+    }
+    exact = {
+        (r["a_id"], r["b_id"]) for r in D.jaccard_pairs(docs, threshold_pct=30).collect()
+    }
+    assert lsh <= exact
+
+
+def test_simhash_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    sig = D.simhash64(docs).collect()
+    assert len({r["doc_id"] for r in sig}) == len(sig)
+    # determinism: second run identical
+    sig2 = D.simhash64(docs).collect()
+    assert {(r["doc_id"], r["simhash"]) for r in sig} == {
+        (r["doc_id"], r["simhash"]) for r in sig2
+    }
+    # identical text → distance 0 pair must be found by the banded search
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    pairs = D.simhash_neardup_pairs(docs.unionByName(dup), max_distance=0)
+    found = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    expected = {(r["doc_id"], r["doc_id"] + 100000) for r in docs.collect()}
+    assert expected <= found
+
+
+def test_lsh_ann_subset_and_selfbucket(spark, sf_dir):
+    """Every LSH-ANN hit must carry the same score brute force assigns it
+    (same scorer), and hits are confined to the query's bucket."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in S.brute_force_topk(e, q, k=500).collect()
+    }
+    for r in S.lsh_topk(e, q, k=5).collect():
+        assert (r["query_id"], r["vec_id"]) in bf
+        assert bf[(r["query_id"], r["vec_id"])] == r["score"]  # bit-identical
+
+
+def test_exact_dedup_keeps_one_per_content(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    out = D.dedup_exact(docs.unionByName(dup))
+    assert out.count() == docs.count()
+    # survivors are the min ids (originals)
+    assert out.where(F.col("doc_id") > 100000).count() == 0
+
+
+def test_decode_media_rejects_unknown_codec(spark, sf_dir):
+    """Real codecs are stubbed: the decode stage must fail loudly, not
+    fake-decode them."""
+    import pytest
+
+    from flink_dts_connector_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    media = M.attach_media(docs).withColumn(
+        "meta",
+        F.struct(
+            F.lit("jpeg").alias("codec"),
+            F.col("meta.n_bytes"),
+            F.col("meta.width"),
+            F.col("meta.height"),
+            F.col("meta.duration_ms"),
+        ),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|external decoders"):
+        M.decode_media(media).collect()
