@@ -1,1 +1,144 @@
-"""Placeholder — populated later this round."""
+"""Streaming operator queries (SURVEY.md §2.5).
+
+Each runs a REAL Structured Streaming query (watermark + state store +
+append semantics) to completion with availableNow over the driver's events
+table, then returns the sink as a DataFrame. The DuckDB oracle reproduces
+the append-mode watermark contract in SQL: with final watermark W =
+max(event time) − delay, append mode has emitted exactly the windows whose
+end ≤ W (single-file source → watermark only advances at batch end, so no
+rows are late-dropped and the emitted set is closed-form).
+
+The reference's streaming surface this covers: event-time extraction +
+watermark declaration (`DtsCustomWatermarkExtractor.java:17-21`,
+`README.md:98`), windowed aggregation and lookup joins it delegates to its
+host engine (`DtsTableIJoinTCase.java:64-88`), exactly-once state via the
+checkpoint WAL. Known divergence (SURVEY.md §4.4): Spark watermarks are
+per-query global, not per-partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_dts_connector_spark.plans.registry import register
+from flink_dts_connector_spark.plans.relational import dec, dsum
+from flink_dts_connector_spark.session import load_table
+from flink_dts_connector_spark.streaming.runner import read_stream_table, run_to_memory
+
+# append-mode emission cutoff: windows with end <= max(ts) - 10 min
+SQL_WM_CUTOFF = "(SELECT max(ts) - INTERVAL 10 MINUTE FROM events)"
+
+
+@register(
+    "stream_hourly_windows",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= {SQL_WM_CUTOFF}
+""",
+    tags=("streaming", "window-agg"),
+)
+def stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, append mode: only closed
+    windows (end ≤ watermark) are in the sink — checked against the SQL
+    reconstruction of exactly that contract."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(dec("value"), "total_value"))
+    )
+    out = run_to_memory(agg, output_mode="append")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
+    )
+
+
+@register(
+    "stream_static_lookup_join",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+       COUNT(*) AS n_events,
+       COUNT(c_custkey) AS n_matched
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= {SQL_WM_CUTOFF}
+""",
+    tags=("streaming", "join"),
+)
+def stream_static_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static (lookup) left join + windowed agg — parity with the
+    reference's dimension-enrichment join test
+    (`src/test/java/.../sql/DtsTableIJoinTCase.java:48-73`): the static side
+    is re-readable per micro-batch exactly like its JDBC lookup cache."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "left")
+    agg = (
+        joined.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 hour"),
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("c_custkey").alias("n_matched"),
+        )
+    )
+    out = run_to_memory(agg, output_mode="append")
+    return out.select(
+        F.col("window.start").alias("window_start"), "segment", "n_events", "n_matched"
+    )
+
+
+@register(
+    "stream_dedup_exactly_once",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the source is unioned with itself (every event
+    twice) and dropDuplicatesWithinWatermark must emit each exactly once —
+    the stateful-dedup path a CDC at-least-once source needs downstream."""
+    ev1 = read_stream_table(spark, sf_dir, "events")
+    ev2 = read_stream_table(spark, sf_dir, "events")
+    dup = ev1.unionByName(ev2)
+    dedup = (
+        dup.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(dedup, output_mode="append")
+
+
+@register(
+    "stream_sliding_windows",
+    oracle=f"""
+WITH slides AS (
+  SELECT e.*, time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL (30 * s.i) MINUTE AS window_start
+  FROM events e, (SELECT unnest([0, 1]) AS i) s
+)
+SELECT window_start, COUNT(*) AS n
+FROM slides
+WHERE window_start + INTERVAL 1 HOUR <= {SQL_WM_CUTOFF}
+GROUP BY 1
+""",
+    tags=("streaming", "window-agg"),
+)
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in 2
+    windows; append emission cutoff as above. Oracle enumerates the slide
+    set arithmetically."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, output_mode="append")
+    return out.select(F.col("window.start").alias("window_start"), "n")

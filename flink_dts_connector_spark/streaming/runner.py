@@ -1,0 +1,55 @@
+"""Bounded streaming execution helpers.
+
+The reference's streaming tests run against a live DTS endpoint; ours run
+Structured Streaming queries to completion over the driver's parquet tables
+with ``trigger(availableNow=True)`` — real streaming machinery (watermarks,
+state store, append semantics), bounded input, synchronous result.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming read of one driver parquet table (schema from the batch
+    reader, incl. the nanos→µs timestamp conversion in load_table)."""
+    from flink_dts_connector_spark.session import load_table, table_path
+
+    batch = load_table(spark, sf_dir, name)
+    # file-stream sources require a directory: stream the sf dir filtered to
+    # this table's file
+    stream = (
+        spark.readStream.schema(spark.read.parquet(table_path(sf_dir, name)).schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    # re-apply the nanos→µs conversions load_table made on the batch side
+    from pyspark.sql import functions as F
+
+    from flink_dts_connector_spark.session import _nanos_ts_columns
+
+    for col in _nanos_ts_columns(table_path(sf_dir, name)):
+        stream = stream.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    assert stream.schema == batch.schema
+    return stream
+
+
+def run_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink; returns the sink contents as a batch DataFrame."""
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="fdcs_ckpt_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

@@ -1,0 +1,127 @@
+"""Streaming integration beyond the oracle battery: custom stateful
+operator, and the CDC decode pipeline running as a real stream with
+foreachBatch upsert materialization."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_dts_connector_spark.session import load_table
+from flink_dts_connector_spark.streaming.runner import read_stream_table
+
+
+def test_stateful_running_counts(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user event
+    counts accumulated across micro-batches must equal the batch groupBy."""
+    try:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    except ImportError:
+        pytest.skip("applyInPandasWithState state API unavailable")
+
+    ev = read_stream_table(spark, sf_dir, "events")
+
+    def count_fn(key, pdf_iter, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+    out = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            count_fn,
+            outputStructType="user_id bigint, n bigint",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"st_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdcs_state_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user = final count
+    got = {
+        r["user_id"]: r["n"]
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    expected = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_cdc_stream_foreachbatch_upsert(spark, sf_dir, tmp_path):
+    """CDC bytes as a real stream: decode → typed changelog → foreachBatch
+    upsert — final materialized state must equal the batch pipeline's."""
+    from flink_dts_connector_spark.formats.decoder import decode_cdc
+    from flink_dts_connector_spark.formats.typed import project_table
+    from flink_dts_connector_spark.operators.changelog import materialize_upsert
+    from flink_dts_connector_spark.plans.cdc_queries import ORDERS_CDC_SCHEMA
+    from flink_dts_connector_spark.sources.generator import DB, TBL, generate_cdc_bytes
+
+    raw_dir = str(tmp_path / "raw")
+    generate_cdc_bytes(spark, sf_dir).write.parquet(raw_dir)
+
+    raw_stream = spark.readStream.schema("value binary, partition int, offset long").parquet(
+        raw_dir
+    )
+    env = decode_cdc(raw_stream, tables=[f"{DB}.{TBL}"], ops=["INSERT", "UPDATE", "DELETE"])
+    chg = project_table(env, ORDERS_CDC_SCHEMA, table=f"{DB}.{TBL}")
+
+    sink: list = []
+
+    def upsert_batch(batch_df, epoch_id):
+        sink.append(batch_df.toPandas())
+
+    q = (
+        chg.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = pd.concat(sink, ignore_index=True)
+    all_chg = spark.createDataFrame(streamed, schema=chg.schema)
+    got = (
+        materialize_upsert(all_chg, ["o_orderkey"], order_cols=["ts", "record_id"])
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+    batch_chg = project_table(
+        decode_cdc(
+            generate_cdc_bytes(spark, sf_dir),
+            tables=[f"{DB}.{TBL}"],
+            ops=["INSERT", "UPDATE", "DELETE"],
+        ),
+        ORDERS_CDC_SCHEMA,
+        table=f"{DB}.{TBL}",
+    )
+    want = (
+        materialize_upsert(batch_chg, ["o_orderkey"], order_cols=["ts", "record_id"])
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows == want_rows and len(got_rows) > 0
