@@ -145,6 +145,10 @@ def generate_cdc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"
     )
+    # the source is one small parquet file (one split) — spread the Python
+    # encode work across all cores; the shuffle of the narrow projection is
+    # far cheaper than serializing the codec on one task
+    orders = orders.repartition(spark.sparkContext.defaultParallelism)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
