@@ -1,0 +1,343 @@
+"""Second relational wave: scalar-subquery shapes, disjunctive pushdown,
+HAVING on exact sums, approx-distinct, and the temporal joins (as-of /
+range) the reference's host engine exposes as interval/temporal joins
+(SURVEY.md §2.3) — built here with the scale-first operators in
+operators/asof.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from flink_dts_connector_spark.operators.asof import asof_join, range_join_buckets
+from flink_dts_connector_spark.plans.registry import register
+from flink_dts_connector_spark.plans.relational import D8, SQL_DISC_PRICE, dec, disc_price_col, dsum, t
+
+
+@register(
+    "q2_cheapest_part_per_type",
+    oracle="""
+SELECT p_type, p_partkey, p_retailprice
+FROM part
+QUALIFY p_retailprice = MIN(p_retailprice) OVER (PARTITION BY p_type)
+""",
+    tags=("subquery", "window", "tpch"),
+)
+def q2_cheapest_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp in testdata): per-group min scalar
+    subquery, decorrelated to a window — one shuffle, keeps ties."""
+    w = W.partitionBy("p_type")
+    return (
+        t(spark, sf_dir, "part")
+        .select("p_type", "p_partkey", "p_retailprice", F.min("p_retailprice").over(w).alias("_m"))
+        .where(F.col("p_retailprice") == F.col("_m"))
+        .drop("_m")
+    )
+
+
+@register(
+    "q7_volume_between_nations",
+    oracle=f"""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(CAST(SUM({SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q7_volume_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bidirectional nation-pair trade volume per ship year."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+    ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.c_nk)
+        .join(F.broadcast(n2), s.s_nationkey == n2.s_nk)
+        .where(pair)
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(dsum(disc_price_col(), "revenue"))
+    )
+
+
+@register(
+    "q12_priority_by_year",
+    oracle="""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+GROUP BY 1
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q12_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts of late-shipped lines by year."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate))
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_pct",
+    oracle=f"""
+SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_DISC_PRICE} END) AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(CAST(SUM({SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share — both sums exact-decimal, then one
+    deterministic double division and scale."""
+    l = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dp = disc_price_col()
+    agg = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", dp)).cast("decimal(38,6)").cast("double").alias("_promo"),
+            F.sum(dp).cast("decimal(38,6)").cast("double").alias("_total"),
+        )
+    )
+    return agg.select((F.lit(100.0) * F.col("_promo") / F.col("_total")).alias("promo_revenue_pct"))
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_orderdate,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_qty
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2, 3
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+""",
+    tags=("join", "agg", "having", "tpch"),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING on an exact decimal sum (threshold compare never
+    touches floats)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    g = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        .where(F.col("_q") > 150)
+    )
+    return g.select(
+        "c_custkey", "o_orderkey", "o_orderdate",
+        F.col("_q").cast("decimal(38,6)").cast("double").alias("total_qty"),
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+SELECT CAST(CAST(SUM({SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+""",
+    tags=("join", "filter", "tpch"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs across both join sides — exercises Catalyst's
+    disjunction handling and join-condition pushdown."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#13") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#20") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(dsum(disc_price_col(), "revenue"))
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS v
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_custkey % 10 AS code_group,
+       COUNT(*) AS numcust,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > v
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+""",
+    tags=("subquery", "anti", "agg", "tpch"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the global average balance (exact
+    arithmetic, broadcast 1-row cross join) with no RECENT orders (anti
+    join) — 'idle since 2000', calibrated non-empty on the testdata."""
+    c = t(spark, sf_dir, "customer")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(dec("c_acctbal")).cast("decimal(38,6)").cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("v"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 10).alias("code_group"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(dec("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts (per returnflag) — approximate by
+    construction, so rows-only here; tests/test_advanced.py bounds the
+    relative error against the exact count."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        )
+    )
+
+
+@register(
+    "asof_purchase_last_view",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT event_id AS view_event_id, user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+), matched AS (
+  SELECT p.event_id, v.view_event_id, v.view_ts
+  FROM purchases p JOIN views v
+    ON p.user_id = v.user_id AND v.view_ts <= p.ts
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.view_ts DESC, v.view_event_id DESC) = 1
+)
+SELECT p.event_id, p.user_id, p.ts, p.value, m.view_event_id, m.view_ts
+FROM purchases p LEFT JOIN matched m ON p.event_id = m.event_id
+""",
+    tags=("join", "asof"),
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks the user's latest view at-or-before
+    it. Union+window implementation (operators/asof.py) — one shuffle on
+    user_id, no per-key pair blow-up; ties broken by view_event_id."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        right_cols=["view_event_id", "view_ts"],
+        tie_break="view_event_id",
+    )
+
+
+@register(
+    "range_join_purchase_views",
+    oracle="""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts AND epoch_us(v.ts) >= epoch_us(p.ts) - 600000000
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+""",
+    tags=("join", "range"),
+)
+def range_join_purchase_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: every (purchase, view) pair of the same user within 10
+    minutes — bucketized equi-join shape (operators/asof.py) instead of a
+    nested-loop theta join."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    joined = range_join_buckets(
+        purchases.withColumnRenamed("ts", "p_ts"),
+        views,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="view_ts",
+        max_gap_seconds=600,
+    )
+    return joined.select(
+        "purchase_id",
+        "view_id",
+        (F.unix_micros("p_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )

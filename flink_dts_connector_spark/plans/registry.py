@@ -51,9 +51,10 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()
 
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
-    import flink_dts_connector_spark.plans.relational  # noqa: F401
+    import flink_dts_connector_spark.plans.advanced  # noqa: F401
     import flink_dts_connector_spark.plans.cdc_queries  # noqa: F401
     import flink_dts_connector_spark.plans.ext_queries  # noqa: F401
+    import flink_dts_connector_spark.plans.relational  # noqa: F401
     import flink_dts_connector_spark.plans.streaming_queries  # noqa: F401
 
 
