@@ -41,6 +41,7 @@ def _decode_batch(
     offsets: Sequence,
     tables: frozenset[str] | None,
     ops: frozenset[str] | None,
+    columns: frozenset[str] | None = None,
 ) -> dict[str, list]:
     import datetime as dt
     import json
@@ -60,11 +61,18 @@ def _decode_batch(
                 continue
         fields, before, after = decode_payload(raw, h)
         names = [f.name for f in fields]
+        # column pruning into the decoder (SURVEY.md §4): fields outside the
+        # declared projection skip string rendering entirely
+        keep_set = set(names) if columns is None else columns
         before_map = (
-            {n: render_value(k, v) for n, (k, v) in zip(names, before)} if before else None
+            {n: render_value(k, v) for n, (k, v) in zip(names, before) if n in keep_set}
+            if before
+            else None
         )
         after_map = (
-            {n: render_value(k, v) for n, (k, v) in zip(names, after)} if after else None
+            {n: render_value(k, v) for n, (k, v) in zip(names, after) if n in keep_set}
+            if after
+            else None
         )
         pk_uk = h.tags.get("pk_uk_info")
         pk_cols, uk_info = None, None
@@ -97,13 +105,15 @@ def decode_cdc(
     raw_df: DataFrame,
     tables: Sequence[str] | None = None,
     ops: Sequence[str | OperationType] | None = None,
+    columns: Sequence[str] | None = None,
 ) -> DataFrame:
     """Decode a binary CDC stream/batch into the generic envelope.
 
     ``raw_df`` needs a ``value: binary`` column; ``partition``/``offset``
     columns are carried through as kafka metadata when present. ``tables``
     filters on ``db.tbl`` qualified names, ``ops`` on operation names —
-    both applied header-only, before payload decode.
+    both applied header-only, before payload decode. ``columns`` prunes
+    image rendering to the named fields (the declared-schema fast path).
     """
     table_set = frozenset(tables) if tables is not None else None
     op_set = (
@@ -111,6 +121,7 @@ def decode_cdc(
         if ops is not None
         else None
     )
+    col_set = frozenset(columns) if columns is not None else None
     has_part = "partition" in raw_df.columns
     has_off = "offset" in raw_df.columns
 
@@ -118,7 +129,7 @@ def decode_cdc(
         for pdf in batches:
             parts = pdf["partition"] if has_part else [None] * len(pdf)
             offs = pdf["offset"] if has_off else [None] * len(pdf)
-            out = _decode_batch(pdf["value"], parts, offs, table_set, op_set)
+            out = _decode_batch(pdf["value"], parts, offs, table_set, op_set, col_set)
             if not out["id"]:
                 # fully-filtered batch: yield nothing — an empty pandas frame
                 # would carry float64 dtypes Arrow can't cast to timestamp

@@ -166,3 +166,30 @@ def cdc_signed_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") > 0)
     )
+
+
+@register(
+    "cdc_kafka_metadata",
+    oracle=f"""
+WITH ids AS (
+  SELECT o_orderkey * 4 AS id FROM orders
+  UNION ALL SELECT o_orderkey * 4 + 1 FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL SELECT o_orderkey * 4 + 2 FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL SELECT o_orderkey * 4 + 3 FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL SELECT o_orderkey * 4 + 3 FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT CAST(id % 4 AS INT) AS kafka_partition, COUNT(*) AS n, MAX(id) AS max_offset
+FROM ids GROUP BY 1
+""",
+    tags=("cdc", "metadata"),
+)
+def cdc_kafka_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka metadata columns surfaced through the decode (partition/offset
+    — parity with the reference's readable-metadata pushdown,
+    `table/DtsDynamicSource.java:268-345`): per-partition record counts and
+    high-water offsets straight off the envelope."""
+    raw = generate_cdc_bytes(spark, sf_dir)
+    env = decode_cdc(raw)
+    return env.groupBy("kafka_partition").agg(
+        F.count(F.lit(1)).alias("n"), F.max("kafka_offset").alias("max_offset")
+    )

@@ -142,3 +142,42 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(agg, output_mode="append")
     return out.select(F.col("window.start").alias("window_start"), "n")
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n
+FROM sess GROUP BY user_id, sid
+HAVING MAX(ts) + INTERVAL 30 MINUTE <= {SQL_WM_CUTOFF}
+""",
+    tags=("streaming", "window-agg", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) per user: a session closes
+    when the watermark passes last-event + gap; append mode emits exactly
+    the closed sessions. Oracle rebuilds sessions via lag-gap cumsum + the
+    same emission cutoff — pinning Spark's session_window merge semantics
+    against a from-first-principles SQL reconstruction."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, output_mode="append")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n",
+    )

@@ -81,3 +81,23 @@ def test_signed_agg_unit(spark):
     }
     assert out["k1"] == (15.0, 1)
     assert out["k2"] == (0.0, 0)
+
+
+def test_decode_column_pruning(spark, sf_dir):
+    """columns= prunes image maps to the declared fields and must agree
+    with the full decode restricted to those fields."""
+    from pyspark.sql import functions as F
+
+    from flink_dts_connector_spark.formats.decoder import decode_cdc
+    from flink_dts_connector_spark.sources.generator import generate_cdc_bytes
+
+    raw = generate_cdc_bytes(spark, sf_dir)
+    full = decode_cdc(raw, ops=["INSERT"]).select(
+        "id", F.element_at("after", "o_totalprice").alias("p")
+    )
+    pruned_df = decode_cdc(raw, ops=["INSERT"], columns=["o_totalprice"])
+    pruned = pruned_df.select("id", F.element_at("after", "o_totalprice").alias("p"))
+    assert {tuple(r) for r in full.collect()} == {tuple(r) for r in pruned.collect()}
+    # pruned maps carry ONLY the requested field
+    sizes = pruned_df.select(F.size(F.map_keys("after")).alias("n")).distinct().collect()
+    assert {r["n"] for r in sizes} == {1}
