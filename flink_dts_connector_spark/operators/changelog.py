@@ -53,16 +53,20 @@ def materialize_upsert(
     """Reduce a changelog to current state: latest image per key, deletes
     removed. UB rows are ignored (they never carry final state).
 
-    One shuffle on ``key_cols``; ``order_cols`` must be a total order per
-    key (commit ts + monotonic record id, which the wire format guarantees —
-    `DtsRecord.java:13`). The changelog's UA beats its UB at equal ts
-    because UB is filtered out up front.
+    Implemented as ``max_by(payload, order)`` — a hash aggregate with
+    map-side partial combine (each partition keeps one candidate per key
+    before the shuffle), instead of a window sort which shuffles every
+    changelog row and then sorts per key. ``order_cols`` must be a total
+    order per key (commit ts + monotonic record id, which the wire format
+    guarantees — `DtsRecord.java:13`).
     """
     df = changelog.where(F.col("op") != "UB")
-    w = W.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .where(F.col("op") != "D")
-        .drop("_rn", "op")
+    payload_cols = [c for c in df.columns if c not in key_cols]
+    order = F.struct(*[F.col(c) for c in order_cols])
+    latest = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload_cols]), order).alias("_latest")
     )
+    out = latest.select(
+        *key_cols, *[F.col(f"_latest.{c}").alias(c) for c in payload_cols]
+    )
+    return out.where(F.col("op") != "D").drop("op")

@@ -44,7 +44,13 @@ SQL_PRIO1 = "(CASE WHEN o_orderkey % 7 = 0 THEN '9-RUSH' ELSE o_orderpriority EN
 
 def _typed_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = generate_cdc_bytes(spark, sf_dir)
-    env = decode_cdc(raw, tables=[f"{DB}.{TBL}"], ops=["INSERT", "UPDATE", "DELETE"])
+    # columns= : render only the declared schema's fields (decode pruning)
+    env = decode_cdc(
+        raw,
+        tables=[f"{DB}.{TBL}"],
+        ops=["INSERT", "UPDATE", "DELETE"],
+        columns=[f.name for f in ORDERS_CDC_SCHEMA.fields],
+    )
     return project_table(env, ORDERS_CDC_SCHEMA, table=f"{DB}.{TBL}")
 
 
@@ -63,7 +69,7 @@ WITH expected AS (
          CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN o_orderkey * 4 + 3 END) AS BIGINT) FROM orders
   UNION ALL
   SELECT 'HEARTBEAT', COUNT(*) FILTER (WHERE o_orderkey % 50 = 0),
-         CAST(SUM(CASE WHEN o_orderkey % 50 = 0 THEN o_orderkey * 4 + 3 END) AS BIGINT) FROM orders
+         CAST(SUM(CASE WHEN o_orderkey % 50 = 0 THEN 10000000000 + o_orderkey END) AS BIGINT) FROM orders
 )
 SELECT * FROM expected WHERE n > 0
 """,
@@ -176,7 +182,7 @@ WITH ids AS (
   UNION ALL SELECT o_orderkey * 4 + 1 FROM orders WHERE o_orderkey % 10 = 0
   UNION ALL SELECT o_orderkey * 4 + 2 FROM orders WHERE o_orderkey % 7 = 0
   UNION ALL SELECT o_orderkey * 4 + 3 FROM orders WHERE o_orderkey % 97 = 0
-  UNION ALL SELECT o_orderkey * 4 + 3 FROM orders WHERE o_orderkey % 50 = 0
+  UNION ALL SELECT 10000000000 + o_orderkey FROM orders WHERE o_orderkey % 50 = 0
 )
 SELECT CAST(id % 4 AS INT) AS kafka_partition, COUNT(*) AS n, MAX(id) AS max_offset
 FROM ids GROUP BY 1

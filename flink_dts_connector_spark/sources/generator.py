@@ -124,8 +124,10 @@ def _records_for_order(row) -> Iterator[CdcRecord]:
             **base,
         )
     if okey % 50 == 0:  # stream-level heartbeat: no table, no images
+        # disjoint id space — okey*4+3 would collide with the DELETE id
+        # when okey % (97*50) == 0 (sparse orderkeys do reach that)
         yield CdcRecord(
-            id=okey * 4 + 3,
+            id=10_000_000_000 + okey,
             ts=ts0,
             operation=OperationType.HEARTBEAT,
             db="",

@@ -125,3 +125,55 @@ def test_cdc_stream_foreachbatch_upsert(spark, sf_dir, tmp_path):
     got_rows = {tuple(r) for r in got.collect()}
     want_rows = {tuple(r) for r in want.collect()}
     assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_stream_kill_restart_no_gaps(spark, sf_dir, tmp_path):
+    """Failover contract (reference README.md:26-28): stop a CDC stream
+    mid-flight, restart from the same checkpoint, and the union of outputs
+    must cover every record exactly once (Structured Streaming WAL gives
+    exactly-once into foreachBatch per epoch; re-delivered epochs replace,
+    not duplicate)."""
+    from flink_dts_connector_spark.formats.decoder import decode_cdc
+    from flink_dts_connector_spark.sources.generator import generate_cdc_bytes
+
+    raw_dir = str(tmp_path / "raw")
+    # many small files so the stream takes several micro-batches
+    generate_cdc_bytes(spark, sf_dir).repartition(8).write.parquet(raw_dir)
+    ckpt = str(tmp_path / "ckpt")
+
+    seen: dict[int, set] = {}
+
+    def sink(batch_df, epoch_id):
+        seen[epoch_id] = {r["id"] for r in batch_df.select("id").collect()}
+
+    def run(stop_after_batches=None):
+        raw_stream = (
+            spark.readStream.schema("value binary, partition int, offset long")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(raw_dir)
+        )
+        env = decode_cdc(raw_stream)
+        q = (
+            env.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if stop_after_batches is not None:
+            while len(seen) < stop_after_batches and q.isActive:
+                q.awaitTermination(0.2)
+            q.stop()  # kill mid-stream
+            q.awaitTermination()
+        else:
+            q.awaitTermination()
+
+    run(stop_after_batches=2)  # first run: killed after ~2 batches
+    n_after_kill = len(seen)
+    run()  # restart from the same checkpoint → drains the rest
+    assert len(seen) > n_after_kill
+
+    all_ids = [i for s in seen.values() for i in s]
+    expected = {r["id"] for r in decode_cdc(spark.read.parquet(raw_dir)).select("id").collect()}
+    # no gaps, and no duplicates across epochs (exactly-once per epoch id)
+    assert set(all_ids) == expected
+    assert len(all_ids) == len(set(all_ids))
