@@ -341,3 +341,189 @@ def range_join_purchase_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         (F.unix_micros("p_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) GROUP BY c_count
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: histogram of per-customer order counts including the
+    zero-order bucket (left join keeps empty customers)."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(CAST(SUM({SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    tags=("join", "subquery", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: revenue view + max scalar subquery (ties kept). Exact
+    decimal revenue makes the max comparison engine-identical."""
+    l = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(disc_price_col(), "total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("m"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 3000)
+GROUP BY p_brand, p_size
+""",
+    tags=("join", "anti", "distinct", "tpch"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute with a
+    NOT IN exclusion subquery (anti join on a broadcast exclusion list)."""
+    excluded = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 3000).select(
+        "s_suppkey"
+    )
+    p = t(spark, sf_dir, "part").where(F.col("p_type") != "PROMO").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(excluded), l.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH part_avg AS (
+  SELECT l_partkey AS pk,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part_avg ON l_partkey = pk
+WHERE l_quantity < 0.2 * avg_qty
+""",
+    tags=("join", "subquery", "agg", "tpch"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated per-part average decorrelated to an aggregate
+    + join; the threshold compare uses the exact-decimal average cast to
+    double (identical in both engines)."""
+    l = t(spark, sf_dir, "lineitem")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(dec("l_quantity")).cast("decimal(38,6)").cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        l.join(part_avg, l.l_partkey == part_avg.pk)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("decimal(38,6)").cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey, o_orderdate, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(DISTINCT a.l_orderkey) AS numwait
+FROM l a
+JOIN supplier ON a.l_suppkey = s_suppkey
+WHERE a.l_shipdate > a.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM l b WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l c WHERE c.l_orderkey = a.l_orderkey
+                    AND c.l_suppkey <> a.l_suppkey
+                    AND c.l_shipdate > c.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+""",
+    tags=("join", "semi", "anti", "tpch"),
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (shipdate>orderdate+60d standing in for the missing
+    receipt/commit dates): suppliers who were the ONLY late shipper in
+    multi-supplier finished orders — EXISTS + NOT EXISTS as semi/anti joins
+    over one shared shuffle of the order-lines."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "o_orderdate", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    a = lines.where(late).alias("a")
+    others = lines.alias("b")
+    with_other = a.join(
+        others,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    other_late = lines.where(late).alias("c")
+    sole_late = with_other.alias("a2").join(
+        other_late,
+        (F.col("a2.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a2.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )

@@ -1,0 +1,93 @@
+"""`dts` Python Data Source — `'connector'='dts'` parity on Spark's Data
+Source API (the SQL-surface equivalent of the reference's
+`DtsDynamicTableFactory`, `table/DtsDynamicTableFactory.java:27-92` +
+META-INF service registration).
+
+After `register_dts_source(spark)`:
+
+    spark.read.format("dts")
+         .option("path", "<dir of wire-bytes parquet>")
+         .option("tables", "dts_demo.orders")     # optional db.tbl filter
+         .option("ops", "INSERT,UPDATE,DELETE")   # optional op filter
+         .load()
+
+yields the generic envelope rows (SURVEY.md §1.1) — decode + filters run
+inside each DataSource partition (one per raw file), preserving the
+header-first laziness and the source's parallelism.
+
+A Kafka-backed variant would swap the file enumeration for offset ranges;
+the decode/filter body is identical (`formats/decoder.py` is shared).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from flink_dts_connector_spark.datamodel.envelope import ENVELOPE_SCHEMA
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+class DtsDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dts source requires option 'path'")
+        tables = options.get("tables")
+        self.tables = frozenset(t.strip() for t in tables.split(",")) if tables else None
+        ops = options.get("ops")
+        self.ops = frozenset(o.strip() for o in ops.split(",")) if ops else None
+
+    def partitions(self):
+        files = sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".parquet")
+        )
+        if not files:
+            raise ValueError(f"no parquet files under {self.path}")
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        # executor-side: read one raw file, decode with the shared pipeline
+        import pyarrow.parquet as pq
+
+        from flink_dts_connector_spark.formats.decoder import _decode_batch
+
+        tbl = pq.read_table(partition.path)
+        d = tbl.to_pydict()
+        values = d["value"]
+        parts = d.get("partition", [None] * len(values))
+        offs = d.get("offset", [None] * len(values))
+        out = _decode_batch(values, parts, offs, self.tables, self.ops)
+        cols = [out[f.name] for f in ENVELOPE_SCHEMA.fields]
+        for row in zip(*cols):
+            yield row
+
+
+class DtsDataSource(DataSource):
+    """`format("dts")` — envelope stream from a directory of raw-record
+    parquet files (value/partition/offset columns)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dts"
+
+    def schema(self):
+        return ENVELOPE_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return DtsDataSourceReader(self.options)
+
+
+def register_dts_source(spark) -> None:
+    """Equivalent of the reference's META-INF/services factory registration
+    (`src/main/resources/META-INF/services/...Factory:16-17`)."""
+    spark.dataSource.register(DtsDataSource)

@@ -101,3 +101,32 @@ def test_decode_column_pruning(spark, sf_dir):
     # pruned maps carry ONLY the requested field
     sizes = pruned_df.select(F.size(F.map_keys("after")).alias("n")).distinct().collect()
     assert {r["n"] for r in sizes} == {1}
+
+
+def test_dts_python_datasource(spark, sf_dir, tmp_path):
+    """spark.read.format('dts') — the 'connector'='dts' SQL-surface parity:
+    must equal the direct decode pipeline, with filters honored."""
+    from flink_dts_connector_spark.formats.decoder import decode_cdc
+    from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
+    from flink_dts_connector_spark.sources.generator import DB, TBL, generate_cdc_bytes
+
+    raw_dir = str(tmp_path / "raw")
+    generate_cdc_bytes(spark, sf_dir).repartition(4).write.parquet(raw_dir)
+    register_dts_source(spark)
+
+    via_source = (
+        spark.read.format("dts")
+        .option("path", raw_dir)
+        .option("tables", f"{DB}.{TBL}")
+        .option("ops", "INSERT,DELETE")
+        .load()
+    )
+    direct = decode_cdc(
+        spark.read.parquet(raw_dir), tables=[f"{DB}.{TBL}"], ops=["INSERT", "DELETE"]
+    )
+    assert via_source.schema == direct.schema
+    a = {(r["id"], r["operation"]) for r in via_source.select("id", "operation").collect()}
+    b = {(r["id"], r["operation"]) for r in direct.select("id", "operation").collect()}
+    assert a == b and len(a) > 0
+    # multiple input partitions (one per file)
+    assert via_source.rdd.getNumPartitions() == 4

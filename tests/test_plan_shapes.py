@@ -1,0 +1,64 @@
+"""Physical-plan regression guards: the scale posture (broadcast dims, one
+fact shuffle, pushed filters) must not silently regress as queries evolve.
+Checked at sf0.1 statistics so broadcast decisions are realistic."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from flink_dts_connector_spark.plans.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_DIR)
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items",
+     "q7_volume_between_nations", "q14_promo_revenue_pct"],
+)
+def test_dim_joins_broadcast_no_smj(spark, name):
+    plan = _plan(spark, name)
+    assert "SortMergeJoin" not in plan, f"{name} regressed to sort-merge join"
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name, pushed_fragment",
+    [
+        ("q1_pricing_summary", "LessThanOrEqual(l_shipdate"),
+        ("q6_forecast_revenue", "GreaterThanOrEqual(l_shipdate"),
+        ("q10_returned_items", "EqualTo(l_returnflag,R)"),
+    ],
+)
+def test_filters_reach_parquet_scan(spark, name, pushed_fragment):
+    plan = _plan(spark, name)
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert pushed_fragment in pushed, f"{name}: filter not pushed — {pushed[:200]}"
+
+
+def test_scan_prunes_columns(spark):
+    """q6 projects 4 lineitem columns — the scan must not read all 11."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:500]
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}, cols
+
+
+def test_single_agg_exchange_q1(spark):
+    """q1 is scan → partial agg → ONE shuffle → final agg (AQE reads add a
+    node but no extra shuffles)."""
+    plan = _plan(spark, "q1_pricing_summary")
+    n_exchange = len(re.findall(r"\bExchange\b", plan.split("== Physical Plan ==")[-1]))
+    assert n_exchange <= 2, f"q1 has {n_exchange} exchanges"
+    assert "HashAggregate" in plan
