@@ -42,44 +42,52 @@ def _decode_batch(
     tables: frozenset[str] | None,
     ops: frozenset[str] | None,
     columns: frozenset[str] | None = None,
+    skip_errors: bool = False,
 ) -> dict[str, list]:
     import datetime as dt
     import json
 
     out: dict[str, list] = {c: [] for c in _ENVELOPE_COLS}
     for raw, part, off in zip(raw_values, partitions, offsets):
-        h = decode_header(raw)
-        op_name = h.operation.name
-        # Phase-1 filters: never touch payload bytes for dropped records.
-        if ops is not None and op_name not in ops:
-            continue
-        if tables is not None:
-            # logical name overrides via tags (LazyRecordDeserializer.java:319-322)
-            db = h.tags.get("l_db_name", h.db)
-            tbl = h.tags.get("l_tb_name", h.tbl)
-            if f"{db}.{tbl}" not in tables:
+        # All parsing happens before any column append, so a 'skip' on a
+        # poison pill can never leave the column lists misaligned.
+        try:
+            h = decode_header(raw)
+            op_name = h.operation.name
+            # Phase-1 filters: never touch payload bytes for dropped records.
+            if ops is not None and op_name not in ops:
                 continue
-        fields, before, after = decode_payload(raw, h)
-        names = [f.name for f in fields]
-        # column pruning into the decoder (SURVEY.md §4): fields outside the
-        # declared projection skip string rendering entirely
-        keep_set = set(names) if columns is None else columns
-        before_map = (
-            {n: render_value(k, v) for n, (k, v) in zip(names, before) if n in keep_set}
-            if before
-            else None
-        )
-        after_map = (
-            {n: render_value(k, v) for n, (k, v) in zip(names, after) if n in keep_set}
-            if after
-            else None
-        )
-        pk_uk = h.tags.get("pk_uk_info")
-        pk_cols, uk_info = None, None
-        if pk_uk:
-            info = json.loads(pk_uk)
-            pk_cols = info.get("PRIMARY", [])
-            uk_info = {k: v for k, v in info.items() if k != "PRIMARY"}
+            if tables is not None:
+                # logical name overrides via tags (LazyRecordDeserializer.java:319-322)
+                db = h.tags.get("l_db_name", h.db)
+                tbl = h.tags.get("l_tb_name", h.tbl)
+                if f"{db}.{tbl}" not in tables:
+                    continue
+            fields, before, after = decode_payload(raw, h)
+            names = [f.name for f in fields]
+            # column pruning into the decoder (SURVEY.md §4): fields outside
+            # the declared projection skip string rendering entirely
+            keep_set = set(names) if columns is None else columns
+            before_map = (
+                {n: render_value(k, v) for n, (k, v) in zip(names, before) if n in keep_set}
+                if before
+                else None
+            )
+            after_map = (
+                {n: render_value(k, v) for n, (k, v) in zip(names, after) if n in keep_set}
+                if after
+                else None
+            )
+            pk_uk = h.tags.get("pk_uk_info")
+            pk_cols, uk_info = None, None
+            if pk_uk:
+                info = json.loads(pk_uk)
+                pk_cols = info.get("PRIMARY", [])
+                uk_info = {k: v for k, v in info.items() if k != "PRIMARY"}
+        except Exception:
+            if skip_errors:
+                continue
+            raise
         out["id"].append(h.id)
         out["transaction_id"].append(h.transaction_id)
         out["ts"].append(dt.datetime.fromtimestamp(h.ts, dt.timezone.utc).replace(tzinfo=None))
@@ -106,6 +114,7 @@ def decode_cdc(
     tables: Sequence[str] | None = None,
     ops: Sequence[str | OperationType] | None = None,
     columns: Sequence[str] | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Decode a binary CDC stream/batch into the generic envelope.
 
@@ -114,7 +123,12 @@ def decode_cdc(
     filters on ``db.tbl`` qualified names, ``ops`` on operation names —
     both applied header-only, before payload decode. ``columns`` prunes
     image rendering to the named fields (the declared-schema fast path).
+    ``on_error``: 'fail' (default — a corrupt record kills the job loudly)
+    or 'skip' (poison-pill tolerance: drop undecodable records, the
+    production CDC posture when a topic may carry foreign garbage).
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     table_set = frozenset(tables) if tables is not None else None
     op_set = (
         frozenset(o.name if isinstance(o, OperationType) else str(o) for o in ops)
@@ -129,7 +143,10 @@ def decode_cdc(
         for pdf in batches:
             parts = pdf["partition"] if has_part else [None] * len(pdf)
             offs = pdf["offset"] if has_off else [None] * len(pdf)
-            out = _decode_batch(pdf["value"], parts, offs, table_set, op_set, col_set)
+            out = _decode_batch(
+                pdf["value"], parts, offs, table_set, op_set, col_set,
+                skip_errors=(on_error == "skip"),
+            )
             if not out["id"]:
                 # fully-filtered batch: yield nothing — an empty pandas frame
                 # would carry float64 dtypes Arrow can't cast to timestamp

@@ -439,6 +439,12 @@ def decode_header(data: bytes) -> Header:
         v, pos = read_str(data, pos)
         tags[k] = v
     plen, pos = read_long(data, pos)
+    if pos + plen != len(data):
+        # Python slicing doesn't bounds-check; without this, a torn record
+        # would "decode" into truncated garbage instead of failing loudly.
+        raise ValueError(
+            f"truncated/oversized record: declared payload {plen}B at {pos}, buffer {len(data)}B"
+        )
     return Header(
         rid, txid, ts, born, OperationType(op), SourceType(st), sv, db, tbl, tags, pos, plen
     )

@@ -199,3 +199,27 @@ def cdc_kafka_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return env.groupBy("kafka_partition").agg(
         F.count(F.lit(1)).alias("n"), F.max("kafka_offset").alias("max_offset")
     )
+
+
+from flink_dts_connector_spark.sources.zoo import expected_render_sql as _zoo_oracle
+
+
+@register(
+    "cdc_value_zoo_render",
+    oracle=_zoo_oracle(),
+    tags=("cdc", "values", "decode"),
+)
+def cdc_value_zoo_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every branch of the 13-kind value union through the full distributed
+    pipeline (FIXTURES.md F4): explode the decoded after-image and compare
+    each field's rendered string against the literal expected table. The
+    64 copies ride different partitions, so rendering must be location-
+    independent."""
+    from flink_dts_connector_spark.sources.zoo import generate_zoo_bytes
+
+    env = decode_cdc(generate_zoo_bytes(spark))
+    exploded = env.select(F.explode_outer("after").alias("field", "rendered"))
+    return (
+        exploded.groupBy("field", "rendered")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )

@@ -58,6 +58,32 @@ def _multiset(rows, colnames):
     return out
 
 
+# duckdb type name → acceptable Spark simpleString prefixes. Catches the
+# int-vs-bigint class of schema drift the driver's gate would flag.
+_TYPE_MAP = {
+    "BIGINT": ("bigint",),
+    "INTEGER": ("int",),
+    "DOUBLE": ("double",),
+    "FLOAT": ("float", "double"),
+    "VARCHAR": ("string",),
+    "TIMESTAMP": ("timestamp",),
+    "DATE": ("date",),
+    "BOOLEAN": ("boolean",),
+    "HUGEINT": ("bigint", "decimal"),
+}
+
+
+def check_schema_types(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    d_types = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    for col, dt in d_types.items():
+        ok = _TYPE_MAP.get(dt.split("(")[0])
+        if ok is None:
+            continue  # unmapped duckdb type — value compare still applies
+        st = s_types.get(col, "<missing>")
+        assert any(st.startswith(p) for p in ok), f"type drift on {col}: spark={st} duckdb={dt}"
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -66,6 +92,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     d_rows = res.fetchall()
 
     assert sorted(s_cols) == sorted(d_cols), f"column mismatch: {s_cols} vs {d_cols}"
+    check_schema_types(spark_df, con, sql)
     assert len(s_rows) == len(d_rows), f"row count: spark={len(s_rows)} duckdb={len(d_rows)}"
     ms_s, ms_d = _multiset(s_rows, s_cols), _multiset(d_rows, d_cols)
     if ms_s != ms_d:

@@ -130,3 +130,33 @@ def test_dts_python_datasource(spark, sf_dir, tmp_path):
     assert a == b and len(a) > 0
     # multiple input partitions (one per file)
     assert via_source.rdd.getNumPartitions() == 4
+
+
+def test_decode_on_error_skip(spark, sf_dir):
+    """Poison-pill tolerance: corrupt records are dropped under
+    on_error='skip', kill the job under the default 'fail'."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from flink_dts_connector_spark.formats.decoder import decode_cdc
+    from flink_dts_connector_spark.sources.generator import generate_cdc_bytes
+
+    good = generate_cdc_bytes(spark, sf_dir)
+    n_good = good.count()
+    poison = spark.createDataFrame(
+        [(bytearray(b"\xde\xad\xbe\xef"), 0, -1), (bytearray(b""), 0, -2)],
+        "value binary, partition int, offset long",
+    )
+    # truncated-but-valid-header record: take a real record and chop the tail
+    one = bytes(good.select("value").first()["value"])
+    torn = spark.createDataFrame(
+        [(bytearray(one[: len(one) - 5]), 0, -3)], "value binary, partition int, offset long"
+    )
+    mixed = good.unionByName(poison).unionByName(torn)
+
+    assert decode_cdc(mixed, on_error="skip").count() == n_good
+    with pytest.raises(Exception):
+        decode_cdc(mixed).count()
+    with pytest.raises(ValueError, match="on_error"):
+        decode_cdc(mixed, on_error="ignore")

@@ -110,16 +110,18 @@ def test_born_ts_falls_back_to_commit_ts():
     assert h.born_ts == h.ts == 1700000123
 
 
-def test_header_skips_payload():
+def test_header_skips_payload_and_rejects_torn_records():
     rec = make_zoo_record()
     data = encode_record(rec)
     h = decode_header(data)
-    # lazy contract: header parse must know exactly where payload ends
+    # lazy contract: header parse knows exactly where payload ends without
+    # parsing it (decode_payload is a separate call)
     assert h.payload_pos + h.payload_len == len(data)
-    # and a truncated buffer (header only) must still header-decode fine
-    truncated = data[: h.payload_pos]
-    h2 = decode_header(truncated)
-    assert h2.id == 42 and h2.operation is OperationType.UPDATE
+    # integrity: a torn buffer must fail loudly, not "decode" garbage
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_header(data[:-5])
 
 
 def test_render_values():
