@@ -48,6 +48,8 @@ def _decode_batch(
     import json
 
     out: dict[str, list] = {c: [] for c in _ENVELOPE_COLS}
+    fielddef_cache: dict = {}  # per-batch schema cache (decode_payload docstring)
+    pk_cache: dict[str, tuple] = {}  # pk_uk_info json text → parsed (pk, uk)
     for raw, part, off in zip(raw_values, partitions, offsets):
         # All parsing happens before any column append, so a 'skip' on a
         # poison pill can never leave the column lists misaligned.
@@ -63,7 +65,7 @@ def _decode_batch(
                 tbl = h.tags.get("l_tb_name", h.tbl)
                 if f"{db}.{tbl}" not in tables:
                     continue
-            fields, before, after = decode_payload(raw, h)
+            fields, before, after = decode_payload(raw, h, fielddef_cache)
             names = [f.name for f in fields]
             # column pruning into the decoder (SURVEY.md §4): fields outside
             # the declared projection skip string rendering entirely
@@ -81,9 +83,15 @@ def _decode_batch(
             pk_uk = h.tags.get("pk_uk_info")
             pk_cols, uk_info = None, None
             if pk_uk:
-                info = json.loads(pk_uk)
-                pk_cols = info.get("PRIMARY", [])
-                uk_info = {k: v for k, v in info.items() if k != "PRIMARY"}
+                cached = pk_cache.get(pk_uk)
+                if cached is None:
+                    info = json.loads(pk_uk)
+                    cached = (
+                        info.get("PRIMARY", []),
+                        {k: v for k, v in info.items() if k != "PRIMARY"},
+                    )
+                    pk_cache[pk_uk] = cached
+                pk_cols, uk_info = cached
         except Exception:
             if skip_errors:
                 continue

@@ -187,9 +187,12 @@ def encode_value(buf: bytearray, kind: ValueKind, payload: Any) -> None:
         raise ValueError(f"unknown value kind {kind}")
 
 
+_VALUE_KINDS = list(ValueKind)  # index == wire code; avoids Enum.__call__ per value
+
+
 def decode_value(data: bytes, pos: int) -> tuple[tuple[ValueKind, Any], int]:
     k, pos = read_long(data, pos)
-    kind = ValueKind(k)
+    kind = _VALUE_KINDS[k] if 0 <= k < len(_VALUE_KINDS) else ValueKind(k)
     if kind in (ValueKind.NULL, ValueKind.EMPTY):
         return (kind, None), pos
     if kind == ValueKind.INTEGER:
@@ -391,6 +394,10 @@ def encode_record(rec: CdcRecord) -> bytes:
     return bytes(buf)
 
 
+_OP_TYPES = list(OperationType)
+_SRC_TYPES = list(SourceType)
+
+
 @dataclass
 class Header:
     """Phase-1 decode result: everything except field defs and images.
@@ -427,8 +434,8 @@ def decode_header(data: bytes) -> Header:
         born, pos = read_long(data, pos)
     else:
         born = ts  # born falls back to commit ts (LazyParseRecordImpl.java:258-267)
-    op, pos = read_long(data, pos)
-    st, pos = read_long(data, pos)
+    opc, pos = read_long(data, pos)
+    stc, pos = read_long(data, pos)
     sv, pos = read_str(data, pos)
     db, pos = read_str(data, pos)
     tbl, pos = read_str(data, pos)
@@ -445,15 +452,26 @@ def decode_header(data: bytes) -> Header:
         raise ValueError(
             f"truncated/oversized record: declared payload {plen}B at {pos}, buffer {len(data)}B"
         )
-    return Header(
-        rid, txid, ts, born, OperationType(op), SourceType(st), sv, db, tbl, tags, pos, plen
-    )
+    op = _OP_TYPES[opc] if 0 <= opc < len(_OP_TYPES) else OperationType(opc)
+    st = _SRC_TYPES[stc] if 0 <= stc < len(_SRC_TYPES) else SourceType(stc)
+    return Header(rid, txid, ts, born, op, st, sv, db, tbl, tags, pos, plen)
 
 
 def decode_payload(
-    data: bytes, header: Header
+    data: bytes, header: Header, fielddef_cache: dict | None = None
 ) -> tuple[list[FieldDef], list | None, list | None]:
+    """``fielddef_cache``: single-slot cache (dict) reused across records of
+    a batch. CDC streams repeat one schema per table, so after the first
+    record the field-def section is recognized by byte equality (one slice
+    compare) instead of re-parsed — it is ~half the per-record string reads.
+    """
     pos = header.payload_pos
+    entries = fielddef_cache.setdefault("entries", []) if fielddef_cache is not None else None
+    if entries:
+        for cb, cl, flds in entries:  # a batch sees a handful of schemas at most
+            if data[pos : pos + cl] == cb:
+                return _decode_images(data, pos + cl, flds)
+    def_start = pos
     nfields, pos = read_long(data, pos)
     fields = []
     for _ in range(nfields):
@@ -464,6 +482,15 @@ def decode_payload(
         pos += 1
         enc, pos = read_str(data, pos)
         fields.append(FieldDef(name, tname, tid, nullable, enc))
+    if entries is not None and len(entries) < 64:
+        entries.append((bytes(data[def_start:pos]), pos - def_start, fields))
+    return _decode_images(data, pos, fields)
+
+
+def _decode_images(
+    data: bytes, pos: int, fields: list[FieldDef]
+) -> tuple[list[FieldDef], list | None, list | None]:
+    nfields = len(fields)
     images: list[list | None] = []
     for _ in range(2):
         present = data[pos]

@@ -184,3 +184,92 @@ def cosine_pairs(
         .select(F.col("a_id"), F.col("b_id"), score.alias("score"))
         .where(F.col("score") >= threshold)
     )
+
+
+def ivf_assign_cells(
+    items: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (the IVF coarse
+    quantizer). Centroids are broadcast; assignment is one pass over the
+    items with a window argmax — deterministic via (score desc, centroid id)
+    ordering on exact quantized scores."""
+    c = centroids.select(
+        F.col(centroid_id_col), quantized(emb_col).alias("_ce")
+    ).withColumn("_cn", norm_sq_q(F.col("_ce")))
+    it = items.select(
+        F.col(id_col), F.col(emb_col), quantized(emb_col).alias("_ie")
+    ).withColumn("_in", norm_sq_q(F.col("_ie")))
+    scored = it.crossJoin(F.broadcast(c)).select(
+        id_col,
+        emb_col,
+        centroid_id_col,
+        cosine_q(dot_q(F.col("_ie"), F.col("_ce")), F.col("_in"), F.col("_cn")).alias("_s"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_s"), F.asc(centroid_id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, emb_col, F.col(centroid_id_col).alias("cell"))
+    )
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF ANN top-k: items pre-assigned to coarse cells; each query probes
+    its ``nprobe`` nearest cells and reranks exactly within them.
+
+    The inverted-file structure is the partitioning: at scale the item table
+    is written partitioned/bucketed by ``cell``, so a query's probe list
+    prunes to nprobe partitions — the classic IVF pruning expressed as
+    partition pruning instead of index files."""
+    cells = ivf_assign_cells(items, centroids, id_col, emb_col, centroid_id_col)
+    c = centroids.select(
+        F.col(centroid_id_col), quantized(emb_col).alias("_ce")
+    ).withColumn("_cn", norm_sq_q(F.col("_ce")))
+    q = queries.select(
+        F.col(query_id_col), F.col(emb_col).alias("_qemb"), quantized(emb_col).alias("_qe")
+    ).withColumn("_qn", norm_sq_q(F.col("_qe")))
+    probe_scored = q.crossJoin(F.broadcast(c)).select(
+        query_id_col,
+        "_qemb",
+        "_qe",
+        "_qn",
+        centroid_id_col,
+        cosine_q(dot_q(F.col("_qe"), F.col("_ce")), F.col("_qn"), F.col("_cn")).alias("_s"),
+    )
+    wq = W.partitionBy(query_id_col).orderBy(F.desc("_s"), F.asc(centroid_id_col))
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select(query_id_col, "_qe", "_qn", F.col(centroid_id_col).alias("cell"))
+    )
+    it = cells.select(
+        F.col(id_col), F.col("cell"), quantized(emb_col).alias("_ie")
+    ).withColumn("_in", norm_sq_q(F.col("_ie")))
+    scored = (
+        it.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine_q(dot_q(F.col("_qe"), F.col("_ie")), F.col("_qn"), F.col("_in")).alias("score"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )

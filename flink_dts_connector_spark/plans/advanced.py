@@ -527,3 +527,130 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {SQL_DISC_PRICE} AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume END) AS DECIMAL(38,6)) AS DOUBLE)
+         / CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE) AS mkt_share
+FROM base GROUP BY o_year
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's revenue share of a region's market per year —
+    two exact-decimal sums, one deterministic division."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    vol = disc_price_col()
+    base = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+    )
+    agg = base.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", vol))
+        .cast("decimal(38,6)").cast("double").alias("_n3"),
+        F.sum(vol).cast("decimal(38,6)").cast("double").alias("_all"),
+    )
+    return agg.select("o_year", (F.col("_n3") / F.col("_all")).alias("mkt_share"))
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+WITH part_value AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS value
+  FROM lineitem GROUP BY l_partkey
+), stats AS (
+  SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS v,
+         COUNT(DISTINCT l_partkey) AS np
+  FROM lineitem
+)
+SELECT l_partkey, value
+FROM part_value, stats
+WHERE value > 1.5 * (v / np)
+""",
+    tags=("agg", "subquery", "having", "tpch"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem value standing in for partsupp): parts
+    worth > 1.5x the average part value — SF-invariant threshold from a
+    global-stats scalar subquery as a broadcast 1-row cross join."""
+    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pv = l.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).cast("decimal(38,6)").cast("double").alias("value")
+    )
+    stats = l.agg(
+        F.sum(dec("l_extendedprice")).cast("decimal(38,6)").cast("double").alias("v"),
+        F.countDistinct("l_partkey").alias("np"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(stats))
+        .where(F.col("value") > 1.5 * (F.col("v") / F.col("np")))
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "q20_promo_part_suppliers",
+    oracle="""
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 50
+)
+""",
+    tags=("join", "semi", "having", "tpch"),
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over a grouped-HAVING subquery → left-semi join
+    on the qualifying supplier set; threshold on an exact decimal sum."""
+    p = t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    l = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qualifying = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        .where(F.col("_q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")

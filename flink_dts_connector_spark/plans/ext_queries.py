@@ -320,3 +320,19 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches the payload column (the laziness contract for media bytes)."""
     media = M.attach_media(t(spark, sf_dir, "documents"))
     return M.frame_sample_plan(media, every_ms=1000)
+
+
+@register("ann_topk_ivf", oracle=None, tags=("ext", "similarity", "approx"))
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: coarse quantizer = deterministic seed vectors
+    (vec_id % 37 == 3), nprobe=3 cells per query, exact rerank within.
+    No SQL oracle (the argmax cascade is impractical to mirror); recall and
+    score-exactness vs brute force are pinned in tests/test_ext_ops.py."""
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") % 37 == 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(e, q, centroids, k=5, nprobe=3)

@@ -498,14 +498,17 @@ def win_lag_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """,
     tags=("join", "anti"),
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS → left-anti join."""
+    """NOT EXISTS → left-anti join. The urgent-order condition keeps the
+    result non-empty at every SF (order/customer ratios are fixed, so
+    plain customers-without-any-orders is empty beyond sf0.001)."""
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    o = t(spark, sf_dir, "orders").select("o_custkey")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
 
 

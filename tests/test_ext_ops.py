@@ -99,3 +99,33 @@ def test_decode_media_rejects_unknown_codec(spark, sf_dir):
     )
     with pytest.raises(Exception, match="NotImplementedError|external decoders"):
         M.decode_media(media).collect()
+
+
+def test_ivf_ann_scores_exact_and_recall(spark, sf_dir):
+    """IVF hits carry brute-force-identical scores, and nprobe=3 over ~13
+    cells recalls a reasonable share of the true top-5."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = e.where(F.col("vec_id") % 37 == 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    bf_all = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in S.brute_force_topk(e, q, k=1000).collect()
+    }
+    bf_top5 = {}
+    for r in S.brute_force_topk(e, q, k=5).collect():
+        bf_top5.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ivf = S.ivf_topk(e, q, centroids, k=5, nprobe=3).collect()
+    assert len(ivf) > 0
+    hits = 0
+    total = 0
+    for r in ivf:
+        assert bf_all[(r["query_id"], r["vec_id"])] == r["score"]  # bit-identical scorer
+    for qid, true5 in bf_top5.items():
+        got = {r["vec_id"] for r in ivf if r["query_id"] == qid}
+        hits += len(got & true5)
+        total += len(true5)
+    assert hits / total >= 0.3, f"IVF recall {hits}/{total} too low"
