@@ -654,3 +654,48 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle="""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(SUM(
+         CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(8,6))
+         - CAST(p_retailprice AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(9,0)) * CAST(0.1 AS DECIMAL(8,6))
+       ) AS DECIMAL(38,6)) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (p_retailprice·qty·0.1 standing in for the missing
+    ps_supplycost): profit per supplier nation per year over parts matching
+    a LIKE pattern — exact decimal revenue-minus-cost."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    # qty is integral (1..50): DECIMAL(9,0) keeps the triple product at
+    # precision (37,12) — exact in BOTH engines (a (18,6) cast would push
+    # past 38 and trigger engine-specific precision loss)
+    profit = disc_price_col() - dec("p_retailprice") * dec("l_quantity", "decimal(9,0)") * dec(
+        F.lit(0.1), D8
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(profit).cast("decimal(38,6)").cast("double").alias("profit"))
+    )

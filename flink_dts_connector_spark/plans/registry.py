@@ -13,6 +13,13 @@ therefore routes through *exact decimal arithmetic* — cast inputs to bounded
 DECIMALs, multiply/sum exactly, cast the final result to DOUBLE — in BOTH the
 Spark plan and the oracle SQL. Exact rational arithmetic is order-insensitive,
 so both engines produce bit-identical doubles.
+
+Magnitude constraint (measured): DuckDB's DECIMAL(38,6)→DOUBLE conversion is
+only correctly rounded while the scaled numerator stays under 2^53, i.e.
+absolute values < ~9.0e9 (Spark's BigDecimal path is always correct). Every
+aggregate here peaks ≤ ~2.3e9 at the driver's sf0.01 gate (≈4× margin). A
+future query summing larger magnitudes must reduce the final scale (e.g.
+DECIMAL(38,2)) in BOTH engines before the double cast.
 """
 
 from __future__ import annotations

@@ -25,7 +25,12 @@ import os
 from dataclasses import dataclass
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from flink_dts_connector_spark.datamodel.envelope import ENVELOPE_SCHEMA
 
@@ -72,9 +77,51 @@ class DtsDataSourceReader(DataSourceReader):
             yield row
 
 
+class DtsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: the offset is the manifest of consumed file names,
+    checkpointed by Spark's WAL — replacing the reference's offset state
+    (`FlinkDtsKafkaConsumer.java:887-914`) wholesale.
+
+    A consumed-set offset (not a count/position) is deliberate: new files
+    land anywhere in name-sort order, so positional offsets re-read or skip.
+    At real scale the manifest is compacted (this is exactly what Spark's
+    own FileStreamSource does with its seen-files log)."""
+
+    def __init__(self, options: dict):
+        self._batch = DtsDataSourceReader(options)
+
+    def _files(self):
+        return [p.path for p in self._batch.partitions()]
+
+    def initialOffset(self) -> dict:
+        return {"consumed": []}
+
+    def read(self, start: dict):
+        consumed = set(start["consumed"])
+        new = [f for f in self._files() if f not in consumed]
+        end = {"consumed": sorted(consumed | set(new))}
+        return self._read_files(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        delta = sorted(set(end["consumed"]) - set(start["consumed"]))
+        return self._read_files(delta)
+
+    def _read_files(self, paths):
+        # pyspark's prefetch wrapper requires a PICKLABLE ITERATOR: a plain
+        # generator can't pickle, a bare list fails its next() call — a
+        # list_iterator satisfies both.
+        rows = []
+        for p in paths:
+            rows.extend(self._batch.read(_FilePartition(p)))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the query's checkpoint WAL
+
+
 class DtsDataSource(DataSource):
-    """`format("dts")` — envelope stream from a directory of raw-record
-    parquet files (value/partition/offset columns)."""
+    """`format("dts")` — envelope rows from a directory of raw-record
+    parquet files (value/partition/offset columns); batch and streaming."""
 
     @classmethod
     def name(cls) -> str:
@@ -85,6 +132,9 @@ class DtsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return DtsDataSourceReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return DtsStreamReader(self.options)
 
 
 def register_dts_source(spark) -> None:

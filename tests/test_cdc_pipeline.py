@@ -160,3 +160,39 @@ def test_decode_on_error_skip(spark, sf_dir):
         decode_cdc(mixed).count()
     with pytest.raises(ValueError, match="on_error"):
         decode_cdc(mixed, on_error="ignore")
+
+
+def test_dts_datasource_streaming(spark, sf_dir, tmp_path):
+    """readStream.format('dts'): the streaming table-source parity path —
+    must deliver every record exactly once into the sink."""
+    from pyspark.sql import functions as F
+
+    from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
+    from flink_dts_connector_spark.sources.generator import generate_cdc_bytes
+
+    raw_dir = str(tmp_path / "raw")
+    generate_cdc_bytes(spark, sf_dir).repartition(3).write.parquet(raw_dir)
+    register_dts_source(spark)
+
+    import uuid
+
+    name = f"dts_{uuid.uuid4().hex[:10]}"
+    q = (
+        spark.readStream.format("dts")
+        .option("path", raw_dir)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["id"] for r in spark.table(name).select("id").collect()}
+    expected = {
+        r["id"]
+        for r in __import__(
+            "flink_dts_connector_spark.formats.decoder", fromlist=["decode_cdc"]
+        ).decode_cdc(spark.read.parquet(raw_dir)).select("id").collect()
+    }
+    assert got == expected and len(got) > 0
