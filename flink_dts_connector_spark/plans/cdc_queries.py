@@ -223,3 +223,27 @@ def cdc_value_zoo_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.groupBy("field", "rendered")
         .agg(F.count(F.lit(1)).alias("n_records"))
     )
+
+
+@register(
+    "cdc_multi_table_routing",
+    oracle=f"""
+SELECT 'dts_demo' AS db, 'orders' AS tbl,
+       (SELECT COUNT(*) + COUNT(*) FILTER (WHERE o_orderkey % 10 = 0)
+             + COUNT(*) FILTER (WHERE o_orderkey % 7 = 0)
+             + COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) FROM orders) AS n
+UNION ALL
+SELECT 'zoo_db', 'values_zoo', 64
+""",
+    tags=("cdc", "routing"),
+)
+def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table CDC stream: orders-CDC and the value-zoo interleave on
+    the same wire; the decoder routes by (db, tbl) — the reference's
+    one-table-per-SQL-source model generalized to the whole-subscription
+    stream its DataStream API exposes (`DtsExample.java:21-50`)."""
+    from flink_dts_connector_spark.sources.zoo import generate_zoo_bytes
+
+    mixed = generate_cdc_bytes(spark, sf_dir).unionByName(generate_zoo_bytes(spark))
+    env = decode_cdc(mixed, ops=["INSERT", "UPDATE", "DELETE"])
+    return env.groupBy("db", "tbl").agg(F.count(F.lit(1)).alias("n"))

@@ -711,3 +711,29 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id").agg(
         F.countDistinct("sess_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+@register(
+    "events_json_struct",
+    oracle="""
+SELECT event_type,
+       COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_high,
+       COUNT(*) AS n,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("json", "events"),
+)
+def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a declared schema (vs get_json_object's path probes):
+    parse props into a typed struct once, then ordinary column ops."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    e = t(spark, sf_dir, "events").withColumn("p", F.from_json("props", schema))
+    return e.groupBy("event_type").agg(
+        F.count(F.when(F.col("p.k") > 50, 1)).alias("n_high"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("p.k").alias("max_k"),
+    )
