@@ -157,3 +157,101 @@ def proj_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_since_epoch_start"),
         F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3m"),
     )
+
+
+@register(
+    "win_range_frame_and_navigation",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                  RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("window", "frames"),
+)
+def win_range_frame_and_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (trailing 90 days by integer-µs order key — exact, no
+    interval arithmetic) + first/last/nth_value navigation functions.
+
+    The RANGE order key must be numeric in Spark; epoch microseconds keeps
+    both engines on identical integer range bounds. last/nth use the full
+    frame (defaults differ between engines, so the frame is explicit)."""
+    from pyspark.sql import Window as W
+
+    # orders parquet is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (UTC session)
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    w_range = (
+        W.partitionBy("o_custkey").orderBy(us).rangeBetween(-90 * 24 * 3600 * 1_000_000, 0)
+    )
+    w_nav = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_nav.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w_range).cast("double").alias("spend_90d"),
+        F.first("o_orderkey").over(w_nav).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+    )
+
+
+@register(
+    "proj_array_functions",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(list_sum(list_transform(embedding[1:8], x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))) AS BIGINT) AS head_sum_q,
+       CAST(len(list_filter(embedding, x -> x >= 0)) AS BIGINT) AS n_nonneg,
+       CAST(list_max(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))) AS BIGINT) AS max_q
+FROM embeddings
+""",
+    tags=("array-fns",),
+)
+def proj_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery over the embedding column: slice, transform,
+    filter, aggregate, array_max — all on quantized integers so DuckDB's
+    list functions agree exactly."""
+    from flink_dts_connector_spark.operators.similarity import quantized
+
+    emb = F.col("embedding")
+    q = quantized(emb)
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size(emb).cast("bigint").alias("dim"),
+        F.aggregate(
+            F.slice(q, 1, 8), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("head_sum_q"),
+        F.size(F.filter(emb, lambda x: x >= 0)).cast("bigint").alias("n_nonneg"),
+        F.array_max(q).alias("max_q"),
+    )
+
+
+@register(
+    "proj_regexp_functions",
+    oracle="""
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       CAST(len(regexp_extract_all(text, 'the')) AS BIGINT) AS n_the,
+       regexp_matches(text, '^[a-z]') AS starts_lower,
+       regexp_replace(text, '[aeiou]', '_', 'g') LIKE '%\\_\\_%' ESCAPE '\\' AS has_adjacent_vowels
+FROM documents
+""",
+    tags=("regexp",),
+)
+def proj_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp battery: extract / extract_all-count / match / replace —
+    Spark (Java regex) and DuckDB (RE2) agree on this POSIX-safe subset."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.size(F.expr("regexp_extract_all(text, 'the', 0)")).cast("bigint").alias("n_the"),
+        F.col("text").rlike(r"^[a-z]").alias("starts_lower"),
+        F.regexp_replace("text", r"[aeiou]", "_").contains("__").alias("has_adjacent_vowels"),
+    )

@@ -62,3 +62,34 @@ def test_single_agg_exchange_q1(spark):
     n_exchange = len(re.findall(r"\bExchange\b", plan.split("== Physical Plan ==")[-1]))
     assert n_exchange <= 2, f"q1 has {n_exchange} exchanges"
     assert "HashAggregate" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing contract (SCALING.md): two tables bucketed on the join key
+    sort-merge-join with NO Exchange on either side — the co-located join
+    shape repeated MERGE/upsert cycles rely on at 100 TB."""
+    from flink_dts_connector_spark.session import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+            "b_orders"
+        )
+        li.selectExpr("l_orderkey", "l_quantity").write.bucketBy(8, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).mode("overwrite").saveAsTable("b_lineitem")
+
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            spark.table("b_orders").o_orderkey == spark.table("b_lineitem").l_orderkey,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:600]}"
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
