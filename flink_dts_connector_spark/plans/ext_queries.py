@@ -336,3 +336,89 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.ivf_topk(e, q, centroids, k=5, nprobe=3)
+
+
+@register(
+    "text_top_terms_by_source",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, token, COUNT(*) AS n
+  FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+  GROUP BY source, token
+)
+SELECT source, token, n, rnk FROM (
+  SELECT source, token, n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token) AS rnk
+  FROM counts
+) WHERE rnk <= 5
+""",
+    tags=("ext", "text", "topk"),
+)
+def text_top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: top-5 tokens per source by frequency
+    (explode → count → windowed top-k; integer counts with token tiebreak
+    keep the set deterministic). The vocabulary-profile op every corpus
+    pipeline runs before filtering."""
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(X.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "events_funnel_view_to_purchase",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view FROM events WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.first_view,
+       COUNT(p.p_ts) AS purchases_after_view,
+       MIN(p.p_ts) AS first_purchase_after_view
+FROM v LEFT JOIN p ON p.user_id = v.user_id AND p.p_ts > v.first_view
+               AND epoch_us(p.p_ts) <= epoch_us(v.first_view) + 86400000000
+GROUP BY v.user_id, v.first_view
+""",
+    tags=("ext", "events", "funnel"),
+)
+def events_funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel/sequence analytics: per user, purchases within 24 h after
+    their first view (bounded-window conversion). One aggregation per side
+    + a conditional left join — no per-event state; non-converters survive
+    through the left join with count 0."""
+    ev = t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    return (
+        v.join(
+            p,
+            (v.user_id == F.col("p_uid"))
+            & (F.col("p_ts") > F.col("first_view"))
+            & (
+                F.unix_micros(F.col("p_ts"))
+                <= F.unix_micros(F.col("first_view")) + 86_400_000_000
+            ),
+            "left",
+        )
+        .groupBy("user_id", "first_view")
+        .agg(
+            F.count("p_ts").alias("purchases_after_view"),
+            F.min("p_ts").alias("first_purchase_after_view"),
+        )
+    )
