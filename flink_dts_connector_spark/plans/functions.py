@@ -255,3 +255,47 @@ def proj_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike(r"^[a-z]").alias("starts_lower"),
         F.regexp_replace("text", r"[aeiou]", "_").contains("__").alias("has_adjacent_vowels"),
     )
+
+
+@register(
+    "agg_cube_pricing",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("agg", "cube"),
+)
+def agg_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations (completes the rollup /
+    grouping-sets / cube trio)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum(dec("l_quantity"), "sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "proj_posexplode_embeddings",
+    oracle="""
+SELECT vec_id,
+       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+       CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+FROM embeddings
+WHERE vec_id % 100 = 0
+""",
+    tags=("explode",),
+)
+def proj_posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → (position, element) rows, quantized so values
+    compare exactly (0-based in both after the oracle's -1)."""
+    from flink_dts_connector_spark.operators.similarity import quantized
+
+    return (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 100 == 0)
+        .select("vec_id", F.posexplode(quantized(F.col("embedding"))).alias("pos", "q"))
+    )
