@@ -181,3 +181,32 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").alias("session_end"),
         "n",
     )
+
+
+@register(
+    "stream_update_mode_totals",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "window-agg", "update-mode"),
+)
+def stream_update_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-mode windowed aggregation: every batch re-emits changed
+    windows; the LAST emission per window is the complete count — so
+    max-per-window over the sink equals the batch aggregate with NO
+    watermark cutoff (the eventual-completeness contract, vs append mode's
+    closed-windows-only)."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, output_mode="update")
+    return (
+        out.select(F.col("window.start").alias("window_start"), "event_type", "n")
+        .groupBy("window_start", "event_type")
+        .agg(F.max("n").alias("n"))
+    )
