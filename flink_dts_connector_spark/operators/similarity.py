@@ -195,8 +195,12 @@ def ivf_assign_cells(
 ) -> DataFrame:
     """Assign each vector to its max-cosine centroid (the IVF coarse
     quantizer). Centroids are broadcast; assignment is one pass over the
-    items with a window argmax — deterministic via (score desc, centroid id)
-    ordering on exact quantized scores."""
+    items with a ``max_by`` argmax aggregation — partial (map-side) combine
+    shuffles only n_items pre-reduced rows, vs the n_items×n_centroids
+    sort+shuffle a window argmax would cost. Deterministic: the ordering
+    struct (score, −centroid_id) is a total order on exact quantized scores,
+    so ties break to the smallest centroid id — same contract as the old
+    (score desc, centroid id asc) window ordering."""
     c = centroids.select(
         F.col(centroid_id_col), quantized(emb_col).alias("_ce")
     ).withColumn("_cn", norm_sq_q(F.col("_ce")))
@@ -209,11 +213,13 @@ def ivf_assign_cells(
         centroid_id_col,
         cosine_q(dot_q(F.col("_ie"), F.col("_ce")), F.col("_in"), F.col("_cn")).alias("_s"),
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("_s"), F.asc(centroid_id_col))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, emb_col, F.col(centroid_id_col).alias("cell"))
+    order = F.struct(
+        F.col("_s").alias("s"),
+        (-F.col(centroid_id_col).cast("bigint")).alias("tb"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.first(emb_col).alias(emb_col),  # constant per id (carried through the cross join)
+        F.max_by(F.col(centroid_id_col), order).alias("cell"),
     )
 
 

@@ -29,7 +29,20 @@ def salted_join(
 
     Result is row-identical to ``big.join(small, on, how)`` (tested in
     tests/test_skew.py); cost is small-side replication ×salt.
+
+    ``how`` is restricted to joins whose output is driven by the big side:
+    for right/full outer joins each UNMATCHED small-side row would be
+    emitted once per salt replica (matched rows are fine — exactly one
+    replica carries each big row), so those modes raise.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+               "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side rows "
+            f"would duplicate ×salt under right/full outer joins (allowed: inner, "
+            f"left, left_semi, left_anti)"
+        )
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
     )

@@ -86,8 +86,8 @@ def q7_volume_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_year",
     oracle="""
 SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate > o_orderdate
 GROUP BY 1
@@ -248,17 +248,42 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+@register(
+    "agg_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS orders_within_bound,
+       TRUE AS parts_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "approx"),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct counts (per returnflag) — approximate by
-    construction, so rows-only here; tests/test_advanced.py bounds the
-    relative error against the exact count."""
+    """HyperLogLog++ distinct counts (per returnflag), made oracle-checkable:
+    Spark's HLL++ is deterministic for fixed data + rsd, so we emit the exact
+    count plus a boolean asserting |approx − exact| ≤ 5%·exact; the oracle
+    emits the exact count and literal TRUE. A wildly-off sketch therefore
+    fails the hash gate rather than hiding behind a rows-only check."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_ao"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("_ap"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            (F.abs(F.col("_ao") - F.col("exact_orders")) * 100 <= F.col("exact_orders") * 5)
+            .alias("orders_within_bound"),
+            (F.abs(F.col("_ap") - F.col("exact_parts")) * 100 <= F.col("exact_parts") * 5)
+            .alias("parts_within_bound"),
         )
     )
 

@@ -98,8 +98,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(CAST(len({SQL_TOKS}) AS BIGINT)) AS total_tokens,
-       SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+       CAST(SUM(CAST(len({SQL_TOKS}) AS BIGINT)) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
        MAX(CAST(len({SQL_TOKS}) AS BIGINT)) AS max_tokens
 FROM documents
 GROUP BY source

@@ -465,7 +465,7 @@ def win_dense_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(gap_us) AS total_gap_us
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
 FROM (
   SELECT user_id,
          COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS gap_us
@@ -629,7 +629,7 @@ def subq_above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame
     "events_json_extract",
     oracle="""
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type

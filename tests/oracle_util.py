@@ -69,7 +69,10 @@ _TYPE_MAP = {
     "TIMESTAMP": ("timestamp",),
     "DATE": ("date",),
     "BOOLEAN": ("boolean",),
-    "HUGEINT": ("bigint", "decimal"),
+    # HUGEINT deliberately absent: an uncast SUM(<integer>) makes DuckDB
+    # return HUGEINT, and the driver's value hash then diverges from Spark's
+    # BIGINT even when the numbers agree (3 red rows in round 1). Oracle SQL
+    # must CAST(SUM(...) AS BIGINT); check_schema_types rejects HUGEINT.
 }
 
 
@@ -77,7 +80,12 @@ def check_schema_types(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> No
     d_types = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
     s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
     for col, dt in d_types.items():
-        ok = _TYPE_MAP.get(dt.split("(")[0])
+        base = dt.split("(")[0]
+        assert base != "HUGEINT", (
+            f"oracle column {col} is HUGEINT — wrap the SUM in CAST(... AS BIGINT) "
+            "or the driver's hash gate will fail even with identical values"
+        )
+        ok = _TYPE_MAP.get(base)
         if ok is None:
             continue  # unmapped duckdb type — value compare still applies
         st = s_types.get(col, "<missing>")

@@ -11,8 +11,10 @@ from flink_dts_connector_spark.session import load_table
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
+    # The query now self-asserts the HLL++ error bound: within_bound columns
+    # must be True everywhere, and the exact counts must equal countDistinct.
     got = {
-        r["l_returnflag"]: (r["approx_orders"], r["approx_parts"])
+        r["l_returnflag"]: r
         for r in all_queries()["agg_approx_distinct"].fn(spark, sf_dir).collect()
     }
     exact = {
@@ -26,9 +28,9 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         .collect()
     }
     assert set(got) == set(exact)
-    for k in got:
-        for a, e in zip(got[k], exact[k]):
-            assert abs(a - e) / max(e, 1) < 0.05, f"{k}: approx {a} vs exact {e}"
+    for k, r in got.items():
+        assert (r["exact_orders"], r["exact_parts"]) == exact[k]
+        assert r["orders_within_bound"] and r["parts_within_bound"], f"{k}: HLL++ out of bound"
 
 
 def test_asof_tolerance_and_no_match(spark):

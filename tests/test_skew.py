@@ -31,6 +31,16 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert out == {(1, "x"), (2, "y"), (99, None)}
 
 
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest
+
+    big = spark.createDataFrame([(1, "a")], "k long, v string")
+    small = spark.createDataFrame([(1, "x"), (7, "q")], "k long, w string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(big, small, on="k", how=how)
+
+
 def test_two_phase_agg_equals_plain_agg(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     plain = {
