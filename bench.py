@@ -45,6 +45,10 @@ HEADLINE = [
     "multimodal_decode_features",
     # streaming
     "stream_hourly_windows",
+    # appended in round 2 (append-only: r1 entries above keep comparing)
+    "dedup_simhash",
+    "ann_topk_ivf",
+    "cdc_record_checkpoints",
 ]
 
 
@@ -81,6 +85,31 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 4)
 
+    # Decode-path throughput (SCALING.md "wire decode ceiling"): time
+    # decode_cdc alone over pre-materialized raw bytes, so the number is the
+    # codec, not the generator. records/sec/core is the per-core ceiling a
+    # 1000-executor cluster multiplies out (decode is stateless per
+    # partition — it scales out linearly; per-core rate is what's bounded).
+    from flink_dts_connector_spark.formats.decoder import decode_cdc
+    from flink_dts_connector_spark.sources.generator import generate_cdc_bytes
+
+    raw = generate_cdc_bytes(spark, sf_dir).persist()
+    n_raw = raw.count()  # materialize: encode cost paid here, not in timing
+    best_dec = float("inf")
+    for _ in range(runs):
+        start = time.perf_counter()
+        n_dec = decode_cdc(raw).write.format("noop").mode("overwrite").save()
+        best_dec = min(best_dec, time.perf_counter() - start)
+    raw.unpersist()
+    cores = spark.sparkContext.defaultParallelism
+    decode_stats = {
+        "records": n_raw,
+        "sec": round(best_dec, 4),
+        "recs_per_sec": round(n_raw / best_dec),
+        "recs_per_sec_per_core": round(n_raw / best_dec / cores),
+        "cores": cores,
+    }
+
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -90,6 +119,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "decode": decode_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

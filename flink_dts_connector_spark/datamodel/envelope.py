@@ -85,6 +85,7 @@ class ValueKind(enum.IntEnum):
     BINARY_OBJECT = 10  # (object_type, bytes)
     TEXT_OBJECT = 11  # (object_type, string) — JSON/XML/ENUM/SET/…
     EMPTY = 12
+    BIT = 13  # bit-string bytes, rendered as UTF-8 (`value/BitValue.java:7-47`)
 
 
 class ObjectType(enum.IntEnum):
@@ -109,22 +110,89 @@ class ObjectType(enum.IntEnum):
     XTYPE = 15
 
 
-#: MySQL → JDK charset alias map (`common/JDKCharsetMapper.java:9-57`).
-#: Unknown charsets fall back to hex rendering (`value/StringValue.java:50-73`).
-CHARSET_ALIASES = {
+#: MySQL → Python codec map, mirroring `common/JDKCharsetMapper.java:9-57`
+#: (JDK charset names transposed to their Python codec equivalents). Note
+#: the reference maps 'binary' to ISO-8859-1 (a decoded string, not hex) and
+#: koi8u to KOI8-R; eucjpms (EUC-JP + MS extensions) has no exact Python
+#: codec — euc_jp is the nearest, a pinned divergence.
+MYSQL_CHARSET_MAP = {
+    "armscii8": "cp1252",
+    "ascii": "ascii",
+    "big5": "big5",
+    "binary": "latin-1",
+    "cp1250": "cp1250",
+    "cp1251": "cp1251",
+    "cp1256": "cp1256",
+    "cp1257": "cp1257",
+    "cp850": "cp850",
+    "cp852": "cp852",
+    "cp866": "cp866",
+    "cp932": "cp932",
+    "dec8": "cp1252",
+    "eucjpms": "euc_jp",
+    "euckr": "euc_kr",
+    "gb2312": "gb2312",
+    "gbk": "gbk",
+    "geostd8": "cp1252",
+    "greek": "iso8859_7",
+    "hebrew": "iso8859_8",
+    "hp8": "cp1252",
+    "keybcs2": "cp852",
+    "koi8r": "koi8_r",
+    "koi8u": "koi8_r",
+    "latin1": "cp1252",
+    "latin2": "iso8859_2",
+    "latin5": "iso8859_9",
+    "latin7": "iso8859_13",
+    "macce": "mac_latin2",
+    "macroman": "mac_roman",
+    "sjis": "shift_jis",
+    "swe7": "cp1252",
+    "tis620": "tis_620",
+    "ujis": "euc_jp",
+    "utf16": "utf_16",
+    "utf16le": "utf_16_le",
+    "utf32": "utf_32",
     "utf8": "utf-8",
     "utf8mb4": "utf-8",
-    "latin1": "cp1252",
-    "latin2": "iso-8859-2",
-    "gbk": "gbk",
-    "gb2312": "gb2312",
-    "big5": "big5",
-    "binary": None,  # raw bytes — hex render
-    "ascii": "ascii",
-    "ucs2": "utf-16-be",
-    "utf16": "utf-16-be",
-    "utf32": "utf-32-be",
+    "ucs2": "utf_16_be",
 }
+
+#: Deterministic pins for BOM-less multi-byte charsets: Java defaults UTF-16
+#: (and UnicodeBig for ucs2) to big-endian when no BOM is present; Python's
+#: utf-16 codec defaults little-endian. Resolved FIRST so both engines and
+#: all Spark partitions render identically.
+_CHARSET_PINS = {"utf16": "utf-16-be", "ucs2": "utf-16-be", "utf32": "utf-32-be"}
+
+_CODEC_CACHE: dict[str, str | None] = {}
+
+
+def resolve_charset(charset: str) -> str | None:
+    """Reference charset resolution (`value/StringValue.java:50-73`): try the
+    raw name in the codec registry first (Java `Charset.forName(name)` — this
+    is why `latin1` decodes as ISO-8859-1, not the mapper's Cp1252), then the
+    MySQL→JDK alias map; ``None`` means unresolvable → the caller renders
+    ``charset_'hex'``."""
+    import codecs
+
+    key = charset.lower()
+    if key in _CODEC_CACHE:
+        return _CODEC_CACHE[key]
+    resolved: str | None = _CHARSET_PINS.get(key)
+    if resolved is None:
+        try:
+            codecs.lookup(charset)
+            resolved = charset
+        except LookupError:
+            mapped = MYSQL_CHARSET_MAP.get(key)
+            if mapped is not None:
+                try:
+                    codecs.lookup(mapped)
+                    resolved = mapped
+                except LookupError:  # pragma: no cover
+                    resolved = None
+    _CODEC_CACHE[key] = resolved
+    return resolved
 
 
 ENVELOPE_SCHEMA = T.StructType(
@@ -137,16 +205,31 @@ ENVELOPE_SCHEMA = T.StructType(
         T.StructField("source_type", T.StringType(), True),
         T.StructField("source_version", T.StringType(), True),
         T.StructField("db", T.StringType(), True),
+        T.StructField("schema_name", T.StringType(), True),  # name-triple middle
         T.StructField("tbl", T.StringType(), True),
         T.StructField("before", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("after", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("pk_cols", T.ArrayType(T.StringType()), True),
         T.StructField("uk_info", T.MapType(T.StringType(), T.ArrayType(T.StringType())), True),
         T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
+        # record-level provenance (DtsRecord.java:27-29,62-65,84-90)
+        T.StructField("source_position", T.StringType(), True),
+        T.StructField("checkpoint", T.StringType(), True),  # "0@idLow31@pos@tsMillis"
+        T.StructField("trans_seq", T.LongType(), True),  # seq within transaction
+        T.StructField("record_size", T.LongType(), True),  # wire bytes (size())
+        # Kafka readable metadata (table/DtsDynamicSource.java:268-345)
         T.StructField("kafka_partition", T.IntegerType(), True),
         T.StructField("kafka_offset", T.LongType(), True),
+        T.StructField("kafka_topic", T.StringType(), True),
+        T.StructField("kafka_timestamp", T.TimestampType(), True),
+        T.StructField("kafka_timestamp_type", T.StringType(), True),
+        T.StructField("kafka_headers", T.MapType(T.StringType(), T.BinaryType()), True),
     ]
 )
+
+#: Kafka record timestampType code → name (`timestamp-type` metadata column,
+#: org.apache.kafka.common.record.TimestampType names).
+KAFKA_TIMESTAMP_TYPES = {0: "NoTimestampType", 1: "CreateTime", 2: "LogAppendTime"}
 
 #: Raw pre-decode batch: what the Kafka (or file) source hands the decoder.
 RAW_SCHEMA = T.StructType(

@@ -25,20 +25,52 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from flink_dts_connector_spark.datamodel.envelope import ENVELOPE_SCHEMA, OperationType
+from flink_dts_connector_spark.datamodel.envelope import (
+    ENVELOPE_SCHEMA,
+    KAFKA_TIMESTAMP_TYPES,
+    OperationType,
+)
 from flink_dts_connector_spark.formats.wire import (
     decode_header,
     decode_payload,
+    render_object_names,
     render_value,
 )
 
 _ENVELOPE_COLS = [f.name for f in ENVELOPE_SCHEMA.fields]
 
+#: Kafka metadata columns carried through from the raw source when present —
+#: the Spark Kafka source's own names (table/DtsDynamicSource.java:268-345
+#: readable-metadata parity; `headers` needs .option("includeHeaders", true)).
+_META_COLS = ("partition", "offset", "topic", "timestamp", "timestampType", "headers")
+
+
+def _headers_to_map(h) -> dict[str, bytes] | None:
+    """Kafka headers array<struct<key,value>> → MAP<STRING, BYTES> (the
+    reference's HEADERS metadata shape, DtsDynamicSource.java:294-310)."""
+    if h is None:
+        return None
+    try:
+        if len(h) == 0:
+            return {}
+    except TypeError:
+        return None
+    out = {}
+    for item in h:
+        if isinstance(item, dict):
+            out[item.get("key")] = item.get("value")
+        else:  # pyspark Row
+            out[item["key"]] = item["value"]
+    return out
+
+
+def _opt_int(v) -> int | None:
+    return None if v is None or pd.isna(v) else int(v)
+
 
 def _decode_batch(
     raw_values: Sequence[bytes],
-    partitions: Sequence,
-    offsets: Sequence,
+    meta: dict[str, Sequence],
     tables: frozenset[str] | None,
     ops: frozenset[str] | None,
     columns: frozenset[str] | None = None,
@@ -50,7 +82,15 @@ def _decode_batch(
     out: dict[str, list] = {c: [] for c in _ENVELOPE_COLS}
     fielddef_cache: dict = {}  # per-batch schema cache (decode_payload docstring)
     pk_cache: dict[str, tuple] = {}  # pk_uk_info json text → parsed (pk, uk)
-    for raw, part, off in zip(raw_values, partitions, offsets):
+    n = len(raw_values)
+    none_col = [None] * n
+    parts = meta.get("partition", none_col)
+    offs = meta.get("offset", none_col)
+    topics = meta.get("topic", none_col)
+    ktss = meta.get("timestamp", none_col)
+    kts_types = meta.get("timestampType", none_col)
+    headers = meta.get("headers", none_col)
+    for i, raw in enumerate(raw_values):
         # All parsing happens before any column append, so a 'skip' on a
         # poison pill can never leave the column lists misaligned.
         try:
@@ -59,10 +99,15 @@ def _decode_batch(
             # Phase-1 filters: never touch payload bytes for dropped records.
             if ops is not None and op_name not in ops:
                 continue
+            # object-name rendering: schema defaulting + SQLServer brackets
+            # (LazyRecordDeserializer.java:292-306,346-365)
+            r_db, r_schema, r_tbl = render_object_names(
+                h.source_type, h.db, h.schema, h.tbl
+            )
             if tables is not None:
                 # logical name overrides via tags (LazyRecordDeserializer.java:319-322)
-                db = h.tags.get("l_db_name", h.db)
-                tbl = h.tags.get("l_tb_name", h.tbl)
+                db = h.tags.get("l_db_name", r_db)
+                tbl = h.tags.get("l_tb_name", r_tbl)
                 if f"{db}.{tbl}" not in tables:
                     continue
             fields, before, after = decode_payload(raw, h, fielddef_cache)
@@ -105,15 +150,40 @@ def _decode_batch(
         out["operation"].append(op_name)
         out["source_type"].append(h.source_type.name)
         out["source_version"].append(h.source_version)
-        out["db"].append(h.db)
-        out["tbl"].append(h.tbl)
+        out["db"].append(r_db)
+        out["schema_name"].append(r_schema)
+        out["tbl"].append(r_tbl)
         out["before"].append(before_map)
         out["after"].append(after_map)
         out["pk_cols"].append(pk_cols)
         out["uk_info"].append(uk_info)
         out["tags"].append(h.tags or None)
-        out["kafka_partition"].append(None if part is None or pd.isna(part) else int(part))
-        out["kafka_offset"].append(None if off is None or pd.isna(off) else int(off))
+        out["source_position"].append(h.source_position)
+        out["checkpoint"].append(h.checkpoint())
+        out["trans_seq"].append(h.trans_seq)
+        out["record_size"].append(len(raw))  # DtsRecord.size() (DtsRecord.java:62-65)
+        out["kafka_partition"].append(_opt_int(parts[i]))
+        out["kafka_offset"].append(_opt_int(offs[i]))
+        topic = topics[i]
+        out["kafka_topic"].append(None if topic is None or (isinstance(topic, float) and pd.isna(topic)) else str(topic))
+        kts = ktss[i]
+        if kts is None or pd.isna(kts):
+            kts = None
+        else:
+            if isinstance(kts, pd.Timestamp):
+                # plain datetime — the Python DataSource row path can't
+                # convert pandas Timestamps for TimestampType columns
+                kts = kts.to_pydatetime()
+            if kts.tzinfo is not None:
+                # naive UTC: pyarrow hands tz-aware datetimes for
+                # adjusted-to-UTC parquet, Arrow batches hand naive ones
+                kts = kts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        out["kafka_timestamp"].append(kts)
+        ktt = _opt_int(kts_types[i])
+        out["kafka_timestamp_type"].append(
+            None if ktt is None else KAFKA_TIMESTAMP_TYPES.get(ktt, str(ktt))
+        )
+        out["kafka_headers"].append(_headers_to_map(headers[i]))
     return out
 
 
@@ -126,14 +196,16 @@ def decode_cdc(
 ) -> DataFrame:
     """Decode a binary CDC stream/batch into the generic envelope.
 
-    ``raw_df`` needs a ``value: binary`` column; ``partition``/``offset``
-    columns are carried through as kafka metadata when present. ``tables``
-    filters on ``db.tbl`` qualified names, ``ops`` on operation names —
-    both applied header-only, before payload decode. ``columns`` prunes
-    image rendering to the named fields (the declared-schema fast path).
-    ``on_error``: 'fail' (default — a corrupt record kills the job loudly)
-    or 'skip' (poison-pill tolerance: drop undecodable records, the
-    production CDC posture when a topic may carry foreign garbage).
+    ``raw_df`` needs a ``value: binary`` column; ``partition``/``offset``/
+    ``topic``/``timestamp``/``timestampType``/``headers`` columns are carried
+    through as kafka metadata when present. ``tables`` filters on qualified
+    names (``db.tbl``; for SQLServer sources the rendered
+    ``[db].[schema].[tbl]`` form), ``ops`` on operation names — both applied
+    header-only, before payload decode. ``columns`` prunes image rendering to
+    the named fields (the declared-schema fast path). ``on_error``: 'fail'
+    (default — a corrupt record kills the job loudly) or 'skip' (poison-pill
+    tolerance: drop undecodable records, the production CDC posture when a
+    topic may carry foreign garbage).
     """
     if on_error not in ("fail", "skip"):
         raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
@@ -144,15 +216,14 @@ def decode_cdc(
         else None
     )
     col_set = frozenset(columns) if columns is not None else None
-    has_part = "partition" in raw_df.columns
-    has_off = "offset" in raw_df.columns
+    present = [c for c in _META_COLS if c in raw_df.columns]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parts = pdf["partition"] if has_part else [None] * len(pdf)
-            offs = pdf["offset"] if has_off else [None] * len(pdf)
+            # positional lists, not Series: _decode_batch indexes by position
+            meta = {c: pdf[c].to_list() for c in present}
             out = _decode_batch(
-                pdf["value"], parts, offs, table_set, op_set, col_set,
+                pdf["value"], meta, table_set, op_set, col_set,
                 skip_errors=(on_error == "skip"),
             )
             if not out["id"]:

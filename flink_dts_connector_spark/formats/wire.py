@@ -37,15 +37,19 @@ from dataclasses import dataclass, field as dc_field
 from typing import Any
 
 from flink_dts_connector_spark.datamodel.envelope import (
-    CHARSET_ALIASES,
     ObjectType,
     OperationType,
     SourceType,
     ValueKind,
+    resolve_charset,
 )
 
 MAGIC = 0xD7
-VERSION = 1
+#: v2 appends schema/source_position/source_safe_position/trans_seq to the
+#: header (reference parity: `LazyRecordDeserializer.java:268-272` reads
+#: sourcePosition/sourceSafePosition, `deserializeNameTriple` the 3-part
+#: object name). v1 records (no such fields) still decode.
+VERSION = 2
 
 # ---------------------------------------------------------------------------
 # varint primitives (Avro binary zigzag encoding — public format)
@@ -183,6 +187,8 @@ def encode_value(buf: bytearray, kind: ValueKind, payload: Any) -> None:
         otype, text = payload
         write_long(buf, int(otype))
         write_str(buf, text)
+    elif kind == ValueKind.BIT:
+        write_bytes(buf, payload)
     else:  # pragma: no cover
         raise ValueError(f"unknown value kind {kind}")
 
@@ -246,7 +252,69 @@ def decode_value(data: bytes, pos: int) -> tuple[tuple[ValueKind, Any], int]:
         ot, pos = read_long(data, pos)
         s, pos = read_str(data, pos)
         return (kind, (ObjectType(ot), s)), pos
+    if kind == ValueKind.BIT:
+        raw, pos = read_bytes(data, pos)
+        return (kind, raw), pos
     raise ValueError(f"unknown value kind {k}")  # pragma: no cover
+
+
+def _wkt_num(v: float) -> str:
+    """Ordinate formatting matching JTS WKTWriter: no trailing '.0' on whole
+    numbers, plain decimal otherwise."""
+    return str(int(v)) if v == int(v) and abs(v) < 1e16 else repr(v)
+
+
+def wkb_to_wkt(data: bytes) -> str:
+    """Pure-Python WKB → WKT for POINT/LINESTRING/POLYGON (both byte orders,
+    optional EWKB SRID flag) — the cases the reference renders via JTS
+    (`common/GeometryUtil.java:14-22`, `value/WKBGeometry.java:42-48`).
+    Raises ValueError on anything else; the caller hex-falls-back exactly
+    like `WKBGeometry.toString()`'s ParseException catch."""
+    import struct
+
+    def parse_geom(pos: int) -> tuple[str, int]:
+        bo = "<" if data[pos] == 1 else ">"
+        (type_word,) = struct.unpack_from(bo + "I", data, pos + 1)
+        pos += 5
+        if type_word & 0x20000000:  # EWKB SRID present — skip it
+            pos += 4
+        gtype = type_word & 0xFF
+        if type_word & ~0x200000FF:  # Z/M flags etc. unsupported
+            raise ValueError(f"unsupported WKB type word {type_word:#x}")
+
+        def read_pt(p: int) -> tuple[str, int]:
+            x, y = struct.unpack_from(bo + "dd", data, p)
+            return f"{_wkt_num(x)} {_wkt_num(y)}", p + 16
+
+        def read_ring(p: int) -> tuple[str, int]:
+            (n,) = struct.unpack_from(bo + "I", data, p)
+            p += 4
+            pts = []
+            for _ in range(n):
+                s, p = read_pt(p)
+                pts.append(s)
+            return "(" + ", ".join(pts) + ")", p
+
+        if gtype == 1:  # POINT
+            s, pos = read_pt(pos)
+            return f"POINT ({s})", pos
+        if gtype == 2:  # LINESTRING
+            s, pos = read_ring(pos)
+            return f"LINESTRING {s}", pos
+        if gtype == 3:  # POLYGON
+            (nrings,) = struct.unpack_from(bo + "I", data, pos)
+            pos += 4
+            rings = []
+            for _ in range(nrings):
+                s, pos = read_ring(pos)
+                rings.append(s)
+            return "POLYGON (" + ", ".join(rings) + ")", pos
+        raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+    wkt, end = parse_geom(0)
+    if end != len(data):
+        raise ValueError(f"trailing bytes after geometry: {len(data) - end}")
+    return wkt
 
 
 def render_value(kind: ValueKind, payload: Any) -> str | None:
@@ -263,15 +331,16 @@ def render_value(kind: ValueKind, payload: Any) -> str | None:
         charset, raw = payload
         if raw is None:
             return None
-        jdk = CHARSET_ALIASES.get((charset or "").lower(), "__unknown__")
-        if jdk is None:  # 'binary' charset → hex
+        if not charset:  # missing charset → bare hex (StringValue.java:53-55)
             return raw.hex()
-        try:
-            if jdk == "__unknown__":
-                raise LookupError
-            return raw.decode(jdk)
-        except (LookupError, UnicodeDecodeError):
-            return raw.hex()  # hex-string last resort
+        codec = resolve_charset(charset)
+        if codec is not None:
+            try:
+                return raw.decode(codec)
+            except UnicodeDecodeError:
+                pass
+        # unresolvable/undecodable → charset_'hex' (StringValue.java:70-72)
+        return f"{charset}_'{raw.hex()}'"
     if kind == ValueKind.DECIMAL:
         return payload  # text, incl. special forms
     if kind == ValueKind.FLOAT:
@@ -303,7 +372,12 @@ def render_value(kind: ValueKind, payload: Any) -> str | None:
             out += f" {segs['tz']}"
         return out
     if kind == ValueKind.BINARY_GEOMETRY:
-        return payload.hex() if payload is not None else None
+        if payload is None:
+            return None
+        try:
+            return wkb_to_wkt(payload)
+        except Exception:  # torn/unsupported WKB
+            return payload.hex()  # WKBGeometry.toString ParseException → hex
     if kind == ValueKind.TEXT_GEOMETRY:
         return payload
     if kind == ValueKind.BINARY_OBJECT:
@@ -312,6 +386,9 @@ def render_value(kind: ValueKind, payload: Any) -> str | None:
     if kind == ValueKind.TEXT_OBJECT:
         _, text = payload
         return text
+    if kind == ValueKind.BIT:
+        # BitValue.toString: UTF-8 decode of the bit bytes (BitValue.java:31-38)
+        return payload.decode("utf-8", errors="replace") if payload is not None else None
     raise ValueError(f"unknown value kind {kind}")  # pragma: no cover
 
 
@@ -344,6 +421,11 @@ class CdcRecord:
     fields: list[FieldDef] = dc_field(default_factory=list)
     before: list[tuple[ValueKind, Any]] | None = None
     after: list[tuple[ValueKind, Any]] | None = None
+    # v2 header fields (LazyParseRecordImpl.java:26-27,96-97; DtsRecord.java:84-90)
+    schema: str | None = None  # 3-part middle (SQLServer/PG); None = 2-part name
+    source_position: str | None = None  # binlog/LSN position string
+    source_safe_position: str | None = None
+    trans_seq: int = 0  # record's sequence number within its transaction
 
     @property
     def pk_cols(self) -> list[str]:
@@ -385,6 +467,11 @@ def encode_record(rec: CdcRecord) -> bytes:
     write_str(buf, rec.source_version)
     write_str(buf, rec.db)
     write_str(buf, rec.tbl)
+    # v2 additions (kept after db/tbl so v1 layouts prefix-match)
+    write_str(buf, rec.schema)
+    write_str(buf, rec.source_position)
+    write_str(buf, rec.source_safe_position)
+    write_long(buf, rec.trans_seq)
     write_long(buf, len(rec.tags))
     for k in sorted(rec.tags):
         write_str(buf, k)
@@ -419,11 +506,24 @@ class Header:
     tags: dict[str, str]
     payload_pos: int
     payload_len: int
+    schema: str | None = None
+    source_position: str | None = None
+    source_safe_position: str | None = None
+    trans_seq: int = 0
+
+    def checkpoint(self) -> str:
+        """Record-level checkpoint string `"0@idLow31@sourcePosition@tsMillis"`
+        (`impl/LazyParseRecordImpl.java:199-209`; id truncated to the low 31
+        bits for writer-2.0 compatibility, null position renders 'null' like
+        Java's String.join)."""
+        pos = self.source_position if self.source_position is not None else "null"
+        return f"0@{self.id & 0x7FFFFFFF}@{pos}@{self.ts * 1000}"
 
 
 def decode_header(data: bytes) -> Header:
-    if data[0] != MAGIC or data[1] != VERSION:
+    if data[0] != MAGIC or data[1] not in (1, VERSION):
         raise ValueError(f"bad magic/version: {data[:2].hex()}")
+    version = data[1]
     pos = 2
     rid, pos = read_long(data, pos)
     txid, pos = read_str(data, pos)
@@ -439,6 +539,15 @@ def decode_header(data: bytes) -> Header:
     sv, pos = read_str(data, pos)
     db, pos = read_str(data, pos)
     tbl, pos = read_str(data, pos)
+    schema: str | None = None
+    src_pos: str | None = None
+    safe_pos: str | None = None
+    trans_seq = 0
+    if version >= 2:
+        schema, pos = read_str(data, pos)
+        src_pos, pos = read_str(data, pos)
+        safe_pos, pos = read_str(data, pos)
+        trans_seq, pos = read_long(data, pos)
     ntags, pos = read_long(data, pos)
     tags = {}
     for _ in range(ntags):
@@ -454,7 +563,29 @@ def decode_header(data: bytes) -> Header:
         )
     op = _OP_TYPES[opc] if 0 <= opc < len(_OP_TYPES) else OperationType(opc)
     st = _SRC_TYPES[stc] if 0 <= stc < len(_SRC_TYPES) else SourceType(stc)
-    return Header(rid, txid, ts, born, op, st, sv, db, tbl, tags, pos, plen)
+    return Header(
+        rid, txid, ts, born, op, st, sv, db, tbl, tags, pos, plen,
+        schema=schema, source_position=src_pos, source_safe_position=safe_pos,
+        trans_seq=trans_seq,
+    )
+
+
+def render_object_names(
+    source_type: SourceType, db: str | None, schema: str | None, tbl: str | None
+) -> tuple[str | None, str | None, str | None]:
+    """(db, schema_name, tbl) as the reference surfaces them.
+
+    `deserializeNameTriple` (`LazyRecordDeserializer.java:346-365`) defaults
+    the schema to the db for 2-part names; SQLServer sources get the bracket
+    convention — db `[db]`, table `[schema].[tbl]` — so the full qualified
+    name is `[db].[schema].[tbl]` (`LazyRecordDeserializer.java:292-306`).
+    """
+    if tbl is None or tbl == "":
+        return db, schema, tbl
+    eff_schema = schema if schema is not None else db
+    if source_type == SourceType.SQLServer:
+        return f"[{db}]", eff_schema, f"[{eff_schema}].[{tbl}]"
+    return db, eff_schema, tbl
 
 
 def decode_payload(
@@ -524,4 +655,8 @@ def decode_record(data: bytes) -> CdcRecord:
         fields=fields,
         before=before,
         after=after,
+        schema=h.schema,
+        source_position=h.source_position,
+        source_safe_position=h.source_safe_position,
+        trans_seq=h.trans_seq,
     )

@@ -12,10 +12,12 @@ Four tiers, all DataFrame-first:
                    buckets; candidates = same (band, band-hash) bucket;
                    survivors verified with the exact Jaccard join.
   SimHash        — 64-bit fingerprints whose Hamming distance tracks
-                   cosine/token similarity; Pandas-UDF (numpy bit ops) —
-                   the documented slow path, used for short-text batches.
+                   cosine/token similarity; xxhash64 token hashes + bit
+                   aggregation as pure column expressions (a vectorized
+                   numpy variant over the same hashes is kept as an
+                   independent cross-check of the bit math).
 
-Everything except SimHash is pure JVM column expressions. The LSH chain is
+Everything is pure JVM column expressions on the hot path. The LSH chain is
 the classic shingle→minhash→band→bucket-join pipeline (Broder/MMDS); the
 MinHash signature math lives in plain `transform`/`array_min` so Catalyst
 sees one narrow projection.
@@ -186,36 +188,78 @@ def minhash_lsh_dedup_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document (Charikar): sum token-hash bit vectors,
-    take signs. Pandas UDF with numpy bit unpacking — the Arrow-batched
-    slow path (no per-row Python)."""
+def _token_hashes(text_col: str) -> Column:
+    """Per-document array of 64-bit token hashes, computed JVM-side
+    (xxhash64 over each token) — shared by both SimHash implementations so
+    their signatures are bit-identical."""
+    from flink_dts_connector_spark.operators.text import tokens as _tokens
+
+    # split("") yields [""] — drop empty tokens so blank docs hash to 0
+    toks = F.filter(_tokens(text_col), lambda t: t != "")
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def simhash64_col(hashes: Column) -> Column:
+    """Pure-JVM 64-bit SimHash (Charikar) from a token-hash array: bit i of
+    the signature is set iff ≥ half the token hashes have bit i set
+    (sign of Σ(±1)). 64 narrow `filter`+`size` scans over the array — all
+    whole-stage-codegen column expressions, zero Python, no shuffle, no
+    per-row allocation beyond the hash array itself."""
+    n = F.size(hashes)
+    one = F.lit(1).cast("long")
+
+    def bit_set(i: int):
+        return lambda h: F.shiftrightunsigned(h, i).bitwiseAND(one) == one
+
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        pos = F.size(F.filter(hashes, bit_set(i)))
+        # acc_i = 2·pos − n ; bit set iff acc_i ≥ 0
+        sig = sig.bitwiseOR(
+            F.when(F.lit(2) * pos >= n, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        )
+    # empty/None token list → 0 (not all-ones from the ≥0 tie rule)
+    return F.when(n > 0, sig).otherwise(F.lit(0).cast("long"))
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", impl: str = "jvm"
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    ``impl='jvm'`` (default): tokenization, hashing, and bit aggregation all
+    in column expressions — the 100 TB path. ``impl='pandas'``: same JVM
+    token hashes, sign aggregation in vectorized numpy over Arrow batches —
+    kept as an independent cross-check of the bit math (the two must agree
+    exactly; `tests/test_ext_ops.py` pins it)."""
+    hashes = _token_hashes(text_col)
+    if impl == "jvm":
+        return df.select(F.col(id_col), simhash64_col(hashes).alias("simhash"))
+    if impl != "pandas":
+        raise ValueError(f"impl must be 'jvm' or 'pandas', got {impl!r}")
+
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.LongType())
-    def _simhash(tokens):  # tokens: pd.Series of token lists
-        out = np.zeros(len(tokens), dtype=np.int64)
-        for i, toks in enumerate(tokens):
-            if toks is None or len(toks) == 0:
+    def _simhash(hash_arrays):  # pd.Series of int64 arrays
+        out = np.zeros(len(hash_arrays), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, hs in enumerate(hash_arrays):
+            if hs is None or len(hs) == 0:
                 continue
-            # deterministic 64-bit token hashes (FNV-1a, pure python ints)
-            acc = np.zeros(64, dtype=np.int64)
-            for t in toks:
-                h = 0xCBF29CE484222325
-                for ch in t.encode("utf-8"):
-                    h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-                bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-                acc += bits.astype(np.int64) * 2 - 1
-            sig = np.packbits((acc >= 0).astype(np.uint8)).tobytes()
-            out[i] = int.from_bytes(sig, "big", signed=True)
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            bits = (h[:, None] >> shifts) & np.uint64(1)  # (n_tokens, 64)
+            acc = bits.astype(np.int64).sum(axis=0) * 2 - len(h)
+            sig = np.bitwise_or.reduce(
+                np.where(acc >= 0, np.uint64(1) << shifts, np.uint64(0))
+            )
+            out[i] = int(sig.astype(np.uint64)) - (1 << 64) if sig >> np.uint64(63) else int(sig)
         return pd.Series(out)
 
-    from flink_dts_connector_spark.operators.text import tokens as _tokens
-
-    return df.select(F.col(id_col), _simhash(_tokens(text_col)).alias("simhash"))
+    return df.select(F.col(id_col), _simhash(hashes).alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -184,21 +184,113 @@ WITH ids AS (
   UNION ALL SELECT o_orderkey * 4 + 3 FROM orders WHERE o_orderkey % 97 = 0
   UNION ALL SELECT 10000000000 + o_orderkey FROM orders WHERE o_orderkey % 50 = 0
 )
-SELECT CAST(id % 4 AS INT) AS kafka_partition, COUNT(*) AS n, MAX(id) AS max_offset
+SELECT CAST(id % 4 AS INT) AS kafka_partition, 'cdc-orders' AS kafka_topic,
+       'CreateTime' AS kafka_timestamp_type,
+       COUNT(*) AS n, MAX(id) AS max_offset,
+       TRUE AS headers_ok, TRUE AS kafka_ts_is_commit_ts
 FROM ids GROUP BY 1
 """,
     tags=("cdc", "metadata"),
 )
 def cdc_kafka_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kafka metadata columns surfaced through the decode (partition/offset
-    — parity with the reference's readable-metadata pushdown,
-    `table/DtsDynamicSource.java:268-345`): per-partition record counts and
-    high-water offsets straight off the envelope."""
+    """All six Kafka metadata columns surfaced through the decode (topic/
+    partition/offset/timestamp/timestamp-type/headers — parity with the
+    reference's readable-metadata pushdown, `table/DtsDynamicSource.java:
+    268-345`): per-partition counts + high-water offsets, plus invariants
+    pinning the passthrough — every record's `record_id` header equals its
+    envelope id, and the Kafka timestamp equals the commit ts (the generator
+    stamps CreateTime = commit time)."""
     raw = generate_cdc_bytes(spark, sf_dir)
     env = decode_cdc(raw)
-    return env.groupBy("kafka_partition").agg(
-        F.count(F.lit(1)).alias("n"), F.max("kafka_offset").alias("max_offset")
+    return env.groupBy("kafka_partition", "kafka_topic", "kafka_timestamp_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("kafka_offset").alias("max_offset"),
+        F.bool_and(
+            F.element_at("kafka_headers", "record_id").cast("string") == F.col("id").cast("string")
+        ).alias("headers_ok"),
+        F.bool_and(F.col("kafka_timestamp") == F.col("ts")).alias("kafka_ts_is_commit_ts"),
     )
+
+
+@register(
+    "cdc_record_checkpoints",
+    oracle="""
+WITH recs AS (
+  SELECT o_orderkey * 4 AS id, o_orderdate AS ts, 0 AS seq FROM orders
+  UNION ALL SELECT o_orderkey * 4 + 1, o_orderdate + INTERVAL 1 HOUR, 1 FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL SELECT o_orderkey * 4 + 2, o_orderdate + INTERVAL 2 HOUR, 2 FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL SELECT o_orderkey * 4 + 3, o_orderdate + INTERVAL 3 HOUR, 3 FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT id,
+       'mysql-bin.000001:' || id AS source_position,
+       '0@' || id || '@mysql-bin.000001:' || id || '@' || CAST(CAST(epoch(ts) AS BIGINT) * 1000 AS VARCHAR) AS checkpoint,
+       CAST(seq AS BIGINT) AS trans_seq,
+       TRUE AS size_positive
+FROM recs
+""",
+    tags=("cdc", "metadata", "checkpoint"),
+)
+def cdc_record_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level provenance parity (`LazyParseRecordImpl.java:199-209`,
+    `DtsRecord.java:62-65,84-90`): every data record's checkpoint string
+    `0@idLow31@sourcePosition@tsMillis`, source position, transaction
+    sequence, and a positive wire size — reconstructed exactly in SQL."""
+    raw = generate_cdc_bytes(spark, sf_dir)
+    env = decode_cdc(raw, ops=["INSERT", "UPDATE", "DELETE"])
+    return env.select(
+        "id",
+        "source_position",
+        "checkpoint",
+        "trans_seq",
+        (F.col("record_size") > 0).alias("size_positive"),
+    )
+
+
+from flink_dts_connector_spark.sources.zoo import (
+    expected_render_sql as _zoo_render_oracle,
+    expected_sqlserver_sql as _sqlserver_oracle,
+)
+
+
+@register(
+    "cdc_sqlserver_three_part",
+    oracle=_sqlserver_oracle(),
+    tags=("cdc", "routing", "sqlserver"),
+)
+def cdc_sqlserver_three_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLServer 3-part table identity through the envelope: db renders
+    `[erp]`, table `[dbo].[accounts]` (`LazyRecordDeserializer.java:292-298`),
+    `schema_name` carries the triple's middle, and each record's checkpoint/
+    trans_seq survive the distributed decode — against a literal oracle."""
+    from flink_dts_connector_spark.sources.zoo import generate_sqlserver_bytes
+
+    env = decode_cdc(generate_sqlserver_bytes(spark))
+    return env.groupBy("id", "db", "schema_name", "tbl", "checkpoint", "trans_seq").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "cdc_sqlserver_typed",
+    oracle="""
+SELECT CAST(i AS BIGINT) AS acct_id, CAST(100 + i AS DOUBLE) AS balance,
+       'I' AS op, CAST(16 AS BIGINT) AS n_copies
+FROM range(8) AS t(i)
+""",
+    tags=("cdc", "routing", "sqlserver", "typed"),
+)
+def cdc_sqlserver_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-part qualified name through `project_table`'s filter: the declared
+    table is addressed as `[erp].[dbo].[accounts]` exactly like the
+    reference's `'dts-cdc.table.name'` option on a SQLServer source."""
+    from flink_dts_connector_spark.sources.zoo import generate_sqlserver_bytes
+
+    schema = T.StructType(
+        [T.StructField("acct_id", T.LongType()), T.StructField("balance", T.DoubleType())]
+    )
+    env = decode_cdc(generate_sqlserver_bytes(spark))
+    typed = project_table(env, schema, table="[erp].[dbo].[accounts]", include_metadata=False)
+    return typed.groupBy("acct_id", "balance", "op").agg(F.count(F.lit(1)).alias("n_copies"))
 
 
 from flink_dts_connector_spark.sources.zoo import expected_render_sql as _zoo_oracle
@@ -244,6 +336,8 @@ def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream its DataStream API exposes (`DtsExample.java:21-50`)."""
     from flink_dts_connector_spark.sources.zoo import generate_zoo_bytes
 
-    mixed = generate_cdc_bytes(spark, sf_dir).unionByName(generate_zoo_bytes(spark))
+    mixed = generate_cdc_bytes(spark, sf_dir).unionByName(
+        generate_zoo_bytes(spark), allowMissingColumns=True
+    )
     env = decode_cdc(mixed, ops=["INSERT", "UPDATE", "DELETE"])
     return env.groupBy("db", "tbl").agg(F.count(F.lit(1)).alias("n"))

@@ -181,8 +181,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash", oracle=None, tags=("ext", "dedup", "approx"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (banded Hamming≤8) — Pandas-UDF signature
-    path; invariants pytest-checked."""
+    """SimHash near-dup pairs (banded Hamming≤8). Signature is pure JVM
+    column expressions (xxhash64 token hashes + 64 filter/size bit scans);
+    a vectorized-numpy cross-check over the same hashes is pinned equal in
+    tests/test_ext_ops.py."""
     return D.simhash_neardup_pairs(t(spark, sf_dir, "documents"), max_distance=8)
 
 

@@ -69,9 +69,8 @@ class DtsDataSourceReader(DataSourceReader):
         tbl = pq.read_table(partition.path)
         d = tbl.to_pydict()
         values = d["value"]
-        parts = d.get("partition", [None] * len(values))
-        offs = d.get("offset", [None] * len(values))
-        out = _decode_batch(values, parts, offs, self.tables, self.ops)
+        meta = {k: v for k, v in d.items() if k != "value"}
+        out = _decode_batch(values, meta, self.tables, self.ops)
         cols = [out[f.name] for f in ENVELOPE_SCHEMA.fields]
         for row in zip(*cols):
             yield row

@@ -78,17 +78,24 @@ def _records_for_order(row) -> Iterator[CdcRecord]:
     odate = row.o_orderdate
     ts0 = int(odate.timestamp())
     cents0 = order_cents(row.o_totalprice)
-    base = dict(
-        db=DB,
-        tbl=TBL,
-        transaction_id=f"tx-{okey}",
-        source_type=SourceType.MySQL,
-        source_version="5.7.0",
-        tags={"pk_uk_info": PK_TAG},
-        fields=list(ORDERS_FIELDS),
-    )
+    def base(n: int) -> dict:
+        # v2 provenance: binlog-ish source position keyed on the record id
+        # (oracle-able), trans_seq = ordinal within the order's transaction
+        rid = okey * 4 + n
+        return dict(
+            db=DB,
+            tbl=TBL,
+            transaction_id=f"tx-{okey}",
+            source_type=SourceType.MySQL,
+            source_version="5.7.0",
+            tags={"pk_uk_info": PK_TAG},
+            fields=list(ORDERS_FIELDS),
+            source_position=f"mysql-bin.000001:{rid}",
+            trans_seq=n,
+        )
+
     img0 = _image(okey, int(row.o_custkey), row.o_orderstatus, cents0, odate, row.o_orderpriority)
-    yield CdcRecord(id=okey * 4, ts=ts0, operation=OperationType.INSERT, after=img0, **base)
+    yield CdcRecord(id=okey * 4, ts=ts0, operation=OperationType.INSERT, after=img0, **base(0))
 
     cents1, prio1 = cents0, row.o_orderpriority
     if okey % 10 == 0:
@@ -100,7 +107,7 @@ def _records_for_order(row) -> Iterator[CdcRecord]:
             operation=OperationType.UPDATE,
             before=img0,
             after=img1,
-            **base,
+            **base(1),
         )
     if okey % 7 == 0:
         prev = _image(okey, int(row.o_custkey), row.o_orderstatus, cents1, odate, prio1)
@@ -112,7 +119,7 @@ def _records_for_order(row) -> Iterator[CdcRecord]:
             operation=OperationType.UPDATE,
             before=prev,
             after=img2,
-            **base,
+            **base(2),
         )
     if okey % 97 == 0:
         final = _image(okey, int(row.o_custkey), row.o_orderstatus, cents1, odate, prio1)
@@ -121,7 +128,7 @@ def _records_for_order(row) -> Iterator[CdcRecord]:
             ts=ts0 + 10800,
             operation=OperationType.DELETE,
             before=final,
-            **base,
+            **base(3),
         )
     if okey % 50 == 0:  # stream-level heartbeat: no table, no images
         # disjoint id space — okey*4+3 would collide with the DELETE id
@@ -138,12 +145,22 @@ def _records_for_order(row) -> Iterator[CdcRecord]:
         )
 
 
+#: Kafka-shaped metadata the generator stamps on every raw record, mirroring
+#: what the real Kafka source yields (topic/timestamp/timestampType/headers —
+#: `table/DtsDynamicSource.java:268-345`).
+TOPIC = "cdc-orders"
+
+
 def generate_cdc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders → DataFrame[value binary, partition int, offset long].
+    """orders → DataFrame shaped like the Spark Kafka source's output:
+    value/partition/offset plus topic, timestamp (= commit ts, CreateTime),
+    and one deterministic header carrying the record id.
 
     partition = orderkey % 4 (≥3 partitions per FIXTURES.md F1), offset =
     record id (dense ascending per partition is not required by the decoder).
     """
+    import datetime as dt
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"
     )
@@ -154,12 +171,33 @@ def generate_cdc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            values, parts, offs = [], [], []
+            values, parts, offs, ktss, hdrs = [], [], [], [], []
             for row in pdf.itertuples(index=False):
                 for rec in _records_for_order(row):
                     values.append(encode_record(rec))
                     parts.append(int(rec.id % 4))
                     offs.append(int(rec.id))
-            yield pd.DataFrame({"value": values, "partition": parts, "offset": offs})
+                    ktss.append(
+                        dt.datetime.fromtimestamp(rec.ts, dt.timezone.utc).replace(tzinfo=None)
+                    )
+                    hdrs.append([{"key": "record_id", "value": str(rec.id).encode()}])
+            yield pd.DataFrame(
+                {
+                    "value": values,
+                    "partition": parts,
+                    "offset": offs,
+                    "topic": [TOPIC] * len(values),
+                    "timestamp": ktss,
+                    "timestampType": [1] * len(values),  # CreateTime
+                    "headers": hdrs,
+                }
+            )
 
-    return orders.mapInPandas(fn, schema="value binary, partition int, offset long")
+    return orders.mapInPandas(
+        fn,
+        schema=(
+            "value binary, partition int, offset long, topic string, "
+            "timestamp timestamp, timestampType int, "
+            "headers array<struct<key: string, value: binary>>"
+        ),
+    )

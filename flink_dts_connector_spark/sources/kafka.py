@@ -16,8 +16,6 @@ yields the identical downstream DataFrame shape.
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_dts_connector_spark.formats.decoder import decode_cdc
@@ -31,6 +29,7 @@ def dts_kafka_options(
     user: str | None,
     password: str | None,
     checkpoint_ts: int | None = None,
+    offsets_by_timestamp: str | None = None,
     extra: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """Build Spark Kafka source options matching `DtsKafkaUtil.getKafkaProperties`.
@@ -39,9 +38,14 @@ def dts_kafka_options(
       * SASL PLAIN with login ``user-sid`` (DtsKafkaUtil.java:53-64);
       * group id = group, else sid (DtsKafkaUtil.java:30-34);
       * auto-commit off — Spark's checkpoint WAL owns progress;
-      * start position: timestamp when ``checkpoint_ts`` given (DStore
-        failover re-seek, FlinkDtsKafkaConsumer.java:303-333), else
-        earliest (auto.offset.reset=earliest parity, DtsKafkaUtil.java:44).
+      * start position: all-partition timestamp seek via ``startingTimestamp``
+        when ``checkpoint_ts`` is given (DStore failover re-seek,
+        FlinkDtsKafkaConsumer.java:303-333 — Spark has no per-partition
+        wildcard in ``startingOffsetsByTimestamp``, so the global option is
+        the correct re-seek primitive), or an explicit per-partition
+        ``offsets_by_timestamp`` JSON from
+        `DtsProgressTracker.starting_offsets_by_timestamp`; else earliest
+        (auto.offset.reset=earliest parity, DtsKafkaUtil.java:44).
     """
     opts: dict[str, str] = {
         "kafka.bootstrap.servers": broker_url,
@@ -58,9 +62,17 @@ def dts_kafka_options(
         opts["kafka.security.protocol"] = "SASL_PLAINTEXT"
         opts["kafka.sasl.mechanism"] = "PLAIN"
         opts["kafka.sasl.jaas.config"] = jaas
-    if checkpoint_ts is not None and checkpoint_ts > 0:
-        # per-topic map {-1: ts_ms} = all partitions from that timestamp
-        opts["startingOffsetsByTimestamp"] = json.dumps({topic: {"-1": checkpoint_ts * 1000}})
+    if offsets_by_timestamp is not None:
+        # exact per-partition re-seek map (every partition listed — Spark
+        # requires full coverage in startingOffsetsByTimestamp)
+        opts["startingOffsetsByTimestamp"] = offsets_by_timestamp
+    elif checkpoint_ts is not None and checkpoint_ts > 0:
+        # all partitions from this timestamp; partitions with no later record
+        # fall back per startingOffsetsByTimestampStrategy default ("error")
+        # → use "latest" like the reference's consumer, which starts at the
+        # end for drained partitions (FlinkDtsKafkaConsumer.java:303-333)
+        opts["startingTimestamp"] = str(checkpoint_ts * 1000)
+        opts["startingOffsetsByTimestampStrategy"] = "latest"
     else:
         opts["startingOffsets"] = "earliest"
     for k, v in (extra or {}).items():
@@ -77,6 +89,7 @@ def read_stream(
     user: str | None = None,
     password: str | None = None,
     checkpoint_ts: int | None = None,
+    offsets_by_timestamp: str | None = None,
     tables: list[str] | None = None,
     ops: list[str] | None = None,
     available_now: bool = False,
@@ -85,15 +98,18 @@ def read_stream(
 
     Equivalent of `new FlinkDtsKafkaConsumer(...)` + deserializer
     (`FlinkDtsKafkaConsumer.java:228-280`): Spark handles partition
-    discovery/offset state; we decode and filter.
+    discovery/offset state; we decode and filter. All six readable-metadata
+    columns (`table/DtsDynamicSource.java:268-345`) ride the envelope:
+    topic/partition/offset/timestamp/timestamp-type/headers.
     """
     reader = spark.readStream.format("kafka")
     for k, v in dts_kafka_options(
-        broker_url, topic, sid, group, user, password, checkpoint_ts
+        broker_url, topic, sid, group, user, password, checkpoint_ts, offsets_by_timestamp
     ).items():
         reader = reader.option(k, v)
-    raw = reader.load().selectExpr(
-        "value", "partition AS partition", "offset AS offset"
+    reader = reader.option("includeHeaders", "true")
+    raw = reader.load().select(
+        "value", "partition", "offset", "topic", "timestamp", "timestampType", "headers"
     )
     return decode_cdc(raw, tables=tables, ops=ops)
 

@@ -21,6 +21,35 @@ from flink_dts_connector_spark.formats.wire import CdcRecord, FieldDef, encode_r
 
 DB, TBL = "zoo_db", "values_zoo"
 
+
+def _wkb_point(x: float, y: float) -> bytes:
+    import struct
+
+    return struct.pack("<BIdd", 1, 1, x, y)
+
+
+def _wkb_linestring(pts: list[tuple[float, float]]) -> bytes:
+    import struct
+
+    out = struct.pack("<BII", 1, 2, len(pts))
+    for x, y in pts:
+        out += struct.pack("<dd", x, y)
+    return out
+
+
+def _wkb_polygon(rings: list[list[tuple[float, float]]]) -> bytes:
+    import struct
+
+    out = struct.pack("<BII", 1, 3, len(rings))
+    for ring in rings:
+        out += struct.pack("<I", len(ring))
+        for x, y in ring:
+            out += struct.pack("<dd", x, y)
+    return out
+
+
+_POLY_RING = [(30, 10), (40, 40), (20, 40), (10, 20), (30, 10)]
+
 #: (field name, value kind, wire payload, expected rendered string | None)
 ZOO_CASES = [
     ("c_long_min", ValueKind.INTEGER, -(2**63), str(-(2**63))),
@@ -28,8 +57,15 @@ ZOO_CASES = [
     ("c_utf8", ValueKind.CHARACTER, ("utf8mb4", "héllo 🎉".encode()), "héllo 🎉"),
     ("c_gbk", ValueKind.CHARACTER, ("gbk", "中文".encode("gbk")), "中文"),
     ("c_latin1", ValueKind.CHARACTER, ("latin1", "café".encode("cp1252")), "café"),
-    ("c_unknown_charset", ValueKind.CHARACTER, ("klingon8", b"\xff\xfe\x01"), "fffe01"),
-    ("c_binary_charset", ValueKind.CHARACTER, ("binary", b"\x01\x02"), "0102"),
+    # unresolvable charset → charset_'hex' (StringValue.java:70-72)
+    ("c_unknown_charset", ValueKind.CHARACTER, ("klingon8", b"\xff\xfe\x01"), "klingon8_'fffe01'"),
+    # 'binary' maps to ISO-8859-1, a decoded string (JDKCharsetMapper.java:18)
+    ("c_binary_charset", ValueKind.CHARACTER, ("binary", "Aé".encode("latin-1")), "Aé"),
+    # missing charset → bare hex (StringValue.java:53-55)
+    ("c_no_charset", ValueKind.CHARACTER, ("", b"\xde\xad"), "dead"),
+    # mapper-resolved charsets (raw name unknown to the codec registry)
+    ("c_koi8r", ValueKind.CHARACTER, ("koi8r", "да".encode("koi8_r")), "да"),
+    ("c_euckr", ValueKind.CHARACTER, ("euckr", "한글".encode("euc_kr")), "한글"),
     ("c_decimal", ValueKind.DECIMAL, "12345.678901", "12345.678901"),
     ("c_decimal_nan", ValueKind.DECIMAL, "NaN", "NaN"),
     ("c_decimal_inf", ValueKind.DECIMAL, "-Infinity", "-Infinity"),
@@ -49,15 +85,27 @@ ZOO_CASES = [
         {"y": 2024, "mo": 1, "d": 1, "h": 8, "mi": 0, "s": 0, "tz": "+08:00"},
         "2024-01-01 08:00:00 +08:00",
     ),
+    # WKB renders as WKT via the pure-Python reader (GeometryUtil.java:14-22)
+    ("c_geom_wkb", ValueKind.BINARY_GEOMETRY, _wkb_point(10, 20), "POINT (10 20)"),
     (
-        "c_geom_wkb",
+        "c_geom_wkb_line",
         ValueKind.BINARY_GEOMETRY,
-        bytes.fromhex("010100000000000000000024400000000000003440"),
-        "010100000000000000000024400000000000003440",
+        _wkb_linestring([(0, 0), (1.5, 2.5), (40, 40)]),
+        "LINESTRING (0 0, 1.5 2.5, 40 40)",
     ),
+    (
+        "c_geom_wkb_poly",
+        ValueKind.BINARY_GEOMETRY,
+        _wkb_polygon([_POLY_RING]),
+        "POLYGON ((30 10, 40 40, 20 40, 10 20, 30 10))",
+    ),
+    # torn WKB → hex fallback (WKBGeometry.toString ParseException catch)
+    ("c_geom_wkb_torn", ValueKind.BINARY_GEOMETRY, _wkb_point(10, 20)[:9], _wkb_point(10, 20)[:9].hex()),
     ("c_geom_wkt", ValueKind.TEXT_GEOMETRY, "POINT (10 20)", "POINT (10 20)"),
     ("c_blob", ValueKind.BINARY_OBJECT, (ObjectType.BLOB, b"\x00\x01binary"), "000162696e617279"),
     ("c_json", ValueKind.TEXT_OBJECT, (ObjectType.JSON, '{"a": [1, 2]}'), '{"a": [1, 2]}'),
+    # BIT bytes render as UTF-8 text (BitValue.java:31-38)
+    ("c_bit", ValueKind.BIT, b"\x31\x30\x31", "101"),
     ("c_null", ValueKind.NULL, None, None),
     ("c_empty", ValueKind.EMPTY, None, None),
 ]
@@ -94,6 +142,84 @@ def generate_zoo_bytes(spark: SparkSession) -> DataFrame:
         .repartition(8)
         .mapInPandas(fn, schema="value binary, partition int, offset long")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQLServer 3-part-name fixture: db/schema/tbl + record-level provenance
+# ---------------------------------------------------------------------------
+
+SQLSERVER_DB, SQLSERVER_SCHEMA, SQLSERVER_TBL = "erp", "dbo", "accounts"
+N_SQLSERVER_RECORDS = 8
+N_SQLSERVER_COPIES = 16
+
+
+def _sqlserver_record(i: int) -> CdcRecord:
+    rid = 5000 + i
+    return CdcRecord(
+        id=rid,
+        ts=1700000100 + i,
+        operation=OperationType.INSERT,
+        db=SQLSERVER_DB,
+        tbl=SQLSERVER_TBL,
+        schema=SQLSERVER_SCHEMA,  # 3-part identity (LazyRecordSchema.java:42-44)
+        transaction_id=f"sqltx-{i // 3}",
+        source_type=SourceType.SQLServer,
+        source_version="2019",
+        source_position=f"03:{rid}",  # LSN-ish position string
+        trans_seq=i % 3,
+        fields=[FieldDef("acct_id", "BIGINT", 8, False), FieldDef("balance", "DECIMAL", 0, True)],
+        after=[(ValueKind.INTEGER, i), (ValueKind.DECIMAL, f"{100 + i}.00")],
+    )
+
+
+def expected_sqlserver_checkpoint(i: int) -> str:
+    rid = 5000 + i
+    return f"0@{rid}@03:{rid}@{(1700000100 + i) * 1000}"
+
+
+def generate_sqlserver_bytes(spark: SparkSession) -> DataFrame:
+    """SQLServer-source stream: every record carries a db/schema/tbl name
+    triple, an LSN source position, and a transaction sequence — pinning the
+    bracket rendering (`[erp]` / `[dbo].[accounts]`,
+    `LazyRecordDeserializer.java:292-298`) and the record checkpoint string
+    (`LazyParseRecordImpl.java:199-209`) through the distributed pipeline."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            values, parts, offs = [], [], []
+            for row in pdf.itertuples(index=False):
+                copy = int(row.id)
+                for i in range(N_SQLSERVER_RECORDS):
+                    values.append(encode_record(_sqlserver_record(i)))
+                    parts.append(copy % 4)
+                    offs.append(copy * N_SQLSERVER_RECORDS + i)
+            yield pd.DataFrame({"value": values, "partition": parts, "offset": offs})
+
+    return (
+        spark.range(N_SQLSERVER_COPIES)
+        .repartition(4)
+        .mapInPandas(fn, schema="value binary, partition int, offset long")
+    )
+
+
+def expected_sqlserver_sql() -> str:
+    """Literal oracle: one row per distinct record id with the rendered
+    3-part names, checkpoint string, and per-id copy count."""
+    rows = []
+    for i in range(N_SQLSERVER_RECORDS):
+        rows.append(
+            f"({5000 + i}, '[{SQLSERVER_DB}]', '{SQLSERVER_SCHEMA}', "
+            f"'[{SQLSERVER_SCHEMA}].[{SQLSERVER_TBL}]', "
+            f"'{expected_sqlserver_checkpoint(i)}', {i % 3}, {N_SQLSERVER_COPIES})"
+        )
+    values = ",\n  ".join(rows)
+    return f"""
+SELECT CAST(id AS BIGINT) AS id, db, schema_name, tbl, checkpoint,
+       CAST(trans_seq AS BIGINT) AS trans_seq, CAST(n_copies AS BIGINT) AS n_copies
+FROM (VALUES
+  {values}
+) AS t(id, db, schema_name, tbl, checkpoint, trans_seq, n_copies)
+"""
 
 
 def expected_render_sql() -> str:

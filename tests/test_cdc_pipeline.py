@@ -27,11 +27,24 @@ def test_kafka_options_sasl_and_group():
 
 def test_kafka_options_timestamp_startup():
     # checkpoint>0 → TIMESTAMP startup mode (FlinkDtsKafkaConsumer.java:263-267)
+    # via startingTimestamp: Spark's all-partition timestamp seek (there is
+    # no partition wildcard in startingOffsetsByTimestamp)
     opts = dts_kafka_options("b:9092", "t", "s", "g", "u", "p", checkpoint_ts=1700000000)
-    m = json.loads(opts["startingOffsetsByTimestamp"])
-    assert m == {"t": {"-1": 1700000000000}}
+    assert opts["startingTimestamp"] == "1700000000000"
+    assert opts["startingOffsetsByTimestampStrategy"] == "latest"
     assert "startingOffsets" not in opts
+    assert "startingOffsetsByTimestamp" not in opts
     assert opts["kafka.group.id"] == "g"
+
+
+def test_kafka_options_per_partition_timestamp_map():
+    # exact re-seek map from DtsProgressTracker wins over the global ts
+    m = json.dumps({"t": {"0": 1700000100000, "1": 1700000050000}})
+    opts = dts_kafka_options(
+        "b:9092", "t", "s", "g", "u", "p", checkpoint_ts=1700000000, offsets_by_timestamp=m
+    )
+    assert json.loads(opts["startingOffsetsByTimestamp"]) == json.loads(m)
+    assert "startingTimestamp" not in opts and "startingOffsets" not in opts
 
 
 def test_checkpoint_string_roundtrip():
@@ -153,7 +166,9 @@ def test_decode_on_error_skip(spark, sf_dir):
     torn = spark.createDataFrame(
         [(bytearray(one[: len(one) - 5]), 0, -3)], "value binary, partition int, offset long"
     )
-    mixed = good.unionByName(poison).unionByName(torn)
+    mixed = good.unionByName(poison, allowMissingColumns=True).unionByName(
+        torn, allowMissingColumns=True
+    )
 
     assert decode_cdc(mixed, on_error="skip").count() == n_good
     with pytest.raises(Exception):

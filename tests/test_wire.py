@@ -128,10 +128,17 @@ def test_render_values():
     assert render_value(ValueKind.INTEGER, 2**70 + 7) == str(2**70 + 7)
     assert render_value(ValueKind.CHARACTER, ("utf8mb4", "héllo 🎉".encode())) == "héllo 🎉"
     assert render_value(ValueKind.CHARACTER, ("gbk", "中文".encode("gbk"))) == "中文"
-    # unknown charset → hex fallback (StringValue.java:50-73)
-    assert render_value(ValueKind.CHARACTER, ("klingon8", b"\xff\xfe\x01")) == "fffe01"
-    # 'binary' pseudo-charset → hex
-    assert render_value(ValueKind.CHARACTER, ("binary", b"\x01\x02")) == "0102"
+    # unresolvable charset → charset_'hex' (StringValue.java:70-72)
+    assert render_value(ValueKind.CHARACTER, ("klingon8", b"\xff\xfe\x01")) == "klingon8_'fffe01'"
+    # 'binary' maps to ISO-8859-1 — decoded string (JDKCharsetMapper.java:18)
+    assert render_value(ValueKind.CHARACTER, ("binary", b"A\xe9")) == "Aé"
+    # missing charset → bare hex (StringValue.java:53-55)
+    assert render_value(ValueKind.CHARACTER, ("", b"\x01\x02")) == "0102"
+    # raw codec name wins over the alias map: latin1 = ISO-8859-1 in both
+    # Java (Charset.forName) and Python, NOT the mapper's cp1252
+    assert render_value(ValueKind.CHARACTER, ("latin1", b"caf\xe9")) == "café"
+    # mapper-resolved: koi8r is unknown to both codec registries raw
+    assert render_value(ValueKind.CHARACTER, ("koi8r", "да".encode("koi8_r"))) == "да"
     assert render_value(ValueKind.DECIMAL, "NaN") == "NaN"
     assert render_value(ValueKind.TIMESTAMP, (1700000000, 123456)) == "2023-11-14 22:13:20.123456"
     # zero date → None (DateTime.java:473-482 guard)
@@ -145,6 +152,76 @@ def test_render_values():
     assert render_value(ValueKind.EMPTY, None) is None
     assert render_value(ValueKind.TEXT_OBJECT, (ObjectType.JSON, "{}")) == "{}"
     assert render_value(ValueKind.BINARY_OBJECT, (ObjectType.BLOB, b"\xab")) == "ab"
+    # BIT renders as UTF-8 text (BitValue.java:31-38)
+    assert render_value(ValueKind.BIT, b"101") == "101"
+
+
+def test_render_wkb_geometry():
+    import struct
+
+    # POINT/LINESTRING/POLYGON → WKT (GeometryUtil.java:14-22)
+    pt = struct.pack("<BIdd", 1, 1, 10.0, 20.0)
+    assert render_value(ValueKind.BINARY_GEOMETRY, pt) == "POINT (10 20)"
+    pt_be = struct.pack(">BIdd", 0, 1, -1.5, 2.0)  # big-endian byte order
+    assert render_value(ValueKind.BINARY_GEOMETRY, pt_be) == "POINT (-1.5 2)"
+    ls = struct.pack("<BII", 1, 2, 2) + struct.pack("<dddd", 0.0, 0.0, 3.0, 4.0)
+    assert render_value(ValueKind.BINARY_GEOMETRY, ls) == "LINESTRING (0 0, 3 4)"
+    ring = [(30.0, 10.0), (40.0, 40.0), (20.0, 40.0), (30.0, 10.0)]
+    poly = struct.pack("<BIII", 1, 3, 1, len(ring))
+    for x, y in ring:
+        poly += struct.pack("<dd", x, y)
+    assert render_value(ValueKind.BINARY_GEOMETRY, poly) == "POLYGON ((30 10, 40 40, 20 40, 30 10))"
+    # EWKB SRID flag is skipped, geometry still renders
+    ewkb = struct.pack("<BIIdd", 1, 0x20000001, 4326, 10.0, 20.0)
+    assert render_value(ValueKind.BINARY_GEOMETRY, ewkb) == "POINT (10 20)"
+    # torn / unsupported WKB → hex fallback (WKBGeometry.java:42-48)
+    assert render_value(ValueKind.BINARY_GEOMETRY, pt[:9]) == pt[:9].hex()
+    mp = struct.pack("<BII", 1, 4, 0)  # MULTIPOINT unsupported → hex
+    assert render_value(ValueKind.BINARY_GEOMETRY, mp) == mp.hex()
+
+
+def test_v2_header_fields_roundtrip():
+    rec = make_zoo_record()
+    rec.schema = "dbo"
+    rec.source_position = "03:1f2"
+    rec.source_safe_position = "03:1a0"
+    rec.trans_seq = 7
+    h = decode_header(encode_record(rec))
+    assert h.schema == "dbo"
+    assert h.source_position == "03:1f2"
+    assert h.source_safe_position == "03:1a0"
+    assert h.trans_seq == 7
+    # checkpoint string parity (LazyParseRecordImpl.java:199-209)
+    assert h.checkpoint() == f"0@{42 & 0x7FFFFFFF}@03:1f2@{1700000123 * 1000}"
+    back = decode_record(encode_record(rec))
+    assert back.schema == "dbo" and back.trans_seq == 7
+
+
+def test_checkpoint_null_position_and_id_truncation():
+    rec = make_zoo_record()
+    rec.id = 2**33 + 5  # idLow31 truncation (writer-2.0 mask)
+    h = decode_header(encode_record(rec))
+    assert h.checkpoint() == f"0@{(2**33 + 5) & 0x7FFFFFFF}@null@{1700000123 * 1000}"
+
+
+def test_render_object_names():
+    from flink_dts_connector_spark.formats.wire import render_object_names
+
+    # 2-part name: schema defaults to db (LazyRecordDeserializer.java:346-365)
+    assert render_object_names(SourceType.MySQL, "db1", None, "t1") == ("db1", "db1", "t1")
+    # 3-part non-SQLServer: schema carried, names unbracket ed
+    assert render_object_names(SourceType.PostgreSQL, "db1", "public", "t1") == (
+        "db1", "public", "t1",
+    )
+    # SQLServer bracket convention (LazyRecordDeserializer.java:292-298)
+    assert render_object_names(SourceType.SQLServer, "erp", "dbo", "accounts") == (
+        "[erp]", "dbo", "[dbo].[accounts]",
+    )
+    assert render_object_names(SourceType.SQLServer, "erp", None, "accounts") == (
+        "[erp]", "erp", "[erp].[accounts]",
+    )
+    # headerless records (heartbeats) pass through untouched
+    assert render_object_names(SourceType.MySQL, "", None, "") == ("", None, "")
 
 
 def test_table_name_escaping():
