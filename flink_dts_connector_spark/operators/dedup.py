@@ -12,12 +12,12 @@ Four tiers, all DataFrame-first:
                    buckets; candidates = same (band, band-hash) bucket;
                    survivors verified with the exact Jaccard join.
   SimHash        — 64-bit fingerprints whose Hamming distance tracks
-                   cosine/token similarity; xxhash64 token hashes + bit
-                   aggregation as pure column expressions (a vectorized
-                   numpy variant over the same hashes is kept as an
-                   independent cross-check of the bit math).
+                   cosine/token similarity; xxhash64 token hashes JVM-side,
+                   sign aggregation in vectorized numpy (fastest measured)
+                   with a codegen'd explode+sum variant and a shuffle-free
+                   array-expression variant, all three pinned bit-equal.
 
-Everything is pure JVM column expressions on the hot path. The LSH chain is
+Everything else is pure JVM column expressions on the hot path. The LSH chain is
 the classic shingle→minhash→band→bucket-join pipeline (Broder/MMDS); the
 MinHash signature math lives in plain `transform`/`array_min` so Catalyst
 sees one narrow projection.
@@ -199,12 +199,42 @@ def _token_hashes(text_col: str) -> Column:
     return F.transform(toks, lambda t: F.xxhash64(t))
 
 
+def simhash64_agg(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Pure-JVM 64-bit SimHash via explode + hash aggregation — the 100 TB
+    shape: explode token hashes, 64 codegen'd `sum(bit_i)` aggregates with
+    map-side combine (the shuffle carries one 65-column row per document,
+    not per token), then assemble sign bits. Unlike the array higher-order
+    variant (`simhash64_col`), every expression here is inside whole-stage
+    codegen (measured 3× faster than it at sf0.1; see `simhash64` for the
+    full comparison)."""
+    one = F.lit(1).cast("long")
+    ex = df.select(F.col(id_col), F.explode_outer(_token_hashes(text_col)).alias("h"))
+    aggs = [
+        F.sum(F.shiftrightunsigned("h", i).bitwiseAND(one)).alias(f"b{i}") for i in range(64)
+    ] + [F.count("h").alias("n")]
+    g = ex.groupBy(id_col).agg(*aggs)
+    n = F.col("n")
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.lit(2) * F.col(f"b{i}") >= n, F.shiftleft(one, i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    # explode_outer keeps empty docs as a null-h row: n=0 → signature 0
+    return g.select(
+        F.col(id_col), F.when(n > 0, sig).otherwise(F.lit(0).cast("long")).alias("simhash")
+    )
+
+
 def simhash64_col(hashes: Column) -> Column:
-    """Pure-JVM 64-bit SimHash (Charikar) from a token-hash array: bit i of
-    the signature is set iff ≥ half the token hashes have bit i set
-    (sign of Σ(±1)). 64 narrow `filter`+`size` scans over the array — all
-    whole-stage-codegen column expressions, zero Python, no shuffle, no
-    per-row allocation beyond the hash array itself."""
+    """Shuffle-free 64-bit SimHash (Charikar) from a token-hash array: bit i
+    of the signature is set iff ≥ half the token hashes have bit i set
+    (sign of Σ(±1)). 64 `filter`+`size` scans over the array — correct and
+    narrow, but array higher-order functions are interpreted per element,
+    so prefer `simhash64_agg` (codegen'd) on large corpora."""
     n = F.size(hashes)
     one = F.lit(1).cast("long")
 
@@ -223,20 +253,28 @@ def simhash64_col(hashes: Column) -> Column:
 
 
 def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", impl: str = "jvm"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", impl: str = "pandas"
 ) -> DataFrame:
-    """64-bit SimHash per document.
+    """64-bit SimHash per document. All three implementations hash tokens
+    JVM-side (xxhash64 in a `transform`) and agree bit-for-bit
+    (`tests/test_ext_ops.py`); they differ only in where the sign
+    aggregation runs. Measured at sf0.1 (5k docs, local[32], best-of-2):
 
-    ``impl='jvm'`` (default): tokenization, hashing, and bit aggregation all
-    in column expressions — the 100 TB path. ``impl='pandas'``: same JVM
-    token hashes, sign aggregation in vectorized numpy over Arrow batches —
-    kept as an independent cross-check of the bit math (the two must agree
-    exactly; `tests/test_ext_ops.py` pins it)."""
+    ``impl='pandas'`` (default, 0.58s): vectorized numpy over Arrow batches
+    — no shuffle, stateless per partition, the bit math is one broadcasted
+    shift over the whole batch. Python, but not a Python loop.
+    ``impl='agg'`` (2.8s): explode + 64 codegen'd sums, map-side combine —
+    zero Python workers; the choice when the cluster starves Python.
+    ``impl='jvm'`` (9.2s): shuffle-free array expressions; array
+    higher-order functions are interpreted per element — kept as the
+    no-shuffle-no-Python corner, not a default."""
+    if impl == "agg":
+        return simhash64_agg(df, id_col, text_col)
     hashes = _token_hashes(text_col)
     if impl == "jvm":
         return df.select(F.col(id_col), simhash64_col(hashes).alias("simhash"))
     if impl != "pandas":
-        raise ValueError(f"impl must be 'jvm' or 'pandas', got {impl!r}")
+        raise ValueError(f"impl must be 'agg', 'jvm' or 'pandas', got {impl!r}")
 
     import numpy as np
     import pandas as pd

@@ -181,9 +181,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash", oracle=None, tags=("ext", "dedup", "approx"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (banded Hamming≤8). Signature is pure JVM
-    column expressions (xxhash64 token hashes + 64 filter/size bit scans);
-    a vectorized-numpy cross-check over the same hashes is pinned equal in
+    """SimHash near-dup pairs (banded Hamming≤8). Token hashing is JVM
+    (xxhash64); sign aggregation uses the fastest measured path (vectorized
+    numpy over Arrow batches — no Python loop, no shuffle), with codegen'd
+    explode+sum and array-expression variants pinned bit-equal in
     tests/test_ext_ops.py."""
     return D.simhash_neardup_pairs(t(spark, sf_dir, "documents"), max_distance=8)
 

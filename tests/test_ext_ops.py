@@ -54,18 +54,20 @@ def test_simhash_invariants(spark, sf_dir):
     assert expected <= found
 
 
-def test_simhash_jvm_equals_pandas(spark, sf_dir):
-    """The pure-JVM signature and the numpy cross-check share token hashes
-    and must agree bit-for-bit — including the empty-text → 0 convention."""
+def test_simhash_impls_agree(spark, sf_dir):
+    """All three signature implementations share token hashes and must
+    agree bit-for-bit — including the empty-text → 0 convention."""
     docs = load_table(spark, sf_dir, "documents").limit(50)
     empty = spark.createDataFrame(
         [(999001, ""), (999002, "   ")], "doc_id long, text string"
     )
     docs = docs.select("doc_id", "text").unionByName(empty)
-    jvm = {(r["doc_id"], r["simhash"]) for r in D.simhash64(docs, impl="jvm").collect()}
-    pnd = {(r["doc_id"], r["simhash"]) for r in D.simhash64(docs, impl="pandas").collect()}
-    assert jvm == pnd
-    assert (999001, 0) in jvm and (999002, 0) in jvm
+    sigs = {
+        impl: {(r["doc_id"], r["simhash"]) for r in D.simhash64(docs, impl=impl).collect()}
+        for impl in ("jvm", "pandas", "agg")
+    }
+    assert sigs["jvm"] == sigs["pandas"] == sigs["agg"]
+    assert (999001, 0) in sigs["jvm"] and (999002, 0) in sigs["jvm"]
 
 
 def test_lsh_ann_subset_and_selfbucket(spark, sf_dir):

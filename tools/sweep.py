@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Driver-gate simulator: run EVERY registry query at a given SF in a
+vanilla SparkSession (no repo confs — mirrors the external driver) and
+compare against its DuckDB oracle: row count, schema (column names), and an
+order-insensitive value hash. Also flags vacuous results (0 rows) — the
+round-1 lesson that threshold queries can silently go empty at bigger SFs.
+
+Usage:  python tools/sweep.py [sf_dir] [query_name ...]
+Output: one line per query + a summary; exit 1 on any failure.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+#: queries whose result is legitimately empty/small at some SFs (none today —
+#: add names here only with a comment justifying it)
+ALLOW_EMPTY: set[str] = set()
+
+
+def norm(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return str(v)
+
+
+def hash_rows(cols, rows) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    import duckdb
+
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(repo, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    names = sorted(n for n in qs if not only or n in only)
+    fails, rows_only, empty = [], [], []
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            df = qs[name](spark, sf_dir)
+            scols = df.columns
+            srows = [[r[c] for c in scols] for r in df.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: {type(e).__name__}: {e}", flush=True)
+            fails.append(name)
+            continue
+        el = time.perf_counter() - t0
+        if len(srows) == 0 and name not in ALLOW_EMPTY:
+            print(f"EMPTY {name} ({el:.1f}s)", flush=True)
+            empty.append(name)
+            continue
+        sql = osql.get(name)
+        if sql is None:
+            rows_only.append(name)
+            print(f"rows  {name}: {len(srows)} rows (no oracle) ({el:.1f}s)", flush=True)
+            continue
+        try:
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"OERR {name}: {type(e).__name__}: {e}", flush=True)
+            fails.append(name)
+            continue
+        ok_rows = len(srows) == len(orows)
+        ok_schema = sorted(scols) == sorted(ocols)
+        ok_hash = ok_schema and hash_rows(scols, srows) == hash_rows(ocols, orows)
+        if ok_rows and ok_schema and ok_hash:
+            print(f"OK   {name}: {len(srows)} rows ({el:.1f}s)", flush=True)
+        else:
+            print(
+                f"FAIL {name}: rows {len(srows)}/{len(orows)} "
+                f"schema={ok_schema} hash={ok_hash} ({el:.1f}s)",
+                flush=True,
+            )
+            fails.append(name)
+    print(
+        f"\nsummary: {len(names)} run, {len(fails)} failed, "
+        f"{len(empty)} empty, {len(rows_only)} rows-only: {sorted(rows_only)}"
+    )
+    if fails or empty:
+        print("FAILED:", sorted(fails + empty))
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
