@@ -75,6 +75,7 @@ def _decode_batch(
     ops: frozenset[str] | None,
     columns: frozenset[str] | None = None,
     skip_errors: bool = False,
+    images: bool = True,
 ) -> dict[str, list]:
     import datetime as dt
     import json
@@ -110,21 +111,26 @@ def _decode_batch(
                 tbl = h.tags.get("l_tb_name", r_tbl)
                 if f"{db}.{tbl}" not in tables:
                     continue
-            fields, before, after = decode_payload(raw, h, fielddef_cache)
-            names = [f.name for f in fields]
-            # column pruning into the decoder (SURVEY.md §4): fields outside
-            # the declared projection skip string rendering entirely
-            keep_set = set(names) if columns is None else columns
-            before_map = (
-                {n: render_value(k, v) for n, (k, v) in zip(names, before) if n in keep_set}
-                if before
-                else None
-            )
-            after_map = (
-                {n: render_value(k, v) for n, (k, v) in zip(names, after) if n in keep_set}
-                if after
-                else None
-            )
+            if images:
+                fields, before, after = decode_payload(raw, h, fielddef_cache)
+                names = [f.name for f in fields]
+                # column pruning into the decoder (SURVEY.md §4): fields
+                # outside the declared projection skip rendering entirely
+                keep_set = set(names) if columns is None else columns
+                before_map = (
+                    {n: render_value(k, v) for n, (k, v) in zip(names, before) if n in keep_set}
+                    if before
+                    else None
+                )
+                after_map = (
+                    {n: render_value(k, v) for n, (k, v) in zip(names, after) if n in keep_set}
+                    if after
+                    else None
+                )
+            else:
+                # header-only consumer: the payload bytes are never parsed —
+                # the lazy contract's fast path (~10× per SCALING.md)
+                before_map = after_map = None
             pk_uk = h.tags.get("pk_uk_info")
             pk_cols, uk_info = None, None
             if pk_uk:
@@ -193,6 +199,7 @@ def decode_cdc(
     ops: Sequence[str | OperationType] | None = None,
     columns: Sequence[str] | None = None,
     on_error: str = "fail",
+    images: bool = True,
 ) -> DataFrame:
     """Decode a binary CDC stream/batch into the generic envelope.
 
@@ -205,7 +212,9 @@ def decode_cdc(
     the named fields (the declared-schema fast path). ``on_error``: 'fail'
     (default — a corrupt record kills the job loudly) or 'skip' (poison-pill
     tolerance: drop undecodable records, the production CDC posture when a
-    topic may carry foreign garbage).
+    topic may carry foreign garbage). ``images=False`` is the header-only
+    fast path: payload bytes are never parsed, ``before``/``after`` come
+    back null — use for provenance/metadata consumers (~10× cheaper).
     """
     if on_error not in ("fail", "skip"):
         raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
@@ -224,7 +233,7 @@ def decode_cdc(
             meta = {c: pdf[c].to_list() for c in present}
             out = _decode_batch(
                 pdf["value"], meta, table_set, op_set, col_set,
-                skip_errors=(on_error == "skip"),
+                skip_errors=(on_error == "skip"), images=images,
             )
             if not out["id"]:
                 # fully-filtered batch: yield nothing — an empty pandas frame

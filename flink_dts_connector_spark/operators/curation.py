@@ -1,0 +1,91 @@
+"""Corpus-curation operators for training-data pipelines (EXT surface,
+SURVEY.md §2.7 continuation): the selection/mixing/packing steps between
+"deduplicated corpus" and "training batches".
+
+All three are deterministic by construction — no RNG — so every one has an
+exact DuckDB oracle:
+
+  deterministic_sample — hash-Bernoulli sampling: keep a row iff the first
+      8 hex chars of md5(key) fall under a threshold. Reproducible across
+      runs/engines/partitionings (unlike `df.sample`, whose output depends
+      on partition layout), and composable: the same doc is kept at 10%
+      whenever it is kept at 5%.
+  cap_per_group        — per-source document budget: top-N per group by a
+      quality ordering (window row_number; one shuffle on the group key).
+  pack_sequences       — token-budget packing: assign docs to fixed-size
+      training bins per source by cumulative token count (running-sum
+      window). The greedy-ordered deterministic variant: bin boundaries
+      depend only on (source, doc_id) order, never on partitioning.
+
+Scale notes: sampling is a narrow filter (pipelines into the scan);
+cap/pack shuffle once on the group key — group cardinality (sources) times
+within-group sort, the same cost envelope as any ranking window. At 100 TB
+use a composite group key (source, date-bucket) to keep windows bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_threshold_hex(pct: int) -> str:
+    """8-hex-char threshold: keep iff substr(md5(key),1,8) < this. Exact
+    pct/100 fraction of the 2^32 hash space, comparable as a string because
+    fixed-width lowercase hex orders lexicographically = numerically."""
+    if not 0 <= pct <= 100:
+        raise ValueError(f"pct must be 0..100, got {pct}")
+    return f"{(pct * (16 ** 8)) // 100:08x}"
+
+
+def deterministic_sample(df: DataFrame, pct: int, key_col: str = "doc_id") -> DataFrame:
+    """Hash-Bernoulli sample: deterministic, partition-independent, nested
+    (pct=5 ⊂ pct=10). The md5 is over the key's decimal string so any
+    engine reproduces it."""
+    key_hash = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8)
+    return df.where(key_hash < F.lit(sample_threshold_hex(pct)))
+
+
+def cap_per_group(
+    df: DataFrame,
+    n: int,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top-``n`` rows per group by (order_col DESC, tiebreak ASC) —
+    the per-source budget cap of a data-mixing recipe. Deterministic thanks
+    to the unique tiebreak."""
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).desc(), F.col(tiebreak_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: Column | str,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a training bin of ``seq_len`` token budget:
+    within each group (ordered by ``order_col``), bin = floor(start_offset /
+    seq_len) where start_offset is the running token count before the doc.
+    Documents longer than ``seq_len`` own one or more whole bins (their span
+    still advances the cursor). Returns the input plus n_tokens/start_off/
+    bin_id columns."""
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_tok = df.withColumn("n_tokens", tok.cast("bigint"))
+    return (
+        with_tok.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        # integer division (`div`), not float: bin boundaries must be exact
+        .withColumn("bin_id", F.expr(f"start_off div {int(seq_len)}"))
+    )

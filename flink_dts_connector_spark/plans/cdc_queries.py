@@ -200,8 +200,8 @@ def cdc_kafka_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinning the passthrough — every record's `record_id` header equals its
     envelope id, and the Kafka timestamp equals the commit ts (the generator
     stamps CreateTime = commit time)."""
-    raw = generate_cdc_bytes(spark, sf_dir)
-    env = decode_cdc(raw)
+    raw = generate_cdc_bytes(spark, sf_dir, kafka_meta=True)
+    env = decode_cdc(raw, images=False)  # metadata consumer: header-only
     return env.groupBy("kafka_partition", "kafka_topic", "kafka_timestamp_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.max("kafka_offset").alias("max_offset"),
@@ -236,7 +236,7 @@ def cdc_record_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     `0@idLow31@sourcePosition@tsMillis`, source position, transaction
     sequence, and a positive wire size — reconstructed exactly in SQL."""
     raw = generate_cdc_bytes(spark, sf_dir)
-    env = decode_cdc(raw, ops=["INSERT", "UPDATE", "DELETE"])
+    env = decode_cdc(raw, ops=["INSERT", "UPDATE", "DELETE"], images=False)
     return env.select(
         "id",
         "source_position",

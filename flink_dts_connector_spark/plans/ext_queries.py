@@ -118,6 +118,91 @@ def text_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation (sampling / mixing / packing)
+# ---------------------------------------------------------------------------
+
+from flink_dts_connector_spark.operators import curation as C
+
+_SAMPLE_PCT = 37
+_SAMPLE_THR = C.sample_threshold_hex(_SAMPLE_PCT)
+
+
+@register(
+    "curate_deterministic_sample",
+    oracle=f"""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_SAMPLE_THR}'
+""",
+    tags=("ext", "curation", "sampling"),
+)
+def curate_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-Bernoulli corpus sampling (37% by md5(doc_id)): deterministic
+    across engines/partitionings — unlike rng `df.sample` — and nested
+    across rates, the property corpus-ablation pipelines rely on."""
+    d = t(spark, sf_dir, "documents")
+    return C.deterministic_sample(d, _SAMPLE_PCT).select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
+@register(
+    "curate_cap_per_source",
+    oracle="""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
+""",
+    tags=("ext", "curation", "mixing"),
+)
+def curate_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document budget (data-mixing cap): keep the 10 longest
+    docs per source, deterministic tie-break on doc_id — one shuffle on the
+    group key, rank inside the window."""
+    d = t(spark, sf_dir, "documents")
+    return C.cap_per_group(d, n=10, group_col="source", order_col="n_chars").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
+@register(
+    "curate_pack_sequences",
+    oracle=f"""
+WITH packed AS (
+  SELECT source, doc_id,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+         SUM(CAST(len({SQL_TOKS}) AS BIGINT)) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - CAST(len({SQL_TOKS}) AS BIGINT) AS start_off
+  FROM documents
+)
+SELECT source, start_off // 2048 AS bin_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc
+FROM packed GROUP BY 1, 2
+""",
+    tags=("ext", "curation", "packing"),
+)
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: docs stream into 2048-token training
+    bins per source (cumulative-sum window, exact integer division). The
+    per-bin rollup pins both the running sum and the bin assignment."""
+    d = t(spark, sf_dir, "documents")
+    packed = C.pack_sequences(
+        d, seq_len=2048, token_col=X.token_count("text"), group_col="source"
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
 

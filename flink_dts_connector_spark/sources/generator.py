@@ -151,10 +151,15 @@ def _records_for_order(row) -> Iterator[CdcRecord]:
 TOPIC = "cdc-orders"
 
 
-def generate_cdc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders → DataFrame shaped like the Spark Kafka source's output:
-    value/partition/offset plus topic, timestamp (= commit ts, CreateTime),
-    and one deterministic header carrying the record id.
+def generate_cdc_bytes(
+    spark: SparkSession, sf_dir: str, kafka_meta: bool = False
+) -> DataFrame:
+    """orders → raw-record DataFrame [value binary, partition int, offset
+    long]; with ``kafka_meta=True``, shaped like the Spark Kafka source's
+    full output (plus topic, timestamp = commit ts / CreateTime, and one
+    deterministic header carrying the record id). Metadata is opt-in: the
+    per-record datetime/header-struct construction and its Arrow transfer
+    measurably slow every consumer that doesn't read them.
 
     partition = orderkey % 4 (≥3 partitions per FIXTURES.md F1), offset =
     record id (dense ascending per partition is not required by the decoder).
@@ -171,33 +176,34 @@ def generate_cdc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            values, parts, offs, ktss, hdrs = [], [], [], [], []
+            values, parts, offs = [], [], []
+            ktss, hdrs = [], []
             for row in pdf.itertuples(index=False):
                 for rec in _records_for_order(row):
                     values.append(encode_record(rec))
                     parts.append(int(rec.id % 4))
                     offs.append(int(rec.id))
-                    ktss.append(
-                        dt.datetime.fromtimestamp(rec.ts, dt.timezone.utc).replace(tzinfo=None)
-                    )
-                    hdrs.append([{"key": "record_id", "value": str(rec.id).encode()}])
-            yield pd.DataFrame(
-                {
-                    "value": values,
-                    "partition": parts,
-                    "offset": offs,
-                    "topic": [TOPIC] * len(values),
-                    "timestamp": ktss,
-                    "timestampType": [1] * len(values),  # CreateTime
-                    "headers": hdrs,
-                }
-            )
+                    if kafka_meta:
+                        ktss.append(
+                            dt.datetime.fromtimestamp(rec.ts, dt.timezone.utc).replace(
+                                tzinfo=None
+                            )
+                        )
+                        hdrs.append([{"key": "record_id", "value": str(rec.id).encode()}])
+            cols = {"value": values, "partition": parts, "offset": offs}
+            if kafka_meta:
+                cols.update(
+                    topic=[TOPIC] * len(values),
+                    timestamp=ktss,
+                    timestampType=[1] * len(values),  # CreateTime
+                    headers=hdrs,
+                )
+            yield pd.DataFrame(cols)
 
-    return orders.mapInPandas(
-        fn,
-        schema=(
-            "value binary, partition int, offset long, topic string, "
-            "timestamp timestamp, timestampType int, "
-            "headers array<struct<key: string, value: binary>>"
-        ),
-    )
+    schema = "value binary, partition int, offset long"
+    if kafka_meta:
+        schema += (
+            ", topic string, timestamp timestamp, timestampType int"
+            ", headers array<struct<key: string, value: binary>>"
+        )
+    return orders.mapInPandas(fn, schema=schema)
