@@ -1,0 +1,80 @@
+"""Iterative graph operators: connected components over near-dup pair
+graphs — the step that turns pairwise "A≈B" results into dedup CLUSTERS
+(transitive closure), so a corpus pipeline can keep one survivor per
+component rather than per pair.
+
+Algorithm: min-label propagation. Every node starts labeled with its own
+id; each round, a node adopts the minimum label among itself and its
+neighbors; converged when no label changes. Rounds needed = graph diameter
+(near-dup components are short chains/stars, so typically 2-5). This is
+the DataFrame re-expression of GraphX/GraphFrames' components — each round
+is one distributed join + min-aggregate; only the CONVERGENCE CHECK is a
+driver-side action (one count per round, the standard pattern for
+iterative algorithms on Spark).
+
+Scale notes: per round, the join shuffles |E| rows and the aggregate
+|E|+|V| rows, AQE-splittable on hot nodes. `localCheckpoint` truncates the
+lineage each round — without it, iteration k replays rounds 1..k-1 and the
+plan grows quadratically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node id, component id) for every node that appears in ``edges``;
+    the component id is the minimum node id in the component (deterministic
+    representative). Raises if ``max_iter`` rounds don't converge — on a
+    near-dup graph that means the threshold is far too loose, and silent
+    wrong components would poison the dedup downstream."""
+    sym = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .union(edges.select(F.col(dst).cast("long").alias("u"), F.col(src).cast("long").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # neighbor labels flow along edges; keep the min of (own, neighbors)
+        prop = sym.join(labels, sym["u"] == labels["id"]).select(
+            F.col("v").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "a_id", dst: str = "b_id"
+) -> DataFrame:
+    """Near-dup pairs → per-document cluster assignment with cluster size:
+    (doc_id, component, n_members). Survivor policy downstream: keep
+    doc_id == component (the min id)."""
+    comp = connected_components(pairs, src, dst)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    return comp.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        "n_members",
+    )

@@ -70,6 +70,9 @@ WITH expected AS (
   UNION ALL
   SELECT 'HEARTBEAT', COUNT(*) FILTER (WHERE o_orderkey % 50 = 0),
          CAST(SUM(CASE WHEN o_orderkey % 50 = 0 THEN 10000000000 + o_orderkey END) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'DDL', COUNT(*) FILTER (WHERE o_orderkey % 200 = 0),
+         CAST(SUM(CASE WHEN o_orderkey % 200 = 0 THEN 20000000000 + o_orderkey END) AS BIGINT) FROM orders
 )
 SELECT * FROM expected WHERE n > 0
 """,
@@ -183,6 +186,7 @@ WITH ids AS (
   UNION ALL SELECT o_orderkey * 4 + 2 FROM orders WHERE o_orderkey % 7 = 0
   UNION ALL SELECT o_orderkey * 4 + 3 FROM orders WHERE o_orderkey % 97 = 0
   UNION ALL SELECT 10000000000 + o_orderkey FROM orders WHERE o_orderkey % 50 = 0
+  UNION ALL SELECT 20000000000 + o_orderkey FROM orders WHERE o_orderkey % 200 = 0
 )
 SELECT CAST(id % 4 AS INT) AS kafka_partition, 'cdc-orders' AS kafka_topic,
        'CreateTime' AS kafka_timestamp_type,
@@ -243,6 +247,27 @@ def cdc_record_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checkpoint",
         "trans_seq",
         (F.col("record_size") > 0).alias("size_positive"),
+    )
+
+
+@register(
+    "cdc_ddl_stream",
+    oracle="""
+SELECT 20000000000 + o_orderkey AS id, 'dts_demo' AS db, 'orders' AS tbl,
+       'ALTER TABLE orders ADD COLUMN note_' || o_orderkey || ' VARCHAR(32)' AS statement
+FROM orders WHERE o_orderkey % 200 = 0
+""",
+    tags=("cdc", "ddl"),
+)
+def cdc_ddl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL routing: schema-change events (OperationType.DDL,
+    `record/OperationType.java:4-27`) interleave with data on the same
+    wire; a schema-registry consumer filters op=DDL header-only and reads
+    the statement text from the after image."""
+    raw = generate_cdc_bytes(spark, sf_dir)
+    env = decode_cdc(raw, ops=["DDL"])
+    return env.select(
+        "id", "db", "tbl", F.element_at("after", "ddl_statement").alias("statement")
     )
 
 

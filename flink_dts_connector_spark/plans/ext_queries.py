@@ -180,7 +180,7 @@ WITH packed AS (
          ) - CAST(len({SQL_TOKS}) AS BIGINT) AS start_off
   FROM documents
 )
-SELECT source, start_off // 2048 AS bin_id,
+SELECT source, CAST(start_off // 2048 AS BIGINT) AS bin_id,
        COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
        MIN(doc_id) AS first_doc
 FROM packed GROUP BY 1, 2
@@ -254,6 +254,58 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle equi-join bounds cost to pairs sharing a shingle — the
     exact-near-dup shape that still works when |docs|² doesn't."""
     return D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold_pct=30)
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+  FROM toks
+  QUALIFY LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE 100 * n_inter >= 30 * (sa.n_sh + sb.n_sh - n_inter)
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+), reach(id, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id
+), comp AS (
+  SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
+)
+SELECT doc_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+FROM comp
+""",
+    tags=("ext", "dedup", "graph"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup CLUSTERS via iterative min-label connected
+    components (transitive closure of the ≥0.30-Jaccard graph). The Spark
+    side converges by distributed join+min rounds; the oracle is DuckDB's
+    recursive CTE over the same pair set — an end-to-end check of an
+    ITERATIVE distributed algorithm, not just one query shape."""
+    from flink_dts_connector_spark.operators.graph import dedup_clusters
+
+    pairs = D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold_pct=30)
+    return dedup_clusters(pairs)
 
 
 @register("dedup_minhash_lsh", oracle=None, tags=("ext", "dedup", "approx"))

@@ -210,3 +210,51 @@ def stream_update_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "event_type")
         .agg(F.max("n").alias("n"))
     )
+
+
+@register(
+    "stream_partition_watermarks",
+    oracle="""
+WITH recs AS (
+  SELECT (o_orderkey * 4) % 4 AS p, o_orderdate AS ts FROM orders
+  UNION ALL SELECT (o_orderkey * 4 + 1) % 4, o_orderdate + INTERVAL 1 HOUR FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL SELECT (o_orderkey * 4 + 2) % 4, o_orderdate + INTERVAL 2 HOUR FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL SELECT (o_orderkey * 4 + 3) % 4, o_orderdate + INTERVAL 3 HOUR FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL SELECT (10000000000 + o_orderkey) % 4, o_orderdate FROM orders WHERE o_orderkey % 50 = 0
+  UNION ALL SELECT (20000000000 + o_orderkey) % 4, o_orderdate FROM orders WHERE o_orderkey % 200 = 0
+), per AS (
+  SELECT CAST(p AS INT) AS kafka_partition, COUNT(*) AS n_records, MAX(ts) AS max_ts,
+         MAX(ts) - INTERVAL 10 MINUTE AS partition_watermark
+  FROM recs GROUP BY 1
+)
+SELECT kafka_partition, n_records, max_ts, partition_watermark,
+       (SELECT MIN(partition_watermark) FROM per) AS safe_watermark
+FROM per
+""",
+    tags=("streaming", "watermark", "stateful"),
+)
+def stream_partition_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition watermark emulation (the reference's model,
+    `DtsCustomWatermarkExtractor.java:17-21`, vs Spark's per-query global —
+    SURVEY.md §4.4): a stateful operator tracks max event time PER KAFKA
+    PARTITION through the executor-parallel `format("dts")` stream source;
+    the operator-level safe watermark is the MIN across partitions (Flink's
+    multi-input rule), so a stalled partition holds progress back instead
+    of losing data. Oracle reconstructs every partition's watermark in SQL."""
+    import tempfile
+
+    from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
+    from flink_dts_connector_spark.sources.generator import generate_cdc_bytes
+    from flink_dts_connector_spark.streaming.runner import run_to_memory
+    from flink_dts_connector_spark.streaming.watermarks import (
+        safe_watermark,
+        track_partition_watermarks,
+    )
+
+    raw_dir = tempfile.mkdtemp(prefix="fdcs_wm_raw_")
+    generate_cdc_bytes(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(raw_dir)
+    register_dts_source(spark)
+    env = spark.readStream.format("dts").option("path", raw_dir).load()
+    per_part = track_partition_watermarks(env.select("kafka_partition", "ts"), delay_sec=600)
+    sink = run_to_memory(per_part, output_mode="update")
+    return safe_watermark(sink)

@@ -28,6 +28,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -118,9 +119,49 @@ class DtsStreamReader(SimpleDataSourceStreamReader):
         pass  # progress lives in the query's checkpoint WAL
 
 
+class DtsPartitionedStreamReader(DataSourceStreamReader):
+    """Executor-parallel streaming reader — the scale path for
+    `readStream.format("dts")`.
+
+    Same manifest-of-consumed-files offset model as :class:`DtsStreamReader`
+    (new files land anywhere in name-sort order, so positional offsets
+    re-read or skip), but the DECODE runs on executors: `partitions()` maps
+    each newly-discovered file to an input partition, and `read()` executes
+    remotely — one task per file, like Spark's own FileStreamSource. The
+    Simple reader (driver-side read) is kept for tiny control-plane streams;
+    this one is what the format uses."""
+
+    def __init__(self, options: dict):
+        self._batch = DtsDataSourceReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"consumed": []}
+
+    def latestOffset(self) -> dict:
+        # tolerate an empty/not-yet-created dir: a stream may start before
+        # the first file lands (unlike a batch read, where that's an error)
+        try:
+            files = sorted(p.path for p in self._batch.partitions())
+        except (ValueError, FileNotFoundError):
+            files = []
+        return {"consumed": files}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["consumed"]) - set(start["consumed"]))
+        return [_FilePartition(p) for p in new]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        # executor-side: identical decode body as the batch reader
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the query's checkpoint WAL
+
+
 class DtsDataSource(DataSource):
     """`format("dts")` — envelope rows from a directory of raw-record
-    parquet files (value/partition/offset columns); batch and streaming."""
+    parquet files (value/partition/offset columns); batch and streaming
+    (executor-parallel partitioned reader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -132,8 +173,8 @@ class DtsDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return DtsDataSourceReader(self.options)
 
-    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
-        return DtsStreamReader(self.options)
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return DtsPartitionedStreamReader(self.options)
 
 
 def register_dts_source(spark) -> None:

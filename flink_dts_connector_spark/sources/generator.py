@@ -9,6 +9,7 @@ end-to-end DuckDB oracle (the expected outputs are pure SQL over `orders`):
   orderkey %  7 == 0     → UPDATE  priority := '9-RUSH'         (+2 h)
   orderkey % 97 == 0     → DELETE                               (+3 h)
   every 50th order       → HEARTBEAT (no table, no images)
+  orderkey % 200 == 0    → DDL (ALTER TABLE text in the after image)
 
 Prices are carried as exact cent integers (cents = round(price*100)) so both
 engines derive identical decimal text / doubles.
@@ -50,6 +51,12 @@ DB, TBL = "dts_demo", "orders"
 
 def order_cents(price: float) -> int:
     return int(round(price * 100))
+
+
+def ddl_statement(okey: int) -> str:
+    """Deterministic DDL text for the okey%200 schema-change events —
+    reconstructable verbatim in oracle SQL."""
+    return f"ALTER TABLE orders ADD COLUMN note_{okey} VARCHAR(32)"
 
 
 def _image(okey: int, ckey: int, status: str, cents: int, odate, priority: str):
@@ -142,6 +149,20 @@ def _records_for_order(row) -> Iterator[CdcRecord]:
             transaction_id=None,
             source_type=SourceType.MySQL,
             source_version="5.7.0",
+        )
+    if okey % 200 == 0:  # schema-change event: DDL text rides the after image
+        yield CdcRecord(
+            id=20_000_000_000 + okey,
+            ts=ts0,
+            operation=OperationType.DDL,
+            db=DB,
+            tbl=TBL,
+            transaction_id=None,
+            source_type=SourceType.MySQL,
+            source_version="5.7.0",
+            source_position=f"mysql-bin.000001:ddl-{okey}",
+            fields=[FieldDef("ddl_statement", "TEXT", 245)],
+            after=[(ValueKind.TEXT_OBJECT, (ObjectType.TEXT, ddl_statement(okey)))],
         )
 
 

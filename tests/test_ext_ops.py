@@ -145,3 +145,27 @@ def test_ivf_ann_scores_exact_and_recall(spark, sf_dir):
         hits += len(got & true5)
         total += len(true5)
     assert hits / total >= 0.3, f"IVF recall {hits}/{total} too low"
+
+
+def test_connected_components_synthetic(spark):
+    """Chain + star + isolated pair: labels converge to the min id of each
+    component, sizes come back right, diameter > 1 exercised."""
+    from flink_dts_connector_spark.operators.graph import connected_components, dedup_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),       # chain 1-2-3-4 (diameter 3)
+         (10, 11), (10, 12), (10, 13), # star centered on 10
+         (20, 21)],                    # pair
+        "a_id long, b_id long",
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+    sizes = {
+        (r["doc_id"], r["component"], r["n_members"]) for r in dedup_clusters(edges).collect()
+    }
+    assert (4, 1, 4) in sizes and (13, 10, 4) in sizes and (21, 20, 2) in sizes
+    # non-convergence must raise, not return wrong clusters
+    import pytest
+
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1)

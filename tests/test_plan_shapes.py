@@ -93,3 +93,22 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_curation_plan_shapes(spark):
+    """Scale guards for the curation ops: sampling is a narrow filter (zero
+    exchanges); cap and pack each shuffle exactly once (their window's
+    partition key)."""
+    # count node-detail headers: each node appears once as "(k) Exchange"
+    n_ex = lambda p: len(re.findall(r"\(\d+\) Exchange", p))
+    sample = _plan(spark, "curate_deterministic_sample")
+    assert n_ex(sample) == 0 and "Scan parquet" in sample
+    cap = _plan(spark, "curate_cap_per_source")
+    assert n_ex(cap) == 1
+    # rank pushdown: Spark pre-filters each partition to its local top-N
+    # before the shuffle (WindowGroupLimit Partial) — the map-side combine
+    # of ranking windows; without it the full table crosses the wire
+    assert "WindowGroupLimit" in cap
+    pack = _plan(spark, "curate_pack_sequences")
+    assert n_ex(pack) == 1  # one shuffle serves both the window and the rollup
+    assert "HashAggregate" in pack
