@@ -22,12 +22,26 @@ from pyspark.sql import types as T
 #: changelog kinds, parity with Flink RowKind shortStrings
 OP_INSERT, OP_UPDATE_BEFORE, OP_UPDATE_AFTER, OP_DELETE = "I", "UB", "UA", "D"
 
+#: Declarable metadata keys → envelope columns, parity with the reference's
+#: connector ReadableMetadata enum (`table/DtsDynamicSource.java:268-345`:
+#: topic/partition/headers/offset/timestamp/timestamp-type) — the
+#: `col TYPE METADATA FROM '<key>'` surface of its CREATE TABLE.
+METADATA_KEYS = {
+    "topic": "kafka_topic",
+    "partition": "kafka_partition",
+    "headers": "kafka_headers",
+    "offset": "kafka_offset",
+    "timestamp": "kafka_timestamp",
+    "timestamp-type": "kafka_timestamp_type",
+}
+
 
 def project_table(
     env: DataFrame,
     schema: T.StructType,
     table: str | None = None,
     include_metadata: bool = True,
+    metadata: list[str] | None = None,
 ) -> DataFrame:
     """Generic envelope → typed changelog rows for one declared table.
 
@@ -78,4 +92,14 @@ def project_table(
     cols.append(F.col("_chg.op").alias("op"))
     if include_metadata:
         cols = [F.col("ts"), F.col("id").alias("record_id")] + cols
+    if metadata:
+        # PHYSICAL + CONNECTOR METADATA ordering, per the reference's
+        # produced-row convention (DtsDynamicSource.listReadableMetadata)
+        for key in metadata:
+            src = METADATA_KEYS.get(key)
+            if src is None:
+                raise ValueError(
+                    f"unknown metadata key {key!r}; valid: {sorted(METADATA_KEYS)}"
+                )
+            cols.append(F.col(src).alias(key.replace("-", "_")))
     return df.select(*cols)

@@ -223,6 +223,66 @@ def ivf_assign_cells(
     )
 
 
+def kmeans_centroids(
+    items: DataFrame,
+    k: int,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF coarse-quantizer centroids with Lloyd's k-means (cosine
+    assignment, element-wise-mean update) — the iterative companion to
+    `ivf_assign_cells`, so the inverted file can use centroids fitted to
+    the corpus instead of arbitrary seed rows.
+
+    Deterministic by construction: init = the k lowest-id vectors; each
+    round's new centroids are QUANTIZED to micro-units before the next
+    assignment, so the order-sensitive last-ulp noise of the distributed
+    mean cannot flip later assignments — rerunning reproduces identical
+    centroids. Per round: one broadcast-assign pass (map-side-combined
+    argmax) + one posexplode/mean aggregation; `localCheckpoint` truncates
+    the iteration lineage. Empty cells keep their previous centroid.
+
+    Returns (centroid_id, embedding) with embedding in micro-unit-rounded
+    doubles."""
+    w_init = W.orderBy(id_col)
+    centroids = (
+        items.select(id_col, emb_col)
+        .orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).alias("centroid_id"),
+            F.transform(
+                quantized(emb_col), lambda q: q.cast("double") / QUANT_SCALE
+            ).alias(emb_col),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign_cells(items, centroids, id_col, emb_col)
+        means = (
+            assigned.select("cell", F.posexplode(emb_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: (F.round(s["mx"] * QUANT_SCALE) / QUANT_SCALE),
+                ).alias("_new")
+            )
+        )
+        centroids = (
+            centroids.join(means, centroids["centroid_id"] == means["cell"], "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("_new"), F.col(emb_col)).alias(emb_col),
+            )
+            .localCheckpoint()
+        )
+    return centroids
+
+
 def ivf_topk(
     items: DataFrame,
     queries: DataFrame,

@@ -251,6 +251,46 @@ def cdc_record_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_typed_with_metadata",
+    oracle=f"""
+WITH recs AS (
+  SELECT o_orderkey, 'I' AS op, o_orderkey * 4 AS rid, o_orderdate AS kts FROM orders
+  UNION ALL SELECT o_orderkey, 'UB', o_orderkey * 4 + 1, o_orderdate + INTERVAL 1 HOUR FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL SELECT o_orderkey, 'UA', o_orderkey * 4 + 1, o_orderdate + INTERVAL 1 HOUR FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL SELECT o_orderkey, 'UB', o_orderkey * 4 + 2, o_orderdate + INTERVAL 2 HOUR FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL SELECT o_orderkey, 'UA', o_orderkey * 4 + 2, o_orderdate + INTERVAL 2 HOUR FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL SELECT o_orderkey, 'D', o_orderkey * 4 + 3, o_orderdate + INTERVAL 3 HOUR FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT o_orderkey, op, 'cdc-orders' AS topic, CAST(rid % 4 AS INT) AS "partition",
+       rid AS "offset", kts AS "timestamp", 'CreateTime' AS timestamp_type
+FROM recs
+""",
+    tags=("cdc", "typed", "metadata"),
+)
+def cdc_typed_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `col TYPE METADATA FROM '<key>'` CREATE TABLE surface
+    (`DtsTableISelectTCaseTest.java:66-80` declares `ts TIMESTAMP(3)
+    METADATA FROM 'timestamp'`): declared metadata keys ride each typed
+    changelog row after the physical columns."""
+    raw = generate_cdc_bytes(spark, sf_dir, kafka_meta=True)
+    env = decode_cdc(
+        raw,
+        tables=[f"{DB}.{TBL}"],
+        ops=["INSERT", "UPDATE", "DELETE"],
+        columns=["o_orderkey"],
+    )
+    schema = T.StructType([T.StructField("o_orderkey", T.LongType())])
+    typed = project_table(
+        env,
+        schema,
+        table=f"{DB}.{TBL}",
+        include_metadata=False,
+        metadata=["topic", "partition", "offset", "timestamp", "timestamp-type"],
+    )
+    return typed
+
+
+@register(
     "cdc_ddl_stream",
     oracle="""
 SELECT 20000000000 + o_orderkey AS id, 'dts_demo' AS db, 'orders' AS tbl,

@@ -393,6 +393,21 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(e, q, k=5)
 
 
+@register("ann_topk_ivf_trained", oracle=None, tags=("ext", "similarity", "approx", "iterative"))
+def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with k-means-TRAINED centroids (Lloyd's, 3 rounds, cosine
+    assignment, deterministic quantized updates) instead of arbitrary seed
+    rows — the full train→index→probe→rerank pipeline. Rows-only gate
+    (iterative training has no SQL twin); centroid determinism, objective
+    improvement, and recall-vs-bruteforce are pytest-pinned."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = S.kmeans_centroids(e, k=13, n_iter=3)
+    return S.ivf_topk(e, q, centroids, k=5, nprobe=3)
+
+
 @register(
     "neardup_cosine_pairs",
     oracle=f"""
@@ -418,6 +433,51 @@ def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs within a label block scoring
     ≥0.35 — label plays the blocking key that bounds the quadratic cost."""
     return S.cosine_pairs(t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.35)
+
+
+@register(
+    "dedup_embedding_components",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, {SQL_Q} AS qe FROM embeddings
+), n AS (
+  SELECT vec_id, label, qe, CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nrm FROM e
+), flat AS (
+  SELECT vec_id, label, nrm, unnest(qe) AS x, generate_subscripts(qe, 1) AS i FROM n
+), dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, CAST(SUM(a.x * b.x) AS BIGINT) AS dot,
+         ANY_VALUE(a.nrm) AS na, ANY_VALUE(b.nrm) AS nb
+  FROM flat a JOIN flat b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a_id, b_id FROM dots
+  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.35
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+), reach(id, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e2.v, r.comp FROM reach r JOIN edges e2 ON e2.u = r.id
+), comp AS (
+  SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
+)
+SELECT doc_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+FROM comp
+""",
+    tags=("ext", "dedup", "similarity", "graph"),
+)
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup clusters: cosine near-dup pairs (≥0.35,
+    label-blocked, exact quantized-int scoring) closed under transitivity
+    by the same iterative components operator — the semantic-dedup
+    composition a corpus pipeline runs after lexical dedup."""
+    from flink_dts_connector_spark.operators.graph import dedup_clusters
+
+    pairs = S.cosine_pairs(t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.35)
+    return dedup_clusters(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -258,3 +258,52 @@ def stream_partition_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = track_partition_watermarks(env.select("kafka_partition", "ts"), delay_sec=600)
     sink = run_to_memory(per_part, output_mode="update")
     return safe_watermark(sink)
+
+
+@register(
+    "stream_cdc_envelope_totals",
+    oracle="""
+WITH expected AS (
+  SELECT 'INSERT' AS operation, COUNT(*) AS n, CAST(SUM(o_orderkey * 4) AS BIGINT) AS id_sum FROM orders
+  UNION ALL
+  SELECT 'UPDATE', COUNT(*) FILTER (WHERE o_orderkey % 10 = 0) + COUNT(*) FILTER (WHERE o_orderkey % 7 = 0),
+         CAST(COALESCE(SUM(CASE WHEN o_orderkey % 10 = 0 THEN o_orderkey * 4 + 1 END), 0)
+            + COALESCE(SUM(CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey * 4 + 2 END), 0) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'DELETE', COUNT(*) FILTER (WHERE o_orderkey % 97 = 0),
+         CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN o_orderkey * 4 + 3 END) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'HEARTBEAT', COUNT(*) FILTER (WHERE o_orderkey % 50 = 0),
+         CAST(SUM(CASE WHEN o_orderkey % 50 = 0 THEN 10000000000 + o_orderkey END) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'DDL', COUNT(*) FILTER (WHERE o_orderkey % 200 = 0),
+         CAST(SUM(CASE WHEN o_orderkey % 200 = 0 THEN 20000000000 + o_orderkey END) AS BIGINT) FROM orders
+)
+SELECT * FROM expected WHERE n > 0
+""",
+    tags=("streaming", "cdc"),
+)
+def stream_cdc_envelope_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC decode end-to-end: the executor-parallel
+    `readStream.format("dts")` source feeds an update-mode running
+    aggregation per operation; the final totals (update sink is monotone —
+    take the last emission per key) must equal the batch round-trip
+    checksum. One query covers streaming source + stateful agg + codec."""
+    import tempfile
+
+    from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
+    from flink_dts_connector_spark.sources.generator import generate_cdc_bytes
+    from flink_dts_connector_spark.streaming.runner import run_to_memory
+
+    raw_dir = tempfile.mkdtemp(prefix="fdcs_cdc_raw_")
+    generate_cdc_bytes(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(raw_dir)
+    register_dts_source(spark)
+    env = spark.readStream.format("dts").option("path", raw_dir).load()
+    agg = env.groupBy("operation").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum")
+    )
+    sink = run_to_memory(agg, output_mode="update")
+    return sink.groupBy("operation").agg(
+        F.max("n").alias("n"), F.max("id_sum").alias("id_sum")
+    )

@@ -169,3 +169,31 @@ def test_connected_components_synthetic(spark):
 
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_kmeans_centroids_deterministic_and_better(spark, sf_dir):
+    """Lloyd's training must (a) return exactly k centroids, (b) reproduce
+    bit-identical centroids on rerun (quantized updates), and (c) improve
+    the mean best-cosine objective over the untrained init."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def objective(cent):
+        c = cent.select("centroid_id", S.quantized("embedding").alias("_ce")).withColumn(
+            "_cn", S.norm_sq_q(F.col("_ce"))
+        )
+        it = e.select("vec_id", S.quantized("embedding").alias("_ie")).withColumn(
+            "_in", S.norm_sq_q(F.col("_ie"))
+        )
+        sc = it.crossJoin(F.broadcast(c)).select(
+            "vec_id",
+            S.cosine_q(S.dot_q(F.col("_ie"), F.col("_ce")), F.col("_in"), F.col("_cn")).alias("s"),
+        )
+        return sc.groupBy("vec_id").agg(F.max("s").alias("b")).agg(F.avg("b")).first()[0]
+
+    trained = S.kmeans_centroids(e, k=8, n_iter=3)
+    rows = trained.collect()
+    assert len(rows) == 8
+    again = {(r["centroid_id"], tuple(r["embedding"])) for r in S.kmeans_centroids(e, k=8, n_iter=3).collect()}
+    assert {(r["centroid_id"], tuple(r["embedding"])) for r in rows} == again
+    init = S.kmeans_centroids(e, k=8, n_iter=0)
+    assert objective(trained) > objective(init)
