@@ -39,6 +39,42 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2-style split, simplified to the
+#: subset that Java regex and RE2 treat identically — no lookarounds):
+#: contractions, letter runs, digit runs, single non-alnum symbols.
+BPE_ISH_PATTERN = "'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Subword-ish tokenization by regex (the cheap LLM-token-count proxy:
+    splits punctuation and digit runs off words like a BPE pre-tokenizer
+    would, without a merges table). Engine-portable: the pattern avoids
+    every Java-regex/RE2 divergence, so DuckDB's regexp_extract_all is an
+    exact oracle."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(text)).cast("bigint")
+
+
+def kgram_sketch(text: Column | str, k: int = 16, bottom: int = 4) -> Column:
+    """Bottom-``bottom`` document sketch over character k-grams: md5 every
+    k-char window of the normalized text, keep the lexicographically
+    smallest ``bottom`` 8-hex prefixes. A winnowing-style containment
+    sketch — two documents sharing long runs of text share small-hash
+    k-grams with high probability, so sketch overlap estimates containment
+    (the rolling-hash fingerprint family, engine-exact via md5)."""
+    norm = normalized(text)
+    n = F.length(norm)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.substring(F.md5(F.encode(F.substring(norm, i, k), "UTF-8")), 1, 8),
+    )
+    return F.slice(F.array_sort(F.array_distinct(hashes)), 1, bottom)
+
+
 def normalized(text: Column | str) -> Column:
     """Dedup-normalization: lowercase + whitespace collapse + trim."""
     text = F.col(text) if isinstance(text, str) else text

@@ -117,6 +117,63 @@ def text_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_SQL_PATTERN = "''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "text_bpe_token_stats",
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(len({SQL_TOKS}) AS BIGINT)) AS BIGINT) AS ws_tokens,
+       CAST(SUM(CAST(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS BIGINT)) AS BIGINT) AS bpe_tokens
+FROM documents
+GROUP BY source
+""",
+    tags=("ext", "text", "tokenizer"),
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under both tokenizers — whitespace and the BPE-ish
+    regex pre-tokenizer (contractions/letter-runs/digit-runs/symbols split
+    like a GPT-2 pre-tokenizer, no merges table) — the cheap LLM token-
+    budget estimate, rolled up per source."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count("text")).alias("ws_tokens"),
+        F.sum(X.bpe_ish_token_count("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_kgram_sketches",
+    oracle=f"""
+WITH sk AS (
+  SELECT doc_id,
+         list_slice(list_sort(list_distinct(
+           list_transform(range(1, greatest(length({SQL_NORM}) - 15, 1) + 1),
+                          i -> substring(md5(substring({SQL_NORM}, CAST(i AS INT), 16)), 1, 8))
+         )), 1, 4) AS sketch
+  FROM documents
+)
+SELECT doc_id, CAST(generate_subscripts(sketch, 1) AS BIGINT) AS sketch_pos,
+       unnest(sketch) AS sketch_hash
+FROM sk
+""",
+    tags=("ext", "text", "fingerprint"),
+)
+def text_kgram_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash-style document sketches: bottom-4 md5 prefixes over all
+    16-char windows of the normalized text (winnowing family) — sketch
+    overlap estimates containment between documents. Exploded to scalar
+    rows so the value hash is engine-stable."""
+    d = t(spark, sf_dir, "documents")
+    sk = d.select("doc_id", X.kgram_sketch("text", k=16, bottom=4).alias("sketch"))
+    return sk.select(
+        "doc_id", F.posexplode("sketch").alias("p", "sketch_hash")
+    ).select("doc_id", (F.col("p") + 1).cast("bigint").alias("sketch_pos"), "sketch_hash")
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation (sampling / mixing / packing)
 # ---------------------------------------------------------------------------
