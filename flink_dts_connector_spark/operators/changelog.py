@@ -70,3 +70,30 @@ def materialize_upsert(
         *key_cols, *[F.col(f"_latest.{c}").alias(c) for c in payload_cols]
     )
     return out.where(F.col("op") != "D").drop("op")
+
+
+def materialize_scd2(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str] = ("ts", "record_id"),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Changelog → type-2 slowly-changing-dimension history: one row per
+    VERSION of each key with ``valid_from``/``valid_to``/``is_current``.
+
+    Versions are the state-carrying rows (I/UA); each version's validity
+    ends when the key's NEXT event (new version or delete) commits — so a
+    deleted key's last version is closed, and only live keys have an open
+    (``valid_to`` null, ``is_current`` true) row. One window over the pk
+    (same single-shuffle envelope as every ranking op); UB rows never
+    carry final state and are dropped first."""
+    events = changelog.where(F.col("op").isin("I", "UA", "D"))
+    w = W.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    with_end = events.withColumn("_next_ts", F.lead(F.col(ts_col)).over(w))
+    versions = with_end.where(F.col("op") != "D")
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.col("_next_ts"))
+        .withColumn("is_current", F.col("_next_ts").isNull())
+        .drop("_next_ts", "op")
+    )

@@ -19,7 +19,11 @@ from pyspark.sql import types as T
 
 from flink_dts_connector_spark.formats.decoder import decode_cdc
 from flink_dts_connector_spark.formats.typed import project_table
-from flink_dts_connector_spark.operators.changelog import materialize_upsert, sign_col
+from flink_dts_connector_spark.operators.changelog import (
+    materialize_scd2,
+    materialize_upsert,
+    sign_col,
+)
 from flink_dts_connector_spark.plans.registry import register
 from flink_dts_connector_spark.sources.generator import DB, TBL, generate_cdc_bytes
 
@@ -247,6 +251,43 @@ def cdc_record_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checkpoint",
         "trans_seq",
         (F.col("record_size") > 0).alias("size_positive"),
+    )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle=f"""
+WITH versions AS (
+  SELECT o_orderkey, {SQL_PRICE0} AS o_totalprice, o_orderpriority, o_orderdate AS valid_from,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_orderdate + INTERVAL 1 HOUR
+              WHEN o_orderkey % 7 = 0 THEN o_orderdate + INTERVAL 2 HOUR
+              WHEN o_orderkey % 97 = 0 THEN o_orderdate + INTERVAL 3 HOUR END AS valid_to
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, {SQL_PRICE1}, o_orderpriority, o_orderdate + INTERVAL 1 HOUR,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_orderdate + INTERVAL 2 HOUR
+              WHEN o_orderkey % 97 = 0 THEN o_orderdate + INTERVAL 3 HOUR END
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, {SQL_PRICE1}, '9-RUSH', o_orderdate + INTERVAL 2 HOUR,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_orderdate + INTERVAL 3 HOUR END
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderkey, o_totalprice, o_orderpriority, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM versions
+""",
+    tags=("cdc", "changelog", "scd2"),
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → type-2 history (SCD2): every version of every order with
+    its validity interval; deletes close the last version. The warehouse-
+    side consumer of a CDC feed, reconstructed closed-form in SQL from the
+    generator's arithmetic."""
+    chg = _typed_changelog(spark, sf_dir)
+    hist = materialize_scd2(chg, ["o_orderkey"], order_cols=["ts", "record_id"])
+    return hist.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "valid_from", "valid_to", "is_current"
     )
 
 
