@@ -49,6 +49,11 @@ HEADLINE = [
     "dedup_simhash",
     "ann_topk_ivf",
     "cdc_record_checkpoints",
+    "curate_pack_sequences",
+    "cdc_scd2_history",
+    # dedup_components stays registry-only: its cost IS the exact-Jaccard
+    # edge materialization (~40s at sf0.1), which would drown the headline
+    # signal; the correctness gate covers it at sf0.01.
 ]
 
 

@@ -63,6 +63,38 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def resize_plan(df: DataFrame, max_w: int, max_h: int) -> DataFrame:
+    """Metadata-only aspect-preserving resize computation: fit each image
+    inside (max_w × max_h), never upscale — all INTEGER arithmetic (binding
+    dimension chosen by cross-multiplication, output via integer division)
+    so the plan is bit-identical in any engine. The pixel work itself is
+    the stubbed decode stage; this is the planning half a 100 TB pipeline
+    runs first to budget decode cost. Zero/null dimensions pass through
+    unscaled (degenerate metadata is a data-quality signal, not a crash)."""
+    w = F.col("meta.width").cast("bigint")
+    h = F.col("meta.height").cast("bigint")
+    fits = (w <= max_w) & (h <= max_h)
+    width_binding = (w * max_h) >= (h * max_w)
+    out_w = (
+        F.when((w <= 0) | (h <= 0) | fits, w)
+        .when(width_binding, F.lit(max_w).cast("bigint"))
+        .otherwise(F.expr(f"(CAST(meta.width AS BIGINT) * {int(max_h)}) div CAST(meta.height AS BIGINT)"))
+    )
+    out_h = (
+        F.when((w <= 0) | (h <= 0) | fits, h)
+        .when(width_binding, F.expr(f"(CAST(meta.height AS BIGINT) * {int(max_w)}) div CAST(meta.width AS BIGINT)"))
+        .otherwise(F.lit(max_h).cast("bigint"))
+    )
+    return df.select(
+        "doc_id",
+        w.alias("width"),
+        h.alias("height"),
+        out_w.alias("out_width"),
+        out_h.alias("out_height"),
+        (~fits & (w > 0) & (h > 0)).alias("scaled"),
+    )
+
+
 def decode_media(df: DataFrame, media_col: str = "media", meta_col: str = "meta") -> DataFrame:
     """Decode media payloads → fixed-size feature rows (Arrow-batched).
 

@@ -579,6 +579,36 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample_plan(media, every_ms=1000)
 
 
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) % 640 AS BIGINT) AS w,
+         CAST(octet_length(encode(text)) % 480 AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, w AS width, h AS height,
+       CASE WHEN w <= 0 OR h <= 0 OR (w <= 256 AND h <= 192) THEN w
+            WHEN w * 192 >= h * 256 THEN 256
+            ELSE (w * 192) // h END AS out_width,
+       CASE WHEN w <= 0 OR h <= 0 OR (w <= 256 AND h <= 192) THEN h
+            WHEN w * 192 >= h * 256 THEN (h * 256) // w
+            ELSE 192 END AS out_height,
+       NOT (w <= 256 AND h <= 192) AND w > 0 AND h > 0 AS scaled
+FROM dims
+""",
+    tags=("ext", "multimodal"),
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving fit-in-box resize planning (256×192, never
+    upscale) over metadata only — integer cross-multiplication picks the
+    binding dimension, integer division sizes the other, so both engines
+    agree exactly; degenerate (zero) dims pass through flagged unscaled."""
+    media = M.attach_media(t(spark, sf_dir, "documents"))
+    return M.resize_plan(media, max_w=256, max_h=192)
+
+
 @register("ann_topk_ivf", oracle=None, tags=("ext", "similarity", "approx"))
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: coarse quantizer = deterministic seed vectors
