@@ -46,6 +46,23 @@ def deterministic_sample(df: DataFrame, pct: int, key_col: str = "doc_id") -> Da
     return df.where(key_hash < F.lit(sample_threshold_hex(pct)))
 
 
+def stratified_sample(
+    df: DataFrame, n_per_group: int, group_col: str = "source", key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic stratified sample: exactly ``n_per_group`` rows per
+    group (fewer if the group is smaller), selected by md5-hash order — an
+    unbiased draw that is reproducible across runs/engines/partitionings,
+    where rng `sampleBy` is neither exact-count nor stable. Same one-shuffle
+    ranked-window envelope as `cap_per_group`."""
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     n: int,

@@ -204,6 +204,28 @@ def curate_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curate_stratified_sample",
+    oracle="""
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 7
+""",
+    tags=("ext", "curation", "sampling"),
+)
+def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 7 docs per source drawn
+    by md5-hash order — exact-count per stratum AND reproducible across
+    engines, which rng `sampleBy` gives up."""
+    d = t(spark, sf_dir, "documents")
+    return C.stratified_sample(d, n_per_group=7).select("doc_id", "source")
+
+
+@register(
     "curate_cap_per_source",
     oracle="""
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
