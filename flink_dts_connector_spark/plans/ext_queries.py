@@ -631,12 +631,66 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.resize_plan(media, max_w=256, max_h=192)
 
 
-@register("ann_topk_ivf", oracle=None, tags=("ext", "similarity", "approx"))
+SQL_IVF = f"""
+WITH itq AS (
+  SELECT vec_id, {SQL_Q} AS e FROM embeddings
+), n AS (
+  SELECT vec_id, e, CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm FROM itq
+), c AS (
+  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id % 37 = 3
+), flat_n AS (
+  SELECT vec_id, nrm, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM n
+), flat_c AS (
+  SELECT cid, cn, unnest(ce) AS x, generate_subscripts(ce, 1) AS i FROM c
+), ic AS (
+  SELECT f.vec_id, fc.cid, CAST(SUM(f.x * fc.x) AS BIGINT) AS dot,
+         ANY_VALUE(f.nrm) AS ni, ANY_VALUE(fc.cn) AS cn
+  FROM flat_n f JOIN flat_c fc ON f.i = fc.i
+  GROUP BY 1, 2
+), ic_scored AS (
+  SELECT vec_id, cid,
+         CAST(dot AS DOUBLE) / sqrt(CAST(ni AS DOUBLE) * CAST(cn AS DOUBLE)) AS s
+  FROM ic
+), assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM ic_scored
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM ic_scored WHERE vec_id % 100 = 0
+  ) WHERE rn <= 3
+), cand AS (
+  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), pair_scores AS (
+  SELECT cd.query_id, cd.vec_id, CAST(SUM(fa.x * fb.x) AS BIGINT) AS dot,
+         ANY_VALUE(fa.nrm) AS nq, ANY_VALUE(fb.nrm) AS ni
+  FROM cand cd
+  JOIN flat_n fa ON fa.vec_id = cd.query_id
+  JOIN flat_n fb ON fb.vec_id = cd.vec_id AND fb.i = fa.i
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT query_id, vec_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(ni AS DOUBLE)) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(ni AS DOUBLE)) DESC, vec_id
+         ) AS rank
+  FROM pair_scores
+) WHERE rank <= 5
+"""
+
+
+@register("ann_topk_ivf", oracle=SQL_IVF, tags=("ext", "similarity", "approx"))
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: coarse quantizer = deterministic seed vectors
     (vec_id % 37 == 3), nprobe=3 cells per query, exact rerank within.
-    No SQL oracle (the argmax cascade is impractical to mirror); recall and
-    score-exactness vs brute force are pinned in tests/test_ext_ops.py."""
+    The whole cascade — cell argmax, probe selection, rerank — is exact
+    quantized-integer math, so even this approximate index has a full
+    DuckDB oracle; recall vs brute force is pinned in tests/test_ext_ops.py."""
     e = t(spark, sf_dir, "embeddings")
     centroids = e.where(F.col("vec_id") % 37 == 3).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
