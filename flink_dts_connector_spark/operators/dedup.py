@@ -156,6 +156,86 @@ def minhash_lsh_candidates(
     )
 
 
+def md5_hash_mod_p(col: Column) -> Column:
+    """Engine-mirrorable shingle hash: int(last 8 md5 bytes, little-endian)
+    mod 2³¹−1 — exactly DuckDB's `md5_number_lower(s) % 2147483647`, built
+    here from hex-substring reversal + base-16 conv (verified equal incl.
+    unicode). The slow-but-oracle-able sibling of xxhash64."""
+    hexstr = F.md5(F.encode(col, "UTF-8"))
+    le = F.concat(*[F.substring(hexstr, 31 - 2 * i, 2) for i in range(8)])
+    return F.pmod(F.conv(le, 16, 10).cast("decimal(20,0)"), F.lit(_P)).cast("bigint")
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold_pct: int) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a_id, b_id) pairs against
+    per-doc shingle arrays ``sh``(id, sh)."""
+    pairs = (
+        cand.join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "sh_a"), "a_id")
+        .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "sh_b"), "b_id")
+    )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    n_union = F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
+    return (
+        pairs.select("a_id", "b_id", n_inter.alias("n_inter"), n_union.alias("n_union"))
+        .where(F.lit(100) * F.col("n_inter") >= F.lit(threshold_pct) * F.col("n_union"))
+        .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union"))
+    )
+
+
+def minhash_lsh_dedup_pairs_md5(
+    df: DataFrame,
+    threshold_pct: int = 50,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup with the md5 shingle hash and BAND-TUPLE
+    equality candidates — every step has an exact SQL twin, so this
+    approximate pipeline is fully oracle-checkable (the xxhash64 variant
+    stays the throughput path). Signature mins are computed by
+    explode + grouped MIN aggregates (codegen + map-side combine, the
+    SimHash lesson: array higher-order lambdas are interpreted)."""
+    rows = num_hashes // bands
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    ex = sh.select("id", F.explode("sh").alias("s")).withColumn("h", md5_hash_mod_p(F.col("s")))
+    mins = ex.groupBy("id").agg(
+        *[
+            F.min((F.lit(2 * j + 1) * F.col("h") + F.lit(1000003 * (j + 1))) % F.lit(_P)).alias(
+                f"m{j}"
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    banded = mins.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[F.col(f"m{b * rows + r}").alias(f"r{r}") for r in range(rows)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.*")
+    a, b = banded.alias("a"), banded.alias("b")
+    join_cond = (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id"))
+    for r in range(rows):
+        join_cond = join_cond & (F.col(f"a.r{r}") == F.col(f"b.r{r}"))
+    cand = (
+        a.join(b, join_cond)
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, threshold_pct)
+
+
 def minhash_lsh_dedup_pairs(
     df: DataFrame,
     threshold_pct: int = 50,

@@ -391,8 +391,71 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (shingle→minhash→band→bucket-join→verify).
     xxhash64-based — no DuckDB twin, so rows-only here; candidate recall vs
-    exact Jaccard is asserted in tests/test_ext_ops.py."""
+    exact Jaccard is asserted in tests/test_ext_ops.py. The md5 variant
+    below runs the same pipeline under the full hash gate."""
     return D.minhash_lsh_dedup_pairs(t(spark, sf_dir, "documents"), threshold_pct=50)
+
+
+_MINHASH_MD5_MINS = ",\n         ".join(
+    f"MIN(({2 * j + 1} * h + {1000003 * (j + 1)}) % 2147483647) AS m{j}" for j in range(16)
+)
+_MINHASH_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, m{b * 4} AS r0, m{b * 4 + 1} AS r1, "
+    f"m{b * 4 + 2} AS r2, m{b * 4 + 3} AS r3 FROM sig"
+    for b in range(4)
+)
+
+
+@register(
+    "dedup_minhash_md5",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+  FROM toks
+  QUALIFY LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), hb AS (
+  SELECT doc_id, md5_number_lower(s) % 2147483647 AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_MINHASH_MD5_MINS}
+  FROM hb GROUP BY doc_id
+), bands AS (
+  {_MINHASH_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.r2 = b.r2 AND a.r3 = b.r3
+   AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a_id
+  JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT) AS n_union,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE 100 * n_inter >= 50 * (sa.n_sh + sb.n_sh - n_inter)
+""",
+    tags=("ext", "dedup", "approx"),
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the md5 shingle hash and band-TUPLE equality — the
+    complete approximate pipeline (16 affine min-hashes, 4 bands of 4,
+    candidate join, exact-Jaccard verify ≥0.50) mirrored step-for-step in
+    SQL via `md5_number_lower`: LSH itself under the rows+schema+hash gate."""
+    return D.minhash_lsh_dedup_pairs_md5(t(spark, sf_dir, "documents"), threshold_pct=50)
 
 
 @register("dedup_simhash", oracle=None, tags=("ext", "dedup", "approx"))
