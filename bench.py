@@ -51,6 +51,9 @@ HEADLINE = [
     "cdc_record_checkpoints",
     "curate_pack_sequences",
     "cdc_scd2_history",
+    # appended in round 3
+    "dedup_minhash_md5",
+    "stream_late_data_gate",
     # dedup_components stays registry-only: its cost IS the exact-Jaccard
     # edge materialization (~40s at sf0.1), which would drown the headline
     # signal; the correctness gate covers it at sf0.01.
@@ -76,19 +79,24 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Two passes per query, keep the min — estimates true plan cost under
-    # noisy-neighbor CPU contention (the box is shared).
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Three passes per query; report min (the "queries" key other rounds
+    # compare on — true plan cost under noisy-neighbor CPU contention) plus
+    # the median, so a round-over-round delta can be told apart from
+    # single-run timing noise (the r2 q3 "+11%" lesson).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        samples = []
         for _ in range(runs):
             start = time.perf_counter()
             df = queries[name].fn(spark, sf_dir)
             # noop sink executes the full plan without collecting to the driver
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - start)
+        samples.sort()
+        timings[name] = round(samples[0], 4)
+        medians[name] = round(samples[len(samples) // 2], 4)
 
     # Decode-path throughput (SCALING.md "wire decode ceiling"): time
     # decode_cdc alone over pre-materialized raw bytes, so the number is the
@@ -124,6 +132,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "decode": decode_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -260,8 +260,19 @@ def decode_value(data: bytes, pos: int) -> tuple[tuple[ValueKind, Any], int]:
 
 def _wkt_num(v: float) -> str:
     """Ordinate formatting matching JTS WKTWriter: no trailing '.0' on whole
-    numbers, plain decimal otherwise."""
-    return str(int(v)) if v == int(v) and abs(v) < 1e16 else repr(v)
+    numbers, plain positional decimal otherwise — never scientific notation,
+    which repr() would produce for |v| ≥ 1e16 or < 1e-4 (JTS's DecimalFormat
+    always writes positionally)."""
+    import math
+
+    if math.isfinite(v) and v == int(v):
+        return str(int(v))
+    s = repr(v)
+    if "e" in s or "E" in s:
+        from decimal import Decimal
+
+        s = format(Decimal(s), "f")
+    return s
 
 
 def wkb_to_wkt(data: bytes) -> str:
@@ -335,11 +346,12 @@ def render_value(kind: ValueKind, payload: Any) -> str | None:
             return raw.hex()
         codec = resolve_charset(charset)
         if codec is not None:
-            try:
-                return raw.decode(codec)
-            except UnicodeDecodeError:
-                pass
-        # unresolvable/undecodable → charset_'hex' (StringValue.java:70-72)
+            # Java's `new String(bytes, charset)` (StringValue.java:64-66)
+            # never throws — malformed sequences become U+FFFD. Mirror that:
+            # a resolvable charset always decodes (errors="replace"); the
+            # hex fallback below is only for unresolvable charset names
+            # (the Charset.forName failure path, StringValue.java:70-72).
+            return raw.decode(codec, errors="replace")
         return f"{charset}_'{raw.hex()}'"
     if kind == ValueKind.DECIMAL:
         return payload  # text, incl. special forms

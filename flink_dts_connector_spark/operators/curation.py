@@ -33,15 +33,21 @@ def sample_threshold_hex(pct: int) -> str:
     """8-hex-char threshold: keep iff substr(md5(key),1,8) < this. Exact
     pct/100 fraction of the 2^32 hash space, comparable as a string because
     fixed-width lowercase hex orders lexicographically = numerically."""
-    if not 0 <= pct <= 100:
-        raise ValueError(f"pct must be 0..100, got {pct}")
+    if not 0 <= pct < 100:
+        raise ValueError(f"pct must be 0..99 (pct=100 needs no threshold), got {pct}")
     return f"{(pct * (16 ** 8)) // 100:08x}"
 
 
 def deterministic_sample(df: DataFrame, pct: int, key_col: str = "doc_id") -> DataFrame:
     """Hash-Bernoulli sample: deterministic, partition-independent, nested
     (pct=5 ⊂ pct=10). The md5 is over the key's decimal string so any
-    engine reproduces it."""
+    engine reproduces it. pct=100 short-circuits to the unfiltered frame:
+    the 8-hex threshold encoding tops out at ffffffff (pct·2^32/100 for
+    pct=100 would need 9 chars and break the fixed-width compare)."""
+    if not 0 <= pct <= 100:
+        raise ValueError(f"pct must be 0..100, got {pct}")
+    if pct == 100:
+        return df
     key_hash = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8)
     return df.where(key_hash < F.lit(sample_threshold_hex(pct)))
 

@@ -103,7 +103,7 @@ def jaccard_pairs(
 
 def minhash_signature(sh: Column, num_hashes: int = 32, seed: int = 42) -> list[Column]:
     """k MinHash values from one distinct-shingle array: base = xxhash64
-    (non-negative), permuted by fixed affine maps mod 2^61−1."""
+    (non-negative), permuted by fixed affine maps mod 2³¹−1 (``_P``)."""
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(_P)))
     sigs = []
     for i in range(num_hashes):
@@ -250,22 +250,7 @@ def minhash_lsh_dedup_pairs(
     (broadcast-able candidate list at sane thresholds)."""
     cand = minhash_lsh_candidates(df, num_hashes, bands, n, id_col, text_col)
     sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-    pairs = (
-        cand.join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "sh_a"), "a_id")
-        .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "sh_b"), "b_id")
-    )
-    n_inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
-    n_union = F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
-    return (
-        pairs.select(
-            "a_id",
-            "b_id",
-            n_inter.alias("n_inter"),
-            n_union.alias("n_union"),
-        )
-        .where(F.lit(100) * F.col("n_inter") >= F.lit(threshold_pct) * F.col("n_union"))
-        .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union"))
-    )
+    return _verify_jaccard(cand, sh, threshold_pct)
 
 
 def _token_hashes(text_col: str) -> Column:

@@ -66,9 +66,87 @@ def _load_all() -> None:
     import flink_dts_connector_spark.plans.streaming_queries  # noqa: F401
 
 
+# Explicit front-of-registry ordering. The first N names here lead the
+# queries() dict so that a capped correctness run still covers every operator
+# family (TPC-H core, CDC/changelog, windows, joins, events, and the full
+# dedup/ANN/text/curation/multimodal/streaming surface) rather than whatever
+# module import order happens to produce. Composition is one representative
+# per plan shape; the remaining registry entries follow in registration order
+# and are exercised by tools/sweep.py and the pytest oracle harness.
+GATE_PRIORITY: tuple[str, ...] = (
+    # TPC-H core shapes: agg, join+topk, scan-filter-agg, agg-having-semijoin
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q18_large_volume_orders",
+    # aggregation batteries
+    "agg_grouping_sets",
+    "agg_approx_distinct",
+    # windows
+    "win_topk_orders_per_customer",
+    "win_range_frame_and_navigation",
+    # joins (anti / as-of / range)
+    "join_anti_customers_without_orders",
+    "asof_purchase_last_view",
+    "range_join_purchase_views",
+    # events
+    "events_sessionize",
+    "events_json_struct",
+    # CDC / changelog
+    "cdc_typed_changelog",
+    "cdc_signed_agg_revenue",
+    "cdc_scd2_history",
+    "cdc_value_zoo_render",
+    # deduplication family
+    "dedup_exact_groups",
+    "neardup_jaccard_pairs",
+    "dedup_components",
+    "dedup_minhash_md5",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "neardup_cosine_pairs",
+    "dedup_embedding_components",
+    # similarity / ANN
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_ivf_trained",
+    # text analysis
+    "text_fingerprint",
+    "text_quality_scores",
+    "text_langid",
+    "text_token_stats_by_source",
+    "text_bpe_token_stats",
+    "text_kgram_sketches",
+    "text_top_terms_by_source",
+    # curation
+    "curate_deterministic_sample",
+    "curate_stratified_sample",
+    "curate_cap_per_source",
+    "curate_pack_sequences",
+    # multimodal
+    "multimodal_decode_features",
+    "multimodal_frame_plan",
+    "multimodal_resize_plan",
+    # streaming (availableNow-bounded, rerun-safe)
+    "stream_hourly_windows",
+    "stream_static_lookup_join",
+    "stream_dedup_exactly_once",
+    "stream_update_mode_totals",
+    "stream_partition_watermarks",
+    "stream_late_data_gate",
+    "stream_cdc_envelope_totals",
+)
+
+
 def all_queries() -> dict[str, Query]:
     _load_all()
-    return dict(_REGISTRY)
+    missing = [n for n in GATE_PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"GATE_PRIORITY names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in GATE_PRIORITY}
+    ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def get_query(name: str) -> Query:

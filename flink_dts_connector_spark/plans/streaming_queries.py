@@ -307,3 +307,111 @@ def stream_cdc_envelope_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("operation").agg(
         F.max("n").alias("n"), F.max("id_sum").alias("id_sum")
     )
+
+
+@register(
+    "stream_late_data_gate",
+    oracle="""
+WITH e AS (SELECT event_id % 4 AS p, ts FROM events),
+m AS (SELECT MAX(ts) AS m FROM e),
+late AS (
+  SELECT p, ts FROM e, m WHERE p = 3 AND ts > m - INTERVAL 15 DAY
+),
+phase1 AS (
+  SELECT p, ts FROM e, m WHERE NOT (p = 3 AND ts > m - INTERVAL 15 DAY)
+),
+wmp AS (SELECT MAX(ts) - INTERVAL 86400 SECOND AS wm_partition FROM phase1 WHERE p = 3),
+wmg AS (SELECT MAX(ts) - INTERVAL 86400 SECOND AS wm_global FROM phase1)
+SELECT CAST(3 AS INT) AS kafka_partition,
+       COUNT(*) AS n_late_arrivals,
+       COUNT(*) FILTER (WHERE ts >= wm_partition) AS n_survive_per_partition,
+       COUNT(*) FILTER (WHERE ts >= wm_global) AS n_survive_global,
+       COUNT(*) FILTER (WHERE ts >= wm_partition AND ts < wm_global) AS n_rescued,
+       wm_partition, wm_global
+FROM late, wmp, wmg
+GROUP BY wm_partition, wm_global
+""",
+    tags=("streaming", "watermark", "stateful", "late-data"),
+)
+def stream_late_data_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition watermarks actually GATING late data — the reference's
+    semantic (`DtsKafkaFetcher.java:398-441`: each partition owns its
+    watermark; the operator watermark is the min, so a slow partition's
+    data is never late *relative to its own feed*) vs Spark's per-query
+    global watermark (SURVEY.md §4.4 divergence).
+
+    Scenario: partition 3 is a straggler — in phase 1 it has delivered only
+    events with ts ≤ max(ts) − 15 days while partitions 0-2 are fully
+    caught up. The stateful per-partition tracker
+    (`streaming/watermarks.py:track_partition_watermarks`) runs a REAL
+    streaming query over phase 1 and yields each partition's watermark
+    (delay 1 day). Partition 3's remaining rows then arrive late; each is
+    admitted or dropped under (a) its own partition's watermark and (b) the
+    Spark-style global watermark (max over partitions − delay).
+
+    Result: every late row survives the per-partition rule (their ts all
+    exceed partition 3's own watermark) while the global rule drops all but
+    the last day's worth — `n_rescued` = rows the reference keeps and the
+    global model loses. The oracle reconstructs both watermark rules and
+    the admission counts in SQL."""
+    import tempfile
+
+    from flink_dts_connector_spark.streaming.watermarks import track_partition_watermarks
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 4).cast("int").alias("kafka_partition"), "ts"
+    )
+    m = ev.agg(F.max("ts").alias("m"))
+    tagged = ev.crossJoin(F.broadcast(m)).withColumn(
+        "is_late",
+        (F.col("kafka_partition") == 3) & (F.col("ts") > F.expr("m - INTERVAL 15 DAYS")),
+    )
+    stage = tempfile.mkdtemp(prefix="fdcs_lategate_")
+    tagged.select("kafka_partition", "ts", "is_late").write.mode("overwrite").parquet(stage)
+
+    staged = spark.read.parquet(stage)
+    phase1_stream = (
+        spark.readStream.schema(staged.schema).parquet(stage).filter(~F.col("is_late"))
+    )
+    per_part = track_partition_watermarks(
+        phase1_stream.select("kafka_partition", "ts"), delay_sec=86400
+    )
+    sink = run_to_memory(per_part, output_mode="update")
+    latest = sink.groupBy("kafka_partition").agg(
+        F.max("max_ts").alias("max_ts"),
+        F.max("partition_watermark").alias("partition_watermark"),
+    )
+    wmp = latest.filter(F.col("kafka_partition") == 3).select(
+        F.col("partition_watermark").alias("wm_partition")
+    )
+    wmg = latest.agg(
+        F.expr("max(max_ts) - INTERVAL 86400 SECONDS").alias("wm_global")
+    )
+    late = staged.filter(F.col("is_late"))
+    return (
+        late.crossJoin(F.broadcast(wmp))
+        .crossJoin(F.broadcast(wmg))
+        .groupBy("wm_partition", "wm_global")
+        .agg(
+            F.count(F.lit(1)).alias("n_late_arrivals"),
+            F.count(F.when(F.col("ts") >= F.col("wm_partition"), 1)).alias(
+                "n_survive_per_partition"
+            ),
+            F.count(F.when(F.col("ts") >= F.col("wm_global"), 1)).alias("n_survive_global"),
+            F.count(
+                F.when(
+                    (F.col("ts") >= F.col("wm_partition")) & (F.col("ts") < F.col("wm_global")),
+                    1,
+                )
+            ).alias("n_rescued"),
+        )
+        .select(
+            F.lit(3).cast("int").alias("kafka_partition"),
+            "n_late_arrivals",
+            "n_survive_per_partition",
+            "n_survive_global",
+            "n_rescued",
+            "wm_partition",
+            "wm_global",
+        )
+    )

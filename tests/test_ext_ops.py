@@ -197,3 +197,19 @@ def test_kmeans_centroids_deterministic_and_better(spark, sf_dir):
     assert {(r["centroid_id"], tuple(r["embedding"])) for r in rows} == again
     init = S.kmeans_centroids(e, k=8, n_iter=0)
     assert objective(trained) > objective(init)
+
+
+def test_deterministic_sample_boundaries(spark, sf_dir):
+    """pct=100 keeps everything (the 8-hex threshold can't encode 2^32 —
+    the ADVICE-flagged bug kept ~6% instead), pct=0 keeps nothing, and
+    samples nest (pct=5 ⊆ pct=20)."""
+    from flink_dts_connector_spark.operators import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    assert C.deterministic_sample(docs, 100).count() == n
+    assert C.deterministic_sample(docs, 0).count() == 0
+    ids5 = {r["doc_id"] for r in C.deterministic_sample(docs, 5).select("doc_id").collect()}
+    ids20 = {r["doc_id"] for r in C.deterministic_sample(docs, 20).select("doc_id").collect()}
+    assert ids5 <= ids20
+    assert 0 < len(ids5) < len(ids20) < n

@@ -130,6 +130,9 @@ def test_render_values():
     assert render_value(ValueKind.CHARACTER, ("gbk", "中文".encode("gbk"))) == "中文"
     # unresolvable charset → charset_'hex' (StringValue.java:70-72)
     assert render_value(ValueKind.CHARACTER, ("klingon8", b"\xff\xfe\x01")) == "klingon8_'fffe01'"
+    # malformed bytes under a RESOLVABLE charset: Java's `new String(bytes,
+    # charset)` never throws — bad sequences become U+FFFD (StringValue.java:64-66)
+    assert render_value(ValueKind.CHARACTER, ("utf8", b"ok\xff")) == "ok�"
     # 'binary' maps to ISO-8859-1 — decoded string (JDKCharsetMapper.java:18)
     assert render_value(ValueKind.CHARACTER, ("binary", b"A\xe9")) == "Aé"
     # missing charset → bare hex (StringValue.java:53-55)
@@ -178,6 +181,10 @@ def test_render_wkb_geometry():
     assert render_value(ValueKind.BINARY_GEOMETRY, pt[:9]) == pt[:9].hex()
     mp = struct.pack("<BII", 1, 4, 0)  # MULTIPOINT unsupported → hex
     assert render_value(ValueKind.BINARY_GEOMETRY, mp) == mp.hex()
+    # extreme ordinates render positionally like JTS's DecimalFormat, never
+    # in repr()'s scientific notation
+    ext = struct.pack("<BIdd", 1, 1, 1e17, 1.5e-7)
+    assert render_value(ValueKind.BINARY_GEOMETRY, ext) == "POINT (100000000000000000 0.00000015)"
 
 
 def test_v2_header_fields_roundtrip():
