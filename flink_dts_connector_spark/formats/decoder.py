@@ -77,6 +77,76 @@ def _decode_batch(
     skip_errors: bool = False,
     images: bool = True,
 ) -> dict[str, list]:
+    """Fast path: fused decode+render core (formats/fastdecode.py, ~2× the
+    reference loop below) + kafka-metadata alignment from the survivor
+    indices. Output is pinned bit-equal to `_decode_batch_reference` by
+    tests/test_cdc_pipeline.py::test_fastdecode_parity."""
+    import datetime as dt
+
+    from flink_dts_connector_spark.formats.fastdecode import decode_batch_core
+
+    out, kept = decode_batch_core(
+        raw_values, tables, ops, columns, skip_errors=skip_errors, images=images
+    )
+    parts = meta.get("partition")
+    offs = meta.get("offset")
+    topics = meta.get("topic")
+    ktss = meta.get("timestamp")
+    kts_types = meta.get("timestampType")
+    headers = meta.get("headers")
+    n = len(kept)
+    out["kafka_partition"] = (
+        [_opt_int(parts[i]) for i in kept] if parts is not None else [None] * n
+    )
+    out["kafka_offset"] = [_opt_int(offs[i]) for i in kept] if offs is not None else [None] * n
+    out["kafka_topic"] = (
+        [
+            None
+            if topics[i] is None or (isinstance(topics[i], float) and pd.isna(topics[i]))
+            else str(topics[i])
+            for i in kept
+        ]
+        if topics is not None
+        else [None] * n
+    )
+    if ktss is not None:
+        col = []
+        for i in kept:
+            kts = ktss[i]
+            if kts is None or pd.isna(kts):
+                kts = None
+            else:
+                if isinstance(kts, pd.Timestamp):
+                    kts = kts.to_pydatetime()
+                if kts.tzinfo is not None:
+                    kts = kts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            col.append(kts)
+        out["kafka_timestamp"] = col
+    else:
+        out["kafka_timestamp"] = [None] * n
+    if kts_types is not None:
+        col = []
+        for i in kept:
+            ktt = _opt_int(kts_types[i])
+            col.append(None if ktt is None else KAFKA_TIMESTAMP_TYPES.get(ktt, str(ktt)))
+        out["kafka_timestamp_type"] = col
+    else:
+        out["kafka_timestamp_type"] = [None] * n
+    out["kafka_headers"] = (
+        [_headers_to_map(headers[i]) for i in kept] if headers is not None else [None] * n
+    )
+    return out
+
+
+def _decode_batch_reference(
+    raw_values: Sequence[bytes],
+    meta: dict[str, Sequence],
+    tables: frozenset[str] | None,
+    ops: frozenset[str] | None,
+    columns: frozenset[str] | None = None,
+    skip_errors: bool = False,
+    images: bool = True,
+) -> dict[str, list]:
     import datetime as dt
     import json
 

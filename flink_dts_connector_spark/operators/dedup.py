@@ -63,20 +63,57 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return fp_df.join(keep, ["fp", id_col], "left_semi").drop("fp")
 
 
+def drop_hot_shingles(ex: DataFrame, max_df: int, s_col: str = "s") -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` from an
+    exploded (id, shingle) frame — the standard MMDS boilerplate guard.
+
+    At corpus scale a handful of template shingles ("all rights reserved…")
+    appear in a large fraction of documents; each contributes O(df²)
+    candidate pairs to the shingle equi-join, a quadratic blow-up AQE can
+    split but not avoid. High-df shingles carry ~zero discriminating power
+    for near-dup detection, so capping df bounds the join fan-out at
+    O(max_df²) per shingle while leaving threshold-level pairs intact
+    (verified on the fixtures in tests/test_ext_ops.py). The df pass
+    shuffles on the same key as the candidate join that follows."""
+    hot = (
+        ex.groupBy(s_col)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select(s_col)
+    )
+    return ex.join(hot, s_col, "left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold_pct: int = 30,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (a < b), integer-exact decision:
         |∩| / |∪| ≥ t%  ⟺  100·|∩| ≥ t·(|a|+|b|−|∩|)
     so no float enters the pair selection; the reported ``jaccard`` is one
-    deterministic double division."""
+    deterministic double division.
+
+    ``max_df`` (optional) bounds the candidate join: shingles in more than
+    ``max_df`` documents generate no candidates (`drop_hot_shingles`), and
+    surviving pairs are then verified with the FULL shingle sets — so every
+    reported (n_inter, n_union, jaccard) stays exact; only pairs whose
+    overlap is exclusively boilerplate can be missed."""
     sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")).withColumn(
         "n_sh", F.size("sh").cast("bigint")
     )
+    if max_df is not None:
+        ex = drop_hot_shingles(sh.select("id", F.explode("sh").alias("s")), max_df)
+        a, b = ex.alias("a"), ex.alias("b")
+        cand = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+            .distinct()
+        )
+        return _verify_jaccard(cand, sh.select("id", "sh"), threshold_pct)
     ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -122,15 +159,25 @@ def minhash_lsh_candidates(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: signatures banded (rows = k/bands); a pair is a
     candidate iff some band's row-slice hashes equal. Returns (a_id, b_id)
     distinct. Collision probability ≈ 1−(1−j^rows)^bands (tuned by k/bands).
-    """
+
+    ``max_df`` (optional) removes corpus-boilerplate shingles (df >
+    max_df) from every document BEFORE signatures are computed — a
+    consistent corpus-wide vocabulary change, so signatures remain mutually
+    comparable; docs left with no shingles drop out. Bounds both the band
+    buckets (boilerplate-only docs no longer all collide) and downstream
+    verification fan-out."""
     rows = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
     ).where(F.size("sh") > 0)
+    if max_df is not None:
+        ex = drop_hot_shingles(sig.select("id", F.explode("sh").alias("s")), max_df)
+        sig = ex.groupBy("id").agg(F.collect_set("s").alias("sh"))
     sig = sig.select("id", *[s.alias(f"mh{i}") for i, s in enumerate(minhash_signature(F.col("sh"), num_hashes))])
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)], F.lit(b)).alias(f"band{b}")
@@ -244,11 +291,15 @@ def minhash_lsh_dedup_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: LSH candidates → exact-Jaccard verify.
     Verification joins the shingle sets back only for candidate pairs
-    (broadcast-able candidate list at sane thresholds)."""
-    cand = minhash_lsh_candidates(df, num_hashes, bands, n, id_col, text_col)
+    (broadcast-able candidate list at sane thresholds). ``max_df`` caps
+    hot-shingle fan-out in the candidate stage (see
+    `minhash_lsh_candidates`); verification always uses full shingle sets,
+    so reported jaccard values stay exact."""
+    cand = minhash_lsh_candidates(df, num_hashes, bands, n, id_col, text_col, max_df)
     sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
     return _verify_jaccard(cand, sh, threshold_pct)
 

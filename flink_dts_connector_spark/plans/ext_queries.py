@@ -17,6 +17,7 @@ from flink_dts_connector_spark.operators import dedup as D
 from flink_dts_connector_spark.operators import multimodal as M
 from flink_dts_connector_spark.operators import similarity as S
 from flink_dts_connector_spark.operators import text as X
+from flink_dts_connector_spark.plans import _snapshots as SNAP
 from flink_dts_connector_spark.plans.registry import register
 from flink_dts_connector_spark.session import load_table
 
@@ -387,12 +388,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=("ext", "dedup", "approx"))
+@register(
+    "dedup_minhash_lsh",
+    oracle=SNAP.SNAPSHOT_DEDUP_MINHASH_LSH,
+    tags=("ext", "dedup", "approx"),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (shingle→minhash→band→bucket-join→verify).
-    xxhash64-based — no DuckDB twin, so rows-only here; candidate recall vs
-    exact Jaccard is asserted in tests/test_ext_ops.py. The md5 variant
-    below runs the same pipeline under the full hash gate."""
+    xxhash64-based — no native DuckDB twin, so the oracle is an SF-keyed
+    SNAPSHOT (tools/gen_snapshots.py): the deterministic output pinned at
+    every fixture SF after cross-validation against the exact-Jaccard and
+    md5-LSH oracle-checked siblings; keyed by a content fingerprint of
+    `documents`, 0 rows (loud vacuity) at any unpinned SF. The md5 variant
+    below runs the same pipeline under a live step-for-step SQL twin."""
     return D.minhash_lsh_dedup_pairs(t(spark, sf_dir, "documents"), threshold_pct=50)
 
 
@@ -458,13 +466,19 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup_pairs_md5(t(spark, sf_dir, "documents"), threshold_pct=50)
 
 
-@register("dedup_simhash", oracle=None, tags=("ext", "dedup", "approx"))
+@register(
+    "dedup_simhash",
+    oracle=SNAP.SNAPSHOT_DEDUP_SIMHASH,
+    tags=("ext", "dedup", "approx"),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (banded Hamming≤8). Token hashing is JVM
     (xxhash64); sign aggregation uses the fastest measured path (vectorized
     numpy over Arrow batches — no Python loop, no shuffle), with codegen'd
     explode+sum and array-expression variants pinned bit-equal in
-    tests/test_ext_ops.py."""
+    tests/test_ext_ops.py. Oracle is an SF-keyed snapshot
+    (tools/gen_snapshots.py): deterministic output pinned per fixture after
+    popcount re-verification of every distance."""
     return D.simhash_neardup_pairs(t(spark, sf_dir, "documents"), max_distance=8)
 
 
@@ -535,13 +549,19 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(e, q, k=5)
 
 
-@register("ann_topk_ivf_trained", oracle=None, tags=("ext", "similarity", "approx", "iterative"))
+@register(
+    "ann_topk_ivf_trained",
+    oracle=SNAP.SNAPSHOT_ANN_TOPK_IVF_TRAINED,
+    tags=("ext", "similarity", "approx", "iterative"),
+)
 def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with k-means-TRAINED centroids (Lloyd's, 3 rounds, cosine
     assignment, deterministic quantized updates) instead of arbitrary seed
-    rows — the full train→index→probe→rerank pipeline. Rows-only gate
-    (iterative training has no SQL twin); centroid determinism, objective
-    improvement, and recall-vs-bruteforce are pytest-pinned."""
+    rows — the full train→index→probe→rerank pipeline. Iterative training
+    has no live SQL twin, so the oracle is an SF-keyed snapshot
+    (tools/gen_snapshots.py) pinned after recall-vs-bruteforce
+    cross-validation; centroid determinism, objective improvement, and
+    recall are additionally pytest-pinned."""
     e = t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"

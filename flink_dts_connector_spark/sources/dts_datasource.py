@@ -123,31 +123,78 @@ class DtsPartitionedStreamReader(DataSourceStreamReader):
     """Executor-parallel streaming reader — the scale path for
     `readStream.format("dts")`.
 
-    Same manifest-of-consumed-files offset model as :class:`DtsStreamReader`
-    (new files land anywhere in name-sort order, so positional offsets
-    re-read or skip), but the DECODE runs on executors: `partitions()` maps
-    each newly-discovered file to an input partition, and `read()` executes
-    remotely — one task per file, like Spark's own FileStreamSource. The
-    Simple reader (driver-side read) is kept for tiny control-plane streams;
-    this one is what the format uses."""
+    DECODE runs on executors: `partitions()` maps each newly-discovered
+    file to an input partition and `read()` executes remotely — one task
+    per file, like Spark's own FileStreamSource. The Simple reader
+    (driver-side read) is kept for tiny control-plane streams; this one is
+    what the format uses.
+
+    **Compact offsets** (unlike the Simple reader's full manifest, which
+    grows without bound on a long-lived stream): an offset is
+
+        {"wm": <mtime watermark>, "recent": [paths with mtime >= wm]}
+
+    and a file counts as consumed iff its mtime is below ``wm`` or it is
+    listed in ``recent``. ``wm`` trails the newest file's mtime by
+    ``maxFileAgeSec`` (default 3600) and only moves forward, so ``recent``
+    holds just the files that landed within the trailing window — O(churn
+    window), not O(stream lifetime). The trade-off is Spark
+    FileStreamSource's own `maxFileAge` semantic, adopted deliberately: a
+    file that first appears with an mtime already older than the watermark
+    is treated as consumed and never read. Files are assumed immutable
+    once landed (same assumption the batch reader makes).
+
+    Replay is deterministic: `partitions(start, end)` derives the batch
+    purely from the two offsets (``end.recent`` minus files consumed by
+    ``start``); the only stat() is a guard re-checking mtimes against
+    ``start.wm`` after a restart, and mtimes of immutable files are
+    stable."""
 
     def __init__(self, options: dict):
         self._batch = DtsDataSourceReader(options)
+        self._max_age = float(options.get("maxfileagesec", 3600))
+        self._wm = 0.0
 
-    def initialOffset(self) -> dict:
-        return {"consumed": []}
-
-    def latestOffset(self) -> dict:
+    def _scan(self) -> dict[str, float]:
         # tolerate an empty/not-yet-created dir: a stream may start before
         # the first file lands (unlike a batch read, where that's an error)
         try:
-            files = sorted(p.path for p in self._batch.partitions())
+            paths = [p.path for p in self._batch.partitions()]
         except (ValueError, FileNotFoundError):
-            files = []
-        return {"consumed": files}
+            return {}
+        out = {}
+        for p in paths:
+            try:
+                out[p] = os.path.getmtime(p)
+            except OSError:
+                continue  # deleted between listdir and stat
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"wm": 0.0, "recent": []}
+
+    def latestOffset(self) -> dict:
+        scan = self._scan()
+        if scan:
+            # monotone: the watermark never retreats within a run; across a
+            # restart partitions() re-syncs it from the checkpointed start
+            self._wm = max(self._wm, max(scan.values()) - self._max_age)
+        recent = sorted(p for p, m in scan.items() if m >= self._wm)
+        return {"wm": self._wm, "recent": recent}
 
     def partitions(self, start: dict, end: dict):
-        new = sorted(set(end["consumed"]) - set(start["consumed"]))
+        self._wm = max(self._wm, start["wm"], end["wm"])  # restart re-sync
+        consumed = set(start["recent"])
+        new = []
+        for p in sorted(set(end["recent"]) - consumed):
+            try:
+                m = os.path.getmtime(p)
+            except OSError:
+                continue  # deleted since the offset was taken
+            # guard: after a restart the fresh reader's watermark may lag the
+            # checkpointed one — anything below start.wm is already consumed
+            if m >= start["wm"]:
+                new.append(p)
         return [_FilePartition(p) for p in new]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:

@@ -4,6 +4,7 @@ factories, failover glue, changelog kit unit behavior."""
 from __future__ import annotations
 
 import json
+import os
 
 from flink_dts_connector_spark.sources.kafka import dts_kafka_options
 from flink_dts_connector_spark.streaming.failover import (
@@ -211,3 +212,139 @@ def test_dts_datasource_streaming(spark, sf_dir, tmp_path):
         ).decode_cdc(spark.read.parquet(raw_dir)).select("id").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_partitioned_stream_offsets_stay_compact(tmp_path):
+    """The executor-parallel reader's offset must be O(churn window), not
+    O(files ever consumed): files older than maxFileAgeSec relative to the
+    newest drop out of the explicit `recent` list (implicitly consumed via
+    the mtime watermark), with no re-reads and no gaps across batches."""
+    import time as _time
+
+    from flink_dts_connector_spark.sources.dts_datasource import (
+        DtsPartitionedStreamReader,
+    )
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    now = _time.time()
+
+    def land(names, mtime):
+        for n in names:
+            p = d / n
+            p.write_bytes(b"")
+            os.utime(p, (mtime, mtime))
+
+    reader = DtsPartitionedStreamReader({"path": str(d), "maxfileagesec": "100"})
+
+    old = [f"old{i:02d}.parquet" for i in range(10)]
+    land(old, now - 1000)
+    start = reader.initialOffset()
+    end1 = reader.latestOffset()
+    batch1 = {p.path for p in reader.partitions(start, end1)}
+    assert batch1 == {str(d / n) for n in old}
+
+    new = [f"new{i:02d}.parquet" for i in range(10)]
+    land(new, now)
+    end2 = reader.latestOffset()
+    # watermark advanced past the old files: offset size is the churn
+    # window (10 names), not the full 20-file history
+    assert len(end2["recent"]) == 10
+    batch2 = {p.path for p in reader.partitions(end1, end2)}
+    assert batch2 == {str(d / n) for n in new}  # no re-reads, no gaps
+
+    # steady state: nothing new → empty batch, offset size unchanged
+    end3 = reader.latestOffset()
+    assert reader.partitions(end2, end3) == []
+    assert len(end3["recent"]) == 10
+
+    # restart: a FRESH reader (watermark state lost) must not re-read
+    # files the checkpointed start offset already consumed
+    r2 = DtsPartitionedStreamReader({"path": str(d), "maxfileagesec": "100"})
+    end4 = r2.latestOffset()
+    assert r2.partitions(end2, end4) == []
+
+    # the explicit guard: an end offset whose watermark retreated below
+    # start's must not resurrect implicitly-consumed files
+    stale_end = {"wm": end2["wm"] - 500, "recent": [str(d / old[0])]}
+    assert r2.partitions(end2, stale_end) == []
+
+
+def test_fastdecode_parity():
+    """The fused fast decoder (formats/fastdecode.py) must be bit-equal to
+    the reference per-record loop across the full value zoo, v1 records,
+    filters (ops/tables/columns), header-only mode, poison-pill skips and
+    kafka-metadata alignment after filtering."""
+    import datetime as dt
+
+    from flink_dts_connector_spark.datamodel.envelope import (
+        OperationType,
+        SourceType,
+        ValueKind,
+    )
+    from flink_dts_connector_spark.formats.decoder import (
+        _decode_batch,
+        _decode_batch_reference,
+    )
+    from flink_dts_connector_spark.formats.wire import CdcRecord, FieldDef, encode_record
+    from flink_dts_connector_spark.sources.zoo import ZOO_CASES
+
+    zoo_fields = [FieldDef(n, k.name, int(k), True) for n, k, _, _ in ZOO_CASES]
+    zoo_image = [(k, p) for _, k, p, _ in ZOO_CASES]
+    recs = []
+    for i in range(40):
+        recs.append(
+            CdcRecord(
+                id=i, ts=1700000000 + i % 7, operation=OperationType(i % 4),
+                db="zoo_db", tbl="values_zoo", transaction_id=f"tx-{i}",
+                born_ts=1690000000 + i, source_type=SourceType.MySQL,
+                tags={"pk_uk_info": '{"PRIMARY": ["c_utf8"], "uk_x": ["c_gbk"]}'},
+                fields=list(zoo_fields),
+                before=list(zoo_image) if i % 4 == 1 else None,
+                after=list(zoo_image) if i % 4 != 2 else None,
+                schema="zs" if i % 3 == 0 else None,
+                source_position=f"pos:{i}" if i % 2 == 0 else None,
+                trans_seq=i,
+            )
+        )
+    # second table + SQLServer naming + no tags + empty-string txid
+    recs.append(
+        CdcRecord(
+            id=99, ts=1700000100, operation=OperationType.INSERT, db="erp",
+            tbl="accounts", transaction_id="", source_type=SourceType.SQLServer,
+            schema="dbo", fields=[FieldDef("a")],
+            after=[(ValueKind.INTEGER, 42)],
+        )
+    )
+    raws = [encode_record(r) for r in recs]
+    poison = [b"\xd7\x02\x00garbage", raws[0][:10]]
+    n = len(raws) + len(poison)
+    all_raws = raws + poison
+    meta = {
+        "partition": [i % 4 for i in range(n)],
+        "offset": list(range(n)),
+        "topic": ["t"] * n,
+        "timestamp": [dt.datetime(2024, 1, 1, 0, 0, i % 60) for i in range(n)],
+        "timestampType": [0] * n,
+        "headers": [None] * n,
+    }
+    cases = [
+        dict(tables=None, ops=None),
+        dict(tables=None, ops=frozenset({"INSERT", "DELETE"})),
+        dict(tables=frozenset({"zoo_db.values_zoo"}), ops=None),
+        dict(tables=frozenset({"[erp].[dbo].[accounts]"}), ops=None),
+        dict(tables=None, ops=None, columns=frozenset({"c_utf8", "c_ts", "c_geom_wkb"})),
+        dict(tables=None, ops=None, images=False),
+    ]
+    for kw in cases:
+        fast = _decode_batch(all_raws, meta, skip_errors=True, **kw)
+        ref = _decode_batch_reference(all_raws, meta, skip_errors=True, **kw)
+        assert set(fast) == set(ref)
+        for c in ref:
+            assert fast[c] == ref[c], f"column {c} diverges under {kw}"
+        assert len(fast["id"]) > 0
+    # fail-loudly parity on poison input
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        _decode_batch(all_raws, meta)

@@ -213,3 +213,44 @@ def test_deterministic_sample_boundaries(spark, sf_dir):
     ids20 = {r["doc_id"] for r in C.deterministic_sample(docs, 20).select("doc_id").collect()}
     assert ids5 <= ids20
     assert 0 < len(ids5) < len(ids20) < n
+
+
+def test_hot_shingle_cap_preserves_threshold_pairs(spark, sf_dir):
+    """The document-frequency cap (MMDS boilerplate guard) must be BINDING
+    on the fixtures (some shingles actually dropped) yet leave the
+    threshold-level pair set unchanged: near-dup pairs share many rare
+    shingles, so losing hot ones only trims the candidate fan-out. Reported
+    (n_inter, n_union) stay exact because verification uses full sets."""
+    from flink_dts_connector_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(shingles("text", 3)).alias("s"))
+    df_counts = ex.groupBy("s").count()
+    max_df = 4
+    n_hot = df_counts.where(F.col("count") > max_df).count()
+    assert n_hot > 0, "cap not binding on this fixture — lower max_df"
+    kept = D.drop_hot_shingles(ex, max_df)
+    assert kept.count() == ex.count() - df_counts.where(
+        F.col("count") > max_df
+    ).agg(F.sum("count")).first()[0]
+
+    base = {
+        (r["a_id"], r["b_id"], r["n_inter"], r["n_union"])
+        for r in D.jaccard_pairs(docs, threshold_pct=50).collect()
+    }
+    capped = {
+        (r["a_id"], r["b_id"], r["n_inter"], r["n_union"])
+        for r in D.jaccard_pairs(docs, threshold_pct=50, max_df=max_df).collect()
+    }
+    assert capped == base
+
+    # LSH with the cap: still exact-verified (subset of exact@50), and the
+    # cap must not collapse recall vs the uncapped LSH run
+    lsh = {(r["a_id"], r["b_id"]) for r in D.minhash_lsh_dedup_pairs(docs, 50).collect()}
+    lsh_capped = {
+        (r["a_id"], r["b_id"])
+        for r in D.minhash_lsh_dedup_pairs(docs, 50, max_df=max_df).collect()
+    }
+    exact50 = {(a, b) for a, b, *_ in base}
+    assert lsh_capped <= exact50
+    assert len(lsh_capped) >= int(0.8 * len(lsh))
