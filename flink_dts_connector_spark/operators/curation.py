@@ -112,3 +112,47 @@ def pack_sequences(
         # integer division (`div`), not float: bin boundaries must be exact
         .withColumn("bin_id", F.expr(f"start_off div {int(seq_len)}"))
     )
+
+
+def contaminated_ids(
+    df: DataFrame,
+    probe: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-decontamination hit list: ids of corpus documents sharing
+    at least one word ``n``-gram with the probe set (the standard
+    train/test-overlap rule — GPT-3 used 13-gram collision; the n-gram
+    machinery is `text.shingles`, so the same normalization as dedup).
+
+    Scale shape: the probe side (a benchmark suite — thousands of docs, not
+    billions) reduces to a DISTINCT n-gram set that is broadcast; the
+    corpus side explodes its n-grams and left-semi-joins — no shuffle of
+    corpus data, contamination checking pipelines into the scan."""
+    from flink_dts_connector_spark.operators.text import shingles
+
+    probe_grams = (
+        probe.select(F.explode(shingles(probe_text_col, n)).alias("g")).distinct()
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("g"))
+        .join(F.broadcast(probe_grams), "g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    probe: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Remove benchmark-contaminated documents: anti-join against
+    `contaminated_ids`. Keeps every column of ``df``."""
+    hits = contaminated_ids(df, probe, n, id_col, text_col, probe_text_col)
+    return df.join(hits, id_col, "left_anti")

@@ -100,6 +100,67 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(toks) >= n, arr).otherwise(F.array()))
 
 
+def ngrams_all(text: Column | str, n: int) -> Column:
+    """ALL word n-grams in order (multiplicities kept — unlike `shingles`,
+    which is the distinct set). The unit for repetition metrics and
+    decontamination, where duplicate grams are the signal."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    arr = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, arr).otherwise(F.array())
+
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals — the standard
+    LLM-corpus filters for degenerate/boilerplate text (Rae et al. 2021
+    §A1.1): duplicate-token fraction, most-frequent-2-gram fraction, and
+    duplicate-5-gram fraction. Exact integer counts + one double division
+    each (oracle-exact).
+
+    Token and 5-gram stats are narrow array expressions (no shuffle,
+    pipelined in the scan); the top-2-gram multiplicity needs a per-(doc,
+    gram) count, done as explode → two-level hash agg keyed by ``id_col``
+    (map-side combine; at 100 TB this is one shuffle of (doc, gram, count)
+    partials, not raw grams)."""
+    toks = tokens(text_col)
+    g5 = ngrams_all(text_col, 5)
+    n_tok = F.size(toks).cast("bigint")
+    nd_tok = F.size(F.array_distinct(toks)).cast("bigint")
+    n_g5 = F.size(g5).cast("bigint")
+    nd_g5 = F.size(F.array_distinct(g5)).cast("bigint")
+    narrow = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        nd_tok.alias("n_distinct_tokens"),
+        F.when(n_tok > 0, (n_tok - nd_tok).cast("double") / n_tok).alias("dup_token_frac"),
+        n_g5.alias("n_5grams"),
+        nd_g5.alias("n_distinct_5grams"),
+        F.when(n_g5 > 0, (n_g5 - nd_g5).cast("double") / n_g5).alias("dup_5gram_frac"),
+    )
+    g2 = df.select(F.col(id_col), F.explode(ngrams_all(text_col, 2)).alias("g"))
+    per_gram = g2.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    top = per_gram.groupBy(id_col).agg(
+        F.max("c").alias("top_2gram_count"), F.sum("c").alias("n_2grams")
+    )
+    joined = narrow.join(top, id_col, "left")
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        "dup_token_frac",
+        "n_5grams",
+        "n_distinct_5grams",
+        "dup_5gram_frac",
+        F.coalesce(F.col("n_2grams"), F.lit(0)).cast("bigint").alias("n_2grams"),
+        F.coalesce(F.col("top_2gram_count"), F.lit(0)).cast("bigint").alias("top_2gram_count"),
+        F.when(
+            F.col("n_2grams") > 0, F.col("top_2gram_count").cast("double") / F.col("n_2grams")
+        ).alias("top_2gram_frac"),
+    )
+
+
 def stopword_count(text: Column | str, words: tuple[str, ...] = STOPWORDS) -> Column:
     toks = tokens(text)
     return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("bigint")
@@ -141,3 +202,34 @@ def langid_heuristic(text: Column | str) -> Column:
         hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
         guess = F.when(hits >= 2, F.lit(lang)).otherwise(guess)
     return guess
+
+
+#: PII redaction patterns — the Java-regex ∩ RE2 subset (no lookarounds, no
+#: boundary classes) so Spark and any RE2 engine (DuckDB oracle) replace
+#: identically. Order matters: email first (an email contains dot-runs an
+#: aggressive IP pattern could nibble).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}", "<PHONE>"),
+)
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """One bigint count per PII pattern (email/ipv4/phone), aliased
+    ``n_<name>``. Counted BEFORE redaction, on the raw text."""
+    text = F.col(text) if isinstance(text, str) else text
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Chained regexp_replace over `PII_PATTERNS` — the standard corpus
+    PII-scrub (emails/IPs/phones → typed placeholders). Pure JVM regex,
+    pipelined in the scan; order is fixed so the output is deterministic."""
+    out = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -447,3 +447,33 @@ def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     env = decode_cdc(mixed, ops=["INSERT", "UPDATE", "DELETE"])
     return env.groupBy("db", "tbl").agg(F.count(F.lit(1)).alias("n"))
+
+
+from flink_dts_connector_spark.sources.zoo import expected_evolve_sql as _evolve_oracle
+
+
+@register(
+    "cdc_schema_evolution",
+    oracle=_evolve_oracle(),
+    tags=("cdc", "schema-evolution", "typed"),
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream schema widening: the `app.users` stream starts with a
+    2-column schema (uid, name) and gains `email` upstream — the wire's
+    per-record self-describing schema (the reference re-reads
+    `LazyRecordSchema` per record) means a consumer with a declared
+    3-column table sees NULL email for pre-ALTER rows and values after,
+    with no restart and no decode failure. Exercises the decoder's
+    field-def cache with multiple live layouts in one batch."""
+    from flink_dts_connector_spark.sources.zoo import generate_evolving_bytes
+
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("email", T.StringType()),
+        ]
+    )
+    env = decode_cdc(generate_evolving_bytes(spark))
+    typed = project_table(env, schema, table="app.users", include_metadata=False)
+    return typed.groupBy("uid", "name", "email").agg(F.count(F.lit(1)).alias("n_copies"))

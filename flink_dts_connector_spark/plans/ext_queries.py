@@ -868,3 +868,146 @@ def events_funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFram
             F.min("p_ts").alias("first_purchase_after_view"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: repetition quality signals + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_metrics",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), tokstats AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_distinct_tokens
+  FROM toks GROUP BY 1
+), g2 AS (
+  SELECT doc_id, w || ' ' || LEAD(w,1) OVER w1 AS g
+  FROM toks WINDOW w1 AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w,1) OVER w1 IS NOT NULL
+), g2per AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2
+), g2stats AS (
+  SELECT doc_id, MAX(c) AS top_2gram_count, CAST(SUM(c) AS BIGINT) AS n_2grams
+  FROM g2per GROUP BY 1
+), g5 AS (
+  SELECT doc_id,
+         w || ' ' || LEAD(w,1) OVER w1 || ' ' || LEAD(w,2) OVER w1
+           || ' ' || LEAD(w,3) OVER w1 || ' ' || LEAD(w,4) OVER w1 AS g
+  FROM toks WINDOW w1 AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w,4) OVER w1 IS NOT NULL
+), g5stats AS (
+  SELECT doc_id, COUNT(*) AS n_5grams, COUNT(DISTINCT g) AS n_distinct_5grams
+  FROM g5 GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens,
+       CASE WHEN t.n_tokens > 0
+            THEN CAST(t.n_tokens - t.n_distinct_tokens AS DOUBLE) / t.n_tokens END
+         AS dup_token_frac,
+       COALESCE(f.n_5grams, 0) AS n_5grams,
+       COALESCE(f.n_distinct_5grams, 0) AS n_distinct_5grams,
+       CASE WHEN f.n_5grams > 0
+            THEN CAST(f.n_5grams - f.n_distinct_5grams AS DOUBLE) / f.n_5grams END
+         AS dup_5gram_frac,
+       COALESCE(b.n_2grams, 0) AS n_2grams,
+       COALESCE(b.top_2gram_count, 0) AS top_2gram_count,
+       CASE WHEN b.n_2grams > 0
+            THEN CAST(b.top_2gram_count AS DOUBLE) / b.n_2grams END AS top_2gram_frac
+FROM tokstats t
+LEFT JOIN g2stats b USING (doc_id)
+LEFT JOIN g5stats f USING (doc_id)
+""",
+    tags=("ext", "text", "quality"),
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters (duplicate-token
+    fraction, top-2-gram fraction, duplicate-5-gram fraction) — the
+    standard degenerate-text signals for LLM corpus curation, exact
+    integer counts + one double division each."""
+    return X.repetition_metrics(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "curate_decontaminate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER w1 || ' ' || LEAD(w,2) OVER w1
+           || ' ' || LEAD(w,3) OVER w1 || ' ' || LEAD(w,4) OVER w1
+           || ' ' || LEAD(w,5) OVER w1 || ' ' || LEAD(w,6) OVER w1 AS s
+  FROM toks WINDOW w1 AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w,6) OVER w1 IS NOT NULL
+), probe AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0
+)
+SELECT DISTINCT d.doc_id, d.source
+FROM sh JOIN probe USING (s) JOIN documents d USING (doc_id)
+""",
+    tags=("ext", "curation", "decontamination"),
+)
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram collision, n=7 on the
+    fixtures): corpus docs sharing any word 7-gram with the probe set
+    (every 37th document, standing in for a benchmark suite). The probe's
+    distinct n-grams broadcast; the corpus side never shuffles."""
+    docs = t(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") % 37 == 0)
+    hits = C.contaminated_ids(docs, probe, n=7)
+    return hits.join(docs.select("doc_id", "source"), "doc_id").select("doc_id", "source")
+
+
+from flink_dts_connector_spark.operators.text import PII_PATTERNS as _PII
+
+_PII_AUG_SQL = (
+    "text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17 tel +1-555-123-4567'"
+)
+_PII_REDACT_SQL = "a"
+for _name, _pat, _repl in _PII:
+    _PII_REDACT_SQL = f"regexp_replace({_PII_REDACT_SQL}, '{_pat}', '{_repl}', 'g')"
+_PII_COUNT_SQL = ",\n       ".join(
+    f"CAST(len(regexp_extract_all(a, '{_pat}')) AS BIGINT) AS n_{_name}"
+    for _name, _pat, _repl in _PII
+)
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS a FROM documents
+)
+SELECT doc_id,
+       {_PII_COUNT_SQL},
+       md5({_PII_REDACT_SQL}) AS redacted_md5
+FROM aug
+""",
+    tags=("ext", "text", "pii"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/IPv4/phones → typed placeholders) — the
+    corpus-sanitization pass every training pipeline runs before tokenizing.
+    The fixtures carry no PII, so the query first injects deterministic
+    doc_id-derived PII into every document (identically in the oracle),
+    then pins pattern counts AND the md5 of the fully redacted text.
+    Chained JVM regexp_replace in the Java-regex ∩ RE2 subset, pipelined in
+    the scan — no shuffle, no Python."""
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".17 tel +1-555-123-4567"),
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        *[c for c in X.pii_counts(aug)],
+        F.md5(F.encode(X.redact_pii(aug), "UTF-8")).alias("redacted_md5"),
+    )

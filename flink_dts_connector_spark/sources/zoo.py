@@ -239,3 +239,80 @@ FROM (VALUES
   {values}
 ) AS zoo(f, rendered)
 """
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution fixture: a table whose field set WIDENS mid-stream
+# ---------------------------------------------------------------------------
+
+EVOLVE_DB, EVOLVE_TBL = "app", "users"
+N_EVOLVE_PHASE = 8  # records per phase (phase 1: 2 cols, phase 2: 3 cols)
+N_EVOLVE_COPIES = 16
+
+
+def _evolve_record(i: int) -> CdcRecord:
+    """Phase 1 (i < N_EVOLVE_PHASE): (uid, name). Phase 2: an `email`
+    column was added upstream (the post-ALTER world) — the wire carries the
+    new 3-field schema per record, exactly how the reference's
+    self-describing records evolve (`LazyRecordSchema` is re-read per
+    record; consumers with a declared column list see missing columns as
+    NULL and new columns once declared)."""
+    phase2 = i >= N_EVOLVE_PHASE
+    fields = [FieldDef("uid", "BIGINT", 8, False), FieldDef("name", "VARCHAR", 253, True)]
+    after = [(ValueKind.INTEGER, i), (ValueKind.CHARACTER, ("utf8", f"user-{i}".encode()))]
+    if phase2:
+        fields.append(FieldDef("email", "VARCHAR", 253, True))
+        after.append((ValueKind.CHARACTER, ("utf8", f"u{i}@example.com".encode())))
+    return CdcRecord(
+        id=7000 + i,
+        ts=1700000200 + i,
+        operation=OperationType.INSERT,
+        db=EVOLVE_DB,
+        tbl=EVOLVE_TBL,
+        transaction_id=f"evo-{i}",
+        source_type=SourceType.MySQL,
+        fields=fields,
+        after=after,
+    )
+
+
+def generate_evolving_bytes(spark: SparkSession) -> DataFrame:
+    """Mid-stream schema widening: first N_EVOLVE_PHASE record ids carry a
+    2-column schema, the rest a 3-column one, interleaved across partitions
+    (every copy emits both phases, so any partition order hits both
+    schemas — exercising the per-batch field-def cache with >1 layout)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            values, parts, offs = [], [], []
+            for row in pdf.itertuples(index=False):
+                copy = int(row.id)
+                for i in range(2 * N_EVOLVE_PHASE):
+                    values.append(encode_record(_evolve_record(i)))
+                    parts.append(copy % 4)
+                    offs.append(copy * 2 * N_EVOLVE_PHASE + i)
+            yield pd.DataFrame({"value": values, "partition": parts, "offset": offs})
+
+    return (
+        spark.range(N_EVOLVE_COPIES)
+        .repartition(4)
+        .mapInPandas(fn, schema="value binary, partition int, offset long")
+    )
+
+
+def expected_evolve_sql() -> str:
+    """Literal oracle: one row per record id; email is NULL for phase-1
+    rows (declared column absent from the wire image) and populated for
+    phase-2 rows."""
+    rows = []
+    for i in range(2 * N_EVOLVE_PHASE):
+        email = f"'u{i}@example.com'" if i >= N_EVOLVE_PHASE else "NULL"
+        rows.append(f"({i}, 'user-{i}', {email}, {N_EVOLVE_COPIES})")
+    values = ",\n  ".join(rows)
+    return f"""
+SELECT CAST(uid AS BIGINT) AS uid, name, CAST(email AS VARCHAR) AS email,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM (VALUES
+  {values}
+) AS t(uid, name, email, n_copies)
+"""

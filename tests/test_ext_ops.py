@@ -254,3 +254,32 @@ def test_hot_shingle_cap_preserves_threshold_pairs(spark, sf_dir):
     exact50 = {(a, b) for a, b, *_ in base}
     assert lsh_capped <= exact50
     assert len(lsh_capped) >= int(0.8 * len(lsh))
+
+
+def test_decontaminate_semantics(spark, sf_dir):
+    """Every probe document with ≥n tokens contaminates itself (shares its
+    own n-grams), survivors ∪ hits partition the corpus, and survivors
+    share NO n-gram with the probe set."""
+    from flink_dts_connector_spark.operators import curation as C
+    from flink_dts_connector_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") % 37 == 0)
+    hits = {r["doc_id"] for r in C.contaminated_ids(docs, probe, n=7).collect()}
+    surv = {r["doc_id"] for r in C.decontaminate(docs, probe, n=7).select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    probe_long = {
+        r["doc_id"]
+        for r in probe.select("doc_id", F.size(shingles("text", 7)).alias("k")).collect()
+        if r["k"] > 0
+    }
+    assert probe_long <= hits
+    assert hits | surv == all_ids and not (hits & surv)
+    # survivors truly share no 7-gram with the probe
+    pg = probe.select(F.explode(shingles("text", 7)).alias("g")).distinct()
+    sg = (
+        docs.join(spark.createDataFrame([(i,) for i in surv], ["doc_id"]), "doc_id")
+        .select(F.explode(shingles("text", 7)).alias("g"))
+        .distinct()
+    )
+    assert sg.join(pg, "g").count() == 0

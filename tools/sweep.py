@@ -68,6 +68,10 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
         .config("spark.ui.enabled", "false")
+        # local-mode default heap is 1g — too small for the sf0.1 sweep
+        # (the driver JVM hosts all executor threads); still a VANILLA
+        # session in every conf the gate cares about
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
