@@ -72,6 +72,8 @@ CORE_COLS = (
 def _canonical_int_text(s: str) -> bool:
     """True iff ``s`` is already `str(int(s))` — the encoder always writes
     canonical digit text, so this avoids an int round-trip per value."""
+    if not s:
+        return False  # → int('') raises, the reference's loud-fail path
     if s == "0":
         return True
     if s[0] == "-":
