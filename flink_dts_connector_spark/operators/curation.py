@@ -129,15 +129,19 @@ def contaminated_ids(
 
     Scale shape: the probe side (a benchmark suite — thousands of docs, not
     billions) reduces to a DISTINCT n-gram set that is broadcast; the
-    corpus side explodes its n-grams and left-semi-joins — no shuffle of
-    corpus data, contamination checking pipelines into the scan."""
-    from flink_dts_connector_spark.operators.text import shingles
+    corpus side explodes its n-grams (compiled NGram sliding, see
+    `text.add_ngrams`) and left-semi-joins — no shuffle of corpus data,
+    contamination checking pipelines into the scan."""
+    from flink_dts_connector_spark.operators.text import add_ngrams
 
     probe_grams = (
-        probe.select(F.explode(shingles(probe_text_col, n)).alias("g")).distinct()
+        add_ngrams(probe, probe_text_col, "__g", n, distinct=True)
+        .select(F.explode("__g").alias("g"))
+        .distinct()
     )
     return (
-        df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("g"))
+        add_ngrams(df.select(F.col(id_col), F.col(text_col)), text_col, "__g", n, distinct=True)
+        .select(F.col(id_col), F.explode("__g").alias("g"))
         .join(F.broadcast(probe_grams), "g", "left_semi")
         .select(id_col)
         .distinct()

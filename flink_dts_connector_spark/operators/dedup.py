@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_dts_connector_spark.operators.text import fingerprint, shingles
+from flink_dts_connector_spark.operators.text import add_ngrams, fingerprint
 
 # Mersenne prime 2^31-1 for the affine MinHash permutations: h_i = (a_i·h +
 # b_i) mod P. 31-bit hash space keeps a·h + b well inside int64 (ANSI mode
@@ -84,6 +84,25 @@ def drop_hot_shingles(ex: DataFrame, max_df: int, s_col: str = "s") -> DataFrame
     return ex.join(hot, s_col, "left_anti")
 
 
+def _shingled(
+    df: DataFrame, id_col: str, text_col: str, n: int, spread: bool = True
+) -> DataFrame:
+    """(id, sh) distinct-shingle projection via `text.add_ngrams` (compiled
+    NGram sliding — measured 24× the interpreted higher-order expression on
+    the sf0.1 corpus).
+
+    ``spread`` hash-repartitions the compact (id, text) rows to
+    ``defaultParallelism`` before shingling: a single-row-group parquet
+    input otherwise runs the whole explode-heavy pipeline on ONE core. The
+    shuffle moves each doc once (pre-explode, narrow), and the downstream
+    per-id groupBys (signature mins, collect_set) reuse the id hash
+    partitioning. Callers with well-partitioned inputs pass spread=False."""
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    return add_ngrams(
+        narrow, "__t", "sh", n, distinct=True, spread_by="id" if spread else None
+    ).select("id", "sh")
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold_pct: int = 30,
@@ -102,7 +121,7 @@ def jaccard_pairs(
     surviving pairs are then verified with the FULL shingle sets — so every
     reported (n_inter, n_union, jaccard) stays exact; only pairs whose
     overlap is exclusively boilerplate can be missed."""
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")).withColumn(
+    sh = _shingled(df, id_col, text_col, n).withColumn(
         "n_sh", F.size("sh").cast("bigint")
     )
     if max_df is not None:
@@ -172,13 +191,23 @@ def minhash_lsh_candidates(
     buckets (boilerplate-only docs no longer all collide) and downstream
     verification fan-out."""
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
-    ).where(F.size("sh") > 0)
+    sh = _shingled(df, id_col, text_col, n).where(F.size("sh") > 0)
+    ex = sh.select("id", F.explode("sh").alias("s"))
     if max_df is not None:
-        ex = drop_hot_shingles(sig.select("id", F.explode("sh").alias("s")), max_df)
-        sig = ex.groupBy("id").agg(F.collect_set("s").alias("sh"))
-    sig = sig.select("id", *[s.alias(f"mh{i}") for i, s in enumerate(minhash_signature(F.col("sh"), num_hashes))])
+        ex = drop_hot_shingles(ex, max_df)
+    # signature mins by explode + grouped MIN (codegen, map-side combine) —
+    # bit-equal to `minhash_signature`'s array formulation but not
+    # interpreted per element; groupBy("id") reuses _shingled's spread
+    # partitioning, so this adds no extra shuffle.
+    base = ex.withColumn("h", F.pmod(F.xxhash64("s", F.lit(42)), F.lit(_P)))
+    sig = base.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(2 * i + 1) * F.col("h") + F.lit(1000003 * (i + 1))) % F.lit(_P)
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)], F.lit(b)).alias(f"band{b}")
         for b in range(bands)
@@ -245,9 +274,7 @@ def minhash_lsh_dedup_pairs_md5(
     explode + grouped MIN aggregates (codegen + map-side combine, the
     SimHash lesson: array higher-order lambdas are interpreted)."""
     rows = num_hashes // bands
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")).where(
-        F.size("sh") > 0
-    )
+    sh = _shingled(df, id_col, text_col, n).where(F.size("sh") > 0)
     ex = sh.select("id", F.explode("sh").alias("s")).withColumn("h", md5_hash_mod_p(F.col("s")))
     mins = ex.groupBy("id").agg(
         *[
@@ -300,7 +327,7 @@ def minhash_lsh_dedup_pairs(
     `minhash_lsh_candidates`); verification always uses full shingle sets,
     so reported jaccard values stay exact."""
     cand = minhash_lsh_candidates(df, num_hashes, bands, n, id_col, text_col, max_df)
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    sh = _shingled(df, id_col, text_col, n)
     return _verify_jaccard(cand, sh, threshold_pct)
 
 
@@ -315,8 +342,20 @@ def _token_hashes(text_col: str) -> Column:
     return F.transform(toks, lambda t: F.xxhash64(t))
 
 
+def _spread_narrow(df: DataFrame, id_col: str, text_col: str, spread: bool) -> DataFrame:
+    """Narrow (id, text) projection, optionally hash-repartitioned by id to
+    ``defaultParallelism`` — the same single-row-group guard as `_shingled`:
+    without it every SimHash variant runs its token hashing on one core."""
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    if spread:
+        narrow = narrow.repartition(
+            narrow.sparkSession.sparkContext.defaultParallelism, id_col
+        )
+    return narrow
+
+
 def simhash64_agg(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", spread: bool = True
 ) -> DataFrame:
     """Pure-JVM 64-bit SimHash via explode + hash aggregation — the 100 TB
     shape: explode token hashes, 64 codegen'd `sum(bit_i)` aggregates with
@@ -326,7 +365,9 @@ def simhash64_agg(
     codegen (measured 3× faster than it at sf0.1; see `simhash64` for the
     full comparison)."""
     one = F.lit(1).cast("long")
-    ex = df.select(F.col(id_col), F.explode_outer(_token_hashes(text_col)).alias("h"))
+    ex = _spread_narrow(df, id_col, text_col, spread).select(
+        F.col(id_col), F.explode_outer(_token_hashes(text_col)).alias("h")
+    )
     aggs = [
         F.sum(F.shiftrightunsigned("h", i).bitwiseAND(one)).alias(f"b{i}") for i in range(64)
     ] + [F.count("h").alias("n")]
@@ -369,7 +410,11 @@ def simhash64_col(hashes: Column) -> Column:
 
 
 def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", impl: str = "pandas"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "pandas",
+    spread: bool = True,
 ) -> DataFrame:
     """64-bit SimHash per document. All three implementations hash tokens
     JVM-side (xxhash64 in a `transform`) and agree bit-for-bit
@@ -385,10 +430,11 @@ def simhash64(
     higher-order functions are interpreted per element — kept as the
     no-shuffle-no-Python corner, not a default."""
     if impl == "agg":
-        return simhash64_agg(df, id_col, text_col)
+        return simhash64_agg(df, id_col, text_col, spread)
+    narrow = _spread_narrow(df, id_col, text_col, spread)
     hashes = _token_hashes(text_col)
     if impl == "jvm":
-        return df.select(F.col(id_col), simhash64_col(hashes).alias("simhash"))
+        return narrow.select(F.col(id_col), simhash64_col(hashes).alias("simhash"))
     if impl != "pandas":
         raise ValueError(f"impl must be 'agg', 'jvm' or 'pandas', got {impl!r}")
 
@@ -413,7 +459,7 @@ def simhash64(
             out[i] = int(sig.astype(np.uint64)) - (1 << 64) if sig >> np.uint64(63) else int(sig)
         return pd.Series(out)
 
-    return df.select(F.col(id_col), _simhash(hashes).alias("simhash"))
+    return narrow.select(F.col(id_col), _simhash(hashes).alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -75,6 +75,50 @@ def kgram_sketch(text: Column | str, k: int = 16, bottom: int = 4) -> Column:
     return F.slice(F.array_sort(F.array_distinct(hashes)), 1, bottom)
 
 
+def kgram_sketch_by_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "sketch",
+    k: int = 16,
+    bottom: int = 4,
+    spread: bool = True,
+) -> DataFrame:
+    """(id, sketch) frame computing `kgram_sketch` the codegen way: explode
+    window start positions, substring+md5 each window inside whole-stage
+    codegen, grouped bottom-``bottom`` via partial `collect_set` — measured
+    15× the higher-order-function expression at sf0.1 (the lambda runs one
+    interpreter call per window; see SCALING.md). Bit-equal to
+    `kgram_sketch` including the short/empty-text windows (pinned in
+    tests/test_ext_ops.py). The exploded (id, text, pos) rows never
+    shuffle — only the 8-hex window hashes do, with map-side distinct.
+
+    ``spread`` is the same single-row-group guard as dedup's `_shingled`."""
+    narrow = df.select(
+        F.col(id_col).alias("id"),
+        normalized(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
+    )
+    if spread:
+        narrow = narrow.repartition(
+            narrow.sparkSession.sparkContext.defaultParallelism, "id"
+        )
+    n = F.length("__t")
+    ex = narrow.select(
+        "id",
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))).alias("__i"),
+    )
+    h8 = F.substring(
+        F.md5(F.encode(F.substring(F.col("__t"), F.col("__i"), F.lit(k)), "UTF-8")), 1, 8
+    )
+    return (
+        ex.select("id", h8.alias("__h"))
+        .groupBy("id")
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, bottom).alias(out_col))
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def normalized(text: Column | str) -> Column:
     """Dedup-normalization: lowercase + whitespace collapse + trim."""
     text = F.col(text) if isinstance(text, str) else text
@@ -112,6 +156,44 @@ def ngrams_all(text: Column | str, n: int) -> Column:
     return F.when(F.size(toks) >= n, arr).otherwise(F.array())
 
 
+def add_ngrams(
+    df: DataFrame,
+    text_col: str,
+    out_col: str,
+    n: int = 3,
+    distinct: bool = False,
+    spread_by: str | None = None,
+) -> DataFrame:
+    """Attach the word-n-gram array of ``text_col`` as ``out_col`` using
+    Spark ML's ``NGram`` transformer — a compiled Scala sliding window.
+    Bit-identical to `shingles` (``distinct=True``) / `ngrams_all`
+    (``distinct=False``): same whitespace tokenization, " " join, empty
+    array for docs shorter than ``n`` words, first-occurrence order under
+    ``array_distinct`` (pinned by tests/test_ext_ops.py). Exists because
+    array higher-order functions evaluate their lambda in the interpreter
+    per element — measured ~9× slower than NGram on the shingling hot path
+    (see SCALING.md).
+
+    ``spread_by``: optionally hash-repartition the input by this column to
+    ``defaultParallelism`` first. Guards the single-row-group-parquet case
+    (one scan task) by shuffling COMPACT pre-explode rows once; downstream
+    groupBy on the same key reuses the hash partitioning. Skip it when the
+    input is already well partitioned."""
+    from pyspark.ml.feature import NGram
+
+    toks_col, raw_col = f"__{out_col}_toks", f"__{out_col}_raw"
+    if spread_by is not None:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, spread_by)
+    # tokens(null) would NPE inside NGram's Scala UDF; '' tokenizes to [""]
+    # which n-grams (n>1) to [] — same result the expression path gives null.
+    staged = df.withColumn(
+        toks_col, tokens(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    out = NGram(n=n, inputCol=toks_col, outputCol=raw_col).transform(staged)
+    gram = F.array_distinct(F.col(raw_col)) if distinct else F.col(raw_col)
+    return out.withColumn(out_col, gram).drop(toks_col, raw_col)
+
+
 def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style within-document repetition signals — the standard
     LLM-corpus filters for degenerate/boilerplate text (Rae et al. 2021
@@ -125,12 +207,12 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     (map-side combine; at 100 TB this is one shuffle of (doc, gram, count)
     partials, not raw grams)."""
     toks = tokens(text_col)
-    g5 = ngrams_all(text_col, 5)
+    g5 = F.col("__g5")
     n_tok = F.size(toks).cast("bigint")
     nd_tok = F.size(F.array_distinct(toks)).cast("bigint")
     n_g5 = F.size(g5).cast("bigint")
     nd_g5 = F.size(F.array_distinct(g5)).cast("bigint")
-    narrow = df.select(
+    narrow = add_ngrams(df, text_col, "__g5", 5, spread_by=id_col).select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         nd_tok.alias("n_distinct_tokens"),
@@ -139,7 +221,9 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         nd_g5.alias("n_distinct_5grams"),
         F.when(n_g5 > 0, (n_g5 - nd_g5).cast("double") / n_g5).alias("dup_5gram_frac"),
     )
-    g2 = df.select(F.col(id_col), F.explode(ngrams_all(text_col, 2)).alias("g"))
+    g2 = add_ngrams(
+        df.select(F.col(id_col), F.col(text_col)), text_col, "__g2", 2, spread_by=id_col
+    ).select(F.col(id_col), F.explode("__g2").alias("g"))
     per_gram = g2.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
     top = per_gram.groupBy(id_col).agg(
         F.max("c").alias("top_2gram_count"), F.sum("c").alias("n_2grams")

@@ -169,7 +169,7 @@ def text_kgram_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap estimates containment between documents. Exploded to scalar
     rows so the value hash is engine-stable."""
     d = t(spark, sf_dir, "documents")
-    sk = d.select("doc_id", X.kgram_sketch("text", k=16, bottom=4).alias("sketch"))
+    sk = X.kgram_sketch_by_id(d, "doc_id", "text", "sketch", k=16, bottom=4)
     return sk.select(
         "doc_id", F.posexplode("sketch").alias("p", "sketch_hash")
     ).select("doc_id", (F.col("p") + 1).cast("bigint").alias("sketch_pos"), "sketch_hash")

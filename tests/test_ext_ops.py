@@ -283,3 +283,53 @@ def test_decontaminate_semantics(spark, sf_dir):
         .distinct()
     )
     assert sg.join(pg, "g").count() == 0
+
+
+def test_minhash_explode_min_equals_array_signature(spark, sf_dir):
+    """The pipeline computes signature mins by explode + grouped MIN (the
+    codegen'd shape); `minhash_signature` is the array-level spec of the
+    same affine-permutation family. Pin them bit-equal so the fast path
+    can never drift from the spec."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    sh = D._shingled(docs, "doc_id", "text", 3, spread=False).where(F.size("sh") > 0)
+    spec_sig = sh.select(
+        "id", *[s.alias(f"mh{i}") for i, s in enumerate(D.minhash_signature(F.col("sh"), 8))]
+    )
+    base = sh.select("id", F.explode("sh").alias("s")).withColumn(
+        "h", F.pmod(F.xxhash64("s", F.lit(42)), F.lit(D._P))
+    )
+    fast_sig = base.groupBy("id").agg(
+        *[
+            F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(1000003 * (i + 1))) % F.lit(D._P)).alias(
+                f"mh{i}"
+            )
+            for i in range(8)
+        ]
+    )
+    cols = ["id"] + [f"mh{i}" for i in range(8)]
+    assert sorted(map(tuple, spec_sig.select(*cols).collect())) == sorted(
+        map(tuple, fast_sig.select(*cols).collect())
+    )
+
+
+def test_kgram_sketch_by_id_equals_expression(spark, sf_dir):
+    """The codegen explode/substring/md5 sketch path must match the
+    `kgram_sketch` array-expression spec bit-for-bit, including short and
+    empty texts (windows shorter than k)."""
+    from flink_dts_connector_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    edge = spark.createDataFrame(
+        [(900001, ""), (900002, "short"), (900003, "exactly sixteen!")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    spec = {
+        r["doc_id"]: r["sk"]
+        for r in both.select("doc_id", X.kgram_sketch("text").alias("sk")).collect()
+    }
+    fast = {
+        r["doc_id"]: r["sketch"]
+        for r in X.kgram_sketch_by_id(both, "doc_id", "text").collect()
+    }
+    assert spec == fast
