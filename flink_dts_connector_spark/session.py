@@ -54,6 +54,11 @@ def get_spark(
         # which Spark rejects by default; read as int64 nanos and convert in
         # load_table (ns → µs is the supported Spark precision).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Driver testdata timestamps carry no tz (isAdjustedToUTC=false); read
+        # them as session-tz TIMESTAMP (UTC) instead of TIMESTAMP_NTZ so
+        # time functions (unix_micros, window, …) and the UTC-naive DuckDB
+        # oracle see identical values.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -99,6 +104,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     # readability, UTC-naive timestamp parity with the DuckDB oracle).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
