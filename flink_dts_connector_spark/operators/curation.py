@@ -114,6 +114,143 @@ def pack_sequences(
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    budget_pct: int,
+    score_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked token-budget cut: keep the best-scoring documents
+    (integer ``score_col`` DESC, ``id_col`` ASC) until their cumulative
+    token count reaches ``budget_pct`` percent of the corpus total — the
+    "take the top N tokens by quality" selection every mixing recipe ends
+    with. A doc is kept iff the tokens strictly before it fit the budget,
+    so the cut lands mid-document at most once.
+
+    Two-phase so NO global sort of the corpus ever happens (the naive
+    formulation is one window over ORDER BY score — a total sort of 100 TB):
+
+      1. aggregate token sums per score value (quality scores are quantized
+         integers, so this frame is tiny), rank the score values, and find
+         the boundary score where the running total crosses the budget;
+      2. every doc scoring above the boundary is kept with NO window at
+         all; only the single boundary score's docs get an exact
+         cumulative-sum window (one partition, bounded by the score
+         quantization) to split kept from dropped.
+
+    Equivalent to the global window because integer score buckets are the
+    sort's equivalence classes: full buckets need no intra-order, and the
+    one straddling bucket is resolved exactly.
+    """
+    if not 0 <= budget_pct <= 100:
+        raise ValueError(f"budget_pct must be 0..100, got {budget_pct}")
+    d = df.withColumn("_tok", F.col(token_col).cast("bigint"))
+    per = d.groupBy(F.col(score_col).alias("_score")).agg(F.sum("_tok").alias("_bt"))
+    # windows over the per-score frame only: |distinct scores| rows, not |docs|
+    wb = (
+        Window.orderBy(F.col("_score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cuts = (
+        per.withColumn("_before", F.sum("_bt").over(wb) - F.col("_bt"))
+        .withColumn(
+            "_budget",
+            F.expr(f"(sum(_bt) over () * {int(budget_pct)}) div 100"),
+        )
+        .where(F.col("_before") < F.col("_budget"))
+    )
+    joined = d.join(
+        F.broadcast(cuts), d[score_col] == cuts["_score"], "inner"
+    ).drop("_score")
+    full = joined.where(F.col("_before") + F.col("_bt") <= F.col("_budget"))
+    wdoc = (
+        Window.partitionBy(score_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        joined.where(F.col("_before") + F.col("_bt") > F.col("_budget"))
+        .withColumn("_dbefore", F.col("_before") + F.sum("_tok").over(wdoc) - F.col("_tok"))
+        .where(F.col("_dbefore") < F.col("_budget"))
+        .drop("_dbefore")
+    )
+    return full.unionByName(boundary).drop("_tok", "_bt", "_before", "_budget")
+
+
+def shard_assign(df: DataFrame, n_shards: int, key_col: str = "doc_id") -> DataFrame:
+    """Deterministic output sharding: shard_id = md5(key) mod ``n_shards``
+    (little-endian low 8 digest bytes — DuckDB's `md5_number_lower`, so the
+    assignment is engine-mirrorable). The write-side planning step of a
+    training pipeline: stable across runs/partitionings, so incremental
+    rebuilds re-produce identical shards. A narrow projection — the
+    subsequent `.repartition(n_shards, "shard_id").write` is the only
+    shuffle, and it IS the output layout."""
+    from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    return df.withColumn(
+        "shard_id", md5_number_lower_mod(F.col(key_col).cast("string"), n_shards)
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, int],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture resampling: downsample each group so the kept
+    corpus matches the target ``weights`` proportions (integer parts per
+    group) as closely as the data allows — the domain-mixing step of a
+    training recipe (e.g. web:60 / code:30 / books:10).
+
+    The binding group is the one whose available/target ratio is smallest;
+    it is kept whole and every other group is cut to
+    floor(weight_g · min_ratio) docs, selected in md5-hash order (the same
+    unbiased, partition-independent draw as `stratified_sample`).
+
+    Scale shape: per-group counts are a tiny aggregate; the scale factor is
+    a window over |groups| rows; selection is the usual one-shuffle ranked
+    window on the group key. Unknown groups (no weight entry) are dropped —
+    a mixing recipe is a whitelist."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights}")
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    counts = (
+        df.where(F.col(group_col).isin(*weights))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_avail"))
+        .withColumn("_w", wmap[F.col(group_col)].cast("bigint"))
+    )
+    # The binding group minimizes avail/weight. Found as a windowed argmin
+    # over the |groups|-row frame; the double division only ranks (ties
+    # broken by the struct's trailing fields), while the quota itself is
+    # computed in exact integer arithmetic: floor(w · avail_b / w_b).
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binding = F.min(
+        F.struct(
+            (F.col("_avail") / F.col("_w")).alias("_ratio"),
+            F.col("_avail").alias("_avail"),
+            F.col("_w").alias("_w"),
+        )
+    ).over(wall)
+    quotas = (
+        counts.withColumn("_b", binding)
+        .withColumn("_take", F.expr("(_w * _b._avail) div _b._w"))
+        .select(group_col, "_take")
+    )
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    wg = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("_rn", F.row_number().over(wg))
+        .where(F.col("_rn") <= F.col("_take"))
+        .drop("_rn", "_take")
+    )
+
+
 def contaminated_ids(
     df: DataFrame,
     probe: DataFrame,

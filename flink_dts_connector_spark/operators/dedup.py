@@ -232,14 +232,19 @@ def minhash_lsh_candidates(
     )
 
 
-def md5_hash_mod_p(col: Column) -> Column:
-    """Engine-mirrorable shingle hash: int(last 8 md5 bytes, little-endian)
-    mod 2³¹−1 — exactly DuckDB's `md5_number_lower(s) % 2147483647`, built
-    here from hex-substring reversal + base-16 conv (verified equal incl.
-    unicode). The slow-but-oracle-able sibling of xxhash64."""
+def md5_number_lower_mod(col: Column, m: int) -> Column:
+    """Engine-mirrorable string hash: int(last 8 md5 bytes, little-endian)
+    mod ``m`` — exactly DuckDB's `md5_number_lower(s) % m`, built here from
+    hex-substring reversal + base-16 conv (verified equal incl. unicode).
+    The slow-but-oracle-able sibling of xxhash64."""
     hexstr = F.md5(F.encode(col, "UTF-8"))
     le = F.concat(*[F.substring(hexstr, 31 - 2 * i, 2) for i in range(8)])
-    return F.pmod(F.conv(le, 16, 10).cast("decimal(20,0)"), F.lit(_P)).cast("bigint")
+    return F.pmod(F.conv(le, 16, 10).cast("decimal(20,0)"), F.lit(m)).cast("bigint")
+
+
+def md5_hash_mod_p(col: Column) -> Column:
+    """`md5_number_lower_mod` pinned to the MinHash prime 2³¹−1."""
+    return md5_number_lower_mod(col, _P)
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold_pct: int) -> DataFrame:

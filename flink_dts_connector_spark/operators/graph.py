@@ -78,3 +78,35 @@ def dedup_clusters(
         F.col("comp").alias("component"),
         "n_members",
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    docs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster retention policy: one survivor per dedup cluster — the
+    HIGHEST-``quality_col`` member (ties to the smallest id), not the
+    arbitrary min-id representative. One row per component:
+    (component, keep_id, keep_quality, n_members).
+
+    Shape: join cluster assignments to doc metadata, then a single
+    `max_by` aggregate on the component key — map-side-combinable argmax,
+    no ranking window, one shuffle of |clustered docs| (duplicates only,
+    a tiny fraction of the corpus)."""
+    joined = clusters.join(
+        docs.select(F.col(id_col), F.col(quality_col)), id_col
+    )
+    # argmax via struct max: (quality, -id) orders quality DESC, id ASC
+    best = F.max(
+        F.struct(
+            F.col(quality_col).alias("q"),
+            (-F.col(id_col)).alias("neg_id"),
+        )
+    )
+    return joined.groupBy("component").agg(
+        (-best["neg_id"]).alias("keep_id"),
+        best["q"].alias("keep_quality"),
+        F.max("n_members").alias("n_members"),
+    )

@@ -1011,3 +1011,186 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c for c in X.pii_counts(aug)],
         F.md5(F.encode(X.redact_pii(aug), "UTF-8")).alias("redacted_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions (wave 2): budget selection, mixing, sharding, retention
+# ---------------------------------------------------------------------------
+
+_NON_ALNUM_SQL = "(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')))"
+
+
+@register(
+    "curate_token_budget",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(2 * len({SQL_TOKS}) - {_NON_ALNUM_SQL} AS BIGINT) AS score,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), w AS (
+  SELECT *,
+         SUM(n_tokens) OVER (
+             ORDER BY score DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS tok_before,
+         (SUM(n_tokens) OVER () * 60) // 100 AS budget
+  FROM q
+)
+SELECT doc_id, source, score, n_tokens FROM w WHERE tok_before < budget
+""",
+    tags=("ext", "curation", "selection"),
+)
+def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget cut: keep the best-scoring docs (integer
+    quality score DESC) until 60% of the corpus's tokens are taken — the
+    final selection step of a mixing recipe. The oracle is the naive global
+    window; the engine's two-phase plan (per-score bucket totals → boundary
+    bucket only gets a window) produces the identical set WITHOUT a global
+    sort — the difference between "sort 100 TB" and "sort |distinct
+    scores| rows"."""
+    docs = t(spark, sf_dir, "documents")
+    toks = X.token_count("text")
+    non_alnum = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9]", "")
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (F.lit(2) * toks - non_alnum).cast("bigint").alias("score"),
+        toks.alias("n_tokens"),
+    )
+    return C.token_budget_select(scored, 60, "score", "n_tokens")
+
+
+_MIX_WEIGHTS = {"src0": 5, "src1": 3, "src2": 2}
+_MIX_CASE = " ".join(f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items())
+_MIX_IN = ", ".join(f"'{s}'" for s in _MIX_WEIGHTS)
+
+
+@register(
+    "curate_mixture_resample",
+    oracle=f"""
+WITH avail AS (
+  SELECT source, COUNT(*) AS a, CASE source {_MIX_CASE} END AS w
+  FROM documents WHERE source IN ({_MIX_IN}) GROUP BY source
+), b AS (
+  SELECT a AS ab, w AS wb FROM avail
+  ORDER BY CAST(a AS DOUBLE) / w, a, w LIMIT 1
+), quota AS (
+  SELECT source, (w * ab) // wb AS take FROM avail, b
+)
+SELECT d.doc_id, d.source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents WHERE source IN ({_MIX_IN})
+) d JOIN quota q ON d.source = q.source WHERE d.rn <= q.take
+""",
+    tags=("ext", "curation", "mixing"),
+)
+def curate_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling to target weights web:code:books = 5:3:2
+    (src0/src1/src2 standing in): the binding domain is kept whole, every
+    other domain is down-sampled to its exact integer quota in md5-hash
+    order — deterministic across engines AND partitionings, the property
+    rng sampling cannot give a reproducible data recipe."""
+    d = t(spark, sf_dir, "documents")
+    return C.mixture_resample(d, _MIX_WEIGHTS).select("doc_id", "source")
+
+
+@register(
+    "curate_shard_manifest",
+    oracle=f"""
+SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents GROUP BY 1
+""",
+    tags=("ext", "curation", "sharding"),
+)
+def curate_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding + write manifest: docs hash into 16
+    shards (md5 low-64, engine-mirrorable), manifest = per-shard doc/token/
+    byte totals — the balance check before `.repartition(n, shard_id)
+    .write`. Narrow projection + one agg; the manifest IS the shuffle plan
+    for the output layout, and rerunning the pipeline reproduces byte-
+    identical shard membership."""
+    d = C.shard_assign(t(spark, sf_dir, "documents"), n_shards=16)
+    return d.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count("text")).alias("n_tokens"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+  FROM toks
+  QUALIFY LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE 100 * n_inter >= 30 * (sa.n_sh + sb.n_sh - n_inter)
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+), reach(id, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id
+), comp AS (
+  SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
+), sized AS (
+  SELECT doc_id, component,
+         CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+  FROM comp
+)
+SELECT component, doc_id AS keep_id, keep_quality, n_members FROM (
+  SELECT s.component, s.doc_id, CAST(d.n_chars AS BIGINT) AS keep_quality,
+         s.n_members,
+         row_number() OVER (
+           PARTITION BY s.component ORDER BY d.n_chars DESC, s.doc_id
+         ) AS rn
+  FROM sized s JOIN documents d USING (doc_id)
+) WHERE rn = 1
+""",
+    tags=("ext", "dedup", "graph"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup retention policy: per near-dup cluster (transitive closure of
+    the ≥0.30-Jaccard graph), keep the HIGHEST-quality member (longest
+    text, ties to smallest id) instead of the arbitrary min-id — what a
+    production corpus pipeline actually ships. Iterative components + one
+    map-side-combinable `max_by` argmax; only duplicate docs shuffle."""
+    from flink_dts_connector_spark.operators.graph import (
+        dedup_clusters,
+        keep_best_per_cluster,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold_pct=30)
+    clusters = dedup_clusters(pairs)
+    quality = docs.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    return keep_best_per_cluster(clusters, quality, "n_chars")

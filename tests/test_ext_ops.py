@@ -333,3 +333,102 @@ def test_kgram_sketch_by_id_equals_expression(spark, sf_dir):
         for r in X.kgram_sketch_by_id(both, "doc_id", "text").collect()
     }
     assert spec == fast
+
+
+def test_token_budget_equals_global_window(spark, sf_dir):
+    """The two-phase bucket plan must select EXACTLY the set the naive
+    global-window formulation selects, including the mid-bucket cut."""
+    from pyspark.sql import Window
+
+    from flink_dts_connector_spark.operators import text as X
+    from flink_dts_connector_spark.operators.curation import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.token_count("text")
+    scored = docs.select(
+        "doc_id",
+        # coarse score: many ties per bucket → boundary bucket holds
+        # several docs, exercising the intra-bucket window split
+        (toks / 20).cast("bigint").alias("score"),
+        toks.alias("n_tokens"),
+    )
+    for pct in (0, 37, 60, 100):
+        got = {
+            r["doc_id"] for r in token_budget_select(scored, pct, "score", "n_tokens").collect()
+        }
+        w = Window.orderBy(F.col("score").desc(), "doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        total = scored.groupBy().agg(F.sum("n_tokens")).collect()[0][0]
+        budget = (total * pct) // 100
+        naive = {
+            r["doc_id"]
+            for r in scored.withColumn(
+                "_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+            )
+            .where(F.col("_before") < F.lit(budget))
+            .collect()
+        }
+        assert got == naive, f"pct={pct}: two-phase != global window"
+
+
+def test_mixture_resample_quotas(spark, sf_dir):
+    """Kept counts must be exactly floor(w_g · avail_b / w_b) with the
+    binding group kept whole; unknown groups dropped; selection nested in
+    the hash order (deterministic)."""
+    from flink_dts_connector_spark.operators.curation import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 5, "src1": 3, "src2": 2}
+    avail = {
+        r["source"]: r["c"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r["source"] in weights
+    }
+    b_src = min(avail, key=lambda s: (avail[s] / weights[s], avail[s], weights[s]))
+    expect = {
+        s: (weights[s] * avail[b_src]) // weights[b_src] for s in weights
+    }
+    out = mixture_resample(docs, weights)
+    got = {
+        r["source"]: r["c"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == expect
+    assert got[b_src] == avail[b_src], "binding group must be kept whole"
+    # determinism: rerun identical
+    again = {r["doc_id"] for r in mixture_resample(docs, weights).collect()}
+    assert again == {r["doc_id"] for r in out.collect()}
+
+
+def test_shard_assign_stable_and_in_range(spark, sf_dir):
+    """Shard ids ∈ [0, n); assignment independent of partition layout."""
+    from flink_dts_connector_spark.operators.curation import shard_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {(r["doc_id"], r["shard_id"]) for r in shard_assign(docs, 16).collect()}
+    b = {
+        (r["doc_id"], r["shard_id"])
+        for r in shard_assign(docs.repartition(13), 16).collect()
+    }
+    assert a == b
+    assert all(0 <= s < 16 for _, s in a)
+
+
+def test_keep_best_per_cluster_argmax(spark):
+    """Survivor must be the max-quality member (ties → min id), one row
+    per component, n_members preserved."""
+    from flink_dts_connector_spark.operators.graph import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2)],
+        "doc_id long, component long, n_members long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)], "doc_id long, q long"
+    )
+    rows = {
+        r["component"]: (r["keep_id"], r["keep_quality"], r["n_members"])
+        for r in keep_best_per_cluster(clusters, quality, "q").collect()
+    }
+    assert rows == {1: (2, 9, 3), 10: (10, 4, 2)}

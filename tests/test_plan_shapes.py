@@ -112,3 +112,30 @@ def test_curation_plan_shapes(spark):
     pack = _plan(spark, "curate_pack_sequences")
     assert n_ex(pack) == 1  # one shuffle serves both the window and the rollup
     assert "HashAggregate" in pack
+
+
+def test_token_budget_no_global_sort(spark):
+    """The token-budget cut must NOT globally sort the corpus: the naive
+    formulation is one window over ORDER BY score (an Exchange
+    SinglePartition carrying every doc). The two-phase plan's only
+    single-partition exchanges carry the per-score AGGREGATE frame
+    (|distinct scores| rows); the docs themselves move at most through a
+    hashpartitioning exchange (the boundary-bucket window)."""
+    plan = _plan(spark, "curate_token_budget")
+    single = re.findall(r"Arguments: SinglePartition", plan)
+    # one per union branch, both above a HashAggregate of the score frame
+    assert len(single) == 2, f"expected 2 tiny-frame exchanges, got {len(single)}"
+    assert "rangepartitioning" not in plan
+    # the bucket frames are aggregates: a HashAggregate must appear before
+    # each single-partition exchange in plan order
+    assert plan.count("HashAggregate") >= 4
+    # boundary docs shuffle by score only
+    assert re.search(r"Arguments: hashpartitioning\(score", plan)
+
+
+def test_shard_manifest_single_agg_shuffle(spark):
+    """Shard manifest: narrow hash projection + one partial/final agg pair
+    — exactly one exchange, no window, no join."""
+    plan = _plan(spark, "curate_shard_manifest")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" not in plan and "Join" not in plan
