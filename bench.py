@@ -54,6 +54,8 @@ HEADLINE = [
     # appended in round 3
     "dedup_minhash_md5",
     "stream_late_data_gate",
+    "curate_token_budget",
+    "curate_pipeline_manifest",
     # dedup_components stays registry-only: its cost IS the exact-Jaccard
     # edge materialization (~40s at sf0.1), which would drown the headline
     # signal; the correctness gate covers it at sf0.01.

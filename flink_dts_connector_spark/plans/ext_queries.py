@@ -1194,3 +1194,74 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_clusters(pairs)
     quality = docs.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
     return keep_best_per_cluster(clusters, quality, "n_chars")
+
+
+@register(
+    "curate_pipeline_manifest",
+    oracle=f"""
+WITH gated AS (
+  SELECT doc_id, text, n_chars FROM documents
+  WHERE len({SQL_TOKS}) >= 20
+    AND {_NON_ALNUM_SQL} * 10 < length(text) * 3
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5({SQL_NORM})
+), deduped AS (
+  SELECT g.* FROM gated g JOIN keep USING (doc_id)
+), ctoks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM deduped
+), csh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER w1 || ' ' || LEAD(w,2) OVER w1
+           || ' ' || LEAD(w,3) OVER w1 || ' ' || LEAD(w,4) OVER w1
+           || ' ' || LEAD(w,5) OVER w1 || ' ' || LEAD(w,6) OVER w1 AS s
+  FROM ctoks WINDOW w1 AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w,6) OVER w1 IS NOT NULL
+), ptoks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents WHERE doc_id % 37 = 0
+), psh AS (
+  SELECT DISTINCT
+         w || ' ' || LEAD(w,1) OVER w1 || ' ' || LEAD(w,2) OVER w1
+           || ' ' || LEAD(w,3) OVER w1 || ' ' || LEAD(w,4) OVER w1
+           || ' ' || LEAD(w,5) OVER w1 || ' ' || LEAD(w,6) OVER w1 AS s
+  FROM ptoks WINDOW w1 AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w,6) OVER w1 IS NOT NULL
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM csh JOIN psh USING (s)
+), clean AS (
+  SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM clean GROUP BY 1
+""",
+    tags=("ext", "curation", "pipeline"),
+)
+def curate_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus pipeline in one declarative plan: quality gate
+    (integer-exact length + punctuation predicates, pipelined into the
+    scan) → content-exact dedup (min-id survivor per fingerprint, one
+    fingerprint shuffle) → benchmark decontamination (7-gram collision vs
+    a broadcast probe set) → deterministic 16-way shard manifest. What a
+    user actually runs nightly; every stage is the already-oracled
+    operator, and the composed oracle checks the whole dataflow — filters
+    compose, dedup survivors feed decontamination, the manifest reflects
+    only clean docs."""
+    docs = t(spark, sf_dir, "documents")
+    toks = X.token_count("text")
+    chars = F.length("text").cast("bigint")
+    non_alnum = chars - F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9]", ""))
+    gated = docs.where((toks >= 20) & (non_alnum * 10 < chars * 3)).select(
+        "doc_id", "text", "n_chars"
+    )
+    deduped = D.dedup_exact(gated)
+    probe = docs.where(F.col("doc_id") % 37 == 0).select("text")
+    clean = C.decontaminate(deduped, probe, n=7)
+    return C.shard_assign(clean, n_shards=16).groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count("text")).alias("n_tokens"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+    )
