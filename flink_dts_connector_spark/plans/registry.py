@@ -118,15 +118,17 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_token_stats_by_source",
     "text_bpe_token_stats",
     "text_kgram_sketches",
-    "text_top_terms_by_source",
-    # curation
-    "curate_deterministic_sample",
+    # curation — r3 rotation: deterministic_sample/cap_per_source swapped out
+    # (their md5-draw + ranked-window shapes are covered by stratified/
+    # mixture), making room for the wave-2 ops and the pipeline flagship
     "curate_stratified_sample",
-    "curate_cap_per_source",
     "curate_pack_sequences",
+    "curate_token_budget",
+    "curate_mixture_resample",
+    "curate_shard_manifest",
+    "curate_pipeline_manifest",
     # multimodal
     "multimodal_decode_features",
-    "multimodal_frame_plan",
     "multimodal_resize_plan",
     # streaming (availableNow-bounded, rerun-safe)
     "stream_hourly_windows",

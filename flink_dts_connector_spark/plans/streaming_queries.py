@@ -415,3 +415,70 @@ def stream_late_data_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wm_global",
         )
     )
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+SELECT b.event_id AS purchase_id, v.event_id AS view_id, b.user_id,
+       b.ts AS purchase_ts, v.ts AS view_ts
+FROM events b JOIN events v
+  ON v.user_id = b.user_id
+ AND b.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts >= b.ts - INTERVAL 1 HOUR AND v.ts <= b.ts
+""",
+    tags=("streaming", "join", "stream-stream"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: purchases matched to the same user's
+    views in the preceding hour, both sides watermarked so Spark bounds the
+    join state (each side's buffer evicts rows older than watermark −
+    interval). Inner-join matches emit as soon as both rows arrive —
+    availableNow over the bounded fixture emits every match, so the oracle
+    is the plain relational join with the interval predicate. The stateful
+    two-stream buffer is the Spark-native replacement for the dual-cache
+    interval joins CDC-enrichment pipelines hand-roll.
+
+    State-partition count is pinned for the run: each shuffle partition
+    owns TWO join state stores, so a vanilla 200-partition session pays
+    400 store setups per micro-batch — the count is frozen at the first
+    checkpoint anyway, so pin it to the core count (restored after)."""
+    n_parts = str(spark.sparkContext.defaultParallelism)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+    try:
+        return _run_interval_join(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _run_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        read_stream_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_uid"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    buys = (
+        read_stream_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    j = buys.join(
+        views,
+        (F.col("v_uid") == F.col("user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "inner",
+    )
+    out = run_to_memory(j, output_mode="append")
+    return out.select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
