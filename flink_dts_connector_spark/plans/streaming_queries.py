@@ -452,7 +452,9 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def _run_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _run_interval_join(
+    spark: SparkSession, sf_dir: str, how: str = "inner"
+) -> DataFrame:
     views = (
         read_stream_table(spark, sf_dir, "events")
         .where(F.col("event_type") == "view")
@@ -478,7 +480,60 @@ def _run_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v_uid") == F.col("user_id"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("view_ts") <= F.col("purchase_ts")),
-        "inner",
+        how,
     )
     out = run_to_memory(j, output_mode="append")
     return out.select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
+
+
+@register(
+    "stream_stream_outer_join",
+    oracle="""
+WITH b AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+), m AS (
+  SELECT b.purchase_id, v.view_id, b.user_id, b.purchase_ts, v.view_ts
+  FROM b JOIN v ON v.user_id = b.user_id
+   AND v.view_ts >= b.purchase_ts - INTERVAL 1 HOUR
+   AND v.view_ts <= b.purchase_ts
+)
+SELECT * FROM m
+UNION ALL
+SELECT b.purchase_id, CAST(NULL AS BIGINT) AS view_id, b.user_id,
+       b.purchase_ts, CAST(NULL AS TIMESTAMP) AS view_ts
+FROM b, (
+  -- the query-global watermark is the MIN over both sides' watermark
+  -- nodes, each = floor-to-millisecond(side max event time) − delay;
+  -- the state-cleanup predicate evicts purchase_ts <= watermark − 1 ms
+  SELECT LEAST(
+    (SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'purchase'),
+    (SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'view')
+  ) - INTERVAL 10 MINUTE AS w
+) wm
+WHERE b.purchase_id NOT IN (SELECT purchase_id FROM m)
+  AND b.purchase_ts <= wm.w - INTERVAL 1 MILLISECOND
+""",
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: matches emit on arrival; an
+    unmatched purchase emits its null-padded row only on state EVICTION.
+    The oracle pins the real semantics, read off the executed plan's
+    `state cleanup [left value predicate]` and verified row-for-row, not
+    assumed: the query-global watermark is the MINIMUM over both
+    `withWatermark` nodes (each side's max event time floored to the
+    millisecond, minus the delay) — so the lagging side gates eviction —
+    and the cleanup predicate is `purchase_ts <= watermark − 1 ms`.
+    Purchases above that are still buffered when the bounded run ends and
+    legitimately never emit."""
+    n_parts = str(spark.sparkContext.defaultParallelism)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+    try:
+        return _run_interval_join(spark, sf_dir, how="left_outer")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
