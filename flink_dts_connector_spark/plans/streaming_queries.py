@@ -452,9 +452,12 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def _run_interval_join(
+def _interval_join_frame(
     spark: SparkSession, sf_dir: str, how: str = "inner"
 ) -> DataFrame:
+    """The un-run two-stream interval join (purchases ⋈ views within the
+    preceding hour), both sides watermarked — shared by the inner/outer/
+    semi/chained streaming queries."""
     views = (
         read_stream_table(spark, sf_dir, "events")
         .where(F.col("event_type") == "view")
@@ -475,13 +478,19 @@ def _run_interval_join(
         )
         .withWatermark("purchase_ts", "10 minutes")
     )
-    j = buys.join(
+    return buys.join(
         views,
         (F.col("v_uid") == F.col("user_id"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("view_ts") <= F.col("purchase_ts")),
         how,
     )
+
+
+def _run_interval_join(
+    spark: SparkSession, sf_dir: str, how: str = "inner"
+) -> DataFrame:
+    j = _interval_join_frame(spark, sf_dir, how)
     out = run_to_memory(j, output_mode="append")
     return out.select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
 
@@ -535,5 +544,102 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", n_parts)
     try:
         return _run_interval_join(spark, sf_dir, how="left_outer")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@register(
+    "stream_stream_semi_join",
+    oracle="""
+SELECT DISTINCT b.event_id AS purchase_id, b.user_id, b.ts AS purchase_ts
+FROM events b JOIN events v
+  ON v.user_id = b.user_id
+ AND b.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts >= b.ts - INTERVAL 1 HOUR AND v.ts <= b.ts
+""",
+    tags=("streaming", "join", "stream-stream", "semi"),
+)
+def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-SEMI stream-stream interval join: each purchase with at least
+    one qualifying view emits exactly once, on first match — the streaming
+    "has a preceding view" existence filter. No null/eviction path, so the
+    oracle is simply the distinct matched left side."""
+    n_parts = str(spark.sparkContext.defaultParallelism)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+    try:
+        views = (
+            read_stream_table(spark, sf_dir, "events")
+            .where(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_uid"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "10 minutes")
+        )
+        buys = (
+            read_stream_table(spark, sf_dir, "events")
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        j = buys.join(
+            views,
+            (F.col("v_uid") == F.col("user_id"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("view_ts") <= F.col("purchase_ts")),
+            "left_semi",
+        )
+        out = run_to_memory(j, output_mode="append")
+        return out.select("purchase_id", "user_id", "purchase_ts")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@register(
+    "stream_chained_join_agg",
+    oracle="""
+WITH m AS (
+  SELECT b.ts AS purchase_ts
+  FROM events b JOIN events v
+    ON v.user_id = b.user_id
+   AND b.event_type = 'purchase' AND v.event_type = 'view'
+   AND v.ts >= b.ts - INTERVAL 1 HOUR AND v.ts <= b.ts
+), wm AS (
+  SELECT LEAST(
+    (SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'purchase'),
+    (SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'view')
+  ) - INTERVAL 10 MINUTE - INTERVAL 1 HOUR AS w
+)
+SELECT date_trunc('hour', purchase_ts) AS window_start, COUNT(*) AS n
+FROM m, wm
+GROUP BY 1, wm.w
+HAVING date_trunc('hour', purchase_ts) + INTERVAL 1 HOUR <= wm.w
+""",
+    tags=("streaming", "join", "stream-stream", "chained-stateful"),
+)
+def stream_chained_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 4's
+    multiple-stateful-operator support): stream-stream interval join
+    feeding a tumbling-window aggregation, both in append mode. The
+    downstream window closes against the watermark DELAYED by the join's
+    buffering interval (1 h): a window may only emit once no buffered
+    match could still land in it, so the emission cutoff is
+    window_end <= global_watermark − 1 h — with the same min-of-sides
+    ms-floored global watermark the outer join pinned."""
+    n_parts = str(spark.sparkContext.defaultParallelism)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+    try:
+        j = _interval_join_frame(spark, sf_dir, how="inner")
+        agg = j.groupBy(F.window("purchase_ts", "1 hour")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        out = run_to_memory(agg, output_mode="append")
+        return out.select(F.col("window.start").alias("window_start"), "n")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)

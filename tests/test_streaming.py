@@ -177,3 +177,51 @@ def test_stream_kill_restart_no_gaps(spark, sf_dir, tmp_path):
     # no gaps, and no duplicates across epochs (exactly-once per epoch id)
     assert set(all_ids) == expected
     assert len(all_ids) == len(set(all_ids))
+
+
+def test_chained_join_agg_delayed_watermark_cutoff(spark, tmp_path):
+    """Pins the CHAINED-stateful emission boundary distinctly: a window
+    whose end lies between (global watermark − join interval) and the
+    global watermark must NOT emit — the downstream agg closes against the
+    watermark delayed by the join's 1 h buffering, not the raw watermark.
+    The fixture data never lands a window in that band, so this synthetic
+    case is the only thing separating the two hypotheses."""
+    import datetime as dt
+
+    from flink_dts_connector_spark.plans.registry import all_queries
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, hh, mm, uid, typ):
+        return dict(
+            event_id=eid,
+            ts=base + dt.timedelta(hours=hh, minutes=mm),
+            user_id=uid,
+            event_type=typ,
+            value=1.0,
+            props="{}",
+        )
+
+    rows = [
+        # matched purchase in [10:00, 11:00) — end 11:00 ≤ W−1h → emits
+        ev(1, 10, 29, 7, "view"),
+        ev(2, 10, 30, 7, "purchase"),
+        # matched purchase in [12:00, 13:00) — end 13:00 ∈ (W−1h, W] →
+        # emits ONLY under the undelayed-watermark hypothesis
+        ev(3, 12, 29, 8, "view"),
+        ev(4, 12, 30, 8, "purchase"),
+        # watermark anchors: max purchase 13:59 → W = 13:49; max view 14:30
+        ev(5, 13, 59, 9, "purchase"),
+        ev(6, 14, 30, 9, "view"),
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sf_dir = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf_dir)
+    pdf.to_parquet(os.path.join(sf_dir, "events.parquet"))
+
+    out = all_queries()["stream_chained_join_agg"].fn(spark, sf_dir)
+    got = {(r["window_start"], r["n"]) for r in out.collect()}
+    assert got == {(base + dt.timedelta(hours=10), 1)}, got
