@@ -236,10 +236,20 @@ def md5_number_lower_mod(col: Column, m: int) -> Column:
     """Engine-mirrorable string hash: int(last 8 md5 bytes, little-endian)
     mod ``m`` — exactly DuckDB's `md5_number_lower(s) % m`, built here from
     hex-substring reversal + base-16 conv (verified equal incl. unicode).
-    The slow-but-oracle-able sibling of xxhash64."""
+    The slow-but-oracle-able sibling of xxhash64.
+
+    Stays in BIGINT arithmetic: the 64-bit value v = hi·2³² + lo would
+    overflow int64, but v mod m = (hi mod m · (2³² mod m) + lo) mod m, and
+    for m ≤ 2³¹ every intermediate fits in 63 bits — no decimal(20,0)
+    round-trip in the per-shingle hot path."""
+    if not 0 < m <= (1 << 31):
+        raise ValueError(f"modulus must be in (0, 2^31], got {m}")
     hexstr = F.md5(F.encode(col, "UTF-8"))
     le = F.concat(*[F.substring(hexstr, 31 - 2 * i, 2) for i in range(8)])
-    return F.pmod(F.conv(le, 16, 10).cast("decimal(20,0)"), F.lit(m)).cast("bigint")
+    hi = F.conv(F.substring(le, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(le, 9, 8), 16, 10).cast("bigint")
+    c = (1 << 32) % m
+    return F.pmod(F.pmod(hi, F.lit(m)) * F.lit(c) + lo, F.lit(m)).cast("bigint")
 
 
 def md5_hash_mod_p(col: Column) -> Column:

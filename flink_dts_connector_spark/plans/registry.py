@@ -134,7 +134,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_hourly_windows",
     "stream_static_lookup_join",
     "stream_dedup_exactly_once",
-    "stream_update_mode_totals",
+    # r3: update-mode shape is covered by stream_cdc_envelope_totals; the
+    # stateful two-stream buffer is a distinct shape the gate should show
+    "stream_stream_interval_join",
     "stream_partition_watermarks",
     "stream_late_data_gate",
     "stream_cdc_envelope_totals",
