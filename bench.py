@@ -56,6 +56,7 @@ HEADLINE = [
     "stream_late_data_gate",
     "curate_token_budget",
     "curate_pipeline_manifest",
+    "stream_stream_interval_join",
     # dedup_components stays registry-only: its cost IS the exact-Jaccard
     # edge materialization (~40s at sf0.1), which would drown the headline
     # signal; the correctness gate covers it at sf0.01.
