@@ -643,3 +643,65 @@ def stream_chained_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.select(F.col("window.start").alias("window_start"), "n")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@register(
+    "stream_stream_full_outer_join",
+    oracle="""
+WITH b AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id AS view_id, user_id AS v_user, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+), m AS (
+  SELECT b.purchase_id, v.view_id, b.user_id, b.purchase_ts, v.view_ts
+  FROM b JOIN v ON v.v_user = b.user_id
+   AND v.view_ts >= b.purchase_ts - INTERVAL 1 HOUR
+   AND v.view_ts <= b.purchase_ts
+), wm AS (
+  SELECT LEAST(
+    (SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'purchase'),
+    (SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'view')
+  ) - INTERVAL 10 MINUTE AS w
+)
+SELECT * FROM m
+UNION ALL
+SELECT b.purchase_id, CAST(NULL AS BIGINT), b.user_id,
+       b.purchase_ts, CAST(NULL AS TIMESTAMP)
+FROM b, wm
+WHERE b.purchase_id NOT IN (SELECT purchase_id FROM m)
+  AND b.purchase_ts <= wm.w - INTERVAL 1 MILLISECOND
+UNION ALL
+-- right side buffers 1 h deeper (a view can match purchases up to 1 h
+-- later), so its eviction — and null emission — lags by the interval
+SELECT CAST(NULL AS BIGINT), v.view_id, v.v_user,
+       CAST(NULL AS TIMESTAMP), v.view_ts
+FROM v, wm
+WHERE v.view_id NOT IN (SELECT view_id FROM m)
+  AND v.view_ts <= wm.w - INTERVAL 1 HOUR - INTERVAL 1 MILLISECOND
+""",
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER stream-stream interval join — the complete join matrix.
+    Null emission is per-side and asymmetric, exactly as the state-cleanup
+    predicates dictate: an unmatched purchase nulls out once the global
+    watermark passes it (≤ wm − 1 ms), but an unmatched view must outlive
+    wm − 1 h − 1 ms, because a view can still match purchases up to one
+    interval in its future. The oracle encodes both eviction depths."""
+    n_parts = str(spark.sparkContext.defaultParallelism)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+    try:
+        j = _interval_join_frame(spark, sf_dir, how="full_outer")
+        out = run_to_memory(j, output_mode="append")
+        return out.select(
+            "purchase_id",
+            "view_id",
+            F.coalesce(F.col("user_id"), F.col("v_uid")).alias("user_id"),
+            "purchase_ts",
+            "view_ts",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
