@@ -1265,3 +1265,76 @@ def curate_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(X.token_count("text")).alias("n_tokens"),
         F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
     )
+
+
+@register(
+    "skew_salted_join_revenue",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+    tags=("ext", "skew", "join"),
+)
+def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation under the driver gate: the lineitem⋈orders join runs
+    through `salted_join` (hot keys spread across 8 salt replicas, the
+    explicit fallback for skew AQE can't split) and must produce results
+    row-identical to the plain join — the oracle IS the plain join. Exact
+    decimal revenue per the determinism contract."""
+    from flink_dts_connector_spark.operators.skew import salted_join
+    from flink_dts_connector_spark.plans.relational import dec, dsum
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), orders, on="o_orderkey"
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(dec("l_extendedprice") * (1 - dec("l_discount")), "revenue"),
+    )
+
+
+@register(
+    "skew_two_phase_agg",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+FROM lineitem
+GROUP BY 1
+""",
+    tags=("ext", "skew", "agg"),
+)
+def skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation for skewed GROUP BY keys under the
+    driver gate: phase 1 aggregates on (key, salt) so a hot key spreads
+    across 16 reducers, phase 2 combines partials — algebraic aggregates
+    only, so the result is EXACTLY the single-phase answer (decimal sums
+    commute; min/max/count trivially associative)."""
+    from flink_dts_connector_spark.operators.skew import two_phase_agg
+    from flink_dts_connector_spark.plans.relational import dec
+
+    li = t(spark, sf_dir, "lineitem")
+    out = two_phase_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": (F.count(F.lit(1)), "sum"),
+            "sum_qty_dec": (F.sum(dec("l_quantity")), "sum"),
+            "max_price": (F.max("l_extendedprice"), "max"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("sum_qty_dec").cast("decimal(38,6)").cast("double").alias("sum_qty"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
