@@ -1338,3 +1338,72 @@ def skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty_dec").cast("decimal(38,6)").cast("double").alias("sum_qty"),
         F.col("max_price").cast("double").alias("max_price"),
     )
+
+
+_ASCII_NORM_SQL = (
+    f"regexp_replace({SQL_NORM}, '[^\\x20-\\x7e]', '', 'g')"
+)
+
+
+@register(
+    "neardup_levenshtein",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+  FROM toks
+  QUALIFY LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a_id, b_id FROM cand
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE 100 * n_inter >= 50 * (sa.n_sh + sb.n_sh - n_inter)
+), texts AS (
+  SELECT doc_id, {_ASCII_NORM_SQL} AS t FROM documents
+)
+SELECT p.a_id, p.b_id,
+       CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS edit_dist,
+       CAST(GREATEST(length(ta.t), length(tb.t)) AS BIGINT) AS max_len
+FROM pairs p
+JOIN texts ta ON ta.doc_id = p.a_id
+JOIN texts tb ON tb.doc_id = p.b_id
+WHERE 10 * levenshtein(ta.t, tb.t) <= GREATEST(length(ta.t), length(tb.t))
+""",
+    tags=("ext", "dedup", "edit-distance"),
+)
+def neardup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup tier: Jaccard-candidate pairs verified by
+    LEVENSHTEIN distance ≤ 10% of the longer text — the character-level
+    confirmation pass token-level similarity can't give (detects small
+    in-place edits vs. token reshuffles). Texts are normalized to the
+    ASCII subset first: Spark's levenshtein counts CHARACTER edits while
+    DuckDB's counts UTF-8 BYTE edits, so the oracle is only exact where
+    the two alphabets coincide (fixtures are ASCII; at production scale
+    the distance stays a Spark-side filter). Candidate generation is the
+    bounded shingle equi-join — never |docs|² distance computations."""
+    from flink_dts_connector_spark.operators.text import normalized
+
+    docs = t(spark, sf_dir, "documents")
+    cand = D.jaccard_pairs(docs, threshold_pct=50).select("a_id", "b_id")
+    ascii_norm = F.regexp_replace(normalized("text"), r"[^\x20-\x7e]", "")
+    texts = docs.select("doc_id", ascii_norm.alias("t"))
+    j = (
+        cand.join(texts.select(F.col("doc_id").alias("a_id"), F.col("t").alias("ta")), "a_id")
+        .join(texts.select(F.col("doc_id").alias("b_id"), F.col("t").alias("tb")), "b_id")
+    )
+    dist = F.levenshtein("ta", "tb").cast("bigint")
+    max_len = F.greatest(F.length("ta"), F.length("tb")).cast("bigint")
+    return (
+        j.select("a_id", "b_id", dist.alias("edit_dist"), max_len.alias("max_len"))
+        .where(F.lit(10) * F.col("edit_dist") <= F.col("max_len"))
+    )
