@@ -297,3 +297,41 @@ def decontaminate(
     `contaminated_ids`. Keeps every column of ``df``."""
     hits = contaminated_ids(df, probe, n, id_col, text_col, probe_text_col)
     return df.join(hits, id_col, "left_anti")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus CHANGE DATA FEED: diff two snapshots into I/U/D rows — the
+    incremental-pipeline primitive that turns "rebuild the corpus nightly"
+    into "process what changed" (dedup/decontaminate/re-shard only the
+    delta). One full-outer join on the id, content compared by fingerprint
+    (same hash as exact dedup), unchanged rows dropped:
+
+      I — id only in ``new``      U — id in both, fingerprint differs
+      D — id only in ``old``
+
+    Shape: a single co-partitioned join on the id; with both snapshots
+    bucketed by id on disk it is shuffle-free."""
+    from flink_dts_connector_spark.operators.text import fingerprint
+
+    o = old.select(
+        F.col(id_col).alias("_oid"), fingerprint(text_col).alias("_ofp")
+    )
+    n = new.select(
+        F.col(id_col).alias("_nid"), fingerprint(text_col).alias("_nfp")
+    )
+    j = o.join(n, o["_oid"] == n["_nid"], "full_outer")
+    return (
+        j.select(
+            F.coalesce(F.col("_nid"), F.col("_oid")).alias(id_col),
+            F.when(F.col("_oid").isNull(), F.lit("I"))
+            .when(F.col("_nid").isNull(), F.lit("D"))
+            .when(F.col("_ofp") != F.col("_nfp"), F.lit("U"))
+            .alias("op"),
+        )
+        .where(F.col("op").isNotNull())
+    )

@@ -1407,3 +1407,42 @@ def neardup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select("a_id", "b_id", dist.alias("edit_dist"), max_len.alias("max_len"))
         .where(F.lit(10) * F.col("edit_dist") <= F.col("max_len"))
     )
+
+
+@register(
+    "curate_snapshot_diff",
+    oracle=f"""
+WITH old AS (
+  SELECT doc_id, md5({SQL_NORM}) AS fp FROM documents WHERE doc_id % 11 <> 0
+), new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0
+                  THEN {SQL_NORM} || ' v2'
+                  ELSE {SQL_NORM} END) AS fp
+  FROM documents WHERE doc_id % 17 <> 0
+)
+SELECT COALESCE(new.doc_id, old.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'I'
+            WHEN new.doc_id IS NULL THEN 'D'
+            WHEN old.fp <> new.fp THEN 'U' END AS op
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+WHERE (old.doc_id IS NULL OR new.doc_id IS NULL OR old.fp <> new.fp)
+""",
+    tags=("ext", "curation", "incremental"),
+)
+def curate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus change-data-feed: two snapshots derived deterministically
+    from the fixture (docs %11 missing from old → I; %17 dropped from new
+    → D; %7 texts mutated → U), diffed into I/U/D by one full-outer join
+    on the id with fingerprint content compare — the primitive that makes
+    the whole curation pipeline INCREMENTAL. Bridges the engine's CDC
+    changelog semantics and its corpus surface."""
+    docs = t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = docs.where(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return C.snapshot_diff(old, new)

@@ -463,3 +463,17 @@ def test_ivf_cells_as_partition_pruning(spark, sf_dir, tmp_path):
     assert n_cells_total > len(cells)
     got = {r["cell"] for r in probed.select("cell").distinct().collect()}
     assert got == set(cells)
+
+
+def test_snapshot_diff_classification(spark):
+    """I/U/D classification + unchanged rows dropped, on a synthetic pair."""
+    from flink_dts_connector_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma CHANGED"), (4, "delta")], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["op"]) for r in snapshot_diff(old, new).collect()}
+    assert got == {(1, "D"), (3, "U"), (4, "I")}
