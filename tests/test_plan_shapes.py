@@ -139,3 +139,18 @@ def test_shard_manifest_single_agg_shuffle(spark):
     plan = _plan(spark, "curate_shard_manifest")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_pipeline_manifest_pruned_and_bounded(spark):
+    """End-to-end pipeline plan guards: every documents scan is
+    column-pruned (never reads the full row: lang/source stay unread), the
+    probe/keep sides broadcast rather than shuffling the corpus, and the
+    whole four-stage dataflow stays within a bounded exchange budget."""
+    plan = _plan(spark, "curate_pipeline_manifest")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan[:400]
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= {"doc_id", "text", "n_chars"}, cols
+    assert "BroadcastExchange" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5
