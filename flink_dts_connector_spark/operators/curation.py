@@ -335,3 +335,24 @@ def snapshot_diff(
         )
         .where(F.col("op").isNotNull())
     )
+
+
+def shuffle_order(
+    df: DataFrame,
+    n_shards: int = 1024,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic GLOBAL training-shuffle order without a global sort:
+    position = (shard_id, rank-within-shard by md5 hash). Shard-major
+    iteration visits documents in an order that is (a) pseudo-random with
+    respect to any corpus attribute, (b) bit-reproducible across runs,
+    engines and partitionings — the property an rng shuffle cannot give a
+    resumable training job — and (c) computed with one bounded ranked
+    window per shard instead of sorting the corpus through one partition.
+    Returns the input plus (shard_id, shard_pos)."""
+    from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
+
+    d = shard_assign(df, n_shards, key_col)
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    w = Window.partitionBy("shard_id").orderBy(h, F.col(key_col))
+    return d.withColumn("shard_pos", F.row_number().over(w).cast("bigint"))

@@ -1446,3 +1446,28 @@ def curate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return C.snapshot_diff(old, new)
+
+
+@register(
+    "curate_shuffle_order",
+    oracle="""
+SELECT doc_id, shard_id, shard_pos FROM (
+  SELECT doc_id,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 32 AS BIGINT) AS shard_id,
+         CAST(row_number() OVER (
+           PARTITION BY md5_number_lower(CAST(doc_id AS VARCHAR)) % 32
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS shard_pos
+  FROM documents
+)
+""",
+    tags=("ext", "curation", "shuffle"),
+)
+def curate_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-shuffle order: every document gets a
+    reproducible (shard_id, shard_pos) — shard-major iteration is a
+    pseudo-random visit order computed with one bounded window per shard,
+    never a corpus-wide sort. Resumable training depends on exactly this:
+    re-deriving the same order on restart from nothing but the corpus."""
+    d = C.shuffle_order(t(spark, sf_dir, "documents"), n_shards=32)
+    return d.select("doc_id", "shard_id", "shard_pos")
