@@ -163,14 +163,18 @@ def token_budget_select(
     joined = d.join(
         F.broadcast(cuts), d[score_col] == cuts["_score"], "inner"
     ).drop("_score")
-    full = joined.where(F.col("_before") + F.col("_bt") <= F.col("_budget"))
+    # Exact-fit buckets (_before+_bt == _budget) go through the boundary
+    # window, not the full branch: a zero-token doc at the tail of such a
+    # bucket has tok_before == budget and the strict per-doc rule
+    # (tok_before < budget) must decide it.
+    full = joined.where(F.col("_before") + F.col("_bt") < F.col("_budget"))
     wdoc = (
         Window.partitionBy(score_col)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     boundary = (
-        joined.where(F.col("_before") + F.col("_bt") > F.col("_budget"))
+        joined.where(F.col("_before") + F.col("_bt") >= F.col("_budget"))
         .withColumn("_dbefore", F.col("_before") + F.sum("_tok").over(wdoc) - F.col("_tok"))
         .where(F.col("_dbefore") < F.col("_budget"))
         .drop("_dbefore")

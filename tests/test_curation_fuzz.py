@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 
@@ -31,9 +31,14 @@ def _corpus(draw):
 @settings(
     max_examples=15,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(case=_corpus())
+# zero-token doc at the tail of an exact-fit bucket: the strict per-doc
+# rule (tok_before < budget) must drop doc 1 even though its bucket's
+# cumulative total exactly equals the budget.
+@example(case=([(0, 0, 10), (1, 0, 0)], 100))
 def test_token_budget_matches_naive_python(spark, case):
     """Oracle the two-phase plan against a pure-Python reimplementation of
     the contract: sort by (score DESC, id ASC), keep while the tokens
@@ -65,6 +70,7 @@ _MODULI = st.one_of(
 @settings(
     max_examples=25,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
