@@ -154,6 +154,70 @@ def lsh_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_bits: int = 6,
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN top-k: each query probes its own bucket AND
+    every Hamming-distance-1 neighbor bucket (1 + n_bits = 7 probes at 6
+    bits) — the standard multi-probe trick that recovers near-boundary
+    neighbors single-probe LSH misses (a vector one sign-flip away lands in
+    an adjacent bucket).
+
+    Scale shape is unchanged from `lsh_topk`: the probe expansion happens on
+    the SMALL broadcast query side (×7 rows via explode), the item side still
+    streams through one equi-join on its single bucket. An item belongs to
+    exactly one bucket, so a (query, item) pair is produced at most once —
+    no dedup pass. Candidate volume is ~7·|bucket| per query, still ~2^b/7×
+    smaller than brute force."""
+    q = (
+        queries.select(
+            F.col(query_id_col),
+            quantized(emb_col).alias("_qe"),
+            signbit_bucket(emb_col).alias("_qb"),
+        )
+        .withColumn("_qn", norm_sq_q(F.col("_qe")))
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.array(
+                    F.col("_qb"),
+                    *[F.col("_qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
+                )
+            ),
+        )
+    )
+    it = (
+        items.select(
+            F.col(id_col),
+            quantized(emb_col).alias("_ie"),
+            signbit_bucket(emb_col).alias("_bucket"),
+        )
+        .withColumn("_in", norm_sq_q(F.col("_ie")))
+    )
+    scored = (
+        it.join(F.broadcast(q), "_bucket")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine_q(dot_q(F.col("_qe"), F.col("_ie")), F.col("_qn"), F.col("_in")).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def cosine_pairs(
     items: DataFrame,
     block_col: str,

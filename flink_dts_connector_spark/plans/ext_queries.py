@@ -550,6 +550,28 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_lsh_multiprobe",
+    oracle=SQL_ANN_BASE.format(
+        bucket=f"({SQL_BUCKET})",
+        bucket_cond="AND bit_count(xor(CAST(fq.qb AS BIGINT), CAST(fi.ib AS BIGINT))) <= 1",
+    ),
+    tags=("ext", "similarity", "approx"),
+)
+def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN top-5: each query probes its own bucket plus
+    all 6 Hamming-1 neighbor buckets (7 probes at 6 bits) — recovers the
+    near-boundary neighbors single-probe misses while keeping the equi-join
+    shape (probe expansion happens on the broadcast query side). Oracle:
+    candidate rule is exactly bit_count(qb XOR ib) <= 1, so DuckDB mirrors
+    the whole cascade."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_multiprobe_topk(e, q, k=5)
+
+
+@register(
     "ann_topk_ivf_trained",
     oracle=SNAP.SNAPSHOT_ANN_TOPK_IVF_TRAINED,
     tags=("ext", "similarity", "approx", "iterative"),

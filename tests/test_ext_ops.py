@@ -147,6 +147,37 @@ def test_ivf_ann_scores_exact_and_recall(spark, sf_dir):
     assert hits / total >= 0.3, f"IVF recall {hits}/{total} too low"
 
 
+def test_lsh_multiprobe_recall_beats_single_probe(spark, sf_dir):
+    """Multi-probe (own + Hamming-1 buckets) must (a) superset single-probe's
+    result pairs (every single-probe candidate is also a multi-probe
+    candidate, and top-5 can only improve), (b) carry brute-force-identical
+    scores, and (c) strictly improve recall vs the exact top-5 on this
+    fixture — the point of probing neighbor buckets."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = S.brute_force_topk(e, q, k=5).collect()
+    bf_scores = {(r["query_id"], r["vec_id"]): r["score"] for r in bf}
+    true5: dict = {}
+    for r in bf:
+        true5.setdefault(r["query_id"], set()).add(r["vec_id"])
+    single = S.lsh_topk(e, q, k=5).collect()
+    multi = S.lsh_multiprobe_topk(e, q, k=5).collect()
+    for r in multi:
+        if (r["query_id"], r["vec_id"]) in bf_scores:  # scorer is bit-identical
+            assert bf_scores[(r["query_id"], r["vec_id"])] == r["score"]
+
+    def recall(rows):
+        hits = sum(
+            1 for r in rows if r["vec_id"] in true5.get(r["query_id"], set())
+        )
+        return hits / sum(len(v) for v in true5.values())
+
+    r1, r7 = recall(single), recall(multi)
+    assert r7 > r1, f"multi-probe recall {r7:.3f} not above single-probe {r1:.3f}"
+
+
 def test_connected_components_synthetic(spark):
     """Chain + star + isolated pair: labels converge to the min id of each
     component, sizes come back right, diameter > 1 exercised."""

@@ -133,6 +133,22 @@ def test_token_budget_no_global_sort(spark):
     assert re.search(r"Arguments: hashpartitioning\(score", plan)
 
 
+def test_ivf_probe_plan_shape(spark):
+    """IVF ANN probe-path guard (r3 bench adjudication): the item side must
+    never sort-merge or shuffle beyond (a) the one cell-assign aggregate
+    exchange on the item id and (b) the per-query rerank windows; probes and
+    centroids ride BroadcastExchange onto the items. A regression to a
+    shuffled probe join or a single-partition sort would be a scale killer
+    at 100 TB (items = the corpus)."""
+    plan = _plan(spark, "ann_topk_ivf")
+    assert "SortMergeJoin" not in plan, "IVF probe regressed to sort-merge join"
+    # probes joined to item cells via broadcast hash join
+    assert "BroadcastHashJoin" in plan
+    # exchanges: cell-assign agg (vec_id) + probe window + rerank window
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan[:400]
+    assert "Arguments: SinglePartition" not in plan, "IVF plan funnels through one partition"
+
+
 def test_shard_manifest_single_agg_shuffle(spark):
     """Shard manifest: narrow hash projection + one partial/final agg pair
     — exactly one exchange, no window, no join."""
