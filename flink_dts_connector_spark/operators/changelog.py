@@ -72,6 +72,62 @@ def materialize_upsert(
     return out.where(F.col("op") != "D").drop("op")
 
 
+def txn_manifest(
+    env: DataFrame,
+    txn_col: str = "transaction_id",
+    seq_col: str = "trans_seq",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Group an interleaved CDC stream back into transactionally-consistent
+    BEGIN..COMMIT batches: one manifest row per transaction with its row
+    count, the set of tables it touched, its statement operations in
+    ``trans_seq`` order, and begin/commit timestamps — the envelope carries
+    `transaction_id` + `trans_seq` for exactly this
+    (`DtsRecord.java:15,84-90`); a transactionally-consistent sink applies
+    all of a txn's rows or none.
+
+    ``seq_contiguous`` pins atomicity: true iff the observed sequence
+    numbers are exactly 0..n-1 (no torn/partial transaction made it into
+    the batch).
+
+    Shape: ONE hash aggregate on the transaction id with map-side partial
+    combine — transactions are small (statement counts), so the collected
+    arrays stay bounded; nothing sorts the stream globally, and interleaved
+    arrival order is irrelevant (the sort is per-txn over n_stmts
+    elements). Heartbeats/DDL (null transaction_id) are excluded."""
+    steps = F.array_sort(
+        F.collect_list(F.struct(F.col(seq_col).alias("seq"), F.col("operation").alias("op")))
+    )
+    return (
+        env.where(F.col(txn_col).isNotNull())
+        .groupBy(F.col(txn_col).alias("transaction_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.array_sort(F.collect_set(F.concat_ws(".", "db", "tbl"))).alias("_tbls"),
+            steps.alias("_steps"),
+            F.min(ts_col).alias("begin_ts"),
+            F.max(ts_col).alias("commit_ts"),
+            F.min(seq_col).alias("_min_seq"),
+            F.max(seq_col).alias("_max_seq"),
+            F.count_distinct(F.col(seq_col)).alias("_n_seq"),
+        )
+        .select(
+            "transaction_id",
+            "n_rows",
+            F.size("_tbls").alias("n_tables"),
+            F.array_join("_tbls", ",").alias("tables"),
+            F.array_join(F.transform("_steps", lambda s: s["op"]), ",").alias("ops"),
+            "begin_ts",
+            "commit_ts",
+            (
+                (F.col("_min_seq") == 0)
+                & (F.col("_max_seq") == F.col("n_rows") - 1)
+                & (F.col("_n_seq") == F.col("n_rows"))
+            ).alias("seq_contiguous"),
+        )
+    )
+
+
 def materialize_scd2(
     changelog: DataFrame,
     key_cols: Sequence[str],

@@ -449,6 +449,29 @@ def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return env.groupBy("db", "tbl").agg(F.count(F.lit(1)).alias("n"))
 
 
+from flink_dts_connector_spark.sources.zoo import expected_txn_sql as _txn_oracle
+
+
+@register(
+    "cdc_txn_boundaries",
+    oracle=_txn_oracle(),
+    tags=("cdc", "transaction", "changelog"),
+)
+def cdc_txn_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactionally-consistent changelog grouping: the interleaved
+    multi-statement fixture (statements of different transactions alternate
+    in stream order, spanning multiple tables) regrouped into atomic
+    BEGIN..COMMIT batches by transaction_id, statements ordered by
+    trans_seq (`DtsRecord.java:15,84-90`) — per-txn manifest with row
+    count, tables touched, op sequence, begin/commit ts, and a
+    contiguity proof (seq == 0..n-1, no torn transaction)."""
+    from flink_dts_connector_spark.operators.changelog import txn_manifest
+    from flink_dts_connector_spark.sources.zoo import generate_txn_bytes
+
+    env = decode_cdc(generate_txn_bytes(spark))
+    return txn_manifest(env)
+
+
 from flink_dts_connector_spark.sources.zoo import expected_evolve_sql as _evolve_oracle
 
 

@@ -242,6 +242,117 @@ FROM (VALUES
 
 
 # ---------------------------------------------------------------------------
+# Interleaved multi-statement transaction fixture (BEGIN..COMMIT batches)
+# ---------------------------------------------------------------------------
+
+TXN_DB = "bank"
+TXN_TABLES = ("accounts", "transfers", "audit")
+N_TXNS = 40
+
+
+def _txn_shape(t: int) -> list[tuple[int, str, str]]:
+    """Deterministic statement list for transaction ``t``:
+    [(trans_seq, table, operation)] — 2..4 statements, each touching a
+    rotating table, first always INSERT, every 4th txn ending in DELETE."""
+    n_stmts = 2 + (t % 3)
+    out = []
+    for j in range(n_stmts):
+        tbl = TXN_TABLES[(t + j) % len(TXN_TABLES)]
+        if j == 0:
+            op = "INSERT"
+        elif j == n_stmts - 1 and t % 4 == 0:
+            op = "DELETE"
+        else:
+            op = "UPDATE"
+        out.append((j, tbl, op))
+    return out
+
+
+def _txn_record(t: int, j: int, tbl: str, op_name: str) -> CdcRecord:
+    rid = 9_000_000 + t * 100 + j
+    fields = [
+        FieldDef("stmt_id", "BIGINT", 8, False),
+        FieldDef("amount", "DECIMAL", 0, True),
+    ]
+    img = [(ValueKind.INTEGER, rid), (ValueKind.DECIMAL, f"{t}.{j:02d}")]
+    op = OperationType[op_name]
+    return CdcRecord(
+        id=rid,
+        ts=1_700_001_000 + t * 10 + j,
+        operation=op,
+        db=TXN_DB,
+        tbl=tbl,
+        transaction_id=f"txn-{t:04d}",
+        source_type=SourceType.MySQL,
+        source_version="5.7.0",
+        source_position=f"mysql-bin.000002:{rid}",
+        trans_seq=j,
+        fields=fields,
+        before=list(img) if op_name in ("UPDATE", "DELETE") else None,
+        after=list(img) if op_name in ("INSERT", "UPDATE") else None,
+    )
+
+
+def generate_txn_bytes(spark: SparkSession) -> DataFrame:
+    """Interleaved multi-statement transactions: each of the N_TXNS
+    transactions spans 2-4 statements across MULTIPLE tables; stream order
+    (partition, offset) is round-robin BY STATEMENT (offset = j*N_TXNS + t),
+    so statements of different transactions interleave on the wire exactly
+    like a busy binlog — grouping back into atomic BEGIN..COMMIT batches
+    cannot rely on contiguity, only on transaction_id + trans_seq
+    (reference envelope: `DtsRecord.java:15,84-90`)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            values, parts, offs = [], [], []
+            for row in pdf.itertuples(index=False):
+                t = int(row.id)
+                for j, tbl, op_name in _txn_shape(t):
+                    values.append(encode_record(_txn_record(t, j, tbl, op_name)))
+                    parts.append(t % 4)
+                    offs.append(j * N_TXNS + t)
+            yield pd.DataFrame({"value": values, "partition": parts, "offset": offs})
+
+    return (
+        spark.range(N_TXNS)
+        .repartition(4)
+        .mapInPandas(fn, schema="value binary, partition int, offset long")
+    )
+
+
+def expected_txn_sql() -> str:
+    """Literal oracle: one manifest row per transaction, reconstructed from
+    the same deterministic shape function."""
+    import datetime as dt
+
+    rows = []
+    for t in range(N_TXNS):
+        shape = _txn_shape(t)
+        tables = sorted({f"{TXN_DB}.{tbl}" for _, tbl, _ in shape})
+        ops = ",".join(op for _, _, op in shape)
+        begin = dt.datetime.fromtimestamp(
+            1_700_001_000 + t * 10 + 0, dt.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        commit = dt.datetime.fromtimestamp(
+            1_700_001_000 + t * 10 + len(shape) - 1, dt.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        rows.append(
+            f"('txn-{t:04d}', {len(shape)}, {len(tables)}, "
+            f"'{','.join(tables)}', '{ops}', "
+            f"TIMESTAMP '{begin}', TIMESTAMP '{commit}', TRUE)"
+        )
+    values = ",\n  ".join(rows)
+    return f"""
+SELECT transaction_id, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_tables AS INT) AS n_tables, tables, ops,
+       begin_ts, commit_ts, seq_contiguous
+FROM (VALUES
+  {values}
+) AS t(transaction_id, n_rows, n_tables, tables, ops, begin_ts, commit_ts, seq_contiguous)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Schema-evolution fixture: a table whose field set WIDENS mid-stream
 # ---------------------------------------------------------------------------
 

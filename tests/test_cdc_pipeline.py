@@ -348,3 +348,44 @@ def test_fastdecode_parity():
 
     with _pytest.raises(Exception):
         _decode_batch(all_raws, meta)
+
+
+def test_txn_fixture_interleaves_and_manifest_is_atomic(spark):
+    """The txn fixture must actually interleave statements of different
+    transactions in stream order (the whole point: grouping can't rely on
+    contiguity), and the manifest must reassemble every transaction
+    atomically — contiguous seq 0..n-1, ops matching the shape function,
+    commit_ts = the last statement's ts."""
+    from flink_dts_connector_spark.formats.decoder import decode_cdc
+    from flink_dts_connector_spark.operators.changelog import txn_manifest
+    from flink_dts_connector_spark.sources.zoo import (
+        N_TXNS,
+        _txn_shape,
+        generate_txn_bytes,
+    )
+
+    env = decode_cdc(generate_txn_bytes(spark))
+    # stream order within a partition = offset order; adjacent records must
+    # frequently belong to DIFFERENT transactions
+    rows = (
+        env.select("kafka_partition", "kafka_offset", "transaction_id")
+        .orderBy("kafka_partition", "kafka_offset")
+        .collect()
+    )
+    switches = sum(
+        1
+        for a, b in zip(rows, rows[1:])
+        if a["kafka_partition"] == b["kafka_partition"]
+        and a["transaction_id"] != b["transaction_id"]
+    )
+    assert switches >= N_TXNS, f"stream not interleaved: only {switches} txn switches"
+
+    got = {r["transaction_id"]: r for r in txn_manifest(env).collect()}
+    assert len(got) == N_TXNS
+    for t in range(N_TXNS):
+        shape = _txn_shape(t)
+        r = got[f"txn-{t:04d}"]
+        assert r["seq_contiguous"] is True
+        assert r["n_rows"] == len(shape)
+        assert r["ops"] == ",".join(op for _, _, op in shape)
+        assert int(r["commit_ts"].timestamp()) == 1_700_001_000 + t * 10 + len(shape) - 1
