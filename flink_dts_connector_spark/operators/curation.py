@@ -341,6 +341,82 @@ def snapshot_diff(
     )
 
 
+def incremental_pipeline_update(
+    prior_kept: DataFrame,
+    old: DataFrame,
+    new: DataFrame,
+    probe: DataFrame,
+    gate,
+    ngram_n: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental corpus-pipeline update: given the previous snapshot, the
+    new snapshot, and the PREVIOUS run's kept output, produce the new kept
+    set by reprocessing ONLY the delta's fingerprint groups — provably
+    equal to a full rebuild on the new snapshot (the whole point of a CDC
+    engine feeding a training pipeline: process the delta, not the corpus).
+
+    Why fingerprint groups and not just changed ids: the exact-dedup
+    survivor (min id per content fingerprint) is a GROUP decision — an
+    insert may duplicate an existing doc (demoting it), and deleting a
+    survivor promotes the next member. A group's verdict changes only when
+    its membership changes, and any membership change implies one of the
+    delta's docs carries that fingerprint on its old or new side. So:
+
+      1. diff = snapshot_diff(old, new) → I/U/D ids             (small)
+      2. touched = fingerprints of those ids on BOTH sides       (small)
+      3. region = gate(new) rows whose fingerprint ∈ touched → full
+         pipeline (dedup survivor + decontaminate) on the region only
+      4. carry = prior_kept rows whose fingerprint ∉ touched (their group
+         membership, gate status, and per-doc contamination verdict are
+         all functions of unchanged text)
+      5. result = carry ∪ region — row-identical to the full rebuild.
+
+    Requires the probe set to be the same one the prior run used (a
+    benchmark suite is static); ``gate`` must be a deterministic per-row
+    predicate. ``prior_kept`` must carry ``text_col`` (the materialized
+    previous output does).
+
+    Scale shape: the delta and its fingerprint set are broadcast; the
+    corpus-sized frames (`new`, `prior_kept`) are touched only by
+    broadcast semi/anti joins that pipeline into their scans — no corpus
+    shuffle at all outside the recompute region."""
+    from flink_dts_connector_spark.operators.dedup import dedup_exact
+    from flink_dts_connector_spark.operators.text import fingerprint
+
+    diff = snapshot_diff(old, new, id_col=id_col, text_col=text_col)
+    changed = diff.select(id_col)
+    old_fps = (
+        old.join(F.broadcast(changed), id_col, "left_semi")
+        .select(fingerprint(text_col).alias("_fp"))
+    )
+    new_fps = (
+        new.join(F.broadcast(changed), id_col, "left_semi")
+        .select(fingerprint(text_col).alias("_fp"))
+    )
+    touched = old_fps.unionByName(new_fps).distinct()
+    region = (
+        gate(new)
+        .withColumn("_fp", fingerprint(text_col))
+        .join(F.broadcast(touched), "_fp", "left_semi")
+        .drop("_fp")
+    )
+    region_kept = decontaminate(
+        dedup_exact(region, id_col=id_col, text_col=text_col),
+        probe,
+        n=ngram_n,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    carry = (
+        prior_kept.withColumn("_fp", fingerprint(text_col))
+        .join(F.broadcast(touched), "_fp", "left_anti")
+        .drop("_fp")
+    )
+    return carry.unionByName(region_kept)
+
+
 def shuffle_order(
     df: DataFrame,
     n_shards: int = 1024,

@@ -1471,6 +1471,95 @@ def curate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curate_incremental_pipeline",
+    oracle=f"""
+WITH newdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+         n_chars
+  FROM documents WHERE doc_id % 17 <> 0
+), gated AS (
+  SELECT doc_id, text, n_chars FROM newdocs
+  WHERE len({SQL_TOKS}) >= 20
+    AND {_NON_ALNUM_SQL} * 10 < length(text) * 3
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5({SQL_NORM})
+), deduped AS (
+  SELECT g.* FROM gated g JOIN keep USING (doc_id)
+), ctoks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM deduped
+), csh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER w1 || ' ' || LEAD(w,2) OVER w1
+           || ' ' || LEAD(w,3) OVER w1 || ' ' || LEAD(w,4) OVER w1
+           || ' ' || LEAD(w,5) OVER w1 || ' ' || LEAD(w,6) OVER w1 AS s
+  FROM ctoks WINDOW w1 AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w,6) OVER w1 IS NOT NULL
+), ptoks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM newdocs WHERE doc_id % 37 = 0
+), psh AS (
+  SELECT DISTINCT
+         w || ' ' || LEAD(w,1) OVER w1 || ' ' || LEAD(w,2) OVER w1
+           || ' ' || LEAD(w,3) OVER w1 || ' ' || LEAD(w,4) OVER w1
+           || ' ' || LEAD(w,5) OVER w1 || ' ' || LEAD(w,6) OVER w1 AS s
+  FROM ptoks WINDOW w1 AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY LEAD(w,6) OVER w1 IS NOT NULL
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM csh JOIN psh USING (s)
+), clean AS (
+  SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM clean GROUP BY 1
+""",
+    tags=("ext", "curation", "pipeline", "incremental"),
+)
+def curate_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus pipeline: the snapshot delta (I/U/D, same
+    old/new construction as `curate_snapshot_diff`) drives a re-run of
+    quality gate → exact dedup → decontamination over ONLY the touched
+    fingerprint groups; everything else carries over from the prior run's
+    materialized output. The oracle is the FULL REBUILD on the new
+    snapshot — the driver's rows+schema+hash gate IS the
+    incremental ≡ full-rebuild equivalence proof. At 100 TB this is the
+    difference between processing a nightly delta and re-sharding the
+    corpus (the CDC mandate applied to the curation surface)."""
+    docs = t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = docs.where(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    probe = new.where(F.col("doc_id") % 37 == 0).select("text")
+    toks = X.token_count("text")
+    chars = F.length("text").cast("bigint")
+    non_alnum = chars - F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9]", ""))
+
+    def gate(d: DataFrame) -> DataFrame:
+        return d.where((toks >= 20) & (non_alnum * 10 < chars * 3)).select(
+            "doc_id", "text", "n_chars"
+        )
+
+    # the prior run's materialized kept set (full pipeline over OLD snapshot)
+    prior_kept = C.decontaminate(D.dedup_exact(gate(old)), probe, n=7)
+    new_kept = C.incremental_pipeline_update(
+        prior_kept, old, new, probe, gate, ngram_n=7
+    )
+    return C.shard_assign(new_kept, n_shards=16).groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count("text")).alias("n_tokens"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+    )
+
+
+@register(
     "curate_shuffle_order",
     oracle="""
 SELECT doc_id, shard_id, shard_pos FROM (

@@ -508,3 +508,45 @@ def test_snapshot_diff_classification(spark):
     )
     got = {(r["doc_id"], r["op"]) for r in snapshot_diff(old, new).collect()}
     assert got == {(1, "D"), (3, "U"), (4, "I")}
+
+
+def test_incremental_pipeline_equals_full_rebuild(spark):
+    """incremental_pipeline_update over the snapshot delta must equal the
+    full pipeline rebuilt from scratch on the new snapshot ROW-FOR-ROW at
+    sf0.01 (doc-level kept set, before any manifest aggregation) — and the
+    recompute region must be a strict subset of the corpus (it really is
+    incremental, not a disguised rebuild)."""
+    from flink_dts_connector_spark.operators import curation as C
+    from flink_dts_connector_spark.operators import dedup as DD
+    from flink_dts_connector_spark.operators import text as X
+
+    sf01 = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf01, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = docs.where(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    probe = new.where(F.col("doc_id") % 37 == 0).select("text")
+    toks = X.token_count("text")
+    chars = F.length("text").cast("bigint")
+    non_alnum = chars - F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9]", ""))
+
+    def gate(d):
+        return d.where((toks >= 20) & (non_alnum * 10 < chars * 3)).select(
+            "doc_id", "text", "n_chars"
+        )
+
+    prior_kept = C.decontaminate(DD.dedup_exact(gate(old)), probe, n=7)
+    incr = C.incremental_pipeline_update(prior_kept, old, new, probe, gate, ngram_n=7)
+    full = C.decontaminate(DD.dedup_exact(gate(new)), probe, n=7)
+    got = {(r["doc_id"], r["text"], r["n_chars"]) for r in incr.collect()}
+    want = {(r["doc_id"], r["text"], r["n_chars"]) for r in full.collect()}
+    assert got == want
+
+    # incrementality: the delta touches a strict minority of the corpus
+    n_docs = new.count()
+    diff = C.snapshot_diff(old, new)
+    assert 0 < diff.count() < n_docs // 2
