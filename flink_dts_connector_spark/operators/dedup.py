@@ -273,6 +273,54 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold_pct: int) -> DataF
     )
 
 
+def minhash_band_index_md5(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MATERIALIZABLE MinHash band index (md5 hash family): one row per
+    (id, band) carrying that band's signature-row tuple (r0..r{rows-1}).
+    This is the persistent state an incremental near-dup pipeline keeps
+    between runs: write it out bucketed by (band, r0) so delta probes
+    bucket-join against it shuffle-free (see SCALING.md). Empty-shingle
+    docs are excluded (they can never collide)."""
+    rows = num_hashes // bands
+    sh = _shingled(df, id_col, text_col, n).where(F.size("sh") > 0)
+    ex = sh.select("id", F.explode("sh").alias("s")).withColumn("h", md5_hash_mod_p(F.col("s")))
+    mins = ex.groupBy("id").agg(
+        *[
+            F.min((F.lit(2 * j + 1) * F.col("h") + F.lit(1000003 * (j + 1))) % F.lit(_P)).alias(
+                f"m{j}"
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[F.col(f"m{b * rows + r}").alias(f"r{r}") for r in range(rows)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.*")
+
+
+def _band_tuple_cond(rows: int):
+    cond = F.col("a.band") == F.col("b.band")
+    for r in range(rows):
+        cond = cond & (F.col(f"a.r{r}") == F.col(f"b.r{r}"))
+    return cond
+
+
 def minhash_lsh_dedup_pairs_md5(
     df: DataFrame,
     threshold_pct: int = 50,
@@ -288,41 +336,66 @@ def minhash_lsh_dedup_pairs_md5(
     stays the throughput path). Signature mins are computed by
     explode + grouped MIN aggregates (codegen + map-side combine, the
     SimHash lesson: array higher-order lambdas are interpreted)."""
-    rows = num_hashes // bands
     sh = _shingled(df, id_col, text_col, n).where(F.size("sh") > 0)
-    ex = sh.select("id", F.explode("sh").alias("s")).withColumn("h", md5_hash_mod_p(F.col("s")))
-    mins = ex.groupBy("id").agg(
-        *[
-            F.min((F.lit(2 * j + 1) * F.col("h") + F.lit(1000003 * (j + 1))) % F.lit(_P)).alias(
-                f"m{j}"
-            )
-            for j in range(num_hashes)
-        ]
-    )
-    banded = mins.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        *[F.col(f"m{b * rows + r}").alias(f"r{r}") for r in range(rows)],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.*")
+    banded = minhash_band_index_md5(df, num_hashes, bands, n, id_col, text_col)
     a, b = banded.alias("a"), banded.alias("b")
-    join_cond = (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id"))
-    for r in range(rows):
-        join_cond = join_cond & (F.col(f"a.r{r}") == F.col(f"b.r{r}"))
     cand = (
-        a.join(b, join_cond)
+        a.join(b, _band_tuple_cond(num_hashes // bands) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
     )
     return _verify_jaccard(cand, sh, threshold_pct)
+
+
+def minhash_lsh_probe_md5(
+    delta: DataFrame,
+    index: DataFrame,
+    corpus_sh: DataFrame,
+    threshold_pct: int = 50,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INCREMENTAL near-dup: probe only the delta's bands against a
+    materialized corpus band ``index`` (from `minhash_band_index_md5`,
+    covering the corpus WITHOUT the delta) — no corpus signature is ever
+    recomputed. Returns exactly the full-corpus pair set restricted to
+    pairs touching the delta:
+
+      * delta × corpus — delta band tuples equi-join the index;
+      * delta × delta — self-join of the delta's own bands (new docs can
+        near-dup each other).
+
+    Every delta-touching collision in a hypothetical full run involves a
+    delta band tuple, so the union is complete; verification then uses
+    full shingle sets (``corpus_sh`` = the materialized (id, sh) store +
+    the delta's own, so reported jaccard stays exact). Pair ids are
+    normalized (a_id < b_id) to match the full run's convention.
+
+    Scale shape: the index is read, never rebuilt; with index and probe
+    both bucketed by (band, r0) the candidate join is shuffle-free, and
+    everything else is delta-sized."""
+    rows = num_hashes // bands
+    delta_sh = _shingled(delta, id_col, text_col, n).where(F.size("sh") > 0)
+    delta_bands = minhash_band_index_md5(delta, num_hashes, bands, n, id_col, text_col)
+    a, b = delta_bands.alias("a"), index.alias("b")
+    vs_corpus = (
+        a.join(b, _band_tuple_cond(rows) & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("a_id"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("b_id"),
+        )
+    )
+    d1, d2 = delta_bands.alias("a"), delta_bands.alias("b")
+    vs_delta = (
+        d1.join(d2, _band_tuple_cond(rows) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+    )
+    cand = vs_corpus.unionByName(vs_delta).distinct()
+    sh_all = corpus_sh.unionByName(delta_sh)
+    return _verify_jaccard(cand, sh_all, threshold_pct)
 
 
 def minhash_lsh_dedup_pairs(

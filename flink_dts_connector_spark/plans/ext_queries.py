@@ -467,6 +467,67 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_probe",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+  FROM toks
+  QUALIFY LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), hb AS (
+  SELECT doc_id, md5_number_lower(s) % 2147483647 AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_MINHASH_MD5_MINS}
+  FROM hb GROUP BY doc_id
+), bands AS (
+  {_MINHASH_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.r2 = b.r2 AND a.r3 = b.r3
+   AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 13 = 0 OR b.doc_id % 13 = 0
+), inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a_id
+  JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT) AS n_union,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE 100 * n_inter >= 50 * (sa.n_sh + sb.n_sh - n_inter)
+""",
+    tags=("ext", "dedup", "approx", "incremental"),
+)
+def dedup_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup probe: docs with doc_id % 13 == 0 play the
+    nightly delta; the rest of the corpus contributes only its
+    MATERIALIZED band index + shingle store (state reused across runs,
+    never recomputed). The probe joins delta bands against the index and
+    itself, verifies with exact Jaccard, and must equal the FULL-corpus
+    md5-LSH pair set restricted to delta-touching pairs — which is
+    exactly what the oracle computes."""
+    docs = t(spark, sf_dir, "documents")
+    delta = docs.where(F.col("doc_id") % 13 == 0)
+    old = docs.where(F.col("doc_id") % 13 != 0)
+    index = D.minhash_band_index_md5(old)
+    corpus_sh = D._shingled(old, "doc_id", "text", 3)
+    return D.minhash_lsh_probe_md5(delta, index, corpus_sh, threshold_pct=50)
+
+
+@register(
     "dedup_simhash",
     oracle=SNAP.SNAPSHOT_DEDUP_SIMHASH,
     tags=("ext", "dedup", "approx"),

@@ -550,3 +550,25 @@ def test_incremental_pipeline_equals_full_rebuild(spark):
     n_docs = new.count()
     diff = C.snapshot_diff(old, new)
     assert 0 < diff.count() < n_docs // 2
+
+
+def test_minhash_probe_equals_full_restricted_to_delta(spark, sf_dir):
+    """The incremental band-index probe must return EXACTLY the full-corpus
+    md5-LSH pair set restricted to pairs touching the delta — same
+    candidates, same exact-Jaccard verdicts — while recomputing no corpus
+    signature (the index side is the materialized state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.where(F.col("doc_id") % 13 == 0)
+    old = docs.where(F.col("doc_id") % 13 != 0)
+    index = D.minhash_band_index_md5(old)
+    corpus_sh = D._shingled(old, "doc_id", "text", 3)
+    probe = {
+        (r["a_id"], r["b_id"], r["n_inter"], r["n_union"])
+        for r in D.minhash_lsh_probe_md5(delta, index, corpus_sh, 50).collect()
+    }
+    full = {
+        (r["a_id"], r["b_id"], r["n_inter"], r["n_union"])
+        for r in D.minhash_lsh_dedup_pairs_md5(docs, 50).collect()
+        if r["a_id"] % 13 == 0 or r["b_id"] % 13 == 0
+    }
+    assert probe == full
