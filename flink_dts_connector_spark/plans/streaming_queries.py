@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 from flink_dts_connector_spark.plans.registry import register
 from flink_dts_connector_spark.plans.relational import dec, dsum
 from flink_dts_connector_spark.session import load_table
-from flink_dts_connector_spark.streaming.runner import read_stream_table, run_to_memory
+from flink_dts_connector_spark.streaming.runner import (
+    pinned_shuffle_partitions,
+    read_stream_table,
+    run_to_memory,
+)
 
 # append-mode emission cutoff: windows with end <= max(ts) - 10 min
 SQL_WM_CUTOFF = "(SELECT max(ts) - INTERVAL 10 MINUTE FROM events)"
@@ -443,13 +447,8 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     owns TWO join state stores, so a vanilla 200-partition session pays
     400 store setups per micro-batch — the count is frozen at the first
     checkpoint anyway, so pin it to the core count (restored after)."""
-    n_parts = str(spark.sparkContext.defaultParallelism)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
-    try:
+    with pinned_shuffle_partitions(spark):
         return _run_interval_join(spark, sf_dir)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _interval_join_frame(
@@ -539,13 +538,8 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the cleanup predicate is `purchase_ts <= watermark − 1 ms`.
     Purchases above that are still buffered when the bounded run ends and
     legitimately never emit."""
-    n_parts = str(spark.sparkContext.defaultParallelism)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
-    try:
+    with pinned_shuffle_partitions(spark):
         return _run_interval_join(spark, sf_dir, how="left_outer")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @register(
@@ -564,40 +558,10 @@ def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     one qualifying view emits exactly once, on first match — the streaming
     "has a preceding view" existence filter. No null/eviction path, so the
     oracle is simply the distinct matched left side."""
-    n_parts = str(spark.sparkContext.defaultParallelism)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
-    try:
-        views = (
-            read_stream_table(spark, sf_dir, "events")
-            .where(F.col("event_type") == "view")
-            .select(
-                F.col("user_id").alias("v_uid"),
-                F.col("ts").alias("view_ts"),
-            )
-            .withWatermark("view_ts", "10 minutes")
-        )
-        buys = (
-            read_stream_table(spark, sf_dir, "events")
-            .where(F.col("event_type") == "purchase")
-            .select(
-                F.col("event_id").alias("purchase_id"),
-                F.col("user_id").alias("user_id"),
-                F.col("ts").alias("purchase_ts"),
-            )
-            .withWatermark("purchase_ts", "10 minutes")
-        )
-        j = buys.join(
-            views,
-            (F.col("v_uid") == F.col("user_id"))
-            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
-            & (F.col("view_ts") <= F.col("purchase_ts")),
-            "left_semi",
-        )
+    with pinned_shuffle_partitions(spark):
+        j = _interval_join_frame(spark, sf_dir, how="left_semi")
         out = run_to_memory(j, output_mode="append")
         return out.select("purchase_id", "user_id", "purchase_ts")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @register(
@@ -631,18 +595,13 @@ def stream_chained_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     match could still land in it, so the emission cutoff is
     window_end <= global_watermark − 1 h — with the same min-of-sides
     ms-floored global watermark the outer join pinned."""
-    n_parts = str(spark.sparkContext.defaultParallelism)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
-    try:
+    with pinned_shuffle_partitions(spark):
         j = _interval_join_frame(spark, sf_dir, how="inner")
         agg = j.groupBy(F.window("purchase_ts", "1 hour")).agg(
             F.count(F.lit(1)).alias("n")
         )
         out = run_to_memory(agg, output_mode="append")
         return out.select(F.col("window.start").alias("window_start"), "n")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @register(
@@ -690,10 +649,7 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     watermark passes it (≤ wm − 1 ms), but an unmatched view must outlive
     wm − 1 h − 1 ms, because a view can still match purchases up to one
     interval in its future. The oracle encodes both eviction depths."""
-    n_parts = str(spark.sparkContext.defaultParallelism)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
-    try:
+    with pinned_shuffle_partitions(spark):
         j = _interval_join_frame(spark, sf_dir, how="full_outer")
         out = run_to_memory(j, output_mode="append")
         return out.select(
@@ -703,5 +659,57 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
             "purchase_ts",
             "view_ts",
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@register(
+    "stream_stream_right_outer_join",
+    oracle="""
+WITH b AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id AS view_id, user_id AS v_user, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+), m AS (
+  SELECT b.purchase_id, v.view_id, b.user_id, b.purchase_ts, v.view_ts
+  FROM b JOIN v ON v.v_user = b.user_id
+   AND v.view_ts >= b.purchase_ts - INTERVAL 1 HOUR
+   AND v.view_ts <= b.purchase_ts
+), wm AS (
+  SELECT LEAST(
+    (SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'purchase'),
+    (SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'view')
+  ) - INTERVAL 10 MINUTE AS w
+)
+SELECT * FROM m
+UNION ALL
+-- the preserved (right) side buffers one interval DEEPER than the left:
+-- a view can still match purchases up to 1 h in its future, so its
+-- eviction — and null emission — waits for wm − 1 h − 1 ms
+SELECT CAST(NULL AS BIGINT), v.view_id, v.v_user,
+       CAST(NULL AS TIMESTAMP), v.view_ts
+FROM v, wm
+WHERE v.view_id NOT IN (SELECT view_id FROM m)
+  AND v.view_ts <= wm.w - INTERVAL 1 HOUR - INTERVAL 1 MILLISECOND
+""",
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def stream_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-OUTER stream-stream interval join — the left-outer's mirror
+    with the eviction depths swapped: matches emit on arrival, and an
+    unmatched VIEW (the preserved right side) null-pads only when the
+    global watermark passes its eviction point, which sits one full join
+    interval deeper than the left side's (view_ts ≤ wm − 1 h − 1 ms,
+    because a buffered view could still match a purchase up to 1 h after
+    it). Same min-of-sides ms-floored global watermark as the other outer
+    modes; the oracle encodes the closed form."""
+    with pinned_shuffle_partitions(spark):
+        j = _interval_join_frame(spark, sf_dir, how="right_outer")
+        out = run_to_memory(j, output_mode="append")
+        return out.select(
+            "purchase_id",
+            "view_id",
+            F.coalesce(F.col("user_id"), F.col("v_uid")).alias("user_id"),
+            "purchase_ts",
+            "view_ts",
+        )

@@ -8,10 +8,29 @@ state store, append semantics), bounded input, synchronous result.
 
 from __future__ import annotations
 
+import contextlib
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextlib.contextmanager
+def pinned_shuffle_partitions(spark: SparkSession, n: int | None = None):
+    """Pin `spark.sql.shuffle.partitions` (default: core count) for the
+    duration of a stateful streaming query definition+run, restoring after.
+
+    Stateful operators own one state store PER shuffle partition PER stateful
+    op side; a vanilla 200-partition session pays hundreds of store setups
+    per micro-batch, and the count is frozen at the first checkpoint anyway
+    — so pin it to the target parallelism before the first run."""
+    n_parts = str(n if n is not None else spark.sparkContext.defaultParallelism)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
