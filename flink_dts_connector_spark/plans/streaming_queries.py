@@ -314,6 +314,83 @@ def stream_cdc_envelope_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_corpus_ingest",
+    oracle="""
+WITH gated AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+         length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_norm
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 20
+), uniq AS (
+  SELECT fp, ANY_VALUE(n_toks) AS n_toks, ANY_VALUE(n_norm) AS n_norm
+  FROM gated GROUP BY fp
+)
+SELECT CAST(md5_number_lower(fp) % 16 AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_norm) AS BIGINT) AS n_norm_chars
+FROM uniq GROUP BY 1
+""",
+    tags=("streaming", "cdc", "corpus", "dedup"),
+)
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CORPUS INGESTION — the two halves of the engine in one
+    query: a CDC document stream (the `format("dts")` executor-parallel
+    source over wire bytes, with every 5th doc delivered twice to model
+    at-least-once) flows through a quality gate (≥20 tokens, pipelined
+    before the stateful op so dedup state holds only gate survivors) into
+    streaming content dedup (`dropDuplicatesWithinWatermark` on the
+    normalized-text fingerprint — subsumes the duplicate-delivery repair),
+    and the ingested log rolls up into the deterministic shard manifest.
+
+    WHICH physical row survives per fingerprint is arrival-order racy, so
+    the manifest aggregates only fingerprint-determined quantities
+    (token count and normalized length are whitespace-collapse/lowercase
+    invariant) — the oracle reconstructs the closed form over distinct
+    gated fingerprints."""
+    import tempfile
+
+    from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
+    from flink_dts_connector_spark.operators.text import (
+        fingerprint,
+        normalized,
+        token_count,
+    )
+    from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
+    from flink_dts_connector_spark.sources.generator import generate_doc_cdc_bytes
+
+    raw_dir = tempfile.mkdtemp(prefix="fdcs_doccdc_raw_")
+    generate_doc_cdc_bytes(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(
+        raw_dir
+    )
+    register_dts_source(spark)
+    with pinned_shuffle_partitions(spark):
+        env = (
+            spark.readStream.format("dts")
+            .option("path", raw_dir)
+            .option("tables", "corpus.documents")
+            .option("ops", "INSERT")
+            .load()
+        )
+        doc = env.select(F.element_at("after", "text").alias("text"), "ts")
+        gated = doc.where(token_count("text") >= 20)
+        dedup = (
+            gated.withColumn("fp", fingerprint("text"))
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["fp"])
+        )
+        sink = run_to_memory(dedup, output_mode="append")
+    return sink.groupBy(
+        md5_number_lower_mod(F.col("fp"), 16).alias("shard_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+        F.sum(F.length(normalized("text")).cast("bigint")).alias("n_norm_chars"),
+    )
+
+
+@register(
     "stream_late_data_gate",
     oracle="""
 WITH e AS (SELECT event_id % 4 AS p, ts FROM events),

@@ -166,6 +166,59 @@ def _records_for_order(row) -> Iterator[CdcRecord]:
         )
 
 
+DOC_DB, DOC_TBL = "corpus", "documents"
+
+
+def generate_doc_cdc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `documents` table as a CDC INSERT stream — the ingestion feed of
+    a streaming corpus pipeline. Commit ts is deterministic
+    (1.7e9 + doc_id); every 5th document is delivered TWICE with identical
+    bytes (at-least-once delivery, the repair case streaming dedup exists
+    for). Same wire codec and partition/offset shape as the orders
+    generator."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    fields = [
+        FieldDef("doc_id", "BIGINT", 8, False),
+        FieldDef("text", "VARCHAR", 252, True),
+        FieldDef("source", "VARCHAR", 12, True),
+        FieldDef("n_chars", "BIGINT", 8, True),
+    ]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            values, parts, offs = [], [], []
+            for row in pdf.itertuples(index=False):
+                did = int(row.doc_id)
+                rec = CdcRecord(
+                    id=did,
+                    ts=1_700_000_000 + did,
+                    operation=OperationType.INSERT,
+                    db=DOC_DB,
+                    tbl=DOC_TBL,
+                    transaction_id=f"doc-{did}",
+                    source_type=SourceType.MySQL,
+                    source_version="5.7.0",
+                    fields=list(fields),
+                    after=[
+                        (ValueKind.INTEGER, did),
+                        (ValueKind.CHARACTER, ("utf8", str(row.text).encode())),
+                        (ValueKind.CHARACTER, ("utf8", str(row.source).encode())),
+                        (ValueKind.INTEGER, int(row.n_chars)),
+                    ],
+                )
+                payload = encode_record(rec)
+                for r in range(2 if did % 5 == 0 else 1):
+                    values.append(payload)
+                    parts.append(did % 4)
+                    offs.append(did * 2 + r)
+            yield pd.DataFrame({"value": values, "partition": parts, "offset": offs})
+
+    return docs.mapInPandas(fn, schema="value binary, partition int, offset long")
+
+
 #: Kafka-shaped metadata the generator stamps on every raw record, mirroring
 #: what the real Kafka source yields (topic/timestamp/timestampType/headers —
 #: `table/DtsDynamicSource.java:268-345`).
