@@ -57,6 +57,12 @@ HEADLINE = [
     "curate_token_budget",
     "curate_pipeline_manifest",
     "stream_stream_interval_join",
+    # appended in round 4
+    "curate_incremental_pipeline",
+    "dedup_minhash_probe",
+    "cdc_txn_boundaries",
+    "ann_topk_lsh_multiprobe",
+    "stream_corpus_ingest",
     # dedup_components stays registry-only: its cost IS the exact-Jaccard
     # edge materialization (~40s at sf0.1), which would drown the headline
     # signal; the correctness gate covers it at sf0.01.

@@ -92,50 +92,52 @@ GATE_PRIORITY: tuple[str, ...] = (
     # events
     "events_sessionize",
     "events_json_struct",
-    # CDC / changelog
+    # CDC / changelog — r4: txn boundary grouping joins the gate
     "cdc_typed_changelog",
     "cdc_signed_agg_revenue",
     "cdc_scd2_history",
     "cdc_value_zoo_render",
-    # deduplication family
+    "cdc_txn_boundaries",
+    # deduplication family — r4: the incremental band-index probe joins
     "dedup_exact_groups",
     "neardup_jaccard_pairs",
     "dedup_components",
     "dedup_minhash_md5",
     "dedup_minhash_lsh",
+    "dedup_minhash_probe",
     "dedup_simhash",
     "neardup_cosine_pairs",
     "dedup_embedding_components",
-    # similarity / ANN
+    # similarity / ANN — r4: multiprobe replaces single-probe (strict
+    # superset of its probing, same scorer; single-probe stays sweep-covered)
     "ann_topk_bruteforce",
-    "ann_topk_lsh",
+    "ann_topk_lsh_multiprobe",
     "ann_topk_ivf",
     "ann_topk_ivf_trained",
-    # text analysis
-    "text_fingerprint",
+    # text analysis — r4 rotation: fingerprint/kgram sketches swapped out
+    # (md5-projection and per-doc-array shapes are inside the pipeline
+    # flagships and bpe stats), making room above
     "text_quality_scores",
     "text_langid",
     "text_token_stats_by_source",
     "text_bpe_token_stats",
-    "text_kgram_sketches",
-    # curation — r3 rotation: deterministic_sample/cap_per_source swapped out
-    # (their md5-draw + ranked-window shapes are covered by stratified/
-    # mixture), making room for the wave-2 ops and the pipeline flagship
+    # curation — r4: incremental pipeline replaces the standalone shard
+    # manifest (both pipeline flagships end in the same manifest shape)
     "curate_stratified_sample",
     "curate_pack_sequences",
     "curate_token_budget",
     "curate_mixture_resample",
-    "curate_shard_manifest",
+    "curate_incremental_pipeline",
     "curate_pipeline_manifest",
     # multimodal
     "multimodal_decode_features",
     "multimodal_resize_plan",
-    # streaming (availableNow-bounded, rerun-safe)
+    # streaming (availableNow-bounded, rerun-safe) — r4: corpus ingestion
+    # replaces stream_dedup_exactly_once (dropDuplicatesWithinWatermark is
+    # inside it, plus the dts source + gate + manifest composition)
     "stream_hourly_windows",
     "stream_static_lookup_join",
-    "stream_dedup_exactly_once",
-    # r3: update-mode shape is covered by stream_cdc_envelope_totals; the
-    # stateful two-stream buffer is a distinct shape the gate should show
+    "stream_corpus_ingest",
     "stream_stream_interval_join",
     "stream_partition_watermarks",
     "stream_late_data_gate",

@@ -5,8 +5,10 @@ compare against its DuckDB oracle: row count, schema (column names), and an
 order-insensitive value hash. Also flags vacuous results (0 rows) — the
 round-1 lesson that threshold queries can silently go empty at bigger SFs.
 
-Usage:  python tools/sweep.py [sf_dir] [query_name ...]
-Output: one line per query + a summary; exit 1 on any failure.
+Usage:  python tools/sweep.py [--json OUT.json] [sf_dir] [query_name ...]
+Output: one line per query + a summary; exit 1 on any failure. With
+--json, also writes a CORRECTNESS-style per-query artifact (the in-repo
+record of full-registry verification — the driver's own gate caps at 50).
 """
 
 from __future__ import annotations
@@ -60,8 +62,13 @@ def main() -> int:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from pyspark.sql import SparkSession
 
@@ -83,6 +90,7 @@ def main() -> int:
     qs, osql = mod.queries(), mod.oracle_sql()
     names = sorted(n for n in qs if not only or n in only)
     fails, rows_only, empty = [], [], []
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.perf_counter()
         try:
@@ -92,16 +100,19 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"ERR  {name}: {type(e).__name__}: {e}", flush=True)
             fails.append(name)
+            results[name] = {"err": f"{type(e).__name__}: {e}"}
             continue
         el = time.perf_counter() - t0
         if len(srows) == 0 and name not in ALLOW_EMPTY:
             print(f"EMPTY {name} ({el:.1f}s)", flush=True)
             empty.append(name)
+            results[name] = {"spark_rows": 0, "err": "empty result"}
             continue
         sql = osql.get(name)
         if sql is None:
             rows_only.append(name)
             print(f"rows  {name}: {len(srows)} rows (no oracle) ({el:.1f}s)", flush=True)
+            results[name] = {"spark_rows": len(srows), "rows_only": True, "err": None}
             continue
         try:
             res = con.execute(sql)
@@ -110,10 +121,20 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"OERR {name}: {type(e).__name__}: {e}", flush=True)
             fails.append(name)
+            results[name] = {"err": f"oracle: {type(e).__name__}: {e}"}
             continue
         ok_rows = len(srows) == len(orows)
         ok_schema = sorted(scols) == sorted(ocols)
         ok_hash = ok_schema and hash_rows(scols, srows) == hash_rows(ocols, orows)
+        results[name] = {
+            "rows_match": ok_rows,
+            "schema_match": ok_schema,
+            "hash_match": ok_hash,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "sec": round(el, 1),
+            "err": None,
+        }
         if ok_rows and ok_schema and ok_hash:
             print(f"OK   {name}: {len(srows)} rows ({el:.1f}s)", flush=True)
         else:
@@ -127,6 +148,12 @@ def main() -> int:
         f"\nsummary: {len(names)} run, {len(fails)} failed, "
         f"{len(empty)} empty, {len(rows_only)} rows-only: {sorted(rows_only)}"
     )
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": results}, f, indent=1)
+        print(f"wrote {json_out}")
     if fails or empty:
         print("FAILED:", sorted(fails + empty))
         return 1
