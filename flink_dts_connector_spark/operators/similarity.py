@@ -250,6 +250,158 @@ def cosine_pairs(
     )
 
 
+def pq_codebooks(
+    items: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic product-quantization codebooks: the ``n_codes``
+    lowest-id vectors seed every subspace's codeword set (no iterative
+    training — reproducible across engines, like the IVF seed quantizer).
+    Returns one row per (sub, code) with the codeword's quantized
+    subvector. Dim d of subspace m is full-dim m·(D/n_sub)+d."""
+    w = W.orderBy(id_col)
+    seeds = (
+        items.select(id_col, quantized(emb_col).alias("_qe"))
+        .orderBy(id_col)
+        .limit(n_codes)
+        .select((F.row_number().over(w) - 1).alias("code"), "_qe")
+    )
+    dim_per = F.size("_qe") / n_sub
+    subs = F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub")
+    return seeds.select("code", subs, "_qe").select(
+        "sub",
+        "code",
+        F.slice("_qe", (F.col("sub") * dim_per + 1).cast("int"), dim_per.cast("int")).alias(
+            "cq"
+        ),
+    )
+
+
+def pq_encode(
+    items: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: per (item, subspace), the L2-nearest codeword
+    (exact int64 arithmetic on quantized micro-units; ties to the lowest
+    code id). Output is the inverted representation (id, sub, code) — at
+    rest this is the 8-bytes-per-vector index PQ exists for. One broadcast
+    join (codebooks are tiny) + one map-side-combined argmin aggregate;
+    the item table streams through once."""
+    dim_per = F.size("_qe") / n_sub
+    sub_rows = (
+        items.select(F.col(id_col), quantized(emb_col).alias("_qe"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
+            F.col("_qe"),
+        )
+        .select(
+            id_col,
+            "sub",
+            F.slice(
+                "_qe", (F.col("sub") * dim_per + 1).cast("int"), dim_per.cast("int")
+            ).alias("xq"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("xq", "cq", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = sub_rows.join(F.broadcast(codebooks), "sub").select(
+        id_col, "sub", "code", d2.alias("_d")
+    )
+    order = F.struct(F.col("_d").alias("d"), F.col("code").alias("c"))
+    return scored.groupBy(id_col, "sub").agg(F.min_by("code", order).alias("code"))
+
+
+def pq_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    top_r: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization ANN top-k with exact rerank — the memory-side
+    scale path: at 100 TB the PQ index holds 8 code bytes per vector
+    instead of 256 float bytes (32×), the ADC scan approximates every
+    query·item dot as Σ_sub LUT[sub][code] (8 int lookups vs 64
+    multiplies), and only the per-query top-``top_r`` shortlist touches
+    the full vectors for exact scoring.
+
+    Everything is exact integer arithmetic (quantized micro-units), ties
+    broken by id — deterministic across engines and partitionings, so the
+    whole cascade has a live DuckDB oracle. Plan shape: codebooks and the
+    per-query LUTs broadcast; the corpus streams through the code join and
+    one (query, item) sum aggregate; rerank joins full vectors for
+    |Q|·top_r rows only."""
+    cb = pq_codebooks(items, n_sub, n_codes, id_col, emb_col)
+    codes = pq_encode(items, cb, n_sub, id_col, emb_col)
+    dim_per = F.size("_qe") / n_sub
+    q_sub = (
+        queries.select(F.col(query_id_col), quantized(emb_col).alias("_qe"))
+        .select(
+            query_id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
+            F.col("_qe"),
+        )
+        .select(
+            query_id_col,
+            "sub",
+            F.slice(
+                "_qe", (F.col("sub") * dim_per + 1).cast("int"), dim_per.cast("int")
+            ).alias("xq"),
+        )
+    )
+    lut = q_sub.join(F.broadcast(cb), "sub").select(
+        query_id_col, "sub", "code", dot_q(F.col("xq"), F.col("cq")).alias("_dot")
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_dot").alias("_adot"))
+    )
+    wr = W.partitionBy(query_id_col).orderBy(F.desc("_adot"), F.asc(id_col))
+    cands = (
+        approx.withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") <= top_r)
+        .select(query_id_col, id_col)
+    )
+    it = items.select(F.col(id_col), quantized(emb_col).alias("_ie")).withColumn(
+        "_in", norm_sq_q(F.col("_ie"))
+    )
+    q = queries.select(F.col(query_id_col), quantized(emb_col).alias("_qe2")).withColumn(
+        "_qn", norm_sq_q(F.col("_qe2"))
+    )
+    rer = (
+        cands.join(it, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine_q(dot_q(F.col("_qe2"), F.col("_ie")), F.col("_qn"), F.col("_in")).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ivf_assign_cells(
     items: DataFrame,
     centroids: DataFrame,

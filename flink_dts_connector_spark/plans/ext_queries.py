@@ -633,6 +633,93 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_pq",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {SQL_Q} AS qe FROM embeddings WHERE vec_id % 100 = 0
+), it AS (
+  SELECT vec_id, {SQL_Q} AS ie FROM embeddings
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ce FROM (
+    SELECT vec_id, {SQL_Q} AS ce FROM embeddings ORDER BY vec_id LIMIT 16
+  )
+), subs AS (SELECT unnest(range(8)) AS sub),
+dims AS (SELECT unnest(range(1, 9)) AS i),
+cb AS (
+  SELECT s.code, m.sub, d.i, s.ce[m.sub * 8 + d.i] AS c
+  FROM seeds s, subs m, dims d
+), itv AS (
+  SELECT it.vec_id, m.sub, d.i, it.ie[m.sub * 8 + d.i] AS x
+  FROM it, subs m, dims d
+), dist AS (
+  SELECT itv.vec_id, itv.sub, cb.code,
+         SUM((itv.x - cb.c) * (itv.x - cb.c)) AS d2
+  FROM itv JOIN cb ON itv.sub = cb.sub AND itv.i = cb.i
+  GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM dist
+  ) WHERE rn = 1
+), qv AS (
+  SELECT q.query_id, m.sub, d.i, q.qe[m.sub * 8 + d.i] AS xq
+  FROM q, subs m, dims d
+), lut AS (
+  SELECT qv.query_id, qv.sub, cb.code, SUM(qv.xq * cb.c) AS dot
+  FROM qv JOIN cb ON qv.sub = cb.sub AND qv.i = cb.i
+  GROUP BY 1, 2, 3
+), approx AS (
+  SELECT l.query_id, c.vec_id, SUM(l.dot) AS adot
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  WHERE l.query_id <> c.vec_id
+  GROUP BY 1, 2
+), cands AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rn
+    FROM approx
+  ) WHERE rn <= 50
+), qn AS (
+  SELECT query_id, qe, CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nq FROM q
+), itn AS (
+  SELECT vec_id, ie, CAST(list_sum(list_transform(ie, x -> x*x)) AS BIGINT) AS ni FROM it
+), flat_q AS (
+  SELECT query_id, nq, unnest(qe) AS x, generate_subscripts(qe, 1) AS i FROM qn
+), flat_i AS (
+  SELECT vec_id, ni, unnest(ie) AS x, generate_subscripts(ie, 1) AS i FROM itn
+), dots AS (
+  SELECT fq.query_id, fi.vec_id, CAST(SUM(fq.x * fi.x) AS BIGINT) AS dot,
+         ANY_VALUE(nq) AS nq, ANY_VALUE(ni) AS ni
+  FROM cands cd
+  JOIN flat_q fq ON fq.query_id = cd.query_id
+  JOIN flat_i fi ON fi.vec_id = cd.vec_id AND fi.i = fq.i
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, vec_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(ni AS DOUBLE)) AS score
+  FROM dots
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    tags=("ext", "similarity", "approx"),
+)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5: deterministic 8×16 codebooks (seed
+    vectors, no training), L2 encoding to 8 code bytes per vector, ADC
+    approximate scan (Σ per-subspace LUT lookups), top-50 shortlist, exact
+    quantized-cosine rerank. Exact integer arithmetic end-to-end, so the
+    whole five-stage cascade — codebooks, encoding argmin, LUTs,
+    shortlist, rerank — has a live step-for-step DuckDB oracle."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.pq_topk(e, q, k=5)
+
+
+@register(
     "ann_topk_ivf_trained",
     oracle=SNAP.SNAPSHOT_ANN_TOPK_IVF_TRAINED,
     tags=("ext", "similarity", "approx", "iterative"),
@@ -1529,6 +1616,49 @@ def curate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return C.snapshot_diff(old, new)
+
+
+@register(
+    "text_token_quantiles",
+    oracle=f"""
+SELECT source,
+       CAST(quantile_disc(len({SQL_TOKS}), 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(len({SQL_TOKS}), 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(len({SQL_TOKS}), 0.75) AS BIGINT) AS p75,
+       CAST(quantile_disc(len({SQL_TOKS}), 0.9) AS BIGINT) AS p90,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+""",
+    tags=("ext", "text", "sketch", "quantile"),
+)
+def text_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length quantiles via the Greenwald-Khanna sketch
+    (`approx_percentile`) — the corpus-distribution profile every mixing
+    recipe starts from. With accuracy (10⁶) above the per-group row count
+    the GK rank error is < 1, so the sketch returns the EXACT discrete
+    quantile and DuckDB's `quantile_disc` is a live oracle; at true 100 TB
+    group sizes the same plan degrades gracefully to ε-rank sketching
+    (mergeable, one map-side-combined aggregate shuffle — never a
+    per-group sort)."""
+    d = t(spark, sf_dir, "documents")
+    q = (
+        d.select(F.col("source"), X.token_count("text").alias("_n"))
+        .groupBy("source")
+        .agg(
+            F.expr(
+                "approx_percentile(_n, array(0.25D, 0.5D, 0.75D, 0.9D), 1000000)"
+            ).alias("_q"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return q.select(
+        "source",
+        F.element_at("_q", 1).alias("p25"),
+        F.element_at("_q", 2).alias("p50"),
+        F.element_at("_q", 3).alias("p75"),
+        F.element_at("_q", 4).alias("p90"),
+        "n_docs",
+    )
 
 
 @register(

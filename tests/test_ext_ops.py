@@ -572,3 +572,29 @@ def test_minhash_probe_equals_full_restricted_to_delta(spark, sf_dir):
         if r["a_id"] % 13 == 0 or r["b_id"] % 13 == 0
     }
     assert probe == full
+
+
+def test_pq_ann_scores_exact_and_recall(spark, sf_dir):
+    """PQ hits carry brute-force-identical rerank scores (exact quantized
+    scorer on the shortlist), and the ADC shortlist at top_r=50 recalls a
+    solid share of the true top-5."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf_all = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in S.brute_force_topk(e, q, k=1000).collect()
+    }
+    bf_top5: dict = {}
+    for r in S.brute_force_topk(e, q, k=5).collect():
+        bf_top5.setdefault(r["query_id"], set()).add(r["vec_id"])
+    pq = S.pq_topk(e, q, k=5).collect()
+    assert len(pq) > 0
+    for r in pq:
+        assert bf_all[(r["query_id"], r["vec_id"])] == r["score"]
+    hits = sum(
+        1 for r in pq if r["vec_id"] in bf_top5.get(r["query_id"], set())
+    )
+    total = sum(len(v) for v in bf_top5.values())
+    assert hits / total >= 0.4, f"PQ recall {hits}/{total} too low"
