@@ -63,6 +63,8 @@ HEADLINE = [
     "cdc_txn_boundaries",
     "ann_topk_lsh_multiprobe",
     "stream_corpus_ingest",
+    "ann_topk_pq",
+    "text_token_quantiles",
     # dedup_components stays registry-only: its cost IS the exact-Jaccard
     # edge materialization (~40s at sf0.1), which would drown the headline
     # signal; the correctness gate covers it at sf0.01.

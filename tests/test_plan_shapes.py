@@ -149,6 +149,21 @@ def test_ivf_probe_plan_shape(spark):
     assert "Arguments: SinglePartition" not in plan, "IVF plan funnels through one partition"
 
 
+def test_pq_plan_codebooks_and_luts_broadcast(spark):
+    """PQ ANN plan guard: codebooks and per-query LUTs must ride
+    BroadcastExchange onto the streaming corpus side (the ADC scan is one
+    pass over the codes), with no sort-merge join anywhere and no
+    single-partition funnel — at 100 TB the codes table is the only big
+    frame and it shuffles only for the (query, item) partial-sum aggregate
+    and the per-query shortlist window."""
+    plan = _plan(spark, "ann_topk_pq")
+    assert "SortMergeJoin" not in plan, "PQ cascade regressed to sort-merge join"
+    assert "BroadcastHashJoin" in plan
+    # the one tolerated SinglePartition exchange is the 16-row codebook
+    # seed limit (orderBy vec_id LIMIT 16); the corpus never funnels
+    assert len(re.findall(r"Arguments: SinglePartition", plan)) <= 2, plan[:400]
+
+
 def test_shard_manifest_single_agg_shuffle(spark):
     """Shard manifest: narrow hash projection + one partial/final agg pair
     — exactly one exchange, no window, no join."""
