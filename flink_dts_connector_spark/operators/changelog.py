@@ -128,6 +128,34 @@ def txn_manifest(
     )
 
 
+def apply_complete_txns(
+    env: DataFrame,
+    txn_col: str = "transaction_id",
+    seq_col: str = "trans_seq",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Transactionally-consistent APPLY filter: keep only rows belonging to
+    COMPLETE transactions (contiguous trans_seq 0..n−1 per `txn_manifest`)
+    — a torn/partial transaction (lost record, truncated feed) is skipped
+    WHOLE, never half-applied. This is the all-or-none guarantee a
+    consistent sink needs before MERGE-ing a CDC batch.
+
+    Shape: the manifest aggregate (one map-side-combined shuffle on the
+    txn id) reduces to a complete-txn id list that is DELTA-sized per
+    batch — broadcast semi-join back onto the stream, which therefore
+    never reshuffles."""
+    complete = (
+        txn_manifest(env, txn_col, seq_col, ts_col)
+        .where(F.col("seq_contiguous"))
+        .select("transaction_id")
+    )
+    return env.join(
+        F.broadcast(complete),
+        env[txn_col] == complete["transaction_id"],
+        "left_semi",
+    )
+
+
 def materialize_scd2(
     changelog: DataFrame,
     key_cols: Sequence[str],

@@ -472,6 +472,33 @@ def cdc_txn_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txn_manifest(env)
 
 
+from flink_dts_connector_spark.sources.zoo import expected_txn_apply_sql as _txn_apply_oracle
+
+
+@register(
+    "cdc_txn_atomic_apply",
+    oracle=_txn_apply_oracle(),
+    tags=("cdc", "transaction", "changelog", "sink"),
+)
+def cdc_txn_atomic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-or-none transaction apply: the fixture stream carries one TORN
+    transaction (its middle statement never arrived); the atomic-apply
+    filter keeps only complete transactions (manifest contiguity proof),
+    so the torn txn's OTHER statements are skipped too — no table ever
+    sees half a transaction. Per-table row/txn counts + record-id
+    checksum prove exactly the complete txns landed."""
+    from flink_dts_connector_spark.operators.changelog import apply_complete_txns
+    from flink_dts_connector_spark.sources.zoo import generate_txn_bytes
+
+    env = decode_cdc(generate_txn_bytes(spark, include_torn=True))
+    applied = apply_complete_txns(env)
+    return applied.groupBy("tbl").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("transaction_id").alias("n_txns"),
+        F.sum("id").alias("id_sum"),
+    )
+
+
 from flink_dts_connector_spark.sources.zoo import expected_evolve_sql as _evolve_oracle
 
 

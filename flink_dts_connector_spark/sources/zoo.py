@@ -293,14 +293,19 @@ def _txn_record(t: int, j: int, tbl: str, op_name: str) -> CdcRecord:
     )
 
 
-def generate_txn_bytes(spark: SparkSession) -> DataFrame:
+def generate_txn_bytes(spark: SparkSession, include_torn: bool = False) -> DataFrame:
     """Interleaved multi-statement transactions: each of the N_TXNS
     transactions spans 2-4 statements across MULTIPLE tables; stream order
     (partition, offset) is round-robin BY STATEMENT (offset = j*N_TXNS + t),
     so statements of different transactions interleave on the wire exactly
     like a busy binlog — grouping back into atomic BEGIN..COMMIT batches
     cannot rely on contiguity, only on transaction_id + trans_seq
-    (reference envelope: `DtsRecord.java:15,84-90`)."""
+    (reference envelope: `DtsRecord.java:15,84-90`).
+
+    ``include_torn`` adds one extra transaction (t = N_TXNS) whose MIDDLE
+    statement never arrives (a torn/partial transaction — lost record or
+    truncated feed): its observed sequence is {0, 2}, so the manifest's
+    contiguity proof flags it and an atomic sink must skip it whole."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -308,13 +313,15 @@ def generate_txn_bytes(spark: SparkSession) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 t = int(row.id)
                 for j, tbl, op_name in _txn_shape(t):
+                    if t == N_TXNS and j == 1:  # the torn txn's lost statement
+                        continue
                     values.append(encode_record(_txn_record(t, j, tbl, op_name)))
                     parts.append(t % 4)
-                    offs.append(j * N_TXNS + t)
+                    offs.append(j * (N_TXNS + 1) + t)
             yield pd.DataFrame({"value": values, "partition": parts, "offset": offs})
 
     return (
-        spark.range(N_TXNS)
+        spark.range(N_TXNS + 1 if include_torn else N_TXNS)
         .repartition(4)
         .mapInPandas(fn, schema="value binary, partition int, offset long")
     )
@@ -349,6 +356,31 @@ SELECT transaction_id, CAST(n_rows AS BIGINT) AS n_rows,
 FROM (VALUES
   {values}
 ) AS t(transaction_id, n_rows, n_tables, tables, ops, begin_ts, commit_ts, seq_contiguous)
+"""
+
+
+def expected_txn_apply_sql() -> str:
+    """Literal oracle for the atomic-apply query: per-table row/txn counts
+    and a record-id checksum over COMPLETE transactions only — the torn
+    txn (t = N_TXNS) contributes nothing to any table it touched."""
+    stats: dict[str, list] = {}
+    for t in range(N_TXNS):  # complete txns only; torn t=N_TXNS excluded whole
+        for j, tbl, _ in _txn_shape(t):
+            s = stats.setdefault(tbl, [0, set(), 0])
+            s[0] += 1
+            s[1].add(t)
+            s[2] += 9_000_000 + t * 100 + j
+    rows = [
+        f"('{tbl}', {n}, {len(txns)}, {id_sum})"
+        for tbl, (n, txns, id_sum) in sorted(stats.items())
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_txns AS BIGINT) AS n_txns,
+       CAST(id_sum AS BIGINT) AS id_sum
+FROM (VALUES
+  {values}
+) AS t(tbl, n_rows, n_txns, id_sum)
 """
 
 

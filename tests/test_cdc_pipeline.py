@@ -389,3 +389,27 @@ def test_txn_fixture_interleaves_and_manifest_is_atomic(spark):
         assert r["n_rows"] == len(shape)
         assert r["ops"] == ",".join(op for _, _, op in shape)
         assert int(r["commit_ts"].timestamp()) == 1_700_001_000 + t * 10 + len(shape) - 1
+
+
+def test_torn_txn_skipped_whole(spark):
+    """A torn transaction (middle statement lost) must be flagged
+    non-contiguous by the manifest and skipped WHOLE by the atomic apply —
+    its statements that DID arrive never reach the sink."""
+    from flink_dts_connector_spark.formats.decoder import decode_cdc
+    from flink_dts_connector_spark.operators.changelog import (
+        apply_complete_txns,
+        txn_manifest,
+    )
+    from flink_dts_connector_spark.sources.zoo import N_TXNS, generate_txn_bytes
+
+    from pyspark.sql import functions as F
+
+    torn_id = f"txn-{N_TXNS:04d}"
+    env = decode_cdc(generate_txn_bytes(spark, include_torn=True))
+    man = {r["transaction_id"]: r for r in txn_manifest(env).collect()}
+    assert man[torn_id]["seq_contiguous"] is False
+    assert man[torn_id]["n_rows"] == 2  # seq {0, 2} arrived
+    applied = apply_complete_txns(env)
+    assert applied.where(F.col("transaction_id") == torn_id).count() == 0
+    # everything else applied in full
+    assert applied.count() == env.count() - 2
