@@ -417,6 +417,45 @@ def incremental_pipeline_update(
     return carry.unionByName(region_kept)
 
 
+def chunk_windows(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window shaping step of pretraining / RAG ingestion: chunk k
+    covers tokens [1 + k·stride, 1 + k·stride + window) (1-based), chunks
+    start while a start position ≤ n_tokens exists, so every token lands in
+    ≥1 chunk and a non-empty doc yields ≥1 chunk (a short doc yields one
+    short chunk). Emits (doc_id, chunk_id, start_tok, n_chunk_tokens,
+    chunk_md5) — the md5 of the space-joined chunk text stands in for the
+    chunk body so downstream exact-dedup of chunks needs no second pass
+    over the text.
+
+    Plan shape: pure narrow per-row expressions (sequence → posexplode →
+    slice) — no shuffle, no state; chunking pipelines inside the scan at
+    any scale. Deterministic: chunk boundaries depend only on the token
+    count, never on partitioning."""
+    from flink_dts_connector_spark.operators.text import tokens
+
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    d = df.select(F.col(id_col), toks.alias("__toks")).where(F.size("__toks") > 0)
+    starts = F.sequence(F.lit(1), F.size("__toks"), F.lit(int(stride)))
+    exploded = d.select(
+        F.col(id_col), F.col("__toks"), F.posexplode(starts).alias("chunk_id", "start_tok")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start_tok"), int(window))
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
+    )
+
+
 def shuffle_order(
     df: DataFrame,
     n_shards: int = 1024,

@@ -157,6 +157,66 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold_pct: int = 90,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directional containment near-dup (a ⊂ b): pairs where the smaller
+    document's shingle set is ≥ t% covered by the larger's,
+
+        |A ∩ B| / |A| ≥ t%   with |A| ≤ |B|
+
+    — the quote-inclusion / page-wrapper case symmetric Jaccard misses: a
+    tweet embedded verbatim in an article has Jaccard ≈ |A|/|B| ≈ 0 but
+    containment 1.0. Decision is integer-exact (100·|∩| ≥ t·|A|); the
+    reported ``containment`` is one deterministic double division.
+
+    ``contained_id`` is the doc with the smaller shingle set (lower id on
+    ties), ``container_id`` the other — a deterministic orientation, so the
+    output is directly consumable as "drop contained, keep container".
+    Scale shape is identical to `jaccard_pairs`: the shingle equi-join
+    bounds candidates to pairs sharing a shingle, ``max_df`` caps the
+    boilerplate fan-out."""
+    sh = _shingled(df, id_col, text_col, n).withColumn(
+        "n_sh", F.size("sh").cast("bigint")
+    )
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    if max_df is not None:
+        ex = drop_hot_shingles(ex, max_df)
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("x_id"), F.col("b.id").alias("y_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("a.n_sh").alias("n_x"),
+            F.first("b.n_sh").alias("n_y"),
+        )
+    )
+    # orient: contained = smaller shingle set; ties → lower id, which is
+    # x_id by the join's a.id < b.id, so `<=` encodes both rules
+    x_contained = F.col("n_x") <= F.col("n_y")
+    oriented = inter.select(
+        F.when(x_contained, F.col("x_id")).otherwise(F.col("y_id")).alias("contained_id"),
+        F.when(x_contained, F.col("y_id")).otherwise(F.col("x_id")).alias("container_id"),
+        "n_inter",
+        F.when(x_contained, F.col("n_x")).otherwise(F.col("n_y")).alias("n_contained"),
+    )
+    return oriented.where(
+        F.lit(100) * F.col("n_inter") >= F.lit(threshold_pct) * F.col("n_contained")
+    ).select(
+        "contained_id",
+        "container_id",
+        "n_inter",
+        "n_contained",
+        (F.col("n_inter").cast("double") / F.col("n_contained")).alias("containment"),
+    )
+
+
 def minhash_signature(sh: Column, num_hashes: int = 32, seed: int = 42) -> list[Column]:
     """k MinHash values from one distinct-shingle array: base = xxhash64
     (non-negative), permuted by fixed affine maps mod 2³¹−1 (``_P``)."""

@@ -1,0 +1,129 @@
+"""Corpus keyword search: BM25 ranking over an inverted index
+(SURVEY.md §2.7 — EXT surface; the reference engine has no text search).
+
+Spark-first shape: the inverted index IS a DataFrame — ``(token, doc_id,
+tf)`` from one explode + hash agg — and retrieval is an equi-join of a
+tiny broadcast query-term table against it, then a per-query top-k
+window. Nothing is all-pairs: cost is Σ_q df(term) postings, exactly an
+inverted index probe. At 100 TB the postings table is materialized once
+(bucketed by token) and each query batch is a broadcast join against it.
+
+Determinism / oracle-exactness: classic BM25's ln-idf is transcendental,
+and the two engines' libm may differ in the last ulp — so this uses a
+rational idf,  idf6 = ⌊(N − df)·10⁶ / N⌋  (integer division), and folds
+k1 = 1.2, b = 0.75 into one integer-coefficient rational per (term, doc):
+
+    score_term = idf6 · tf · 22 · SD  /  (10·tf·SD + 3·SD + 9·dl·N)
+
+with N = corpus doc count, SD = Σ document lengths (so avgdl = SD/N is
+never a float). Numerator ≤ 10⁶·tf·22·SD stays inside int64 for any
+corpus this engine targets per partition of the driver gate (≤ 9.2e18).
+The per-term double division is one IEEE op (bit-identical across
+engines); per-(query, doc) totals sum ⌊score·10⁶⌋ as BIGINTs so the sum
+is order-insensitive. Same trick as `similarity.cosine_pairs`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_dts_connector_spark.operators.text import STOPWORDS, tokens
+
+#: rational BM25 coefficients for k1=1.2, b=0.75, scaled by 10:
+#: tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+#:   = 22·tf·SD / (10·tf·SD + 3·SD + 9·dl·N)   with avgdl = SD/N
+_NUM_C, _DEN_TF, _DEN_CONST, _DEN_DL = 22, 10, 3, 9
+
+
+def postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Inverted-index postings ``(token, doc_id, tf, dl)`` — one explode +
+    one hash agg keyed by (token, doc); dl rides along via first()."""
+    toks = tokens(text_col)
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("bigint").alias("dl"),
+        F.explode(toks).alias("token"),
+    )
+    return ex.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def top_query_terms(
+    post: DataFrame, n_terms: int = 8, terms_per_query: int = 2, min_len: int = 4
+) -> DataFrame:
+    """Deterministic query workload derived from the corpus itself: the
+    ``n_terms`` highest-df tokens (length ≥ ``min_len``, stopwords
+    excluded; token ASC tiebreak), grouped ``terms_per_query`` at a time
+    into multi-term queries ``query_id = (rank−1) div terms_per_query``."""
+    df_tbl = (
+        post.where(
+            (F.length("token") >= min_len) & (~F.col("token").isin(*STOPWORDS))
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # top-n via sort+limit (TakeOrderedAndProject: per-partition partial
+    # top-n, no vocab-wide single-partition window), then rank the n
+    # survivors with a window over that tiny frame only
+    top = df_tbl.orderBy(F.desc("df"), F.asc("token")).limit(n_terms)
+    w = Window.orderBy(F.desc("df"), F.asc("token"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select(
+            F.expr(f"cast((rnk - 1) div {int(terms_per_query)} as bigint)").alias(
+                "query_id"
+            ),
+            "token",
+            "df",
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    k: int = 10,
+    n_terms: int = 8,
+    terms_per_query: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents per derived query by integer-exact BM25.
+
+    Returns (query_id, doc_id, score6, score, rank): ``score6`` is the
+    order-insensitive BIGINT sum of per-term ⌊score·10⁶⌋, ``score`` its
+    one-division double rendering. The window sorts only per-query
+    candidate sets (bounded by Σ df), never the corpus."""
+    post = postings(df, id_col, text_col)
+    stats = df.select(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens(text_col)).cast("bigint")).alias("sum_dl"),
+    )
+    qterms = top_query_terms(post, n_terms=n_terms, terms_per_query=terms_per_query)
+    hits = post.join(F.broadcast(qterms), "token").crossJoin(F.broadcast(stats))
+    idf6 = F.expr("((n_docs - df) * 1000000) div n_docs")
+    num = idf6 * F.col("tf") * F.lit(_NUM_C) * F.col("sum_dl")
+    den = (
+        F.lit(_DEN_TF) * F.col("tf") * F.col("sum_dl")
+        + F.lit(_DEN_CONST) * F.col("sum_dl")
+        + F.lit(_DEN_DL) * F.col("dl") * F.col("n_docs")
+    )
+    term6 = F.floor(num.cast("double") / den.cast("double") * F.lit(1000000.0))
+    scored = (
+        hits.select("query_id", "doc_id", term6.alias("t6"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("t6").alias("score6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score6"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "score6",
+            (F.col("score6").cast("double") / F.lit(1000000.0)).alias("score"),
+            "rank",
+        )
+    )

@@ -245,6 +245,45 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def rare_bigram_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max: int = 2,
+) -> DataFrame:
+    """Self-trained LM-style quality signal: the fraction of a document's
+    bigram POSITIONS whose bigram occurs ≤ ``rare_max`` times in the whole
+    corpus. High rare-fraction ⇒ text statistically unlike the corpus
+    (gibberish, OCR noise, wrong language) — the CCNet/KenLM perplexity
+    filter's role, reformulated in pure integer counts so the DuckDB oracle
+    is exact (no transcendental log-prob whose last ulp could diverge
+    across engines).
+
+    Plan: one corpus-wide bigram count (hash agg with map-side combine),
+    one equi-join of exploded grams against that vocab table (shuffle keyed
+    by gram both sides — co-located), one per-doc re-agg. The "model" IS
+    the vocab count table; at 100 TB persist it once and reuse it as the
+    scoring side for every new snapshot."""
+    g2 = add_ngrams(
+        df.select(F.col(id_col), F.col(text_col)), text_col, "__g2", 2, spread_by=id_col
+    ).select(F.col(id_col), F.explode("__g2").alias("g"))
+    vocab = g2.groupBy("g").agg(F.count(F.lit(1)).alias("corpus_c"))
+    scored = g2.join(vocab, "g").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum((F.col("corpus_c") <= rare_max).cast("bigint")).alias("n_rare"),
+    )
+    base = df.select(id_col)
+    out = base.join(scored, id_col, "left")
+    n_bg = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
+    n_rare = F.coalesce(F.col("n_rare"), F.lit(0)).cast("bigint")
+    return out.select(
+        id_col,
+        n_bg.alias("n_bigrams"),
+        n_rare.alias("n_rare"),
+        F.when(n_bg > 0, n_rare.cast("double") / n_bg).alias("rare_frac"),
+    )
+
+
 def stopword_count(text: Column | str, words: tuple[str, ...] = STOPWORDS) -> Column:
     toks = tokens(text)
     return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("bigint")

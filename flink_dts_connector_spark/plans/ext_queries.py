@@ -1773,3 +1773,177 @@ def curate_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-deriving the same order on restart from nothing but the corpus."""
     d = C.shuffle_order(t(spark, sf_dir, "documents"), n_shards=32)
     return d.select("doc_id", "shard_id", "shard_pos")
+
+
+# ---------------------------------------------------------------------------
+# Round 4 wave 2: containment dedup, rare-bigram quality, chunking, BM25
+# ---------------------------------------------------------------------------
+
+SQL_SHINGLES_CTE = f"""toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+  FROM toks
+  QUALIFY LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH {SQL_SHINGLES_CTE}, o AS (
+  SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN a_id ELSE b_id END AS contained_id,
+         CASE WHEN sa.n_sh <= sb.n_sh THEN b_id ELSE a_id END AS container_id,
+         CAST(n_inter AS BIGINT) AS n_inter,
+         CAST(LEAST(sa.n_sh, sb.n_sh) AS BIGINT) AS n_contained
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+)
+SELECT contained_id, container_id, n_inter, n_contained,
+       CAST(n_inter AS DOUBLE) / n_contained AS containment
+FROM o WHERE 100 * n_inter >= 60 * n_contained
+""",
+    tags=("ext", "dedup"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup (A ⊂ B, ≥0.60): the smaller shingle
+    set ≥60%-covered by the larger — catches quote-inclusion/page-wrapper
+    duplication that symmetric Jaccard scores near |A|/|B| ≈ 0. Decision
+    integer-exact; orientation deterministic (smaller set contained, lower
+    id on ties), so the output reads directly as drop-contained."""
+    return D.containment_pairs(t(spark, sf_dir, "documents"), threshold_pct=60)
+
+
+@register(
+    "text_rare_bigram_fraction",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), bg AS (
+  SELECT doc_id, w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM toks
+  QUALIFY LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), vocab AS (
+  SELECT g, COUNT(*) AS corpus_c FROM bg GROUP BY g
+), scored AS (
+  SELECT bg.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN v.corpus_c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM bg JOIN vocab v ON v.g = bg.g
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.n_rare, 0) AS n_rare,
+       CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+            THEN CAST(s.n_rare AS DOUBLE) / s.n_bigrams END AS rare_frac
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+""",
+    tags=("ext", "text", "quality"),
+)
+def text_rare_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained LM-style quality filter: fraction of a doc's bigram
+    positions whose bigram occurs ≤2× in the whole corpus — the CCNet
+    perplexity-filter role in pure integer counts (no transcendental
+    log-prob to diverge across engines). The corpus bigram-count table IS
+    the model; at scale it is trained once and reused per snapshot."""
+    return X.rare_bigram_metrics(t(spark, sf_dir, "documents"), rare_max=2)
+
+
+@register(
+    "curate_chunk_windows",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks), 48)) AS start_tok FROM d
+  WHERE len(toks) > 0
+), c AS (
+  SELECT doc_id,
+         CAST((start_tok - 1) // 48 AS BIGINT) AS chunk_id,
+         CAST(start_tok AS BIGINT) AS start_tok,
+         list_slice(toks, start_tok, least(start_tok + 63, len(toks))) AS chunk
+  FROM s
+)
+SELECT doc_id, chunk_id, start_tok,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM c
+""",
+    tags=("ext", "curation", "chunking"),
+)
+def curate_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 64, stride 48) — the
+    context-window shaping step of pretraining/RAG ingestion. Chunk k
+    covers tokens [1+48k, 64+48k); every token lands in ≥1 chunk; emits
+    md5-of-chunk so chunk-level exact dedup composes without re-reading
+    text. Pure narrow expressions — pipelines inside the scan at any
+    scale."""
+    return C.chunk_windows(t(spark, sf_dir, "documents"), window=64, stride=48)
+
+
+@register(
+    "search_bm25_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+), post AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dls AS (
+  SELECT doc_id, CAST(len({SQL_TOKS}) AS BIGINT) AS dl FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls
+), dftbl AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM post
+  WHERE length(token) >= 4 AND token NOT IN ('the','a','of','and')
+  GROUP BY token
+), qt AS (
+  SELECT CAST((rnk - 1) // 2 AS BIGINT) AS query_id, token, df FROM (
+    SELECT token, df, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS rnk FROM dftbl
+  ) WHERE rnk <= 8
+), hits AS (
+  SELECT qt.query_id, p.doc_id,
+         CAST(FLOOR(
+           CAST(((s.n_docs - qt.df) * 1000000) // s.n_docs * p.tf * 22 * s.sum_dl AS DOUBLE)
+           / CAST(10 * p.tf * s.sum_dl + 3 * s.sum_dl + 9 * d.dl * s.n_docs AS DOUBLE)
+           * 1000000.0) AS BIGINT) AS t6
+  FROM post p
+  JOIN qt ON qt.token = p.token
+  JOIN dls d ON d.doc_id = p.doc_id, stats s
+), scored AS (
+  SELECT query_id, doc_id, CAST(SUM(t6) AS BIGINT) AS score6 FROM hits GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score6,
+       CAST(score6 AS DOUBLE) / 1000000.0 AS score, rank
+FROM (
+  SELECT query_id, doc_id, score6,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score6 DESC, doc_id
+         ) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+    tags=("ext", "search", "topk"),
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over a DataFrame inverted index: top-10 docs
+    for each of 4 derived two-term queries (the 8 highest-df non-stopword
+    terms, paired). Rational-idf BM25 (k1=1.2, b=0.75 folded into integer
+    coefficients) keeps every per-term score one IEEE division — exact
+    across engines — and per-query totals sum ⌊score·10⁶⌋ as BIGINTs so
+    aggregation order can't move a hash. Retrieval cost is Σ df postings
+    (broadcast query terms → postings equi-join), never corpus×queries."""
+    from flink_dts_connector_spark.operators import search as SR
+
+    return SR.bm25_topk(t(spark, sf_dir, "documents"), k=10)

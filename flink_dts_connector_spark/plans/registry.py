@@ -92,46 +92,52 @@ GATE_PRIORITY: tuple[str, ...] = (
     # events
     "events_sessionize",
     "events_json_struct",
-    # CDC / changelog — r4: txn boundary grouping joins the gate
+    # CDC / changelog — r4 wave 2: all-or-none txn apply supersedes the
+    # boundary-grouping gate slot (it consumes BEGIN..COMMIT batches, so
+    # its oracle exercises the grouping too; boundaries stays sweep-green)
     "cdc_typed_changelog",
     "cdc_signed_agg_revenue",
     "cdc_scd2_history",
     "cdc_value_zoo_render",
-    "cdc_txn_boundaries",
-    # deduplication family — r4: the incremental band-index probe joins
+    "cdc_txn_atomic_apply",
+    # deduplication family — r4 wave 2: directional containment joins; the
+    # xxhash LSH twin and embedding-components rotate to sweep coverage
+    # (md5 LSH + probe and cosine-pairs + text-components keep both shapes)
     "dedup_exact_groups",
     "neardup_jaccard_pairs",
     "dedup_components",
     "dedup_minhash_md5",
-    "dedup_minhash_lsh",
     "dedup_minhash_probe",
     "dedup_simhash",
     "neardup_cosine_pairs",
-    "dedup_embedding_components",
-    # similarity / ANN — r4: multiprobe replaces single-probe (strict
-    # superset of its probing, same scorer; single-probe stays sweep-covered)
+    "dedup_containment",
+    # similarity / ANN — r4 wave 2: product quantization replaces the
+    # trained-IVF slot (same trained-codebook cascade, finer scorer;
+    # trained IVF stays sweep-green)
     "ann_topk_bruteforce",
     "ann_topk_lsh_multiprobe",
     "ann_topk_ivf",
-    "ann_topk_ivf_trained",
-    # text analysis — r4 rotation: fingerprint/kgram sketches swapped out
-    # (md5-projection and per-doc-array shapes are inside the pipeline
-    # flagships and bpe stats), making room above
+    "ann_topk_pq",
+    # text analysis — r4 wave 2: the rare-bigram LM-style filter joins;
+    # per-source token stats rotate out (the same explode+agg shape backs
+    # bpe stats and the top-terms sweep entries)
     "text_quality_scores",
     "text_langid",
-    "text_token_stats_by_source",
+    "text_rare_bigram_fraction",
     "text_bpe_token_stats",
-    # curation — r4: incremental pipeline replaces the standalone shard
-    # manifest (both pipeline flagships end in the same manifest shape)
+    # curation — r4 wave 2: chunking joins the gate
     "curate_stratified_sample",
     "curate_pack_sequences",
     "curate_token_budget",
     "curate_mixture_resample",
     "curate_incremental_pipeline",
     "curate_pipeline_manifest",
-    # multimodal
+    "curate_chunk_windows",
+    # search (new family, r4 wave 2)
+    "search_bm25_topk",
+    # multimodal — resize-plan slot rotates to sweep (decode_features keeps
+    # the Arrow-batched decode shape under the gate)
     "multimodal_decode_features",
-    "multimodal_resize_plan",
     # streaming (availableNow-bounded, rerun-safe) — r4: corpus ingestion
     # replaces stream_dedup_exactly_once (dropDuplicatesWithinWatermark is
     # inside it, plus the dts source + gate + manifest composition)

@@ -598,3 +598,126 @@ def test_pq_ann_scores_exact_and_recall(spark, sf_dir):
     )
     total = sum(len(v) for v in bf_top5.values())
     assert hits / total >= 0.4, f"PQ recall {hits}/{total} too low"
+
+
+def test_containment_orientation_and_superset_of_jaccard(spark, sf_dir):
+    """Containment ≥ Jaccard for every pair, so the Jaccard-0.60 pair set
+    must be a subset of containment-0.60 pairs (as unordered pairs); and the
+    orientation invariant holds: contained doc's shingle set is never larger
+    than the container's."""
+    docs = load_table(spark, sf_dir, "documents")
+    cont = D.containment_pairs(docs, threshold_pct=60).collect()
+    jac = D.jaccard_pairs(docs, threshold_pct=60).collect()
+    cont_pairs = {frozenset((r["contained_id"], r["container_id"])) for r in cont}
+    jac_pairs = {frozenset((r["a_id"], r["b_id"])) for r in jac}
+    assert jac_pairs <= cont_pairs
+    # a full-duplicate doc pair must orient smaller-id-as-contained
+    dup = docs.limit(5).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    both = docs.limit(5).unionByName(dup)
+    rows = D.containment_pairs(both, threshold_pct=90).collect()
+    for r in rows:
+        assert r["contained_id"] < r["container_id"]
+        assert abs(r["containment"] - 1.0) < 1e-12
+
+
+def test_chunk_windows_cover_every_token(spark, sf_dir):
+    """Chunking invariants: chunk k starts at 1+48k; consecutive chunks
+    overlap by 16 tokens (window 64, stride 48); the union of [start,
+    start+len) covers 1..n_tokens with no gap; every doc yields ≥1 chunk."""
+    from flink_dts_connector_spark.operators.curation import chunk_windows
+    from flink_dts_connector_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_windows(docs, window=64, stride=48).collect()
+    n_tok = {r["doc_id"]: r["n"] for r in docs.select("doc_id", token_count("text").alias("n")).collect()}
+    by_doc: dict = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_tok)  # every doc chunked (all have ≥1 token)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        for k, r in enumerate(rows):
+            assert r["chunk_id"] == k
+            assert r["start_tok"] == 1 + 48 * k
+            assert r["n_chunk_tokens"] == min(64, n_tok[doc_id] - r["start_tok"] + 1)
+        last = rows[-1]
+        assert last["start_tok"] + last["n_chunk_tokens"] - 1 == n_tok[doc_id]
+
+
+def test_rare_bigram_fraction_bounds_and_total(spark, sf_dir):
+    """Per-doc invariants: 0 ≤ n_rare ≤ n_bigrams; n_bigrams = n_tokens−1
+    for docs with ≥2 tokens; a corpus made of one doc repeated 3× has zero
+    rare bigrams at rare_max=2... but 3 occurrences > 2 → rare only if ≤2:
+    exactly zero rare positions."""
+    from flink_dts_connector_spark.operators.text import rare_bigram_metrics, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = rare_bigram_metrics(docs, rare_max=2)
+    toks = docs.select("doc_id", token_count("text").alias("n_tok"))
+    j = out.join(toks, "doc_id").collect()
+    for r in j:
+        assert 0 <= r["n_rare"] <= r["n_bigrams"]
+        expected = max(0, r["n_tok"] - 1)
+        assert r["n_bigrams"] == expected
+    one = docs.limit(1)
+    tripled = one.unionByName(
+        one.select((F.col("doc_id") + 1).alias("doc_id"), "text", "lang", "source", "n_chars")
+    ).unionByName(
+        one.select((F.col("doc_id") + 2).alias("doc_id"), "text", "lang", "source", "n_chars")
+    )
+    rows = rare_bigram_metrics(tripled, rare_max=2).collect()
+    assert all(r["n_rare"] == 0 for r in rows), rows
+
+
+def test_bm25_scores_match_pure_python(spark, sf_dir):
+    """BM25 engine output equals a from-scratch Python reimplementation of
+    the rational-idf formula on the same corpus (independent of the SQL
+    oracle, which shares no code with this either)."""
+    import math
+    from collections import Counter
+
+    from flink_dts_connector_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].strip().split() for r in rows}
+    N = len(toks)
+    SD = sum(len(t) for t in toks.values())
+    df = Counter()
+    for t in toks.values():
+        df.update(set(t))
+    stop = {"the", "a", "of", "and"}
+    cand = sorted(
+        ((-df[w], w) for w in df if len(w) >= 4 and w not in stop)
+    )[:8]
+    queries: dict = {}
+    for rnk, (_negdf, w) in enumerate(cand, start=1):
+        queries.setdefault((rnk - 1) // 2, []).append(w)
+    expect = {}
+    for qid, terms in queries.items():
+        scores = {}
+        for did, t in toks.items():
+            tf_map = Counter(t)
+            s6 = 0
+            hit = False
+            for w in terms:
+                tf = tf_map.get(w, 0)
+                if tf == 0:
+                    continue
+                hit = True
+                idf6 = ((N - df[w]) * 1000000) // N
+                num = float(idf6 * tf * 22 * SD)
+                den = float(10 * tf * SD + 3 * SD + 9 * len(t) * N)
+                s6 += math.floor(num / den * 1000000.0)
+            if hit:
+                scores[did] = s6
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        for rank, (did, s6) in enumerate(top, start=1):
+            expect[(qid, did)] = (s6, rank)
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score6"], r["rank"])
+        for r in bm25_topk(docs, k=10).collect()
+    }
+    assert got == expect
