@@ -1661,9 +1661,14 @@ def text_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "curate_incremental_pipeline",
-    oracle=f"""
+#: Full-rebuild closed form for the incremental-pipeline queries: the
+#: pipeline manifest (gate → exact dedup → 7-gram decontamination → 16-way
+#: shard rollup) computed directly on the FINAL corpus snapshot
+#: (old = %11, new = %17 with ' v2' on %7 — same construction as
+#: `curate_snapshot_diff`). Shared by the batch incremental query and the
+#: streaming incremental-maintenance flagship: matching this closed form
+#: IS the incremental ≡ full-rebuild equivalence proof.
+SQL_REBUILD_MANIFEST = f"""
 WITH newdocs AS (
   SELECT doc_id,
          CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
@@ -1707,7 +1712,12 @@ SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS BIGINT) AS shard_i
        CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS n_tokens,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM clean GROUP BY 1
-""",
+"""
+
+
+@register(
+    "curate_incremental_pipeline",
+    oracle=SQL_REBUILD_MANIFEST,
     tags=("ext", "curation", "pipeline", "incremental"),
 )
 def curate_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1947,3 +1957,47 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_dts_connector_spark.operators import search as SR
 
     return SR.bm25_topk(t(spark, sf_dir, "documents"), k=10)
+
+
+@register(
+    "curate_chunk_dedup",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks), 48)) AS start_tok FROM d
+  WHERE len(toks) > 0
+), c AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, start_tok, least(start_tok + 63, len(toks))), ' ')) AS chunk_md5
+  FROM s
+)
+SELECT chunk_md5,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM c
+GROUP BY chunk_md5
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+    tags=("ext", "curation", "dedup", "chunking"),
+)
+def curate_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection: chunk the corpus
+    (window 64 / stride 48), hash each chunk, keep chunks seen in ≥2
+    distinct documents — sub-document boilerplate (headers, license
+    blocks, templated passages) that document-level exact dedup can't
+    see and near-dup thresholds may dilute away. One hash agg on
+    chunk_md5 with map-side combine; composes `chunk_windows`, so the
+    md5 computed for chunk-level dedup is the same one the chunking
+    step already emits."""
+    ch = C.chunk_windows(t(spark, sf_dir, "documents"), window=64, stride=48)
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

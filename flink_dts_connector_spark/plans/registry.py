@@ -142,7 +142,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # replaces stream_dedup_exactly_once (dropDuplicatesWithinWatermark is
     # inside it, plus the dts source + gate + manifest composition)
     "stream_hourly_windows",
-    "stream_static_lookup_join",
+    "stream_incremental_curate",
     "stream_corpus_ingest",
     "stream_stream_interval_join",
     "stream_partition_watermarks",

@@ -790,3 +790,120 @@ def stream_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFram
             "purchase_ts",
             "view_ts",
         )
+
+
+def _rebuild_manifest_sql() -> str:
+    from flink_dts_connector_spark.plans.ext_queries import SQL_REBUILD_MANIFEST
+
+    return SQL_REBUILD_MANIFEST
+
+
+@register(
+    "stream_incremental_curate",
+    oracle=_rebuild_manifest_sql(),
+    tags=("streaming", "cdc", "curation", "pipeline", "incremental"),
+)
+def stream_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INCREMENTAL CURATION — the nightly-delta loop as a live
+    query: corpus deltas (I/U/D document CDC over the wire format, landed
+    in three waves) drive foreachBatch maintenance of the curated-corpus
+    output. Each micro-batch (a) upserts the delta into the materialized
+    corpus snapshot and (b) recomputes ONLY the touched fingerprint groups
+    via `incremental_pipeline_update`, carrying everything else from the
+    prior materialized kept set. The oracle is the FULL REBUILD on the
+    final snapshot (`SQL_REBUILD_MANIFEST`, shared with the batch
+    incremental query) — hash-matching it proves the streamed chain of
+    incremental updates converges to exactly the batch pipeline's output,
+    which is the CDC-feeds-training-pipeline contract end-to-end.
+
+    Scale shape per batch: the delta and its fingerprint set broadcast;
+    corpus-sized frames are touched only by broadcast semi/anti joins
+    (no corpus shuffle outside the recompute region); materialized state
+    is localCheckpoint-ed so lineage doesn't grow across waves. At 100 TB
+    the two materializations are tables (the CDC-upserted replica and the
+    curated output); everything else is identical."""
+    import tempfile
+
+    from flink_dts_connector_spark.operators import curation as C
+    from flink_dts_connector_spark.operators import dedup as D
+    from flink_dts_connector_spark.operators import text as X
+    from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
+    from flink_dts_connector_spark.sources.generator import generate_doc_delta_cdc_bytes
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "source", "n_chars"]
+    old = docs.where(F.col("doc_id") % 11 != 0).select(*cols)
+    final_new = (
+        docs.where(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .select(*cols)
+    )
+    probe = final_new.where(F.col("doc_id") % 37 == 0).select("text")
+    toks = X.token_count("text")
+    chars = F.length("text").cast("bigint")
+    non_alnum = chars - F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9]", ""))
+
+    def gate(d: DataFrame) -> DataFrame:
+        return d.where((toks >= 20) & (non_alnum * 10 < chars * 3)).select(
+            "doc_id", "text", "n_chars"
+        )
+
+    state = {
+        "corpus": old.localCheckpoint(),
+        "kept": C.decontaminate(D.dedup_exact(gate(old)), probe, n=7).localCheckpoint(),
+    }
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        ops = bdf.select(
+            "operation",
+            F.coalesce(
+                F.element_at("after", "doc_id"), F.element_at("before", "doc_id")
+            ).cast("bigint").alias("doc_id"),
+            F.element_at("after", "text").alias("text"),
+            F.element_at("after", "source").alias("source"),
+            F.element_at("after", "n_chars").cast("bigint").alias("n_chars"),
+        )
+        upserts = ops.where(F.col("operation") != "DELETE").select(*cols)
+        touched_ids = ops.select("doc_id")  # U/D drop the old row; I drops nothing
+        corpus = state["corpus"]
+        new_corpus = (
+            corpus.join(F.broadcast(touched_ids), "doc_id", "left_anti")
+            .unionByName(upserts)
+            .localCheckpoint()
+        )
+        new_kept = C.incremental_pipeline_update(
+            state["kept"], corpus, new_corpus, probe, gate, ngram_n=7
+        ).localCheckpoint()
+        state["corpus"], state["kept"] = new_corpus, new_kept
+
+    raw_dir = tempfile.mkdtemp(prefix="fdcs_docdelta_raw_")
+    ckpt = tempfile.mkdtemp(prefix="fdcs_docdelta_ckpt_")
+    register_dts_source(spark)
+    delta = generate_doc_delta_cdc_bytes(spark, sf_dir)
+    with pinned_shuffle_partitions(spark):
+        for wave in (0, 1, 2):  # three nightly deltas landing over time
+            delta.where(F.col("wave") == wave).drop("wave").repartition(2).write.mode(
+                "append"
+            ).parquet(raw_dir)
+            q = (
+                spark.readStream.format("dts")
+                .option("path", raw_dir)
+                .option("tables", "corpus.documents")
+                .load()
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    return C.shard_assign(state["kept"], n_shards=16).groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count("text")).alias("n_tokens"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+    )

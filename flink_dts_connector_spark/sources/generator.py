@@ -219,6 +219,88 @@ def generate_doc_cdc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(fn, schema="value binary, partition int, offset long")
 
 
+def generate_doc_delta_cdc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus delta old→new as a CDC op stream — the nightly-delta feed
+    of an incremental curation pipeline. Snapshot construction matches
+    `curate_incremental_pipeline` / `curate_snapshot_diff`:
+
+        old = documents where doc_id % 11 != 0
+        new = documents where doc_id % 17 != 0,
+              text || ' v2' where doc_id % 7 == 0
+
+    so the delta ops are (each doc carries at most ONE op):
+
+        DELETE  doc_id % 11 != 0 and doc_id % 17 == 0      (before image)
+        INSERT  doc_id % 11 == 0 and doc_id % 17 != 0      (after image)
+        UPDATE  in both, text changed (% 7 == 0)           (before + after)
+
+    Output adds a ``wave`` column (doc_id % 3) so callers can land the
+    delta in several files/batches and exercise multi-batch incremental
+    maintenance. Same wire codec and partition/offset shape as the other
+    generators; commit ts deterministic."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    fields = [
+        FieldDef("doc_id", "BIGINT", 8, False),
+        FieldDef("text", "VARCHAR", 252, True),
+        FieldDef("source", "VARCHAR", 12, True),
+        FieldDef("n_chars", "BIGINT", 8, True),
+    ]
+
+    def image(did: int, text: str, source: str, n_chars: int) -> list:
+        return [
+            (ValueKind.INTEGER, did),
+            (ValueKind.CHARACTER, ("utf8", text.encode())),
+            (ValueKind.CHARACTER, ("utf8", source.encode())),
+            (ValueKind.INTEGER, n_chars),
+        ]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            values, parts, offs, waves = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                did = int(row.doc_id)
+                in_old, in_new = did % 11 != 0, did % 17 != 0
+                text, source, n_chars = str(row.text), str(row.source), int(row.n_chars)
+                new_text = text + " v2" if did % 7 == 0 else text
+                if in_old and not in_new:
+                    op, before, after = OperationType.DELETE, image(did, text, source, n_chars), None
+                elif in_new and not in_old:
+                    op, before, after = OperationType.INSERT, None, image(did, new_text, source, n_chars)
+                elif in_old and in_new and new_text != text:
+                    op = OperationType.UPDATE
+                    before = image(did, text, source, n_chars)
+                    after = image(did, new_text, source, n_chars)
+                else:
+                    continue  # unchanged (or in neither snapshot): no op
+                rec = CdcRecord(
+                    id=did,
+                    ts=1_710_000_000 + did,
+                    operation=op,
+                    db=DOC_DB,
+                    tbl=DOC_TBL,
+                    transaction_id=f"delta-{did}",
+                    source_type=SourceType.MySQL,
+                    source_version="5.7.0",
+                    fields=list(fields),
+                    before=before,
+                    after=after,
+                )
+                values.append(encode_record(rec))
+                parts.append(did % 4)
+                offs.append(did)
+                waves.append(did % 3)
+            yield pd.DataFrame(
+                {"value": values, "partition": parts, "offset": offs, "wave": waves}
+            )
+
+    return docs.mapInPandas(
+        fn, schema="value binary, partition int, offset long, wave int"
+    )
+
+
 #: Kafka-shaped metadata the generator stamps on every raw record, mirroring
 #: what the real Kafka source yields (topic/timestamp/timestampType/headers —
 #: `table/DtsDynamicSource.java:268-345`).
