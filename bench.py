@@ -65,9 +65,17 @@ HEADLINE = [
     "stream_corpus_ingest",
     "ann_topk_pq",
     "text_token_quantiles",
+    # appended in round 4 wave 2
+    "search_bm25_topk",
+    "dedup_containment",
+    "text_rare_bigram_fraction",
+    "curate_chunk_dedup",
     # dedup_components stays registry-only: its cost IS the exact-Jaccard
     # edge materialization (~40s at sf0.1), which would drown the headline
-    # signal; the correctness gate covers it at sf0.01.
+    # signal; the correctness gate covers it at sf0.01. Same call for
+    # stream_incremental_curate (~19s: three full availableNow query
+    # lifecycles + state materialization — a correctness flagship, not a
+    # throughput probe).
 ]
 
 

@@ -185,3 +185,26 @@ def test_pipeline_manifest_pruned_and_bounded(spark):
         assert cols <= {"doc_id", "text", "n_chars"}, cols
     assert "BroadcastExchange" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5
+
+
+def test_chunk_windows_no_exchange(spark):
+    """Chunking must stay a narrow per-row pipeline: sequence → posexplode
+    → slice inside the scan stage. ANY exchange here would mean the
+    context-window shaping step shuffles the corpus at 100 TB."""
+    plan = _plan(spark, "curate_chunk_windows")
+    assert "Exchange" not in plan, "chunking acquired a shuffle"
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_plan_broadcast_postings_probe(spark):
+    """BM25 retrieval guard: the postings (corpus) side must never
+    sort-merge join or cartesian-join; query terms and corpus stats ride
+    BroadcastExchange onto it. The only single-partition exchange allowed
+    is the n_terms-row query-term ranking window — a corpus-sized
+    single-partition funnel would be the classic top-k scale killer."""
+    plan = _plan(spark, "search_bm25_topk")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+    single = re.findall(r"Arguments: SinglePartition", plan)
+    assert len(single) <= 1, f"extra single-partition exchanges: {len(single)}"
