@@ -245,6 +245,54 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def hash_embedding(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing document embeddings (the "hashing trick",
+    Weinberger et al. 2009): a ``dim``-wide signed bag-of-words vector
+    with bucket = md5-hash(token) mod dim and sign from the next hash bit
+    — the model-free document representation corpus pipelines use for
+    cheap clustering/near-dup blocking before any learned embedding
+    exists. Integer counts end-to-end, md5-based hashing, so DuckDB
+    mirrors it exactly (`md5_number_lower(t) % ...`).
+
+    Plan: explode → one hash agg keyed by (doc, bucket) partials folded
+    map-side → pivot-free array assembly via ``dim`` conditional sums per
+    doc. No corpus shuffle beyond the one (doc, bucket) agg."""
+    from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
+
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).select(
+        id_col,
+        md5_number_lower_mod(F.col("__t"), 2 * dim).alias("__hb"),
+    )
+    # bucket = h div 2, sign = ±1 from the low bit (balanced hash kernel)
+    bucketed = ex.select(
+        id_col,
+        F.expr("__hb div 2").alias("__b"),
+        (F.col("__hb") % 2 * 2 - 1).cast("bigint").alias("__s"),
+    )
+    agg = bucketed.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("__b") == j, F.col("__s")).otherwise(F.lit(0))).alias(
+                f"__v{j}"
+            )
+            for j in range(dim)
+        ]
+    )
+    out = df.select(id_col).join(agg, id_col, "left")
+    return out.select(
+        id_col,
+        F.array(
+            *[F.coalesce(F.col(f"__v{j}"), F.lit(0)).cast("bigint") for j in range(dim)]
+        ).alias("embedding"),
+    )
+
+
 def rare_bigram_metrics(
     df: DataFrame,
     id_col: str = "doc_id",

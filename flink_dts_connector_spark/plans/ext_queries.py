@@ -2001,3 +2001,82 @@ def curate_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "text_hash_embedding",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents
+), bs AS (
+  SELECT doc_id,
+         CAST(md5_number_lower(t) % 32 AS BIGINT) // 2 AS b,
+         CAST(md5_number_lower(t) % 32 AS BIGINT) % 2 * 2 - 1 AS s
+  FROM toks
+), agg AS (
+  SELECT doc_id, {", ".join(f"CAST(COALESCE(SUM(CASE WHEN b = {j} THEN s END), 0) AS BIGINT) AS v{j}" for j in range(16))}
+  FROM bs GROUP BY doc_id
+)
+SELECT d.doc_id, [{", ".join(f"COALESCE(v{j}, 0)" for j in range(16))}] AS embedding
+FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+    tags=("ext", "text", "embedding"),
+)
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document embeddings (hashing trick): 16-dim signed
+    bag-of-words vectors, bucket/sign from an md5-derived hash — the
+    model-free representation for cheap clustering and near-dup blocking
+    before any learned embedding exists. Integer-exact end-to-end; one
+    (doc, bucket) hash agg, no other corpus shuffle."""
+    return X.hash_embedding(t(spark, sf_dir, "documents"), dim=16)
+
+
+@register(
+    "curate_chunk_pack",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks), 48)) AS start_tok FROM d
+  WHERE len(toks) > 0
+), c AS (
+  SELECT doc_id,
+         CAST((start_tok - 1) // 48 AS BIGINT) AS chunk_id,
+         CAST(len(list_slice(toks, start_tok, least(start_tok + 63, len(toks)))) AS BIGINT) AS n_chunk_tokens
+  FROM s
+), sh AS (
+  SELECT doc_id, chunk_id, n_chunk_tokens,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS BIGINT) AS shard_id,
+         doc_id * 1000000 + chunk_id AS ord
+  FROM c
+), packed AS (
+  SELECT shard_id, n_chunk_tokens,
+         CAST((SUM(n_chunk_tokens) OVER (PARTITION BY shard_id ORDER BY ord) - n_chunk_tokens) // 512 AS BIGINT) AS bin_id
+  FROM sh
+)
+SELECT shard_id, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens
+FROM packed GROUP BY 1, 2
+""",
+    tags=("ext", "curation", "chunking", "packing"),
+)
+def curate_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → shard → pack, the full context-window assembly line: chunk
+    the corpus (64/48), spread chunks across 8 md5 shards, pack each
+    shard's chunks (in deterministic (doc, chunk) order) into 512-token
+    training bins, and report per-bin occupancy. Packing is per-shard — a
+    bounded ranked window per shard, never a global sort — which is the
+    only packing shape that survives 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    ch = C.chunk_windows(docs, window=64, stride=48)
+    sh = C.shard_assign(ch, n_shards=8, key_col="doc_id").withColumn(
+        "ord", F.col("doc_id") * 1000000 + F.col("chunk_id")
+    )
+    packed = C.pack_sequences(
+        sh, seq_len=512, token_col="n_chunk_tokens", group_col="shard_id", order_col="ord"
+    )
+    return packed.groupBy("shard_id", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("bigint").alias("n_tokens"),
+    )

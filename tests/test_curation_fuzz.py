@@ -105,3 +105,64 @@ def test_md5_mod_rejects_oversize_modulus(spark):
 
     with pytest.raises(ValueError):
         md5_number_lower_mod(F.lit("x"), (1 << 31) + 1)
+
+
+@st.composite
+def _chunk_case(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=8))
+    docs = []
+    for i in range(n_docs):
+        n_tok = draw(st.integers(min_value=0, max_value=200))
+        # tokens are single letters so the text round-trips whitespace split
+        toks = [chr(97 + draw(st.integers(0, 25))) for _ in range(n_tok)]
+        docs.append((i, " ".join(toks)))
+    window = draw(st.integers(min_value=1, max_value=80))
+    stride = draw(st.integers(min_value=1, max_value=80))
+    return docs, window, stride
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_chunk_case())
+@example(case=([(0, "")], 64, 48))  # empty text → [''] token → one chunk
+@example(case=([(0, "a b c")], 2, 5))  # stride > window: gap-free NOT required
+def test_chunk_windows_matches_naive_python(spark, case):
+    """Chunking contract vs a from-scratch Python reimplementation for ANY
+    (window, stride): chunk k covers tokens [1+k·stride, 1+k·stride+window)
+    over the whitespace token list, starts exist while start ≤ n_tokens,
+    md5 is over the space-joined chunk."""
+    import hashlib
+
+    from flink_dts_connector_spark.operators.curation import chunk_windows
+
+    docs, window, stride = case
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["n_chunk_tokens"], r["chunk_md5"])
+        for r in chunk_windows(df, window=window, stride=stride).collect()
+    }
+    expect = set()
+    for did, text in docs:
+        # generator single-spaces tokens; "".split(" ") == [""] matches
+        # Spark's split-on-\s+ of the empty string (one empty token)
+        toks = text.strip().split(" ")
+        n = len(toks)
+        k = 0
+        while 1 + k * stride <= n:
+            start = 1 + k * stride
+            chunk = toks[start - 1 : start - 1 + window]
+            expect.add(
+                (
+                    did,
+                    k,
+                    start,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+            )
+            k += 1
+    assert got == expect
