@@ -2080,3 +2080,46 @@ def curate_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_chunk_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST((epoch(a.act_week) - epoch(f.cohort_week)) // 604800 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+    tags=("ext", "events", "cohort"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week, then
+    counted once per (cohort, week-offset) they were active in — the
+    product-analytics staple. Week offsets are exact integer epoch math
+    over UTC week-truncated timestamps (both engines truncate to Monday;
+    UTC weeks are exact 604800 s multiples), so no date_diff semantic can
+    diverge. Two hash aggs + one user-keyed join; activity dedup is per
+    (user, week) — no event-grain state survives the first agg."""
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    j = active.join(first, "user_id")
+    off = (
+        (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week"))
+        / F.lit(604800)
+    ).cast("bigint")
+    return j.groupBy("cohort_week", off.alias("week_offset")).agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
