@@ -70,6 +70,9 @@ HEADLINE = [
     "dedup_containment",
     "text_rare_bigram_fraction",
     "curate_chunk_dedup",
+    "curate_chunk_pack",
+    "text_hash_embedding",
+    "events_retention_cohorts",
     # dedup_components stays registry-only: its cost IS the exact-Jaccard
     # edge materialization (~40s at sf0.1), which would drown the headline
     # signal; the correctness gate covers it at sf0.01. Same call for
