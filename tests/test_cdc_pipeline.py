@@ -413,3 +413,41 @@ def test_torn_txn_skipped_whole(spark):
     assert applied.where(F.col("transaction_id") == torn_id).count() == 0
     # everything else applied in full
     assert applied.count() == env.count() - 2
+
+
+def test_doc_delta_generator_op_mix_and_images(spark, sf_dir):
+    """The corpus-delta CDC generator emits exactly the old→new snapshot
+    delta (closed forms over doc_id residues), with the images the op
+    requires: DELETE carries before only, INSERT after only, UPDATE both
+    with text differing by the ' v2' suffix."""
+    from flink_dts_connector_spark.formats.decoder import decode_cdc
+    from flink_dts_connector_spark.session import load_table
+    from flink_dts_connector_spark.sources.generator import (
+        generate_doc_delta_cdc_bytes,
+    )
+
+    from pyspark.sql import functions as F
+
+    ids = [r["doc_id"] for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()]
+    exp_d = {i for i in ids if i % 11 != 0 and i % 17 == 0}
+    exp_i = {i for i in ids if i % 11 == 0 and i % 17 != 0}
+    exp_u = {i for i in ids if i % 11 != 0 and i % 17 != 0 and i % 7 == 0}
+
+    env = decode_cdc(generate_doc_delta_cdc_bytes(spark, sf_dir).drop("wave"))
+    rows = env.select("operation", "before", "after").collect()
+    got = {"DELETE": set(), "INSERT": set(), "UPDATE": set()}
+    for r in rows:
+        if r["operation"] == "DELETE":
+            assert r["after"] is None and r["before"] is not None
+            got["DELETE"].add(int(r["before"]["doc_id"]))
+        elif r["operation"] == "INSERT":
+            assert r["before"] is None and r["after"] is not None
+            got["INSERT"].add(int(r["after"]["doc_id"]))
+        else:
+            assert r["operation"] == "UPDATE"
+            assert r["before"] is not None and r["after"] is not None
+            assert r["after"]["text"] == r["before"]["text"] + " v2"
+            got["UPDATE"].add(int(r["after"]["doc_id"]))
+    assert got["DELETE"] == exp_d
+    assert got["INSERT"] == exp_i
+    assert got["UPDATE"] == exp_u
