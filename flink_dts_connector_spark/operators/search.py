@@ -13,14 +13,22 @@ and the two engines' libm may differ in the last ulp — so this uses a
 rational idf,  idf6 = ⌊(N − df)·10⁶ / N⌋  (integer division), and folds
 k1 = 1.2, b = 0.75 into one integer-coefficient rational per (term, doc):
 
-    score_term = idf6 · tf · 22 · SD  /  (10·tf·SD + 3·SD + 9·dl·N)
+    score_term = idf6 · tfc · 22 · A  /  (10·tfc·A + 3·A + 9·dl·10³)
 
-with N = corpus doc count, SD = Σ document lengths (so avgdl = SD/N is
-never a float). Numerator ≤ 10⁶·tf·22·SD stays inside int64 for any
-corpus this engine targets per partition of the driver gate (≤ 9.2e18).
-The per-term double division is one IEEE op (bit-identical across
-engines); per-(query, doc) totals sum ⌊score·10⁶⌋ as BIGINTs so the sum
-is order-insensitive. Same trick as `similarity.cosine_pairs`.
+where A = ⌊SD·10³ / N⌋ (average document length quantized to 3 decimal
+digits, N = corpus doc count, SD = Σ lengths) and tfc = min(tf, 1000)
+— the standard BM25 tf saturation cap (at tf = 1000 the tf factor is
+within 0.1% of its k1-asymptote, so the cap is semantically inert; it
+exists to bound arithmetic). Overflow analysis at ANY corpus size:
+idf6 ≤ 10⁶, tfc ≤ 10³, A ≤ 10³·avgdl — the numerator stays inside
+int64 for avgdl up to ~4·10⁵ tokens, far past any text corpus's
+AVERAGE document length, and the denominator is bounded by
+10⁷·A + 9·10³·dl (dl ≤ 10¹⁵ before it matters). An earlier draft
+multiplied by SD itself, which is ~10¹³ at 100 TB and overflows at
+tf = 1 — the quantized-avgdl form is what makes the formula
+scale-safe. The per-term double division is one IEEE op (bit-identical
+across engines); per-(query, doc) totals sum ⌊score·10⁶⌋ as BIGINTs so
+the sum is order-insensitive. Same trick as `similarity.cosine_pairs`.
 """
 
 from __future__ import annotations
@@ -32,8 +40,10 @@ from flink_dts_connector_spark.operators.text import STOPWORDS, tokens
 
 #: rational BM25 coefficients for k1=1.2, b=0.75, scaled by 10:
 #: tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
-#:   = 22·tf·SD / (10·tf·SD + 3·SD + 9·dl·N)   with avgdl = SD/N
+#:   = 22·tf·A / (10·tf·A + 3·A + 9·dl·10³)   with A = ⌊SD·10³/N⌋
 _NUM_C, _DEN_TF, _DEN_CONST, _DEN_DL = 22, 10, 3, 9
+#: tf saturation cap (see module docstring: semantically inert, bounds int64)
+_TF_CAP = 1000
 
 
 def postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -109,11 +119,13 @@ def bm25_topk(
     qterms = top_query_terms(post, n_terms=n_terms, terms_per_query=terms_per_query)
     hits = post.join(F.broadcast(qterms), "token").crossJoin(F.broadcast(stats))
     idf6 = F.expr("((n_docs - df) * 1000000) div n_docs")
-    num = idf6 * F.col("tf") * F.lit(_NUM_C) * F.col("sum_dl")
+    avgdl3 = F.expr("(sum_dl * 1000) div n_docs")
+    tfc = F.least(F.col("tf"), F.lit(_TF_CAP))
+    num = idf6 * tfc * F.lit(_NUM_C) * avgdl3
     den = (
-        F.lit(_DEN_TF) * F.col("tf") * F.col("sum_dl")
-        + F.lit(_DEN_CONST) * F.col("sum_dl")
-        + F.lit(_DEN_DL) * F.col("dl") * F.col("n_docs")
+        F.lit(_DEN_TF) * tfc * avgdl3
+        + F.lit(_DEN_CONST) * avgdl3
+        + F.lit(_DEN_DL) * F.col("dl") * F.lit(1000)
     )
     term6 = F.floor(num.cast("double") / den.cast("double") * F.lit(1000000.0))
     scored = (

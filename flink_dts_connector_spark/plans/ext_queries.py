@@ -1925,8 +1925,10 @@ WITH toks AS (
 ), hits AS (
   SELECT qt.query_id, p.doc_id,
          CAST(FLOOR(
-           CAST(((s.n_docs - qt.df) * 1000000) // s.n_docs * p.tf * 22 * s.sum_dl AS DOUBLE)
-           / CAST(10 * p.tf * s.sum_dl + 3 * s.sum_dl + 9 * d.dl * s.n_docs AS DOUBLE)
+           CAST(((s.n_docs - qt.df) * 1000000) // s.n_docs
+                * LEAST(p.tf, 1000) * 22 * ((s.sum_dl * 1000) // s.n_docs) AS DOUBLE)
+           / CAST(10 * LEAST(p.tf, 1000) * ((s.sum_dl * 1000) // s.n_docs)
+                + 3 * ((s.sum_dl * 1000) // s.n_docs) + 9 * d.dl * 1000 AS DOUBLE)
            * 1000000.0) AS BIGINT) AS t6
   FROM post p
   JOIN qt ON qt.token = p.token

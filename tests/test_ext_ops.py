@@ -707,9 +707,11 @@ def test_bm25_scores_match_pure_python(spark, sf_dir):
                 if tf == 0:
                     continue
                 hit = True
+                tfc = min(tf, 1000)
                 idf6 = ((N - df[w]) * 1000000) // N
-                num = float(idf6 * tf * 22 * SD)
-                den = float(10 * tf * SD + 3 * SD + 9 * len(t) * N)
+                avgdl3 = (SD * 1000) // N
+                num = float(idf6 * tfc * 22 * avgdl3)
+                den = float(10 * tfc * avgdl3 + 3 * avgdl3 + 9 * len(t) * 1000)
                 s6 += math.floor(num / den * 1000000.0)
             if hit:
                 scores[did] = s6
