@@ -2072,6 +2072,9 @@ def curate_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     only packing shape that survives 100 TB."""
     docs = t(spark, sf_dir, "documents")
     ch = C.chunk_windows(docs, window=64, stride=48)
+    # ord = doc_id·10⁶ + chunk_id: int64-safe for doc_id < 9.2e12 (a 100 TB
+    # corpus at ~2 KB/doc is ~5e10 docs — 180× of margin) and chunk_id <
+    # 10⁶ (docs under 48M tokens); overflow errors loudly under ANSI mode
     sh = C.shard_assign(ch, n_shards=8, key_col="doc_id").withColumn(
         "ord", F.col("doc_id") * 1000000 + F.col("chunk_id")
     )
