@@ -95,8 +95,11 @@ def txn_manifest(
     arrays stay bounded; nothing sorts the stream globally, and interleaved
     arrival order is irrelevant (the sort is per-txn over n_stmts
     elements). Heartbeats/DDL (null transaction_id) are excluded."""
+    # collect_set, not list: at-least-once redelivery repeats a (seq, op)
+    # pair verbatim — the step sequence describes the TRANSACTION, not the
+    # delivery log (n_rows keeps the raw delivery count for observability)
     steps = F.array_sort(
-        F.collect_list(F.struct(F.col(seq_col).alias("seq"), F.col("operation").alias("op")))
+        F.collect_set(F.struct(F.col(seq_col).alias("seq"), F.col("operation").alias("op")))
     )
     return (
         env.where(F.col(txn_col).isNotNull())
@@ -119,10 +122,12 @@ def txn_manifest(
             F.array_join(F.transform("_steps", lambda s: s["op"]), ",").alias("ops"),
             "begin_ts",
             "commit_ts",
+            # contiguity over DISTINCT seqs: at-least-once redelivery of a
+            # statement must not mark a fully-delivered txn torn (row-count
+            # forms break on duplicates: {0,1,1,2} has n_rows=4, max=2)
             (
                 (F.col("_min_seq") == 0)
-                & (F.col("_max_seq") == F.col("n_rows") - 1)
-                & (F.col("_n_seq") == F.col("n_rows"))
+                & (F.col("_max_seq") == F.col("_n_seq") - 1)
             ).alias("seq_contiguous"),
         )
     )
@@ -140,10 +145,15 @@ def apply_complete_txns(
     WHOLE, never half-applied. This is the all-or-none guarantee a
     consistent sink needs before MERGE-ing a CDC batch.
 
+    At-least-once delivery: a redelivered statement (identical payload,
+    possibly different Kafka metadata) is applied ONCE — rows dedupe on
+    (txn, seq) after the completeness filter, which is safe because the
+    wire payload for a given (transaction_id, trans_seq) is immutable.
+
     Shape: the manifest aggregate (one map-side-combined shuffle on the
     txn id) reduces to a complete-txn id list that is DELTA-sized per
     batch — broadcast semi-join back onto the stream, which therefore
-    never reshuffles."""
+    never reshuffles; the dedupe rides the same (txn, seq) hash agg."""
     complete = (
         txn_manifest(env, txn_col, seq_col, ts_col)
         .where(F.col("seq_contiguous"))
@@ -153,7 +163,7 @@ def apply_complete_txns(
         F.broadcast(complete),
         env[txn_col] == complete["transaction_id"],
         "left_semi",
-    )
+    ).dropDuplicates([txn_col, seq_col])
 
 
 def materialize_scd2(

@@ -179,14 +179,38 @@ def containment_pairs(
     ties), ``container_id`` the other — a deterministic orientation, so the
     output is directly consumable as "drop contained, keep container".
     Scale shape is identical to `jaccard_pairs`: the shingle equi-join
-    bounds candidates to pairs sharing a shingle, ``max_df`` caps the
-    boilerplate fan-out."""
+    bounds candidates to pairs sharing a shingle, and ``max_df`` caps the
+    boilerplate fan-out in the CANDIDATE join only — surviving pairs are
+    re-verified with the FULL shingle sets (an intersection counted on
+    filtered sets over an unfiltered |A| would under-report containment
+    and silently drop fully-contained pairs sharing hot shingles)."""
     sh = _shingled(df, id_col, text_col, n).withColumn(
         "n_sh", F.size("sh").cast("bigint")
     )
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
     if max_df is not None:
-        ex = drop_hot_shingles(ex, max_df)
+        ex = drop_hot_shingles(sh.select("id", F.explode("sh").alias("s")), max_df)
+        a, b = ex.alias("a"), ex.alias("b")
+        cand = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+            .distinct()
+        )
+        full = cand.join(
+            sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_x")),
+            "a_id",
+        ).join(
+            sh.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_y")),
+            "b_id",
+        )
+        inter = full.select(
+            F.col("a_id").alias("x_id"),
+            F.col("b_id").alias("y_id"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_inter"),
+            "n_x",
+            "n_y",
+        )
+        return _orient_containment(inter, threshold_pct)
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -197,8 +221,13 @@ def containment_pairs(
             F.first("b.n_sh").alias("n_y"),
         )
     )
-    # orient: contained = smaller shingle set; ties → lower id, which is
-    # x_id by the join's a.id < b.id, so `<=` encodes both rules
+    return _orient_containment(inter, threshold_pct)
+
+
+def _orient_containment(inter: DataFrame, threshold_pct: int) -> DataFrame:
+    """Orient + threshold a (x_id, y_id, n_inter, n_x, n_y) frame where
+    x_id < y_id: contained = smaller shingle set; ties → lower id, which
+    is x_id by construction, so `<=` encodes both rules."""
     x_contained = F.col("n_x") <= F.col("n_y")
     oriented = inter.select(
         F.when(x_contained, F.col("x_id")).otherwise(F.col("y_id")).alias("contained_id"),
@@ -434,10 +463,21 @@ def minhash_lsh_probe_md5(
     the delta's own, so reported jaccard stays exact). Pair ids are
     normalized (a_id < b_id) to match the full run's convention.
 
+    UPDATE deltas (an id already present in the index) are handled by
+    construction: the delta's ids are anti-joined out of both ``index``
+    and ``corpus_sh`` first, so the stale bands/shingles of an updated doc
+    neither generate candidates nor corrupt verification — without this a
+    candidate pair would fan out into one row verified against the OLD
+    text and one against the NEW (duplicate conflicting jaccards).
+
     Scale shape: the index is read, never rebuilt; with index and probe
     both bucketed by (band, r0) the candidate join is shuffle-free, and
-    everything else is delta-sized."""
+    everything else is delta-sized (including the broadcast anti-join of
+    delta ids onto the index scan)."""
     rows = num_hashes // bands
+    delta_ids = delta.select(F.col(id_col).alias("id")).distinct()
+    index = index.join(F.broadcast(delta_ids), "id", "left_anti")
+    corpus_sh = corpus_sh.join(F.broadcast(delta_ids), "id", "left_anti")
     delta_sh = _shingled(delta, id_col, text_col, n).where(F.size("sh") > 0)
     delta_bands = minhash_band_index_md5(delta, num_hashes, bands, n, id_col, text_col)
     a, b = delta_bands.alias("a"), index.alias("b")

@@ -375,9 +375,16 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         doc = env.select(F.element_at("after", "text").alias("text"), "ts")
         gated = doc.where(token_count("text") >= 20)
+        # the dedup horizon must exceed the fixture's event-time span
+        # (commit ts = 1.7e9 + doc_id): with a short horizon the oracle's
+        # corpus-wide dedup closed form only holds while everything lands
+        # in one micro-batch — a batching change would silently resurrect
+        # far-apart duplicates. 30 days covers every driver SF; at real
+        # scale the horizon IS the streaming-dedup contract (duplicates
+        # beyond it are a batch-dedup concern, SCALING.md).
         dedup = (
             gated.withColumn("fp", fingerprint("text"))
-            .withWatermark("ts", "10 minutes")
+            .withWatermark("ts", "30 days")
             .dropDuplicatesWithinWatermark(["fp"])
         )
         sink = run_to_memory(dedup, output_mode="append")

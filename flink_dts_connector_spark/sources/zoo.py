@@ -296,7 +296,9 @@ def _txn_record(t: int, j: int, tbl: str, op_name: str) -> CdcRecord:
 def generate_txn_bytes(spark: SparkSession, include_torn: bool = False) -> DataFrame:
     """Interleaved multi-statement transactions: each of the N_TXNS
     transactions spans 2-4 statements across MULTIPLE tables; stream order
-    (partition, offset) is round-robin BY STATEMENT (offset = j*N_TXNS + t),
+    (partition, offset) is round-robin BY STATEMENT (offset =
+    j*(N_TXNS+1) + t — the +1 reserves the torn txn's slot whether or not
+    it is generated, keeping offsets stable across both fixture modes),
     so statements of different transactions interleave on the wire exactly
     like a busy binlog — grouping back into atomic BEGIN..COMMIT batches
     cannot rely on contiguity, only on transaction_id + trans_seq

@@ -723,3 +723,89 @@ def test_bm25_scores_match_pure_python(spark, sf_dir):
         for r in bm25_topk(docs, k=10).collect()
     }
     assert got == expect
+
+
+def test_minhash_probe_handles_update_delta(spark, sf_dir):
+    """An UPDATE delta (ids already present in the index) must behave as if
+    the index had been built without those ids: stale bands generate no
+    candidates, verification uses only the NEW text, and no candidate pair
+    fans out into duplicate rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    updated = docs.where(F.col("doc_id") % 13 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" updated tail"))
+    )
+    unchanged = docs.where(F.col("doc_id") % 13 != 0)
+    new_corpus = unchanged.unionByName(updated)
+    # index/store built over the FULL old corpus — delta ids overlap it
+    index = D.minhash_band_index_md5(docs)
+    corpus_sh = D._shingled(docs, "doc_id", "text", 3)
+    out = D.minhash_lsh_probe_md5(updated, index, corpus_sh, 50).collect()
+    pairs = [(r["a_id"], r["b_id"]) for r in out]
+    assert len(pairs) == len(set(pairs)), "candidate fan-out duplicated pairs"
+    probe = {(r["a_id"], r["b_id"], r["n_inter"], r["n_union"]) for r in out}
+    full = {
+        (r["a_id"], r["b_id"], r["n_inter"], r["n_union"])
+        for r in D.minhash_lsh_dedup_pairs_md5(new_corpus, 50).collect()
+        if r["a_id"] % 13 == 0 or r["b_id"] % 13 == 0
+    }
+    assert probe == full
+
+
+def test_containment_max_df_verifies_on_full_sets(spark):
+    """A fully-contained pair whose overlap includes boilerplate (hot)
+    shingles must still be reported with containment 1.0 when max_df
+    drops the hot shingles from the CANDIDATE join — the verification
+    pass recounts the intersection on full shingle sets."""
+    boiler = "all rights reserved by the boiler plate company"
+    unique = "quick zebra vaults over nine lazy xylophones daily"
+    rows = [(1, f"{boiler} {unique}"), (2, f"{boiler} {unique} extra tail words here")]
+    rows += [(10 + i, f"{boiler} filler document number {i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["contained_id"], r["container_id"]): (r["n_inter"], r["containment"])
+        for r in D.containment_pairs(df, threshold_pct=90, max_df=5).collect()
+    }
+    assert (1, 2) in got, f"contained pair lost under max_df: {sorted(got)}"
+    n_inter, cont = got[(1, 2)]
+    full = {
+        (r["contained_id"], r["container_id"]): (r["n_inter"], r["containment"])
+        for r in D.containment_pairs(df, threshold_pct=90).collect()
+    }
+    assert got[(1, 2)] == full[(1, 2)]
+    assert abs(cont - 1.0) < 1e-12
+
+
+def test_txn_apply_survives_duplicate_delivery(spark):
+    """At-least-once redelivery of a statement must not mark its complete
+    transaction torn (all-or-none would silently DROP delivered data) and
+    must apply the statement exactly once."""
+    from flink_dts_connector_spark.formats.decoder import decode_cdc
+    from flink_dts_connector_spark.operators.changelog import (
+        apply_complete_txns,
+        txn_manifest,
+    )
+    from flink_dts_connector_spark.sources.zoo import N_TXNS, generate_txn_bytes
+
+    raw = generate_txn_bytes(spark, include_torn=True)
+    dup = raw.where(F.col("offset") % 3 == 0).withColumn(
+        "offset", F.col("offset") + 100000
+    )
+    env = decode_cdc(raw.unionByName(dup))
+    man = {r["transaction_id"]: r for r in txn_manifest(env).collect()}
+    torn_id = f"txn-{N_TXNS:04d}"
+    assert man[torn_id]["seq_contiguous"] is False  # torn stays torn
+    complete = [t for t in man if t != torn_id]
+    assert all(man[t]["seq_contiguous"] for t in complete), (
+        "duplicate delivery marked a complete txn torn"
+    )
+    applied = apply_complete_txns(env)
+    baseline = apply_complete_txns(decode_cdc(generate_txn_bytes(spark, include_torn=True)))
+    assert applied.count() == baseline.count()  # exactly-once apply
+    # per-(txn, seq) multiplicity is exactly 1
+    multi = (
+        applied.groupBy("transaction_id", "trans_seq")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert multi == 0

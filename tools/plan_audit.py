@@ -119,11 +119,11 @@ def main() -> int:
             failures.append(f"{name}: unexpected Python boundary in plan")
 
     audited = [n for n in report if "error" not in report[n]]
-    totals = {
-        k: sum(report[n][k] for n in audited)
-        for k in next(iter(report.values())).keys()
-        if audited and k != "error"
-    }
+    stat_keys = (
+        "exchanges_hash", "exchanges_single", "exchanges_range", "broadcasts",
+        "smj", "cartesian", "python_eval", "scans", "wscg",
+    )
+    totals = {k: sum(report[n][k] for n in audited) for k in stat_keys}
     summary = {
         "sf_dir": sf_dir,
         "audited": len(audited),
