@@ -269,14 +269,26 @@ def pq_codebooks(
         .limit(n_codes)
         .select((F.row_number().over(w) - 1).alias("code"), "_qe")
     )
+    return _subvectors(seeds, "code", n_sub, "cq").select("sub", "code", "cq")
+
+
+def _subvectors(qe_df: DataFrame, key_col: str, n_sub: int, out_col: str) -> DataFrame:
+    """(key, _qe) → (key, sub, out_col): split a quantized vector into
+    ``n_sub`` contiguous subvectors (1-based slice, dim_per = D/n_sub).
+    The ONE place the PQ subspace geometry is defined — codebook
+    construction, item encoding, and query LUTs all slice through here,
+    so they cannot desynchronize."""
     dim_per = F.size("_qe") / n_sub
-    subs = F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub")
-    return seeds.select("code", subs, "_qe").select(
+    return qe_df.select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
+        F.col("_qe"),
+    ).select(
+        key_col,
         "sub",
-        "code",
-        F.slice("_qe", (F.col("sub") * dim_per + 1).cast("int"), dim_per.cast("int")).alias(
-            "cq"
-        ),
+        F.slice(
+            "_qe", (F.col("sub") * dim_per + 1).cast("int"), dim_per.cast("int")
+        ).alias(out_col),
     )
 
 
@@ -293,21 +305,9 @@ def pq_encode(
     rest this is the 8-bytes-per-vector index PQ exists for. One broadcast
     join (codebooks are tiny) + one map-side-combined argmin aggregate;
     the item table streams through once."""
-    dim_per = F.size("_qe") / n_sub
-    sub_rows = (
-        items.select(F.col(id_col), quantized(emb_col).alias("_qe"))
-        .select(
-            id_col,
-            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
-            F.col("_qe"),
-        )
-        .select(
-            id_col,
-            "sub",
-            F.slice(
-                "_qe", (F.col("sub") * dim_per + 1).cast("int"), dim_per.cast("int")
-            ).alias("xq"),
-        )
+    sub_rows = _subvectors(
+        items.select(F.col(id_col), quantized(emb_col).alias("_qe")),
+        id_col, n_sub, "xq",
     )
     d2 = F.aggregate(
         F.zip_with("xq", "cq", lambda x, c: (x - c) * (x - c)),
@@ -347,21 +347,9 @@ def pq_topk(
     |Q|·top_r rows only."""
     cb = pq_codebooks(items, n_sub, n_codes, id_col, emb_col)
     codes = pq_encode(items, cb, n_sub, id_col, emb_col)
-    dim_per = F.size("_qe") / n_sub
-    q_sub = (
-        queries.select(F.col(query_id_col), quantized(emb_col).alias("_qe"))
-        .select(
-            query_id_col,
-            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
-            F.col("_qe"),
-        )
-        .select(
-            query_id_col,
-            "sub",
-            F.slice(
-                "_qe", (F.col("sub") * dim_per + 1).cast("int"), dim_per.cast("int")
-            ).alias("xq"),
-        )
+    q_sub = _subvectors(
+        queries.select(F.col(query_id_col), quantized(emb_col).alias("_qe")),
+        query_id_col, n_sub, "xq",
     )
     lut = q_sub.join(F.broadcast(cb), "sub").select(
         query_id_col, "sub", "code", dot_q(F.col("xq"), F.col("cq")).alias("_dot")

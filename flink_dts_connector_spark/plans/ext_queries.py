@@ -2128,3 +2128,169 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("cohort_week", off.alias("week_offset")).agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+@register(
+    "curate_train_val_test",
+    oracle="""
+WITH split AS (
+  SELECT source,
+         CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80 THEN 'train'
+              WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents
+)
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM split GROUP BY 1, 2
+""",
+    tags=("ext", "curation", "split"),
+)
+def curate_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-independent
+    id hash (md5 mod 100 — engine-mirrorable, partition-independent,
+    stable under corpus growth: a doc never changes split when others are
+    added), reported per source so stratification skew is visible. The
+    split column is a pure projection — assignment costs nothing at any
+    scale; the report is one hash agg."""
+    from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
+
+    d = t(spark, sf_dir, "documents")
+    h = md5_number_lower_mod(F.col("doc_id").cast("string"), 100)
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"), X.token_count("text").alias("n_tok"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "events_hourly_anomaly",
+    oracle="""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_events) AS BIGINT) AS sc,
+         SUM(CAST(n_events AS HUGEINT) * n_events) AS scc
+  FROM h GROUP BY 1
+), scored AS (
+  SELECT h.event_type, h.hour_start, h.n_events,
+         CAST(s.sc AS DOUBLE) / s.n AS mean_events,
+         sqrt(CAST(s.n * s.scc - CAST(s.sc AS HUGEINT) * s.sc AS DOUBLE)
+              / CAST(CAST(s.n AS HUGEINT) * s.n AS DOUBLE)) AS std_events
+  FROM h JOIN s USING (event_type)
+)
+SELECT event_type, hour_start, n_events, mean_events, std_events,
+       CASE WHEN std_events > 0
+            THEN (n_events - mean_events) / std_events END AS z,
+       (abs(n_events - mean_events) > 2 * std_events) AS is_anomaly
+FROM scored
+""",
+    tags=("ext", "events", "anomaly"),
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly detection per event type: hours whose count
+    deviates more than 2σ from the type's mean. Population moments are
+    EXACT integer sums (n, Σc, Σc² — the big products through
+    DECIMAL(38,0)/HUGEINT so nothing overflows or rounds), converted to
+    double once at the end; sqrt and the ±2σ comparison are single IEEE
+    ops, so both engines flag the identical hour set. Two hash aggs and a
+    broadcast-sized stats join — the streaming twin is a windowed agg
+    over the same closed form."""
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    s = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").alias("sc"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("scc"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    var_num = (dec("n") * dec("scc") - dec("sc") * dec("sc")).cast("double")
+    var_den = (dec("n") * dec("n")).cast("double")
+    joined = h.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        (F.col("sc").cast("double") / F.col("n")).alias("mean_events"),
+        F.sqrt(var_num / var_den).alias("std_events"),
+    )
+    z = (F.col("n_events") - F.col("mean_events")) / F.col("std_events")
+    return joined.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        "mean_events",
+        "std_events",
+        F.when(F.col("std_events") > 0, z).alias("z"),
+        (
+            F.abs(F.col("n_events") - F.col("mean_events"))
+            > 2 * F.col("std_events")
+        ).alias("is_anomaly"),
+    )
+
+
+@register(
+    "curate_quality_funnel",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, text,
+         len({SQL_TOKS}) AS n_tok,
+         len(list_distinct({SQL_TOKS})) AS nd_tok,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS non_alnum,
+         length(text) AS n_chars
+  FROM documents
+), labeled AS (
+  SELECT source, n_tok,
+         CASE WHEN n_tok < 20 THEN 'too_short'
+              WHEN non_alnum * 10 >= n_chars * 3 THEN 'too_punct'
+              WHEN (n_tok - nd_tok) * 2 > n_tok THEN 'repetitive'
+              ELSE 'keep' END AS verdict
+  FROM toks
+)
+SELECT source, verdict,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM labeled GROUP BY 1, 2
+""",
+    tags=("ext", "curation", "quality"),
+)
+def curate_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate funnel report: every document labeled with its FIRST
+    failing gate (too_short → too_punct → repetitive → keep, the
+    precedence a pipeline applies) and rolled up per source — the
+    "where did my corpus go" report that accompanies every filtering run.
+    All gates are integer-exact predicates; one narrow projection + one
+    hash agg."""
+    d = t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_tok = F.size(toks).cast("bigint")
+    nd_tok = F.size(F.array_distinct(toks)).cast("bigint")
+    chars = F.length("text").cast("bigint")
+    non_alnum = chars - F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9]", ""))
+    verdict = (
+        F.when(n_tok < 20, F.lit("too_short"))
+        .when(non_alnum * 10 >= chars * 3, F.lit("too_punct"))
+        .when((n_tok - nd_tok) * 2 > n_tok, F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        d.select("source", verdict.alias("verdict"), n_tok.alias("n_tok"))
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
