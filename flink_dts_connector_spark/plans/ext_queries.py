@@ -2294,3 +2294,201 @@ def curate_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "curate_contamination_report",
+    oracle=f"""
+WITH probe AS (
+  SELECT doc_id AS probe_id, {SQL_TOKS} AS toks FROM documents WHERE doc_id % 37 = 0
+), corpus AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents WHERE doc_id % 37 <> 0
+), pg AS (
+  SELECT DISTINCT probe_id, g FROM (
+    SELECT probe_id,
+           w || ' ' || LEAD(w,1) OVER w1 || ' ' || LEAD(w,2) OVER w1
+             || ' ' || LEAD(w,3) OVER w1 || ' ' || LEAD(w,4) OVER w1
+             || ' ' || LEAD(w,5) OVER w1 || ' ' || LEAD(w,6) OVER w1 AS g
+    FROM (SELECT probe_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM probe)
+    WINDOW w1 AS (PARTITION BY probe_id ORDER BY i)
+    QUALIFY LEAD(w,6) OVER w1 IS NOT NULL
+  )
+), cg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           w || ' ' || LEAD(w,1) OVER w1 || ' ' || LEAD(w,2) OVER w1
+             || ' ' || LEAD(w,3) OVER w1 || ' ' || LEAD(w,4) OVER w1
+             || ' ' || LEAD(w,5) OVER w1 || ' ' || LEAD(w,6) OVER w1 AS g
+    FROM (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM corpus)
+    WINDOW w1 AS (PARTITION BY doc_id ORDER BY i)
+    QUALIFY LEAD(w,6) OVER w1 IS NOT NULL
+  )
+), hits AS (
+  SELECT pg.probe_id,
+         CAST(COUNT(DISTINCT cg.doc_id) AS BIGINT) AS n_contaminated_docs,
+         CAST(COUNT(DISTINCT pg.g) AS BIGINT) AS n_colliding_grams
+  FROM pg JOIN cg USING (g)
+  GROUP BY pg.probe_id
+)
+SELECT p.probe_id,
+       COALESCE(h.n_contaminated_docs, 0) AS n_contaminated_docs,
+       COALESCE(h.n_colliding_grams, 0) AS n_colliding_grams
+FROM probe p LEFT JOIN hits h USING (probe_id)
+""",
+    tags=("ext", "curation", "decontamination"),
+)
+def curate_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-document leakage report — the inverse view of
+    `decontaminate`: for each probe doc, how many corpus docs share a
+    7-gram with it and how many of ITS grams collide. Decontamination
+    tells you what to drop; this tells the benchmark owner which eval
+    items are compromised and how badly. Same broadcast shape (probe
+    grams tiny, corpus explode pipelines into the scan; counts ride one
+    hash agg keyed by probe id)."""
+    from flink_dts_connector_spark.operators.text import add_ngrams
+
+    docs = t(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 37 != 0).select("doc_id", "text")
+    pg = (
+        add_ngrams(probe, "text", "__g", 7, distinct=True)
+        .select("probe_id", F.explode("__g").alias("g"))
+    )
+    cg = (
+        add_ngrams(corpus, "text", "__g", 7, distinct=True)
+        .select("doc_id", F.explode("__g").alias("g"))
+    )
+    hits = (
+        cg.join(F.broadcast(pg), "g")
+        .groupBy("probe_id")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_contaminated_docs"),
+            F.countDistinct("g").cast("bigint").alias("n_colliding_grams"),
+        )
+    )
+    return probe.select("probe_id").join(hits, "probe_id", "left").select(
+        "probe_id",
+        F.coalesce("n_contaminated_docs", F.lit(0)).alias("n_contaminated_docs"),
+        F.coalesce("n_colliding_grams", F.lit(0)).alias("n_colliding_grams"),
+    )
+
+
+@register(
+    "text_vocab_concentration",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest({SQL_TOKS}) AS w FROM documents
+), counts AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), totals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS total FROM counts GROUP BY 1
+), top10 AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS top_mass FROM (
+    SELECT source, c, ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, w) AS rnk
+    FROM counts
+  ) WHERE rnk <= 10 GROUP BY source
+)
+SELECT t.source, t.total AS n_tokens, top10.top_mass AS top10_tokens,
+       CAST(top10.top_mass AS DOUBLE) / t.total AS concentration
+FROM totals t JOIN top10 USING (source)
+""",
+    tags=("ext", "text", "vocab"),
+)
+def text_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration per source: the share of all token mass
+    held by the 10 most frequent terms — high concentration flags
+    templated/boilerplate-heavy sources before any model sees them.
+    Integer masses, one double division; the top-10 rank runs per source
+    (bounded windows over the per-source vocab)."""
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(X.tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n_tokens"))
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(W.partitionBy("source").orderBy(F.desc("c"), F.asc("w")))
+    top10 = (
+        counts.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= 10)
+        .groupBy("source")
+        .agg(F.sum("c").alias("top10_tokens"))
+    )
+    return totals.join(top10, "source").select(
+        "source",
+        "n_tokens",
+        "top10_tokens",
+        (F.col("top10_tokens").cast("double") / F.col("n_tokens")).alias("concentration"),
+    )
+
+
+@register(
+    "embed_norm_outliers",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         CAST(list_sum(list_transform(
+           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+           x -> x * x)) AS BIGINT) AS nrm2
+  FROM embeddings
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(nrm2) AS BIGINT) AS sn,
+         SUM(CAST(nrm2 AS HUGEINT) * nrm2) AS snn
+  FROM q
+), scored AS (
+  SELECT q.vec_id, q.label, q.nrm2,
+         CAST(s.sn AS DOUBLE) / s.n AS mean_nrm2,
+         sqrt(CAST(s.n * s.snn - CAST(s.sn AS HUGEINT) * s.sn AS DOUBLE)
+              / CAST(CAST(s.n AS HUGEINT) * s.n AS DOUBLE)) AS std_nrm2
+  FROM q, s
+)
+SELECT vec_id, label, nrm2, mean_nrm2, std_nrm2
+FROM scored
+WHERE abs(nrm2 - mean_nrm2) > 2 * std_nrm2
+""",
+    tags=("ext", "embedding", "quality"),
+)
+def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding data-quality screen: vectors whose squared L2 norm
+    (exact int64 on quantized micro-units) deviates more than 2σ from the
+    population — the degenerate/corrupt-vector check run before any ANN
+    index build. Same exact-integer-moments trick as
+    `events_hourly_anomaly` (big products through HUGEINT/DECIMAL(38,0));
+    stats are one broadcast row. Bound: exact moments hold to ~1e9
+    vectors per stats group — beyond that, run the screen per shard or on
+    a deterministic hash sample."""
+    from flink_dts_connector_spark.operators.similarity import quantized
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.transform(quantized("embedding"), lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("nrm2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nrm2").alias("sn"),
+        F.sum(dec("nrm2") * dec("nrm2")).alias("snn"),
+    )
+    var_num = (dec("n") * F.col("snn") - dec("sn") * dec("sn")).cast("double")
+    var_den = (dec("n") * dec("n")).cast("double")
+    scored = q.crossJoin(F.broadcast(s)).select(
+        "vec_id",
+        "label",
+        "nrm2",
+        (F.col("sn").cast("double") / F.col("n")).alias("mean_nrm2"),
+        F.sqrt(var_num / var_den).alias("std_nrm2"),
+    )
+    return scored.where(
+        F.abs(F.col("nrm2") - F.col("mean_nrm2")) > 2 * F.col("std_nrm2")
+    )
