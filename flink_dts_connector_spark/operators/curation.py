@@ -423,6 +423,7 @@ def chunk_windows(
     stride: int = 48,
     id_col: str = "doc_id",
     text_col: str = "text",
+    emit_text: bool = False,
 ) -> DataFrame:
     """Split each document into overlapping token-window chunks — the
     context-window shaping step of pretraining / RAG ingestion: chunk k
@@ -447,13 +448,16 @@ def chunk_windows(
         F.col(id_col), F.col("__toks"), F.posexplode(starts).alias("chunk_id", "start_tok")
     )
     chunk = F.slice(F.col("__toks"), F.col("start_tok"), int(window))
-    return exploded.select(
+    cols = [
         F.col(id_col),
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
         F.col("start_tok").cast("bigint").alias("start_tok"),
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
-    )
+    ]
+    if emit_text:  # opt-in: downstream per-chunk NLP (embedding, search)
+        cols.append(F.concat_ws(" ", chunk).alias("chunk_text"))
+    return exploded.select(*cols)
 
 
 def shuffle_order(

@@ -2492,3 +2492,127 @@ def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(
         F.abs(F.col("nrm2") - F.col("mean_nrm2")) > 2 * F.col("std_nrm2")
     )
+
+
+@register(
+    "search_chunk_ann",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks), 48)) AS start_tok FROM d
+  WHERE len(toks) > 0
+), c AS (
+  SELECT doc_id,
+         CAST((start_tok - 1) // 48 AS BIGINT) AS chunk_id,
+         doc_id * 1000000 + CAST((start_tok - 1) // 48 AS BIGINT) AS chunk_key,
+         array_to_string(list_slice(toks, start_tok, least(start_tok + 63, len(toks))), ' ') AS chunk_text
+  FROM s
+), tk AS (
+  SELECT chunk_key, doc_id, chunk_id,
+         unnest(string_split_regex(trim(chunk_text), '\\s+')) AS w
+  FROM c
+), bs AS (
+  SELECT chunk_key, doc_id, chunk_id,
+         CAST(md5_number_lower(w) % 32 AS BIGINT) // 2 AS b,
+         CAST(md5_number_lower(w) % 32 AS BIGINT) % 2 * 2 - 1 AS s
+  FROM tk
+), vec AS (
+  SELECT chunk_key, ANY_VALUE(doc_id) AS doc_id, ANY_VALUE(chunk_id) AS chunk_id,
+         CAST(COALESCE(SUM(CASE WHEN b = 0 THEN s END), 0) AS BIGINT) AS v0,
+         CAST(COALESCE(SUM(CASE WHEN b = 1 THEN s END), 0) AS BIGINT) AS v1,
+         CAST(COALESCE(SUM(CASE WHEN b = 2 THEN s END), 0) AS BIGINT) AS v2,
+         CAST(COALESCE(SUM(CASE WHEN b = 3 THEN s END), 0) AS BIGINT) AS v3,
+         CAST(COALESCE(SUM(CASE WHEN b = 4 THEN s END), 0) AS BIGINT) AS v4,
+         CAST(COALESCE(SUM(CASE WHEN b = 5 THEN s END), 0) AS BIGINT) AS v5,
+         CAST(COALESCE(SUM(CASE WHEN b = 6 THEN s END), 0) AS BIGINT) AS v6,
+         CAST(COALESCE(SUM(CASE WHEN b = 7 THEN s END), 0) AS BIGINT) AS v7,
+         CAST(COALESCE(SUM(CASE WHEN b = 8 THEN s END), 0) AS BIGINT) AS v8,
+         CAST(COALESCE(SUM(CASE WHEN b = 9 THEN s END), 0) AS BIGINT) AS v9,
+         CAST(COALESCE(SUM(CASE WHEN b = 10 THEN s END), 0) AS BIGINT) AS v10,
+         CAST(COALESCE(SUM(CASE WHEN b = 11 THEN s END), 0) AS BIGINT) AS v11,
+         CAST(COALESCE(SUM(CASE WHEN b = 12 THEN s END), 0) AS BIGINT) AS v12,
+         CAST(COALESCE(SUM(CASE WHEN b = 13 THEN s END), 0) AS BIGINT) AS v13,
+         CAST(COALESCE(SUM(CASE WHEN b = 14 THEN s END), 0) AS BIGINT) AS v14,
+         CAST(COALESCE(SUM(CASE WHEN b = 15 THEN s END), 0) AS BIGINT) AS v15
+  FROM bs GROUP BY chunk_key
+), nz AS (
+  SELECT *, CAST(v0 * v0 + v1 * v1 + v2 * v2 + v3 * v3 + v4 * v4 + v5 * v5 + v6 * v6 + v7 * v7 + v8 * v8 + v9 * v9 + v10 * v10 + v11 * v11 + v12 * v12 + v13 * v13 + v14 * v14 + v15 * v15 AS BIGINT) AS nrm FROM vec
+  WHERE v0 * v0 + v1 * v1 + v2 * v2 + v3 * v3 + v4 * v4 + v5 * v5 + v6 * v6 + v7 * v7 + v8 * v8 + v9 * v9 + v10 * v10 + v11 * v11 + v12 * v12 + v13 * v13 + v14 * v14 + v15 * v15 > 0
+), pairs AS (
+  SELECT q.doc_id AS query_doc_id, i.doc_id, i.chunk_id, i.chunk_key,
+         CAST(q.v0 * i.v0 + q.v1 * i.v1 + q.v2 * i.v2 + q.v3 * i.v3 + q.v4 * i.v4 + q.v5 * i.v5 + q.v6 * i.v6 + q.v7 * i.v7 + q.v8 * i.v8 + q.v9 * i.v9 + q.v10 * i.v10 + q.v11 * i.v11 + q.v12 * i.v12 + q.v13 * i.v13 + q.v14 * i.v14 + q.v15 * i.v15 AS BIGINT) AS dot, q.nrm AS qn, i.nrm AS inr
+  FROM nz q JOIN nz i ON i.doc_id <> q.doc_id
+  WHERE q.chunk_id = 0 AND q.doc_id % 40 = 0
+)
+SELECT query_doc_id, doc_id, chunk_id,
+       CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(inr AS DOUBLE)) AS score,
+       rank
+FROM (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_doc_id
+           ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(inr AS DOUBLE)) DESC,
+                    chunk_key
+         ) AS BIGINT) AS rank
+  FROM pairs
+) WHERE rank <= 5
+""",
+    tags=("ext", "search", "chunking", "embedding", "similarity"),
+)
+def search_chunk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE composition — chunk-level retrieval with NO model: chunk
+    the corpus (64/48, text retained), hash-embed every chunk (16-dim
+    signed bag-of-words, md5 bucket+sign), then for each query chunk
+    (chunk 0 of every 40th doc) return the top-5 most cosine-similar
+    chunks from OTHER documents. Chunking pipelines in the scan, the
+    embedding is one (chunk, bucket) agg, queries broadcast onto the
+    chunk-vector table, exact quantized-integer scoring — the
+    chunk -> embed -> index -> search assembly line of a RAG/retrieval
+    pipeline, every stage the already-oracle-checked operator. Zero-norm
+    chunks (sign-cancelled) are excluded on both sides."""
+    from flink_dts_connector_spark.operators.text import hash_embedding
+
+    docs = t(spark, sf_dir, "documents")
+    ck = C.chunk_windows(docs, window=64, stride=48, emit_text=True).select(
+        (F.col("doc_id") * 1000000 + F.col("chunk_id")).alias("chunk_key"),
+        "doc_id",
+        "chunk_id",
+        "chunk_text",
+    )
+    vec = hash_embedding(ck, dim=16, id_col="chunk_key", text_col="chunk_text")
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    items = (
+        vec.join(ck.select("chunk_key", "doc_id", "chunk_id"), "chunk_key")
+        .withColumn("nrm", dot(F.col("embedding"), F.col("embedding")))
+        .where(F.col("nrm") > 0)
+    )
+    q = items.where((F.col("chunk_id") == 0) & (F.col("doc_id") % 40 == 0)).select(
+        F.col("doc_id").alias("query_doc_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = items.join(
+        F.broadcast(q), F.col("doc_id") != F.col("query_doc_id")
+    ).select(
+        "query_doc_id",
+        "doc_id",
+        "chunk_id",
+        "chunk_key",
+        dot(F.col("q_emb"), F.col("embedding")).alias("dot"),
+        "qn",
+        F.col("nrm").alias("inr"),
+    )
+    score = F.col("dot").cast("double") / F.sqrt(
+        F.col("qn").cast("double") * F.col("inr").cast("double")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_doc_id").orderBy(score.desc(), F.asc("chunk_key"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select("query_doc_id", "doc_id", "chunk_id", score.alias("score"), "rank")
+    )
