@@ -266,16 +266,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's HLL++ is deterministic for fixed data + rsd, so we emit the exact
     count plus a boolean asserting |approx − exact| ≤ 5%·exact; the oracle
     emits the exact count and literal TRUE. A wildly-off sketch therefore
-    fails the hash gate rather than hiding behind a rows-only check."""
+    fails the hash gate rather than hiding behind a rows-only check.
+
+    Shape notes from the r4 sweep's scaling table (this was the registry's
+    one outlier, 88 s at sf0.1 in a default-memory vanilla session):
+    (a) rsd = 0.02, not 0.01 — the tighter sketches (2^14+ registers per
+    group per column) GC-thrashed for a 3.4× cost with no verdict change;
+    measured margin at 0.02 is worst |err| 3.3% across all driver SFs,
+    1.5× inside the asserted bound. (b) one single-distinct aggregate PER
+    COLUMN, joined on the group key, instead of one multi-distinct
+    aggregate — Spark plans the latter as an EXPAND that triples the fact
+    table before the shuffle; two partial-distinct aggs scan twice but
+    move a fraction of the rows (measured 3× faster, 8.8 s vanilla).
+    This is the right 100 TB shape too: expand multiplies the corpus, a
+    per-column distinct agg is map-side-combined."""
+    li = t(spark, sf_dir, "lineitem")
+    o = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_ao"),
+    )
+    p = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
+    )
     return (
-        t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count_distinct("l_orderkey").alias("exact_orders"),
-            F.count_distinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_ao"),
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("_ap"),
-        )
+        o.join(p, "l_returnflag")
         .select(
             "l_returnflag",
             "exact_orders",
