@@ -147,7 +147,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_stream_interval_join",
     "stream_partition_watermarks",
     "stream_late_data_gate",
-    "stream_cdc_envelope_totals",
+    "stream_txn_atomic_apply",
 )
 
 

@@ -914,3 +914,112 @@ def stream_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(X.token_count("text")).alias("n_tokens"),
         F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
     )
+
+
+def _txn_apply_oracle() -> str:
+    from flink_dts_connector_spark.sources.zoo import expected_txn_apply_sql
+
+    return expected_txn_apply_sql()
+
+
+@register(
+    "stream_txn_atomic_apply",
+    oracle=_txn_apply_oracle(),
+    tags=("streaming", "cdc", "transaction", "sink"),
+)
+def stream_txn_atomic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING all-or-none transaction apply — transactions do NOT
+    respect micro-batch boundaries: the txn fixture (WITH per-transaction
+    COMMIT markers, reference op code 5 = the binlog XID analogue) lands
+    in waves split by statement index, so every multi-statement
+    transaction straddles batches and no transaction is complete inside
+    the batch that starts it. foreachBatch buffers fragments across
+    batches (pending state, localCheckpoint-ed) and applies a transaction
+    exactly once, when BOTH hold:
+
+      * its COMMIT marker arrived (carrying trans_seq = statement count);
+      * statements 0..commit_seq−1 are all present (distinct-seq check).
+
+    Contiguity alone CANNOT decide mid-stream — after the first wave
+    every transaction's observed {0} looks contiguous; the marker is what
+    distinguishes "complete" from "so far so good". The torn transaction
+    DOES commit upstream (its middle statement was lost in transit), so
+    its marker arrives but the seq gap holds it back forever — nothing
+    from it is ever applied.
+
+    The oracle is the BATCH atomic-apply closed form (same per-table
+    row/txn/checksum stats as `cdc_txn_atomic_apply`) — matching it
+    proves the streamed buffer-until-COMMIT chain converges to exactly
+    the batch semantics. This is the canonical CDC-sink problem: a
+    consistent MERGE target must see whole transactions while the source
+    fragments them arbitrarily."""
+    import tempfile
+
+    from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
+    from flink_dts_connector_spark.sources.zoo import N_TXNS, generate_txn_bytes
+
+    raw = generate_txn_bytes(spark, include_torn=True, commits=True)
+    # wave = statement index, recovered from the generator's offset layout
+    # (offset = j*(N_TXNS+1) + t); each txn's COMMIT lands one wave after
+    # its last statement
+    waved = raw.withColumn("wave", F.expr(f"offset div {N_TXNS + 1}"))
+    n_waves = waved.agg(F.max("wave")).collect()[0][0] + 1
+
+    state = {"pending": None, "applied": None}
+    is_commit = F.col("operation") == "COMMIT"
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        pend = bdf if state["pending"] is None else state["pending"].unionByName(bdf)
+        man = pend.groupBy("transaction_id").agg(
+            F.max(F.when(is_commit, F.col("trans_seq"))).alias("commit_seq"),
+            F.min(F.when(~is_commit, F.col("trans_seq"))).alias("min_seq"),
+            F.max(F.when(~is_commit, F.col("trans_seq"))).alias("max_seq"),
+            F.count_distinct(F.when(~is_commit, F.col("trans_seq"))).alias("n_seq"),
+        )
+        complete_ids = man.where(
+            F.col("commit_seq").isNotNull()
+            & (F.col("min_seq") == 0)
+            & (F.col("max_seq") == F.col("n_seq") - 1)
+            & (F.col("n_seq") == F.col("commit_seq"))
+        ).select("transaction_id")
+        done = (
+            pend.where(~is_commit)
+            .join(F.broadcast(complete_ids), "transaction_id", "left_semi")
+            .dropDuplicates(["transaction_id", "trans_seq"])
+            .localCheckpoint()
+        )
+        still = pend.join(
+            F.broadcast(complete_ids), "transaction_id", "left_anti"
+        ).localCheckpoint()
+        state["applied"] = (
+            done
+            if state["applied"] is None
+            else state["applied"].unionByName(done).localCheckpoint()
+        )
+        state["pending"] = still
+
+    raw_dir = tempfile.mkdtemp(prefix="fdcs_txnstream_raw_")
+    ckpt = tempfile.mkdtemp(prefix="fdcs_txnstream_ckpt_")
+    register_dts_source(spark)
+    with pinned_shuffle_partitions(spark):
+        for wave in range(int(n_waves)):
+            waved.where(F.col("wave") == wave).drop("wave").repartition(2).write.mode(
+                "append"
+            ).parquet(raw_dir)
+            q = (
+                spark.readStream.format("dts")
+                .option("path", raw_dir)
+                .load()
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    applied = state["applied"]
+    return applied.groupBy("tbl").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("transaction_id").cast("bigint").alias("n_txns"),
+        F.sum("id").alias("id_sum"),
+    )

@@ -293,7 +293,29 @@ def _txn_record(t: int, j: int, tbl: str, op_name: str) -> CdcRecord:
     )
 
 
-def generate_txn_bytes(spark: SparkSession, include_torn: bool = False) -> DataFrame:
+def _txn_commit_record(t: int, n_stmts: int) -> CdcRecord:
+    """Transaction COMMIT marker (reference op code 5,
+    `record/OperationType.java:4-27`; binlog XID analogue): no images, no
+    table scope; ``trans_seq`` = the statement count, so a consumer can
+    check completeness (seqs 0..n−1 observed) without out-of-band state."""
+    return CdcRecord(
+        id=9_000_000 + t * 100 + 99,
+        ts=1_700_001_000 + t * 10 + n_stmts,
+        operation=OperationType.COMMIT,
+        db=TXN_DB,
+        tbl="_txn",
+        transaction_id=f"txn-{t:04d}",
+        source_type=SourceType.MySQL,
+        source_version="5.7.0",
+        source_position=f"mysql-bin.000002:commit-{t}",
+        trans_seq=n_stmts,
+        fields=[],
+    )
+
+
+def generate_txn_bytes(
+    spark: SparkSession, include_torn: bool = False, commits: bool = False
+) -> DataFrame:
     """Interleaved multi-statement transactions: each of the N_TXNS
     transactions spans 2-4 statements across MULTIPLE tables; stream order
     (partition, offset) is round-robin BY STATEMENT (offset =
@@ -307,19 +329,33 @@ def generate_txn_bytes(spark: SparkSession, include_torn: bool = False) -> DataF
     ``include_torn`` adds one extra transaction (t = N_TXNS) whose MIDDLE
     statement never arrives (a torn/partial transaction — lost record or
     truncated feed): its observed sequence is {0, 2}, so the manifest's
-    contiguity proof flags it and an atomic sink must skip it whole."""
+    contiguity proof flags it and an atomic sink must skip it whole.
+
+    ``commits`` additionally emits one COMMIT marker per transaction
+    (reference op code 5, `record/OperationType.java:4-27` — the binlog
+    XID analogue) AFTER its last statement in stream order (offset =
+    n_stmts·(N_TXNS+1) + t), carrying trans_seq = statement count so a
+    consumer can check completeness without out-of-band state. The torn
+    transaction gets its COMMIT too — it committed upstream; the loss
+    happened in transit — so completeness checking must catch the seq
+    GAP, not just the marker's presence."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             values, parts, offs = [], [], []
             for row in pdf.itertuples(index=False):
                 t = int(row.id)
-                for j, tbl, op_name in _txn_shape(t):
+                shape = _txn_shape(t)
+                for j, tbl, op_name in shape:
                     if t == N_TXNS and j == 1:  # the torn txn's lost statement
                         continue
                     values.append(encode_record(_txn_record(t, j, tbl, op_name)))
                     parts.append(t % 4)
                     offs.append(j * (N_TXNS + 1) + t)
+                if commits:
+                    values.append(encode_record(_txn_commit_record(t, len(shape))))
+                    parts.append(t % 4)
+                    offs.append(len(shape) * (N_TXNS + 1) + t)
             yield pd.DataFrame({"value": values, "partition": parts, "offset": offs})
 
     return (
