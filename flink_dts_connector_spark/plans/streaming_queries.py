@@ -828,7 +828,10 @@ def stream_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no corpus shuffle outside the recompute region); materialized state
     is localCheckpoint-ed so lineage doesn't grow across waves. At 100 TB
     the two materializations are tables (the CDC-upserted replica and the
-    curated output); everything else is identical."""
+    curated output); everything else is identical. State disclosure: the
+    driver-held frames are the in-process stand-in for those tables —
+    the checkpoint WAL covers exactly-once input consumption across
+    restarts; state recovery in production reads the tables back."""
     import tempfile
 
     from flink_dts_connector_spark.operators import curation as C
@@ -952,7 +955,15 @@ def stream_txn_atomic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the streamed buffer-until-COMMIT chain converges to exactly
     the batch semantics. This is the canonical CDC-sink problem: a
     consistent MERGE target must see whole transactions while the source
-    fragments them arbitrarily."""
+    fragments them arbitrarily.
+
+    State disclosure: pending/applied live as driver-held
+    localCheckpoint-ed frames — the in-process stand-in for what
+    production persists as tables (pending-fragments + applied-target);
+    the checkpoint WAL guarantees exactly-once INPUT consumption across
+    restarts, and state recovery in production reads those tables back,
+    exactly as `SCALING.md` §incremental describes for the curation
+    pipeline."""
     import tempfile
 
     from flink_dts_connector_spark.sources.dts_datasource import register_dts_source

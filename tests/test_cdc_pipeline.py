@@ -451,3 +451,31 @@ def test_doc_delta_generator_op_mix_and_images(spark, sf_dir):
     assert got["DELETE"] == exp_d
     assert got["INSERT"] == exp_i
     assert got["UPDATE"] == exp_u
+
+
+def test_commit_marker_alone_does_not_complete_txn(spark):
+    """The COMMIT marker asserts the transaction committed upstream; it
+    must NOT by itself trigger apply — completeness additionally requires
+    every statement 0..commit_seq−1. The torn txn has its marker and
+    seqs {0, 2}: nothing from it may apply, while a healthy txn with the
+    same statement count applies fully. Also pins the COMMIT wire record
+    (op code 5, no fields, no images) through encode → decode."""
+    from flink_dts_connector_spark.formats.decoder import decode_cdc
+    from flink_dts_connector_spark.sources.zoo import N_TXNS, generate_txn_bytes
+
+    from pyspark.sql import functions as F
+
+    env = decode_cdc(generate_txn_bytes(spark, include_torn=True, commits=True))
+    torn_id = f"txn-{N_TXNS:04d}"
+    torn = env.where(F.col("transaction_id") == torn_id).collect()
+    ops = sorted((r["operation"], r["trans_seq"]) for r in torn)
+    # marker present (seq = 3 statements), statements {0, 2} observed
+    assert ("COMMIT", 3) in ops and ("COMMIT", 1) not in ops
+    stmt_seqs = sorted(s for op, s in ops if op != "COMMIT")
+    assert stmt_seqs == [0, 2]
+    commits = env.where(F.col("operation") == "COMMIT")
+    assert commits.count() == N_TXNS + 1  # every txn incl. torn has one
+    # commit rows decode with empty images and the _txn pseudo-table
+    row = commits.limit(1).collect()[0]
+    assert row["before"] is None and row["after"] is None
+    assert row["tbl"] == "_txn"
