@@ -110,3 +110,61 @@ def keep_best_per_cluster(
         best["q"].alias("keep_quality"),
         F.max("n_members").alias("n_members"),
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 5,
+    src: str = "a_id",
+    dst: str = "b_id",
+    id_col: str = "id",
+) -> DataFrame:
+    """Integer-exact PageRank over an undirected pair graph — centrality
+    for near-dup graphs, where high-rank nodes are the boilerplate HUBS
+    (one template shared by many docs) as opposed to pairwise chains.
+
+    Determinism contract: ranks are scaled integers (start 10⁶ per node);
+    one round is
+
+        r'(v) = 150000 + (85 · Σ_{u→v} (r(u) div deg(u))) div 100
+
+    — every operation an integer floor-division/sum, so the result is
+    bit-identical across engines, partitionings and runs, and a DuckDB
+    recursive CTE can replay it exactly (no float accumulation order to
+    diverge). d = 0.85 and the 0.15·10⁶ teleport term are folded into the
+    integer coefficients. Isolated nodes (no edges) keep rank
+    150000 + nothing = the pure teleport mass.
+
+    Scale shape: per iteration one |E| shuffle (contrib join on src) and
+    one |V|-keyed aggregate, identical envelope to `connected_components`;
+    `localCheckpoint` truncates lineage per round. Fixed iteration count —
+    no driver-side convergence loop needed."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select(F.col(id_col).alias("u")).withColumn(
+        "r", F.lit(1_000_000).cast("bigint")
+    )
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("u"), F.expr("r div deg").alias("c"))
+            .groupBy("u")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            ranks.select("u")
+            .join(contrib, "u", "left")
+            .select(
+                "u",
+                (
+                    F.lit(150_000)
+                    + F.expr("(85 * coalesce(in_mass, 0L)) div 100")
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("u").alias(id_col), F.col("r").alias("rank_int"))

@@ -2616,3 +2616,81 @@ def search_chunk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_doc_id", "doc_id", "chunk_id", score.alias("score"), "rank")
     )
+
+
+@register(
+    "graph_pagerank_dedup_hubs",
+    oracle=f"""
+WITH {SQL_SHINGLES_CTE}, pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE 100 * n_inter >= 30 * (sa.n_sh + sb.n_sh - n_inter)
+), sym AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+),
+p0 AS (
+  SELECT doc_id AS u, CAST(1000000 AS BIGINT) AS r FROM documents
+),
+c1 AS (
+  SELECT s.v AS u, SUM(p0.r // d.deg) AS m
+  FROM sym s JOIN p0 ON p0.u = s.u JOIN deg d ON d.u = s.u
+  GROUP BY s.v
+), p1 AS (
+  SELECT p0.u, CAST(150000 + (85 * COALESCE(c1.m, 0)) // 100 AS BIGINT) AS r
+  FROM p0 LEFT JOIN c1 USING (u)
+),
+c2 AS (
+  SELECT s.v AS u, SUM(p1.r // d.deg) AS m
+  FROM sym s JOIN p1 ON p1.u = s.u JOIN deg d ON d.u = s.u
+  GROUP BY s.v
+), p2 AS (
+  SELECT p1.u, CAST(150000 + (85 * COALESCE(c2.m, 0)) // 100 AS BIGINT) AS r
+  FROM p1 LEFT JOIN c2 USING (u)
+),
+c3 AS (
+  SELECT s.v AS u, SUM(p2.r // d.deg) AS m
+  FROM sym s JOIN p2 ON p2.u = s.u JOIN deg d ON d.u = s.u
+  GROUP BY s.v
+), p3 AS (
+  SELECT p2.u, CAST(150000 + (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS r
+  FROM p2 LEFT JOIN c3 USING (u)
+),
+c4 AS (
+  SELECT s.v AS u, SUM(p3.r // d.deg) AS m
+  FROM sym s JOIN p3 ON p3.u = s.u JOIN deg d ON d.u = s.u
+  GROUP BY s.v
+), p4 AS (
+  SELECT p3.u, CAST(150000 + (85 * COALESCE(c4.m, 0)) // 100 AS BIGINT) AS r
+  FROM p3 LEFT JOIN c4 USING (u)
+),
+c5 AS (
+  SELECT s.v AS u, SUM(p4.r // d.deg) AS m
+  FROM sym s JOIN p4 ON p4.u = s.u JOIN deg d ON d.u = s.u
+  GROUP BY s.v
+), p5 AS (
+  SELECT p4.u, CAST(150000 + (85 * COALESCE(c5.m, 0)) // 100 AS BIGINT) AS r
+  FROM p4 LEFT JOIN c5 USING (u)
+)
+SELECT u AS doc_id, r AS rank_int FROM p5
+""",
+    tags=("ext", "graph", "dedup", "centrality"),
+)
+def graph_pagerank_dedup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-dup graph: 5 rounds of INTEGER-exact
+    PageRank (scaled ranks, floor-division damping — bit-identical across
+    engines, so even an iterative algorithm gets a full value-hash
+    oracle) on the exact 3-gram-Jaccard pair graph at 0.30. High-rank
+    nodes are boilerplate HUBS — one template shared by many documents —
+    which pairwise dedup sees only as O(n²) pair lists; centrality ranks
+    WHICH template to strip first. Per round: one |E| shuffle + one
+    |V|-keyed aggregate, the `connected_components` envelope."""
+    from flink_dts_connector_spark.operators.graph import pagerank_int
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold_pct=30)
+    return pagerank_int(pairs, docs.select("doc_id"), iterations=5, id_col="doc_id")
