@@ -2621,58 +2621,58 @@ def search_chunk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_pagerank_dedup_hubs",
     oracle=f"""
-WITH {SQL_SHINGLES_CTE}, pairs AS (
+WITH {SQL_SHINGLES_CTE}, pairs AS MATERIALIZED (
   SELECT a_id, b_id FROM inter
   JOIN sizes sa ON sa.doc_id = a_id
   JOIN sizes sb ON sb.doc_id = b_id
   WHERE 100 * n_inter >= 30 * (sa.n_sh + sb.n_sh - n_inter)
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT a_id AS u, b_id AS v FROM pairs
   UNION ALL
   SELECT b_id, a_id FROM pairs
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
 ),
-p0 AS (
+p0 AS MATERIALIZED (
   SELECT doc_id AS u, CAST(1000000 AS BIGINT) AS r FROM documents
 ),
-c1 AS (
+c1 AS MATERIALIZED (
   SELECT s.v AS u, SUM(p0.r // d.deg) AS m
   FROM sym s JOIN p0 ON p0.u = s.u JOIN deg d ON d.u = s.u
   GROUP BY s.v
-), p1 AS (
+), p1 AS MATERIALIZED (
   SELECT p0.u, CAST(150000 + (85 * COALESCE(c1.m, 0)) // 100 AS BIGINT) AS r
   FROM p0 LEFT JOIN c1 USING (u)
 ),
-c2 AS (
+c2 AS MATERIALIZED (
   SELECT s.v AS u, SUM(p1.r // d.deg) AS m
   FROM sym s JOIN p1 ON p1.u = s.u JOIN deg d ON d.u = s.u
   GROUP BY s.v
-), p2 AS (
+), p2 AS MATERIALIZED (
   SELECT p1.u, CAST(150000 + (85 * COALESCE(c2.m, 0)) // 100 AS BIGINT) AS r
   FROM p1 LEFT JOIN c2 USING (u)
 ),
-c3 AS (
+c3 AS MATERIALIZED (
   SELECT s.v AS u, SUM(p2.r // d.deg) AS m
   FROM sym s JOIN p2 ON p2.u = s.u JOIN deg d ON d.u = s.u
   GROUP BY s.v
-), p3 AS (
+), p3 AS MATERIALIZED (
   SELECT p2.u, CAST(150000 + (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS r
   FROM p2 LEFT JOIN c3 USING (u)
 ),
-c4 AS (
+c4 AS MATERIALIZED (
   SELECT s.v AS u, SUM(p3.r // d.deg) AS m
   FROM sym s JOIN p3 ON p3.u = s.u JOIN deg d ON d.u = s.u
   GROUP BY s.v
-), p4 AS (
+), p4 AS MATERIALIZED (
   SELECT p3.u, CAST(150000 + (85 * COALESCE(c4.m, 0)) // 100 AS BIGINT) AS r
   FROM p3 LEFT JOIN c4 USING (u)
 ),
-c5 AS (
+c5 AS MATERIALIZED (
   SELECT s.v AS u, SUM(p4.r // d.deg) AS m
   FROM sym s JOIN p4 ON p4.u = s.u JOIN deg d ON d.u = s.u
   GROUP BY s.v
-), p5 AS (
+), p5 AS MATERIALIZED (
   SELECT p4.u, CAST(150000 + (85 * COALESCE(c5.m, 0)) // 100 AS BIGINT) AS r
   FROM p4 LEFT JOIN c5 USING (u)
 )
