@@ -332,6 +332,60 @@ def rare_bigram_metrics(
     )
 
 
+def ilog2(x: Column) -> Column:
+    """Exact integer floor(log2(x)) for x >= 1: bit-length minus one, via
+    base-2 string conversion — no float rounding at exact powers of two,
+    bit-identical across engines (DuckDB twin: length(printf('%b', x)) - 1)."""
+    return (F.length(F.conv(x.cast("string"), 10, 2)) - 1).cast("bigint")
+
+
+def unigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram-LM perplexity proxy: score every document by the mean
+    integer surprisal of its tokens under the corpus's own unigram
+    distribution — ``surprisal(w) = ilog2(T div c_w)`` where ``c_w`` is the
+    corpus frequency of ``w`` and ``T`` the total token count. Rare-token-
+    heavy documents (gibberish, OCR noise, wrong language) score high; the
+    classic KenLM-perplexity quality filter reformulated in pure integer
+    arithmetic so a SQL oracle can check it bit-for-bit (no transcendental
+    log whose last ulp could diverge across engines).
+
+    Plan: explode once, pre-aggregate to distinct (doc, token, count) so
+    the vocab join touches type-level rows, not the raw token mass; the
+    vocab count table is the "model" (one hash agg, map-side combine), the
+    grand total one broadcast row. At 100 TB: persist the vocab table once
+    per snapshot and reuse it as the scoring side; the join is a shuffle
+    equi-join on the token (a heavy-tailed vocab does NOT broadcast —
+    billions of types at web scale)."""
+    dt = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
+    )
+    vocab = dt.groupBy("w").agg(F.sum("dc").cast("bigint").alias("c"))
+    total = vocab.agg(F.sum("c").cast("bigint").alias("t"))
+    scored_vocab = vocab.join(F.broadcast(total)).select(
+        "w", ilog2(F.expr("t div c")).alias("surprisal")
+    )
+    return (
+        dt.join(scored_vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("dc").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("dc") * F.col("surprisal")).cast("bigint").alias("total_surprisal"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "total_surprisal",
+            (F.col("total_surprisal").cast("double") / F.col("n_tokens")).alias(
+                "mean_surprisal"
+            ),
+        )
+    )
+
+
 def stopword_count(text: Column | str, words: tuple[str, ...] = STOPWORDS) -> Column:
     toks = tokens(text)
     return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("bigint")

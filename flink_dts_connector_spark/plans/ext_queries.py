@@ -2694,3 +2694,37 @@ def graph_pagerank_dedup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, threshold_pct=30)
     return pagerank_int(pairs, docs.select("doc_id"), iterations=5, id_col="doc_id")
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w FROM documents
+), dt AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS dc FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT w, CAST(SUM(dc) AS BIGINT) AS c FROM dt GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab
+), sc AS (
+  SELECT w, CAST(length(printf('%b', tot.t // c)) - 1 AS BIGINT) AS surprisal
+  FROM vocab, tot
+)
+SELECT dt.doc_id,
+       CAST(SUM(dt.dc) AS BIGINT) AS n_tokens,
+       CAST(SUM(dt.dc * sc.surprisal) AS BIGINT) AS total_surprisal,
+       CAST(SUM(dt.dc * sc.surprisal) AS DOUBLE) / SUM(dt.dc) AS mean_surprisal
+FROM dt JOIN sc USING (w)
+GROUP BY 1
+""",
+    tags=("ext", "text", "quality", "lm"),
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: mean integer unigram surprisal
+    per document under the corpus's own token distribution — the
+    CCNet/KenLM-style LM filter with the log reformulated as exact
+    bit-length arithmetic (`ilog2(T div c)`), so the oracle hash-matches.
+    Companion to `text_rare_bigram_fraction` (bigram tail) — this one
+    scores the whole distribution, not just the rare tail."""
+    return X.unigram_surprisal(t(spark, sf_dir, "documents"))
