@@ -487,6 +487,91 @@ def kmeans_centroids(
     return centroids
 
 
+def kmeans_int_clusters(
+    items: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """INTEGER-exact Lloyd's k-means over quantized embeddings — corpus
+    topic/segment clustering whose every step is bit-identical across
+    engines, so even the iterative algorithm gets a full value-hash oracle
+    (the vector-space sibling of `graph.pagerank_int`'s unrolled-CTE trick).
+
+    Exactness contract: vectors quantized to int64 micro-units; assignment
+    is argmin of the exact int64 squared L2 distance with (dist², cid)
+    lexicographic tie-break; the centroid update is element-wise
+    ``sum(x) div count`` — truncating integer division, matching DuckDB's
+    ``//`` — so no distributed-mean last-ulp noise can flip a later
+    assignment. Init = the k lowest-id vectors. Empty clusters keep their
+    previous centroid.
+
+    Scale: centroids are k rows, always broadcast — the corpus never
+    shuffles for assignment (one narrow pass per round, map-side-combined
+    argmin); the update is one (cluster, dim)-keyed aggregate of k×dim
+    output rows. int64 bound: sum per (cluster, dim) ≤ members × 1e6
+    micro-units — exact to ~9e12 member vectors per cluster.
+
+    Returns (id_col, cluster, dist2) — final assignment with exact
+    distances."""
+    q = items.select(F.col(id_col), quantized(emb_col).alias("v"))
+    w_init = W.orderBy(id_col)
+    cent = (
+        q.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("bigint").alias("cid"),
+            F.col("v").alias("c"),
+        )
+        .localCheckpoint()
+    )
+
+    def d2(vc: Column, cc: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(vc, cc, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(n_iter):
+        assigned = (
+            q.crossJoin(F.broadcast(cent))
+            .select(F.col(id_col), "v", "cid", d2(F.col("v"), F.col("c")).alias("d2"))
+            .groupBy(id_col)
+            .agg(F.min(F.struct("d2", "cid")).alias("m"), F.first("v").alias("v"))
+            .select(F.col(id_col), F.col("m.cid").alias("cluster"), "v")
+        )
+        upd = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.expr("sum(x) div count(1)").alias("mx"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s["mx"],
+                ).alias("cnew")
+            )
+        )
+        cent = (
+            cent.join(upd, cent["cid"] == upd["cluster"], "left")
+            .select("cid", F.coalesce("cnew", "c").alias("c"))
+            .localCheckpoint()
+        )
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .select(F.col(id_col), "cid", d2(F.col("v"), F.col("c")).alias("d2"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select(
+            F.col(id_col),
+            F.col("m.cid").alias("cluster"),
+            F.col("m.d2").alias("dist2"),
+        )
+    )
+
+
 def ivf_topk(
     items: DataFrame,
     queries: DataFrame,

@@ -2728,3 +2728,65 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Companion to `text_rare_bigram_fraction` (bigram tail) — this one
     scores the whole distribution, not just the rare tail."""
     return X.unigram_surprisal(t(spark, sf_dir, "documents"))
+
+
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    """Unrolled-CTE DuckDB twin of `similarity.kmeans_int_clusters` — the
+    same trick as the PageRank oracle, extended to vector state: every
+    iteration's assignment (exact int64 argmin) and centroid update
+    (truncating `//` element-wise mean) is one MATERIALIZED CTE pair."""
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip(q.v, {c}.c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH q AS MATERIALIZED (
+  SELECT vec_id, {SQL_Q} AS v FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS c
+  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", a{i} AS MATERIALIZED (
+  SELECT vec_id, v, cid AS cluster FROM (
+    SELECT q.vec_id, q.v, {prev}.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d2.format(c=prev)}, {prev}.cid) AS rn
+    FROM q, {prev}) WHERE rn = 1
+), u{i} AS MATERIALIZED (
+  SELECT cluster, list(mx ORDER BY pos) AS cnew FROM (
+    SELECT cluster, pos, CAST(SUM(x) // COUNT(*) AS BIGINT) AS mx FROM (
+      SELECT cluster, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM a{i})
+    GROUP BY cluster, pos)
+  GROUP BY cluster
+), c{i} AS MATERIALIZED (
+  SELECT {prev}.cid, COALESCE(u{i}.cnew, {prev}.c) AS c
+  FROM {prev} LEFT JOIN u{i} ON u{i}.cluster = {prev}.cid
+)"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"""
+SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
+  SELECT q.vec_id, {prev}.cid, {d2.format(c=prev)} AS d2,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {d2.format(c=prev)}, {prev}.cid) AS rn
+  FROM q, {prev}) WHERE rn = 1"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "embed_kmeans_clusters",
+    oracle=_kmeans_oracle(k=4, n_iter=2),
+    tags=("ext", "embedding", "clustering", "iterative"),
+)
+def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus segment/topic clustering: INTEGER-exact Lloyd's k-means
+    (k=4, 2 rounds) over quantized embeddings — iterative vector
+    algorithm under a full value-hash oracle. Centroids broadcast every
+    round; the corpus never shuffles for assignment."""
+    return S.kmeans_int_clusters(t(spark, sf_dir, "embeddings"), k=4, n_iter=2)
