@@ -2790,3 +2790,50 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm under a full value-hash oracle. Centroids broadcast every
     round; the corpus never shuffles for assignment."""
     return S.kmeans_int_clusters(t(spark, sf_dir, "embeddings"), k=4, n_iter=2)
+
+
+@register(
+    "text_token_gini",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len({SQL_TOKS}) AS BIGINT) AS x FROM documents
+), r AS (
+  SELECT source, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS BIGINT) AS i
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(x) AS BIGINT) AS total_tokens,
+       CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+         / (COUNT(*) * SUM(x)) AS gini
+FROM r GROUP BY source
+""",
+    tags=("ext", "text", "balance"),
+)
+def text_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-balance diagnostic: the Gini coefficient of per-document
+    token counts within each source — 0 = every doc the same length,
+    →1 = a few giant docs hold all the token mass (a skew signal for
+    packing, sharding, and mixture weighting). Exact integer rank formula
+    ``(2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)`` — tie order can't change the sum
+    (equal x's commute), so the per-source window is deterministic.
+    Scale: one window + one agg, both partitioned by source — no global
+    sort; a source's docs must fit a partition spill budget (they do:
+    windows spill to disk, and the rank is the only state)."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.token_count("text").alias("x")
+    )
+    w = W.partitionBy("source").orderBy(F.asc("x"), F.asc("doc_id"))
+    r = d.withColumn("i", F.row_number().over(w).cast("bigint"))
+    n, s = F.count(F.lit(1)), F.sum("x")
+    return r.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        s.cast("bigint").alias("total_tokens"),
+        (
+            (2 * F.sum(F.col("i") * F.col("x")) - (n + 1) * s).cast("double")
+            / (n * s)
+        ).alias("gini"),
+    )
