@@ -691,3 +691,69 @@ def simhash_neardup_pairs(
         .distinct()
         .where(F.col("distance") <= max_distance)
     )
+
+
+def shared_spans(
+    df: DataFrame,
+    k: int = 6,
+    min_span: int = 8,
+    max_df: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document maximal shared-span extraction: find every repeated
+    passage of >= ``min_span`` tokens between any two documents — the
+    exact-substring dedup signal (Lee et al.'s "Deduplicating Training
+    Data Makes Language Models Better") recast shuffle-first instead of
+    suffix-array-first.
+
+    Pipeline: positional k-token grams per doc -> document-frequency cap
+    (``max_df`` total occurrences: boilerplate grams that would blow the
+    pair join up O(df^2) are dropped — a CONSERVATIVE cut, it can only
+    shorten/split reported spans, never invent one) -> self-equi-join on
+    the md5 of the gram (narrow shuffle key) -> gaps-and-islands merge:
+    matches on one (pair, pb-pa) diagonal with consecutive pa collapse to
+    a single maximal span of ``island_len + k - 1`` tokens.
+
+    Scale: never all-pairs — the join is bounded by the df cap exactly
+    like `jaccard_pairs`; the island window partitions by (pair, diagonal),
+    whose groups are span-sized. Returns (doc_a, doc_b, a_start, b_start,
+    span_tokens), 1-based starts."""
+    from flink_dts_connector_spark.operators.text import tokens
+
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("v"))
+    starts = F.when(
+        F.size("v") >= k, F.sequence(F.lit(0), F.size("v") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.transform(starts, lambda i: F.array_join(F.slice("v", i + 1, k), " "))
+        ).alias("pos0", "gram"),
+    ).select("id", (F.col("pos0") + 1).cast("bigint").alias("pos"), F.md5("gram").alias("g"))
+    cool = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
+    gc = grams.join(cool.select("g"), "g")
+    a, b = gc.alias("a"), gc.alias("b")
+    m = a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))).select(
+        F.col("a.id").alias("doc_a"),
+        F.col("b.id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    from pyspark.sql import Window as W
+
+    diag = (F.col("pb") - F.col("pa")).alias("diag")
+    w = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = m.select("doc_a", "doc_b", diag, "pa", "pb").withColumn(
+        "isle", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "isle")
+        .agg(
+            F.min("pa").cast("bigint").alias("a_start"),
+            F.min("pb").cast("bigint").alias("b_start"),
+            (F.count(F.lit(1)) + (k - 1)).cast("bigint").alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_span)
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    )

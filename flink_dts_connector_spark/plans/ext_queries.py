@@ -2837,3 +2837,46 @@ def text_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * s)
         ).alias("gini"),
     )
+
+
+@register(
+    "neardup_shared_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS v FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(v)-6+2),
+                               i -> md5(array_to_string(v[i:i+6-1], ' ')))) AS g,
+         unnest(range(1, len(v)-6+2)) AS pos
+  FROM toks
+), cool AS (
+  SELECT g FROM g GROUP BY g HAVING COUNT(*) <= 16
+), gc AS (
+  SELECT g.doc_id, g.pos, g.g FROM g JOIN cool USING (g)
+), m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(a.pos AS BIGINT) AS pa, CAST(b.pos AS BIGINT) AS pb
+  FROM gc a JOIN gc b USING (g) WHERE a.doc_id < b.doc_id
+), isl AS (
+  SELECT doc_a, doc_b, pb - pa AS diag, pa, pb,
+         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pb - pa ORDER BY pa) AS isle
+  FROM m
+)
+SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM (
+  SELECT doc_a, doc_b,
+         CAST(MIN(pa) AS BIGINT) AS a_start,
+         CAST(MIN(pb) AS BIGINT) AS b_start,
+         CAST(COUNT(*) + 5 AS BIGINT) AS span_tokens
+  FROM isl GROUP BY doc_a, doc_b, diag, isle
+) WHERE span_tokens >= 8
+""",
+    tags=("ext", "dedup", "spans"),
+)
+def neardup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal: every maximal repeated passage of
+    >= 8 tokens shared between two documents (positional 6-gram match ->
+    df cap -> diagonal gaps-and-islands merge). The passage-level
+    counterpart of `dedup_containment` — it reports WHERE the overlap
+    lives, enabling span-level cutting instead of whole-doc dropping."""
+    return D.shared_spans(t(spark, sf_dir, "documents"), k=6, min_span=8, max_df=16)

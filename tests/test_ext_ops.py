@@ -809,3 +809,39 @@ def test_txn_apply_survives_duplicate_delivery(spark):
         .count()
     )
     assert multi == 0
+
+
+def test_shared_spans_exact_boundaries_and_maximality(spark):
+    """A planted 10-token shared passage is reported ONCE, at the exact
+    positions, with the exact length — not as several fragments (island
+    merge works) and not extended past the divergence point."""
+    from flink_dts_connector_spark.operators.dedup import shared_spans
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    rows = [
+        (1, f"a0 a1 a2 {passage} z0 z1"),          # passage at tokens 4..13
+        (2, f"b0 {passage} y0 y1 y2 y3"),          # passage at tokens 2..11
+        (3, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),      # no overlap
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = shared_spans(df, k=6, min_span=8, max_df=16).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert (r.a_start, r.b_start, r.span_tokens) == (4, 2, 10)
+
+
+def test_shared_spans_df_cap_is_conservative(spark):
+    """A gram shared by MANY docs is dropped by the cap; spans it carried
+    shrink or vanish but no spurious span appears."""
+    from flink_dts_connector_spark.operators.dedup import shared_spans
+
+    common = " ".join(f"w{i}" for i in range(6))
+    rows = [(i, f"u{i} {common} v{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # df of the common 6-gram is 10 > max_df=4 -> no pairs at all
+    assert shared_spans(df, k=6, min_span=6, max_df=4).count() == 0
+    # with the cap open, every pair shares exactly that 6-token span
+    out = shared_spans(df, k=6, min_span=6, max_df=1000)
+    assert out.count() == 45
+    assert out.where("span_tokens != 6").count() == 0
