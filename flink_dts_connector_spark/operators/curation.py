@@ -479,3 +479,61 @@ def shuffle_order(
     h = F.md5(F.col(key_col).cast("string").cast("binary"))
     w = Window.partitionBy("shard_id").orderBy(h, F.col(key_col))
     return d.withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    wmax: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sample: row kept with probability
+    ``min(1, weight/wmax)`` — the importance-sampling draw of a data-mixing
+    recipe (e.g. keep short boilerplate-prone docs with low probability,
+    long docs surely), reproducible across runs/engines/partitionings
+    because the randomness is the md5 of the key, not an RNG.
+
+    Exactness: draw u = md5-low-bits mod 2³¹; keep iff
+    ``u·wmax < weight·2³¹`` — pure int64 arithmetic (u·wmax < 2³¹·wmax,
+    so any wmax ≤ 2³² is safe). Nested like `deterministic_sample`: a row
+    kept at weight w stays kept at any w' > w. Scale: a stateless per-row
+    filter, pipelined into the scan — no shuffle."""
+    from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
+
+    if not 0 < wmax <= (1 << 32):
+        raise ValueError(f"wmax must be in (0, 2^32], got {wmax}")
+    u = md5_number_lower_mod(F.col(key_col).cast("string"), 1 << 31)
+    return df.where(u * F.lit(wmax) < F.col(weight_col).cast("bigint") * F.lit(1 << 31))
+
+
+def top_p_per_source(
+    df: DataFrame,
+    p_pct: int,
+    mass_col: str,
+    order_col: str,
+    group_col: str = "source",
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group nucleus (top-p) selection: walking each group's rows in
+    (order_col DESC, tiebreak ASC) order, keep rows until at least
+    ``p_pct`` percent of the group's total ``mass_col`` is covered — the
+    straddling row is KEPT (first row where prior cumulative mass still
+    falls short). The per-source sibling of `token_budget_select`: because
+    the budget is per group, a window partitioned by the group does the
+    exact cumulative sum — no global sort anywhere.
+
+    Exactness: keep iff ``100·(cum − x) < p_pct·total`` in pure int64."""
+    if not 0 <= p_pct <= 100:
+        raise ValueError(f"p_pct must be 0..100, got {p_pct}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x = F.col(mass_col).cast("bigint")
+    cum = F.sum(x).over(w)
+    total = F.sum(x).over(Window.partitionBy(group_col))
+    return (
+        df.withColumn("_before", cum - x)
+        .withColumn("_total", total)
+        .where(F.lit(100) * F.col("_before") < F.lit(p_pct) * F.col("_total"))
+        .drop("_before", "_total")
+    )

@@ -2880,3 +2880,190 @@ def neardup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart of `dedup_containment` — it reports WHERE the overlap
     lives, enabling span-level cutting instead of whole-doc dropping."""
     return D.shared_spans(t(spark, sf_dir, "documents"), k=6, min_span=8, max_df=16)
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t2) AS t2
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+)
+SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(NULL AS DOUBLE) AS mean_delay_us FROM s1
+UNION ALL
+SELECT 'click_after_view', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(epoch_us(t2) - epoch_us(t1)) AS DOUBLE) / COUNT(*) FROM s2
+UNION ALL
+SELECT 'purchase_after_click', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(epoch_us(t3) - epoch_us(t2)) AS DOUBLE) / COUNT(*) FROM s3
+""",
+    tags=("ext", "events", "funnel"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user counts
+    for a stage only if it happens strictly AFTER their previous stage's
+    first completion (the sequence constraint that separates a funnel from
+    three independent counts). Mean stage delay from exact integer micros.
+    Scale: per-stage min-aggregate then an equi-join per step — each step's
+    frame shrinks (users who converted), no window over raw events."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = e.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+
+    def stage(df: DataFrame, name: str, a: str | None, b: str | None) -> DataFrame:
+        delay = (
+            (F.sum(F.unix_micros(F.col(b)) - F.unix_micros(F.col(a))).cast("double")
+             / F.count(F.lit(1)))
+            if a
+            else F.lit(None).cast("double")
+        )
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            delay.alias("mean_delay_us"),
+        )
+
+    return (
+        stage(s1, "view", None, None)
+        .unionAll(stage(s2, "click_after_view", "t1", "t2"))
+        .unionAll(stage(s3, "purchase_after_click", "t2", "t3"))
+    )
+
+
+@register(
+    "curate_weighted_sample",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, source, n_tokens FROM d
+WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 2147483648 AS BIGINT) * 256
+      < n_tokens * 2147483648
+""",
+    tags=("ext", "curation", "sampling"),
+)
+def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional importance sampling: keep each document with
+    probability min(1, n_tokens/256) — deterministic md5 draw, so the
+    sample is reproducible and partition-independent (and any doc of
+    >= 256 tokens is surely kept). Exact int64 threshold compare."""
+    from flink_dts_connector_spark.operators.curation import weighted_sample
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.token_count("text").alias("n_tokens")
+    )
+    return weighted_sample(d, "n_tokens", wmax=256)
+
+
+@register(
+    "curate_top_p_per_source",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_chars, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS before_mass,
+         SUM(n_tokens) OVER (PARTITION BY source) AS total_mass
+  FROM d
+)
+SELECT doc_id, source, n_chars, n_tokens FROM c
+WHERE 100 * before_mass < 80 * total_mass
+""",
+    tags=("ext", "curation", "selection"),
+)
+def curate_top_p_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source nucleus selection: keep the largest documents (by
+    n_chars, doc_id tie-break) until 80% of each source's token mass is
+    covered, straddler included — the per-group budget cut where the
+    cumulative window partitions by source, so NO global sort exists
+    anywhere in the plan (contrast `curate_token_budget`, whose budget is
+    corpus-global and needs the two-phase trick)."""
+    from flink_dts_connector_spark.operators.curation import top_p_per_source
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", X.token_count("text").alias("n_tokens")
+    )
+    return top_p_per_source(d, p_pct=80, mass_col="n_tokens", order_col="n_chars")
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle=f"""
+WITH dt AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS dc FROM (
+    SELECT doc_id, unnest({SQL_TOKS}) AS w FROM documents
+  ) GROUP BY 1, 2
+), df AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS ndocs FROM dt GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents
+), scored AS (
+  SELECT dt.doc_id, dt.w,
+         dt.dc * CAST(length(printf('%b', n.total // df.ndocs)) - 1 AS BIGINT) AS weight
+  FROM dt JOIN df USING (w), n
+)
+SELECT doc_id, w AS keyword, weight FROM (
+  SELECT doc_id, w, weight,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY weight DESC, w) AS rn
+  FROM scored
+) WHERE rn <= 3 AND weight > 0
+""",
+    tags=("ext", "text", "keywords"),
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic-keyword extraction: top-3 tokens per document by
+    integer TF-IDF ``dc · ilog2(N div df)`` (the same exact bit-length log
+    as `text_unigram_surprisal`), ties broken lexicographically; weight-0
+    terms (df > N/2, i.e. near-ubiquitous) never surface. Scale: the df
+    table is vocab-sized (shuffle equi-join on the token), the top-3
+    window partitions per doc — bounded by doc vocabulary."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(X.tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
+    )
+    dfreq = dt.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("ndocs"))
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    scored = (
+        dt.join(dfreq, "w")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("dc") * X.ilog2(F.expr("total div ndocs"))).alias("weight"),
+        )
+    )
+    rn = F.row_number().over(W.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("w")))
+    return (
+        scored.withColumn("rn", rn)
+        .where((F.col("rn") <= 3) & (F.col("weight") > 0))
+        .select("doc_id", F.col("w").alias("keyword"), "weight")
+    )
