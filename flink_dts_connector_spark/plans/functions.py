@@ -299,3 +299,82 @@ def proj_posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") % 100 == 0)
         .select("vec_id", F.posexplode(quantized(F.col("embedding"))).alias("pos", "q"))
     )
+
+
+def _profile_col(df: DataFrame, col: str, render) -> DataFrame:
+    c = F.col(col)
+    return df.select(col).agg(
+        F.lit(col).alias("col_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(c.isNull().cast("bigint")).cast("bigint").alias("n_nulls"),
+        F.count_distinct(c).cast("bigint").alias("n_distinct"),
+        render(F.min(c)).cast("string").alias("min_s"),
+        render(F.max(c)).cast("string").alias("max_s"),
+    )
+
+
+@register(
+    "profile_lineitem_columns",
+    oracle="""
+SELECT 'l_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(l_orderkey) AS VARCHAR) AS min_s, CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+FROM lineitem
+UNION ALL
+SELECT 'l_partkey', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+       CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_suppkey', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+       CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT l_linenumber) AS BIGINT),
+       CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+       MIN(l_returnflag), MAX(l_returnflag)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+       CAST(epoch_us(MIN(l_shipdate)) AS VARCHAR), CAST(epoch_us(MAX(l_shipdate)) AS VARCHAR)
+FROM lineitem
+""",
+    tags=("profile", "stats"),
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column data profiling: rows / nulls / exact
+    distinct / min / max for six lineitem columns, one result row per
+    column. Deliberately one pruned single-column pass PER column rather
+    than one agg with six exact count-distincts — multiple distinct
+    aggregates in one agg trigger Catalyst's EXPAND (rows × columns
+    blow-up, the `agg_approx_distinct` scale outlier fixed this round);
+    six column-pruned parquet scans read strictly less data. Timestamps
+    render as epoch micros (engine-neutral); integers/strings cast
+    directly."""
+    li = t(spark, sf_dir, "lineitem")
+    ident = lambda c: c  # noqa: E731
+    parts = [
+        _profile_col(li, "l_orderkey", ident),
+        _profile_col(li, "l_partkey", ident),
+        _profile_col(li, "l_suppkey", ident),
+        _profile_col(li, "l_linenumber", ident),
+        _profile_col(li, "l_returnflag", ident),
+        _profile_col(li, "l_shipdate", F.unix_micros),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
