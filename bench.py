@@ -73,6 +73,13 @@ HEADLINE = [
     "curate_chunk_pack",
     "text_hash_embedding",
     "events_retention_cohorts",
+    # appended in round 4 continuation session
+    "text_unigram_surprisal",
+    "neardup_shared_spans",
+    "embed_kmeans_clusters",
+    "curate_top_p_per_source",
+    "text_tfidf_keywords",
+    "events_funnel_conversion",
     # dedup_components stays registry-only: its cost IS the exact-Jaccard
     # edge materialization (~40s at sf0.1), which would drown the headline
     # signal; the correctness gate covers it at sf0.01. Same call for

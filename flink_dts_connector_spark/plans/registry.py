@@ -108,13 +108,19 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_components",
     "dedup_minhash_md5",
     "dedup_minhash_probe",
-    "dedup_simhash",
+    # r4 continuation: shared-span extraction (exact-substring signal)
+    # replaces the snapshot-oracled SimHash slot (SimHash stays sweep-green;
+    # spans carry a live relational oracle + maximality pytests)
+    "neardup_shared_spans",
     "neardup_cosine_pairs",
     "dedup_containment",
     # similarity / ANN — r4 wave 2: product quantization replaces the
     # trained-IVF slot (same trained-codebook cascade, finer scorer;
     # trained IVF stays sweep-green)
-    "ann_topk_bruteforce",
+    # r4 continuation: integer-exact k-means clustering (iterative vector
+    # oracle) takes the brute-force slot — brute force is the recall
+    # baseline inside the PQ/IVF oracles anyway and stays sweep-green
+    "embed_kmeans_clusters",
     "ann_topk_lsh_multiprobe",
     "ann_topk_ivf",
     "ann_topk_pq",
@@ -124,7 +130,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_quality_scores",
     "text_langid",
     "text_rare_bigram_fraction",
-    "text_bpe_token_stats",
+    # r4 continuation: unigram-LM surprisal (whole-distribution perplexity
+    # proxy) takes the BPE-stats slot (same explode+agg shape stays
+    # sweep-green via token stats / top terms)
+    "text_unigram_surprisal",
     # curation — r4 wave 2: chunking joins the gate
     "curate_stratified_sample",
     "curate_pack_sequences",
