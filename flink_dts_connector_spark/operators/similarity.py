@@ -628,3 +628,64 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
+
+
+def power_iteration_top_dir(
+    items: DataFrame,
+    dim: int = 64,
+    n_iter: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by POWER
+    ITERATION — matrix-free ``v ← Σᵢ xᵢ (xᵢ·v)`` (uncentered PCA / top
+    singular direction), every step exact so the iterative algorithm
+    carries a full value-hash oracle (third of the family after
+    `graph.pagerank_int` and `kmeans_int_clusters`). The direction exposes
+    the corpus's strongest axis of variation — a drift/degeneracy probe
+    (e.g. one source's embeddings collapsing onto a ray).
+
+    Exactness: x in int64 micro-units; v integer at ``scale``; per-vector
+    dot exact int64 (≤ dim·1e6·scale); the dim-wise accumulation runs in
+    DECIMAL(38,0) (DuckDB twin: HUGEINT) — exact to ~1e38, i.e. ~1e15
+    vectors; renormalization is ``v_d = y_d·scale div max|y|`` with
+    truncating integer division, matching DuckDB `//` bit-for-bit. Sign
+    and convergence path are deterministic from the fixed all-ones seed.
+
+    Scale: two aggregates per round — dots (groupBy row) and the dim-wise
+    sum (groupBy dim, dim rows out); v is always a broadcast dim-row
+    table; the corpus is scanned once per round, never shuffled on its
+    own key. Returns (dim 1-based, component at ``scale``)."""
+    ex = items.select(
+        F.col(id_col).alias("rid"), F.posexplode(quantized(emb_col)).alias("pos", "x")
+    )
+    spark = items.sparkSession
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("pos"), F.lit(scale).cast("bigint").alias("val")
+    )
+    for _ in range(n_iter):
+        dot = (
+            ex.join(F.broadcast(v), "pos")
+            .groupBy("rid")
+            .agg(F.sum(F.col("x") * F.col("val")).alias("dot"))
+        )
+        y = (
+            ex.join(dot, "rid")
+            .groupBy("pos")
+            .agg(F.sum(F.col("x").cast("decimal(38,0)") * F.col("dot")).alias("y"))
+        )
+        m = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
+        v = (
+            y.crossJoin(F.broadcast(m))
+            .select(
+                "pos",
+                F.expr(f"CAST(CAST(y * {scale} AS DECIMAL(38,0)) div m AS BIGINT)").alias(
+                    "val"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return v.select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"), F.col("val").alias("component")
+    )

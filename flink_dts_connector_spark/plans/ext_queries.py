@@ -3067,3 +3067,55 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") <= 3) & (F.col("weight") > 0))
         .select("doc_id", F.col("w").alias("keyword"), "weight")
     )
+
+
+def _power_iteration_oracle(dim: int, n_iter: int, scale: int) -> str:
+    """Unrolled-CTE DuckDB twin of `similarity.power_iteration_top_dir`:
+    HUGEINT accumulation mirrors Spark's DECIMAL(38,0), `//` mirrors
+    decimal `div` (both truncate toward zero — verified)."""
+    parts = [
+        f"""WITH ex AS MATERIALIZED (
+  SELECT vec_id AS rid,
+         unnest(range(0, {dim})) AS pos,
+         unnest({SQL_Q}) AS x
+  FROM embeddings
+), v0 AS MATERIALIZED (
+  SELECT unnest(range(0, {dim})) AS pos, CAST({scale} AS BIGINT) AS val
+)"""
+    ]
+    prev = "v0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+  SELECT rid, CAST(SUM(x * val) AS BIGINT) AS dot
+  FROM ex JOIN {prev} USING (pos) GROUP BY rid
+), y{i} AS MATERIALIZED (
+  SELECT pos, SUM(CAST(x AS HUGEINT) * dot) AS y
+  FROM ex JOIN d{i} USING (rid) GROUP BY pos
+), m{i} AS MATERIALIZED (
+  SELECT MAX(ABS(y)) AS m FROM y{i}
+), v{i} AS MATERIALIZED (
+  SELECT pos, CAST((y * {scale}) // m AS BIGINT) AS val FROM y{i}, m{i}
+)"""
+        )
+        prev = f"v{i}"
+    parts.append(
+        f"""
+SELECT CAST(pos + 1 AS BIGINT) AS dim, val AS component FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "embed_power_iteration",
+    oracle=_power_iteration_oracle(dim=64, n_iter=3, scale=1000),
+    tags=("ext", "embedding", "pca", "iterative"),
+)
+def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus: 3 rounds of
+    matrix-free power iteration, every step in exact integer/decimal
+    arithmetic — an uncentered-PCA drift probe under a full value-hash
+    oracle. 64 rows out (dim, component at scale 1000)."""
+    return S.power_iteration_top_dir(
+        t(spark, sf_dir, "embeddings"), dim=64, n_iter=3, scale=1000
+    )

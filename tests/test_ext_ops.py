@@ -845,3 +845,44 @@ def test_shared_spans_df_cap_is_conservative(spark):
     out = shared_spans(df, k=6, min_span=6, max_df=1000)
     assert out.count() == 45
     assert out.where("span_tokens != 6").count() == 0
+
+
+def test_power_iteration_matches_pure_python_bit_exact(spark, sf_dir):
+    """The distributed integer power iteration must equal a from-scratch
+    pure-Python replication of the SAME integer algorithm bit-for-bit
+    (implementation check independent of the DuckDB oracle), and its
+    direction must beat a generic direction's Rayleigh quotient by a
+    clear margin (sanity floor — the fixture embeddings are near-isotropic,
+    second eigenvalue ~0.93 of top, so deep convergence is a data
+    property, not a correctness property)."""
+    import numpy as np
+
+    from flink_dts_connector_spark.operators.similarity import power_iteration_top_dir
+    from flink_dts_connector_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = {r.dim: r.component for r in
+           power_iteration_top_dir(emb, dim=64, n_iter=3, scale=1000).collect()}
+
+    X = np.array(
+        [row.embedding for row in emb.select("embedding").collect()], dtype=np.float64
+    )
+    Xq = np.round(X * 1_000_000).astype(object)  # exact python ints
+    scale = 1000
+    v = [scale] * 64
+    for _ in range(3):
+        dots = [sum(int(x) * int(vd) for x, vd in zip(row, v)) for row in Xq]
+        y = [sum(int(row[d]) * dot for row, dot in zip(Xq, dots)) for d in range(64)]
+        m = max(abs(yy) for yy in y)
+        v = [(abs(yy) * scale // m) * (1 if yy >= 0 else -1) for yy in y]
+    assert out == {d + 1: v[d] for d in range(64)}
+
+    G = (np.array([[float(x) for x in r] for r in Xq])).T @ np.array(
+        [[float(x) for x in r] for r in Xq]
+    )
+    vv = np.array([float(x) for x in v])
+    rq = (vv @ G @ vv) / (vv @ vv)
+    mean_ev = np.trace(G) / 64  # a random direction's expected quotient
+    # flat fixture spectrum: top/mean is only ~1.5x — 1.3x floors a real
+    # direction without encoding the data's exact anisotropy
+    assert rq > 1.3 * mean_ev
