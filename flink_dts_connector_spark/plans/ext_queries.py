@@ -3119,3 +3119,111 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.power_iteration_top_dir(
         t(spark, sf_dir, "embeddings"), dim=64, n_iter=3, scale=1000
     )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+  FROM toks
+  QUALIFY LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE 100 * n_inter >= 30 * (sa.n_sh + sb.n_sh - n_inter)
+), src AS (SELECT doc_id, source FROM documents)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+FROM pairs JOIN src sa ON sa.doc_id = a_id JOIN src sb ON sb.doc_id = b_id
+GROUP BY 1, 2
+""",
+    tags=("ext", "dedup", "provenance"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication provenance matrix: for every ordered source pair, how
+    many near-duplicate pairs (exact 3-gram Jaccard >= 0.30) span them —
+    diagonal = within-source dup pressure, off-diagonal = which sources
+    mirror which (the scrape-overlap signal behind source-priority
+    decisions). Scale: reuses `jaccard_pairs`' bounded shingle equi-join;
+    the source attribution is two broadcast-able joins on doc_id against a
+    2-column pruned scan."""
+    d = t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, threshold_pct=30).select("a_id", "b_id")
+    src = d.select("doc_id", "source")
+    return (
+        pairs.join(src.withColumnRenamed("doc_id", "a_id").withColumnRenamed("source", "source_a"), "a_id")
+        .join(src.withColumnRenamed("doc_id", "b_id").withColumnRenamed("source", "source_b"), "b_id")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )
+
+
+@register(
+    "text_length_regression",
+    oracle=f"""
+WITH d AS (
+  SELECT source,
+         CAST(n_chars AS BIGINT) AS x,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS y
+  FROM documents
+), m AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM d GROUP BY source
+)
+SELECT source, n,
+       CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE) - CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+          / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * sx) / n AS intercept
+FROM m
+""",
+    tags=("ext", "analytics", "regression"),
+)
+def text_length_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OLS fit tokens ~ chars: slope = chars-per-token inverse
+    (a tokenizer-burden calibration per source), intercept the fixed
+    overhead. Exact integer moments through HUGEINT/DECIMAL(38,0) (same
+    trick as `events_hourly_anomaly`), two deterministic double divisions
+    at the end. One map-side-combined aggregate; no shuffle beyond it."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        X.token_count("text").alias("y"),
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    return m.select(
+        "source",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
