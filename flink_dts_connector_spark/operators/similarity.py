@@ -591,6 +591,46 @@ def ivf_topk(
     prunes to nprobe partitions — the classic IVF pruning expressed as
     partition pruning instead of index files."""
     cells = ivf_assign_cells(items, centroids, id_col, emb_col, centroid_id_col)
+    return ivf_probe_index(
+        cells, queries, centroids, k, nprobe, id_col, emb_col, query_id_col, centroid_id_col
+    )
+
+
+def ivf_upsert_index(
+    index: DataFrame,
+    delta: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign ONLY the delta's vectors
+    to the (frozen) coarse quantizer and append them to the existing
+    cell-assigned index — cell assignment is per-row independent, so
+    upsert(index(base), delta) is row-identical to index(base ∪ delta)
+    (pinned by pytest and by `ann_ivf_delta_upsert`'s full-rebuild
+    oracle). At 100 TB this is the point of an inverted file: a snapshot
+    delta re-indexes in O(|delta|), appended into the same
+    partitioned-by-cell layout, while the quantizer stays fixed until a
+    scheduled retrain."""
+    return index.unionByName(
+        ivf_assign_cells(delta, centroids, id_col, emb_col, centroid_id_col)
+    )
+
+
+def ivf_probe_index(
+    cells: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Probe a pre-built cell-assigned IVF index (the second half of
+    `ivf_topk`, split out so incremental maintenance can reuse it)."""
     c = centroids.select(
         F.col(centroid_id_col), quantized(emb_col).alias("_ce")
     ).withColumn("_cn", norm_sq_q(F.col("_ce")))

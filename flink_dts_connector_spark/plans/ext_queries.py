@@ -3227,3 +3227,26 @@ def text_length_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+
+
+@register("ann_ivf_delta_upsert", oracle=SQL_IVF, tags=("ext", "similarity", "incremental"))
+def ann_ivf_delta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance: the corpus is split into a base
+    index (vec_id % 10 != 0, materialized as the persisted cell-assigned
+    inverted file) and a delta (vec_id % 10 == 0) that is assigned against
+    the FROZEN quantizer and appended — then probed. The oracle is the
+    FULL-REBUILD IVF query (`SQL_IVF`): passing the hash gate proves
+    upsert(index(base), delta) ≡ index(base ∪ delta) row-for-row, the
+    incremental-pipeline guarantee extended to the ANN index."""
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") % 37 == 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = e.where(F.col("vec_id") % 10 != 0)
+    delta = e.where(F.col("vec_id") % 10 == 0)
+    index = S.ivf_assign_cells(base, centroids).localCheckpoint()
+    updated = S.ivf_upsert_index(index, delta, centroids)
+    return S.ivf_probe_index(updated, q, centroids, k=5, nprobe=3)
