@@ -1034,3 +1034,128 @@ def stream_txn_atomic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("transaction_id").cast("bigint").alias("n_txns"),
         F.sum("id").alias("id_sum"),
     )
+
+
+@register(
+    "stream_funnel_stages",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t2) AS t2
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+)
+SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(NULL AS DOUBLE) AS mean_delay_us FROM s1
+UNION ALL
+SELECT 'click_after_view', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(epoch_us(t2) - epoch_us(t1)) AS DOUBLE) / COUNT(*) FROM s2
+UNION ALL
+SELECT 'purchase_after_click', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(epoch_us(t3) - epoch_us(t2)) AS DOUBLE) / COUNT(*) FROM s3
+""",
+    tags=("streaming", "stateful", "cep"),
+)
+def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP-style funnel detection: a per-user state machine
+    (`applyInPandasWithState`, 3 longs of state per user) advances
+    view -> click -> purchase on strictly-increasing event times as events
+    STREAM through — Flink-CEP's sequence-pattern role on Spark's stateful
+    machinery. In-order delivery per key is assumed (the Kafka
+    partition-ordering guarantee a keyed CDC stream provides; the replay
+    here is globally ts-sorted, and each micro-batch is additionally
+    sorted before the transition loop). The update-mode sink's last row
+    per user carries the final stage times; their 3-row summary must equal
+    the batch funnel closed form (`events_funnel_conversion`'s oracle) —
+    the stream IS the batch, caught live. State: 24 bytes/user, evictable
+    by timeout in a continuous deployment."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from flink_dts_connector_spark.session import load_table
+    from flink_dts_connector_spark.streaming.runner import run_to_memory
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .orderBy("ts", "event_id")
+        .coalesce(1)
+    )
+    src_dir = tempfile.mkdtemp(prefix="fdcs_funnel_src_")
+    ev.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("t1_us", T.LongType()),
+            T.StructField("t2_us", T.LongType()),
+            T.StructField("t3_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("t1", T.LongType()),
+            T.StructField("t2", T.LongType()),
+            T.StructField("t3", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        (user,) = key
+        t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us_arr = pd.to_datetime(pdf["ts"]).astype("int64") // 1000  # ns -> us
+        for us, et in zip(us_arr, pdf["event_type"]):
+            us = int(us)
+            if et == "view" and t1 < 0:
+                t1 = us
+            elif et == "click" and t1 >= 0 and t2 < 0 and us > t1:
+                t2 = us
+            elif et == "purchase" and t2 >= 0 and t3 < 0 and us > t2:
+                t3 = us
+        state.update((t1, t2, t3))
+        yield pd.DataFrame(
+            {"user_id": [int(user)], "t1_us": [t1], "t2_us": [t2], "t3_us": [t3]}
+        )
+
+    with pinned_shuffle_partitions(spark):
+        staged = stream.groupBy("user_id").applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+        sink = run_to_memory(staged, output_mode="update")
+    # last (monotone: each tX is set once, -1 before) emission per user
+    latest = sink.groupBy("user_id").agg(
+        F.max("t1_us").alias("t1"), F.max("t2_us").alias("t2"), F.max("t3_us").alias("t3")
+    )
+
+    def stage(name: str, a: str, b: str) -> DataFrame:
+        hit = latest.where(F.col(b) >= 0)
+        delay = (
+            (F.sum(F.col(b) - F.col(a)).cast("double") / F.count(F.lit(1)))
+            if a
+            else F.lit(None).cast("double")
+        )
+        return hit.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            delay.alias("mean_delay_us"),
+        )
+
+    return (
+        stage("view", None, "t1")
+        .unionAll(stage("click_after_view", "t1", "t2"))
+        .unionAll(stage("purchase_after_click", "t2", "t3"))
+    )
