@@ -3250,3 +3250,71 @@ def ann_ivf_delta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = S.ivf_assign_cells(base, centroids).localCheckpoint()
     updated = S.ivf_upsert_index(index, delta, centroids)
     return S.ivf_probe_index(updated, q, centroids, k=5, nprobe=3)
+
+
+@register(
+    "curate_split_leakage",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+  FROM toks
+  QUALIFY LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE 100 * n_inter >= 30 * (sa.n_sh + sb.n_sh - n_inter)
+), split AS (
+  SELECT doc_id,
+         CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80 THEN 'train'
+              WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT a_id, b_id, sa.split AS split_a, sb.split AS split_b
+FROM pairs JOIN split sa ON sa.doc_id = a_id JOIN split sb ON sb.doc_id = b_id
+WHERE sa.split <> sb.split
+""",
+    tags=("ext", "curation", "split", "dedup"),
+)
+def curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-contamination audit: near-duplicate pairs (exact 3-gram
+    Jaccard >= 0.30) that CROSS the deterministic train/val/test boundary
+    — an id-hash split guarantees disjoint ids but not disjoint CONTENT,
+    and eval-set near-dups of training docs silently inflate benchmark
+    scores. The fix loop: feed these pairs to `keep_best_per_cluster` or
+    re-split by dedup-cluster id instead of doc id. Scale: the near-dup
+    join is the bounded shingle equi-join; split attribution is a pure
+    projection joined on doc_id."""
+    from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
+
+    d = t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, threshold_pct=30).select("a_id", "b_id")
+    h = md5_number_lower_mod(F.col("doc_id").cast("string"), 100)
+    split = d.select(
+        "doc_id",
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test")).alias("split"),
+    )
+    return (
+        pairs.join(
+            split.withColumnRenamed("doc_id", "a_id").withColumnRenamed("split", "split_a"),
+            "a_id",
+        )
+        .join(
+            split.withColumnRenamed("doc_id", "b_id").withColumnRenamed("split", "split_b"),
+            "b_id",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("a_id", "b_id", "split_a", "split_b")
+    )
