@@ -3318,3 +3318,92 @@ def curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("split_a") != F.col("split_b"))
         .select("a_id", "b_id", "split_a", "split_b")
     )
+
+
+@register(
+    "text_quality_correlations",
+    oracle=f"""
+WITH q AS (
+  SELECT CAST(len({SQL_TOKS}) AS BIGINT) AS t,
+         CAST(length(text) AS BIGINT) AS c,
+         CAST(len(list_filter({SQL_TOKS}, x -> x IN ('the','a','of','and'))) AS BIGINT) AS s,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT) AS p
+  FROM documents
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(t) AS HUGEINT) AS st, CAST(SUM(c) AS HUGEINT) AS sc,
+         CAST(SUM(s) AS HUGEINT) AS ss, CAST(SUM(p) AS HUGEINT) AS sp,
+         SUM(CAST(t AS HUGEINT)*t) AS stt, SUM(CAST(c AS HUGEINT)*c) AS scc,
+         SUM(CAST(s AS HUGEINT)*s) AS sss, SUM(CAST(p AS HUGEINT)*p) AS spp,
+         SUM(CAST(t AS HUGEINT)*c) AS stc, SUM(CAST(t AS HUGEINT)*s) AS sts,
+         SUM(CAST(t AS HUGEINT)*p) AS stp, SUM(CAST(c AS HUGEINT)*s) AS scs,
+         SUM(CAST(c AS HUGEINT)*p) AS scp, SUM(CAST(s AS HUGEINT)*p) AS ssp
+  FROM q
+)
+SELECT 'n_tokens' AS metric_a, 'n_chars' AS metric_b,
+       CAST(n*stc - st*sc AS DOUBLE) / (sqrt(CAST(n*stt - st*st AS DOUBLE)) * sqrt(CAST(n*scc - sc*sc AS DOUBLE))) AS corr FROM m
+UNION ALL SELECT 'n_tokens', 'n_stopwords',
+       CAST(n*sts - st*ss AS DOUBLE) / (sqrt(CAST(n*stt - st*st AS DOUBLE)) * sqrt(CAST(n*sss - ss*ss AS DOUBLE))) FROM m
+UNION ALL SELECT 'n_tokens', 'n_non_alnum',
+       CAST(n*stp - st*sp AS DOUBLE) / (sqrt(CAST(n*stt - st*st AS DOUBLE)) * sqrt(CAST(n*spp - sp*sp AS DOUBLE))) FROM m
+UNION ALL SELECT 'n_chars', 'n_stopwords',
+       CAST(n*scs - sc*ss AS DOUBLE) / (sqrt(CAST(n*scc - sc*sc AS DOUBLE)) * sqrt(CAST(n*sss - ss*ss AS DOUBLE))) FROM m
+UNION ALL SELECT 'n_chars', 'n_non_alnum',
+       CAST(n*scp - sc*sp AS DOUBLE) / (sqrt(CAST(n*scc - sc*sc AS DOUBLE)) * sqrt(CAST(n*spp - sp*sp AS DOUBLE))) FROM m
+UNION ALL SELECT 'n_stopwords', 'n_non_alnum',
+       CAST(n*ssp - ss*sp AS DOUBLE) / (sqrt(CAST(n*sss - ss*ss AS DOUBLE)) * sqrt(CAST(n*spp - sp*sp AS DOUBLE))) FROM m
+""",
+    tags=("ext", "text", "profile"),
+)
+def text_quality_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix between the four integer quality
+    metrics — redundancy screening for the quality-gate feature set
+    (near-collinear features add filter complexity without signal).
+    Exact integer moments through DECIMAL(38,0) (oracle: HUGEINT); the
+    final sqrt/divide is one IEEE-identical double step per pair.
+    Exactness bound ~2^53 on n·Σab ⇒ valid to ~1e9 docs of 1e4 tokens;
+    shard the stats beyond. One map-side-combined aggregate, 1 row
+    shuffled; the 6 output rows are projections of that single row."""
+    q = X.quality_metrics(t(spark, sf_dir, "documents")).select(
+        F.col("n_tokens").alias("t"),
+        F.col("n_chars").alias("c"),
+        F.col("n_stopwords").alias("s"),
+        F.col("n_non_alnum").alias("p"),
+    )
+    d = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    m = q.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("t").cast("decimal(38,0)").alias("st"),
+        F.sum("c").cast("decimal(38,0)").alias("sc"),
+        F.sum("s").cast("decimal(38,0)").alias("ss"),
+        F.sum("p").cast("decimal(38,0)").alias("sp"),
+        F.sum(d("t") * F.col("t")).alias("stt"),
+        F.sum(d("c") * F.col("c")).alias("scc"),
+        F.sum(d("s") * F.col("s")).alias("sss"),
+        F.sum(d("p") * F.col("p")).alias("spp"),
+        F.sum(d("t") * F.col("c")).alias("stc"),
+        F.sum(d("t") * F.col("s")).alias("sts"),
+        F.sum(d("t") * F.col("p")).alias("stp"),
+        F.sum(d("c") * F.col("s")).alias("scs"),
+        F.sum(d("c") * F.col("p")).alias("scp"),
+        F.sum(d("s") * F.col("p")).alias("ssp"),
+    ).localCheckpoint()
+
+    def pair(name_a: str, name_b: str, sab: str, sa: str, sb: str, saa: str, sbb: str) -> DataFrame:
+        num = (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+        da = F.sqrt((F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast("double"))
+        db = F.sqrt((F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double"))
+        return m.select(
+            F.lit(name_a).alias("metric_a"),
+            F.lit(name_b).alias("metric_b"),
+            (num / (da * db)).alias("corr"),
+        )
+
+    return (
+        pair("n_tokens", "n_chars", "stc", "st", "sc", "stt", "scc")
+        .unionAll(pair("n_tokens", "n_stopwords", "sts", "st", "ss", "stt", "sss"))
+        .unionAll(pair("n_tokens", "n_non_alnum", "stp", "st", "sp", "stt", "spp"))
+        .unionAll(pair("n_chars", "n_stopwords", "scs", "sc", "ss", "scc", "sss"))
+        .unionAll(pair("n_chars", "n_non_alnum", "scp", "sc", "sp", "scc", "spp"))
+        .unionAll(pair("n_stopwords", "n_non_alnum", "ssp", "ss", "sp", "sss", "spp"))
+    )
