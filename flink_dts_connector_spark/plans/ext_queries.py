@@ -3407,3 +3407,83 @@ def text_quality_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pair("n_chars", "n_non_alnum", "scp", "sc", "sp", "scc", "spp"))
         .unionAll(pair("n_stopwords", "n_non_alnum", "ssp", "ss", "sp", "sss", "spp"))
     )
+
+
+@register(
+    "text_domain_divergence",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest({SQL_TOKS}) AS w FROM documents
+), st AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM st GROUP BY 1
+), vg AS (
+  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM st
+), surpr AS (
+  SELECT st.source AS source_b, st.w,
+         CAST(length(printf('%b', (tot.t + vg.v) // (st.c + 1))) - 1 AS BIGINT) AS s
+  FROM st JOIN tot USING (source), vg
+), expanded AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.w, a.c AS ca,
+         COALESCE(surpr.s,
+                  CAST(length(printf('%b', b.t + vg.v)) - 1 AS BIGINT)) AS s
+  FROM st a
+  CROSS JOIN tot b
+  LEFT JOIN surpr ON surpr.source_b = b.source AND surpr.w = a.w
+  CROSS JOIN vg
+)
+SELECT source_a, source_b,
+       CAST(SUM(ca) AS BIGINT) AS n_tokens,
+       CAST(SUM(ca * s) AS BIGINT) AS total_surprisal,
+       CAST(SUM(ca * s) AS DOUBLE) / SUM(ca) AS mean_surprisal
+FROM expanded GROUP BY 1, 2
+""",
+    tags=("ext", "text", "domain", "lm"),
+)
+def text_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-domain divergence matrix: every source's token stream scored
+    under every OTHER source's add-one-smoothed unigram LM (integer
+    surprisal ``ilog2((T_B + V) div (c_B + 1))``; unseen tokens pay the
+    full ``ilog2(T_B + V)``). The asymmetric cross-entropy proxy behind
+    domain-shift detection and mixture design: diagonal = within-domain
+    perplexity floor, off-diagonal spikes = sources that look foreign to
+    each other. Scale: all frames after the one (source, token) hash agg
+    are vocab-sized; the cross join is |sources| wide (broadcast), never
+    corpus-sized."""
+    d = t(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(X.tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("t"))
+    vg = st.agg(F.count_distinct("w").cast("bigint").alias("v"))
+    surpr = (
+        st.join(tot, "source")
+        .crossJoin(F.broadcast(vg))
+        .select(
+            F.col("source").alias("source_b"),
+            "w",
+            X.ilog2(F.expr("(t + v) div (c + 1)")).alias("s"),
+        )
+    )
+    expanded = (
+        st.select(F.col("source").alias("source_a"), "w", F.col("c").alias("ca"))
+        .crossJoin(F.broadcast(tot.select(F.col("source").alias("source_b"), "t")))
+        .join(surpr, ["source_b", "w"], "left")
+        .crossJoin(F.broadcast(vg))
+        .select(
+            "source_a",
+            "source_b",
+            "ca",
+            F.coalesce(F.col("s"), X.ilog2(F.col("t") + F.col("v"))).alias("s"),
+        )
+    )
+    return expanded.groupBy("source_a", "source_b").agg(
+        F.sum("ca").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("ca") * F.col("s")).cast("bigint").alias("total_surprisal"),
+        (F.sum(F.col("ca") * F.col("s")).cast("double") / F.sum("ca")).alias(
+            "mean_surprisal"
+        ),
+    )
