@@ -2730,7 +2730,7 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.unigram_surprisal(t(spark, sf_dir, "documents"))
 
 
-def _kmeans_oracle(k: int, n_iter: int) -> str:
+def _kmeans_oracle(k: int, n_iter: int, tail: str | None = None) -> str:
     """Unrolled-CTE DuckDB twin of `similarity.kmeans_int_clusters` — the
     same trick as the PageRank oracle, extended to vector state: every
     iteration's assignment (exact int64 argmin) and centroid update
@@ -2768,14 +2768,15 @@ def _kmeans_oracle(k: int, n_iter: int) -> str:
 )"""
         )
         prev = f"c{i}"
-    parts.append(
-        f"""
-SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
+    final = f"""SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
   SELECT q.vec_id, {prev}.cid, {d2.format(c=prev)} AS d2,
          ROW_NUMBER() OVER (PARTITION BY q.vec_id
                             ORDER BY {d2.format(c=prev)}, {prev}.cid) AS rn
   FROM q, {prev}) WHERE rn = 1"""
-    )
+    if tail is None:
+        parts.append("\n" + final)
+    else:
+        parts.append(f", assign AS MATERIALIZED (\n{final}\n)\n{tail}")
     return "".join(parts)
 
 
@@ -3486,4 +3487,59 @@ def text_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("ca") * F.col("s")).cast("double") / F.sum("ca")).alias(
             "mean_surprisal"
         ),
+    )
+
+
+@register(
+    "embed_cluster_outliers",
+    oracle=_kmeans_oracle(
+        k=4,
+        n_iter=2,
+        tail=""", stats AS MATERIALIZED (
+  SELECT cluster,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dist2) AS BIGINT) AS sd,
+         SUM(CAST(dist2 AS HUGEINT) * dist2) AS sdd
+  FROM assign GROUP BY cluster
+)
+SELECT a.vec_id, a.cluster, a.dist2,
+       CAST(s.sd AS DOUBLE) / s.n AS mean_dist2,
+       sqrt(CAST(s.n * s.sdd - CAST(s.sd AS HUGEINT) * s.sd AS DOUBLE)
+            / CAST(CAST(s.n AS HUGEINT) * s.n AS DOUBLE)) AS std_dist2
+FROM assign a JOIN stats s USING (cluster)
+WHERE ABS(a.dist2 - CAST(s.sd AS DOUBLE) / s.n)
+      > 2 * sqrt(CAST(s.n * s.sdd - CAST(s.sd AS HUGEINT) * s.sd AS DOUBLE)
+                 / CAST(CAST(s.n AS HUGEINT) * s.n AS DOUBLE))""",
+    ),
+    tags=("ext", "embedding", "clustering", "quality"),
+)
+def embed_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-conditional outlier screen: vectors whose exact squared
+    distance to their own k-means centroid deviates > 2σ from the
+    CLUSTER's distance distribution — the per-segment version of
+    `embed_norm_outliers` (a vector can be globally unremarkable yet
+    foreign to every segment). Stats via exact integer moments
+    (DECIMAL(38,0) / HUGEINT); the cluster assignment is the oracle-pinned
+    `kmeans_int_clusters`. Scale: stats are k broadcast rows on top of
+    the k-means envelope."""
+    assign = S.kmeans_int_clusters(t(spark, sf_dir, "embeddings"), k=4, n_iter=2)
+    dd = F.col("dist2").cast("decimal(38,0)")
+    stats = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dist2").cast("bigint").alias("sd"),
+        F.sum(dd * F.col("dist2")).alias("sdd"),
+    )
+    n, sd, sdd = F.col("n"), F.col("sd").cast("decimal(38,0)"), F.col("sdd")
+    mean = sd.cast("double") / n
+    var = (n * sdd - sd * sd).cast("double") / (n.cast("decimal(38,0)") * n).cast("double")
+    j = assign.join(stats, "cluster")
+    return (
+        j.select(
+            "vec_id",
+            "cluster",
+            "dist2",
+            mean.alias("mean_dist2"),
+            F.sqrt(var).alias("std_dist2"),
+        )
+        .where(F.abs(F.col("dist2") - F.col("mean_dist2")) > 2 * F.col("std_dist2"))
     )
