@@ -3543,3 +3543,33 @@ def embed_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.abs(F.col("dist2") - F.col("mean_dist2")) > 2 * F.col("std_dist2"))
     )
+
+
+@register(
+    "dedup_pressure_by_source",
+    oracle=f"""
+WITH fp AS (
+  SELECT source, md5({SQL_NORM}) AS fp FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dups,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM fp GROUP BY source
+""",
+    tags=("ext", "dedup", "profile"),
+)
+def dedup_pressure_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate pressure: docs vs distinct fingerprints
+    — the first number a curation run reports per source (a high dup rate
+    reprioritizes crawling before any near-dup pass runs). One hash agg
+    with a single distinct (no EXPAND)."""
+    d = t(spark, sf_dir, "documents").select("source", X.fingerprint("text").alias("fp"))
+    n, u = F.count(F.lit(1)), F.count_distinct("fp")
+    return d.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        u.cast("bigint").alias("n_unique"),
+        (n - u).cast("bigint").alias("n_dups"),
+        ((n - u).cast("double") / n).alias("dup_rate"),
+    )
