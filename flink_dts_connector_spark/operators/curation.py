@@ -537,3 +537,23 @@ def top_p_per_source(
         .where(F.lit(100) * F.col("_before") < F.lit(p_pct) * F.col("_total"))
         .drop("_before", "_total")
     )
+
+
+def zorder_key(x, y, bits: int = 10):
+    """Morton (Z-order) interleave of the low ``bits`` of two non-negative
+    integer columns — the multi-dimensional clustering key behind
+    lakehouse OPTIMIZE ZORDER: sorting/range-partitioning the write by
+    this key makes every output file cover a small RECTANGLE in (x, y)
+    space, so file-level min/max stats prune scans filtered on EITHER
+    dimension (a single-column sort only prunes one). Pure integer
+    bit arithmetic, engine-mirrorable; at 100 TB this feeds
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` on the write
+    path — the layout IS the index."""
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("bigint") * F.lit(1 << (2 * i))
+            + F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("bigint") * F.lit(1 << (2 * i + 1))
+        )
+    return out

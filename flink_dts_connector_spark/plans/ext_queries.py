@@ -3573,3 +3573,47 @@ def dedup_pressure_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n - u).cast("bigint").alias("n_dups"),
         ((n - u).cast("double") / n).alias("dup_rate"),
     )
+
+
+@register(
+    "layout_zorder_locality",
+    oracle="""
+WITH d AS (
+  SELECT CAST(user_id % 1024 AS BIGINT) AS ux,
+         CAST((epoch_us(ts) // 3600000000) % 1024 AS BIGINT) AS hy
+  FROM events
+), z AS (
+  SELECT ux, hy, CAST(((ux >> 0) & 1) * 1 + ((hy >> 0) & 1) * 2 + ((ux >> 1) & 1) * 4 + ((hy >> 1) & 1) * 8 + ((ux >> 2) & 1) * 16 + ((hy >> 2) & 1) * 32 + ((ux >> 3) & 1) * 64 + ((hy >> 3) & 1) * 128 + ((ux >> 4) & 1) * 256 + ((hy >> 4) & 1) * 512 + ((ux >> 5) & 1) * 1024 + ((hy >> 5) & 1) * 2048 + ((ux >> 6) & 1) * 4096 + ((hy >> 6) & 1) * 8192 + ((ux >> 7) & 1) * 16384 + ((hy >> 7) & 1) * 32768 + ((ux >> 8) & 1) * 65536 + ((hy >> 8) & 1) * 131072 + ((ux >> 9) & 1) * 262144 + ((hy >> 9) & 1) * 524288 AS BIGINT) AS zkey FROM d
+)
+SELECT zkey // 64 AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(ux) AS BIGINT) AS min_x, CAST(MAX(ux) AS BIGINT) AS max_x,
+       CAST(MIN(hy) AS BIGINT) AS min_y, CAST(MAX(hy) AS BIGINT) AS max_y
+FROM z GROUP BY 1
+""",
+    tags=("ext", "layout", "zorder"),
+)
+def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout telemetry: events keyed by the Morton interleave of
+    (user_id, epoch-hour) and rolled up per 64-key z-bucket — each
+    bucket's (min,max) ranges on BOTH dimensions are tight rectangles,
+    the property that lets file-level stats prune two-dimensional
+    predicates after a z-ordered write (`curation.zorder_key` docstring
+    has the write-path recipe). Exact integer bit arithmetic end-to-end."""
+    from flink_dts_connector_spark.operators.curation import zorder_key
+
+    e = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 1024).cast("bigint").alias("ux"),
+        F.expr("(unix_micros(ts) div 3600000000) % 1024").cast("bigint").alias("hy"),
+    )
+    z = e.select("ux", "hy", zorder_key(F.col("ux"), F.col("hy"), bits=10).alias("zkey"))
+    return (
+        z.groupBy(F.expr("zkey div 64").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("ux").alias("min_x"),
+            F.max("ux").alias("max_x"),
+            F.min("hy").alias("min_y"),
+            F.max("hy").alias("max_y"),
+        )
+    )
