@@ -3617,3 +3617,70 @@ def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hy").alias("max_y"),
         )
     )
+
+
+def _ann_recall_oracle() -> str:
+    """Compose the recall@5 report's oracle from the ALREADY-REGISTERED
+    ANN oracles (each a standalone WITH..SELECT, nested as derived
+    tables): recall of every approximate method against the brute-force
+    truth, computed entirely inside DuckDB."""
+    from flink_dts_connector_spark.plans.registry import _REGISTRY
+
+    sqls = {
+        "lsh": _REGISTRY["ann_topk_lsh"].oracle,
+        "lsh_multiprobe": _REGISTRY["ann_topk_lsh_multiprobe"].oracle,
+        "ivf": _REGISTRY["ann_topk_ivf"].oracle,
+        "pq": _REGISTRY["ann_topk_pq"].oracle,
+    }
+    bf = _REGISTRY["ann_topk_bruteforce"].oracle
+    blocks = [
+        f"""SELECT '{name}' AS method,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bf) AS n_total,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM bf) AS recall
+FROM (SELECT query_id, vec_id FROM ({sql})) m
+JOIN bf USING (query_id, vec_id)"""
+        for name, sql in sqls.items()
+    ]
+    return (
+        f"WITH bf AS MATERIALIZED (SELECT query_id, vec_id FROM ({bf}))\n"
+        + "\nUNION ALL\n".join(blocks)
+    )
+
+
+@register(
+    "ann_recall_report",
+    oracle=_ann_recall_oracle(),
+    tags=("ext", "similarity", "eval"),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating ANN harness: recall@5 of every approximate index
+    (single-probe LSH, multi-probe LSH, IVF, PQ) against the exact
+    brute-force top-5, in ONE query — the index-quality dashboard a
+    100 TB deployment runs on a sampled slice before trusting an index.
+    Both engines compute the entire cascade AND the evaluation, so the
+    recall numbers themselves are hash-gated. Scale: the truth set is
+    |queries|·k rows; each comparison is a broadcast-able equi-join."""
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id").localCheckpoint()
+    total = bf.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    methods = {
+        "lsh": ann_topk_lsh,
+        "lsh_multiprobe": ann_topk_lsh_multiprobe,
+        "ivf": ann_topk_ivf,
+        "pq": ann_topk_pq,
+    }
+    out = None
+    for name, fn in methods.items():
+        m = fn(spark, sf_dir).select("query_id", "vec_id").join(bf, ["query_id", "vec_id"])
+        row = (
+            m.agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(name).alias("method"),
+                "n_matched",
+                "n_total",
+                (F.col("n_matched").cast("double") / F.col("n_total")).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
