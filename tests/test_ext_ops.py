@@ -886,3 +886,38 @@ def test_power_iteration_matches_pure_python_bit_exact(spark, sf_dir):
     # flat fixture spectrum: top/mean is only ~1.5x — 1.3x floors a real
     # direction without encoding the data's exact anisotropy
     assert rq > 1.3 * mean_ev
+
+
+def test_leakage_repair_eliminates_cross_split_pairs(spark, sf_dir):
+    """After the deterministic repair, NO near-dup pair crosses a split
+    boundary among surviving docs — every cross pair lost (at least) its
+    lower-priority side."""
+    from flink_dts_connector_spark.operators.dedup import jaccard_pairs, md5_number_lower_mod
+    from flink_dts_connector_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    h = md5_number_lower_mod(F.col("doc_id").cast("string"), 100)
+    split = F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    docs = d.select("doc_id", split.alias("split"))
+    pairs = jaccard_pairs(d, threshold_pct=30).select("a_id", "b_id")
+    pa = docs.select(F.col("doc_id").alias("a_id"), F.col("split").alias("sa"))
+    pb = docs.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb"))
+    cross = pairs.join(pa, "a_id").join(pb, "b_id").where(F.col("sa") != F.col("sb"))
+    assert cross.count() > 0, "fixture must actually exhibit leakage"
+
+    def prio(c):
+        return F.when(F.col(c) == "train", 0).when(F.col(c) == "val", 1).otherwise(2)
+
+    drops = (
+        cross.select(
+            F.when(prio("sa") >= prio("sb"), F.col("a_id"))
+            .otherwise(F.col("b_id"))
+            .alias("doc_id")
+        ).distinct()
+    )
+    surv = docs.join(drops, "doc_id", "left_anti")
+    sa2 = surv.select(F.col("doc_id").alias("a_id"), F.col("split").alias("sa"))
+    sb2 = surv.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb"))
+    remaining = pairs.join(sa2, "a_id").join(sb2, "b_id").where(F.col("sa") != F.col("sb"))
+    assert remaining.count() == 0
