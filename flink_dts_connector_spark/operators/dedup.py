@@ -693,6 +693,27 @@ def simhash_neardup_pairs(
     )
 
 
+def positional_grams(
+    df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pos, g): md5 of the k-token gram starting at 1-based token
+    position pos — the positional index both span extractors join on.
+    Docs shorter than k produce no rows (Spark's descending `sequence`
+    trap is guarded)."""
+    from flink_dts_connector_spark.operators.text import tokens
+
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("v"))
+    starts = F.when(
+        F.size("v") >= k, F.sequence(F.lit(0), F.size("v") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    return toks.select(
+        "id",
+        F.posexplode(
+            F.transform(starts, lambda i: F.array_join(F.slice("v", i + 1, k), " "))
+        ).alias("pos0", "gram"),
+    ).select("id", (F.col("pos0") + 1).cast("bigint").alias("pos"), F.md5("gram").alias("g"))
+
+
 def shared_spans(
     df: DataFrame,
     k: int = 6,
@@ -719,18 +740,7 @@ def shared_spans(
     like `jaccard_pairs`; the island window partitions by (pair, diagonal),
     whose groups are span-sized. Returns (doc_a, doc_b, a_start, b_start,
     span_tokens), 1-based starts."""
-    from flink_dts_connector_spark.operators.text import tokens
-
-    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("v"))
-    starts = F.when(
-        F.size("v") >= k, F.sequence(F.lit(0), F.size("v") - k)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = toks.select(
-        "id",
-        F.posexplode(
-            F.transform(starts, lambda i: F.array_join(F.slice("v", i + 1, k), " "))
-        ).alias("pos0", "gram"),
-    ).select("id", (F.col("pos0") + 1).cast("bigint").alias("pos"), F.md5("gram").alias("g"))
+    grams = positional_grams(df, k, id_col, text_col)
     cool = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
     gc = grams.join(cool.select("g"), "g")
     a, b = gc.alias("a"), gc.alias("b")

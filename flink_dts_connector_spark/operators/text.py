@@ -458,3 +458,49 @@ def redact_pii(text: Column | str) -> Column:
     for _, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def self_repeat_spans(
+    df: DataFrame,
+    k: int = 6,
+    min_span: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repeat localization: maximal spans of >= ``min_span``
+    tokens that occur (at least) twice WITHIN the same document — the
+    positional counterpart of `repetition_metrics` (which only scores HOW
+    repetitive a doc is, not WHERE), enabling span-level trimming of
+    internal boilerplate. Same machinery as `dedup.shared_spans`, with the
+    k-gram match join restricted to the document itself (pa < pb) and the
+    diagonal = the repeat distance. Per-doc aggregate out: number of
+    repeated spans and the longest one. Scale: the self-join is per-doc
+    (equi-join on (id, gram)); windows partition by (id, diagonal)."""
+    from flink_dts_connector_spark.operators.dedup import positional_grams
+    from pyspark.sql import Window as W
+
+    g = positional_grams(df, k, id_col, text_col)
+    a, b = g.alias("a"), g.alias("b")
+    m = a.join(
+        b, (F.col("a.id") == F.col("b.id")) & (F.col("a.g") == F.col("b.g")) & (F.col("a.pos") < F.col("b.pos"))
+    ).select(
+        F.col("a.id").alias("id"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    w = W.partitionBy("id", "diag").orderBy("pa")
+    isl = m.select("id", (F.col("pb") - F.col("pa")).alias("diag"), "pa").withColumn(
+        "isle", F.col("pa") - F.row_number().over(w)
+    )
+    spans = (
+        isl.groupBy("id", "diag", "isle")
+        .agg((F.count(F.lit(1)) + (k - 1)).cast("bigint").alias("span_tokens"))
+        .where(F.col("span_tokens") >= min_span)
+    )
+    return (
+        spans.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_repeat_spans"),
+            F.max("span_tokens").alias("max_span_tokens"),
+        )
+    )

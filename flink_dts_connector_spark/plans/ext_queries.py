@@ -3774,3 +3774,41 @@ def curate_leakage_repaired_split(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "text_self_repeat_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS v FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(v)-3+2),
+                               i -> md5(array_to_string(v[i:i+3-1], ' ')))) AS g,
+         unnest(range(1, len(v)-3+2)) AS pos
+  FROM toks
+), m AS (
+  SELECT a.doc_id AS id, CAST(a.pos AS BIGINT) AS pa, CAST(b.pos AS BIGINT) AS pb
+  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.g = b.g AND a.pos < b.pos
+), isl AS (
+  SELECT id, pb - pa AS diag, pa,
+         pa - ROW_NUMBER() OVER (PARTITION BY id, pb - pa ORDER BY pa) AS isle
+  FROM m
+), spans AS (
+  SELECT id, CAST(COUNT(*) + 2 AS BIGINT) AS span_tokens
+  FROM isl GROUP BY id, diag, isle
+  HAVING COUNT(*) + 2 >= 4
+)
+SELECT id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_repeat_spans,
+       CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens
+FROM spans GROUP BY id
+""",
+    tags=("ext", "text", "repetition", "spans"),
+)
+def text_self_repeat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE a document repeats itself: maximal internal repeated spans
+    (>= 4 tokens, 3-gram seeds — the fixtures' natural-repeat scale; real
+    boilerplate calls for k=6/min_span=8) per doc — the localization
+    layer on top of `text_repetition_metrics`' dup-fraction scores."""
+    return X.self_repeat_spans(t(spark, sf_dir, "documents"), k=3, min_span=4)
