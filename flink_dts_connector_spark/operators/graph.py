@@ -168,3 +168,33 @@ def pagerank_int(
             .localCheckpoint()
         )
     return ranks.select(F.col("u").alias(id_col), F.col("r").alias("rank_int"))
+
+
+def triangle_counts(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -> DataFrame:
+    """Per-node triangle participation over an undirected edge list given
+    as canonical (a < b) pairs — the clique-density signal: near-dup
+    TRIANGLES mark template families (three documents pairwise similar),
+    which pairwise counts alone can't distinguish from chains. Classic
+    ordered 3-way join: edges (a,b),(b,c),(a,c) with a<b<c count each
+    triangle exactly once; each node in it gets credit. Scale: two
+    self-equi-joins on node keys — cost is Σ deg², the standard
+    triangle-enumeration bound; degree caps (`drop_hot_shingles`
+    upstream) bound the hot-node blow-up."""
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    nodes = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return nodes

@@ -3812,3 +3812,51 @@ def text_self_repeat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate calls for k=6/min_span=8) per doc — the localization
     layer on top of `text_repetition_metrics`' dup-fraction scores."""
     return X.self_repeat_spans(t(spark, sf_dir, "documents"), k=3, min_span=4)
+
+
+@register(
+    "graph_triangle_families",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+  FROM toks
+  QUALIFY LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), e AS (
+  SELECT a_id AS a, b_id AS b FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE 100 * n_inter >= 30 * (sa.n_sh + sb.n_sh - n_inter)
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+  SELECT x AS doc_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) GROUP BY doc_id
+""",
+    tags=("ext", "graph", "dedup"),
+)
+def graph_triangle_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-family detection: per-document triangle participation in
+    the exact near-dup graph (3-gram Jaccard >= 0.30) — a document inside
+    many triangles sits in a pairwise-similar CLIQUE (one template, many
+    instances), where a chain of pairs would indicate drifted revisions
+    instead. Third graph algorithm on the shared pair graph, after
+    connected components and PageRank."""
+    from flink_dts_connector_spark.operators.graph import triangle_counts
+
+    pairs = D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold_pct=30)
+    return triangle_counts(pairs)
