@@ -1159,3 +1159,43 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage("click_after_view", "t1", "t2"))
         .unionAll(stage("purchase_after_click", "t2", "t3"))
     )
+
+
+@register(
+    "stream_trending_types",
+    oracle=f"""
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+  HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= {SQL_WM_CUTOFF}
+)
+SELECT window_start, event_type, n, rnk FROM (
+  SELECT window_start, event_type, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                 ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+  FROM agg
+) WHERE rnk <= 2
+""",
+    tags=("streaming", "window-agg", "rank"),
+)
+def stream_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending report: top-2 event types per CLOSED hourly
+    window — the watermarked windowed count runs inside the stream
+    (append mode emits only finalized windows), the per-window rank runs
+    on the bounded sink, the standard split because ranking is not an
+    incremental-state operator. Deterministic tie-break on the type."""
+    from pyspark.sql import Window as W
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, output_mode="append").select(
+        F.col("window.start").alias("window_start"), "event_type", "n"
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return out.withColumn("rnk", rnk.cast("bigint")).where(F.col("rnk") <= 2)
