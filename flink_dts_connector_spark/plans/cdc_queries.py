@@ -527,3 +527,53 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = decode_cdc(generate_evolving_bytes(spark))
     typed = project_table(env, schema, table="app.users", include_metadata=False)
     return typed.groupBy("uid", "name", "email").agg(F.count(F.lit(1)).alias("n_copies"))
+
+
+@register(
+    "cdc_scd2_asof",
+    oracle=f"""
+WITH versions AS (
+  SELECT o_orderkey, {SQL_PRICE0} AS o_totalprice, o_orderpriority, o_orderdate AS valid_from,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_orderdate + INTERVAL 1 HOUR
+              WHEN o_orderkey % 7 = 0 THEN o_orderdate + INTERVAL 2 HOUR
+              WHEN o_orderkey % 97 = 0 THEN o_orderdate + INTERVAL 3 HOUR END AS valid_to
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, {SQL_PRICE1}, o_orderpriority, o_orderdate + INTERVAL 1 HOUR,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_orderdate + INTERVAL 2 HOUR
+              WHEN o_orderkey % 97 = 0 THEN o_orderdate + INTERVAL 3 HOUR END
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, {SQL_PRICE1}, '9-RUSH', o_orderdate + INTERVAL 2 HOUR,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_orderdate + INTERVAL 3 HOUR END
+  FROM orders WHERE o_orderkey % 7 = 0
+), cut AS (
+  SELECT MAX(valid_from) - INTERVAL 7 DAY AS t FROM versions
+)
+SELECT o_orderkey, o_totalprice, o_orderpriority, valid_from
+FROM versions, cut
+WHERE valid_from <= cut.t AND (valid_to IS NULL OR valid_to > cut.t)
+""",
+    tags=("cdc", "changelog", "scd2", "timetravel"),
+)
+def cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) lookup over the SCD2 history: the table's
+    exact state at T = max(valid_from) − 7 days, i.e. the version whose
+    validity interval covers T — the time-travel read a warehouse runs
+    against a CDC-maintained history (reproduce a report, debug a model
+    trained on last week's state). One broadcast scalar + an interval
+    filter; at scale the history is partitioned by valid_from date so the
+    filter prunes partitions."""
+    chg = _typed_changelog(spark, sf_dir)
+    hist = materialize_scd2(chg, ["o_orderkey"], order_cols=["ts", "record_id"])
+    cut = hist.agg(
+        (F.max("valid_from") - F.expr("INTERVAL 7 DAYS")).alias("t")
+    )
+    return (
+        hist.crossJoin(F.broadcast(cut))
+        .where(
+            (F.col("valid_from") <= F.col("t"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("t")))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderpriority", "valid_from")
+    )
