@@ -3860,3 +3860,48 @@ def graph_triangle_families(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold_pct=30)
     return triangle_counts(pairs)
+
+
+@register(
+    "events_incremental_window_maintenance",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    tags=("ext", "events", "incremental", "materialized-view"),
+)
+def events_incremental_window_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance under late data: an hourly
+    (window, type) aggregate stands materialized over the base facts
+    (event_id % 20 != 0); a 5% late-arriving delta then lands ACROSS many
+    closed windows. Maintenance recomputes ONLY the windows the delta
+    touches (base rows re-read via a semi-join on touched windows — the
+    partition-pruned re-read when facts are date-partitioned) and carries
+    every untouched row of the materialization verbatim. The oracle is the
+    FULL aggregate over all events: the hash gate proves incremental
+    maintenance ≡ full recompute — `curate_incremental_pipeline`'s
+    guarantee for aggregates instead of corpora."""
+    from flink_dts_connector_spark.plans.relational import dec, dsum
+
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    win = F.date_trunc("hour", F.col("ts")).alias("window_start")
+    base = e.where(F.col("event_id") % 20 != 0)
+    delta = e.where(F.col("event_id") % 20 == 0)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(win, "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum(dec("value"), "total_value"),
+        )
+
+    base_agg = agg(base).localCheckpoint()  # the standing materialization
+    touched = delta.select(win).distinct()
+    carried = base_agg.join(F.broadcast(touched), "window_start", "left_anti")
+    recomputed = agg(
+        base.unionByName(delta).join(
+            F.broadcast(touched), F.date_trunc("hour", F.col("ts")) == F.col("window_start"), "left_semi"
+        )
+    )
+    return carried.unionByName(recomputed)
