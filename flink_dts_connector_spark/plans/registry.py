@@ -80,7 +80,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q18_large_volume_orders",
     # aggregation batteries
-    "agg_grouping_sets",
+    "events_incremental_window_maintenance",  # r4 cont.: MV maintenance == full recompute (grouping sets stays sweep-green)
     "agg_approx_distinct",
     # windows
     "win_topk_orders_per_customer",
@@ -97,7 +97,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # its oracle exercises the grouping too; boundaries stays sweep-green)
     "cdc_typed_changelog",
     "cdc_signed_agg_revenue",
-    "cdc_scd2_history",
+    "cdc_scd2_asof",  # r4 cont.: AS-OF subsumes the SCD2 build + time-travel read
     "cdc_value_zoo_render",
     "cdc_txn_atomic_apply",
     # deduplication family — r4 wave 2: directional containment joins; the
@@ -106,7 +106,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_exact_groups",
     "neardup_jaccard_pairs",
     "dedup_components",
-    "dedup_minhash_md5",
+    "embed_power_iteration",  # r4 cont.: exact iterative PCA (md5-LSH shape stays gated via dedup_minhash_probe)
     "dedup_minhash_probe",
     # r4 continuation: shared-span extraction (exact-substring signal)
     # replaces the snapshot-oracled SimHash slot (SimHash stays sweep-green;
@@ -122,7 +122,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # baseline inside the PQ/IVF oracles anyway and stays sweep-green
     "embed_kmeans_clusters",
     "ann_topk_lsh_multiprobe",
-    "ann_topk_ivf",
+    "ann_recall_report",  # r4 cont.: one slot evaluates all four ANN indexes vs brute force
     "ann_topk_pq",
     # text analysis — r4 wave 2: the rare-bigram LM-style filter joins;
     # per-source token stats rotate out (the same explode+agg shape backs
@@ -135,7 +135,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # sweep-green via token stats / top terms)
     "text_unigram_surprisal",
     # curation — r4 wave 2: chunking joins the gate
-    "curate_stratified_sample",
+    "curate_leakage_repaired_split",  # r4 cont.: audit->repair loop (stratified stays sweep-green)
     "curate_pack_sequences",
     "curate_token_budget",
     "curate_mixture_resample",
@@ -150,7 +150,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # streaming (availableNow-bounded, rerun-safe) — r4: corpus ingestion
     # replaces stream_dedup_exactly_once (dropDuplicatesWithinWatermark is
     # inside it, plus the dts source + gate + manifest composition)
-    "stream_hourly_windows",
+    "stream_funnel_stages",  # r4 cont.: stateful CEP sequence machine (hourly windows stays sweep-green)
     "stream_incremental_curate",
     "stream_corpus_ingest",
     "stream_stream_interval_join",
