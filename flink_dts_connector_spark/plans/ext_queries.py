@@ -3905,3 +3905,57 @@ def events_incremental_window_maintenance(spark: SparkSession, sf_dir: str) -> D
         )
     )
     return carried.unionByName(recomputed)
+
+
+@register(
+    "layout_compaction_plan",
+    oracle=f"""
+WITH manifest AS (
+  SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 64 AS BIGINT) AS shard_id,
+         CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1
+), cum AS (
+  SELECT shard_id, bytes,
+         SUM(bytes) OVER (ORDER BY shard_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - bytes AS before_bytes
+  FROM manifest
+)
+SELECT CAST(before_bytes // 20000 AS BIGINT) AS merge_group,
+       CAST(COUNT(*) AS BIGINT) AS n_shards,
+       CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+       CAST(MIN(shard_id) AS BIGINT) AS first_shard,
+       CAST(MAX(shard_id) AS BIGINT) AS last_shard
+FROM cum GROUP BY 1
+""",
+    tags=("ext", "layout", "compaction"),
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE half of a lakehouse
+    write path): 64 undersized shards roll up into ~20 KB merge groups by
+    cumulative-size cut in shard order — contiguous, deterministic, and
+    computable in one window over the MANIFEST (64 rows), never touching
+    the data. Each output row is one rewrite task (group, member range,
+    bytes); at 100 TB the same plan runs over the file-level manifest
+    with a multi-GB target. Contiguous roll-up deliberately beats
+    first-fit-decreasing here: FFD is sequential-greedy (not a relational
+    op) and destroys shard-order locality, which later range reads want."""
+    from flink_dts_connector_spark.operators.curation import shard_assign
+    from pyspark.sql import Window as W
+
+    manifest = (
+        shard_assign(t(spark, sf_dir, "documents"), n_shards=64)
+        .groupBy("shard_id")
+        .agg(F.sum(F.col("n_chars").cast("bigint")).alias("bytes"))
+    )
+    w = W.orderBy("shard_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = manifest.withColumn("before_bytes", F.sum("bytes").over(w) - F.col("bytes"))
+    return (
+        cum.groupBy(F.expr("before_bytes div 20000").alias("merge_group"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum("bytes").cast("bigint").alias("group_bytes"),
+            F.min("shard_id").alias("first_shard"),
+            F.max("shard_id").alias("last_shard"),
+        )
+    )
