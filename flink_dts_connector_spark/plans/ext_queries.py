@@ -3959,3 +3959,37 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("shard_id").alias("last_shard"),
         )
     )
+
+
+@register(
+    "join_lateral_topk_orders",
+    oracle="""
+SELECT c_custkey, c_name, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+WHERE c_custkey % 50 = 1
+""",
+    tags=("join", "lateral", "sql-surface"),
+)
+def join_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (top-2 orders per sampled customer) — the
+    SQL-surface form of per-key top-k. Catalyst decorrelates the lateral
+    subquery into a ranked join, the same physical shape as
+    `win_topk_orders_per_customer`; registered to pin that the SQL
+    entry point works, not just the DataFrame one. No raw doubles are
+    computed — values pass through from the scan, so the hash gate is
+    exact."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c_custkey % 50 = 1
+        """
+    )
