@@ -767,3 +767,59 @@ def shared_spans(
         .where(F.col("span_tokens") >= min_span)
         .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
     )
+
+
+def minhash_calibration_md5(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash index CALIBRATION: for every LSH candidate pair, compare the
+    signature-agreement estimate (matching positions / 16 — the MinHash
+    Jaccard estimator) against the EXACT Jaccard, rolled up per agreement
+    level — the empirical S-curve an operator reads before trusting a
+    (bands, rows) configuration on a new corpus (`ann_recall_report`'s
+    role for the near-dup index). Exact everywhere: match counts are
+    integers, the per-level mean Jaccard is a ratio of integer sums
+    (never a float sum of per-pair doubles, which would be order-
+    sensitive). Scale: candidates are band-bounded; signatures rejoin by
+    id (signature table is |docs| × 16 ints)."""
+    sh = _shingled(df, id_col, text_col, n).where(F.size("sh") > 0)
+    ex = sh.select("id", F.explode("sh").alias("s")).withColumn("h", md5_hash_mod_p(F.col("s")))
+    mins = ex.groupBy("id").agg(
+        *[
+            F.min((F.lit(2 * j + 1) * F.col("h") + F.lit(1000003 * (j + 1))) % F.lit(_P)).alias(
+                f"m{j}"
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    banded = minhash_band_index_md5(df, num_hashes, bands, n, id_col, text_col)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, _band_tuple_cond(num_hashes // bands) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    ma = mins.select(F.col("id").alias("a_id"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(num_hashes)])
+    mb = mins.select(F.col("id").alias("b_id"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(num_hashes)])
+    match_expr = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("bigint") for j in range(num_hashes)
+    )
+    est = cand.join(ma, "a_id").join(mb, "b_id").select(
+        "a_id", "b_id", match_expr.alias("n_match")
+    )
+    exact = _verify_jaccard(cand, sh, threshold_pct=0).select("a_id", "b_id", "n_inter", "n_union")
+    return (
+        est.join(exact, ["a_id", "b_id"])
+        .groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("n_inter").cast("bigint").alias("sum_inter"),
+            F.sum("n_union").cast("bigint").alias("sum_union"),
+            (F.sum("n_inter").cast("double") / F.sum("n_union")).alias("mean_jaccard"),
+        )
+    )

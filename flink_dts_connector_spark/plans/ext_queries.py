@@ -3993,3 +3993,64 @@ def join_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey % 50 = 1
         """
     )
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+  FROM toks
+  QUALIFY LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), hb AS (
+  SELECT doc_id, md5_number_lower(s) % 2147483647 AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_MINHASH_MD5_MINS}
+  FROM hb GROUP BY doc_id
+), bands AS (
+  {_MINHASH_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.r2 = b.r2 AND a.r3 = b.r3
+   AND a.doc_id < b.doc_id
+), est AS (
+  SELECT c.a_id, c.b_id,
+         CAST({" + ".join(f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(16))} AS BIGINT) AS n_match
+  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a_id
+  JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+  GROUP BY 1, 2
+), exact AS (
+  SELECT a_id, b_id, CAST(n_inter AS BIGINT) AS n_inter,
+         CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT) AS n_union
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+)
+SELECT n_match,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(n_inter) AS BIGINT) AS sum_inter,
+       CAST(SUM(n_union) AS BIGINT) AS sum_union,
+       CAST(SUM(n_inter) AS DOUBLE) / SUM(n_union) AS mean_jaccard
+FROM est JOIN exact USING (a_id, b_id)
+GROUP BY n_match
+""",
+    tags=("ext", "dedup", "approx", "eval"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash S-curve calibration: signature-agreement estimate vs exact
+    Jaccard per agreement level over the LSH candidates — the near-dup
+    index's self-evaluation (companion to `ann_recall_report`)."""
+    return D.minhash_calibration_md5(t(spark, sf_dir, "documents"))
