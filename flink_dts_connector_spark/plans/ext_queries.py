@@ -4054,3 +4054,103 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard per agreement level over the LSH candidates — the near-dup
     index's self-evaluation (companion to `ann_recall_report`)."""
     return D.minhash_calibration_md5(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS tot FROM h
+), c AS (
+  SELECT hr, x,
+         CAST(SUM(CAST(s.n * x - s.tot AS HUGEINT))
+              OVER (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cusum_scaled
+  FROM h, s
+)
+SELECT hr, x, cusum_scaled FROM c
+""",
+    tags=("ext", "events", "anomaly", "changepoint"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point trace over the hourly event-volume series:
+    cumulative sum of (n·xᵢ − Σx) — the mean-deviation CUSUM scaled by n
+    so it stays in EXACT integers (no mean division mid-series); the
+    |cusum| peak marks the most likely level-shift hour. Series-sized
+    frame (hundreds of rows), so the ordered window is a single tiny
+    partition by construction — the raw events never sort."""
+    from pyspark.sql import Window as W
+
+    h = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    s = h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("x").cast("bigint").alias("tot")
+    )
+    w = W.orderBy("hr").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        h.crossJoin(F.broadcast(s))
+        .withColumn(
+            "cusum_scaled",
+            F.sum((F.col("n") * F.col("x") - F.col("tot")).cast("decimal(38,0)"))
+            .over(w)
+            .cast("bigint"),
+        )
+        .select("hr", "x", "cusum_scaled")
+    )
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest({SQL_TOKS}) AS w FROM documents
+), counts AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk FROM counts
+  ) WHERE rnk <= 30
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM toks LEFT JOIN vocab ON toks.w = vocab.w
+GROUP BY source
+""",
+    tags=("ext", "text", "vocab"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit signal: per-source out-of-vocabulary token mass
+    against the corpus's own top-30 vocabulary — a source whose OOV rate
+    spikes will fragment into subword soup under a tokenizer trained on
+    the global distribution. The vocab is a broadcast (top-K over the
+    vocab-count frame, which is type-count-sized, not corpus-sized);
+    scoring is a broadcast left join inside the token scan."""
+    from pyspark.sql import Window as W
+
+    toks = t(spark, sf_dir, "documents").select(
+        "source", F.explode(X.tokens("text")).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.withColumn("rnk", F.row_number().over(W.orderBy(F.desc("c"), F.asc("w"))))
+        .where(F.col("rnk") <= 30)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    n, oov = F.count(F.lit(1)), F.sum(F.col("_in_vocab").isNull().cast("bigint"))
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_tokens"),
+            oov.cast("bigint").alias("n_oov"),
+            (oov.cast("double") / n).alias("oov_rate"),
+        )
+    )
