@@ -1199,3 +1199,126 @@ def stream_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
     )
     return out.withColumn("rnk", rnk.cast("bigint")).where(F.col("rnk") <= 2)
+
+
+def _scd2_oracle() -> str:
+    from flink_dts_connector_spark.plans.cdc_queries import SQL_PRICE0, SQL_PRICE1
+
+    return f"""
+WITH versions AS (
+  SELECT o_orderkey, {SQL_PRICE0} AS o_totalprice, o_orderpriority, o_orderdate AS valid_from,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_orderdate + INTERVAL 1 HOUR
+              WHEN o_orderkey % 7 = 0 THEN o_orderdate + INTERVAL 2 HOUR
+              WHEN o_orderkey % 97 = 0 THEN o_orderdate + INTERVAL 3 HOUR END AS valid_to
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, {SQL_PRICE1}, o_orderpriority, o_orderdate + INTERVAL 1 HOUR,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_orderdate + INTERVAL 2 HOUR
+              WHEN o_orderkey % 97 = 0 THEN o_orderdate + INTERVAL 3 HOUR END
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, {SQL_PRICE1}, '9-RUSH', o_orderdate + INTERVAL 2 HOUR,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_orderdate + INTERVAL 3 HOUR END
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderkey, o_totalprice, o_orderpriority, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM versions
+"""
+
+
+@register(
+    "stream_scd2_maintenance",
+    oracle=_scd2_oracle(),
+    tags=("streaming", "cdc", "scd2", "sink"),
+)
+def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 maintenance — the warehouse history table kept live
+    by the CDC feed: order events land in three waves (inserts, then
+    updates, then deletes — per-key ts order, the Kafka partition-order
+    guarantee); each micro-batch (a) CLOSES the affected keys' open
+    versions at the batch's first event time and (b) appends the batch's
+    own version chain (within-batch LEAD on (ts, record_id)). Deletes
+    close without appending — only live keys keep an open row. The oracle
+    is the BATCH closed form (`cdc_scd2_history`): hash-matching proves
+    the chain of O(|delta|) merges converges to exactly the full
+    changelog materialization. Per batch nothing corpus-sized shuffles:
+    the close step is a broadcast join on the batch's keys; state is the
+    materialized history (a table at 100 TB — same disclosure as
+    `stream_incremental_curate`)."""
+    import tempfile
+
+    from flink_dts_connector_spark.formats.typed import project_table
+    from flink_dts_connector_spark.plans.cdc_queries import ORDERS_CDC_SCHEMA
+    from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
+    from flink_dts_connector_spark.sources.generator import DB, TBL, generate_cdc_bytes
+    from pyspark.sql import Window as W
+
+    out_cols = [
+        "o_orderkey", "o_totalprice", "o_orderpriority", "valid_from", "valid_to", "is_current",
+    ]
+    empty = spark.createDataFrame(
+        [],
+        "o_orderkey bigint, o_totalprice double, o_orderpriority string, "
+        "valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    state = {"hist": empty.localCheckpoint()}
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        rows = project_table(bdf, ORDERS_CDC_SCHEMA, table=f"{DB}.{TBL}")
+        events = rows.where(F.col("op").isin("I", "UA", "D")).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority", "ts", "record_id", "op"
+        )
+        w = W.partitionBy("o_orderkey").orderBy("ts", "record_id")
+        chained = events.withColumn("_next_ts", F.lead("ts").over(w))
+        new_versions = chained.where(F.col("op") != "D").select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderpriority",
+            F.col("ts").alias("valid_from"),
+            F.col("_next_ts").alias("valid_to"),
+            F.col("_next_ts").isNull().alias("is_current"),
+        )
+        first_ts = events.groupBy("o_orderkey").agg(
+            F.min(F.struct("ts", "record_id"))["ts"].alias("_first_ts")
+        )
+        hist = state["hist"]
+        closed = (
+            hist.join(F.broadcast(first_ts), "o_orderkey", "left")
+            .select(
+                "o_orderkey",
+                "o_totalprice",
+                "o_orderpriority",
+                "valid_from",
+                F.when(
+                    F.col("is_current") & F.col("_first_ts").isNotNull(), F.col("_first_ts")
+                ).otherwise(F.col("valid_to")).alias("valid_to"),
+                (F.col("is_current") & F.col("_first_ts").isNull()).alias("is_current"),
+            )
+        )
+        state["hist"] = closed.unionByName(new_versions.select(*out_cols)).localCheckpoint()
+
+    raw_dir = tempfile.mkdtemp(prefix="fdcs_scd2_raw_")
+    ckpt = tempfile.mkdtemp(prefix="fdcs_scd2_ckpt_")
+    register_dts_source(spark)
+    raw = generate_cdc_bytes(spark, sf_dir)
+    waves = [
+        (F.col("offset") < 10000000000) & (F.col("offset") % 4 == 0),   # inserts
+        (F.col("offset") < 10000000000) & (F.col("offset") % 4).isin(1, 2),  # updates
+        (F.col("offset") >= 10000000000) | (F.col("offset") % 4 == 3),  # deletes + hb/ddl
+    ]
+    with pinned_shuffle_partitions(spark):
+        for cond in waves:
+            raw.where(cond).repartition(2).write.mode("append").parquet(raw_dir)
+            q = (
+                spark.readStream.format("dts")
+                .option("path", raw_dir)
+                .option("tables", f"{DB}.{TBL}")
+                .load()
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    return state["hist"].select(*out_cols)
