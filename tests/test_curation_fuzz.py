@@ -166,3 +166,131 @@ def test_chunk_windows_matches_naive_python(spark, case):
             )
             k += 1
     assert got == expect
+
+
+@st.composite
+def _span_corpus(draw):
+    vocab = ["a", "b", "c", "d"]
+    n_docs = draw(st.integers(min_value=2, max_value=5))
+    docs = []
+    for i in range(n_docs):
+        n_tok = draw(st.integers(min_value=0, max_value=24))
+        docs.append((i, " ".join(draw(st.sampled_from(vocab)) for _ in range(n_tok))))
+    k = draw(st.integers(min_value=2, max_value=4))
+    min_span = draw(st.integers(min_value=k, max_value=k + 4))
+    return docs, k, min_span
+
+
+def _py_shared_spans(docs, k, min_span, max_df):
+    """From-scratch reference: positional k-gram match -> diagonal islands."""
+    grams = {}  # (doc, pos1based) -> gram
+    for d, text in docs:
+        toks = text.split()
+        for p in range(len(toks) - k + 1):
+            grams[(d, p + 1)] = " ".join(toks[p : p + k])
+    from collections import Counter, defaultdict
+
+    df_ct = Counter(grams.values())
+    matches = defaultdict(list)  # (a,b,diag) -> [pa]
+    by_gram = defaultdict(list)
+    for (d, p), g in grams.items():
+        if df_ct[g] <= max_df:
+            by_gram[g].append((d, p))
+    for g, occ in by_gram.items():
+        for da, pa in occ:
+            for db, pb in occ:
+                if da < db:
+                    matches[(da, db, pb - pa)].append(pa)
+    out = set()
+    for (da, db, diag), pas in matches.items():
+        pas = sorted(set(pas))
+        start = prev = pas[0]
+        runs = []
+        for p in pas[1:]:
+            if p == prev + 1:
+                prev = p
+            else:
+                runs.append((start, prev))
+                start = prev = p
+        runs.append((start, prev))
+        for s, e in runs:
+            span = e - s + k
+            if span >= min_span:
+                out.add((da, db, s, s + diag, span))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_span_corpus())
+def test_shared_spans_match_pure_python(case, spark):
+    """`dedup.shared_spans` equals the from-scratch reference on arbitrary
+    tiny corpora (tiny vocab => dense collisions; exercises island merges,
+    multi-diagonal overlaps, and short-doc guards)."""
+    from flink_dts_connector_spark.operators.dedup import shared_spans
+
+    docs, k, min_span = case
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens)
+        for r in shared_spans(df, k=k, min_span=min_span, max_df=10_000).collect()
+    }
+    assert got == _py_shared_spans(docs, k, min_span, 10_000)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_span_corpus())
+def test_self_repeat_spans_match_pure_python(case, spark):
+    """`text.self_repeat_spans` equals the reference restricted to
+    within-doc matches (pa < pb on the same doc)."""
+    from collections import defaultdict
+
+    from flink_dts_connector_spark.operators.text import self_repeat_spans
+
+    docs, k, min_span = case
+    # reference: same-doc positional matches -> islands -> per-doc rollup
+    expected = defaultdict(list)
+    for d, text in docs:
+        toks = text.split()
+        grams = {}
+        for p in range(len(toks) - k + 1):
+            grams.setdefault(" ".join(toks[p : p + k]), []).append(p + 1)
+        matches = defaultdict(list)
+        for g, ps in grams.items():
+            for pa in ps:
+                for pb in ps:
+                    if pa < pb:
+                        matches[pb - pa].append(pa)
+        for diag, pas in matches.items():
+            pas = sorted(set(pas))
+            start = prev = pas[0]
+            runs = []
+            for p in pas[1:]:
+                if p == prev + 1:
+                    prev = p
+                else:
+                    runs.append((start, prev))
+                    start = prev = p
+            runs.append((start, prev))
+            for s, e in runs:
+                span = e - s + k
+                if span >= min_span:
+                    expected[d].append(span)
+    exp = {
+        d: (len(spans), max(spans)) for d, spans in expected.items() if spans
+    }
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_repeat_spans, r.max_span_tokens)
+        for r in self_repeat_spans(df, k=k, min_span=min_span).collect()
+    }
+    assert got == exp
