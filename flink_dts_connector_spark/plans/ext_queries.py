@@ -4154,3 +4154,154 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (oov.cast("double") / n).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "agg_time_rollup",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mth,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP (yr, qtr, mth)
+""",
+    tags=("agg", "rollup", "time"),
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy ROLLUP (year → quarter → month) over order revenue —
+    the calendar drill-down cube every BI layer asks of an OLAP engine.
+    Revenue sums exact integer cents; one EXPAND-based rollup agg."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+            F.month("o_orderdate").cast("bigint").alias("mth"),
+            cents.alias("_c"),
+        )
+        .rollup("yr", "qtr", "mth")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.sum("_c").cast("double") / 100).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "win_percent_of_parent",
+    oracle="""
+WITH seg AS (
+  SELECT r.r_name AS region, c.c_mktsegment AS segment,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, segment,
+       CAST(CAST(cents AS DOUBLE) / 100 AS DOUBLE) AS revenue,
+       CAST(cents AS DOUBLE) / SUM(cents) OVER (PARTITION BY region) AS share_of_region,
+       CAST(cents AS DOUBLE) / SUM(cents) OVER () AS share_of_total
+FROM seg
+""",
+    tags=("window", "ratio-to-report"),
+)
+def win_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (region, segment)'s revenue share of its
+    region and of the whole — the percent-of-parent window families BI
+    tools generate. Shares divide exact integer cents, so the doubles are
+    engine-identical; the windows run over the AGGREGATED frame (25
+    rows), never the facts."""
+    from pyspark.sql import Window as W
+
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    n, r = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    seg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    return seg.select(
+        "region",
+        "segment",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        (F.col("cents").cast("double") / F.sum("cents").over(W.partitionBy("region"))).alias(
+            "share_of_region"
+        ),
+        (F.col("cents").cast("double") / F.sum("cents").over(
+            W.partitionBy()
+        )).alias("share_of_total"),
+    )
+
+
+@register(
+    "events_session_paths",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 OR
+                   LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged
+), tri AS (
+  SELECT event_type || '>' ||
+         LEAD(event_type, 1) OVER w2 || '>' ||
+         LEAD(event_type, 2) OVER w2 AS path
+  FROM sess
+  WINDOW w2 AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id)
+  QUALIFY LEAD(event_type, 2) OVER w2 IS NOT NULL
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY path
+ORDER BY n DESC, path LIMIT 15
+""",
+    tags=("ext", "events", "paths", "sessionize"),
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the 15 most common 3-step event-type
+    sequences WITHIN a session (30-min gap sessionization, then a LEAD
+    window per session) — the product-analytics "common paths" report.
+    Composes the sessionizer with sequence windows; everything shuffles
+    once on user_id and stays partitioned through both windows."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull() | (us - F.lag(us).over(w) > 1800 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    w2 = W.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    tri = (
+        sess.withColumn("e2", F.lead("event_type", 1).over(w2))
+        .withColumn("e3", F.lead("event_type", 2).over(w2))
+        .where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(15)
+    )
