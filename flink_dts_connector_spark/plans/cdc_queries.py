@@ -577,3 +577,61 @@ def cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice", "o_orderpriority", "valid_from")
     )
+
+
+@register(
+    "cdc_poison_rate",
+    oracle="""
+WITH recs AS (
+  SELECT o_orderkey * 4 AS rid, 'INSERT' AS op FROM orders
+  UNION ALL SELECT o_orderkey * 4 + 1, 'UPDATE' FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL SELECT o_orderkey * 4 + 2, 'UPDATE' FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL SELECT o_orderkey * 4 + 3, 'DELETE' FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT op AS operation,
+       CAST(COUNT(*) FILTER (WHERE rid % 53 <> 0) AS BIGINT) AS n_decoded,
+       CAST(COUNT(*) FILTER (WHERE rid % 53 = 0) AS BIGINT) AS n_poisoned
+FROM recs GROUP BY op
+""",
+    tags=("cdc", "decode", "poison"),
+)
+def cdc_poison_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-pill tolerance as a measured contract: every record whose id
+    is divisible by 53 is TRUNCATED on the wire (torn mid-payload);
+    `decode_cdc(on_error='skip')` must drop exactly those and decode
+    everything else — the per-op decoded/poisoned census against the
+    generator's closed form. The production CDC posture (a topic carrying
+    foreign garbage must not kill the subscriber) with the loss made
+    visible and countable. Survivor counts come from the decoder; the
+    poisoned column is total-minus-decoded per op (rid arithmetic)."""
+    raw = generate_cdc_bytes(spark, sf_dir)
+    # tear records mid-payload: keep the first 6 bytes (enough to look like
+    # a record, not enough to decode)
+    torn = raw.withColumn(
+        "value",
+        F.when(
+            F.col("offset") % 53 == 0, F.expr("substring(value, 1, 6)")
+        ).otherwise(F.col("value")),
+    )
+    env = decode_cdc(
+        torn,
+        tables=[f"{DB}.{TBL}"],
+        ops=["INSERT", "UPDATE", "DELETE"],
+        on_error="skip",
+        images=False,
+    )
+    decoded = env.groupBy("operation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_decoded")
+    )
+    # expected totals per op from the raw ids (no decode needed for the census)
+    ids = raw.where(F.col("offset") < 10000000000).select(
+        F.col("offset").alias("rid"),
+        F.when(F.col("offset") % 4 == 0, "INSERT")
+        .when(F.col("offset") % 4 == 3, "DELETE")
+        .otherwise("UPDATE")
+        .alias("operation"),
+    )
+    totals = ids.groupBy("operation").agg(
+        F.sum((F.col("rid") % 53 == 0).cast("bigint")).cast("bigint").alias("n_poisoned")
+    )
+    return decoded.join(totals, "operation").select("operation", "n_decoded", "n_poisoned")
