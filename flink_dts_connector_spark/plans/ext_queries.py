@@ -4305,3 +4305,74 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(15)
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+WITH q AS (
+  SELECT lang, source, (CAST(len({SQL_TOKS}) AS BIGINT) // 50) * 50 AS len_bucket
+  FROM documents
+)
+SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS group_size
+FROM q GROUP BY 1, 2, 3
+HAVING COUNT(*) < 5
+""",
+    tags=("ext", "privacy", "audit"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (lang, source, token-length bucket): groups smaller than k re-identify
+    — the release gate run AFTER `text_pii_redaction` scrubs direct
+    identifiers, because quasi-identifiers leak through clean text. One
+    hash agg + HAVING; the violating groups are the rows a suppression
+    pass would drop or generalize."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        ((X.token_count("text") / 50).cast("bigint") * 50).alias("len_bucket"),
+    )
+    return (
+        d.groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+        .where(F.col("group_size") < 5)
+    )
+
+
+@register(
+    "agg_mergeable_histograms",
+    oracle=f"""
+WITH h AS (
+  SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS BIGINT) AS shard_id,
+         (CAST(len({SQL_TOKS}) AS BIGINT) // 20) * 20 AS bucket
+  FROM documents
+), per_shard AS (
+  SELECT shard_id, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2
+)
+SELECT bucket,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_shards_contributing
+FROM per_shard GROUP BY bucket
+""",
+    tags=("ext", "agg", "mergeable", "rollup"),
+)
+def agg_mergeable_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable pre-aggregation: per-SHARD token-length histograms merged
+    into the corpus histogram — the rollup-table pattern (store tiny
+    per-partition partials, merge on demand; integer histograms are
+    losslessly mergeable where quantile sketches only approximately so).
+    The merged counts must equal the direct global histogram — the oracle
+    computes the same two-level plan, and `n_shards_contributing` pins
+    that partials genuinely came from multiple shards."""
+    from flink_dts_connector_spark.operators.curation import shard_assign
+
+    h = shard_assign(t(spark, sf_dir, "documents"), n_shards=16).select(
+        "shard_id", ((X.token_count("text") / 20).cast("bigint") * 20).alias("bucket")
+    )
+    per_shard = h.groupBy("shard_id", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return per_shard.groupBy("bucket").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards_contributing"),
+    )
