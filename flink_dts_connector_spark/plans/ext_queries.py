@@ -4376,3 +4376,36 @@ def agg_mergeable_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).cast("bigint").alias("n_shards_contributing"),
     )
+
+
+@register(
+    "layout_partitioned_write_prune",
+    oracle=f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(len({SQL_TOKS}) AS BIGINT)) AS BIGINT) AS n_tokens
+FROM documents WHERE source = 'src3'
+GROUP BY lang
+""",
+    tags=("ext", "layout", "pruning"),
+)
+def layout_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout partition pruning end-to-end AS a gated query: the
+    corpus is written out `partitionBy(source)` (the Hive layout a curated
+    corpus ships in), read back with a `source = 'src3'` predicate — which
+    must prune to ONE directory (asserted on the plan: the scan's
+    partitionFilters carry the predicate, its data filters don't) — then
+    aggregated. Proves the write layout, the pruned read, and the result
+    in one pass; the oracle is the direct filter over the original table."""
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="fdcs_part_")
+    d.write.mode("overwrite").partitionBy("source").parquet(out)
+    back = spark.read.parquet(out).where(F.col("source") == "src3")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: []" in plan and "src3" not in plan.split("PushedFilters")[0]:
+        raise AssertionError("partition pruning did not engage on the source column")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(X.token_count("text")).cast("bigint").alias("n_tokens"),
+    )
