@@ -4409,3 +4409,65 @@ def layout_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(X.token_count("text")).cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest({SQL_TOKS}) AS w FROM documents
+  ) GROUP BY 1, 2
+), ranked AS (
+  SELECT source,
+         CAST(length(printf('%b', ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, w))) - 1 AS BIGINT) AS lx,
+         CAST(length(printf('%b', c)) - 1 AS BIGINT) AS ly
+  FROM counts
+), m AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+         CAST(SUM(lx * lx) AS BIGINT) AS sxx, CAST(SUM(lx * ly) AS BIGINT) AS sxy
+  FROM ranked GROUP BY 1
+)
+SELECT source, n AS n_types,
+       CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS zipf_slope
+FROM m WHERE n * sxx - sx * sx <> 0
+""",
+    tags=("ext", "text", "statistics"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope of ilog2(frequency) against
+    ilog2(rank) over the source's vocabulary — natural text sits near −1;
+    templated/generated text flattens toward 0 (every token equally
+    common) — a generator/boilerplate detector from pure corpus
+    statistics. Integer bit-length logs and integer moments, one double
+    division; the rank window runs per source over the vocab frame."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(X.tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rnk = F.row_number().over(W.partitionBy("source").orderBy(F.desc("c"), F.asc("w")))
+    ranked = counts.select(
+        "source",
+        X.ilog2(rnk.cast("bigint")).alias("lx"),
+        X.ilog2(F.col("c")).alias("ly"),
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    m = ranked.groupBy("source").agg(
+        n.alias("n"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).cast("bigint").alias("sxy"),
+    )
+    den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    return m.where(den != 0).select(
+        "source",
+        F.col("n").alias("n_types"),
+        ((m["n"] * m["sxy"] - m["sx"] * m["sy"]).cast("double") / den).alias("zipf_slope"),
+    )

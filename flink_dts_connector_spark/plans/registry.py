@@ -152,7 +152,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # inside it, plus the dts source + gate + manifest composition)
     "stream_funnel_stages",  # r4 cont.: stateful CEP sequence machine (hourly windows stays sweep-green)
     "stream_incremental_curate",
-    "stream_corpus_ingest",
+    "stream_scd2_maintenance",  # r4 cont.: live SCD2 merges == batch closed form (corpus_ingest stays sweep-green; incremental_curate keeps the CDC->curation shape gated)
     "stream_stream_interval_join",
     "stream_partition_watermarks",
     "stream_late_data_gate",
