@@ -81,3 +81,72 @@ def two_phase_agg(
             raise ValueError(f"non-algebraic combiner for two_phase_agg: {how}")
         combiners.append(combine[how](F.col(f"_p_{name}")).alias(name))
     return phase1.groupBy(*keys).agg(*combiners)
+
+
+def bloom_bitmap(
+    keys: DataFrame,
+    key_col: str,
+    m_bits_log2: int = 16,
+    seeds: Sequence[int] = (11, 23, 47),
+) -> DataFrame:
+    """Build a distributed Bloom filter over ``keys[key_col]`` as a tiny
+    word-indexed bitmap table: ``(word BIGINT, bits BIGINT)`` where bit
+    ``p & 63`` of word ``p >> 6`` is set for every hash position
+    ``p = xxhash64(key, seed_j) mod 2^m_bits_log2``.
+
+    The whole build is declarative: explode the k seeds per key, hash
+    JVM-side, group positions by word with ``bit_or`` — a map-side-combined
+    agg over the (small) key set, never the big side. The result is at most
+    ``2^(m_bits_log2-6)`` rows (1024 for the default 64 Kbit filter) — MBs
+    even for 2^30-bit filters at 10^9 dim keys, where the dim side itself
+    is far too big for a broadcast-hash-join relation. That asymmetry is
+    the point: semi-join reduction for joins whose build side fits in a
+    bitmap but not in memory as a hash relation.
+    """
+    m = 1 << m_bits_log2
+    pos = F.explode(
+        F.array(*[F.pmod(F.xxhash64(F.col(key_col), F.lit(int(s))), F.lit(m)) for s in seeds])
+    ).alias("pos")
+    return (
+        keys.select(pos)
+        .select(F.shiftright("pos", 6).alias("word"), (F.col("pos") % 64).alias("bit"))
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).alias("bits"))
+    )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    big_key_col: str | None = None,
+    m_bits_log2: int = 16,
+    seeds: Sequence[int] = (11, 23, 47),
+) -> DataFrame:
+    """Drop ``big`` rows whose ``big_key_col`` cannot appear in
+    ``keys[key_col]``, using the :func:`bloom_bitmap` filter — k broadcast
+    equi-joins against the bitmap table (one per seed), each a
+    word-indexed lookup plus a bit test, so the big side is never
+    shuffled, exploded, or row-multiplied.
+
+    No false negatives (every inserted key sets exactly the bits tested),
+    so ``bloom_prefilter(big, ...).join(keys, ...)`` is row-identical to
+    the plain join; false positives only cost the later exact join some
+    extra probe rows. This is the runtime-filter / semi-join-reduction
+    pattern (Spark's own runtime bloom pushdown, Trino's dynamic filters)
+    made explicit so the plan is pinned rather than threshold-dependent.
+    """
+    bk = big_key_col or key_col
+    m = 1 << m_bits_log2
+    bitmap = bloom_bitmap(keys, key_col, m_bits_log2, seeds)
+    out = big
+    for j, s in enumerate(seeds):
+        p = F.pmod(F.xxhash64(F.col(bk), F.lit(int(s))), F.lit(m))
+        out = out.withColumn(f"_bw{j}", F.shiftright(p, 6)).withColumn(f"_bb{j}", p % 64)
+        bm = F.broadcast(
+            bitmap.select(F.col("word").alias(f"_bw{j}"), F.col("bits").alias(f"_bs{j}"))
+        )
+        out = out.join(bm, f"_bw{j}", "inner").where(
+            F.expr(f"shiftright(_bs{j}, CAST(_bb{j} AS INT)) & 1 = 1")
+        )
+    return out.drop(*[c for j in range(len(seeds)) for c in (f"_bw{j}", f"_bb{j}", f"_bs{j}")])

@@ -413,6 +413,35 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Gopher-style corpus filter rules: (name, flag) where flag is an all-integer
+#: predicate over the quality_metrics counts — integer comparisons (cross-
+#: multiplied ratios) keep the verdicts bit-identical to the SQL oracle with
+#: no double rounding in the rule itself. Thresholds sit inside the measured
+#: spread of the synthetic corpus so every rule splits non-vacuously.
+QUALITY_RULES: tuple[tuple[str, str], ...] = (
+    ("min_tokens", "n_tokens < 30"),            # too short to train on
+    ("max_tokens", "n_tokens > 80"),            # suspiciously long for the corpus
+    ("stopword_floor", "n_stopwords * 50 < n_tokens"),   # stopword ratio < 2%
+    ("symbol_ceiling", "n_non_alnum * 100 > n_chars * 19"),  # non-alnum > 19%
+    ("word_length", "n_chars < n_tokens * 5"),  # mean chars/token < 5
+)
+
+
+def quality_rule_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document boolean verdicts for each Gopher-style filter rule
+    (Rae et al. 2021 §A.1.1's rule-list shape: length bounds, symbol
+    ratio, stopword floor, mean word length), as 0/1 ints, plus
+    ``any_rule`` = fails at least one. Built on quality_metrics' exact
+    integer counts; each rule is a pure integer comparison so the Spark
+    and DuckDB verdicts agree exactly."""
+    m = quality_metrics(df, text_col)
+    flags = [F.expr(cond).cast("int").alias(name) for name, cond in QUALITY_RULES]
+    out = m.select("doc_id", *flags)
+    return out.withColumn(
+        "any_rule", F.greatest(*[F.col(n) for n, _ in QUALITY_RULES]).alias("any_rule")
+    )
+
+
 def langid_heuristic(text: Column | str) -> Column:
     """Marker-stopword language guess with fixed priority order.
 

@@ -4471,3 +4471,215 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_types"),
         ((m["n"] * m["sxy"] - m["sx"] * m["sy"]).cast("double") / den).alias("zipf_slope"),
     )
+
+
+@register(
+    "text_quality_rules",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter({SQL_TOKS}, t -> t IN ('the','a','of','and'))) AS BIGINT) AS n_stopwords,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT) AS n_non_alnum
+  FROM documents
+), f AS (
+  SELECT CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END AS f1,
+         CASE WHEN n_tokens > 80 THEN 1 ELSE 0 END AS f2,
+         CASE WHEN n_stopwords * 50 < n_tokens THEN 1 ELSE 0 END AS f3,
+         CASE WHEN n_non_alnum * 100 > n_chars * 19 THEN 1 ELSE 0 END AS f4,
+         CASE WHEN n_chars < n_tokens * 5 THEN 1 ELSE 0 END AS f5
+  FROM m
+), g AS (SELECT *, greatest(f1, f2, f3, f4, f5) AS fa FROM f)
+SELECT rule, n_docs, n_fail, CAST(n_fail AS DOUBLE) / n_docs AS fail_pct FROM (
+  SELECT 'min_tokens' AS rule, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(f1) AS BIGINT) AS n_fail FROM g
+  UNION ALL SELECT 'max_tokens', CAST(COUNT(*) AS BIGINT), CAST(SUM(f2) AS BIGINT) FROM g
+  UNION ALL SELECT 'stopword_floor', CAST(COUNT(*) AS BIGINT), CAST(SUM(f3) AS BIGINT) FROM g
+  UNION ALL SELECT 'symbol_ceiling', CAST(COUNT(*) AS BIGINT), CAST(SUM(f4) AS BIGINT) FROM g
+  UNION ALL SELECT 'word_length', CAST(COUNT(*) AS BIGINT), CAST(SUM(f5) AS BIGINT) FROM g
+  UNION ALL SELECT 'any_rule', CAST(COUNT(*) AS BIGINT), CAST(SUM(fa) AS BIGINT) FROM g
+)
+""",
+    tags=("ext", "text", "curation", "filter"),
+)
+def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-list filter report (Rae et al. 2021 §A.1.1): each
+    document gets a 0/1 verdict per rule (length bounds, stopword floor,
+    symbol ceiling, mean word length — all-integer predicates over
+    quality_metrics' exact counts), then ONE narrow aggregation yields the
+    per-rule failure census plus the combined `any_rule` kill rate — the
+    dashboard a corpus-curation run reads before committing a filter
+    config. Flags are computed once per doc and unpivoted via an inline
+    array (6 structs/row), so the whole report is a single map-side-
+    combined agg over (rule) — no per-rule rescans of the corpus."""
+    flags = X.quality_rule_flags(t(spark, sf_dir, "documents"))
+    pairs = flags.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(n).alias("rule"), F.col(n).cast("bigint").alias("fail"))
+                    for n, _ in X.QUALITY_RULES
+                ],
+                F.struct(F.lit("any_rule").alias("rule"), F.col("any_rule").cast("bigint").alias("fail")),
+            )
+        ).alias("p")
+    ).select("p.*")
+    agg = pairs.groupBy("rule").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("fail").cast("bigint").alias("n_fail"),
+    )
+    return agg.select(
+        "rule", "n_docs", "n_fail", (F.col("n_fail").cast("double") / F.col("n_docs")).alias("fail_pct")
+    )
+
+
+@register(
+    "search_phrase_positions",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> {{'pos': CAST(i AS BIGINT),
+                       'phrase': toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]}}),
+                recursive := true)
+  FROM d
+), counts AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS c FROM tri GROUP BY 1
+), top AS (
+  SELECT min(phrase) AS phrase FROM counts WHERE c = (SELECT max(c) FROM counts)
+)
+SELECT tri.doc_id, tri.pos, tri.phrase FROM tri JOIN top ON tri.phrase = top.phrase
+""",
+    tags=("ext", "search", "positional"),
+)
+def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: posting lists carry (doc_id,
+    token_position), and a phrase query is an equi-join of consecutive
+    positions — here fused into trigram postings built per document
+    (transform over the token index range, one posexplode). The query
+    phrase is chosen *from the corpus itself* — the globally most frequent
+    trigram (ties broken lexicographically) — via max-count + min-phrase
+    aggregates and a broadcast of the ONE surviving phrase back onto the
+    postings: no global sort, no driver round-trip. Returns every
+    occurrence with its 1-based token position — the hit list a
+    highlighter consumes."""
+    d = t(spark, sf_dir, "documents").select("doc_id", X.tokens("text").alias("toks"))
+    sz = F.size("toks")
+    idx = F.when(sz >= 3, F.sequence(F.lit(1), sz - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("bigint").alias("pos"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                    ).alias("phrase"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.pos", "p.phrase")
+    counts = tri.groupBy("phrase").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    mx = counts.agg(F.max("c").alias("mc"))
+    top = (
+        counts.join(F.broadcast(mx), counts["c"] == mx["mc"])
+        .agg(F.min("phrase").alias("phrase"))
+    )
+    return tri.join(F.broadcast(top), "phrase").select("doc_id", "pos", "phrase")
+
+
+@register(
+    "events_sparse_profile_merge",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), l AS (SELECT * FROM r WHERE rn = 1)
+SELECT user_id,
+       MAX(CASE WHEN event_type = 'click' THEN value END) AS click_value,
+       MAX(CASE WHEN event_type = 'error' THEN value END) AS error_value,
+       MAX(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_value,
+       MAX(CASE WHEN event_type = 'signup' THEN value END) AS signup_value,
+       MAX(CASE WHEN event_type = 'view' THEN value END) AS view_value,
+       MAX(ts) AS last_update,
+       CAST(COUNT(*) AS BIGINT) AS n_attrs
+FROM l GROUP BY user_id
+""",
+    tags=("ext", "cdc", "merge", "sparse"),
+)
+def events_sparse_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse column-level merge (the CDC partial-update semantic the
+    reference's upsert stream implies when writers touch disjoint columns:
+    DtsRecord op streams where each record carries one attribute): every
+    event is an attribute write (attribute = event_type), and the current
+    profile keeps, PER COLUMN, the value of the latest writer — not the
+    latest whole row. One window (rank per (user, attr), ts/event_id
+    tiebreak) + one pivot-by-conditional-max agg; both shuffles are on
+    user_id so AQE coalesces them into a single exchange lineage. NULL
+    columns mean 'never written' — preserved, not defaulted."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return latest.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("event_type") == ty, F.col("value"))).alias(f"{ty}_value")
+            for ty in types
+        ],
+        F.max("ts").alias("last_update"),
+        F.count(F.lit(1)).cast("bigint").alias("n_attrs"),
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1
+""",
+    tags=("ext", "join", "bloom", "runtime-filter"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: the BUILDING-segment customer keys
+    are folded into a 64 Kbit word-indexed bitmap TABLE (≤1024 rows —
+    broadcastable even when the dim side itself would blow the broadcast
+    threshold at 10^9 keys), and orders is prefiltered by k=3 broadcast
+    word-lookups + bit tests BEFORE the exact join — the big side is never
+    shuffled or row-multiplied to test membership. No false negatives, so
+    the final exact join + agg is row-identical to the plain join (the
+    oracle IS the plain join); false positives only add probe rows. This
+    is Spark's runtime bloom pushdown / Trino's dynamic filtering made
+    explicit and plan-pinned rather than threshold-dependent."""
+    from flink_dts_connector_spark.operators.skew import bloom_prefilter
+
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = t(spark, sf_dir, "orders")
+    survivors = bloom_prefilter(o, c, "c_custkey", big_key_col="o_custkey")
+    return (
+        survivors.join(F.broadcast(c), survivors["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -921,3 +921,87 @@ def test_leakage_repair_eliminates_cross_split_pairs(spark, sf_dir):
     sb2 = surv.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb"))
     remaining = pairs.join(sa2, "a_id").join(sb2, "b_id").where(F.col("sa") != F.col("sb"))
     assert remaining.count() == 0
+
+
+def test_quality_rule_flags_match_pure_python(spark, sf_dir):
+    """Every rule verdict equals a from-scratch Python recompute of the same
+    integer predicate, and any_rule is exactly the OR of the five rules."""
+    import re
+
+    from flink_dts_connector_spark.operators.text import QUALITY_RULES, quality_rule_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r["doc_id"]: r.asDict() for r in quality_rule_flags(docs).collect()}
+    rows = docs.select("doc_id", "text").collect()
+    assert len(got) == len(rows) > 0
+    any_fail_seen = 0
+    for r in rows:
+        toks = r["text"].strip().split()
+        nt, nc = len(toks), len(r["text"])
+        sw = sum(1 for w in toks if w in ("the", "a", "of", "and"))
+        na = nc - len(re.sub(r"[^a-zA-Z0-9]", "", r["text"]))
+        want = {
+            "min_tokens": int(nt < 30),
+            "max_tokens": int(nt > 80),
+            "stopword_floor": int(sw * 50 < nt),
+            "symbol_ceiling": int(na * 100 > nc * 19),
+            "word_length": int(nc < nt * 5),
+        }
+        g = got[r["doc_id"]]
+        for name, _ in QUALITY_RULES:
+            assert g[name] == want[name], (r["doc_id"], name)
+        assert g["any_rule"] == max(want.values())
+        any_fail_seen |= g["any_rule"]
+    assert any_fail_seen == 1  # the rule set splits the corpus non-vacuously
+
+
+def test_phrase_positions_are_real_occurrences(spark, sf_dir):
+    """search_phrase_positions returns the corpus-wide most-frequent trigram
+    and every (doc, pos) it returns really holds that phrase at that
+    1-based token position; no occurrence is missed."""
+    from collections import Counter
+
+    from flink_dts_connector_spark.plans.registry import get_query
+
+    out = get_query("search_phrase_positions").fn(spark, sf_dir).collect()
+    assert out
+    phrase = out[0]["phrase"]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    counts: Counter[str] = Counter()
+    occs = set()
+    for r in docs:
+        toks = r["text"].strip().split()
+        for i in range(len(toks) - 2):
+            p = " ".join(toks[i : i + 3])
+            counts[p] += 1
+            if p == phrase:
+                occs.add((r["doc_id"], i + 1))
+    best = max(counts.values())
+    assert counts[phrase] == best
+    assert phrase == min(p for p, c in counts.items() if c == best)  # tiebreak
+    assert {(r["doc_id"], r["pos"]) for r in out} == occs
+
+
+def test_sparse_profile_merge_is_column_level_lww(spark, sf_dir):
+    """Per-column last-writer-wins: each profile column equals the value of
+    the latest event of that type (ts, then event_id, descending), columns
+    never written stay NULL, and last_update is the user's latest write."""
+    from flink_dts_connector_spark.plans.registry import get_query
+
+    out = {r["user_id"]: r.asDict() for r in
+           get_query("events_sparse_profile_merge").fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").collect()
+    want: dict[int, dict[str, tuple]] = {}
+    for r in ev:
+        u = want.setdefault(r["user_id"], {})
+        key = (r["ts"], r["event_id"])
+        if r["event_type"] not in u or key > u[r["event_type"]][0]:
+            u[r["event_type"]] = (key, r["value"])
+    assert set(out) == set(want)
+    for uid, attrs in want.items():
+        g = out[uid]
+        for ty in ("click", "error", "purchase", "signup", "view"):
+            exp = attrs[ty][1] if ty in attrs else None
+            assert g[f"{ty}_value"] == exp, (uid, ty)
+        assert g["last_update"] == max(k[0][0] for k in attrs.values())
+        assert g["n_attrs"] == len(attrs)

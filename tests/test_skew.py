@@ -67,3 +67,50 @@ def test_two_phase_agg_equals_plain_agg(spark, sf_dir):
         ).collect()
     }
     assert plain == twop
+
+
+def test_bloom_prefilter_keeps_all_matches_no_shuffle_of_big_side(spark, sf_dir):
+    """Bloom prefilter is a no-false-negative semi-join reduction: every
+    orders row whose key IS in the dim set survives, the bitmap table stays
+    within its 2^(m-6) word bound, and the probe path is pure broadcast
+    joins (no SortMergeJoin, no exchange of the big side)."""
+    from flink_dts_connector_spark.operators.skew import bloom_bitmap, bloom_prefilter
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+
+    bm = bloom_bitmap(c, "c_custkey", m_bits_log2=16)
+    assert bm.count() <= 1024  # 2^16 bits / 64 bits per word
+
+    survivors = bloom_prefilter(o, c, "c_custkey", big_key_col="o_custkey")
+    true_keys = {r["c_custkey"] for r in c.collect()}
+    surv_orders = {r["o_orderkey"] for r in survivors.collect()}
+    match_orders = {
+        r["o_orderkey"] for r in o.collect() if r["o_custkey"] in true_keys
+    }
+    # no false negatives: survivors ⊇ true matches
+    assert match_orders <= surv_orders
+    # the prefilter actually filtered (not a pass-through)
+    assert len(surv_orders) < o.count()
+
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # one per seed
+
+
+def test_bloom_prefilter_tiny_filter_fp_then_exact_join_is_exact(spark):
+    """With a deliberately tiny filter (high FP rate) the prefilter lets
+    false positives through, and the exact join still removes them —
+    end-to-end result identical to the plain join."""
+    from flink_dts_connector_spark.operators.skew import bloom_prefilter
+
+    big = spark.createDataFrame([(i, i % 7) for i in range(500)], "row_id long, k long")
+    keys = spark.createDataFrame([(0,), (3,)], "k long")
+    surv = bloom_prefilter(big, keys, "k", m_bits_log2=6)  # 64-bit filter: FPs likely
+    got = sorted(r["row_id"] for r in surv.join(keys, "k").collect())
+    want = sorted(i for i in range(500) if i % 7 in (0, 3))
+    assert got == want
