@@ -4683,3 +4683,118 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+SQL_IVFPQ = f"""
+WITH itq AS (
+  SELECT vec_id, {SQL_Q} AS e FROM embeddings
+), n AS (
+  SELECT vec_id, e, CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm FROM itq
+), c AS (
+  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id % 37 = 3
+), flat_n AS (
+  SELECT vec_id, nrm, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM n
+), flat_c AS (
+  SELECT cid, cn, unnest(ce) AS x, generate_subscripts(ce, 1) AS i FROM c
+), ic AS (
+  SELECT f.vec_id, fc.cid, CAST(SUM(f.x * fc.x) AS BIGINT) AS dot,
+         ANY_VALUE(f.nrm) AS ni, ANY_VALUE(fc.cn) AS cn
+  FROM flat_n f JOIN flat_c fc ON f.i = fc.i
+  GROUP BY 1, 2
+), ic_scored AS (
+  SELECT vec_id, cid,
+         CAST(dot AS DOUBLE) / sqrt(CAST(ni AS DOUBLE) * CAST(cn AS DOUBLE)) AS s
+  FROM ic
+), assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM ic_scored
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM ic_scored WHERE vec_id % 100 = 0
+  ) WHERE rn <= 3
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ce FROM (
+    SELECT vec_id, e AS ce FROM itq ORDER BY vec_id LIMIT 16
+  )
+), subs AS (SELECT unnest(range(8)) AS sub),
+dims AS (SELECT unnest(range(1, 9)) AS i),
+cb AS (
+  SELECT s.code, m.sub, d.i, s.ce[m.sub * 8 + d.i] AS cc
+  FROM seeds s, subs m, dims d
+), itv AS (
+  SELECT itq.vec_id, m.sub, d.i, itq.e[m.sub * 8 + d.i] AS x
+  FROM itq, subs m, dims d
+), dist AS (
+  SELECT itv.vec_id, itv.sub, cb.code,
+         SUM((itv.x - cb.cc) * (itv.x - cb.cc)) AS d2
+  FROM itv JOIN cb ON itv.sub = cb.sub AND itv.i = cb.i
+  GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM dist
+  ) WHERE rn = 1
+), qv AS (
+  SELECT itq.vec_id AS query_id, m.sub, d.i, itq.e[m.sub * 8 + d.i] AS xq
+  FROM itq, subs m, dims d WHERE itq.vec_id % 100 = 0
+), lut AS (
+  SELECT qv.query_id, qv.sub, cb.code, SUM(qv.xq * cb.cc) AS dot
+  FROM qv JOIN cb ON qv.sub = cb.sub AND qv.i = cb.i
+  GROUP BY 1, 2, 3
+), cand0 AS (
+  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), approx AS (
+  SELECT c0.query_id, c0.vec_id, SUM(l.dot) AS adot
+  FROM cand0 c0
+  JOIN codes cd ON cd.vec_id = c0.vec_id
+  JOIN lut l ON l.query_id = c0.query_id AND l.sub = cd.sub AND l.code = cd.code
+  GROUP BY 1, 2
+), cands AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rn
+    FROM approx
+  ) WHERE rn <= 50
+), pair_scores AS (
+  SELECT cd.query_id, cd.vec_id, CAST(SUM(fa.x * fb.x) AS BIGINT) AS dot,
+         ANY_VALUE(fa.nrm) AS nq, ANY_VALUE(fb.nrm) AS ni
+  FROM cands cd
+  JOIN flat_n fa ON fa.vec_id = cd.query_id
+  JOIN flat_n fb ON fb.vec_id = cd.vec_id AND fb.i = fa.i
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT query_id, vec_id,
+         CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(ni AS DOUBLE)) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(ni AS DOUBLE)) DESC, vec_id
+         ) AS rank
+  FROM pair_scores
+) WHERE rank <= 5
+"""
+
+
+@register("ann_topk_ivfpq", oracle=SQL_IVFPQ, tags=("ext", "similarity", "approx"))
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 — the two-level FAISS-style index that is THE
+    100 TB ANN architecture: the IVF coarse quantizer (seed centroids,
+    vec_id % 37 == 3, nprobe=3) prunes which vectors are touched at all
+    (partition pruning when the index is laid out by cell), and product
+    quantization (8×16 deterministic codebooks) prunes the bytes per
+    touched vector to an 8-byte code scanned via per-query lookup tables;
+    a top-50 shortlist gets the exact quantized-cosine rerank. Every
+    stage is exact integer arithmetic with id tiebreaks, so the complete
+    cascade — cell argmax, probe selection, encoding argmin, LUT ADC,
+    shortlist, rerank — has a live step-for-step DuckDB oracle."""
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") % 37 == 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivfpq_topk(e, q, centroids, k=5, nprobe=3)

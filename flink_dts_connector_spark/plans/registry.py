@@ -91,7 +91,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "range_join_purchase_views",
     # events
     "events_sessionize",
-    "events_json_struct",
+    # r4 cont. 2: bloom semi-join reduction takes the JSON-struct slot
+    # (scalar/JSON rendering stays gated via cdc_value_zoo_render and
+    # sweep-green via events_json_struct/extract)
+    "join_bloom_prefilter",
     # CDC / changelog — r4 wave 2: all-or-none txn apply supersedes the
     # boundary-grouping gate slot (it consumes BEGIN..COMMIT batches, so
     # its oracle exercises the grouping too; boundaries stays sweep-green)
@@ -123,11 +126,17 @@ GATE_PRIORITY: tuple[str, ...] = (
     "embed_kmeans_clusters",
     "ann_topk_lsh_multiprobe",
     "ann_recall_report",  # r4 cont.: one slot evaluates all four ANN indexes vs brute force
-    "ann_topk_pq",
+    # r4 cont. 2: the composed IVF-PQ cascade supersedes the plain-PQ slot
+    # (it contains the full codebook/encode/ADC machinery plus cell
+    # pruning; ann_topk_pq stays sweep-green)
+    "ann_topk_ivfpq",
     # text analysis — r4 wave 2: the rare-bigram LM-style filter joins;
     # per-source token stats rotate out (the same explode+agg shape backs
     # bpe stats and the top-terms sweep entries)
-    "text_quality_scores",
+    # r4 cont. 2: the Gopher-rule census builds on quality_metrics' exact
+    # counts and adds the unpivoted per-rule verdict agg — it subsumes the
+    # quality-scores slot (scores stay sweep-green)
+    "text_quality_rules",
     "text_langid",
     "text_rare_bigram_fraction",
     # r4 continuation: unigram-LM surprisal (whole-distribution perplexity

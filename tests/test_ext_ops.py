@@ -1005,3 +1005,66 @@ def test_sparse_profile_merge_is_column_level_lww(spark, sf_dir):
             assert g[f"{ty}_value"] == exp, (uid, ty)
         assert g["last_update"] == max(k[0][0] for k in attrs.values())
         assert g["n_attrs"] == len(attrs)
+
+
+def test_ivfpq_candidates_respect_probes_and_recall_floor(spark, sf_dir):
+    """IVF-PQ structural invariant: every returned neighbor lives in one of
+    its query's nprobe probed cells (the pruning really prunes), and
+    recall@5 against exact brute force stays above the same floor the
+    plain-IVF path is held to (PQ's ADC shortlist must not destroy the
+    cell candidates)."""
+    from flink_dts_connector_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign_cells,
+        ivfpq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") % 37 == 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivfpq_topk(e, q, cents, k=5, nprobe=3).collect()
+    assert got
+
+    cells = {r["vec_id"]: r["cell"] for r in ivf_assign_cells(e, cents).collect()}
+    qcells = {
+        r["query_id"]: r["cell"]
+        for r in ivf_assign_cells(
+            q, cents, id_col="query_id"
+        ).collect()
+    }
+    # probe list per query: recompute top-3 cells exactly as the operator does
+    probes: dict[int, set[int]] = {}
+    import math
+
+    cent_rows = cents.collect()
+    qrows = {r["query_id"]: r["embedding"] for r in q.collect()}
+
+    def quant(v):
+        return [round(x * 1_000_000) for x in v]
+
+    for qid, emb in qrows.items():
+        qe = quant(emb)
+        nq = sum(x * x for x in qe)
+        scored = []
+        for cr in cent_rows:
+            ce = quant(cr["embedding"])
+            s = sum(a * b for a, b in zip(qe, ce)) / math.sqrt(
+                nq * sum(x * x for x in ce)
+            )
+            scored.append((-s, cr["centroid_id"]))
+        scored.sort()
+        probes[qid] = {cid for _, cid in scored[:3]}
+    for r in got:
+        assert cells[r["vec_id"]] in probes[r["query_id"]], (
+            r["query_id"], r["vec_id"], cells[r["vec_id"]], probes[r["query_id"]],
+        )
+
+    truth = {
+        (r["query_id"], r["vec_id"]) for r in brute_force_topk(e, q, k=5).collect()
+    }
+    hits = sum(1 for r in got if (r["query_id"], r["vec_id"]) in truth)
+    assert hits / len(truth) >= 0.3  # same floor as the IVF recall pin
