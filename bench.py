@@ -80,6 +80,12 @@ HEADLINE = [
     "curate_top_p_per_source",
     "text_tfidf_keywords",
     "events_funnel_conversion",
+    # appended in round 4 continuation session 2
+    "ann_topk_ivfpq",
+    "join_bloom_prefilter",
+    "text_quality_rules",
+    "events_sparse_profile_merge",
+    "search_phrase_positions",
     # dedup_components stays registry-only: its cost IS the exact-Jaccard
     # edge materialization (~40s at sf0.1), which would drown the headline
     # signal; the correctness gate covers it at sf0.01. Same call for

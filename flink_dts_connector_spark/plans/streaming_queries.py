@@ -1322,3 +1322,100 @@ def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
     return state["hist"].select(*out_cols)
+
+
+@register(
+    "stream_profile_merge",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), l AS (SELECT * FROM r WHERE rn = 1)
+SELECT user_id,
+       MAX(CASE WHEN event_type = 'click' THEN value END) AS click_value,
+       MAX(CASE WHEN event_type = 'error' THEN value END) AS error_value,
+       MAX(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_value,
+       MAX(CASE WHEN event_type = 'signup' THEN value END) AS signup_value,
+       MAX(CASE WHEN event_type = 'view' THEN value END) AS view_value,
+       MAX(ts) AS last_update,
+       CAST(COUNT(*) AS BIGINT) AS n_attrs
+FROM l GROUP BY user_id
+""",
+    tags=("streaming", "cdc", "merge", "incremental"),
+)
+def stream_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sparse column-level merge — the live twin of
+    `events_sparse_profile_merge`: attribute writes arrive in micro-batches
+    INTERLEAVED in event time (waves split by event_id % 3, so a key's
+    newest write can land before an older one), and each batch folds into
+    a per-(key, attribute) latest-writer state table via a commutative
+    max_by merge — so convergence does not depend on delivery order. The
+    oracle is the batch closed form: hash-matching proves the chain of
+    O(|delta|) merges equals the one-shot materialization. Per batch the
+    state table is touched only by a union + keyed re-reduce (state rows =
+    one per (key, attr), never the write history; a partitioned table at
+    100 TB — same disclosure as `stream_scd2_maintenance`)."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    waves_dir = tempfile.mkdtemp(prefix="fdcs_prof_waves_")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(
+            waves_dir
+        )
+
+    empty = spark.createDataFrame(
+        [], "user_id bigint, event_type string, value double, ts timestamp, event_id bigint"
+    )
+    state = {"prof": empty.localCheckpoint(), "batches": 0}
+    pick = F.max_by(
+        F.struct("value", "ts", "event_id"), F.struct("ts", "event_id")
+    ).alias("w")
+
+    def merge(bdf: DataFrame, batch_id: int) -> None:
+        latest_b = (
+            bdf.groupBy("user_id", "event_type")
+            .agg(pick)
+            .select("user_id", "event_type", "w.value", "w.ts", "w.event_id")
+        )
+        merged = (
+            state["prof"].unionByName(latest_b)
+            .groupBy("user_id", "event_type")
+            .agg(pick)
+            .select("user_id", "event_type", "w.value", "w.ts", "w.event_id")
+        )
+        state["prof"] = merged.localCheckpoint()
+        state["batches"] += 1
+
+    with pinned_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema(empty.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="fdcs_prof_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if state["batches"] < 2:
+        raise AssertionError(
+            f"expected multiple micro-batches, got {state['batches']} — the "
+            f"incremental merge was not actually exercised"
+        )
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    return state["prof"].groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("event_type") == ty, F.col("value"))).alias(f"{ty}_value")
+            for ty in types
+        ],
+        F.max("ts").alias("last_update"),
+        F.count(F.lit(1)).cast("bigint").alias("n_attrs"),
+    )
