@@ -4798,3 +4798,57 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.ivfpq_topk(e, q, centroids, k=5, nprobe=3)
+
+
+def _skew_sql(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS key_col,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_per_key,
+         CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_per_key,
+         CAST(MAX(c) * COUNT(*) AS DOUBLE) / SUM(c) AS skew_ratio
+  FROM (SELECT {col}, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1)"""
+
+
+@register(
+    "profile_key_skew",
+    oracle=" UNION ALL ".join(_skew_sql(c) for c in ("l_orderkey", "l_partkey", "l_suppkey")),
+    tags=("ext", "profile", "skew"),
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the operational report that decides when
+    `operators/skew.py`'s mitigations (salting, two-phase agg) or AQE skew
+    splitting are needed BEFORE a job ships: for each candidate join/agg
+    key, the per-key cardinality profile (rows, distinct keys, max and
+    mean rows per key) and `skew_ratio` = max/mean — ratio 1 is uniform;
+    a hot key shows up as max ≫ mean. One pruned single-column pass per
+    key (column-pruned scan → map-side-combined count → 1-row reduce);
+    integer counts with the two doubles derived by one division each, so
+    the report is oracle-exact."""
+    li = t(spark, sf_dir, "lineitem")
+    outs = []
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        per_key = li.select(col).groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        outs.append(
+            per_key.agg(
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.max("c").cast("bigint").alias("max_per_key"),
+            ).select(
+                F.lit(col).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                "max_per_key",
+                (F.col("n_rows").cast("double") / F.col("n_keys")).alias("mean_per_key"),
+                ((F.col("max_per_key") * F.col("n_keys")).cast("double") / F.col("n_rows")).alias(
+                    "skew_ratio"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
