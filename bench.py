@@ -86,6 +86,10 @@ HEADLINE = [
     "text_quality_rules",
     "events_sparse_profile_merge",
     "search_phrase_positions",
+    "profile_key_skew",
+    # stream_profile_merge stays registry-only like stream_incremental_curate:
+    # its cost is three availableNow micro-batch lifecycles (~10s fixed), a
+    # correctness flagship rather than a throughput probe.
     # dedup_components stays registry-only: its cost IS the exact-Jaccard
     # edge materialization (~40s at sf0.1), which would drown the headline
     # signal; the correctness gate covers it at sf0.01. Same call for

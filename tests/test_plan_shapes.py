@@ -208,3 +208,41 @@ def test_bm25_plan_broadcast_postings_probe(spark):
     assert plan.count("BroadcastExchange") >= 3
     single = re.findall(r"Arguments: SinglePartition", plan)
     assert len(single) <= 1, f"extra single-partition exchanges: {len(single)}"
+
+
+def test_phrase_search_no_global_sort(spark):
+    """Top-phrase selection is max-count + min-phrase aggregates and a
+    broadcast back onto the postings — no rangepartitioning exchange (a
+    global sort) anywhere in the plan."""
+    plan = _plan(spark, "search_phrase_positions")
+    assert "rangepartitioning" not in plan.lower(), plan[:800]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_key_skew_profile_scans_one_column_each(spark):
+    """Each per-key pass must read ONLY its key column (pruned scan), and
+    the report stays JVM-side."""
+    plan = _plan(spark, "profile_key_skew")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan[:500]
+    for s in schemas:
+        cols = [c.split(":")[0] for c in s.split(",") if c]
+        assert len(cols) == 1, f"skew profile scan reads {cols}"
+    assert "PythonEval" not in plan
+
+
+def test_quality_rules_single_agg_no_python(spark):
+    """The rule census is one map-side-combined agg keyed by rule: exactly
+    one hash-exchange lineage, verdicts inside codegen, no Python."""
+    plan = _plan(spark, "text_quality_rules")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan[:800]
+    assert "PythonEval" not in plan
+
+
+def test_bloom_prefilter_no_smj_no_python(spark):
+    """The bloom probe path is broadcast word-lookups only; the final exact
+    join broadcasts the dim subset — no sort-merge join, no Python."""
+    plan = _plan(spark, "join_bloom_prefilter")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 seeds + exact join
+    assert "PythonEval" not in plan
