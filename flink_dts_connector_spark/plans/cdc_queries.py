@@ -635,3 +635,50 @@ def cdc_poison_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("rid") % 53 == 0).cast("bigint")).cast("bigint").alias("n_poisoned")
     )
     return decoded.join(totals, "operation").select("operation", "n_decoded", "n_poisoned")
+
+
+@register(
+    "cdc_reconciliation",
+    oracle=f"""
+WITH src AS (
+  SELECT o_orderkey, {SQL_CENTS1} AS cents, {SQL_PRIO1} AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(md5_number_lower(o_orderkey::VARCHAR || '|' || cents::VARCHAR || '|' || o_orderpriority)
+                % 2147483648) AS BIGINT) AS row_checksum
+FROM src GROUP BY o_orderpriority
+""",
+    tags=("cdc", "audit", "reconciliation"),
+)
+def cdc_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC drift reconciliation — the audit a changelog pipeline runs to
+    prove the materialized replica still equals the source of truth:
+    per-partition-key group, row count, an exact integer measure total
+    (cents), and an order-insensitive ROW CHECKSUM (sum of a canonical-
+    string md5 per row, mod 2^31 — commutative, so it needs no sort and
+    partials merge map-side). The engine computes the report from its OWN
+    decoded-changelog upsert state; the oracle computes it from the
+    source's closed form — hash-matching IS the reconciliation: any
+    dropped, duplicated, or corrupted row moves count, total, or checksum.
+    Reference anchor: the subscription consumer's checkpoint/ACK loop
+    (`DefaultRecordListener.java`) exists to make exactly this audit pass."""
+    from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
+
+    state = materialize_upsert(
+        _typed_changelog(spark, sf_dir), ["o_orderkey"], order_cols=["ts", "record_id"]
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        cents.cast("string"),
+        F.col("o_orderpriority"),
+    )
+    return state.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+        F.sum(md5_number_lower_mod(canon, 1 << 31)).cast("bigint").alias("row_checksum"),
+    )

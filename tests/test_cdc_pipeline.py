@@ -479,3 +479,44 @@ def test_commit_marker_alone_does_not_complete_txn(spark):
     row = commits.limit(1).collect()[0]
     assert row["before"] is None and row["after"] is None
     assert row["tbl"] == "_txn"
+
+
+def test_reconciliation_checksum_detects_drift_and_ignores_order(spark):
+    """The reconciliation row-checksum is order/partitioning-insensitive
+    (commutative sum of per-row hashes) but moves on ANY single-row change
+    — the two properties that make it a valid drift audit."""
+    from pyspark.sql import functions as F
+
+    from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
+
+    def report(rows):
+        df = spark.createDataFrame(rows, "k bigint, cents bigint, prio string")
+        canon = F.concat_ws(
+            "|", F.col("k").cast("string"), F.col("cents").cast("string"), F.col("prio")
+        )
+        return {
+            tuple(r)
+            for r in df.groupBy("prio")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("s"),
+                F.sum(md5_number_lower_mod(canon, 1 << 31)).cast("bigint").alias("ck"),
+            )
+            .collect()
+        }
+
+    base = [(i, 100 * i + 7, "P" + str(i % 2)) for i in range(1, 40)]
+    import random
+
+    shuffled = base[:]
+    random.Random(7).shuffle(shuffled)
+    assert report(base) == report(shuffled)  # order-insensitive
+
+    tampered = [(k, c + (1 if k == 23 else 0), p) for k, c, p in base]
+    assert report(base) != report(tampered)  # one corrupted cent is caught
+
+    dupped = base + [base[5]]
+    assert report(base) != report(dupped)  # a duplicated row is caught
+
+    dropped = [r for r in base if r[0] != 11]
+    assert report(base) != report(dropped)  # a dropped row is caught
