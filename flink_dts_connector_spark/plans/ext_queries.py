@@ -4852,3 +4852,32 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "win_percentile_standing",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS balance_pr,
+       cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS balance_cd
+FROM customer
+""",
+    tags=("ext", "window", "analytic"),
+)
+def win_percentile_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing analytic windows — percent_rank and cume_dist per
+    segment (the 'what percentile is this account' report): both are pure
+    rank/count ratios, so ties get identical values in any engine and the
+    doubles are bit-reproducible (one bigint division each). One exchange
+    on the partition key; segment cardinality scales with data, so the
+    window parallelizes like every other ranking query here."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("balance_pr"),
+        F.cume_dist().over(w).alias("balance_cd"),
+    )
