@@ -682,3 +682,52 @@ def cdc_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).cast("bigint").alias("sum_cents"),
         F.sum(md5_number_lower_mod(canon, 1 << 31)).cast("bigint").alias("row_checksum"),
     )
+
+
+@register(
+    "cdc_incremental_checksum",
+    oracle=f"""
+WITH src AS (
+  SELECT o_orderkey, {SQL_CENTS1} AS cents, {SQL_PRIO1} AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(md5_number_lower(o_orderkey::VARCHAR || '|' || cents::VARCHAR || '|' || o_orderpriority)
+                % 2147483648) AS BIGINT) AS row_checksum
+FROM src GROUP BY o_orderpriority
+""",
+    tags=("cdc", "audit", "reconciliation", "signed-agg"),
+)
+def cdc_incremental_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained reconciliation — `cdc_reconciliation`
+    WITHOUT materializing the replica: because count, cents total, and the
+    commutative md5 row-checksum are all ALGEBRAIC in the signed-changelog
+    sense, one pass of +1/−1-weighted aggregation straight over the
+    I/UB/UA/D stream yields the drift report of the final state (UB
+    retracts a row's hash from its old group, UA adds it to the new — so
+    even group-changing updates reconcile). This is the audit a streaming
+    consumer can keep per micro-batch for free, where a naive checksum
+    would re-scan the replica; the oracle is the source closed form, same
+    as the materialized audit's."""
+    from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
+
+    chg = _typed_changelog(spark, sf_dir)
+    s = sign_col("op")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        cents.cast("string"),
+        F.col("o_orderpriority"),
+    )
+    return (
+        chg.groupBy("o_orderpriority")
+        .agg(
+            F.sum(s).cast("bigint").alias("n_rows"),
+            F.sum(s * cents).cast("bigint").alias("sum_cents"),
+            F.sum(s * md5_number_lower_mod(canon, 1 << 31)).cast("bigint").alias("row_checksum"),
+        )
+        .where(F.col("n_rows") > 0)
+    )
