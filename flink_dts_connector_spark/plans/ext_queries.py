@@ -4881,3 +4881,120 @@ def win_percentile_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("balance_pr"),
         F.cume_dist().over(w).alias("balance_cd"),
     )
+
+
+@register(
+    "curate_dataset_card",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, lang,
+         CAST(len({SQL_TOKS}) AS BIGINT) AS nt,
+         md5({SQL_NORM}) AS fp,
+         CASE WHEN CAST(len({SQL_TOKS}) AS BIGINT) < 30
+                OR CAST(len({SQL_TOKS}) AS BIGINT) > 80
+                OR CAST(len(list_filter({SQL_TOKS}, t -> t IN ('the','a','of','and'))) AS BIGINT) * 50 < CAST(len({SQL_TOKS}) AS BIGINT)
+                OR CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT) * 100 > CAST(length(text) AS BIGINT) * 19
+                OR CAST(length(text) AS BIGINT) < CAST(len({SQL_TOKS}) AS BIGINT) * 5
+              THEN 1 ELSE 0 END AS killed
+  FROM documents
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_toks FROM d
+)
+SELECT 'docs_by_source' AS metric, source AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.n_docs) AS ratio
+FROM d, tot GROUP BY source
+UNION ALL
+SELECT 'tokens_by_source', source, CAST(SUM(nt) AS BIGINT),
+       CAST(SUM(nt) AS DOUBLE) / ANY_VALUE(tot.n_toks)
+FROM d, tot GROUP BY source
+UNION ALL
+SELECT 'docs_by_lang', lang, CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.n_docs)
+FROM d, tot GROUP BY lang
+UNION ALL
+SELECT 'exact_dup_excess', 'ALL', CAST(ANY_VALUE(tot.n_docs) - COUNT(DISTINCT fp) AS BIGINT),
+       CAST(ANY_VALUE(tot.n_docs) - COUNT(DISTINCT fp) AS DOUBLE) / ANY_VALUE(tot.n_docs)
+FROM d, tot
+UNION ALL
+SELECT 'quality_kill', 'ALL', CAST(SUM(killed) AS BIGINT),
+       CAST(SUM(killed) AS DOUBLE) / ANY_VALUE(tot.n_docs)
+FROM d, tot
+""",
+    tags=("ext", "curation", "report"),
+)
+def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card — the one-query release summary a curated corpus ships
+    with (HuggingFace dataset-card shape: composition by source and
+    language, token mass, duplication excess, filter kill rate). Five
+    small aggregate frames over ONE shared per-doc projection (tokens,
+    fingerprint, rule verdict computed once), each a map-side-combined agg
+    with a broadcast 1-row totals join for shares — the whole card costs
+    one corpus scan plus tiny-frame unions, so regenerating it per release
+    is free even at 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        X.token_count("text").alias("nt"),
+        X.fingerprint("text").alias("fp"),
+    ).join(
+        X.quality_rule_flags(docs).select("doc_id", F.col("any_rule").alias("killed")),
+        "doc_id",
+    )
+    tot = F.broadcast(
+        d.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_toks"),
+        )
+    )
+    by_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("nt").cast("bigint").alias("toks")
+    ).crossJoin(tot)
+    docs_by_source = by_source.select(
+        F.lit("docs_by_source").alias("metric"),
+        F.col("source").alias("dim"),
+        F.col("n"),
+        (F.col("n").cast("double") / F.col("n_docs")).alias("ratio"),
+    )
+    tokens_by_source = by_source.select(
+        F.lit("tokens_by_source").alias("metric"),
+        F.col("source").alias("dim"),
+        F.col("toks").alias("n"),
+        (F.col("toks").cast("double") / F.col("n_toks")).alias("ratio"),
+    )
+    docs_by_lang = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(tot)
+        .select(
+            F.lit("docs_by_lang").alias("metric"),
+            F.col("lang").alias("dim"),
+            F.col("n"),
+            (F.col("n").cast("double") / F.col("n_docs")).alias("ratio"),
+        )
+    )
+    dup = (
+        d.agg(F.count_distinct("fp").cast("bigint").alias("n_fp"))
+        .crossJoin(tot)
+        .select(
+            F.lit("exact_dup_excess").alias("metric"),
+            F.lit("ALL").alias("dim"),
+            (F.col("n_docs") - F.col("n_fp")).cast("bigint").alias("n"),
+            ((F.col("n_docs") - F.col("n_fp")).cast("double") / F.col("n_docs")).alias("ratio"),
+        )
+    )
+    kill = (
+        d.agg(F.sum("killed").cast("bigint").alias("n_kill"))
+        .crossJoin(tot)
+        .select(
+            F.lit("quality_kill").alias("metric"),
+            F.lit("ALL").alias("dim"),
+            F.col("n_kill").alias("n"),
+            (F.col("n_kill").cast("double") / F.col("n_docs")).alias("ratio"),
+        )
+    )
+    out = docs_by_source
+    for frame in (tokens_by_source, docs_by_lang, dup, kill):
+        out = out.unionByName(frame)
+    return out
