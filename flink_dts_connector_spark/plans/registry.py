@@ -99,7 +99,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     # boundary-grouping gate slot (it consumes BEGIN..COMMIT batches, so
     # its oracle exercises the grouping too; boundaries stays sweep-green)
     "cdc_typed_changelog",
-    "cdc_signed_agg_revenue",
+    # r4 cont. 2: the signed incremental checksum subsumes the signed-agg
+    # slot (same +1/−1 retraction shape, now maintaining count + cents +
+    # md5 drift checksum; signed_agg_revenue stays sweep-green)
+    "cdc_incremental_checksum",
     "cdc_scd2_asof",  # r4 cont.: AS-OF subsumes the SCD2 build + time-travel read
     "cdc_value_zoo_render",
     "cdc_txn_atomic_apply",
