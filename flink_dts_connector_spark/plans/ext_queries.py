@@ -4998,3 +4998,49 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in (tokens_by_source, docs_by_lang, dup, kill):
         out = out.unionByName(frame)
     return out
+
+
+@register(
+    "events_dau_stickiness",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+), days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day
+)
+SELECT dau.day, dau.dau, wau.wau, CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+""",
+    tags=("ext", "events", "analytics"),
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-WAU stickiness — the engagement ratio every
+    product-analytics stack reports. Exact rolling DISTINCT cannot ride a
+    window frame, so WAU is computed as a range join of the deduped
+    (user, day) frame against the (bounded, broadcastable) day list —
+    per-day distinct users over [d−6, d]. The expensive reduction
+    (events → distinct (user, day)) happens ONCE and is the only
+    corpus-sized shuffle; the day side is calendar-bounded (30 rows here,
+    ~365/year at any scale), so the range join's fan-out is ≤7× the
+    deduped frame, never the raw event mass."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    u, d = ud.alias("u"), days.alias("d")
+    wau = (
+        u.join(
+            F.broadcast(d),
+            (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("u.user_id").cast("bigint").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau", (F.col("dau").cast("double") / F.col("wau")).alias("stickiness")
+    )
