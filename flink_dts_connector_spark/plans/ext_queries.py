@@ -5044,3 +5044,52 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.join(wau, "day").select(
         "day", "dau", "wau", (F.col("dau").cast("double") / F.col("wau")).alias("stickiness")
     )
+
+
+@register(
+    "events_seasonal_baseline",
+    oracle="""
+WITH hc AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, hr, n,
+       CAST(SUM(n) OVER w AS DOUBLE) / NULLIF(COUNT(n) OVER w, 0) AS baseline,
+       n - CAST(SUM(n) OVER w AS DOUBLE) / NULLIF(COUNT(n) OVER w, 0) AS residual
+FROM hc
+WINDOW w AS (PARTITION BY hr ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+""",
+    tags=("ext", "events", "timeseries", "forecast"),
+)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline — the hour-of-day expanding mean
+    every monitoring stack compares live traffic against: for each
+    (day, hour) the baseline is the mean count of the SAME hour over all
+    PRIOR days only (first day NULL — a true forecast never sees its own
+    observation), residual = actual − baseline. Integer hour counts with
+    one explicit sum/count window division (not avg()), so the doubles
+    are bit-identical across engines; one hash agg then a per-hour window
+    over day-grained rows (24 partitions of ~365 rows/year at any data
+    scale — the window frame is calendar-bounded, never event-bounded)."""
+    from pyspark.sql import Window as W
+
+    hc = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date("ts").alias("day"), F.hour("ts").cast("bigint").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = W.partitionBy("hr").orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    psum = F.sum("n").over(w)
+    pcnt = F.count("n").over(w)
+    baseline = F.when(pcnt > 0, psum.cast("double") / pcnt)
+    return hc.select(
+        "day",
+        "hr",
+        "n",
+        baseline.alias("baseline"),
+        (F.col("n") - baseline).alias("residual"),
+    )
