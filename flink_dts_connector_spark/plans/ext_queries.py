@@ -5093,3 +5093,65 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         baseline.alias("baseline"),
         (F.col("n") - baseline).alias("residual"),
     )
+
+
+@register(
+    "graph_cooccurrence_similarity",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), tc AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM ud GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       CAST(p.n_both AS DOUBLE) / (ca.c + cb.c - p.n_both) AS jaccard
+FROM pairs p
+JOIN tc ca ON ca.event_type = p.type_a
+JOIN tc cb ON cb.event_type = p.type_b
+""",
+    tags=("ext", "graph", "similarity", "cooccurrence"),
+)
+def graph_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite co-occurrence projection — the item-item similarity every
+    recommender bootstrap computes: project the user↔event-type bipartite
+    graph onto the type side, scoring each type pair by the Jaccard of
+    their user sets (|A∩B| / |A∪B|, exact integers + one division). The
+    reduction to distinct (user, item) happens ONCE and is the only
+    user-volume shuffle; the self-join is keyed on user with per-user
+    item lists bounded by the item vocabulary, so the pair blow-up is
+    O(users · k²) for k items per user — never |events|². Item-side
+    frames (counts, pairs) are vocabulary-sized and broadcastable."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select("user_id", "event_type").distinct()
+    tc = ud.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, b = ud.alias("a"), ud.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ca = F.broadcast(tc.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca")))
+    cb = F.broadcast(tc.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb")))
+    return (
+        pairs.join(ca, "type_a")
+        .join(cb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (F.col("n_both").cast("double") / (F.col("ca") + F.col("cb") - F.col("n_both"))).alias(
+                "jaccard"
+            ),
+        )
+    )
