@@ -1,0 +1,175 @@
+"""Mergeable sketch operators: count-min (heavy hitters) and KMV
+(distinct / set-overlap estimation) — the streaming-summary layer of a
+large-scale pipeline (SURVEY.md §2.7 EXT surface; the reference connector
+has no analytics operators, these extend the engine the way
+`agg_mergeable_histograms` does).
+
+Both sketches are *engine-mirrorable by construction*: every hash routes
+through `md5_number_lower_mod` (DuckDB: ``md5_number_lower(s) % m``) and
+every estimate is integer arithmetic plus at most one final double
+division, so the DuckDB oracle hash-matches bit-for-bit.
+
+Scale design (the whole point of a sketch):
+- A count-min sketch is ``depth x width`` BIGINT cells. Building it is one
+  hash aggregation with map-side combine — each executor reduces its
+  partitions to <= depth*width cells before the shuffle, so the shuffle
+  volume is O(depth*width * n_partitions) regardless of input mass.
+  Per-shard sketches MERGE by cell-wise addition (linear sketch), which is
+  what makes it usable as a per-day / per-shard profile at 100 TB.
+- A KMV sketch is the k smallest distinct hash values per group: <= k rows
+  per group, mergeable by "union then re-take k smallest". All pairwise
+  set operations (distinct-union / Jaccard) then run on sketch rows, never
+  on raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
+
+#: KMV hash domain: the MinHash prime 2^31 - 1 (matches `md5_hash_mod_p`).
+KMV_P = (1 << 31) - 1
+
+
+def cms_hash(item: Column, row: int, width: int) -> Column:
+    """Row-``row``'s bucket for ``item``: md5('cms{row}:' || item) mod width.
+    Salting the digest input (not the output) gives ``depth`` independent
+    hash functions from one primitive, identically in both engines."""
+    return md5_number_lower_mod(F.concat(F.lit(f"cms{row}:"), item), width)
+
+
+def cms_build(
+    items: DataFrame, item_col: str = "item", depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build a count-min sketch over one row per item OCCURRENCE (pre-weighted
+    input: pass an exploded token frame, not distinct tokens).
+
+    Returns the sketch as a DataFrame ``(j, b, c)`` — row, bucket, count —
+    with <= depth*width rows. One hash aggregation: the explode-by-depth
+    happens map-side and combines to sketch cells before the shuffle."""
+    rows = F.array(*[F.lit(j) for j in range(depth)])
+    cells = items.select(
+        F.explode(rows).alias("j"), F.col(item_col).cast("string").alias("_it")
+    )
+    # bucket = md5('cms' || j || ':' || item) % width — the row index salts
+    # the digest INPUT, so one md5 primitive yields `depth` independent rows
+    b = md5_number_lower_mod(
+        F.concat(F.lit("cms"), F.col("j").cast("string"), F.lit(":"), F.col("_it")), width
+    )
+    return (
+        cells.select("j", b.alias("b"))
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, candidates: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-estimate each candidate's count: min over rows j of
+    sketch[j, hash_j(item)]. The candidate frame is small (heavy-hitter
+    probes); the sketch is <= depth*width rows — both sides broadcastable,
+    no large shuffle anywhere."""
+    rows = F.array(*[F.lit(j) for j in range(depth)])
+    probes = candidates.select(
+        F.col(item_col), F.explode(rows).alias("j")
+    ).withColumn(
+        "b",
+        md5_number_lower_mod(
+            F.concat(
+                F.lit("cms"), F.col("j").cast("string"), F.lit(":"), F.col(item_col).cast("string")
+            ),
+            width,
+        ),
+    )
+    joined = probes.join(F.broadcast(sketch), ["j", "b"], "left").withColumn(
+        "c", F.coalesce(F.col("c"), F.lit(0)).cast("bigint")
+    )
+    return joined.groupBy(item_col).agg(F.min("c").cast("bigint").alias("cms_estimate"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge per-shard sketches: cell-wise sum (count-min is linear)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("j", "b").agg(F.sum("c").cast("bigint").alias("c"))
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values sketch per group: the ``k`` smallest DISTINCT
+    md5-mod-p hashes of ``key_col``. Returns ``(group, h, r)`` with
+    r = 1..k rank. Plan: distinct (group, h) hash-agg (map-side combine
+    collapses repeat keys before the shuffle), then a bounded per-group
+    window — the window frame is the group's distinct-hash set, and only
+    k rows survive."""
+    from flink_dts_connector_spark.operators.dedup import md5_hash_mod_p
+
+    h = md5_hash_mod_p(F.col(key_col).cast("string"))
+    dist = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        dist.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .select("g", "h", F.col("r").cast("bigint").alias("r"))
+    )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate per group: if the sketch holds fewer than k
+    hashes the group is small and the count is EXACT (= sketch size);
+    otherwise the classic KMV estimator (k-1) * p / h_k, floored to BIGINT
+    (integer div — engine-mirrorable, no float path)."""
+    agg = sketch.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.max(F.when(F.col("r") == k, F.col("h"))).alias("hk"),
+    )
+    est = F.when(
+        F.col("n_h") < k, F.col("n_h")
+    ).otherwise(F.expr(f"({k} - 1) * CAST({KMV_P} AS BIGINT) div hk"))
+    return agg.select("g", est.cast("bigint").alias("distinct_est"))
+
+
+def kmv_jaccard_pairs(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Jaccard estimate for every unordered group pair from their KMV
+    sketches alone: J ~= |K(A u B) n A n B| / k', where K(A u B) is the k
+    smallest hashes of the sketch union and k' = min(k, |union sketch|).
+    Everything below runs on sketch rows (<= k per group): the raw corpus
+    is never touched again — the 100 TB set-overlap matrix costs
+    O(groups^2 * k), not a corpus self-join."""
+    # Cross the (small) group list, union both sides' sketch rows per pair,
+    # dedup hashes, rank, count two-sided membership.
+    groups = sketch.select("g").distinct()
+    gp = (
+        groups.alias("x")
+        .crossJoin(groups.alias("y"))
+        .where(F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+    )
+    side_a = gp.join(sketch.withColumnRenamed("g", "ga"), "ga").select(
+        "ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    side_b = gp.join(sketch.withColumnRenamed("g", "gb"), "gb").select(
+        "ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    hashes = (
+        side_a.unionByName(side_b)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    ranked = hashes.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+    return ranked.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("bigint")).alias("n_common"),
+        (
+            F.sum((F.col("in_a") * F.col("in_b")).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("jaccard_est"),
+    )

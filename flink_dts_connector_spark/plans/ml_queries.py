@@ -1,0 +1,285 @@
+"""Sketch + in-engine-ML queries (round 5): mergeable count-min and KMV
+sketches, integer-exact Naive Bayes, and leave-one-out k-NN voting.
+
+All four families are fully oracle-checked: the sketches hash through
+``md5_number_lower`` (identical in DuckDB), the NB log-likelihood is exact
+integer surprisal (`ilog2`), and k-NN reuses the quantized-cosine scorer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_dts_connector_spark.operators import ml as ML
+from flink_dts_connector_spark.operators import sketch as SK
+from flink_dts_connector_spark.plans.ext_queries import SQL_Q, SQL_TOKS, t
+from flink_dts_connector_spark.plans.registry import register
+
+# DuckDB twin of operators.sketch.cms_hash (row j salts the digest input)
+_SQL_CMS_B = "CAST(md5_number_lower('cms' || CAST(j AS VARCHAR) || ':' || w) % 256 AS BIGINT)"
+_SQL_ILOG2 = "CAST(length(printf('%b', {x})) - 1 AS BIGINT)"
+
+
+@register(
+    "sketch_count_min_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({SQL_TOKS}) AS w FROM documents
+), exact AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks GROUP BY 1
+), cells AS (
+  SELECT j, {_SQL_CMS_B} AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+  GROUP BY 1, 2
+), cand AS (
+  SELECT w, exact_n FROM exact ORDER BY exact_n DESC, w LIMIT 20
+), probes AS (
+  SELECT cand.w, cand.exact_n, j, {_SQL_CMS_B} AS b
+  FROM cand CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+), est AS (
+  SELECT p.w, ANY_VALUE(p.exact_n) AS exact_n,
+         CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cms_estimate
+  FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.b = p.b
+  GROUP BY p.w
+)
+SELECT w AS token, exact_n, cms_estimate,
+       CAST(cms_estimate - exact_n AS BIGINT) AS overestimate
+FROM est
+""",
+    tags=("ext", "sketch", "text"),
+)
+def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 256) over the corpus token stream,
+    probed at the 20 heaviest tokens (deterministic candidate rule: exact
+    count DESC, token ASC) and compared against the exact counts — the
+    one-sided error (estimate >= exact, always) is the output. The sketch
+    build is ONE hash agg whose map-side combine caps shuffle volume at
+    depth*width cells per task regardless of input mass; per-shard sketches
+    merge by cell addition (`sketch.cms_merge`, pytest-pinned equal to the
+    global build)."""
+    from flink_dts_connector_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+
+    items = docs.select(F.explode(tokens("text")).alias("w"))
+    sketch = SK.cms_build(items, item_col="w", depth=4, width=256)
+    exact = items.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    cand = exact.orderBy(F.desc("exact_n"), F.asc("w")).limit(20)
+    est = SK.cms_estimate(sketch, cand.select("w", "exact_n"), "w", depth=4, width=256)
+    return (
+        cand.join(est, "w")
+        .select(
+            F.col("w").alias("token"),
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_n")).cast("bigint").alias("overestimate"),
+        )
+    )
+
+
+_SQL_KMV_SKETCH = f"""
+  SELECT g, h, r FROM (
+    SELECT event_type AS g, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+    FROM (
+      SELECT DISTINCT event_type,
+             CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 2147483647 AS BIGINT) AS h
+      FROM events
+    )
+  ) WHERE r <= 64
+"""
+
+
+@register(
+    "sketch_kmv_distinct_users",
+    oracle=f"""
+WITH sk AS ({_SQL_KMV_SKETCH}),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_h,
+         MAX(CASE WHEN r = 64 THEN h END) AS hk
+  FROM sk GROUP BY 1
+), exact AS (
+  SELECT event_type AS g, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT a.g AS event_type,
+       CAST(CASE WHEN a.n_h < 64 THEN a.n_h
+                 ELSE 63 * CAST(2147483647 AS BIGINT) // a.hk END AS BIGINT) AS distinct_est,
+       e.exact_distinct
+FROM agg a JOIN exact e USING (g)
+""",
+    tags=("ext", "sketch", "events"),
+)
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, k=64) distinct-user estimate per event type,
+    reported beside the exact distinct count. Sketch = the 64 smallest
+    distinct md5-mod-p user hashes per group (<= 64 rows/group, mergeable
+    by union-then-retake); small groups degrade gracefully to EXACT counts.
+    At 100 TB the sketch build's distinct hash-agg map-side-combines to
+    <= k rows per task before the shuffle."""
+    ev = t(spark, sf_dir, "events")
+    sk = SK.kmv_sketch(ev, key_col="user_id", group_col="event_type", k=64)
+    est = SK.kmv_distinct_estimate(sk, k=64)
+    exact = ev.groupBy(F.col("event_type").alias("g")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "g").select(
+        F.col("g").alias("event_type"), "distinct_est", "exact_distinct"
+    )
+
+
+@register(
+    "sketch_kmv_user_overlap",
+    oracle=f"""
+WITH sk AS ({_SQL_KMV_SKETCH}),
+gp AS (
+  SELECT x.g AS ga, y.g AS gb
+  FROM (SELECT DISTINCT g FROM sk) x, (SELECT DISTINCT g FROM sk) y
+  WHERE x.g < y.g
+), tagged AS (
+  SELECT gp.ga, gp.gb, sk.h,
+         MAX(CASE WHEN sk.g = gp.ga THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN sk.g = gp.gb THEN 1 ELSE 0 END) AS in_b
+  FROM gp JOIN sk ON sk.g = gp.ga OR sk.g = gp.gb
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS r FROM tagged
+)
+SELECT ga, gb,
+       CAST(COUNT(*) AS BIGINT) AS k_used,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+       CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*) AS jaccard_est
+FROM ranked WHERE r <= 64
+GROUP BY 1, 2
+""",
+    tags=("ext", "sketch", "events"),
+)
+def sketch_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix from KMV sketches alone: estimated user-set
+    Jaccard for every unordered event-type pair via the union-sketch rule
+    J ~= |K(A u B) n A n B| / |K(A u B)|. The corpus is touched once (to
+    sketch); the O(groups^2) pair stage runs on <= k-row sketches — the
+    pattern that makes a 10k-segment overlap matrix tractable at 100 TB."""
+    ev = t(spark, sf_dir, "events")
+    sk = SK.kmv_sketch(ev, key_col="user_id", group_col="event_type", k=64)
+    return SK.kmv_jaccard_pairs(sk, k=64)
+
+
+@register(
+    "ml_nb_source_confusion",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source AS cls, unnest({SQL_TOKS}) AS w FROM documents
+), dt AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS dc FROM toks GROUP BY 1, 2
+), cnt AS (
+  SELECT cls, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), tcs AS (
+  SELECT cls, CAST(SUM(c) AS BIGINT) AS tc FROM cnt GROUP BY 1
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM dt
+), dcls AS (
+  SELECT source AS cls, CAST(COUNT(*) AS BIGINT) AS d_c FROM documents GROUP BY 1
+), dtot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents
+), classes AS (
+  SELECT tcs.cls, tcs.tc, vocab.v,
+         {_SQL_ILOG2.format(x="dtot.d // dcls.d_c")} AS prior,
+         {_SQL_ILOG2.format(x="tcs.tc + vocab.v")} AS dflt
+  FROM tcs JOIN dcls USING (cls), vocab, dtot
+), model AS (
+  SELECT cnt.cls, cnt.w,
+         {_SQL_ILOG2.format(x="(classes.tc + classes.v) // (cnt.c + 1)")} - classes.dflt AS delta
+  FROM cnt JOIN classes USING (cls)
+), adj AS (
+  SELECT dt.doc_id, model.cls, CAST(SUM(dt.dc * model.delta) AS BIGINT) AS adj
+  FROM dt JOIN model USING (w) GROUP BY 1, 2
+), ntok AS (
+  SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_tok FROM dt GROUP BY 1
+), scores AS (
+  SELECT d.doc_id, d.source AS actual, c.cls,
+         c.prior + c.dflt * COALESCE(n.n_tok, 0) + COALESCE(a.adj, 0) AS score
+  FROM documents d
+  CROSS JOIN classes c
+  LEFT JOIN ntok n ON n.doc_id = d.doc_id
+  LEFT JOIN adj a ON a.doc_id = d.doc_id AND a.cls = c.cls
+), pred AS (
+  SELECT doc_id, actual, MIN(cls) AS predicted FROM (
+    SELECT *, MIN(score) OVER (PARTITION BY doc_id) AS m FROM scores
+  ) WHERE score = m GROUP BY 1, 2
+)
+SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+""",
+    tags=("ext", "ml", "text"),
+)
+def ml_nb_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes source classifier trained AND applied inside
+    the engine (resubstitution confusion matrix). Log-likelihoods are exact
+    integer surprisals (`ilog2((T_c+V) div (cnt+1))`, Laplace-smoothed), so
+    training, inference and the DuckDB oracle agree bit-for-bit — the
+    quality-classifier pipeline stage with zero external model runtime.
+    Scale: model = (class, token) count table joined on the TOKEN
+    (co-located, never broadcast at web vocab scale); the doc x class x
+    token cube is never materialized (absent pairs fold into a per-class
+    default term)."""
+    return ML.nb_confusion(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ml_knn_label_confusion",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {SQL_Q} AS qe, label AS actual_label
+  FROM embeddings WHERE vec_id % 20 = 0
+), it AS (
+  SELECT vec_id, {SQL_Q} AS ie, label FROM embeddings
+), qn AS (
+  SELECT query_id, qe, actual_label,
+         CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nq FROM q
+), itn AS (
+  SELECT vec_id, ie, label,
+         CAST(list_sum(list_transform(ie, x -> x*x)) AS BIGINT) AS ni FROM it
+), flat_q AS (
+  SELECT query_id, nq, unnest(qe) AS x, generate_subscripts(qe, 1) AS i FROM qn
+), flat_i AS (
+  SELECT vec_id, ni, unnest(ie) AS x, generate_subscripts(ie, 1) AS i FROM itn
+), dots AS (
+  SELECT query_id, vec_id, CAST(SUM(fq.x * fi.x) AS BIGINT) AS dot,
+         ANY_VALUE(nq) AS nq, ANY_VALUE(ni) AS ni
+  FROM flat_q fq JOIN flat_i fi ON fq.i = fi.i
+  WHERE query_id <> vec_id
+  GROUP BY query_id, vec_id
+), topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(ni AS DOUBLE)) DESC,
+                      vec_id
+           ) AS rank
+    FROM dots
+  ) WHERE rank <= 5
+), votes AS (
+  SELECT t.query_id, it.label, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM topk t JOIN it ON it.vec_id = t.vec_id
+  GROUP BY 1, 2
+), pred AS (
+  SELECT query_id, MIN(label) AS predicted_label FROM (
+    SELECT *, MAX(n_votes) OVER (PARTITION BY query_id) AS mx FROM votes
+  ) WHERE n_votes = mx GROUP BY 1
+)
+SELECT q.actual_label, p.predicted_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM pred p JOIN q ON q.query_id = p.query_id
+GROUP BY 1, 2
+""",
+    tags=("ext", "ml", "similarity"),
+)
+def ml_knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label vote on the deterministic probe subset
+    (vec_id % 20 = 0): majority label of the 5 nearest other vectors by
+    exact quantized cosine, ties to the smallest label — the
+    embedding-space label-quality audit (mislabeled-cluster detection) run
+    entirely as a broadcast-probe join; the item table never shuffles."""
+    return ML.knn_label_confusion(t(spark, sf_dir, "embeddings"), k=5, probe_mod=20)

@@ -62,6 +62,7 @@ def _load_all() -> None:
     import flink_dts_connector_spark.plans.cdc_queries  # noqa: F401
     import flink_dts_connector_spark.plans.ext_queries  # noqa: F401
     import flink_dts_connector_spark.plans.functions  # noqa: F401
+    import flink_dts_connector_spark.plans.ml_queries  # noqa: F401
     import flink_dts_connector_spark.plans.relational  # noqa: F401
     import flink_dts_connector_spark.plans.streaming_queries  # noqa: F401
 

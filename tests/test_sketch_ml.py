@@ -1,0 +1,109 @@
+"""Sketch + in-engine-ML operator tests (round 5): count-min mergeability
+and one-sided error, KMV estimate sanity, NB classifier beats the majority
+baseline, kNN vote agrees with its own top-k. Oracle parity for all five
+registry queries is covered by tests/test_oracle_parity.py via the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_dts_connector_spark.operators import ml as ML
+from flink_dts_connector_spark.operators import sketch as SK
+from flink_dts_connector_spark.operators.text import tokens
+from flink_dts_connector_spark.session import load_table
+
+
+def _items(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("w"))
+    )
+
+
+def test_cms_estimate_never_underestimates(spark, sf_dir):
+    items = _items(spark, sf_dir)
+    sketch = SK.cms_build(items, "w")
+    exact = items.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    est = SK.cms_estimate(sketch, exact, "w")
+    bad = (
+        exact.join(est, "w")
+        .where(F.col("cms_estimate") < F.col("exact_n"))
+        .count()
+    )
+    assert bad == 0, "count-min is one-sided: estimate >= exact, always"
+
+
+def test_cms_per_source_merge_equals_global(spark, sf_dir):
+    """Linearity: building per-source sketches and merging them cell-wise
+    is EXACTLY the global sketch — the property that makes per-shard /
+    per-day sketch rollups valid at scale."""
+    items = _items(spark, sf_dir)
+    global_sketch = {(r["j"], r["b"]): r["c"] for r in SK.cms_build(items, "w").collect()}
+    sources = [r["source"] for r in items.select("source").distinct().collect()]
+    shards = [
+        SK.cms_build(items.where(F.col("source") == s), "w") for s in sources
+    ]
+    merged = {(r["j"], r["b"]): r["c"] for r in SK.cms_merge(*shards).collect()}
+    assert merged == global_sketch
+
+
+def test_kmv_exact_for_small_groups_and_bounded_for_large(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sk = SK.kmv_sketch(ev, key_col="user_id", group_col="event_type", k=64)
+    est = {r["g"]: r["distinct_est"] for r in SK.kmv_distinct_estimate(sk, k=64).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        if n < 64:
+            assert est[g] == n, f"small group {g} must be exact"
+        else:
+            # KMV std error ~ 1/sqrt(k-1) ~ 12.7%; deterministic data, so a
+            # generous 3-sigma band can't flake
+            assert abs(est[g] - n) <= max(8, int(0.40 * n)), (g, est[g], n)
+
+
+def test_kmv_jaccard_identical_groups_is_one(spark, sf_dir):
+    """A group unioned with itself must estimate J = 1 exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.withColumn("event_type", F.lit("x")).unionByName(
+        ev.withColumn("event_type", F.lit("y"))
+    )
+    sk = SK.kmv_sketch(doubled, key_col="user_id", group_col="event_type", k=64)
+    rows = SK.kmv_jaccard_pairs(sk, k=64).collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard_est"] == 1.0
+    assert rows[0]["n_common"] == rows[0]["k_used"]
+
+
+def test_nb_beats_majority_baseline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    conf = ML.nb_confusion(docs).collect()
+    n_total = sum(r["n_docs"] for r in conf)
+    n_correct = sum(r["n_docs"] for r in conf if r["actual"] == r["predicted"])
+    majority = (
+        docs.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert n_total == docs.count(), "every document classified exactly once"
+    assert n_correct / n_total > majority / n_total, (
+        f"NB resubstitution accuracy {n_correct}/{n_total} must beat the "
+        f"majority-class baseline {majority}/{n_total}"
+    )
+
+
+def test_knn_confusion_covers_all_probes(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    conf = ML.knn_label_confusion(emb, k=5, probe_mod=20).collect()
+    n_probes = emb.where(F.col("vec_id") % 20 == 0).count()
+    assert sum(r["n_vecs"] for r in conf) == n_probes
+    # labels in the synthetic fixture correlate with embedding clusters, so
+    # 5-NN should agree with the actual label more often than 1/|labels|
+    n_correct = sum(
+        r["n_vecs"] for r in conf if r["actual_label"] == r["predicted_label"]
+    )
+    n_labels = emb.select("label").distinct().count()
+    assert n_correct / n_probes > 1.0 / n_labels
