@@ -41,17 +41,29 @@ def cms_hash(item: Column, row: int, width: int) -> Column:
 
 
 def cms_build(
-    items: DataFrame, item_col: str = "item", depth: int = 4, width: int = 256
+    items: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build a count-min sketch over one row per item OCCURRENCE (pre-weighted
     input: pass an exploded token frame, not distinct tokens).
+
+    ``weight_col`` (BIGINT, may be negative) turns this into the turnstile
+    variant: a CDC changelog with +1 (I/UA) / −1 (UB/D) signs maintains the
+    sketch under retractions — linearity means the maintained cells equal a
+    fresh build over the CURRENT state (`cdc_signed_count_sketch` pins this).
 
     Returns the sketch as a DataFrame ``(j, b, c)`` — row, bucket, count —
     with <= depth*width rows. One hash aggregation: the explode-by-depth
     happens map-side and combines to sketch cells before the shuffle."""
     rows = F.array(*[F.lit(j) for j in range(depth)])
+    w = F.lit(1).cast("bigint") if weight_col is None else F.col(weight_col).cast("bigint")
     cells = items.select(
-        F.explode(rows).alias("j"), F.col(item_col).cast("string").alias("_it")
+        F.explode(rows).alias("j"),
+        F.col(item_col).cast("string").alias("_it"),
+        w.alias("_w"),
     )
     # bucket = md5('cms' || j || ':' || item) % width — the row index salts
     # the digest INPUT, so one md5 primitive yields `depth` independent rows
@@ -59,9 +71,9 @@ def cms_build(
         F.concat(F.lit("cms"), F.col("j").cast("string"), F.lit(":"), F.col("_it")), width
     )
     return (
-        cells.select("j", b.alias("b"))
+        cells.select("j", b.alias("b"), "_w")
         .groupBy("j", "b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum("_w").cast("bigint").alias("c"))
     )
 
 

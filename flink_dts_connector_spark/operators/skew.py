@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -150,3 +150,76 @@ def bloom_prefilter(
             F.expr(f"shiftright(_bs{j}, CAST(_bb{j} AS INT)) & 1 = 1")
         )
     return out.drop(*[c for j in range(len(seeds)) for c in (f"_bw{j}", f"_bb{j}", f"_bs{j}")])
+
+
+def range_boundaries(
+    df: DataFrame,
+    key: Column,
+    n_splits: int = 8,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Equi-depth range-partition planner: the ``n_splits - 1`` split
+    boundaries a `repartitionByRange` / range-bucketed write would want,
+    computed WITHOUT a global sort (Spark's own RangePartitioner samples
+    non-deterministically; this is its deterministic, engine-mirrorable
+    twin).
+
+    Method: one min/max/count pass, then a fixed ``n_buckets``-bucket
+    histogram of the integer key (one hash agg, map-side combine), then
+    the cumulative histogram — a window over the ≤``n_buckets``-row frame,
+    never the data — is cut at each target rank i·N/n_splits. Boundary
+    values are bucket upper edges, so every partition's true size deviates
+    from N/n_splits by at most one bucket's mass (report includes both).
+
+    Integer arithmetic throughout: bucket(v) = (v - mn) * B div (mx-mn+1);
+    edge(b) = mn + (b+1) * (mx-mn+1) div B.
+
+    Returns (split_id, boundary_key, cum_count, target_count).
+    """
+    if n_splits < 2:
+        raise ValueError(f"n_splits must be >= 2, got {n_splits}")
+    k = df.select(key.cast("bigint").alias("_k"))
+    stats = k.agg(
+        F.min("_k").alias("mn"),
+        F.max("_k").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    bucketed = (
+        k.crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(f"(_k - mn) * {n_buckets} div (mx - mn + 1)").alias("b"),
+            "mn",
+            "mx",
+            "n",
+        )
+        .groupBy("b", "mn", "mx", "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bucketed.withColumn("cum", F.sum("c").over(w))
+    splits = spark_range_frame(df, n_splits)
+    hit = (
+        cum.join(
+            F.broadcast(splits),
+            F.col("cum") >= F.expr(f"split_id * n div {n_splits}"),
+        )
+        .groupBy("split_id")
+        .agg(
+            F.min_by(F.struct("b", "cum", "mn", "mx", "n"), F.col("b")).alias("s"),
+        )
+        .select(
+            F.col("split_id").cast("bigint").alias("split_id"),
+            F.expr(f"s.mn + (s.b + 1) * (s.mx - s.mn + 1) div {n_buckets}").alias(
+                "boundary_key"
+            ),
+            F.col("s.cum").alias("cum_count"),
+            F.expr(f"split_id * s.n div {n_splits}").cast("bigint").alias("target_count"),
+        )
+    )
+    return hit
+
+
+def spark_range_frame(df: DataFrame, n_splits: int) -> DataFrame:
+    """1..n_splits-1 as a literal one-column frame on df's session."""
+    spark = df.sparkSession
+    return spark.range(1, n_splits).select(F.col("id").alias("split_id"))

@@ -731,3 +731,59 @@ def cdc_incremental_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_rows") > 0)
     )
+
+
+@register(
+    "cdc_signed_count_sketch",
+    oracle="""
+WITH state AS (
+  SELECT (CASE WHEN o_orderkey % 7 = 0 THEN '9-RUSH' ELSE o_orderpriority END) AS w
+  FROM orders WHERE o_orderkey % 97 <> 0
+), exact AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_n FROM state GROUP BY 1
+), cells AS (
+  SELECT j, CAST(md5_number_lower('cms' || CAST(j AS VARCHAR) || ':' || w) % 256 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM state CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+  GROUP BY 1, 2
+), probes AS (
+  SELECT e.w, e.exact_n, j,
+         CAST(md5_number_lower('cms' || CAST(j AS VARCHAR) || ':' || e.w) % 256 AS BIGINT) AS b
+  FROM exact e CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+)
+SELECT p.w AS o_orderpriority,
+       ANY_VALUE(p.exact_n) AS exact_n,
+       CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cms_estimate,
+       CAST(MIN(COALESCE(c.c, 0)) - ANY_VALUE(p.exact_n) AS BIGINT) AS overestimate
+FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.b = p.b
+GROUP BY p.w
+""",
+    tags=("cdc", "changelog", "sketch", "signed-agg"),
+)
+def cdc_signed_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turnstile count-min under CDC retractions: the sketch's cells are
+    maintained directly from the I/UB/UA/D changelog with +1/−1 weights
+    (one signed hash agg — the same shape as `cdc_signed_agg_revenue`),
+    and linearity makes the maintained cells EQUAL a fresh sketch built
+    over the current state — which is exactly what the oracle builds. The
+    sketch-layer twin of signed aggregation: heavy-hitter state that stays
+    O(depth×width) while absorbing updates AND deletes, no rebuild. Probes
+    report every live priority's estimate beside its exact signed count
+    (estimate ≥ exact, one-sided as always)."""
+    from flink_dts_connector_spark.operators import sketch as SK
+
+    chg = _typed_changelog(spark, sf_dir)
+    signed = chg.select(F.col("o_orderpriority").alias("w"), sign_col("op").alias("s"))
+    cells = SK.cms_build(signed, item_col="w", depth=4, width=256, weight_col="s")
+    exact = (
+        signed.groupBy("w")
+        .agg(F.sum("s").cast("bigint").alias("exact_n"))
+        .where(F.col("exact_n") > 0)
+    )
+    est = SK.cms_estimate(cells, exact.select("w"), "w", depth=4, width=256)
+    return exact.join(est, "w").select(
+        F.col("w").alias("o_orderpriority"),
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_n")).cast("bigint").alias("overestimate"),
+    )

@@ -3962,6 +3962,54 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "layout_range_boundaries",
+    oracle="""
+WITH k AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS _k FROM orders
+), stats AS (
+  SELECT MIN(_k) AS mn, MAX(_k) AS mx, CAST(COUNT(*) AS BIGINT) AS n FROM k
+), b AS (
+  SELECT (_k - mn) * 1024 // (mx - mn + 1) AS b, mn, mx, n,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM k, stats GROUP BY 1, 2, 3, 4
+), cum AS (
+  SELECT *, CAST(SUM(c) OVER (ORDER BY b) AS BIGINT) AS cum FROM b
+), splits AS (
+  SELECT unnest(generate_series(1, 7)) AS split_id
+), hit AS (
+  SELECT s.split_id, MIN(cum.b) AS bb
+  FROM splits s JOIN cum ON cum.cum >= s.split_id * cum.n // 8
+  GROUP BY 1
+)
+SELECT CAST(h.split_id AS BIGINT) AS split_id,
+       CAST(c.mn + (h.bb + 1) * (c.mx - c.mn + 1) // 1024 AS BIGINT) AS boundary_key,
+       c.cum AS cum_count,
+       CAST(h.split_id * c.n // 8 AS BIGINT) AS target_count
+FROM hit h JOIN cum c ON c.b = h.bb
+""",
+    tags=("ext", "layout", "planner"),
+)
+def layout_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic equi-depth range-partition planner over order value
+    (cents): the 7 split boundaries an 8-way `repartitionByRange` /
+    range-bucketed write wants, computed with NO global sort and NO
+    sampling — one min/max/count pass plus a 1024-bucket integer histogram
+    (hash agg, map-side combine); the cumulative cut runs on the ≤1024-row
+    histogram frame. Spark's own RangePartitioner samples
+    non-deterministically; this twin is reproducible run-to-run, which is
+    what an incremental corpus layout needs (stable shard boundaries =>
+    stable diffs)."""
+    from flink_dts_connector_spark.operators.skew import range_boundaries
+
+    return range_boundaries(
+        t(spark, sf_dir, "orders"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        n_splits=8,
+        n_buckets=1024,
+    )
+
+
+@register(
     "join_lateral_topk_orders",
     oracle="""
 SELECT c_custkey, c_name, o.o_orderkey, o.o_totalprice

@@ -82,7 +82,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q18_large_volume_orders",
     # aggregation batteries
     "events_incremental_window_maintenance",  # r4 cont.: MV maintenance == full recompute (grouping sets stays sweep-green)
-    "agg_approx_distinct",
+    # r5: KMV sketch takes the distinct-estimation slot with a FULL oracle
+    # (HLL's approx_count_distinct stays sweep-green) and adds the
+    # sketch-only pairwise set-overlap shape
+    "sketch_kmv_user_overlap",
     # windows
     "win_topk_orders_per_customer",
     "win_range_frame_and_navigation",
@@ -142,7 +145,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     # quality-scores slot (scores stay sweep-green)
     "text_quality_rules",
     "text_langid",
-    "text_rare_bigram_fraction",
+    # r5: the trained NB classifier subsumes the self-trained-LM-filter
+    # slot (same explode + vocab-join + per-doc re-agg shape, plus the
+    # cross-class argmin; rare_bigram_fraction stays sweep-green)
+    "ml_nb_source_confusion",
     # r4 continuation: unigram-LM surprisal (whole-distribution perplexity
     # proxy) takes the BPE-stats slot (same explode+agg shape stays
     # sweep-green via token stats / top terms)

@@ -1419,3 +1419,70 @@ def stream_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_update"),
         F.count(F.lit(1)).cast("bigint").alias("n_attrs"),
     )
+
+
+@register(
+    "stream_count_min_convergence",
+    oracle="""
+WITH ids AS (
+  SELECT CAST(user_id AS VARCHAR) AS w FROM events
+), exact AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_n FROM ids GROUP BY 1
+), cells AS (
+  SELECT j, CAST(md5_number_lower('cms' || CAST(j AS VARCHAR) || ':' || w) % 256 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ids CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+  GROUP BY 1, 2
+), cand AS (
+  SELECT w, exact_n FROM exact ORDER BY exact_n DESC, w LIMIT 20
+), probes AS (
+  SELECT cand.w, cand.exact_n, j,
+         CAST(md5_number_lower('cms' || CAST(j AS VARCHAR) || ':' || w) % 256 AS BIGINT) AS b
+  FROM cand CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+), est AS (
+  SELECT p.w, ANY_VALUE(p.exact_n) AS exact_n,
+         CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cms_estimate
+  FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.b = p.b
+  GROUP BY p.w
+)
+SELECT w AS user_key, exact_n, cms_estimate,
+       CAST(cms_estimate - exact_n AS BIGINT) AS overestimate
+FROM est
+""",
+    tags=("streaming", "sketch", "update-mode"),
+)
+def stream_count_min_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min sketch — the live twin of
+    `sketch_count_min_heavy_hitters`: the event stream's user-activity
+    sketch is maintained as an update-mode streaming aggregation on the
+    (row, bucket) cells (state = depth x width rows, CONSTANT in stream
+    length — this is why a sketch, not an exact top-k, is the 100 TB
+    heavy-hitter answer). Update mode re-emits a cell each time it grows;
+    counts only grow, so max-per-cell over the sink is the final sketch,
+    and the oracle's batch closed form must hash-match it exactly (a linear
+    sketch is order- and batching-insensitive). Probes (top-20 users by
+    exact count) come from the batch side for the comparison report."""
+    from flink_dts_connector_spark.operators import sketch as SK
+
+    ev = read_stream_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("w")
+    )
+    with pinned_shuffle_partitions(spark):
+        cells = SK.cms_build(ev, item_col="w", depth=4, width=256).withColumnRenamed(
+            "c", "n"
+        )
+        out = run_to_memory(cells, output_mode="update")
+    sketch = out.groupBy("j", "b").agg(F.max("n").cast("bigint").alias("c"))
+
+    items = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("w")
+    )
+    exact = items.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    cand = exact.orderBy(F.desc("exact_n"), F.asc("w")).limit(20)
+    est = SK.cms_estimate(sketch, cand.select("w", "exact_n"), "w", depth=4, width=256)
+    return cand.join(est, "w").select(
+        F.col("w").alias("user_key"),
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_n")).cast("bigint").alias("overestimate"),
+    )

@@ -107,3 +107,51 @@ def test_knn_confusion_covers_all_probes(spark, sf_dir):
     )
     n_labels = emb.select("label").distinct().count()
     assert n_correct / n_probes > 1.0 / n_labels
+
+
+def test_range_boundaries_equi_depth(spark, sf_dir):
+    """Planner contract: boundaries nondecreasing; each split's realized
+    rank (keys at/below its boundary bucket) overshoots the target by at
+    most one bucket's mass (the histogram resolution bound)."""
+    from flink_dts_connector_spark.operators.skew import range_boundaries
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    rows = sorted(
+        range_boundaries(orders, key, n_splits=8, n_buckets=1024).collect(),
+        key=lambda r: r["split_id"],
+    )
+    assert [r["split_id"] for r in rows] == list(range(1, 8))
+    bounds = [r["boundary_key"] for r in rows]
+    assert bounds == sorted(bounds)
+    n = orders.count()
+    keys = [r[0] for r in orders.select(key.alias("k")).collect()]
+    # max single-bucket mass bounds the overshoot
+    mn, mx = min(keys), max(keys)
+    from collections import Counter
+
+    R = mx - mn + 1
+    buckets = Counter((v - mn) * 1024 // R for v in keys)
+    max_bucket = max(buckets.values())
+    cum, cums = 0, {}
+    for b in sorted(buckets):
+        cum += buckets[b]
+        cums[b] = cum
+    for r in rows:
+        target = r["split_id"] * n // 8
+        assert r["target_count"] == target
+        # contract: boundary bucket = first histogram bucket whose cumulative
+        # count reaches the target; boundary_key is that bucket's upper edge
+        bb = min(b for b in cums if cums[b] >= target)
+        assert r["cum_count"] == cums[bb]
+        assert r["boundary_key"] == mn + (bb + 1) * R // 1024
+        assert 0 <= r["cum_count"] - target <= max_bucket
+
+
+def test_stream_cms_overestimates_only(spark, sf_dir):
+    from flink_dts_connector_spark.plans.registry import get_query
+
+    rows = get_query("stream_count_min_convergence").fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert all(r["cms_estimate"] >= r["exact_n"] for r in rows)
