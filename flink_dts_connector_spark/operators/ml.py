@@ -154,3 +154,96 @@ def knn_label_confusion(
         .groupBy("actual_label", "predicted_label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
     )
+
+
+#: BPE symbol separator (unit separator control char — cannot appear in the
+#: [a-z]+ training vocabulary, so regex patterns built from symbols are safe)
+BPE_SEP = "\x1f"
+BPE_SEP2 = BPE_SEP * 2
+
+
+def bpe_train_merges(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Train a byte-pair-encoding merge table IN the engine — the
+    tokenizer-training stage of an LLM data pipeline as a declarative
+    dataflow, no external trainer. Returns the merge table
+    ``(rank, left_sym, right_sym, merged, support)``.
+
+    Algorithm (classic BPE over word types weighted by frequency): start
+    from characters; each round counts adjacent symbol pairs over the
+    word-type frame, merges the most frequent pair (ties: lexicographic
+    smallest (a, b) — deterministic) everywhere left-to-right, repeat.
+
+    Representation: each word's segmentation is a string of symbols
+    wrapped in DOUBLE separators (``␟␟a␟␟b␟␟``); the merge rewrite is one
+    regexp_replace whose pattern consumes one separator from each bounding
+    pair (``␟a␟␟b␟`` → ``␟ab␟``), which (a) can only match whole symbols
+    and (b) keeps consecutive occurrences non-overlapping — exactly the
+    greedy left-to-right semantics of reference BPE (pinned against a
+    pure-Python implementation in tests). The best pair is a broadcast
+    1-row frame whose columns BUILD the regex pattern — the whole loop is
+    declarative, no driver-side collect.
+
+    Scale: the iterating frame is the WORD-TYPE table (vocabulary-sized,
+    not corpus-sized) with counts attached — the corpus is touched once,
+    in the initial explode+groupBy (map-side combine). Per round: one
+    vocab-frame pair count + a 1-row argmax + one broadcast rewrite;
+    `localCheckpoint` truncates the 8-round lineage."""
+    from pyspark.sql import functions as F
+
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn(
+            "rep", F.concat(F.lit(BPE_SEP2), F.regexp_replace("w", "(.)", "$1" + BPE_SEP2))
+        )
+        .localCheckpoint()
+    )
+    merges: DataFrame | None = None
+    for r in range(n_merges):
+        arr = F.filter(F.split("rep", BPE_SEP2), lambda x: x != F.lit(""))
+        pairs = (
+            words.select("cnt", arr.alias("arr"))
+            .where(F.size("arr") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(slice(arr, 1, size(arr) - 1),"
+                        " (x, i) -> struct(x AS a, arr[i + 1] AS b))"
+                    )
+                ).alias("p"),
+            )
+        )
+        pc = pairs.groupBy("p.a", "p.b").agg(F.sum("cnt").cast("bigint").alias("support"))
+        best = pc.orderBy(F.desc("support"), "a", "b").limit(1).localCheckpoint()
+        row = best.select(
+            F.lit(r + 1).cast("bigint").alias("rank"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.concat("a", "b").alias("merged"),
+            "support",
+        )
+        merges = row if merges is None else merges.unionByName(row)
+        words = (
+            words.crossJoin(
+                F.broadcast(best.select(F.col("a").alias("_ba"), F.col("b").alias("_bb")))
+            )
+            .withColumn(
+                "rep",
+                F.regexp_replace(
+                    "rep",
+                    F.concat(
+                        F.lit(BPE_SEP), F.col("_ba"), F.lit(BPE_SEP2), F.col("_bb"), F.lit(BPE_SEP)
+                    ),
+                    F.concat(F.lit(BPE_SEP), F.col("_ba"), F.col("_bb"), F.lit(BPE_SEP)),
+                ),
+            )
+            .drop("_ba", "_bb")
+            .localCheckpoint()
+        )
+    assert merges is not None
+    return merges

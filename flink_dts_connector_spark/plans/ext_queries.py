@@ -5203,3 +5203,82 @@ def graph_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@register(
+    "events_gap_fill_locf",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value
+  FROM events WHERE user_id % 97 = 0
+), hourly AS (
+  SELECT user_id, h, value AS v, n_events FROM (
+    SELECT user_id, h, value,
+           CAST(COUNT(*) OVER (PARTITION BY user_id, h) AS BIGINT) AS n_events,
+           ROW_NUMBER() OVER (PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+), span AS (
+  SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM ev GROUP BY 1
+), timeline AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM span
+), j AS (
+  SELECT t.user_id, t.hour, COALESCE(hh.n_events, 0) AS n_events, hh.v
+  FROM timeline t LEFT JOIN hourly hh ON hh.user_id = t.user_id AND hh.h = t.hour
+)
+SELECT user_id, hour, n_events,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       n_events = 0 AS is_gap
+FROM j
+""",
+    tags=("ext", "events", "timeseries"),
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with last-observation-carried-forward: each
+    audited user's activity becomes a dense hourly frame (`sequence` +
+    explode over the per-user span — no calendar table to maintain), empty
+    hours join NULL and are filled by `last(value, ignorenulls=True)` over
+    the per-user ordered window. The hour's representative value is its
+    LAST observation (`max_by` on (ts, event_id) — deterministic, no float
+    aggregation, so the carried value is bit-exact). The densify-then-fill
+    shape every downstream forecaster/feature-store export needs; the
+    window partitions by user, so at 100 TB it's per-key bounded state,
+    never a global sort."""
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") % 97 == 0).select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    hourly = ev.groupBy("user_id", "h").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    span = ev.groupBy("user_id").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    timeline = span.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    j = timeline.join(
+        hourly,
+        (timeline["user_id"] == hourly["user_id"]) & (timeline["hour"] == hourly["h"]),
+        "left",
+    ).select(
+        timeline["user_id"],
+        "hour",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        "v",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("hour").rowsBetween(W.unboundedPreceding, 0)
+    return j.select(
+        "user_id",
+        "hour",
+        "n_events",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        (F.col("n_events") == 0).alias("is_gap"),
+    )

@@ -283,3 +283,71 @@ def ml_knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-space label-quality audit (mislabeled-cluster detection) run
     entirely as a broadcast-probe join; the item table never shuffles."""
     return ML.knn_label_confusion(t(spark, sf_dir, "embeddings"), k=5, probe_mod=20)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled n-round BPE training as a DuckDB CTE chain (the iterative-
+    algorithm oracle pattern established by the k-means / PageRank
+    queries): each round re-derives pair supports from the previous
+    round's segmentation strings, picks the same (support DESC, a, b)
+    argmax, and applies the same separator-consuming regexp rewrite."""
+    from flink_dts_connector_spark.operators.ml import BPE_SEP as S
+    from flink_dts_connector_spark.operators.ml import BPE_SEP2 as S2
+
+    sql = f"""
+WITH words0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+         '{S2}' || regexp_replace(w, '(.)', '\\1{S2}', 'g') AS rep
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY w
+)"""
+    for r in range(n_merges):
+        sql += f""",
+pairs{r} AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(SUM(cnt) AS BIGINT) AS support
+  FROM (
+    SELECT cnt, unnest(list_zip(arr[1:len(arr)-1], arr[2:])) AS p
+    FROM (SELECT cnt, list_filter(string_split(rep, '{S2}'), x -> x <> '') AS arr
+          FROM words{r})
+    WHERE len(arr) >= 2
+  )
+  GROUP BY 1, 2
+),
+best{r} AS (
+  SELECT a, b, support FROM pairs{r} ORDER BY support DESC, a, b LIMIT 1
+),
+words{r + 1} AS (
+  SELECT w, cnt,
+         regexp_replace(rep, '{S}' || a || '{S2}' || b || '{S}',
+                        '{S}' || a || b || '{S}', 'g') AS rep
+  FROM words{r}, best{r}
+)"""
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, support FROM best{r}"
+        for r in range(n_merges)
+    )
+    return sql
+
+
+@register(
+    "ml_bpe_train_merges",
+    oracle=_bpe_oracle(8),
+    tags=("ext", "ml", "text", "tokenizer"),
+)
+def ml_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training inside the engine: 8 merge rounds over the
+    corpus vocabulary (classic frequency-weighted pair merging, greedy
+    left-to-right, deterministic tie-break), returning the ranked merge
+    table. The iterating frame is the word-TYPE table — the corpus is
+    scanned once for the initial vocabulary count; every round after that
+    is vocabulary-sized work (pair-count agg + broadcast 1-row argmax
+    rewrite), which is what makes tokenizer training on a 100 TB corpus a
+    cheap appendix to the pipeline rather than a separate system. Merge
+    semantics pinned against a pure-Python reference BPE in
+    tests/test_sketch_ml.py; the 8-round unrolled CTE oracle re-derives
+    training step-for-step in DuckDB."""
+    from flink_dts_connector_spark.operators.ml import bpe_train_merges
+
+    return bpe_train_merges(t(spark, sf_dir, "documents"), n_merges=8)

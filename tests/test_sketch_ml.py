@@ -155,3 +155,47 @@ def test_stream_cms_overestimates_only(spark, sf_dir):
     assert len(rows) > 0
     assert all(r["overestimate"] >= 0 for r in rows)
     assert all(r["cms_estimate"] >= r["exact_n"] for r in rows)
+
+
+def test_bpe_merges_match_reference_python_bpe(spark, sf_dir):
+    """Pin the declarative BPE trainer to a from-scratch Python BPE
+    (frequency-weighted pair counting over word types, greedy left-to-right
+    merge, (support DESC, pair ASC) tie-break)."""
+    import collections
+    import re
+
+    from flink_dts_connector_spark.operators.ml import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["merged"], r["support"])
+        for r in sorted(bpe_train_merges(docs, n_merges=6).collect())
+    ]
+
+    toks = [
+        w
+        for (txt,) in docs.select("text").collect()
+        for w in txt.strip().split()
+        if re.fullmatch("[a-z]+", w)
+    ]
+    freq = collections.Counter(toks)
+    words = {w: list(w) for w in freq}
+    want = []
+    for r in range(6):
+        pc: collections.Counter = collections.Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += freq[w]
+        (a, b), sup = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((r + 1, a, b, a + b, sup))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    assert got == want
