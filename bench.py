@@ -87,6 +87,21 @@ HEADLINE = [
     "events_sparse_profile_merge",
     "search_phrase_positions",
     "profile_key_skew",
+    # appended in round 5 (sketch / in-engine-ML / planner / time series)
+    "sketch_count_min_heavy_hitters",
+    "sketch_kmv_user_overlap",
+    "ml_nb_source_confusion",
+    "ml_knn_label_confusion",
+    "cdc_signed_count_sketch",
+    "layout_range_boundaries",
+    "events_gap_fill_locf",
+    "events_disorder_profile",
+    # ml_bpe_train_merges / ml_bpe_encode_stats stay registry-only: their
+    # cost is 8 eager localCheckpoint rounds of vocabulary-sized work
+    # (~fixed latency, like dedup_components' edge materialization) — a
+    # correctness flagship, not a throughput probe. stream_count_min_
+    # convergence stays registry-only like stream_profile_merge (availableNow
+    # lifecycle fixed cost).
     # stream_profile_merge stays registry-only like stream_incremental_curate:
     # its cost is three availableNow micro-batch lifecycles (~10s fixed), a
     # correctness flagship rather than a throughput probe.

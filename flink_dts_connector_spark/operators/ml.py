@@ -165,10 +165,20 @@ BPE_SEP2 = BPE_SEP * 2
 def bpe_train_merges(
     docs: DataFrame, n_merges: int = 8, text_col: str = "text"
 ) -> DataFrame:
+    """The merge table alone — see `bpe_train`."""
+    merges, _ = bpe_train(docs, n_merges=n_merges, text_col=text_col)
+    return merges
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
     """Train a byte-pair-encoding merge table IN the engine — the
     tokenizer-training stage of an LLM data pipeline as a declarative
-    dataflow, no external trainer. Returns the merge table
-    ``(rank, left_sym, right_sym, merged, support)``.
+    dataflow, no external trainer. Returns ``(merges, segmentations)``:
+    the merge table ``(rank, left_sym, right_sym, merged, support)`` and
+    the final word-type segmentation frame ``(w, cnt, rep)`` — the encoded
+    vocabulary a downstream tokenize step applies by dictionary lookup.
 
     Algorithm (classic BPE over word types weighted by frequency): start
     from characters; each round counts adjacent symbol pairs over the
@@ -246,4 +256,4 @@ def bpe_train_merges(
             .localCheckpoint()
         )
     assert merges is not None
-    return merges
+    return merges, words

@@ -5282,3 +5282,51 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         (F.col("n_events") == 0).alias("is_gap"),
     )
+
+
+@register(
+    "events_disorder_profile",
+    oracle="""
+WITH arr AS (
+  SELECT CAST(event_id % 4 AS INT) AS part, ts,
+         MAX(ts) OVER (PARTITION BY event_id % 4 ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax
+  FROM events
+), d AS (
+  SELECT part, CAST(datediff('millisecond', ts, rmax) AS BIGINT) AS disorder_ms FROM arr
+)
+SELECT part,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(disorder_ms) AS BIGINT) AS max_disorder_ms,
+       CAST(SUM(CASE WHEN disorder_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+       CAST(SUM(CASE WHEN disorder_ms > 600000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_10min
+FROM d GROUP BY part
+""",
+    tags=("ext", "events", "streaming-ops"),
+)
+def events_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — the measurement that PICKS a watermark
+    delay instead of guessing one: per (simulated) source partition, in
+    ARRIVAL order (event_id — the generator's arrival proxy), how far
+    behind the running max event time does each record land? Reports max
+    disorder plus how many records a 10-minute watermark (the engine's
+    streaming default) would have dropped. The running max is a per-
+    partition prefix window — at 100 TB run it on an arrival-ordered
+    sample slice per partition, never a global sort (the frame is already
+    the source's arrival order, so no re-sort happens on ingest)."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 4).cast("int").alias("part"), "ts", "event_id"
+    )
+    w = W.partitionBy("part").orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    d = ev.select(
+        "part",
+        (F.unix_millis(F.max("ts").over(w)) - F.unix_millis("ts")).alias("disorder_ms"),
+    )
+    return d.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("disorder_ms").cast("bigint").alias("max_disorder_ms"),
+        F.sum((F.col("disorder_ms") > 0).cast("bigint")).alias("n_out_of_order"),
+        F.sum((F.col("disorder_ms") > 600000).cast("bigint")).alias("n_over_10min"),
+    )

@@ -351,3 +351,57 @@ def ml_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_dts_connector_spark.operators.ml import bpe_train_merges
 
     return bpe_train_merges(t(spark, sf_dir, "documents"), n_merges=8)
+
+
+def _bpe_cte(n_merges: int) -> str:
+    """Just the WITH-chain of `_bpe_oracle` (words0..words{n}), reusable by
+    queries over the final segmentation frame."""
+    full = _bpe_oracle(n_merges)
+    return full[: full.rindex("\nSELECT CAST(1 AS BIGINT)")]
+
+
+@register(
+    "ml_bpe_encode_stats",
+    oracle=f"""{_bpe_cte(8)}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_word_types,
+       CAST(SUM(cnt) AS BIGINT) AS token_mass,
+       CAST(SUM(cnt * length(w)) AS BIGINT) AS char_mass,
+       CAST(SUM(cnt * len(list_filter(string_split(rep, '{chr(31) * 2}'), x -> x <> ''))) AS BIGINT) AS sym_mass,
+       CAST(SUM(cnt * len(list_filter(string_split(rep, '{chr(31) * 2}'), x -> x <> ''))) AS DOUBLE)
+         / SUM(cnt) AS avg_syms_per_token,
+       CAST(SUM(cnt * len(list_filter(string_split(rep, '{chr(31) * 2}'), x -> x <> ''))) AS DOUBLE)
+         / SUM(cnt * length(w)) AS compression_ratio
+FROM words8
+""",
+    tags=("ext", "ml", "text", "tokenizer"),
+)
+def ml_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of in-engine BPE: encode the corpus with the trained
+    merges (the trainer's final word-type segmentations ARE the encoded
+    vocabulary — applying a merge table is a dictionary join, no re-run of
+    the merge loop) and report the corpus-level compression: symbol mass
+    after 8 merges vs character mass before, weighted by token frequency.
+    Integer masses + two final double divisions, so the oracle — which
+    re-trains step-for-step in its CTE chain — must agree exactly."""
+    from flink_dts_connector_spark.operators.ml import BPE_SEP2, bpe_train
+
+    _, seg = bpe_train(t(spark, sf_dir, "documents"), n_merges=8)
+    arr = F.filter(F.split("rep", BPE_SEP2), lambda x: x != F.lit(""))
+    per = seg.select(
+        "cnt",
+        F.length("w").cast("bigint").alias("n_chars"),
+        F.size(arr).cast("bigint").alias("n_syms"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+        F.sum("cnt").cast("bigint").alias("token_mass"),
+        F.sum(F.col("cnt") * F.col("n_chars")).cast("bigint").alias("char_mass"),
+        F.sum(F.col("cnt") * F.col("n_syms")).cast("bigint").alias("sym_mass"),
+        (
+            F.sum(F.col("cnt") * F.col("n_syms")).cast("double") / F.sum("cnt")
+        ).alias("avg_syms_per_token"),
+        (
+            F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
+            / F.sum(F.col("cnt") * F.col("n_chars"))
+        ).alias("compression_ratio"),
+    )

@@ -246,3 +246,65 @@ def test_bloom_prefilter_no_smj_no_python(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4  # 3 seeds + exact join
     assert "PythonEval" not in plan
+
+
+def test_cms_build_single_exchange_no_python(spark):
+    """The count-min build is scan → explode → partial agg → ONE shuffle →
+    final agg: sketch cells combine map-side, and the md5 bucketing stays
+    JVM-side (no Python eval in the plan)."""
+    from pyspark.sql import functions as F
+
+    from flink_dts_connector_spark.operators.sketch import cms_build
+    from flink_dts_connector_spark.operators.text import tokens
+    from flink_dts_connector_spark.session import load_table
+
+    items = load_table(spark, SF_DIR, "documents").select(
+        F.explode(tokens("text")).alias("w")
+    )
+    df = cms_build(items, "w")
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange == 1, plan[:800]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_boundaries_no_data_sort(spark):
+    """The planner's contract is NO global sort of the data: the only
+    ordering work happens on the ≤1024-row histogram frame (window), so
+    the plan must not contain a rangepartitioning exchange."""
+    from pyspark.sql import functions as F
+
+    from flink_dts_connector_spark.operators.skew import range_boundaries
+    from flink_dts_connector_spark.session import load_table
+
+    df = range_boundaries(
+        load_table(spark, SF_DIR, "orders"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+    )
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange rangepartitioning" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_nb_class_frame_broadcast_model_join_on_token(spark):
+    """NB inference: the per-class frame broadcasts; the model join keys on
+    the token (shuffle equi-join — web vocab never broadcasts by design);
+    nothing falls back to cartesian or Python."""
+    from flink_dts_connector_spark.operators.ml import nb_confusion
+    from flink_dts_connector_spark.session import load_table
+
+    df = nb_confusion(load_table(spark, SF_DIR, "documents"))
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
