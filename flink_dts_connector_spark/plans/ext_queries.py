@@ -5330,3 +5330,221 @@ def events_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("disorder_ms") > 0).cast("bigint")).alias("n_out_of_order"),
         F.sum((F.col("disorder_ms") > 600000).cast("bigint")).alias("n_over_10min"),
     )
+
+
+@register(
+    "layout_reshard_plan",
+    oracle="""
+WITH k AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS key FROM orders
+), h AS (
+  SELECT key, CAST(md5_number_lower(key) % 2147483647 AS BIGINT) AS hmod FROM k
+), rv AS (
+  SELECT key,
+         (SELECT s FROM (
+            SELECT s, CAST(md5_number_lower(key || '#' || CAST(s AS VARCHAR)) % 2147483647 AS BIGINT) AS w
+            FROM (SELECT unnest(generate_series(0, 7)) AS s)
+          ) ORDER BY w DESC, s LIMIT 1) AS own8,
+         (SELECT s FROM (
+            SELECT s, CAST(md5_number_lower(key || '#' || CAST(s AS VARCHAR)) % 2147483647 AS BIGINT) AS w
+            FROM (SELECT unnest(generate_series(0, 8)) AS s)
+          ) ORDER BY w DESC, s LIMIT 1) AS own9
+  FROM k
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(CASE WHEN h.hmod % 8 <> h.hmod % 9 THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
+         CAST(SUM(CASE WHEN rv.own8 <> rv.own9 THEN 1 ELSE 0 END) AS BIGINT) AS moved_rendezvous
+  FROM h JOIN rv USING (key)
+)
+SELECT n_keys, moved_mod, moved_rendezvous,
+       CAST(moved_mod AS DOUBLE) / n_keys AS moved_mod_frac,
+       CAST(moved_rendezvous AS DOUBLE) / n_keys AS moved_rendezvous_frac
+FROM agg
+""",
+    tags=("ext", "layout", "planner"),
+)
+def layout_reshard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshard-movement planner, 8 → 9 shards: how many keys physically
+    move under naive mod placement (answer: almost all — mod placement is
+    a full rewrite) versus rendezvous (highest-random-weight) hashing
+    (answer: ~1/9 — only keys the NEW shard wins move, the provable
+    minimum). Owner = argmax over shards of md5(key # shard), a pure
+    column expression — per key it's a max over a literal 8/9-element
+    array, no join, no shuffle beyond the final count. The operational
+    pre-flight for growing a bucketed/sharded 100 TB layout: run this,
+    read the rewrite fraction off the report, pick the placement scheme."""
+    from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
+
+    KMV_P = (1 << 31) - 1
+    k = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("key")
+    )
+
+    # rendezvous owner, declaratively: array_max over struct(w, -shard) —
+    # lexicographic struct max = (max weight, tie -> smallest shard id)
+    def owner_col(n_shards: int):
+        pairs = F.array(
+            *[
+                F.struct(
+                    md5_number_lower_mod(
+                        F.concat(F.col("key"), F.lit(f"#{s}")), KMV_P
+                    ).alias("w"),
+                    F.lit(-s).alias("ns"),
+                )
+                for s in range(n_shards)
+            ]
+        )
+        return (F.array_max(pairs)["ns"] * -1).cast("bigint")
+
+    hmod = md5_number_lower_mod(F.col("key"), KMV_P)
+    d = k.select(
+        (hmod % 8 != hmod % 9).cast("bigint").alias("mv_mod"),
+        (owner_col(8) != owner_col(9)).cast("bigint").alias("mv_rv"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("mv_mod").cast("bigint").alias("moved_mod"),
+        F.sum("mv_rv").cast("bigint").alias("moved_rendezvous"),
+        (F.sum("mv_mod").cast("double") / F.count(F.lit(1))).alias("moved_mod_frac"),
+        (F.sum("mv_rv").cast("double") / F.count(F.lit(1))).alias(
+            "moved_rendezvous_frac"
+        ),
+    )
+
+
+@register(
+    "proj_udtf_chunk_explode",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks), 48)) AS start_tok FROM d
+  WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST((start_tok - 1) // 48 AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, start_tok, least(start_tok + 63, len(toks)))) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, start_tok, least(start_tok + 63, len(toks))), ' ')) AS chunk_md5
+FROM s
+""",
+    tags=("ext", "udtf", "api-surface", "chunking"),
+)
+def proj_udtf_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 `udtf` + LATERAL) — the table-function
+    extensibility point of SURVEY.md §2.6, demonstrated on document
+    chunking (window 64 / stride 48) and hash-gated against the DECLARATIVE
+    chunker's SQL (`curate_chunk_windows` lineage): the UDTF yields chunk
+    rows in Python, while token counting and md5 stay JVM-side on the
+    emitted rows. API-parity coverage — the declarative chunker remains the
+    hot path (this plan contains a Python eval by construction), so this
+    query is registry-gated but bench-excluded."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id bigint, chunk_text string")
+    class Chunker:
+        def eval(self, text: str, window: int, stride: int):
+            toks = text.strip().split()
+            if not toks:
+                return
+            cid = 0
+            for start in range(0, len(toks), stride):
+                yield cid, " ".join(toks[start : start + window])
+                cid += 1
+
+    spark.udtf.register("fdcs_chunker", Chunker)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    out = spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.chunk_text "
+        "FROM _udtf_docs d, LATERAL fdcs_chunker(d.text, 64, 48) c"
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.split("chunk_text", r"\s+")).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.encode("chunk_text", "UTF-8")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "events_cuped_adjustment",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS BIGINT) AS variant,
+         CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), pool AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per_user
+), th AS (
+  SELECT n, CAST(sx AS DOUBLE) / n AS xbar,
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS theta
+  FROM pool
+)
+SELECT variant,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(x) AS DOUBLE) / COUNT(*) / 100 AS mean_pre,
+       CAST(SUM(y) AS DOUBLE) / COUNT(*) / 100 AS mean_post,
+       (CAST(SUM(y) AS DOUBLE) / COUNT(*)
+        - th.theta * (CAST(SUM(x) AS DOUBLE) / COUNT(*) - th.xbar)) / 100 AS mean_post_adj,
+       th.theta AS theta
+FROM per_user, th
+GROUP BY variant, th.theta, th.xbar
+""",
+    tags=("ext", "events", "experimentation"),
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout: variant = user_id parity,
+    covariate = each user's PRE-period spend (days 1-15, exact cents),
+    outcome = post-period spend. theta = pooled cov(x,y)/var(x) from exact
+    integer moments (int64 holds n*Sxy with ~7x headroom at sf0.1 — at a
+    larger corpus drop the quantization a decimal place, same note as the
+    registry-wide magnitude constraint); the adjustment is applied to the
+    GROUP MEANS by linearity (mean_adj = ybar - theta*(xbar_g - xbar_pool)),
+    so no per-user float accumulates and the whole readout is bit-exact.
+    One groupBy(user) pass + one tiny moment frame — the experimentation-
+    platform query at any scale."""
+    ev = t(spark, sf_dir, "events")
+    vq = F.expr("CAST(round(value * 100) AS BIGINT)")
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(pre, vq)), F.lit(0)).cast("bigint").alias("x"),
+        F.coalesce(F.sum(F.when(~pre, vq)), F.lit(0)).cast("bigint").alias("y"),
+    ).select((F.col("user_id") % 2).cast("bigint").alias("variant"), "x", "y")
+    pool = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    ).select(
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("theta"),
+    )
+    g = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("gx"),
+        F.sum("y").cast("bigint").alias("gy"),
+    )
+    return g.crossJoin(F.broadcast(pool)).select(
+        "variant",
+        "n_users",
+        (F.col("gx").cast("double") / F.col("n_users") / 100).alias("mean_pre"),
+        (F.col("gy").cast("double") / F.col("n_users") / 100).alias("mean_post"),
+        (
+            (
+                F.col("gy").cast("double") / F.col("n_users")
+                - F.col("theta")
+                * (F.col("gx").cast("double") / F.col("n_users") - F.col("xbar"))
+            )
+            / 100
+        ).alias("mean_post_adj"),
+        F.col("theta").alias("theta"),
+    )
