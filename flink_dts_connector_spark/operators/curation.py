@@ -557,3 +557,69 @@ def zorder_key(x, y, bits: int = 10):
             + F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("bigint") * F.lit(1 << (2 * i + 1))
         )
     return out
+
+
+def waterfill_quotas(
+    df: DataFrame,
+    budget_pct: int,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """Water-filling budget allocation across sources: give every source up
+    to a common level L, chosen so the total hits the budget — small
+    sources keep everything they have (saturated), large sources are
+    clipped at L. The fair-share mixing rule when per-source caps must sum
+    to a global token budget.
+
+    Closed form on the per-source frame (|sources| rows — every window
+    below is over that tiny frame, never the corpus): sort sources by
+    available mass ascending; k* = the largest saturated count where
+    prefix_k + (n-k) * m_k <= B; L = (B - prefix_{k*}) div (n - k*);
+    quota_s = min(m_s, L). Integer throughout; the leftover B - sum(quota)
+    is < n - k* (one sub-token unit per unsaturated source) and reported.
+
+    Returns (group, available, quota, saturated)."""
+    per = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("m")
+    )
+    tot = per.agg(
+        F.sum("m").alias("t"), F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select("t", "n", F.expr(f"t * {int(budget_pct)} div 100").alias("b"))
+    w = Window.orderBy("m", "g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("k", F.row_number().over(Window.orderBy("m", "g")).cast("bigint"))
+        .withColumn("prefix", F.sum("m").over(w))
+    )
+    # saturated prefix: rows where filling everyone below k to m_k fits B
+    sat = ranked.where(F.col("prefix") + (F.col("n") - F.col("k")) * F.col("m") <= F.col("b"))
+    kstar = sat.agg(
+        F.max("k").alias("kstar"), F.max_by("prefix", "k").alias("pstar")
+    )
+    level = (
+        tot.crossJoin(F.broadcast(kstar))
+        .select(
+            F.coalesce("kstar", F.lit(0)).alias("kstar"),
+            F.coalesce("pstar", F.lit(0)).alias("pstar"),
+            "b",
+            "n",
+        )
+        .select(
+            "kstar",
+            F.expr("CASE WHEN n > kstar THEN (b - pstar) div (n - kstar) ELSE NULL END").alias(
+                "lvl"
+            ),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(level))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("m").alias("available"),
+            F.when(F.col("k") <= F.col("kstar"), F.col("m"))
+            .otherwise(F.least(F.col("m"), F.col("lvl")))
+            .cast("bigint")
+            .alias("quota"),
+        )
+        .withColumn("saturated", F.col("quota") == F.col("available"))
+    )

@@ -5548,3 +5548,130 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_post_adj"),
         F.col("theta").alias("theta"),
     )
+
+
+@register(
+    "events_pattern_regex",
+    oracle="""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+), pats AS (
+  SELECT * FROM (VALUES
+    ('view_then_purchase',        'v.*p'),
+    ('purchase_no_prior_error',   '^[^e]*p'),
+    ('error_recovery_purchase',   'e[^e]*p'),
+    ('signup_first_touch',        '^s')
+  ) AS t(pattern_name, pat)
+)
+SELECT p.pattern_name,
+       CAST(SUM(CASE WHEN regexp_matches(s.seq, p.pat) THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN regexp_matches(s.seq, p.pat) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS match_frac
+FROM seqs s CROSS JOIN pats p
+GROUP BY p.pattern_name
+""",
+    tags=("ext", "events", "cep"),
+)
+def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-CEP over event sequences — MATCH_RECOGNIZE-lite (the Flink
+    CEP capability the reference's host engine advertises, re-expressed
+    relationally): each user's history becomes one compact symbol string
+    (first letter of each event type, ordered by (ts, event_id) — a total
+    order, so the string is deterministic), and patterns like
+    "error then recovery then purchase" are plain regular expressions
+    evaluated JVM-side. The per-user state is bounded by per-user history
+    (same disclosure as sessionization); patterns broadcast. The regex
+    class used (literals, classes, anchors, star) evaluates identically in
+    Java regex and RE2/DuckDB."""
+    ev = t(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.expr("substring(event_type, 1, 1)").alias("i"),
+            ).alias("st"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("st")), lambda s: s["i"]), ""
+            ).alias("seq")
+        )
+    )
+    pats = spark.createDataFrame(
+        [
+            ("view_then_purchase", "v.*p"),
+            ("purchase_no_prior_error", "^[^e]*p"),
+            ("error_recovery_purchase", "e[^e]*p"),
+            ("signup_first_touch", "^s"),
+        ],
+        "pattern_name string, pat string",
+    )
+    return (
+        seqs.crossJoin(F.broadcast(pats))
+        .groupBy("pattern_name")
+        .agg(
+            F.sum(F.expr("CASE WHEN regexp_like(seq, pat) THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_matched"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            (
+                F.sum(F.expr("CASE WHEN regexp_like(seq, pat) THEN 1 ELSE 0 END")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("match_frac"),
+        )
+    )
+
+
+
+@register(
+    "curate_waterfill_quotas",
+    oracle=f"""
+WITH per AS (
+  SELECT source AS g, CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS m FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(m) * 40 // 100 AS BIGINT) AS b
+  FROM per
+), ranked AS (
+  SELECT g, m, t, n, b,
+         CAST(ROW_NUMBER() OVER (ORDER BY m, g) AS BIGINT) AS k,
+         CAST(SUM(m) OVER (ORDER BY m, g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix
+  FROM per, tot
+), sat AS (
+  SELECT MAX(k) AS kstar, arg_max(prefix, k) AS pstar
+  FROM ranked WHERE prefix + (n - k) * m <= b
+), lvl AS (
+  SELECT COALESCE(s.kstar, 0) AS kstar,
+         CASE WHEN t.n > COALESCE(s.kstar, 0)
+              THEN (t.b - COALESCE(s.pstar, 0)) // (t.n - COALESCE(s.kstar, 0)) END AS lvl
+  FROM tot t, sat s
+)
+SELECT r.g AS source, r.m AS available,
+       CAST(CASE WHEN r.k <= l.kstar THEN r.m ELSE LEAST(r.m, l.lvl) END AS BIGINT) AS quota,
+       (CASE WHEN r.k <= l.kstar THEN r.m ELSE LEAST(r.m, l.lvl) END) = r.m AS saturated
+FROM ranked r, lvl l
+""",
+    tags=("ext", "curation", "mixing"),
+)
+def curate_waterfill_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources (budget = 40%
+    of corpus mass): every source keeps up to a common level L — small
+    sources fully (saturated), large sources clipped — with L the exact
+    integer waterline that spends the budget. The fair-share answer to
+    "cap the big crawls, keep the small curated sets whole" when the caps
+    must sum to a global budget. Every window runs on the |sources|-row
+    frame, never the corpus; one corpus scan for the masses."""
+    from flink_dts_connector_spark.operators.curation import waterfill_quotas
+    from flink_dts_connector_spark.operators.text import token_count
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", token_count("text").alias("n_tokens")
+    )
+    return waterfill_quotas(d, budget_pct=40, group_col="source", weight_col="n_tokens")

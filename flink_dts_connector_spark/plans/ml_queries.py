@@ -405,3 +405,91 @@ def ml_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("cnt") * F.col("n_chars"))
         ).alias("compression_ratio"),
     )
+
+
+@register(
+    "curate_snapshot_sketch_update",
+    oracle=f"""
+WITH newc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+), toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM newc
+), exact AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks GROUP BY 1
+), cells AS (
+  SELECT j, {_SQL_CMS_B} AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+  GROUP BY 1, 2
+), cand AS (
+  SELECT w, exact_n FROM exact ORDER BY exact_n DESC, w LIMIT 20
+), probes AS (
+  SELECT cand.w, cand.exact_n, j, {_SQL_CMS_B} AS b
+  FROM cand CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+), est AS (
+  SELECT p.w, ANY_VALUE(p.exact_n) AS exact_n,
+         CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cms_estimate
+  FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.b = p.b
+  GROUP BY p.w
+)
+SELECT w AS token, exact_n, cms_estimate,
+       CAST(cms_estimate - exact_n AS BIGINT) AS overestimate
+FROM est
+""",
+    tags=("ext", "curation", "sketch", "incremental"),
+)
+def curate_snapshot_sketch_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance across corpus snapshots: the OLD
+    snapshot's token count-min sketch plus a SIGNED delta sketch built only
+    from `snapshot_diff`'s I/U/D rows (−1 for departing texts, +1 for
+    arriving ones) EQUALS the sketch rebuilt from the NEW snapshot — which
+    is exactly what the oracle builds. Process-the-delta-not-the-corpus for
+    the profile layer: nightly token statistics at 100 TB become
+    |delta|-sized work plus a cells-sized merge. Probes report the new
+    corpus's top-20 tokens through the MAINTAINED sketch (the oracle match
+    is the linearity proof)."""
+    from flink_dts_connector_spark.operators import curation as C
+    from flink_dts_connector_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = docs.where(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    diff = C.snapshot_diff(old, new)
+    old_items = old.select(F.explode(tokens("text")).alias("w")).withColumn(
+        "s", F.lit(1).cast("bigint")
+    )
+    minus = (
+        old.join(diff.where(F.col("op").isin("D", "U")), "doc_id")
+        .select(F.explode(tokens("text")).alias("w"))
+        .withColumn("s", F.lit(-1).cast("bigint"))
+    )
+    plus = (
+        new.join(diff.where(F.col("op").isin("I", "U")), "doc_id")
+        .select(F.explode(tokens("text")).alias("w"))
+        .withColumn("s", F.lit(1).cast("bigint"))
+    )
+    # the stored sketch (built once, persisted in real life) and the
+    # |delta|-sized signed sketch merge cell-wise — linearity is the whole
+    # point, so the merge is the literal operation under test
+    old_cells = SK.cms_build(old_items, item_col="w", depth=4, width=256, weight_col="s")
+    delta_cells = SK.cms_build(
+        minus.unionByName(plus), item_col="w", depth=4, width=256, weight_col="s"
+    )
+    maintained = SK.cms_merge(old_cells, delta_cells)
+    # probes come from the new corpus (the report side)
+    new_items = new.select(F.explode(tokens("text")).alias("w"))
+    exact = new_items.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    cand = exact.orderBy(F.desc("exact_n"), F.asc("w")).limit(20)
+    est = SK.cms_estimate(maintained, cand.select("w"), "w", depth=4, width=256)
+    return cand.join(est, "w").select(
+        F.col("w").alias("token"),
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_n")).cast("bigint").alias("overestimate"),
+    )

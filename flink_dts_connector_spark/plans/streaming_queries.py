@@ -1486,3 +1486,104 @@ def stream_count_min_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_n")).cast("bigint").alias("overestimate"),
     )
+
+
+@register(
+    "stream_kmv_convergence",
+    oracle="""
+WITH sk AS (
+  SELECT g, h, r FROM (
+    SELECT event_type AS g, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+    FROM (
+      SELECT DISTINCT event_type,
+             CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 2147483647 AS BIGINT) AS h
+      FROM events
+    )
+  ) WHERE r <= 64
+), agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_h,
+         MAX(CASE WHEN r = 64 THEN h END) AS hk
+  FROM sk GROUP BY 1
+), exact AS (
+  SELECT event_type AS g, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT a.g AS event_type,
+       CAST(CASE WHEN a.n_h < 64 THEN a.n_h
+                 ELSE 63 * CAST(2147483647 AS BIGINT) // a.hk END AS BIGINT) AS distinct_est,
+       e.exact_distinct
+FROM agg a JOIN exact e USING (g)
+""",
+    tags=("streaming", "sketch", "incremental"),
+)
+def stream_kmv_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING KMV maintenance — the live twin of
+    `sketch_kmv_distinct_users`: micro-batches (3 interleaved waves by
+    event_id % 3) fold into a ≤k-rows-per-group minimum-hash state table
+    via union-then-retake-k — a commutative, idempotent merge, so arrival
+    order and batching cannot change the converged sketch, and the batch
+    closed form must hash-match it exactly. State is k rows per group
+    FOREVER (the reason a streaming distinct-count is a sketch); compare
+    `stream_profile_merge` for the same foreachBatch fold pattern."""
+    import tempfile
+
+    from flink_dts_connector_spark.operators import sketch as SK
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+    waves_dir = tempfile.mkdtemp(prefix="fdcs_kmv_waves_")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(
+            waves_dir
+        )
+
+    empty = spark.createDataFrame([], "g string, h bigint")
+    state = {"sk": empty.localCheckpoint(), "batches": 0}
+
+    def merge(bdf: DataFrame, batch_id: int) -> None:
+        batch_sk = SK.kmv_sketch(bdf, key_col="user_id", group_col="event_type", k=64)
+        from pyspark.sql import Window as W
+
+        merged = (
+            state["sk"]
+            .unionByName(batch_sk.select("g", "h"))
+            .distinct()
+            .withColumn("r", F.row_number().over(W.partitionBy("g").orderBy("h")))
+            .where(F.col("r") <= 64)
+            .select("g", "h")
+        )
+        state["sk"] = merged.localCheckpoint()
+        state["batches"] += 1
+
+    with pinned_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="fdcs_kmv_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if state["batches"] < 2:
+        raise AssertionError(
+            f"expected multiple micro-batches, got {state['batches']}"
+        )
+
+    from pyspark.sql import Window as W
+
+    sk = state["sk"].withColumn(
+        "r", F.row_number().over(W.partitionBy("g").orderBy("h")).cast("bigint")
+    )
+    est = SK.kmv_distinct_estimate(sk, k=64)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("g"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(exact, "g").select(
+        F.col("g").alias("event_type"), "distinct_est", "exact_distinct"
+    )

@@ -199,3 +199,28 @@ def test_bpe_merges_match_reference_python_bpe(spark, sf_dir):
                     i += 1
             words[w] = out
     assert got == want
+
+
+def test_waterfill_spends_budget_within_rounding(spark, sf_dir):
+    """Waterfill contract: saturated iff quota == available; total spend
+    within (n_unsaturated - 1) sub-token units of the budget; every
+    unsaturated source sits exactly at the waterline."""
+    from flink_dts_connector_spark.operators.curation import waterfill_quotas
+    from flink_dts_connector_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", token_count("text").alias("n_tokens")
+    )
+    rows = waterfill_quotas(d, budget_pct=40).collect()
+    total = d.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = total * 40 // 100
+    spent = sum(r["quota"] for r in rows)
+    unsat = [r for r in rows if not r["saturated"]]
+    assert all((r["quota"] == r["available"]) == r["saturated"] for r in rows)
+    assert spent <= budget
+    assert budget - spent < max(len(unsat), 1)
+    levels = {r["quota"] for r in unsat}
+    assert len(levels) <= 1, f"unsaturated sources must share one waterline: {levels}"
+    if unsat:
+        level = levels.pop()
+        assert all(r["available"] >= level for r in unsat)
