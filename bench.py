@@ -169,12 +169,34 @@ def main() -> None:
         best_dec = min(best_dec, time.perf_counter() - start)
     raw.unpersist()
     cores = spark.sparkContext.defaultParallelism
+
+    # Round-5 twin: the fixed-layout JVM codec (formats/fixedwire.py) —
+    # same protocol (persist encoded frame, min-of-N decode-only timing).
+    from flink_dts_connector_spark.formats.fixedwire import (
+        decode_fixed,
+        encode_orders_changelog,
+    )
+
+    fixed = encode_orders_changelog(spark, sf_dir).persist()
+    n_fixed = fixed.count()
+    best_fixed = float("inf")
+    for _ in range(runs):
+        start = time.perf_counter()
+        decode_fixed(fixed).write.format("noop").mode("overwrite").save()
+        best_fixed = min(best_fixed, time.perf_counter() - start)
+    fixed.unpersist()
+
     decode_stats = {
         "records": n_raw,
         "sec": round(best_dec, 4),
         "recs_per_sec": round(n_raw / best_dec),
         "recs_per_sec_per_core": round(n_raw / best_dec / cores),
         "cores": cores,
+        "jvm_fixed": {
+            "records": n_fixed,
+            "sec": round(best_fixed, 4),
+            "recs_per_sec": round(n_fixed / best_fixed),
+        },
     }
 
     total = round(sum(timings.values()), 4)

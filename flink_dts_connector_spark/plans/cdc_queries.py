@@ -787,3 +787,47 @@ def cdc_signed_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_n")).cast("bigint").alias("overestimate"),
     )
+
+
+@register(
+    "cdc_fixed_wire_roundtrip",
+    oracle=f"""
+SELECT prio AS o_orderpriority,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM (
+  SELECT {SQL_CENTS1} AS cents, {SQL_PRIO1} AS prio
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+GROUP BY 1
+""",
+    tags=("cdc", "wire", "jvm-decode", "signed-agg"),
+)
+def cdc_fixed_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-only wire path end-to-end: the orders changelog is derived
+    relationally, ENCODED into the fixed 97-char layout and DECODED back —
+    encode, header-first op read, field decode, and the signed aggregation
+    all pure column expressions inside whole-stage codegen (zero Python —
+    plan-guarded). This is the documented scale answer to the Python
+    varint-decode ceiling (`SCALING.md`): a producer that can emit fixed
+    layouts gets JVM scan-speed decode; the self-describing zoo keeps the
+    Python path. The signed aggregate over the round-tripped changelog must
+    equal the current-state aggregate the oracle computes from `orders`
+    directly — proving the codec byte-exact through every op kind."""
+    from flink_dts_connector_spark.formats.fixedwire import (
+        decode_fixed,
+        encode_orders_changelog,
+        fixed_sign,
+    )
+
+    wire = encode_orders_changelog(spark, sf_dir)
+    dec = decode_fixed(wire)
+    s = fixed_sign("op")
+    return (
+        dec.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("cents") * s).cast("bigint").alias("sum_cents"),
+            F.sum(s).cast("bigint").alias("n_orders"),
+        )
+        .where(F.col("n_orders") > 0)
+    )

@@ -308,3 +308,21 @@ def test_nb_class_frame_broadcast_model_join_on_token(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fixed_wire_plan_jvm_only(spark):
+    """The fixed-layout codec's whole round trip (encode → header filter →
+    decode → signed agg) must stay inside whole-stage codegen: no Python
+    eval anywhere, and the scan side prunes to the columns the encoder
+    needs."""
+    plan = _plan(spark, "cdc_fixed_wire_roundtrip")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # node whitelist: every operator is a codegen-able relational node —
+    # scan/project/filter/union/one agg exchange; nothing else
+    nodes = set(re.findall(r"\(\d+\) ([A-Za-z]+)", plan))
+    allowed = {
+        "Scan", "Project", "Filter", "Union", "Exchange", "HashAggregate",
+        "AdaptiveSparkPlan", "AQEShuffleRead", "ShuffleQueryStage", "ColumnarToRow",
+    }
+    assert nodes <= allowed, f"unexpected nodes: {nodes - allowed}"
