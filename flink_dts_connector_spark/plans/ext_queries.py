@@ -5675,3 +5675,65 @@ def curate_waterfill_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", token_count("text").alias("n_tokens")
     )
     return waterfill_quotas(d, budget_pct=40, group_col="source", weight_col="n_tokens")
+
+
+@register(
+    "text_robust_outliers",
+    oracle=f"""
+WITH d AS (
+  SELECT source, CAST(len({SQL_TOKS}) AS BIGINT) AS n FROM documents
+), med AS (
+  SELECT source, CAST(quantile_disc(n, 0.5) AS BIGINT) AS median_tokens FROM d GROUP BY 1
+), dd AS (
+  SELECT d.source, d.n, m.median_tokens, abs(d.n - m.median_tokens) AS ad
+  FROM d JOIN med m USING (source)
+), mad AS (
+  SELECT source, CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad_tokens,
+         ANY_VALUE(median_tokens) AS median_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM dd GROUP BY 1
+)
+SELECT dd.source, ANY_VALUE(mad.n_docs) AS n_docs,
+       ANY_VALUE(mad.median_tokens) AS median_tokens,
+       ANY_VALUE(mad.mad_tokens) AS mad_tokens,
+       CAST(SUM(CASE WHEN dd.ad > 5 * mad.mad_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dd JOIN mad USING (source)
+GROUP BY dd.source
+""",
+    tags=("ext", "text", "quality", "robust-stats"),
+)
+def text_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length outlier screen — median/MAD instead of
+    mean/σ, so a handful of garbage documents cannot drag the threshold
+    toward themselves (the failure mode of the 2σ screens). Medians use
+    the Greenwald-Khanna sketch at accuracy above the group size (exact
+    discrete quantile — the `text_token_quantiles` contract, DuckDB
+    `quantile_disc` as live oracle); flags docs beyond 5 MADs. Two
+    grouped-sketch aggregations + one broadcast-back join, all integers."""
+    from flink_dts_connector_spark.operators.text import token_count
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", token_count("text").alias("n")
+    )
+    med = d.groupBy("source").agg(
+        F.expr("approx_percentile(n, 0.5D, 1000000)").cast("bigint").alias("median_tokens")
+    )
+    dd = d.join(F.broadcast(med), "source").withColumn(
+        "ad", F.abs(F.col("n") - F.col("median_tokens"))
+    )
+    mad = dd.groupBy("source").agg(
+        F.expr("approx_percentile(ad, 0.5D, 1000000)").cast("bigint").alias("mad_tokens"),
+        F.any_value("median_tokens").alias("median_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return (
+        dd.join(F.broadcast(mad.select("source", "mad_tokens")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("ad") > 5 * F.col("mad_tokens")).cast("bigint")).alias(
+                "n_outliers"
+            )
+        )
+        .join(mad, "source")
+        .select("source", "n_docs", "median_tokens", "mad_tokens", "n_outliers")
+    )

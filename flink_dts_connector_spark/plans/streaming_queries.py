@@ -1587,3 +1587,80 @@ def stream_kmv_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "g").select(
         F.col("g").alias("event_type"), "distinct_est", "exact_distinct"
     )
+
+
+@register(
+    "stream_fixed_wire_decode",
+    oracle="""
+SELECT prio AS o_orderpriority,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM (
+  SELECT (CASE WHEN o_orderkey % 10 = 0
+               THEN CAST(round(o_totalprice * 100) AS BIGINT) + CAST(round(o_totalprice * 100) AS BIGINT) // 10
+               ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS cents,
+         (CASE WHEN o_orderkey % 7 = 0 THEN '9-RUSH' ELSE o_orderpriority END) AS prio
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+GROUP BY 1
+""",
+    tags=("streaming", "cdc", "wire", "jvm-decode"),
+)
+def stream_fixed_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-layout JVM codec under Structured Streaming: the encoded
+    changelog arrives in 3 interleaved micro-batches, `decode_fixed` runs
+    as a streaming projection (still pure codegen — the streaming planner
+    treats it like any column expression), and an update-mode signed
+    aggregation maintains per-priority totals THROUGH deletes (totals can
+    shrink, so unlike count-only streams the fold keeps each batch's
+    changed keys as the new truth — a relational last-writer-wins merge,
+    no driver-side collect). Final state must hash-match the
+    current-state aggregate the oracle computes from `orders` directly."""
+    import tempfile
+
+    from flink_dts_connector_spark.formats.fixedwire import (
+        decode_fixed,
+        encode_orders_changelog,
+        fixed_sign,
+    )
+
+    wire = encode_orders_changelog(spark, sf_dir)
+    waves_dir = tempfile.mkdtemp(prefix="fdcs_fixw_waves_")
+    # wave by record id parity-ish: op byte + low hex digit keeps I/UB/UA/D
+    # interleaved across batches
+    wave = F.conv(F.substring("value", 17, 1), 16, 10).cast("bigint") % 3
+    for i in range(3):
+        wire.where(wave == i).coalesce(1).write.mode("append").parquet(waves_dir)
+
+    empty = spark.createDataFrame(
+        [], "o_orderpriority string, sum_cents bigint, n_orders bigint"
+    )
+    state = {"totals": empty.localCheckpoint()}
+
+    def fold(bdf: DataFrame, epoch: int) -> None:
+        changed = bdf.select("o_orderpriority", "sum_cents", "n_orders")
+        kept = state["totals"].join(changed.select("o_orderpriority"), "o_orderpriority", "left_anti")
+        state["totals"] = kept.unionByName(changed).localCheckpoint()
+
+    with pinned_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves_dir)
+        )
+        dec = decode_fixed(stream)
+        s = fixed_sign("op")
+        agg = dec.groupBy("o_orderpriority").agg(
+            F.sum(F.col("cents") * s).cast("bigint").alias("sum_cents"),
+            F.sum(s).cast("bigint").alias("n_orders"),
+        )
+        q = (
+            agg.writeStream.foreachBatch(fold)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="fdcs_fixw_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return state["totals"].where(F.col("n_orders") > 0)

@@ -225,3 +225,55 @@ def test_chained_join_agg_delayed_watermark_cutoff(spark, tmp_path):
     out = all_queries()["stream_chained_join_agg"].fn(spark, sf_dir)
     got = {(r["window_start"], r["n"]) for r in out.collect()}
     assert got == {(base + dt.timedelta(hours=10), 1)}, got
+
+
+def test_stream_state_rows_match_closed_form(spark, sf_dir):
+    """Runtime introspection vs closed form: after an availableNow windowed
+    aggregation completes, the state store must hold EXACTLY the windows
+    the final watermark has not evicted — numRowsTotal is not an opaque
+    gauge, it is computable relationally (distinct (window, key) groups
+    with window_end > max(ts) - delay). Pins the operational meaning of
+    the state-size metric the SCALING.md budget math relies on."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_dts_connector_spark.session import load_table
+    from flink_dts_connector_spark.streaming.runner import (
+        pinned_shuffle_partitions,
+        read_stream_table,
+    )
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    with pinned_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="fdcs_state_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.lastProgress
+    state_rows = progress["stateOperators"][0]["numRowsTotal"]
+
+    batch = load_table(spark, sf_dir, "events")
+    mx = batch.agg(F.max("ts")).collect()[0][0]
+    expected = (
+        batch.select(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .where(F.expr(f"w.end > timestamp'{mx}' - interval 10 minutes"))
+        .select("w", "event_type")
+        .distinct()
+        .count()
+    )
+    assert state_rows == expected, (state_rows, expected)
