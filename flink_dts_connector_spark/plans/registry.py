@@ -175,7 +175,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_stream_interval_join",
     "stream_partition_watermarks",
     "stream_late_data_gate",
-    "stream_txn_atomic_apply",
+    # r5: the fixed-layout JVM codec roundtrip takes the second txn-apply
+    # slot (stream_txn_atomic_apply is the streaming twin of the gated
+    # cdc_txn_atomic_apply and stays sweep-green); this gates the new
+    # wire-codec family (encode -> decode -> signed agg, zero Python)
+    "cdc_fixed_wire_roundtrip",
 )
 
 

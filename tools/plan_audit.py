@@ -56,6 +56,7 @@ PYTHON_OK_PREFIXES = (
     "cdc_",  # wire decode (mapInPandas) — SCALING.md "wire-decode ceiling"
     "multimodal_",  # media decode stub (mapInPandas)
     "dedup_simhash",  # vectorized numpy sign aggregation (pandas_udf)
+    "proj_udtf_",  # Python UDTF API-surface demo — declarative twin is the hot path
 )
 
 
