@@ -493,3 +493,145 @@ def curate_snapshot_sketch_update(spark: SparkSession, sf_dir: str) -> DataFrame
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_n")).cast("bigint").alias("overestimate"),
     )
+
+
+@register(
+    "sketch_join_size_estimate",
+    oracle="""
+WITH ka AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), kb AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+), ca AS (
+  SELECT j, CAST(md5_number_lower('cms' || CAST(j AS VARCHAR) || ':' || w) % 1048576 AS BIGINT) AS b,
+         CAST(SUM(cnt) AS BIGINT) AS c
+  FROM ka CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) GROUP BY 1, 2
+), cb AS (
+  SELECT j, CAST(md5_number_lower('cms' || CAST(j AS VARCHAR) || ':' || w) % 1048576 AS BIGINT) AS b,
+         CAST(SUM(cnt) AS BIGINT) AS c
+  FROM kb CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) GROUP BY 1, 2
+), ip AS (
+  SELECT ca.j, CAST(SUM(ca.c * cb.c) AS BIGINT) AS prod
+  FROM ca JOIN cb ON ca.j = cb.j AND ca.b = cb.b
+  GROUP BY 1
+), exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT e.exact_join_rows,
+       CAST(MIN(ip.prod) AS BIGINT) AS cms_estimate,
+       CAST(MIN(ip.prod) - e.exact_join_rows AS BIGINT) AS overestimate
+FROM ip, exact e
+GROUP BY e.exact_join_rows
+""",
+    tags=("ext", "sketch", "planner", "join"),
+)
+def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches alone (the AMS/CMS
+    inner-product estimator): |A ⋈ B| = Σ_k f_A(k)·f_B(k) is estimated by
+    min over sketch rows of the cell-wise inner product of the two sides'
+    count-min sketches — one-sided (estimate ≥ exact, colliding keys only
+    add). The pre-flight a 100 TB join wants: both sketches are
+    depth×width cells (built in one pass each, or maintained incrementally
+    under CDC — `cdc_signed_count_sketch`), so the output-size forecast
+    costs an inner product over ≤2·depth·width rows, not a trial join.
+    Reported beside the exact join count."""
+    # pre-aggregate to (key, count) so each DISTINCT key is hashed once per
+    # sketch row (map-side-combined shuffle; ~16x fewer digests on lineitem)
+    ka = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").cast("string").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    kb = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").cast("string").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # width 2^20 keeps the AMS error term F1(A)*F1(B)/width small enough to
+    # plan with; materialize each sketch before the inner product (exactly
+    # the persisted-sketch usage at scale — and it stops the join planner
+    # from re-executing both build subtrees)
+    ca = SK.cms_build(ka, "w", depth=4, width=1 << 20, weight_col="cnt").persist()
+    cb = SK.cms_build(kb, "w", depth=4, width=1 << 20, weight_col="cnt").persist()
+    ca.count(), cb.count()  # materialize the cells into the cache
+    ip = (
+        ca.alias("a")
+        .join(cb.alias("b"), ["j", "b"])
+        .groupBy("j")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias("prod"))
+    )
+    exact = (
+        t(spark, sf_dir, "orders")
+        .join(t(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_join_rows"))
+    )
+    return (
+        ip.agg(F.min("prod").cast("bigint").alias("cms_estimate"))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "exact_join_rows",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_join_rows")).cast("bigint").alias(
+                "overestimate"
+            ),
+        )
+    )
+
+
+@register(
+    "search_incremental_index_update",
+    oracle=f"""
+WITH newc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+), toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM newc
+), post AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), agg AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM post GROUP BY 1
+)
+SELECT token, df, cf FROM agg ORDER BY df DESC, token LIMIT 20
+""",
+    tags=("ext", "search", "incremental"),
+)
+def search_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index maintenance under a corpus delta — the search-family
+    member of the incremental-index set (MinHash band index, IVF upsert,
+    snapshot CMS all have one): postings of departing docs (D/U) anti-join
+    out, postings of arriving texts (I/U) append, and the maintained index
+    must equal the rebuild over the new snapshot — the oracle computes the
+    rebuild. Index deltas are |changed docs|-sized; the corpus-sized
+    postings table is only anti-joined (no recompute). Reports the top-20
+    terms by document frequency through the MAINTAINED index."""
+    from flink_dts_connector_spark.operators import curation as C
+    from flink_dts_connector_spark.operators.search import postings
+
+    docs = t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = docs.where(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    diff = C.snapshot_diff(old, new)
+    maintained = (
+        postings(old)
+        .join(diff.where(F.col("op").isin("D", "U")), "doc_id", "left_anti")
+        .unionByName(postings(new.join(diff.where(F.col("op").isin("I", "U")), "doc_id")))
+    )
+    return (
+        maintained.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(20)
+    )
