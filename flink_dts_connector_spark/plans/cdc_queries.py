@@ -773,7 +773,11 @@ def cdc_signed_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_dts_connector_spark.operators import sketch as SK
 
     chg = _typed_changelog(spark, sf_dir)
-    signed = chg.select(F.col("o_orderpriority").alias("w"), sign_col("op").alias("s"))
+    # the Python wire decode is the expensive subtree and both the cells and
+    # the exact counts consume it — materialize it once
+    signed = chg.select(
+        F.col("o_orderpriority").alias("w"), sign_col("op").alias("s")
+    ).persist()
     cells = SK.cms_build(signed, item_col="w", depth=4, width=256, weight_col="s")
     exact = (
         signed.groupBy("w")

@@ -63,8 +63,16 @@ def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
     docs = t(spark, sf_dir, "documents")
 
     items = docs.select(F.explode(tokens("text")).alias("w"))
-    sketch = SK.cms_build(items, item_col="w", depth=4, width=256)
-    exact = items.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    # one corpus pass: the exact type counts; the sketch is then built from
+    # the (token, count) frame with weights — each DISTINCT token is hashed
+    # once per row instead of once per occurrence (cells are identical by
+    # linearity), and the corpus explode is never recomputed
+    exact = (
+        items.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .persist()
+    )
+    sketch = SK.cms_build(exact, item_col="w", depth=4, width=256, weight_col="exact_n")
     cand = exact.orderBy(F.desc("exact_n"), F.asc("w")).limit(20)
     est = SK.cms_estimate(sketch, cand.select("w", "exact_n"), "w", depth=4, width=256)
     return (
@@ -461,19 +469,18 @@ def curate_snapshot_sketch_update(spark: SparkSession, sf_dir: str) -> DataFrame
         ).otherwise(F.col("text")),
     )
     diff = C.snapshot_diff(old, new)
-    old_items = old.select(F.explode(tokens("text")).alias("w")).withColumn(
-        "s", F.lit(1).cast("bigint")
-    )
-    minus = (
-        old.join(diff.where(F.col("op").isin("D", "U")), "doc_id")
-        .select(F.explode(tokens("text")).alias("w"))
-        .withColumn("s", F.lit(-1).cast("bigint"))
-    )
-    plus = (
-        new.join(diff.where(F.col("op").isin("I", "U")), "doc_id")
-        .select(F.explode(tokens("text")).alias("w"))
-        .withColumn("s", F.lit(1).cast("bigint"))
-    )
+    # pre-aggregate each token stream to (token, signed count) so distinct
+    # tokens are hashed once per sketch row (cells identical by linearity)
+    def _counts(frame, sign):
+        return (
+            frame.select(F.explode(tokens("text")).alias("w"))
+            .groupBy("w")
+            .agg((F.count(F.lit(1)) * sign).cast("bigint").alias("s"))
+        )
+
+    old_items = _counts(old, 1)
+    minus = _counts(old.join(diff.where(F.col("op").isin("D", "U")), "doc_id"), -1)
+    plus = _counts(new.join(diff.where(F.col("op").isin("I", "U")), "doc_id"), 1)
     # the stored sketch (built once, persisted in real life) and the
     # |delta|-sized signed sketch merge cell-wise — linearity is the whole
     # point, so the merge is the literal operation under test
