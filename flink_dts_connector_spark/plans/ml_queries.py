@@ -1,9 +1,18 @@
 """Sketch + in-engine-ML queries (round 5): mergeable count-min and KMV
-sketches, integer-exact Naive Bayes, and leave-one-out k-NN voting.
+sketches (batch, streaming, turnstile-CDC, snapshot-incremental, and the
+AMS join-size estimator), integer-exact Naive Bayes, leave-one-out k-NN
+voting, BPE tokenizer training/encoding, and incremental inverted-index
+maintenance.
 
-All four families are fully oracle-checked: the sketches hash through
-``md5_number_lower`` (identical in DuckDB), the NB log-likelihood is exact
-integer surprisal (`ilog2`), and k-NN reuses the quantized-cosine scorer.
+All fully oracle-checked: the sketches hash through ``md5_number_lower``
+(identical in DuckDB), the NB log-likelihood is exact integer surprisal
+(`ilog2`), k-NN reuses the quantized-cosine scorer, and BPE training is
+re-derived step-for-step by an unrolled CTE oracle.
+
+Sketch-build principle (bench-derived): combine before you hash — build
+cells from the (key, count) frame, never the raw occurrence stream; by
+linearity the cells are identical and each distinct key is hashed once
+per sketch row (16x on the corpus token stream).
 """
 
 from __future__ import annotations
