@@ -129,3 +129,83 @@ def decode_media(df: DataFrame, media_col: str = "media", meta_col: str = "meta"
             )
 
     return df.mapInPandas(fn, schema="doc_id bigint, n_bytes bigint, byte_sum bigint, byte_mean double")
+
+
+def stripe_phash(payload_text: Column, n_stripes: int = 48) -> Column:
+    """Blockwise perceptual-hash analog over an opaque payload: split the
+    byte stream into ``n_stripes`` equal stripes, bit s = parity of stripe
+    s's byte sum — a LOCALITY signature (a small local edit flips at most
+    the stripes it touches), unlike an avalanche digest. 48 bits keeps the
+    signature in friendly int64 territory (3 x 16-bit bands for the
+    near-dup band join). Pure column expressions; the DuckDB oracle
+    mirrors it with ord()-sums over the same slices (payloads here are
+    ASCII, so byte == codepoint)."""
+    L = F.length(payload_text)
+    bits = []
+    for s in range(n_stripes):
+        a = (F.lit(s) * L / n_stripes).cast("bigint") + 1
+        b = (F.lit(s + 1) * L / n_stripes).cast("bigint")
+        sl = F.substring(payload_text, a, (b - a + 1).cast("int"))
+        # int division semantics: a,b via floor((s*L) div n)
+        stripe_sum = F.aggregate(
+            F.split(sl, ""), F.lit(0).cast("bigint"), lambda acc, c: acc + F.ascii(c)
+        )
+        bits.append((stripe_sum % 2) * F.lit(1 << s).cast("bigint"))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def phash_neardup_pairs(
+    media: DataFrame,
+    max_distance: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate payload pairs by stripe-phash: 3 x 16-bit band join
+    bounds the candidate set (any equal band), then exact popcount verify
+    (hamming <= max_distance). Same scale envelope as SimHash: the
+    quadratic term is bounded by the band key; the corpus never
+    broadcasts."""
+    sig = media.select(
+        F.col(id_col).alias("id"), stripe_phash(F.col(text_col)).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", 16 * b).bitwiseAND(F.lit(65535)).alias("key"),
+                    )
+                    for b in range(3)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.expr("sa ^ sb")).cast("bigint")
+        )
+        .where(F.col("hamming") <= max_distance)
+        .select("a_id", "b_id", "hamming")
+    )

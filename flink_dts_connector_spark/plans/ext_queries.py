@@ -5737,3 +5737,173 @@ def text_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mad, "source")
         .select("source", "n_docs", "median_tokens", "mad_tokens", "n_outliers")
     )
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+WITH inp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         substr(text, 1, strpos(text, 'a') - 1) || 'b' || substr(text, strpos(text, 'a') + 1)
+  FROM documents WHERE doc_id % 10 = 0 AND strpos(text, 'a') > 0
+), sig AS (
+  SELECT doc_id, CAST(SUM((ss % 2) * (CAST(1 AS BIGINT) << s)) AS BIGINT) AS sig
+  FROM (
+    SELECT doc_id, s,
+           COALESCE(list_sum(list_transform(string_split(
+             substr(text,
+                    (s * length(text)) // 48 + 1,
+                    ((s + 1) * length(text)) // 48 - (s * length(text)) // 48),
+             ''), c -> ord(c))), 0) AS ss
+    FROM inp, (SELECT unnest(generate_series(0, 47)) AS s)
+  )
+  GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, sig, b, (sig >> (16 * b)) & 65535 AS key
+  FROM sig, (SELECT unnest(generate_series(0, 2)) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id, a.sig AS sa, b2.sig AS sb
+  FROM banded a JOIN banded b2
+    ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+""",
+    tags=("ext", "multimodal", "dedup", "approx"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over opaque media payloads: a 48-bit
+    stripe-parity signature (bit = parity of one byte-stripe's sum — a
+    LOCALITY hash: a local edit flips only the stripes it touches, unlike
+    an avalanche digest), 3×16-bit band join for candidates, exact
+    popcount verify at hamming ≤ 6. The multimodal twin of SimHash: same
+    band-bounded quadratic envelope, but computed on the payload BYTES, so
+    it works on any binary column regardless of modality (the fixture's
+    payloads are the ASCII text bytes, which is what lets DuckDB mirror
+    the byte sums with ord())."""
+    docs = t(spark, sf_dir, "documents")
+    # the fixture has no raw-byte duplicates at small SFs, so the probe set
+    # adds a deterministically EDITED twin of every 10th payload (replace
+    # the first 'a' with 'b' — same length, odd byte delta => exactly one
+    # stripe parity flips); the query must find each twin at hamming 1,
+    # plus the genuine byte-identical dups at 0 where the SF has them
+    edited = docs.where(
+        (F.col("doc_id") % 10 == 0) & (F.instr("text", "a") > 0)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, 1, instr(text, 'a') - 1), 'b',"
+            " substring(text, instr(text, 'a') + 1))"
+        ).alias("text"),
+    )
+    inp = docs.select("doc_id", "text").unionByName(edited)
+    media = M.attach_media(inp)
+    # payload bytes back to the byte-per-char view the stripe hash slices
+    decoded = media.select(
+        "doc_id", F.decode(F.col("media"), "UTF-8").alias("text")
+    )
+    return M.phash_neardup_pairs(decoded, max_distance=6)
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f,
+         event_type AS t2
+  FROM events
+), c AS (
+  SELECT f AS from_type, t2 AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE f IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM c
+""",
+    tags=("ext", "events", "analytics", "markov"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behavior, trained in one pass:
+    consecutive event pairs per user (lag over the per-user (ts, event_id)
+    total order) aggregate into the |types|² transition matrix with
+    row-normalized probabilities (integer counts, one double division —
+    order-insensitive). The behavioral prior behind next-event prediction
+    and anomalous-session scoring; at 100 TB the lag window is per-user
+    bounded state and the matrix frame is tiny."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("f", F.lag("event_type").over(w)).where(
+        F.col("f").isNotNull()
+    )
+    c = pairs.groupBy(
+        F.col("f").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wt = W.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias("p"),
+    )
+
+
+@register(
+    "text_token_burstiness",
+    oracle=f"""
+WITH dt AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS dc FROM (
+    SELECT doc_id, unnest({SQL_TOKS}) AS w FROM documents
+  ) GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+), top AS (
+  SELECT w, CAST(SUM(dc) AS BIGINT) AS mass,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dc * dc) AS BIGINT) AS ssq
+  FROM dt GROUP BY 1 ORDER BY mass DESC, w LIMIT 20
+)
+SELECT w AS token, mass, n_docs,
+       (CAST(ssq AS DOUBLE) / n - (CAST(mass AS DOUBLE) / n) * (CAST(mass AS DOUBLE) / n))
+         / (CAST(mass AS DOUBLE) / n) AS vmr
+FROM top, tot
+""",
+    tags=("ext", "text", "quality"),
+)
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (variance-to-mean ratio over per-document counts,
+    zeros included): function words disperse evenly (VMR ≈ 1, Poisson-ish)
+    while topical/boilerplate tokens clump (VMR >> 1) — a corpus-
+    linguistics signal that separates template spam from ordinary prose
+    where plain frequency cannot. Exact integer moments (mass, doc count,
+    sum of squares) for the 20 heaviest tokens; the VMR is a handful of
+    double ops on exact inputs, identical across engines."""
+    from flink_dts_connector_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    top = (
+        dt.groupBy("w")
+        .agg(
+            F.sum("dc").cast("bigint").alias("mass"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("dc") * F.col("dc")).cast("bigint").alias("ssq"),
+        )
+        .orderBy(F.desc("mass"), F.asc("w"))
+        .limit(20)
+    )
+    m = F.col("mass").cast("double") / F.col("n")
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col("w").alias("token"),
+        "mass",
+        "n_docs",
+        ((F.col("ssq").cast("double") / F.col("n") - m * m) / m).alias("vmr"),
+    )

@@ -224,3 +224,23 @@ def test_waterfill_spends_budget_within_rounding(spark, sf_dir):
     if unsat:
         level = levels.pop()
         assert all(r["available"] >= level for r in unsat)
+
+
+def test_phash_locality_and_exact_dup(spark, sf_dir):
+    """Stripe-phash contract: an exact copy pairs at hamming 0; a single
+    odd-delta character edit flips EXACTLY the one stripe it lands in
+    (hamming 1) — the locality property an avalanche digest cannot give."""
+    from flink_dts_connector_spark.operators.multimodal import phash_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 4  # 180 chars
+    edited = "thf" + base[3:]  # 'e'->'f': +1 byte delta, odd
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in phash_neardup_pairs(df, max_distance=6).collect()
+    }
+    assert pairs[(1, 2)] == 0, "exact copy must collide at hamming 0"
+    assert pairs[(1, 3)] == 1, f"one odd edit must flip exactly one stripe: {pairs}"
+    assert pairs[(2, 3)] == 1
