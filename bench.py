@@ -96,12 +96,16 @@ HEADLINE = [
     "layout_range_boundaries",
     "events_gap_fill_locf",
     "events_disorder_profile",
+    "events_markov_transitions",
+    "text_token_burstiness",
     # ml_bpe_train_merges / ml_bpe_encode_stats stay registry-only: their
     # cost is 8 eager localCheckpoint rounds of vocabulary-sized work
     # (~fixed latency, like dedup_components' edge materialization) — a
     # correctness flagship, not a throughput probe. stream_count_min_
     # convergence stays registry-only like stream_profile_merge (availableNow
-    # lifecycle fixed cost).
+    # lifecycle fixed cost). multimodal_phash_neardup stays registry-only:
+    # its cost is the 48-slice payload scan (correctness flagship for the
+    # locality-hash contract, not a throughput probe).
     # stream_profile_merge stays registry-only like stream_incremental_curate:
     # its cost is three availableNow micro-batch lifecycles (~10s fixed), a
     # correctness flagship rather than a throughput probe.
