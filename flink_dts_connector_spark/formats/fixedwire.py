@@ -96,7 +96,13 @@ def encode_orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_fixed(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Decode the fixed layout — every field one `conv(substring(...))`,
     all inside whole-stage codegen (guarded by
-    tests/test_plan_shapes.py::test_fixed_wire_plan_jvm_only)."""
+    tests/test_plan_shapes.py::test_fixed_wire_plan_jvm_only).
+
+    Torn/truncated records (length != REC_LEN) are dropped BEFORE any
+    field decode — the fixed layout's one-expression poison guard (the
+    varint codec's richer per-field tolerance lives in `decoder.py`;
+    `cdc_poison_rate` audits that path)."""
+    df = df.where(F.length(F.col(value_col)) == REC_LEN)
     v = F.col(value_col)
 
     def num(off: int) -> Column:

@@ -835,3 +835,34 @@ def cdc_fixed_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") > 0)
     )
+
+
+@register(
+    "cdc_idempotent_replay",
+    oracle=f"""
+SELECT o_orderkey, {SQL_PRICE1} AS o_totalprice, {SQL_PRIO1} AS o_orderpriority
+FROM orders
+WHERE o_orderkey % 97 <> 0
+""",
+    tags=("cdc", "changelog", "exactly-once", "upsert"),
+)
+def cdc_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery made exactly-once by idempotent consumption:
+    the entire changelog is delivered TWICE (a full redelivery — the
+    worst-case Kafka at-least-once scenario after a failover re-seek by
+    timestamp, `FlinkDtsKafkaConsumer.java:372-380`), deduplicated on the
+    (monotonic record id, row kind) identity the wire format guarantees (`DtsRecord.java:13`),
+    and upsert-materialized — the result must equal the single-delivery
+    current state (same oracle as `cdc_upsert_current_state`). The id
+    dedup is one hash agg keyed by record_id (map-side combine absorbs
+    duplicates before the shuffle); at 100 TB it is the same
+    dropDuplicates shape `stream_dedup_exactly_once` runs with watermarked
+    state."""
+    chg = _typed_changelog(spark, sf_dir)
+    redelivered = chg.unionByName(chg)
+    # UPDATE doubling gives UB and UA the same record id — the redelivery
+    # identity is (record id, row kind)
+    deduped = redelivered.dropDuplicates(["record_id", "op"])
+    return materialize_upsert(
+        deduped, ["o_orderkey"], order_cols=["ts", "record_id"]
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")

@@ -246,3 +246,24 @@ def test_varint_extremes():
         write_long(buf, n)
         got, pos = read_long(bytes(buf), 0)
         assert got == n and pos == len(buf)
+
+
+def test_fixed_wire_drops_torn_records(spark, sf_dir):
+    """Fixed-layout codec: truncated/oversized records are filtered by the
+    length guard before any field decode; intact records round-trip."""
+    from pyspark.sql import functions as F
+
+    from flink_dts_connector_spark.formats.fixedwire import (
+        REC_LEN,
+        decode_fixed,
+        encode_orders_changelog,
+    )
+
+    wire = encode_orders_changelog(spark, sf_dir).limit(50)
+    n_ok = wire.count()
+    torn = wire.select(F.expr(f"substring(value, 1, {REC_LEN - 10})").alias("value"))
+    oversized = wire.select(F.concat(F.col("value"), F.lit("XX")).alias("value"))
+    mixed = wire.unionAll(torn).unionAll(oversized)
+    out = decode_fixed(mixed)
+    assert out.count() == n_ok
+    assert out.where(F.col("o_orderkey").isNull()).count() == 0
