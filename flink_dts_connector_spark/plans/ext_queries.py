@@ -5907,3 +5907,82 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         ((F.col("ssq").cast("double") / F.col("n") - m * m) / m).alias("vmr"),
     )
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         date_diff('second', MAX(ts), (SELECT MAX(ts) FROM events)) AS recency_s,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS monetary_cents
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT user_id, monetary_cents,
+         ntile(5) OVER (ORDER BY recency_s, user_id) AS r_q,
+         ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+         ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_q
+  FROM per_user
+)
+SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q, CAST(m_q AS BIGINT) AS m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(monetary_cents) AS BIGINT) AS segment_monetary_cents
+FROM scored GROUP BY 1, 2, 3
+""",
+    tags=("ext", "events", "analytics", "segmentation"),
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic CRM audience cube: per-user aggregates (exact seconds-since-
+    last-touch, event count, purchase cents), quintile scores via ntile
+    over (metric, user_id) total orders (deterministic under ties in both
+    engines), rolled up to segment counts and monetary mass. The ntile
+    windows run on the per-USER frame (one row per user — aggregates,
+    orders of magnitude smaller than the event log); at extreme user
+    counts swap in `skew.range_boundaries` histogram buckets for the
+    sort-free variant."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr("CAST(round(value * 100) AS BIGINT)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "frequency",
+            "monetary_cents",
+            (F.unix_timestamp("mx") - F.unix_timestamp("last_ts")).alias("recency_s"),
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        "monetary_cents",
+        F.ntile(5).over(W.orderBy("recency_s", "user_id")).cast("bigint").alias("r_q"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("f_q"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("monetary_cents"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("monetary_cents").cast("bigint").alias("segment_monetary_cents"),
+    )
