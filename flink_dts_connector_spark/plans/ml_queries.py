@@ -651,3 +651,70 @@ def search_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(20)
     )
+
+
+def _knn_ivf_oracle() -> str:
+    from flink_dts_connector_spark.plans.ext_queries import SQL_IVF
+
+    return f"""
+WITH base AS (
+{SQL_IVF.replace("% 100 = 0", "% 20 = 0")}
+), votes AS (
+  SELECT b.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM base b JOIN embeddings e ON e.vec_id = b.vec_id
+  GROUP BY 1, 2
+), pred AS (
+  SELECT query_id, MIN(label) AS predicted_label FROM (
+    SELECT *, MAX(n_votes) OVER (PARTITION BY query_id) AS mx FROM votes
+  ) WHERE n_votes = mx GROUP BY 1
+)
+SELECT q.label AS actual_label, p.predicted_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "ml_knn_ivf_confusion",
+    oracle=_knn_ivf_oracle(),
+    tags=("ext", "ml", "similarity", "approx"),
+)
+def ml_knn_ivf_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated inference: the kNN label vote served through the
+    IVF index instead of brute force — candidates come from the probe
+    cells (nprobe=3), so per-probe cost is nprobe/n_cells of the corpus;
+    the confusion matrix shows what index-served classification costs in
+    quality vs `ml_knn_label_confusion`'s exact version (probes with empty
+    candidate cells simply don't classify — the recall story, identical in
+    both engines). The composition a 100 TB feature store actually runs:
+    train/audit exactly, serve through the index."""
+    from flink_dts_connector_spark.operators import similarity as S
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") % 37 == 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    probes = e.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nn = S.ivf_topk(e, probes, centroids, k=5, nprobe=3)
+    votes = (
+        nn.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    )
+    best = votes.groupBy("query_id").agg(F.max("n_votes").alias("mx"))
+    pred = (
+        votes.join(best, "query_id")
+        .where(F.col("n_votes") == F.col("mx"))
+        .groupBy("query_id")
+        .agg(F.min("label").alias("predicted_label"))
+    )
+    return (
+        pred.join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("actual_label")),
+            "query_id",
+        )
+        .groupBy("actual_label", "predicted_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
