@@ -718,3 +718,86 @@ def ml_knn_ivf_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual_label", "predicted_label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
     )
+
+
+def _cms_width_oracle() -> str:
+    blocks = []
+    for w in (64, 256, 1024):
+        blocks.append(f"""
+SELECT CAST({w} AS BIGINT) AS width, CAST(SUM(est.cms_estimate - est.exact_n) AS BIGINT) AS total_overestimate,
+       CAST(MAX(est.cms_estimate - est.exact_n) AS BIGINT) AS max_overestimate
+FROM (
+  SELECT p.w, ANY_VALUE(p.exact_n) AS exact_n,
+         CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cms_estimate
+  FROM (
+    SELECT cand.w, cand.exact_n, j,
+           CAST(md5_number_lower('cms' || CAST(j AS VARCHAR) || ':' || w) % {w} AS BIGINT) AS b
+    FROM (SELECT w, exact_n FROM exact ORDER BY exact_n DESC, w LIMIT 20) cand
+    CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+  ) p
+  LEFT JOIN (
+    SELECT j, CAST(md5_number_lower('cms' || CAST(j AS VARCHAR) || ':' || w) % {w} AS BIGINT) AS b,
+           CAST(SUM(exact_n) AS BIGINT) AS c
+    FROM exact CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+    GROUP BY 1, 2
+  ) c ON c.j = p.j AND c.b = p.b
+  GROUP BY p.w
+) est""")
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return (
+        f"""
+WITH exact AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM (SELECT unnest({toks}) AS w FROM documents) GROUP BY 1
+)
+"""
+        + "\nUNION ALL\n".join(blocks)
+    )
+
+
+@register(
+    "sketch_count_min_width_sweep",
+    oracle=_cms_width_oracle(),
+    tags=("ext", "sketch", "calibration"),
+)
+def sketch_count_min_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch self-calibration — the empirical ε = F1/width law: the same
+    token stream sketched at widths 64 / 256 / 1024, each probed at the 20
+    heaviest tokens, reporting total and max one-sided overestimate per
+    width (shrinks ~linearly in 1/width). The sizing study a 100 TB
+    deployment runs once before fixing its sketch budget — the companion
+    to `ann_recall_report` (ANN) and `dedup_minhash_calibration` (MinHash)
+    in the self-evaluating family. All three sketches build from the one
+    (token, count) frame (combine-before-hash)."""
+    from flink_dts_connector_spark.operators.text import tokens
+
+    items = t(spark, sf_dir, "documents").select(F.explode(tokens("text")).alias("w"))
+    exact = (
+        items.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .persist()
+    )
+    cand = exact.orderBy(F.desc("exact_n"), F.asc("w")).limit(20)
+    out = None
+    for width in (64, 256, 1024):
+        sk = SK.cms_build(exact, item_col="w", depth=4, width=width, weight_col="exact_n")
+        est = SK.cms_estimate(sk, cand.select("w"), "w", depth=4, width=width)
+        row = (
+            cand.join(est, "w")
+            .agg(
+                F.sum(F.col("cms_estimate") - F.col("exact_n"))
+                .cast("bigint")
+                .alias("total_overestimate"),
+                F.max(F.col("cms_estimate") - F.col("exact_n"))
+                .cast("bigint")
+                .alias("max_overestimate"),
+            )
+            .select(
+                F.lit(width).cast("bigint").alias("width"),
+                "total_overestimate",
+                "max_overestimate",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
