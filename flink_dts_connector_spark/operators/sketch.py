@@ -33,11 +33,17 @@ from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
 KMV_P = (1 << 31) - 1
 
 
-def cms_hash(item: Column, row: int, width: int) -> Column:
+def cms_hash(item: Column, row: int | Column, width: int) -> Column:
     """Row-``row``'s bucket for ``item``: md5('cms{row}:' || item) mod width.
     Salting the digest input (not the output) gives ``depth`` independent
-    hash functions from one primitive, identically in both engines."""
-    return md5_number_lower_mod(F.concat(F.lit(f"cms{row}:"), item), width)
+    hash functions from one primitive, identically in both engines. ``row``
+    may be a literal int or the exploded row-index column — this is the ONE
+    definition of the bucketing; `cms_build`/`cms_estimate` route through it
+    so sketch and probe can never disagree."""
+    r = F.lit(str(row)) if isinstance(row, int) else row.cast("string")
+    return md5_number_lower_mod(
+        F.concat(F.lit("cms"), r, F.lit(":"), item.cast("string")), width
+    )
 
 
 def cms_build(
@@ -67,9 +73,7 @@ def cms_build(
     )
     # bucket = md5('cms' || j || ':' || item) % width — the row index salts
     # the digest INPUT, so one md5 primitive yields `depth` independent rows
-    b = md5_number_lower_mod(
-        F.concat(F.lit("cms"), F.col("j").cast("string"), F.lit(":"), F.col("_it")), width
-    )
+    b = cms_hash(F.col("_it"), F.col("j"), width)
     return (
         cells.select("j", b.alias("b"), "_w")
         .groupBy("j", "b")
@@ -87,15 +91,7 @@ def cms_estimate(
     rows = F.array(*[F.lit(j) for j in range(depth)])
     probes = candidates.select(
         F.col(item_col), F.explode(rows).alias("j")
-    ).withColumn(
-        "b",
-        md5_number_lower_mod(
-            F.concat(
-                F.lit("cms"), F.col("j").cast("string"), F.lit(":"), F.col(item_col).cast("string")
-            ),
-            width,
-        ),
-    )
+    ).withColumn("b", cms_hash(F.col(item_col), F.col("j"), width))
     joined = probes.join(F.broadcast(sketch), ["j", "b"], "left").withColumn(
         "c", F.coalesce(F.col("c"), F.lit(0)).cast("bigint")
     )
@@ -156,11 +152,15 @@ def kmv_jaccard_pairs(sketch: DataFrame, k: int = 64) -> DataFrame:
     is never touched again — the 100 TB set-overlap matrix costs
     O(groups^2 * k), not a corpus self-join."""
     # Cross the (small) group list, union both sides' sketch rows per pair,
-    # dedup hashes, rank, count two-sided membership.
+    # dedup hashes, rank, count two-sided membership. The group list is tiny
+    # by contract (pairwise output is O(groups²·k) rows) — broadcast it so
+    # the pair frame never shuffles. Past ~10³ groups the matrix itself is
+    # the blow-up: block the pairs (band groups into √G buckets and emit
+    # bucket-pairs) before calling this, rather than crossing all of them.
     groups = sketch.select("g").distinct()
     gp = (
         groups.alias("x")
-        .crossJoin(groups.alias("y"))
+        .crossJoin(F.broadcast(groups.alias("y")))
         .where(F.col("x.g") < F.col("y.g"))
         .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
     )

@@ -785,12 +785,18 @@ def cdc_signed_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("exact_n") > 0)
     )
     est = SK.cms_estimate(cells, exact.select("w"), "w", depth=4, width=256)
-    return exact.join(est, "w").select(
+    out = exact.join(est, "w").select(
         F.col("w").alias("o_orderpriority"),
         "exact_n",
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_n")).cast("bigint").alias("overestimate"),
     )
+    # materialize the (tiny, per-priority) report so the persisted decode
+    # subtree can be released before returning — no cache leak across a
+    # multi-query registry sweep
+    out = out.localCheckpoint()
+    signed.unpersist()
+    return out
 
 
 @register(

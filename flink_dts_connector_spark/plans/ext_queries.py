@@ -4444,10 +4444,11 @@ def layout_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFram
     partitionFilters carry the predicate, its data filters don't) — then
     aggregated. Proves the write layout, the pruned read, and the result
     in one pass; the oracle is the direct filter over the original table."""
-    import tempfile
+    from flink_dts_connector_spark.streaming.runner import scratch_dir
 
     d = t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="fdcs_part_")
+    # returned frame reads these files lazily — cleanup deferred to exit
+    out = scratch_dir("fdcs_part_")
     d.write.mode("overwrite").partitionBy("source").parquet(out)
     back = spark.read.parquet(out).where(F.col("source") == "src3")
     plan = back._jdf.queryExecution().executedPlan().toString()
@@ -5745,7 +5746,7 @@ def text_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH inp AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000,
+  SELECT -doc_id - 1,
          substr(text, 1, strpos(text, 'a') - 1) || 'b' || substr(text, strpos(text, 'a') + 1)
   FROM documents WHERE doc_id % 10 = 0 AND strpos(text, 'a') > 0
 ), sig AS (
@@ -5788,11 +5789,14 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adds a deterministically EDITED twin of every 10th payload (replace
     # the first 'a' with 'b' — same length, odd byte delta => exactly one
     # stripe parity flips); the query must find each twin at hamming 1,
-    # plus the genuine byte-identical dups at 0 where the SF has them
+    # plus the genuine byte-identical dups at 0 where the SF has them.
+    # Twin ids live in the NEGATIVE id space (-doc_id - 1): disjoint from
+    # real doc_ids (which are >= 0) at every scale factor, so no collision
+    # no matter how large `documents` grows.
     edited = docs.where(
         (F.col("doc_id") % 10 == 0) & (F.instr("text", "a") > 0)
     ).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.expr(
             "concat(substring(text, 1, instr(text, 'a') - 1), 'b',"
             " substring(text, instr(text, 'a') + 1))"

@@ -84,7 +84,7 @@ def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
     sketch = SK.cms_build(exact, item_col="w", depth=4, width=256, weight_col="exact_n")
     cand = exact.orderBy(F.desc("exact_n"), F.asc("w")).limit(20)
     est = SK.cms_estimate(sketch, cand.select("w", "exact_n"), "w", depth=4, width=256)
-    return (
+    out = (
         cand.join(est, "w")
         .select(
             F.col("w").alias("token"),
@@ -92,7 +92,12 @@ def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
             "cms_estimate",
             (F.col("cms_estimate") - F.col("exact_n")).cast("bigint").alias("overestimate"),
         )
+        # 20-row report: materialize it so the persisted token-count frame
+        # can be released (no cache leak across a registry sweep)
+        .localCheckpoint()
     )
+    exact.unpersist()
+    return out
 
 
 _SQL_KMV_SKETCH = f"""
@@ -584,7 +589,7 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_join_rows"))
     )
-    return (
+    out = (
         ip.agg(F.min("prod").cast("bigint").alias("cms_estimate"))
         .crossJoin(F.broadcast(exact))
         .select(
@@ -594,7 +599,12 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "overestimate"
             ),
         )
+        # one-row report: materialize, then release both cached sketches
+        .localCheckpoint()
     )
+    ca.unpersist()
+    cb.unpersist()
+    return out
 
 
 @register(
@@ -800,4 +810,7 @@ def sketch_count_min_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     assert out is not None
+    # 3-row report: materialize, then release the cached token counts
+    out = out.localCheckpoint()
+    exact.unpersist()
     return out

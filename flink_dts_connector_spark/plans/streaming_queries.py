@@ -28,6 +28,7 @@ from flink_dts_connector_spark.streaming.runner import (
     pinned_shuffle_partitions,
     read_stream_table,
     run_to_memory,
+    scratch_dir,
 )
 
 # append-mode emission cutoff: windows with end <= max(ts) - 10 min
@@ -245,8 +246,6 @@ def stream_partition_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator-level safe watermark is the MIN across partitions (Flink's
     multi-input rule), so a stalled partition holds progress back instead
     of losing data. Oracle reconstructs every partition's watermark in SQL."""
-    import tempfile
-
     from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
     from flink_dts_connector_spark.sources.generator import generate_cdc_bytes
     from flink_dts_connector_spark.streaming.runner import run_to_memory
@@ -255,7 +254,7 @@ def stream_partition_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
         track_partition_watermarks,
     )
 
-    raw_dir = tempfile.mkdtemp(prefix="fdcs_wm_raw_")
+    raw_dir = scratch_dir("fdcs_wm_raw_")
     generate_cdc_bytes(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(raw_dir)
     register_dts_source(spark)
     env = spark.readStream.format("dts").option("path", raw_dir).load()
@@ -294,13 +293,11 @@ def stream_cdc_envelope_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation per operation; the final totals (update sink is monotone —
     take the last emission per key) must equal the batch round-trip
     checksum. One query covers streaming source + stateful agg + codec."""
-    import tempfile
-
     from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
     from flink_dts_connector_spark.sources.generator import generate_cdc_bytes
     from flink_dts_connector_spark.streaming.runner import run_to_memory
 
-    raw_dir = tempfile.mkdtemp(prefix="fdcs_cdc_raw_")
+    raw_dir = scratch_dir("fdcs_cdc_raw_")
     generate_cdc_bytes(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(raw_dir)
     register_dts_source(spark)
     env = spark.readStream.format("dts").option("path", raw_dir).load()
@@ -349,8 +346,6 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token count and normalized length are whitespace-collapse/lowercase
     invariant) — the oracle reconstructs the closed form over distinct
     gated fingerprints."""
-    import tempfile
-
     from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
     from flink_dts_connector_spark.operators.text import (
         fingerprint,
@@ -360,7 +355,7 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
     from flink_dts_connector_spark.sources.generator import generate_doc_cdc_bytes
 
-    raw_dir = tempfile.mkdtemp(prefix="fdcs_doccdc_raw_")
+    raw_dir = scratch_dir("fdcs_doccdc_raw_")
     generate_doc_cdc_bytes(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(
         raw_dir
     )
@@ -442,8 +437,6 @@ def stream_late_data_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last day's worth — `n_rescued` = rows the reference keeps and the
     global model loses. The oracle reconstructs both watermark rules and
     the admission counts in SQL."""
-    import tempfile
-
     from flink_dts_connector_spark.streaming.watermarks import track_partition_watermarks
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -454,7 +447,7 @@ def stream_late_data_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         (F.col("kafka_partition") == 3) & (F.col("ts") > F.expr("m - INTERVAL 15 DAYS")),
     )
-    stage = tempfile.mkdtemp(prefix="fdcs_lategate_")
+    stage = scratch_dir("fdcs_lategate_")
     tagged.select("kafka_partition", "ts", "is_late").write.mode("overwrite").parquet(stage)
 
     staged = spark.read.parquet(stage)
@@ -832,8 +825,6 @@ def stream_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-held frames are the in-process stand-in for those tables —
     the checkpoint WAL covers exactly-once input consumption across
     restarts; state recovery in production reads the tables back."""
-    import tempfile
-
     from flink_dts_connector_spark.operators import curation as C
     from flink_dts_connector_spark.operators import dedup as D
     from flink_dts_connector_spark.operators import text as X
@@ -891,8 +882,8 @@ def stream_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
         state["corpus"], state["kept"] = new_corpus, new_kept
 
-    raw_dir = tempfile.mkdtemp(prefix="fdcs_docdelta_raw_")
-    ckpt = tempfile.mkdtemp(prefix="fdcs_docdelta_ckpt_")
+    raw_dir = scratch_dir("fdcs_docdelta_raw_")
+    ckpt = scratch_dir("fdcs_docdelta_ckpt_")
     register_dts_source(spark)
     delta = generate_doc_delta_cdc_bytes(spark, sf_dir)
     with pinned_shuffle_partitions(spark):
@@ -964,8 +955,6 @@ def stream_txn_atomic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     restarts, and state recovery in production reads those tables back,
     exactly as `SCALING.md` §incremental describes for the curation
     pipeline."""
-    import tempfile
-
     from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
     from flink_dts_connector_spark.sources.zoo import N_TXNS, generate_txn_bytes
 
@@ -1009,8 +998,8 @@ def stream_txn_atomic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state["pending"] = still
 
-    raw_dir = tempfile.mkdtemp(prefix="fdcs_txnstream_raw_")
-    ckpt = tempfile.mkdtemp(prefix="fdcs_txnstream_ckpt_")
+    raw_dir = scratch_dir("fdcs_txnstream_raw_")
+    ckpt = scratch_dir("fdcs_txnstream_ckpt_")
     register_dts_source(spark)
     with pinned_shuffle_partitions(spark):
         for wave in range(int(n_waves)):
@@ -1074,8 +1063,6 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch funnel closed form (`events_funnel_conversion`'s oracle) —
     the stream IS the batch, caught live. State: 24 bytes/user, evictable
     by timeout in a continuous deployment."""
-    import tempfile
-
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -1088,7 +1075,7 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .coalesce(1)
     )
-    src_dir = tempfile.mkdtemp(prefix="fdcs_funnel_src_")
+    src_dir = scratch_dir("fdcs_funnel_src_")
     ev.write.mode("overwrite").parquet(src_dir)
     stream = spark.readStream.schema(ev.schema).parquet(src_dir)
 
@@ -1246,8 +1233,6 @@ def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the close step is a broadcast join on the batch's keys; state is the
     materialized history (a table at 100 TB — same disclosure as
     `stream_incremental_curate`)."""
-    import tempfile
-
     from flink_dts_connector_spark.formats.typed import project_table
     from flink_dts_connector_spark.plans.cdc_queries import ORDERS_CDC_SCHEMA
     from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
@@ -1298,8 +1283,8 @@ def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state["hist"] = closed.unionByName(new_versions.select(*out_cols)).localCheckpoint()
 
-    raw_dir = tempfile.mkdtemp(prefix="fdcs_scd2_raw_")
-    ckpt = tempfile.mkdtemp(prefix="fdcs_scd2_ckpt_")
+    raw_dir = scratch_dir("fdcs_scd2_raw_")
+    ckpt = scratch_dir("fdcs_scd2_ckpt_")
     register_dts_source(spark)
     raw = generate_cdc_bytes(spark, sf_dir)
     waves = [
@@ -1357,12 +1342,10 @@ def stream_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     state table is touched only by a union + keyed re-reduce (state rows =
     one per (key, attr), never the write history; a partitioned table at
     100 TB — same disclosure as `stream_scd2_maintenance`)."""
-    import tempfile
-
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "value", "ts", "event_id"
     )
-    waves_dir = tempfile.mkdtemp(prefix="fdcs_prof_waves_")
+    waves_dir = scratch_dir("fdcs_prof_waves_")
     for i in range(3):
         ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(
             waves_dir
@@ -1399,7 +1382,7 @@ def stream_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = (
             stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="fdcs_prof_ckpt_"))
+            .option("checkpointLocation", scratch_dir("fdcs_prof_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -1526,12 +1509,10 @@ def stream_kmv_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form must hash-match it exactly. State is k rows per group
     FOREVER (the reason a streaming distinct-count is a sketch); compare
     `stream_profile_merge` for the same foreachBatch fold pattern."""
-    import tempfile
-
     from flink_dts_connector_spark.operators import sketch as SK
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
-    waves_dir = tempfile.mkdtemp(prefix="fdcs_kmv_waves_")
+    waves_dir = scratch_dir("fdcs_kmv_waves_")
     for i in range(3):
         ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(
             waves_dir
@@ -1563,11 +1544,14 @@ def stream_kmv_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = (
             stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="fdcs_kmv_ckpt_"))
+            .option("checkpointLocation", scratch_dir("fdcs_kmv_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(waves_dir, ignore_errors=True)  # state is localCheckpoint-ed
     if state["batches"] < 2:
         raise AssertionError(
             f"expected multiple micro-batches, got {state['batches']}"
@@ -1616,8 +1600,6 @@ def stream_fixed_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed keys as the new truth — a relational last-writer-wins merge,
     no driver-side collect). Final state must hash-match the
     current-state aggregate the oracle computes from `orders` directly."""
-    import tempfile
-
     from flink_dts_connector_spark.formats.fixedwire import (
         decode_fixed,
         encode_orders_changelog,
@@ -1625,7 +1607,7 @@ def stream_fixed_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     wire = encode_orders_changelog(spark, sf_dir)
-    waves_dir = tempfile.mkdtemp(prefix="fdcs_fixw_waves_")
+    waves_dir = scratch_dir("fdcs_fixw_waves_")
     # wave by record id parity-ish: op byte + low hex digit keeps I/UB/UA/D
     # interleaved across batches
     wave = F.conv(F.substring("value", 17, 1), 16, 10).cast("bigint") % 3
@@ -1657,10 +1639,13 @@ def stream_fixed_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             agg.writeStream.foreachBatch(fold)
             .outputMode("update")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="fdcs_fixw_ckpt_"))
+            .option("checkpointLocation", scratch_dir("fdcs_fixw_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(waves_dir, ignore_errors=True)  # state is localCheckpoint-ed
 
     return state["totals"].where(F.col("n_orders") > 0)

@@ -8,11 +8,24 @@ state store, append semantics), bounded input, synchronous result.
 
 from __future__ import annotations
 
+import atexit
 import contextlib
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp registered for removal at interpreter exit. Streaming queries
+    stage wave/checkpoint directories on local disk; a multi-query sweep in
+    one process (or repeated bench runs) would otherwise accumulate parquet
+    copies of the changelog indefinitely. Queries whose results are
+    materialized (localCheckpoint) may additionally rmtree eagerly."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 @contextlib.contextmanager
@@ -61,7 +74,7 @@ def run_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
     sink; returns the sink contents as a batch DataFrame."""
     name = f"q_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="fdcs_ckpt_")
+    ckpt = scratch_dir("fdcs_ckpt_")
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
