@@ -141,20 +141,43 @@ def main() -> None:
     # compare on — true plan cost under noisy-neighbor CPU contention) plus
     # the median, so a round-over-round delta can be told apart from
     # single-run timing noise (the r2 q3 "+11%" lesson).
+    #
+    # Contention normalization (the r5 lesson: the shared box's noisy-neighbor
+    # variance spans 2x, and two apparent "regressions" evaporated on a quiet
+    # rerun): a fixed SENTINEL query (q6 — one scan+filter+agg, plan unchanged
+    # since r1) runs immediately BEFORE each headline query, so every timing
+    # has an adjacent reading of the box's load at that moment.
+    # `queries_normalized[name]` = min_sec(name) / sentinel_sec(adjacent) is
+    # in sentinel units — box-load cancels to first order, and round-over-
+    # round comparison should use it instead of raw seconds.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    sentinel_name = "q6_forecast_revenue"
+    sentinel_fn = queries[sentinel_name].fn
+
+    def run_once(fn) -> float:
+        start = time.perf_counter()
+        # noop sink executes the full plan without collecting to the driver
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - start
+
+    run_once(sentinel_fn)  # warm the sentinel's own plan/codegen cache
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    normalized: dict[str, float] = {}
+    sentinel_readings: list[float] = []
     for name in names:
-        samples = []
-        for _ in range(runs):
-            start = time.perf_counter()
-            df = queries[name].fn(spark, sf_dir)
-            # noop sink executes the full plan without collecting to the driver
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - start)
-        samples.sort()
+        s_sec = run_once(sentinel_fn)
+        sentinel_readings.append(round(s_sec, 4))
+        samples = sorted(run_once(queries[name].fn) for _ in range(runs))
         timings[name] = round(samples[0], 4)
         medians[name] = round(samples[len(samples) // 2], 4)
+        normalized[name] = round(samples[0] / s_sec, 3)
+    sentinel_stats = {
+        "name": sentinel_name,
+        "readings": sentinel_readings,
+        "min": min(sentinel_readings),
+        "median": sorted(sentinel_readings)[len(sentinel_readings) // 2],
+    }
 
     # Decode-path throughput (SCALING.md "wire decode ceiling"): time
     # decode_cdc alone over pre-materialized raw bytes, so the number is the
@@ -166,6 +189,7 @@ def main() -> None:
 
     raw = generate_cdc_bytes(spark, sf_dir).persist()
     n_raw = raw.count()  # materialize: encode cost paid here, not in timing
+    dec_sentinel = run_once(sentinel_fn)  # box-load reading adjacent to decode
     best_dec = float("inf")
     for _ in range(runs):
         start = time.perf_counter()
@@ -196,6 +220,8 @@ def main() -> None:
         "recs_per_sec": round(n_raw / best_dec),
         "recs_per_sec_per_core": round(n_raw / best_dec / cores),
         "cores": cores,
+        "sentinel_sec": round(dec_sentinel, 4),
+        "sec_normalized": round(best_dec / dec_sentinel, 3),
         "jvm_fixed": {
             "records": n_fixed,
             "sec": round(best_fixed, 4),
@@ -213,6 +239,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "queries_normalized": normalized,
+                "sentinel": sentinel_stats,
                 "decode": decode_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -122,7 +122,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # replaces the snapshot-oracled SimHash slot (SimHash stays sweep-green;
     # spans carry a live relational oracle + maximality pytests)
     "neardup_shared_spans",
-    "neardup_cosine_pairs",
+    # r6: the gate was full at 50, so the streaming-sketch slot comes from
+    # rotating neardup_cosine_pairs to sweep coverage (its exact-cosine
+    # scoring is also inside the gated ann_recall_report's brute-force side)
     "dedup_containment",
     # similarity / ANN — r4 wave 2: product quantization replaces the
     # trained-IVF slot (same trained-codebook cascade, finer scorer;
@@ -180,6 +182,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # cdc_txn_atomic_apply and stays sweep-green); this gates the new
     # wire-codec family (encode -> decode -> signed agg, zero Python)
     "cdc_fixed_wire_roundtrip",
+    # r6: gate the streaming sketch-maintenance family (update-mode CMS
+    # convergence vs the batch closed form), previously sweep-green only
+    "stream_count_min_convergence",
 )
 
 
