@@ -87,6 +87,13 @@ HEADLINE = [
     "events_sparse_profile_merge",
     "search_phrase_positions",
     "profile_key_skew",
+    # appended in round 6: decode-once columnar CDC store. The FIRST sample
+    # pays the one-time stream-decode ingest + audit; the min the rounds
+    # compare is the warm store-served scan (pure JVM, partition-pruned),
+    # which is the architecture's point — compare it against the wire-path
+    # twins (cdc_typed_changelog / cdc_signed_agg shapes) above.
+    "cdc_ingest_once",
+    "cdc_store_signed_agg",
     # appended in round 5 (sketch / in-engine-ML / planner / time series)
     "sketch_count_min_heavy_hitters",
     "sketch_kmv_user_overlap",

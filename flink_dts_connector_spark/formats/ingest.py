@@ -1,0 +1,156 @@
+"""Decode-once columnar CDC store — the structural answer to the wire-decode
+ceiling (`SCALING.md` §decode-once).
+
+Every `cdc_*` query that consumes the self-describing varint wire re-pays
+the Python decode (per-core ceiling measured in `SCALING.md` §wire-decode).
+The reference's own design intent is to avoid re-decode — its lazy parse
+exists precisely so a record is deserialized at most once per consumer
+(`impl/LazyParseRecordImpl.java:53-84`). At 100 TB the honest architecture
+is: stream-decode the wire ONCE at ingest, persist the generic envelope as
+columnar parquet partitioned by ``(tbl_part, ingest_month)``, and point every
+downstream consumer at the store. Decode cost then amortizes to ingest
+bandwidth; downstream queries are pure JVM parquet scans with partition
+pruning on table and time — the exact two predicates every CDC consumer
+filters on (`DTSSubscribeRowDataDeserializationSchema.java:68-74` table
+filter; timestamp-bounded replay `FlinkDtsKafkaConsumer.java:372-380`).
+
+In-process the store is built at most once per (session, sf_dir): the first
+store-backed query pays ingest + a stored==re-decoded checksum audit; every
+later query (and every later bench sample) reads parquet only — which is
+the amortization this module exists to demonstrate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_dts_connector_spark.datamodel.envelope import ENVELOPE_SCHEMA
+
+#: (applicationId, sf_dir) -> store directory of the ingested envelope
+_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+#: map-typed envelope columns: canonicalized via sorted entries (map key
+#: order is storage-dependent; everything else hashes directly)
+_MAP_COLS = {"before", "after", "uk_info", "tags", "kafka_headers"}
+
+#: tbl_part partition value for records without a table (heartbeats)
+NO_TABLE = "__no_table__"
+
+
+def envelope_checksum(env: DataFrame) -> tuple[int, int]:
+    """Order-insensitive full-envelope multiset checksum: (row count, sum of
+    per-row xxhash64 over every envelope column, maps canonicalized by
+    sorted entries). Two frames with equal checksums hold the same multiset
+    of envelope rows (modulo 64-bit hash collisions). The sum runs in
+    DECIMAL(38,0) so ANSI overflow can't trip on the bigint domain."""
+    parts = [
+        F.array_sort(F.map_entries(F.col(f.name))) if f.name in _MAP_COLS else F.col(f.name)
+        for f in ENVELOPE_SCHEMA.fields
+    ]
+    row = env.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*parts).cast("decimal(38,0)")).alias("chk"),
+    ).collect()[0]
+    return int(row["n"]), int(row["chk"] or 0)
+
+
+def ingest_once(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the decode-once envelope store for ``sf_dir``.
+
+    First call: stage the wire bytes, stream-decode them ONCE with the
+    `dts` source under availableNow, write the envelope as parquet
+    partitioned by ``(tbl_part, ingest_month)``, then AUDIT the store — the
+    stored envelope must checksum-equal a fresh batch re-decode of the
+    same bytes (decode-once is only admissible if storing loses nothing).
+    Later calls return the cached store path without touching the wire.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STORE_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    from flink_dts_connector_spark.formats.decoder import decode_cdc
+    from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
+    from flink_dts_connector_spark.sources.generator import generate_cdc_bytes
+    from flink_dts_connector_spark.streaming.runner import (
+        pinned_shuffle_partitions,
+        scratch_dir,
+    )
+
+    # one raw file per core: the dts source parallelizes by file, and decode
+    # is the ingest bottleneck — stage at full width
+    raw_dir = scratch_dir("fdcs_ingest_raw_")
+    generate_cdc_bytes(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    ).write.mode("overwrite").parquet(raw_dir)
+    store = scratch_dir("fdcs_envstore_")
+    ckpt = scratch_dir("fdcs_ingest_ckpt_")
+    register_dts_source(spark)
+    with pinned_shuffle_partitions(spark):
+        env = spark.readStream.format("dts").option("path", raw_dir).load()
+        # Partition on a DERIVED null-safe key, not tbl itself: the Hive
+        # layout collapses null and '' to the default partition (heartbeats
+        # carry tbl='' — round-tripping them through a tbl partition column
+        # would corrupt the envelope). tbl stays a data column, fidelity
+        # intact; pruning happens on tbl_part.
+        #
+        # Time granularity is sized to the data's span ÷ volume: the fixture
+        # replays 7 YEARS of commit timestamps at toy volume, so day
+        # partitions would mean ~2500 directories × one file per input
+        # partition — a small-files explosion that makes every downstream
+        # listing slower than the decode it saves. Month granularity +
+        # repartition on the partition keys (one file per directory per
+        # micro-batch) keeps the file count = tables × months. A production
+        # deployment ingesting a day per day flips this to daily partitions
+        # + per-table compaction, same code shape.
+        q = (
+            env.withColumn("tbl_part", F.coalesce(F.nullif("tbl", F.lit("")), F.lit(NO_TABLE)))
+            .withColumn("ingest_month", F.date_format("ts", "yyyy-MM"))
+            .repartition("tbl_part", "ingest_month")
+            .writeStream.format("parquet")
+            .option("path", store)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("tbl_part", "ingest_month")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # audit: stored ≡ re-decoded (full-envelope multiset checksum). Paid once
+    # per session — downstream consumers then trust the store.
+    stored = spark.read.parquet(store).select(*[f.name for f in ENVELOPE_SCHEMA.fields])
+    fresh = decode_cdc(spark.read.parquet(raw_dir))
+    a, b = envelope_checksum(stored), envelope_checksum(fresh)
+    if a != b:
+        raise AssertionError(
+            f"decode-once store diverged from re-decode: stored(n,chk)={a}, fresh={b}"
+        )
+    _STORE_CACHE[key] = store
+    return store
+
+
+def read_store(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str | None = None,
+    assert_pruned: bool = True,
+) -> DataFrame:
+    """Envelope rows from the decode-once store, partition-pruned to one
+    table when given (``table`` is the bare rendered table name). The
+    pruning is asserted on the executed plan: the predicate must land in
+    the scan's PartitionFilters — at 100 TB this is the difference between
+    touching one table's directories and scanning the full changelog."""
+    store = ingest_once(spark, sf_dir)
+    df = spark.read.parquet(store)
+    if table is not None:
+        df = df.where(F.col("tbl_part") == table)
+        if assert_pruned:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            pf = plan.split("PartitionFilters:", 1)
+            if len(pf) < 2 or "tbl_part" not in pf[1].split("]", 1)[0]:
+                raise AssertionError(
+                    "table predicate did not reach PartitionFilters — decode-once "
+                    f"store scan is not pruned:\n{plan[:2000]}"
+                )
+    return df

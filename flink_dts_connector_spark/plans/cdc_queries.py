@@ -872,3 +872,118 @@ def cdc_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_upsert(
         deduped, ["o_orderkey"], order_cols=["ts", "record_id"]
     ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Decode-once columnar CDC store (formats/ingest.py): the wire is decoded
+# ONCE per session into partitioned parquet; the queries below are the
+# re-pointed twins of the cdc_* battery reading the STORE — their oracles
+# are identical to the wire-path originals, so stored == re-decoded is
+# proven at the result level too (on top of ingest_once's envelope-checksum
+# audit and read_store's partition-pruning plan guard).
+# ---------------------------------------------------------------------------
+
+
+def _typed_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_dts_connector_spark.formats.ingest import read_store
+    from flink_dts_connector_spark.sources.generator import TBL as _TBL
+
+    env = read_store(spark, sf_dir, table=_TBL)
+    return project_table(env, ORDERS_CDC_SCHEMA, table=f"{DB}.{TBL}")
+
+
+@register(
+    "cdc_ingest_once",
+    oracle=f"""
+SELECT o_orderdate AS ts, o_orderkey * 4 AS record_id,
+       o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE0} AS o_totalprice, o_orderdate, o_orderpriority, 'I' AS op
+FROM orders
+UNION ALL
+SELECT o_orderdate + INTERVAL 1 HOUR, o_orderkey * 4 + 1, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE0}, o_orderdate, o_orderpriority, 'UB'
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 1 HOUR, o_orderkey * 4 + 1, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, o_orderpriority, 'UA'
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 2 HOUR, o_orderkey * 4 + 2, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, o_orderpriority, 'UB'
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 2 HOUR, o_orderkey * 4 + 2, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, '9-RUSH', 'UA'
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 3 HOUR, o_orderkey * 4 + 3, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, {SQL_PRIO1}, 'D'
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+    tags=("cdc", "decode-once", "storage", "typed", "changelog"),
+)
+def cdc_ingest_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-once columnar CDC store, end-to-end: stream-decode the wire
+    ONCE (availableNow) into parquet partitioned by (tbl, ingest_date),
+    audit stored == re-decoded with a full-envelope multiset checksum
+    (`formats/ingest.py:ingest_once`), then serve the typed changelog from
+    the STORE through a partition-pruned scan (plan-guarded) — row-exact
+    against the same oracle as the wire-path `cdc_typed_changelog`. This is
+    the 100 TB answer to the Python decode ceiling: decode cost amortizes
+    to ingest bandwidth, downstream consumers are pure JVM parquet scans
+    (the reference's lazy parse exists for the same reason — decode at most
+    once, `LazyParseRecordImpl.java:53-84`)."""
+    return _typed_from_store(spark, sf_dir)
+
+
+@register(
+    "cdc_store_upsert_state",
+    oracle=f"""
+SELECT o_orderkey, {SQL_PRICE1} AS o_totalprice, {SQL_PRIO1} AS o_orderpriority
+FROM orders
+WHERE o_orderkey % 97 <> 0
+""",
+    tags=("cdc", "decode-once", "storage", "upsert"),
+)
+def cdc_store_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert materialization re-pointed at the decode-once store: same
+    semantics and oracle as `cdc_upsert_current_state`, but the changelog
+    comes from the stored envelope (zero wire decode when the store is
+    warm — the amortization the store exists for)."""
+    chg = _typed_from_store(spark, sf_dir)
+    return materialize_upsert(chg, ["o_orderkey"], order_cols=["ts", "record_id"]).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
+    "cdc_store_signed_agg",
+    oracle=f"""
+SELECT o_orderpriority_final AS o_orderpriority,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_open_price,
+       COUNT(*) AS n_orders
+FROM (
+  SELECT {SQL_PRIO1} AS o_orderpriority_final, {SQL_PRICE1} AS price
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+GROUP BY o_orderpriority_final
+""",
+    tags=("cdc", "decode-once", "storage", "signed-agg"),
+)
+def cdc_store_signed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-correct signed aggregation re-pointed at the decode-once
+    store — twin of `cdc_signed_agg_revenue` with the wire decode replaced
+    by a pruned parquet scan of the stored envelope."""
+    chg = _typed_from_store(spark, sf_dir)
+    s = sign_col("op")
+    return (
+        chg.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * s)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("total_open_price"),
+            F.sum(s).alias("n_orders"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
