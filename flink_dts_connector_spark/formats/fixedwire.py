@@ -126,3 +126,216 @@ def fixed_sign(op: Column | str = "op") -> Column:
     return (
         F.when(op.isin("I", "A"), F.lit(1)).when(op.isin("B", "D"), F.lit(-1)).otherwise(F.lit(0))
     )
+
+
+# ---------------------------------------------------------------------------
+# v2: fixed-slot VALUE-ZOO layout — the JVM twin of the self-describing
+# union's scalar kinds (reference decode jump table
+# `impl/LazyRecordDeserializer.java:152-260`). Where v1 above is one
+# orders-shaped record, v2 covers the scalar ValueKinds with a kind-tagged
+# fixed-width slot per field:
+#
+#     record := op(1) id_hex(16) slot*            (slot width = 40 chars)
+#     slot   := kind(1) payload(39)
+#     kind   'S': text-carried value (INTEGER digits / DECIMAL text incl.
+#                 NaN/Infinity / CHARACTER post-charset-decode utf8 text):
+#                 2-hex char-length + text (trailing-space safe)
+#     kind   'F': FLOAT as sign char + 18-digit micro-scaled integer
+#     kind   'T': TIMESTAMP as 16-hex micros-since-epoch
+#     kind   'D': DATETIME, subkind 'F' full yyyyMMddHHmmss + 6-digit micros
+#                            subkind 'P' date-only yyyyMMdd
+#                            subkind 'Z' zero-date (renders NULL)
+#     kind   'N': NULL / EMPTY
+#
+# Both encode and decode are pure column expressions (concat/lpad/conv/
+# substring/date_add — zero Python, plan-guarded), and the decode's
+# when-chain over the kind char IS the jump table, in codegen form.
+# Timestamp rendering decomposes micros arithmetically over a DATE literal
+# (date_add + lpad), so it is session-timezone-independent — date_format
+# over a TIMESTAMP would render in local time and break across drivers.
+# The CHARACTER slot carries post-charset-decode utf8 text: a fixed-slot
+# producer normalizes encodings at write time (the self-describing wire +
+# Python path keeps the full charset zoo, `formats/wire.py:render_value`).
+# ---------------------------------------------------------------------------
+
+ZOO_SLOT_W = 40
+
+
+def _slot_text(text: Column) -> Column:
+    """'S' + 2-hex char length + text, right-space-padded to the slot."""
+    return F.rpad(
+        F.concat(F.lit("S"), F.lpad(F.lower(F.hex(F.length(text))), 2, "0"), text),
+        ZOO_SLOT_W,
+        " ",
+    )
+
+
+def _slot_float_micros(v: Column) -> Column:
+    """'F' + sign + 18-digit |value|*1e6 (exact for the layout's contract:
+    producers quantize floats to micro precision at write time)."""
+    micros = F.round(F.abs(v) * 1000000).cast("bigint")
+    sign = F.when(v < 0, F.lit("-")).otherwise(F.lit("+"))
+    return F.rpad(
+        F.concat(F.lit("F"), sign, F.lpad(micros.cast("string"), 18, "0")),
+        ZOO_SLOT_W,
+        " ",
+    )
+
+
+def _slot_ts_micros(total_micros: Column) -> Column:
+    return F.rpad(
+        F.concat(F.lit("T"), F.lpad(F.hex(total_micros.cast("bigint")), 16, "0")),
+        ZOO_SLOT_W,
+        " ",
+    )
+
+
+def _slot_datetime(subkind: str, digits: Column | None) -> Column:
+    body = F.lit("D" + subkind) if digits is None else F.concat(F.lit("D" + subkind), digits)
+    return F.rpad(body, ZOO_SLOT_W, " ")
+
+
+def _slot_null() -> Column:
+    return F.rpad(F.lit("N"), ZOO_SLOT_W, " ")
+
+
+#: (field name, expected rendering) — pure data, importable without an
+#: active SparkContext; doubles as the DuckDB oracle rows
+#: (`cdc_fixed_wire_zoo` builds a VALUES table from it).
+ZOO_FIXED_EXPECTED: list[tuple[str, str | None]] = [
+    ("z_long_min", str(-(2**63))),
+    ("z_big_integer", str(2**70 + 7)),
+    ("z_decimal", "12345.678901"),
+    ("z_decimal_nan", "NaN"),
+    ("z_decimal_inf", "-Infinity"),
+    ("z_utf8", "héllo 🎉"),
+    ("z_trailing_space", "pad  "),
+    ("z_double", "-2.5"),
+    ("z_double_frac", "1234.56789"),
+    ("z_ts", "2023-11-14 22:13:20.123456"),
+    ("z_datetime", "2024-02-29 23:59:59.123456"),
+    ("z_partial_date", "2024-05-17"),
+    ("z_zero_date", None),
+    ("z_null", None),
+]
+
+
+#: the fixed-zoo schema: (field name, slot expression, expected rendering).
+def zoo_fixed_cases() -> list[tuple[str, Column, str | None]]:
+    cases = _zoo_fixed_cases()
+    assert [(n, e) for n, _, e in cases] == ZOO_FIXED_EXPECTED
+    return cases
+
+
+def _zoo_fixed_cases() -> list[tuple[str, Column, str | None]]:
+    return [
+        ("z_long_min", _slot_text(F.lit(str(-(2**63)))), str(-(2**63))),
+        ("z_big_integer", _slot_text(F.lit(str(2**70 + 7))), str(2**70 + 7)),
+        ("z_decimal", _slot_text(F.lit("12345.678901")), "12345.678901"),
+        ("z_decimal_nan", _slot_text(F.lit("NaN")), "NaN"),
+        ("z_decimal_inf", _slot_text(F.lit("-Infinity")), "-Infinity"),
+        ("z_utf8", _slot_text(F.lit("héllo 🎉")), "héllo 🎉"),
+        ("z_trailing_space", _slot_text(F.lit("pad  ")), "pad  "),
+        ("z_double", _slot_float_micros(F.lit(-2.5)), "-2.5"),
+        ("z_double_frac", _slot_float_micros(F.lit(1234.56789)), "1234.56789"),
+        (
+            "z_ts",
+            _slot_ts_micros(F.lit(1700000000 * 1000000 + 123456)),
+            "2023-11-14 22:13:20.123456",
+        ),
+        (
+            "z_datetime",
+            _slot_datetime("F", F.lit("20240229235959123456")),
+            "2024-02-29 23:59:59.123456",
+        ),
+        ("z_partial_date", _slot_datetime("P", F.lit("20240517")), "2024-05-17"),
+        ("z_zero_date", _slot_datetime("Z", None), None),
+        ("z_null", _slot_null(), None),
+    ]
+
+
+def encode_zoo_fixed(spark: SparkSession, n_copies: int = 64) -> DataFrame:
+    """N copies of the fixed-zoo record, spread across partitions (the
+    render must be location-independent, like the varint zoo fixture).
+    Pure column expressions: op + 16-hex id + one slot per field."""
+    cases = zoo_fixed_cases()
+    rec = F.concat(
+        F.lit("I"), F.lpad(F.hex(F.col("id")), 16, "0"), *[slot for _, slot, _ in cases]
+    )
+    return spark.range(n_copies).repartition(8).select(rec.alias("value"))
+
+
+def decode_zoo_fixed(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Fixed-zoo decode + render: one (field, rendered) row per field —
+    the column-expression jump table. Torn records (wrong length) drop
+    before any slot is read, like `decode_fixed`."""
+    cases = zoo_fixed_cases()
+    rec_len = 17 + ZOO_SLOT_W * len(cases)
+    df = df.where(F.length(F.col(value_col)) == rec_len)
+    v = F.col(value_col)
+
+    def render_slot(i: int) -> Column:
+        o = 18 + i * ZOO_SLOT_W  # 1-based start of slot i
+        kind = F.substring(v, o, 1)
+        body = F.substring(v, o + 1, ZOO_SLOT_W - 1)
+        text_len = F.conv(F.substring(v, o + 1, 2), 16, 10).cast("int")
+        text = F.substring(v, o + 3, 64).substr(F.lit(1), text_len)
+        sign = F.when(F.substring(v, o + 1, 1) == "-", F.lit(-1)).otherwise(F.lit(1))
+        fmicros = F.conv(F.substring(v, o + 2, 18), 10, 10).cast("bigint")
+        fval = (sign * fmicros).cast("double") / 1000000.0
+        tmicros = F.conv(F.substring(v, o + 1, 16), 16, 10).cast("bigint")
+        # tz-independent render: date arithmetic over a DATE anchor + lpad'd
+        # time digits (never date_format over a TIMESTAMP)
+        days = (tmicros / F.lit(86400000000)).cast("bigint")
+        rem = tmicros - days * F.lit(86400000000)
+        t_render = F.concat(
+            F.date_format(F.date_add(F.lit("1970-01-01").cast("date"), days.cast("int")), "yyyy-MM-dd"),
+            F.lit(" "),
+            F.lpad((rem / F.lit(3600000000)).cast("bigint").cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad(((rem / F.lit(60000000)).cast("bigint") % 60).cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad(((rem / F.lit(1000000)).cast("bigint") % 60).cast("string"), 2, "0"),
+            F.lit("."),
+            F.lpad((rem % F.lit(1000000)).cast("string"), 6, "0"),
+        )
+        dsub = F.substring(v, o + 1, 1)
+        ddigits = F.substring(v, o + 2, 20)
+        d_full = F.concat(
+            F.substring(ddigits, 1, 4), F.lit("-"), F.substring(ddigits, 5, 2),
+            F.lit("-"), F.substring(ddigits, 7, 2), F.lit(" "),
+            F.substring(ddigits, 9, 2), F.lit(":"), F.substring(ddigits, 11, 2),
+            F.lit(":"), F.substring(ddigits, 13, 2), F.lit("."),
+            F.substring(ddigits, 15, 6),
+        )
+        d_partial = F.concat(
+            F.substring(ddigits, 1, 4), F.lit("-"), F.substring(ddigits, 5, 2),
+            F.lit("-"), F.substring(ddigits, 7, 2),
+        )
+        # float render: CAST(double AS STRING) (Java minimal repr — the
+        # layout contract pins producer values to plain-decimal magnitudes)
+        return (
+            F.when(kind == "N", F.lit(None).cast("string"))
+            .when(kind == "S", text)
+            .when(kind == "F", fval.cast("string"))
+            .when(kind == "T", t_render)
+            .when(
+                kind == "D",
+                F.when(dsub == "Z", F.lit(None).cast("string"))
+                .when(dsub == "P", d_partial)
+                .otherwise(d_full),
+            )
+            .otherwise(F.concat(F.lit("??"), body))
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(F.lit(name).alias("field"), render_slot(i).alias("rendered"))
+            for i, (name, _, _) in enumerate(cases)
+        ]
+    )
+    return df.select(
+        F.substring(v, 1, 1).alias("op"),
+        F.conv(F.substring(v, 2, 16), 16, 10).cast("bigint").alias("record_id"),
+        F.explode(pairs).alias("fr"),
+    ).select("op", "record_id", "fr.field", "fr.rendered")

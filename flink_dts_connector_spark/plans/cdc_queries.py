@@ -987,3 +987,47 @@ def cdc_store_signed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") > 0)
     )
+
+
+def _fixed_zoo_oracle() -> str:
+    from flink_dts_connector_spark.formats.fixedwire import ZOO_FIXED_EXPECTED
+
+    rows = ", ".join(
+        "('{}', {}, 64)".format(
+            name, "NULL" if exp is None else "'" + exp.replace("'", "''") + "'"
+        )
+        for name, exp in ZOO_FIXED_EXPECTED
+    )
+    return (
+        "SELECT field, rendered, CAST(n_records AS BIGINT) AS n_records "
+        f"FROM (VALUES {rows}) AS t(field, rendered, n_records)"
+    )
+
+
+@register(
+    "cdc_fixed_wire_zoo",
+    oracle=_fixed_zoo_oracle(),
+    tags=("cdc", "wire", "jvm-decode", "values"),
+)
+def cdc_fixed_wire_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-slot value-zoo codec, JVM end-to-end: the scalar value kinds
+    (INTEGER incl. beyond-int64, DECIMAL incl. NaN/±Infinity, FLOAT,
+    TIMESTAMP, DATETIME full/partial/zero-date, CHARACTER incl. trailing
+    spaces, NULL) encoded into kind-tagged fixed-width slots and decoded
+    back with pure column expressions — the decode when-chain over the
+    kind char is the reference's 13-branch jump table
+    (`impl/LazyRecordDeserializer.java:152-260`) in whole-stage-codegen
+    form (plan-guarded: zero Python eval). 64 record copies ride 8
+    partitions, so rendering must be location-independent; the timestamp
+    render is session-timezone-independent by construction (date
+    arithmetic + lpad, never date_format over a TIMESTAMP)."""
+    from flink_dts_connector_spark.formats.fixedwire import (
+        decode_zoo_fixed,
+        encode_zoo_fixed,
+    )
+
+    wire = encode_zoo_fixed(spark, n_copies=64)
+    dec = decode_zoo_fixed(wire)
+    return dec.groupBy("field", "rendered").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records")
+    )

@@ -326,3 +326,20 @@ def test_fixed_wire_plan_jvm_only(spark):
         "AdaptiveSparkPlan", "AQEShuffleRead", "ShuffleQueryStage", "ColumnarToRow",
     }
     assert nodes <= allowed, f"unexpected nodes: {nodes - allowed}"
+
+
+def test_fixed_wire_zoo_plan_jvm_only(spark):
+    """The fixed-slot value-zoo codec (encode → slot jump table → render →
+    agg) must also stay JVM-only: the kind-char when-chain is codegen'd
+    like the rest — zero Python eval, range source + project/explode +
+    one agg exchange."""
+    plan = _plan(spark, "cdc_fixed_wire_zoo")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    nodes = set(re.findall(r"\(\d+\) ([A-Za-z]+)", plan))
+    allowed = {
+        "Range", "Project", "Filter", "Generate", "Union", "Exchange",
+        "HashAggregate", "AdaptiveSparkPlan", "AQEShuffleRead",
+        "ShuffleQueryStage", "ColumnarToRow", "Scan",
+    }
+    assert nodes <= allowed, f"unexpected nodes: {nodes - allowed}"

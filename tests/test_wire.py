@@ -267,3 +267,25 @@ def test_fixed_wire_drops_torn_records(spark, sf_dir):
     out = decode_fixed(mixed)
     assert out.count() == n_ok
     assert out.where(F.col("o_orderkey").isNull()).count() == 0
+
+
+def test_fixed_zoo_drops_torn_records(spark):
+    """Truncated fixed-zoo records drop before any slot read; intact copies
+    decode every field."""
+    from pyspark.sql import functions as F
+
+    from flink_dts_connector_spark.formats.fixedwire import (
+        ZOO_FIXED_EXPECTED,
+        decode_zoo_fixed,
+        encode_zoo_fixed,
+    )
+
+    wire = encode_zoo_fixed(spark, n_copies=4)
+    torn = wire.select(F.expr("substring(value, 1, 100)").alias("value"))
+    out = decode_zoo_fixed(wire.unionAll(torn))
+    assert out.count() == 4 * len(ZOO_FIXED_EXPECTED)
+    got = {
+        (r["field"], r["rendered"])
+        for r in out.select("field", "rendered").distinct().collect()
+    }
+    assert got == set(ZOO_FIXED_EXPECTED)
