@@ -2,11 +2,15 @@
 BINARY columns + typed metadata structs, with decode/feature-extract/resize/
 frame-sample as Arrow-batched Pandas UDF stages.
 
-The container has no image/audio libraries, so the actual media decode is
-STUBBED: `decode_media` raises NotImplementedError for real codecs and
-offers a deterministic fake decoder so the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — is real and tested end-to-end
-(that plumbing, not the pixel math, is what this engine owns at 100 TB).
+The container has no image/audio libraries; two decode tiers exist:
+- **REAL, dependency-free**: 24-bit uncompressed BMP — `encode_bmp` /
+  `decode_bmp_features` below parse genuine BMP bytes with pure byte
+  arithmetic (oracle-checked end-to-end by `multimodal_bmp_features`).
+- **STUBBED**: jpeg/png/wav/mp4 need external decoders — `decode_media`
+  raises NotImplementedError for them by disclosed contract, and offers a
+  deterministic fake decoder so the Spark-side plumbing — schema,
+  partitioning, UDF signature, batch shape — is tested end-to-end (that
+  plumbing, not the pixel math, is what this engine owns at 100 TB).
 
 Scale notes: media bytes never leave the executor that read them (mapInPandas
 per-partition); metadata-only operations (frame sampling plans, filters)
@@ -208,4 +212,132 @@ def phash_neardup_pairs(
         )
         .where(F.col("hamming") <= max_distance)
         .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real media codec, dependency-free: 24-bit uncompressed BMP (BITMAPINFOHEADER
+# + BI_RGB — pure byte arithmetic, no imaging library). This closes the
+# "media decode is stubbed" gap for one real format: the bytes on the wire
+# are genuine BMP files any image viewer opens; jpeg/png/wav/mp4 keep the
+# disclosed NotImplementedError contract in `decode_media`.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Build a real 24-bit BI_RGB BMP: 14-byte file header + 40-byte info
+    header + bottom-up rows padded to 4 bytes, pixels stored B,G,R.
+    ``pixel_fn(x, y) -> (r, g, b)`` with y counted from the TOP row (the
+    encoder flips into the bottom-up storage order)."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    data_size = row_stride * height
+    offset = 14 + 40
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", offset + data_size, 0, 0, offset)
+    out += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    pad = b"\x00" * (row_stride - width * 3)
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            out += bytes((b & 0xFF, g & 0xFF, r & 0xFF))
+        out += pad
+    return bytes(out)
+
+
+def attach_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic BMP fixture: one real BMP per row, dimensions and
+    pixels derived from the id (w = 4 + id%5, h = 3 + id%4, channel values
+    linear in (id, x, y) mod 256) — so a SQL oracle can reproduce every
+    per-channel sum in closed form without parsing bytes."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                payloads.append(
+                    encode_bmp(
+                        w,
+                        h,
+                        lambda x, y, i=i: (
+                            (i + 7 * x + 13 * y) % 256,
+                            (2 * i + 3 * x + 5 * y) % 256,
+                            (5 * i + x + 11 * y) % 256,
+                        ),
+                    )
+                )
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "bmp", "n_bytes": len(p), "width": 4 + int(i) % 5,
+                 "height": 3 + int(i) % 4, "duration_ms": 0}
+                for i, p in zip(ids, payloads)
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_bmp_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL media decode: parse each 24-bit BI_RGB BMP payload (header
+    validation + bottom-up row unpadding via numpy) and emit per-channel
+    pixel sums. Arrow-batched mapInPandas — bytes never leave the executor
+    that read them; malformed payloads fail loudly (this is the trusted
+    ingest path; poison tolerance belongs to the caller's on_error layer)."""
+    import struct
+
+    import numpy as np
+
+    def parse(raw: bytes):
+        if len(raw) < 54 or raw[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        offset = struct.unpack_from("<I", raw, 10)[0]
+        hdr_size, width, height = struct.unpack_from("<Iii", raw, 14)
+        planes, bpp = struct.unpack_from("<HH", raw, 26)
+        compression = struct.unpack_from("<I", raw, 30)[0]
+        if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+            raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+        if height <= 0 or width <= 0:
+            raise ValueError("top-down/degenerate BMP unsupported")
+        stride = (width * 3 + 3) & ~3
+        px = np.frombuffer(raw, dtype=np.uint8, count=stride * height, offset=offset)
+        rows = px.reshape(height, stride)[::-1, : width * 3]  # flip to top-down
+        bgr = rows.reshape(height, width, 3).astype(np.int64)
+        return (
+            width,
+            height,
+            int(bgr[:, :, 2].sum()),  # R
+            int(bgr[:, :, 1].sum()),  # G
+            int(bgr[:, :, 0].sum()),  # B
+        )
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [parse(raw) for raw in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": [p[0] for p in parsed],
+                    "height": [p[1] for p in parsed],
+                    "n_pixels": [p[0] * p[1] for p in parsed],
+                    "sum_r": [p[2] for p in parsed],
+                    "sum_g": [p[3] for p in parsed],
+                    "sum_b": [p[4] for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, width bigint, height bigint, n_pixels bigint,"
+        " sum_r bigint, sum_g bigint, sum_b bigint",
     )
