@@ -1649,3 +1649,168 @@ def stream_fixed_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(waves_dir, ignore_errors=True)  # state is localCheckpoint-ed
 
     return state["totals"].where(F.col("n_orders") > 0)
+
+
+@register(
+    "stream_profiled_watermark",
+    oracle="""
+WITH raw AS (SELECT event_id, ts FROM events),
+sp AS (SELECT 3 * (MAX(event_id) - MIN(event_id)) // 8 AS shift FROM raw),
+ev AS (
+  SELECT event_id,
+         event_id + CASE WHEN event_id % 50 = 0 THEN (SELECT shift FROM sp) ELSE 0 END AS arr,
+         ts
+  FROM raw
+),
+b AS (SELECT MIN(arr) mn, MAX(arr) mx FROM ev),
+w AS (
+  SELECT event_id, ts,
+         LEAST(3, CAST((arr - mn) // ((mx - mn) // 4 + 1) AS BIGINT)) AS wave
+  FROM ev, b
+),
+wm AS (SELECT wave, MAX(epoch_us(ts)) AS mx_us FROM w GROUP BY 1),
+lw AS (
+  SELECT w2.wave, (SELECT MAX(mx_us) FROM wm v WHERE v.wave <= w2.wave - 2) AS lw_us
+  FROM (SELECT DISTINCT wave FROM w) w2
+),
+dis AS (
+  SELECT MAX(epoch_us(rmax) - epoch_us(ts)) AS mx_dis
+  FROM (SELECT ts, MAX(ts) OVER (ORDER BY arr, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax FROM ev)
+),
+rec AS (SELECT CAST(CEIL((SELECT mx_dis FROM dis) / 1000.0) AS BIGINT) + 1000 AS delay_ms),
+arms AS (
+  SELECT 'default_10min' AS arm, CAST(600000 AS BIGINT) AS delay_ms
+  UNION ALL
+  SELECT 'profiled', (SELECT delay_ms FROM rec)
+),
+j AS (SELECT w.*, lw.lw_us FROM w JOIN lw USING (wave))
+SELECT a.arm, a.delay_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN j.lw_us IS NOT NULL
+                      AND (epoch_ms(j.ts) // 3600000 + 1) * 3600000 <= j.lw_us // 1000 - a.delay_ms
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN j.lw_us IS NOT NULL
+                      AND (epoch_ms(j.ts) // 3600000 + 1) * 3600000 <= j.lw_us // 1000 - a.delay_ms
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_admitted
+FROM arms a CROSS JOIN j
+GROUP BY a.arm, a.delay_ms
+""",
+    tags=("streaming", "watermark", "streaming-ops"),
+)
+def stream_profiled_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the watermark-profiler loop: the disorder profiler RECOMMENDS
+    a delay (ceil of the max arrival-order lateness + 1s margin), then two
+    REAL Structured Streaming runs — Spark's 10-minute default vs the
+    recommendation — measure what actually drops, and the closed-form
+    oracle must predict both counts exactly. Arrival disorder is synthetic
+    and deterministic (every 50th event arrives 3/8-of-the-stream late, a
+    1.5-wave displacement — the fixture's natural event order has zero
+    disorder), delivered as 4 arrival-ordered micro-batches.
+
+    The drop model the oracle mirrors (pinned empirically on this Spark):
+    the late-event filter of batch k uses the watermark in effect DURING
+    batch k-1 — i.e. floor-to-ms of the max event time over batches
+    <= k-2, minus the delay — and a window is dropped iff its END <= that
+    lagged watermark. Measured drops come from the engine's own
+    numRowsDroppedByWatermark counters, cross-checked against the sink
+    (admitted + dropped == total). At 100 TB the profiler runs
+    per-partition on arrival slices (events_disorder_profile) and this
+    pair is the acceptance test a pipeline runs before fixing its
+    watermark config."""
+    import os
+    import shutil
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    bounds = ev.agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    ).collect()[0]
+    mn, mx = int(bounds["mn"]), int(bounds["mx"])
+    shift = 3 * (mx - mn) // 8
+    arr = F.col("event_id") + F.when(F.col("event_id") % 50 == 0, F.lit(shift)).otherwise(
+        F.lit(0)
+    )
+    waved = ev.withColumn("arr", arr)
+    amn, amx = (
+        int(r)
+        for r in waved.agg(F.min("arr"), F.max("arr")).collect()[0]
+    )
+    wave_w = (amx - amn) // 4 + 1
+    waved = waved.withColumn(
+        "wave", F.least(F.lit(3), ((F.col("arr") - amn) / wave_w).cast("bigint"))
+    )
+
+    # profiler recommendation: ceil(max arrival-order lateness) + 1s margin.
+    # The global arrival-order prefix max is a single-partition window —
+    # fine here; at scale events_disorder_profile's per-partition form is
+    # the production profiler and the recommendation is its per-part max.
+    from pyspark.sql import Window as W
+
+    rmax = F.max("ts").over(
+        W.orderBy("arr", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    max_dis_us = waved.select(
+        (F.unix_micros(rmax) - F.unix_micros("ts")).alias("d")
+    ).agg(F.max("d")).collect()[0][0]
+    rec_delay_ms = -(-int(max_dis_us) // 1000) + 1000
+
+    # stage 4 arrival-ordered wave files with pinned names + mtimes (the
+    # file source orders by modification time; ties would scramble waves)
+    waves_dir = scratch_dir("fdcs_profwm_waves_")
+    stage_tmp = scratch_dir("fdcs_profwm_stage_")
+    for k in range(4):
+        part_dir = os.path.join(stage_tmp, f"w{k}")
+        waved.where(F.col("wave") == k).select("event_id", "ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(waves_dir, f"wave{k}.parquet")
+        shutil.copy(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1700000000 + k, 1700000000 + k))
+
+    total = ev.count()
+    rows = []
+    with pinned_shuffle_partitions(spark):
+        for arm, delay_ms in (("default_10min", 600000), ("profiled", rec_delay_ms)):
+            agg = (
+                spark.readStream.schema("event_id long, ts timestamp")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(waves_dir)
+                .withWatermark("ts", f"{delay_ms} milliseconds")
+                .groupBy(F.window("ts", "1 hour"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            name = f"profwm_{uuid.uuid4().hex[:8]}"
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", scratch_dir("fdcs_profwm_ckpt_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            dropped = sum(
+                int(op.get("numRowsDroppedByWatermark") or 0)
+                for p in q.recentProgress
+                for op in (p.get("stateOperators") or [])
+            )
+            # cross-check against the sink: update mode re-emits a window
+            # each time it grows, so max-per-window is its final count
+            admitted = (
+                spark.table(name)
+                .groupBy("window")
+                .agg(F.max("n").alias("n"))
+                .agg(F.sum("n"))
+                .collect()[0][0]
+            )
+            admitted = int(admitted or 0)
+            if admitted + dropped != total:
+                raise AssertionError(
+                    f"{arm}: admitted {admitted} + dropped {dropped} != total {total}"
+                )
+            rows.append((arm, delay_ms, total, dropped, total - dropped))
+    return spark.createDataFrame(
+        rows, "arm string, delay_ms bigint, n_events bigint, n_dropped bigint, n_admitted bigint"
+    )
