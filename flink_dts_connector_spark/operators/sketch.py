@@ -185,3 +185,79 @@ def kmv_jaccard_pairs(sketch: DataFrame, k: int = 64) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("jaccard_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers (round 6) — the third mergeable sketch family next
+# to count-min and KMV. Engine-mirrorable variant: md5-derived bucket +
+# 31-bit rank source, and the RAW HLL estimator with a fixed rational
+# alpha (7183/10000 ~ alpha_256), so every step is integer arithmetic and
+# the DuckDB oracle matches bit-for-bit. Small-range (linear-counting)
+# correction is deliberately out of contract — it needs ln(), whose last
+# ulp is libm-dependent across engines; zero-register counts are reported
+# so a consumer can apply any correction downstream. Spark's own
+# approx_count_distinct covers the production estimator; THIS is the
+# transparent, mergeable, oracle-checkable register layer (merge = max
+# per register — the sketch a 100 TB pipeline stores per shard/day).
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # 2^8 registers per group
+HLL_W = 31  # rank-source bits (md5_number_lower_mod caps at 2^31)
+#: fixed rational alpha ~ alpha_256 = 0.7213/(1 + 1.079/256); exact-integer
+#: numerator for est = alpha * m^2 * 2^(W+2) / S with S scaled by 2^(W+2)
+_HLL_NUM = 7183 * HLL_M * HLL_M * (1 << (HLL_W + 2))
+_HLL_DEN = 10000
+
+
+def hll_registers(df: DataFrame, key_col: str, group_col: str, m: int = HLL_M) -> DataFrame:
+    """Per-group HLL registers ``(g, j, r)``: bucket j = md5(key·':hllb')
+    mod m, rank r = leading-zero count of the independent 31-bit hash
+    md5(key·':hllr') + 1 (zero hash → W+1). One hash aggregation — the max
+    per register combines map-side, so shuffle volume is <= m rows per
+    group per partition regardless of input mass. Registers MERGE by
+    per-cell max (idempotent, commutative — order/batching can't change
+    the converged sketch)."""
+    key = F.col(key_col).cast("string")
+    bucket = md5_number_lower_mod(F.concat(key, F.lit(":hllb")), m)
+    v = md5_number_lower_mod(F.concat(key, F.lit(":hllr")), 1 << HLL_W)
+    bitlen = F.length(F.conv(v.cast("string"), 10, 2))
+    rank = F.when(v == 0, F.lit(HLL_W + 1)).otherwise(F.lit(HLL_W + 1) - bitlen)
+    return (
+        df.select(F.col(group_col).alias("g"), bucket.alias("j"), rank.alias("rk"))
+        .groupBy("g", "j")
+        .agg(F.max("rk").cast("bigint").alias("r"))
+    )
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Merge register tables: per-cell max (HLL's union operator)."""
+    if not register_frames:
+        raise ValueError("need at least one register frame")
+    u = register_frames[0]
+    for s in register_frames[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("g", "j").agg(F.max("r").cast("bigint").alias("r"))
+
+
+def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
+    """Raw HLL estimate per group from the register table: est =
+    alpha·m²/Σ 2^(−Mj), computed entirely in BIGINT by scaling the
+    harmonic sum with 2^(W+2) (absent registers contribute Mj = 0).
+    Returns ``(g, hll_est, n_zero_registers)``."""
+    num = 7183 * m * m * (1 << (HLL_W + 2))  # fits int64 for m = 256
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W + 2} - r AS INT))")
+    agg = registers.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+        F.sum(term).cast("bigint").alias("s_present"),
+    )
+    s = (
+        F.col("s_present")
+        + (F.lit(m) - F.col("n_present")) * F.lit(1 << (HLL_W + 2)).cast("bigint")
+    ).alias("_s")
+    return agg.select("g", s, (F.lit(m) - F.col("n_present")).cast("bigint").alias(
+        "n_zero_registers"
+    )).select(
+        "g",
+        F.expr(f"CAST({num} AS BIGINT) div ({_HLL_DEN} * _s)").alias("hll_est"),
+        "n_zero_registers",
+    )

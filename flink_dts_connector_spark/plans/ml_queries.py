@@ -814,3 +814,110 @@ def sketch_count_min_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()
     exact.unpersist()
     return out
+
+
+_HLL_SQL_REGS = """
+  SELECT g, j, CAST(MAX(CASE WHEN v = 0 THEN 32 ELSE 32 - length(bin(v)) END) AS BIGINT) AS r
+  FROM (
+    SELECT g, CAST(md5_number_lower(k || ':hllb') % 256 AS BIGINT) AS j,
+           CAST(md5_number_lower(k || ':hllr') % 2147483648 AS BIGINT) AS v
+    FROM (SELECT DISTINCT {group_expr} AS g, CAST(user_id AS VARCHAR) AS k FROM events)
+  ) GROUP BY 1, 2
+"""
+
+_HLL_SQL_EST = """
+  SELECT g,
+         CAST(4043669515425284096 AS BIGINT) // (10000 * (sp + (256 - np) * (CAST(1 AS BIGINT) << 33))) AS hll_est,
+         CAST(256 - np AS BIGINT) AS n_zero_registers
+  FROM (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS np,
+           CAST(SUM(CAST(1 AS BIGINT) << (33 - r)) AS BIGINT) AS sp
+    FROM regs GROUP BY 1
+  )
+"""
+
+
+@register(
+    "sketch_hll_distinct_users",
+    oracle=f"""
+WITH regs AS ({_HLL_SQL_REGS.format(group_expr="event_type")}),
+est AS ({_HLL_SQL_EST}),
+exact AS (
+  SELECT event_type AS g, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT e.g AS event_type, est.hll_est, e.exact_distinct, est.n_zero_registers,
+       CAST(est.hll_est - e.exact_distinct AS BIGINT) AS est_error
+FROM est JOIN exact e USING (g)
+""",
+    tags=("ext", "sketch", "hll"),
+)
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers per event_type — the third mergeable sketch
+    family (CMS counts mass, KMV holds sample hashes, HLL counts DISTINCT
+    in 256 fixed registers). Engine-mirrorable variant: md5 bucket +
+    independent 31-bit rank hash, RAW estimator with fixed rational alpha
+    — all integer arithmetic, hash-matched against the DuckDB mirror.
+    Zero-register counts ride along (the input a small-range correction
+    would use; ln()-based corrections are out of the oracle contract by
+    design). State per group is 256 BIGINTs FOREVER — the streaming
+    distinct-count answer at 100 TB, like the CMS/KMV twins."""
+    ev = t(spark, sf_dir, "events")
+    regs = SK.hll_registers(ev, key_col="user_id", group_col="event_type")
+    est = SK.hll_estimate(regs)
+    exact = ev.groupBy(F.col("event_type").alias("g")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "g").select(
+        F.col("g").alias("event_type"),
+        "hll_est",
+        "exact_distinct",
+        "n_zero_registers",
+        (F.col("hll_est") - F.col("exact_distinct")).cast("bigint").alias("est_error"),
+    )
+
+
+@register(
+    "sketch_hll_union_merge",
+    oracle=f"""
+WITH regs AS ({_HLL_SQL_REGS.format(group_expr="'__union__'")}),
+est AS ({_HLL_SQL_EST}),
+exact AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM events)
+SELECT est.hll_est AS union_est, exact.exact_distinct, est.n_zero_registers,
+       CAST(0 AS BIGINT) AS n_register_diff
+FROM est CROSS JOIN exact
+""",
+    tags=("ext", "sketch", "hll", "merge"),
+)
+def sketch_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only set union: the per-event-type register tables merge by
+    per-cell max into the ALL-users sketch — the raw corpus is never
+    rescanned. The merged registers are proven cell-identical to a direct
+    single-group build (n_register_diff must be 0: merge is lossless for
+    HLL by construction), and the union estimate rides next to the exact
+    total. This is how per-day / per-shard distinct sketches compose at
+    100 TB: store 256 ints per shard, merge with a max."""
+    ev = t(spark, sf_dir, "events")
+    per_group = SK.hll_registers(ev, key_col="user_id", group_col="event_type")
+    merged = SK.hll_merge(per_group.select(F.lit("__union__").alias("g"), "j", "r"))
+    direct = SK.hll_registers(
+        ev.withColumn("_one", F.lit("__union__")), key_col="user_id", group_col="_one"
+    )
+    diff = (
+        merged.alias("a")
+        .join(direct.alias("b"), ["g", "j"], "full_outer")
+        .where(
+            F.col("a.r").isNull()
+            | F.col("b.r").isNull()
+            | (F.col("a.r") != F.col("b.r"))
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_register_diff"))
+    )
+    est = SK.hll_estimate(merged)
+    exact = ev.agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    return (
+        est.select(F.col("hll_est").alias("union_est"), "n_zero_registers")
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(diff))
+        .select("union_est", "exact_distinct", "n_zero_registers", "n_register_diff")
+    )
