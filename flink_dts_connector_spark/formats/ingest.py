@@ -154,3 +154,57 @@ def read_store(
                     f"store scan is not pruned:\n{plan[:2000]}"
                 )
     return df
+
+
+def ingest_incremental(spark: SparkSession, sf_dir: str) -> tuple[str, int, int, int]:
+    """Decode-once store MAINTENANCE: the wire lands in two waves, and the
+    SAME checkpointed streaming ingest runs twice — the second run resumes
+    from the checkpoint WAL and decodes ONLY the delta files (exactly-once
+    over the `dts` source's compact offsets), appending to the store.
+    Returns ``(store, rows_after_wave0, rows_total, n_wave1_records)`` so
+    the caller can assert incrementality: the delta run must add exactly
+    the wave-1 records, never re-decode wave 0.
+
+    This is the continuous form of `ingest_once`: in production the query
+    simply stays running; here availableNow + a shared checkpoint proves
+    the restart/delta contract the WAL provides."""
+    from flink_dts_connector_spark.sources.dts_datasource import register_dts_source
+    from flink_dts_connector_spark.sources.generator import generate_cdc_bytes
+    from flink_dts_connector_spark.streaming.runner import (
+        pinned_shuffle_partitions,
+        scratch_dir,
+    )
+
+    raw = generate_cdc_bytes(spark, sf_dir)
+    raw_dir = scratch_dir("fdcs_incing_raw_")
+    store = scratch_dir("fdcs_incing_store_")
+    ckpt = scratch_dir("fdcs_incing_ckpt_")
+    register_dts_source(spark)
+
+    def run_wave() -> None:
+        with pinned_shuffle_partitions(spark):
+            env = spark.readStream.format("dts").option("path", raw_dir).load()
+            q = (
+                env.withColumn(
+                    "tbl_part", F.coalesce(F.nullif("tbl", F.lit("")), F.lit(NO_TABLE))
+                )
+                .withColumn("ingest_month", F.date_format("ts", "yyyy-MM"))
+                .repartition("tbl_part", "ingest_month")
+                .writeStream.format("parquet")
+                .option("path", store)
+                .option("checkpointLocation", ckpt)
+                .partitionBy("tbl_part", "ingest_month")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    par = spark.sparkContext.defaultParallelism
+    raw.where(F.col("offset") % 2 == 0).repartition(par).write.mode("append").parquet(raw_dir)
+    run_wave()
+    n0 = spark.read.parquet(store).count()
+    n_wave1 = raw.where(F.col("offset") % 2 == 1).count()
+    raw.where(F.col("offset") % 2 == 1).repartition(par).write.mode("append").parquet(raw_dir)
+    run_wave()
+    n_total = spark.read.parquet(store).count()
+    return store, n0, n_total, int(n_wave1)

@@ -1031,3 +1031,57 @@ def cdc_fixed_wire_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.groupBy("field", "rendered").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_records")
     )
+
+
+@register(
+    "cdc_store_incremental_ingest",
+    oracle=f"""
+SELECT o_orderdate AS ts, o_orderkey * 4 AS record_id,
+       o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE0} AS o_totalprice, o_orderdate, o_orderpriority, 'I' AS op
+FROM orders
+UNION ALL
+SELECT o_orderdate + INTERVAL 1 HOUR, o_orderkey * 4 + 1, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE0}, o_orderdate, o_orderpriority, 'UB'
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 1 HOUR, o_orderkey * 4 + 1, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, o_orderpriority, 'UA'
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 2 HOUR, o_orderkey * 4 + 2, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, o_orderpriority, 'UB'
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 2 HOUR, o_orderkey * 4 + 2, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, '9-RUSH', 'UA'
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 3 HOUR, o_orderkey * 4 + 3, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, {SQL_PRIO1}, 'D'
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+    tags=("cdc", "decode-once", "storage", "incremental", "exactly-once"),
+)
+def cdc_store_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-once store under MAINTENANCE: the wire arrives in two waves
+    and the same checkpointed streaming ingest runs twice — the WAL makes
+    the second run decode ONLY the delta (asserted: the delta run adds
+    exactly the wave-1 record count, 0 < wave0 < total), and the grown
+    store's typed changelog must hash-match the full-rebuild oracle (the
+    same SQL as `cdc_typed_changelog`). Incremental store upkeep ==
+    rebuild, the property that lets a 100 TB deployment never re-decode
+    history."""
+    from flink_dts_connector_spark.formats.ingest import ingest_incremental
+    from flink_dts_connector_spark.sources.generator import TBL as _TBL
+
+    store, n0, n_total, n_wave1 = ingest_incremental(spark, sf_dir)
+    if not (0 < n0 < n_total):
+        raise AssertionError(f"degenerate waves: {n0} / {n_total}")
+    if n_total - n0 != n_wave1:
+        raise AssertionError(
+            f"delta run decoded {n_total - n0} rows, expected exactly the "
+            f"wave-1 record count {n_wave1} (re-decode or loss)"
+        )
+    env = spark.read.parquet(store).where(F.col("tbl_part") == _TBL)
+    return project_table(env, ORDERS_CDC_SCHEMA, table=f"{DB}.{TBL}")
