@@ -1814,3 +1814,89 @@ def stream_profiled_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "arm string, delay_ms bigint, n_events bigint, n_dropped bigint, n_admitted bigint"
     )
+
+
+@register(
+    "stream_hll_convergence",
+    oracle="""
+WITH regs AS (
+  SELECT g, j, CAST(MAX(CASE WHEN v = 0 THEN 32 ELSE 32 - length(bin(v)) END) AS BIGINT) AS r
+  FROM (
+    SELECT g, CAST(md5_number_lower(k || ':hllb') % 256 AS BIGINT) AS j,
+           CAST(md5_number_lower(k || ':hllr') % 2147483648 AS BIGINT) AS v
+    FROM (SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS k FROM events)
+  ) GROUP BY 1, 2
+),
+est AS (
+  SELECT g,
+         CAST(4043669515425284096 AS BIGINT) // (10000 * (sp + (256 - np) * (CAST(1 AS BIGINT) << 33))) AS hll_est,
+         CAST(256 - np AS BIGINT) AS n_zero_registers
+  FROM (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS np,
+           CAST(SUM(CAST(1 AS BIGINT) << (33 - r)) AS BIGINT) AS sp
+    FROM regs GROUP BY 1
+  )
+),
+exact AS (
+  SELECT event_type AS g, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT e.g AS event_type, est.hll_est, est.n_zero_registers, e.exact_distinct
+FROM est JOIN exact e USING (g)
+""",
+    tags=("streaming", "sketch", "hll", "incremental"),
+)
+def stream_hll_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HLL maintenance — the live twin of
+    `sketch_hll_distinct_users`: micro-batches (3 interleaved waves by
+    event_id % 3) fold per-batch register tables into the state by
+    per-cell MAX — idempotent and commutative, so arrival order and
+    batching cannot change the converged registers, and the batch closed
+    form must hash-match exactly. State is 256 BIGINTs per group FOREVER —
+    the streaming distinct-count answer, completing the convergence
+    battery (CMS update-mode, KMV retake-k, HLL max-merge)."""
+    from flink_dts_connector_spark.operators import sketch as SK
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+    waves_dir = scratch_dir("fdcs_hll_waves_")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(
+            waves_dir
+        )
+
+    empty = spark.createDataFrame([], "g string, j bigint, r bigint")
+    state = {"regs": empty.localCheckpoint(), "batches": 0}
+
+    def merge(bdf: DataFrame, batch_id: int) -> None:
+        batch_regs = SK.hll_registers(bdf, key_col="user_id", group_col="event_type")
+        state["regs"] = SK.hll_merge(state["regs"], batch_regs).localCheckpoint()
+        state["batches"] += 1
+
+    with pinned_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", scratch_dir("fdcs_hll_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(waves_dir, ignore_errors=True)  # state is localCheckpoint-ed
+    if state["batches"] < 2:
+        raise AssertionError(f"expected multiple micro-batches, got {state['batches']}")
+
+    est = SK.hll_estimate(state["regs"])
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("g"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(exact, "g").select(
+        F.col("g").alias("event_type"), "hll_est", "n_zero_registers", "exact_distinct"
+    )
