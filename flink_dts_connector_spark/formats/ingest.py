@@ -208,3 +208,52 @@ def ingest_incremental(spark: SparkSession, sf_dir: str) -> tuple[str, int, int,
     run_wave()
     n_total = spark.read.parquet(store).count()
     return store, n0, n_total, int(n_wave1)
+
+
+def compact_store(spark: SparkSession, store: str) -> tuple[str, dict[str, int]]:
+    """Per-partition compaction — the one maintenance job the store needs.
+
+    Incremental ingest appends one file per partition directory per
+    micro-batch, so a long-running deployment accumulates small files until
+    listing cost dominates (`SCALING.md` §decode-once: file count must
+    track span ÷ volume, and compaction is how it keeps tracking after the
+    fact). One shuffle on the partition keys rewrites every directory to a
+    single file.
+
+    The compacted copy goes to a NEW serving directory — never in-place.
+    The ingest store is a STREAMING file sink, and its `_spark_metadata`
+    commit log is the authoritative file listing for readers; a batch
+    overwrite replaces the data files but not the log, so every subsequent
+    read of the old path dies with FileNotFound on the replaced parts
+    (found the hard way — dynamic partition overwrite + refreshByPath do
+    NOT fix it). Production equivalents: compact into the serving layout
+    and repoint consumers, or adopt a transactional table format whose
+    rewrite updates the log atomically. The streaming sink keeps its own
+    directory (and exactly-once bookkeeping) untouched.
+
+    Returns ``(serving_dir, {files_before, files_after, rows})``; content
+    equality is the caller's job (`envelope_checksum`)."""
+    import os
+
+    from flink_dts_connector_spark.streaming.runner import scratch_dir
+
+    def count_files(root: str) -> int:
+        return sum(
+            1
+            for dirpath, _, files in os.walk(root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = count_files(store)
+    df = spark.read.parquet(store)
+    rows = df.count()
+    serving = scratch_dir("fdcs_envstore_compact_")
+    (
+        df.repartition("tbl_part", "ingest_month")
+        .write.mode("overwrite")
+        .partitionBy("tbl_part", "ingest_month")
+        .parquet(serving)
+    )
+    after = count_files(serving)
+    return serving, {"files_before": before, "files_after": after, "rows": rows}

@@ -1085,3 +1085,59 @@ def cdc_store_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     env = spark.read.parquet(store).where(F.col("tbl_part") == _TBL)
     return project_table(env, ORDERS_CDC_SCHEMA, table=f"{DB}.{TBL}")
+
+
+@register(
+    "cdc_store_compaction",
+    oracle=f"""
+SELECT o_orderkey, {SQL_PRICE1} AS o_totalprice, {SQL_PRIO1} AS o_orderpriority
+FROM orders
+WHERE o_orderkey % 97 <> 0
+""",
+    tags=("cdc", "decode-once", "storage", "maintenance"),
+)
+def cdc_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store compaction end-to-end: the two-wave incremental ingest leaves
+    >1 file per partition directory; `compact_store` rewrites every
+    directory to a single file (one shuffle on the partition keys) into a
+    NEW serving directory — in-place overwrite is impossible for a
+    streaming-file-sink store, whose `_spark_metadata` commit log governs
+    readers (documented in `compact_store`). Asserted: file count
+    strictly drops with <= one file per directory, the full-envelope
+    multiset checksum is UNCHANGED (compaction moves bytes, never data),
+    and the upsert state served from the compacted copy still hash-matches
+    the current-state oracle. The maintenance job that keeps the
+    decode-once store's listing cost tracking span / volume after months
+    of appends."""
+    import os
+
+    from flink_dts_connector_spark.datamodel.envelope import ENVELOPE_SCHEMA
+    from flink_dts_connector_spark.formats.ingest import (
+        compact_store,
+        envelope_checksum,
+        ingest_incremental,
+    )
+    from flink_dts_connector_spark.sources.generator import TBL as _TBL
+
+    store, n0, n_total, _ = ingest_incremental(spark, sf_dir)
+    cols = [f.name for f in ENVELOPE_SCHEMA.fields]
+    chk_before = envelope_checksum(spark.read.parquet(store).select(*cols))
+    serving, stats = compact_store(spark, store)
+    chk_after = envelope_checksum(spark.read.parquet(serving).select(*cols))
+    if chk_after != chk_before:
+        raise AssertionError(f"compaction changed data: {chk_before} -> {chk_after}")
+    if not (stats["files_after"] < stats["files_before"]):
+        raise AssertionError(f"compaction did not reduce files: {stats}")
+    per_dir = {}
+    for dirpath, _, files in os.walk(serving):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n:
+            per_dir[dirpath] = n
+    if any(n > 1 for n in per_dir.values()):
+        raise AssertionError(f"directories still hold >1 file: {per_dir}")
+
+    env = spark.read.parquet(serving).where(F.col("tbl_part") == _TBL)
+    chg = project_table(env, ORDERS_CDC_SCHEMA, table=f"{DB}.{TBL}")
+    return materialize_upsert(chg, ["o_orderkey"], order_cols=["ts", "record_id"]).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
