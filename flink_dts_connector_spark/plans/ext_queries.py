@@ -6028,3 +6028,109 @@ def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = M.attach_bmp_media(docs)
     return M.decode_bmp_features(media)
+
+
+@register(
+    "audit_referential_integrity",
+    oracle="""
+SELECT 'lineitem_orphan_orderkey' AS check_name,
+       CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_violations,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'customer_orphan_nationkey',
+       CAST((SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+             (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+UNION ALL
+SELECT 'orders_pk_duplicates',
+       CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+             (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) WHERE c > 1) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_pk_duplicates',
+       CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+             (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber) WHERE c > 1) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'orders_null_pk',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_negative_qty',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+""",
+    tags=("ext", "audit", "data-quality"),
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over the warehouse: referential
+    integrity (fk orphans via LEFT ANTI joins — true dims broadcast,
+    fact-fact pk sets shuffle on the key), primary-key uniqueness (surplus
+    copies via one hash agg per key), null-pk and domain-range checks.
+    One report row per expectation: (check_name, n_violations, n_checked)
+    — the pre-flight a 100 TB pipeline runs before training-data jobs
+    consume a new drop. Every check is a single scan + one agg/anti-join;
+    nothing quadratic, nothing collected."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+
+    def report(name: str, viol, checked) -> DataFrame:
+        return viol.crossJoin(checked).select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("bigint").alias("n_violations"),
+            F.col("c").cast("bigint").alias("n_checked"),
+        )
+
+    def cnt(df) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("c"))
+
+    # fact-fact anti join shuffles on the key (orders' pk set is NOT
+    # broadcastable at scale — it grows with the fact table; a bloom
+    # prefilter like join_bloom_prefilter is the cheap screen when the
+    # violation rate is known to be ~0); true dims broadcast below
+    orphan_li = cnt(
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+    ).withColumnRenamed("c", "v")
+    orphan_o = cnt(
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+    ).withColumnRenamed("c", "v")
+    orphan_c = cnt(
+        c.join(F.broadcast(n.select("n_nationkey")), c.c_nationkey == n.n_nationkey, "left_anti")
+    ).withColumnRenamed("c", "v")
+    dup_o = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") > 1)
+        .agg(F.coalesce(F.sum(F.col("k") - 1), F.lit(0)).alias("v"))
+    )
+    dup_li = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") > 1)
+        .agg(F.coalesce(F.sum(F.col("k") - 1), F.lit(0)).alias("v"))
+    )
+    null_o = cnt(o.where(F.col("o_orderkey").isNull())).withColumnRenamed("c", "v")
+    neg_li = cnt(li.where(F.col("l_quantity") <= 0)).withColumnRenamed("c", "v")
+
+    out = None
+    for name, viol, checked in (
+        ("lineitem_orphan_orderkey", orphan_li, cnt(li)),
+        ("orders_orphan_custkey", orphan_o, cnt(o)),
+        ("customer_orphan_nationkey", orphan_c, cnt(c)),
+        ("orders_pk_duplicates", dup_o, cnt(o)),
+        ("lineitem_pk_duplicates", dup_li, cnt(li)),
+        ("orders_null_pk", null_o, cnt(o)),
+        ("lineitem_negative_qty", neg_li, cnt(li)),
+    ):
+        row = report(name, viol, checked)
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
