@@ -161,13 +161,18 @@ GATE_PRIORITY: tuple[str, ...] = (
     "curate_token_budget",
     "curate_mixture_resample",
     "curate_incremental_pipeline",
-    "curate_pipeline_manifest",
+    # r6: the decode-once store flagship takes the provenance-manifest slot
+    # (cdc_ingest_once proves ingest-once == re-decode AND serves the typed
+    # changelog through a pruned store scan; curate_pipeline_manifest stays
+    # sweep-green)
+    "cdc_ingest_once",
     "curate_chunk_windows",
     # search (new family, r4 wave 2)
     "search_bm25_topk",
-    # multimodal — resize-plan slot rotates to sweep (decode_features keeps
-    # the Arrow-batched decode shape under the gate)
-    "multimodal_decode_features",
+    # multimodal — r6: the REAL BMP codec takes the family slot (strictly
+    # stronger: genuine byte-format parse with a closed-form pixel oracle;
+    # the fake-codec decode_features shape stays sweep-green)
+    "multimodal_bmp_features",
     # streaming (availableNow-bounded, rerun-safe) — r4: corpus ingestion
     # replaces stream_dedup_exactly_once (dropDuplicatesWithinWatermark is
     # inside it, plus the dts source + gate + manifest composition)
