@@ -94,6 +94,10 @@ HEADLINE = [
     # twins (cdc_typed_changelog / cdc_signed_agg shapes) above.
     "cdc_ingest_once",
     "cdc_store_signed_agg",
+    "cdc_fixed_wire_zoo",
+    "sketch_hll_distinct_users",
+    "audit_referential_integrity",
+    "multimodal_bmp_features",
     # appended in round 5 (sketch / in-engine-ML / planner / time series)
     "sketch_count_min_heavy_hitters",
     "sketch_kmv_user_overlap",
