@@ -6134,3 +6134,69 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionByName(row)
     assert out is not None
     return out
+
+
+@register(
+    "events_touch_attribution",
+    oracle="""
+WITH conv AS (
+  SELECT user_id, MIN(ts) AS conv_ts FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+), touches AS (
+  SELECT e.user_id, e.event_type AS channel, e.ts, e.event_id
+  FROM events e JOIN conv USING (user_id)
+  WHERE e.ts < conv.conv_ts AND e.event_type IN ('view', 'click')
+), ranked AS (
+  SELECT user_id, channel,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_touches
+  FROM touches
+)
+SELECT channel,
+       CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_touch,
+       CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last_touch,
+       CAST(SUM(1000000 // n_touches) AS BIGINT) AS linear_credit_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_touches_total
+FROM ranked GROUP BY channel
+""",
+    tags=("ext", "events", "attribution"),
+)
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: each user's FIRST purchase is
+    the conversion; every prior view/click is a touch. Three credit models
+    in one pass — first-touch, last-touch, and linear credit as an EXACT
+    integer (1e6 // n_touches ppm per touch, truncation identical in both
+    engines; no float split). Plan: one window partition per user over the
+    touch set (high-cardinality key — parallelism scales with users), the
+    conversion frame joins on user_id. The report marketing/growth
+    pipelines bolt onto event streams; deterministic ties via (ts,
+    event_id)."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        ev.join(conv, "user_id")
+        .where((F.col("ts") < F.col("conv_ts")) & F.col("event_type").isin("view", "click"))
+        .select("user_id", F.col("event_type").alias("channel"), "ts", "event_id")
+    )
+    wf = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wl = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = touches.select(
+        "user_id",
+        "channel",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n_touches"),
+    )
+    return ranked.groupBy("channel").agg(
+        F.sum((F.col("rf") == 1).cast("bigint")).alias("n_first_touch"),
+        F.sum((F.col("rl") == 1).cast("bigint")).alias("n_last_touch"),
+        F.sum(F.expr("1000000 div n_touches")).cast("bigint").alias("linear_credit_ppm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches_total"),
+    )
