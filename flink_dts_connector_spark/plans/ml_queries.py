@@ -921,3 +921,73 @@ def sketch_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(diff))
         .select("union_est", "exact_distinct", "n_zero_registers", "n_register_diff")
     )
+
+
+@register(
+    "sketch_hll_time_cube",
+    oracle=f"""
+WITH keys AS (
+  SELECT date_trunc('day', ts) AS d, CAST(user_id AS VARCHAR) AS k FROM events
+  GROUP BY 1, 2
+), probe AS (
+  SELECT MIN(d) AS d0 FROM keys
+), sel AS (
+  SELECT k FROM keys, probe WHERE d >= d0 AND d < d0 + INTERVAL 7 DAY GROUP BY k
+), regs AS (
+  SELECT CAST(md5_number_lower(k || ':hllb') % 256 AS BIGINT) AS j,
+         CAST(MAX(CASE WHEN v = 0 THEN 32 ELSE 32 - length(bin(v)) END) AS BIGINT) AS r
+  FROM (SELECT k, CAST(md5_number_lower(k || ':hllr') % 2147483648 AS BIGINT) AS v FROM sel)
+  GROUP BY 1
+), est AS (
+  SELECT CAST(4043669515425284096 AS BIGINT)
+           // (10000 * (sp + (256 - np) * (CAST(1 AS BIGINT) << 33))) AS range_est,
+         CAST(256 - np AS BIGINT) AS n_zero_registers
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(SUM(CAST(1 AS BIGINT) << (33 - r)) AS BIGINT) AS sp FROM regs)
+), exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM sel),
+ndays AS (
+  SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days_merged
+  FROM keys, probe WHERE d >= d0 AND d < d0 + INTERVAL 7 DAY
+)
+SELECT n_days_merged, range_est, exact_distinct, n_zero_registers
+FROM est CROSS JOIN exact CROSS JOIN ndays
+""",
+    tags=("ext", "sketch", "hll", "cube"),
+)
+def sketch_hll_time_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-queryable distinct-count cube: per-DAY HLL register tables are
+    the stored layer (256 ints per day — the pre-aggregation a 100 TB
+    pipeline materializes at ingest), and an arbitrary date-range query is
+    answered by max-MERGING the covered days' registers — never rescanning
+    events. Probed on the first 7 days and compared against the exact
+    range distinct; the oracle rebuilds the estimate from the same range's
+    raw keys, which by HLL merge-losslessness must produce the identical
+    registers (the same proof shape as `sketch_hll_union_merge`, now over
+    the time dimension). The classic OLAP trick that COUNT(DISTINCT)
+    cannot do with plain per-day counts."""
+    ev = t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    )
+    day_regs = SK.hll_registers(ev, key_col="user_id", group_col="d")
+    d0 = ev.agg(F.min("d")).collect()[0][0]
+    import datetime as dt
+
+    hi = d0 + dt.timedelta(days=7)
+    sel = day_regs.where((F.col("g") >= F.lit(d0)) & (F.col("g") < F.lit(hi)))
+    merged = SK.hll_merge(sel.select(F.lit("range").alias("g"), "j", "r"))
+    est = SK.hll_estimate(merged).select(
+        F.col("hll_est").alias("range_est"), "n_zero_registers"
+    )
+    exact = (
+        t(spark, sf_dir, "events")
+        .where((F.date_trunc("day", "ts") >= F.lit(d0)) & (F.date_trunc("day", "ts") < F.lit(hi)))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    ndays = sel.select("g").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_merged")
+    )
+    return (
+        ndays.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select("n_days_merged", "range_est", "exact_distinct", "n_zero_registers")
+    )
