@@ -6200,3 +6200,80 @@ def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("1000000 div n_touches")).cast("bigint").alias("linear_credit_ppm"),
         F.count(F.lit(1)).cast("bigint").alias("n_touches_total"),
     )
+
+
+def _session_gap_arm_sql(gap_s: int) -> str:
+    return f"""
+  SELECT CAST({gap_s} AS BIGINT) AS gap_seconds,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(SUM(n) * 1000 // COUNT(*) AS BIGINT) AS events_per_session_milli,
+         CAST(MAX(n) AS BIGINT) AS max_session_events,
+         CAST(MAX(span_s) AS BIGINT) AS max_session_span_s
+  FROM (
+    SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(datediff('second', MIN(ts), MAX(ts)) AS BIGINT) AS span_s
+    FROM (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR datediff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > {gap_s}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    ) GROUP BY user_id, sid
+  )
+"""
+
+
+@register(
+    "events_session_gap_sweep",
+    oracle=" UNION ALL ".join(_session_gap_arm_sql(g) for g in (600, 1800, 3600)),
+    tags=("ext", "events", "calibration"),
+)
+def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization gap calibration — the parameter study run before
+    fixing a session definition: the same lag/cumsum session assignment at
+    gaps of 10/30/60 minutes, reporting session counts, events-per-session
+    (exact milli-units), and worst-case session size/span per gap. One
+    window pass per arm over the per-user frame (high-cardinality
+    partition key — scales with users); joins the self-evaluating family
+    (CMS width sweep, ANN recall report, MinHash calibration)."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    out = None
+    for gap_s in (600, 1800, 3600):
+        prev = F.lag("ts").over(order)
+        is_new = (
+            prev.isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > gap_s)
+        ).cast("bigint")
+        sid = F.sum(is_new).over(order.rowsBetween(W.unboundedPreceding, 0))
+        sessions = (
+            ev.withColumn("sid", sid)
+            .groupBy("user_id", "sid")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+                .cast("bigint")
+                .alias("span_s"),
+            )
+        )
+        row = sessions.agg(
+            F.lit(gap_s).cast("bigint").alias("gap_seconds"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.expr("sum(n) * 1000 div count(1)").cast("bigint").alias(
+                "events_per_session_milli"
+            ),
+            F.max("n").cast("bigint").alias("max_session_events"),
+            F.max("span_s").cast("bigint").alias("max_session_span_s"),
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
