@@ -1912,3 +1912,89 @@ def stream_hll_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "g").select(
         F.col("g").alias("event_type"), "hll_est", "n_zero_registers", "exact_distinct"
     )
+
+
+@register(
+    "stream_store_tail",
+    oracle="""
+SELECT prio AS o_orderpriority,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_open_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM (
+  SELECT (CASE WHEN o_orderkey % 7 = 0 THEN '9-RUSH' ELSE o_orderpriority END) AS prio,
+         ((CASE WHEN o_orderkey % 10 = 0
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) + CAST(round(o_totalprice * 100) AS BIGINT) // 10
+                ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0) AS price
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+GROUP BY 1
+""",
+    tags=("streaming", "cdc", "decode-once", "storage"),
+)
+def stream_store_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode-once store as a STREAMING SOURCE: a downstream consumer
+    tails the store directory (the file stream source reads the streaming
+    sink's own `_spark_metadata` log, so it sees exactly the committed
+    files), projects the typed changelog, and maintains a signed
+    retraction-correct aggregate in update mode — proving store consumers
+    need zero wire decode even when they are themselves streams. The fold
+    is last-writer-wins per key (totals can SHRINK through deletes), same
+    pattern as `stream_fixed_wire_decode`; final state must hash-match the
+    current-state aggregate the oracle computes from `orders` directly."""
+    from flink_dts_connector_spark.formats.ingest import ingest_once
+    from flink_dts_connector_spark.formats.typed import project_table
+    from flink_dts_connector_spark.operators.changelog import sign_col
+    from flink_dts_connector_spark.plans.cdc_queries import ORDERS_CDC_SCHEMA
+    from flink_dts_connector_spark.sources.generator import DB, TBL
+
+    store = ingest_once(spark, sf_dir)
+    schema = spark.read.parquet(store).schema
+
+    empty = spark.createDataFrame(
+        [], "o_orderpriority string, total_open_price decimal(38,6), n_orders bigint"
+    )
+    state = {"totals": empty.localCheckpoint(), "batches": 0}
+
+    def fold(bdf: DataFrame, epoch: int) -> None:
+        changed = bdf.select("o_orderpriority", "total_open_price", "n_orders")
+        kept = state["totals"].join(
+            changed.select("o_orderpriority"), "o_orderpriority", "left_anti"
+        )
+        state["totals"] = kept.unionByName(changed).localCheckpoint()
+        state["batches"] += 1
+
+    with pinned_shuffle_partitions(spark):
+        env = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "60")
+            .parquet(store)
+        )
+        chg = project_table(
+            env.where(F.col("tbl_part") == TBL), ORDERS_CDC_SCHEMA, table=f"{DB}.{TBL}"
+        )
+        s = sign_col("op")
+        agg = chg.groupBy("o_orderpriority").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * s)
+            .cast("decimal(38,6)")
+            .alias("total_open_price"),
+            F.sum(s).cast("bigint").alias("n_orders"),
+        )
+        q = (
+            agg.writeStream.foreachBatch(fold)
+            .outputMode("update")
+            .option("checkpointLocation", scratch_dir("fdcs_storetail_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if state["batches"] < 2:
+        raise AssertionError(f"expected multiple micro-batches, got {state['batches']}")
+    return (
+        state["totals"]
+        .where(F.col("n_orders") > 0)
+        .select(
+            "o_orderpriority",
+            F.col("total_open_price").cast("double").alias("total_open_price"),
+            "n_orders",
+        )
+    )
