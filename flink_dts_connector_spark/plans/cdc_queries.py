@@ -1145,3 +1145,58 @@ def cdc_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_upsert(chg, ["o_orderkey"], order_cols=["ts", "record_id"]).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
+
+
+@register(
+    "cdc_store_checkpoint_replay",
+    oracle=f"""
+WITH ids AS (
+  SELECT o_orderkey * 4 AS id FROM orders
+  UNION ALL SELECT o_orderkey * 4 + 1 FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL SELECT o_orderkey * 4 + 2 FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL SELECT o_orderkey * 4 + 3 FROM orders WHERE o_orderkey % 97 = 0
+), med AS (
+  SELECT CAST((MIN(id) + MAX(id)) // 2 AS BIGINT) AS pos FROM ids
+)
+SELECT CAST((SELECT pos FROM med) AS BIGINT) AS resume_after_id,
+       CAST(COUNT(*) AS BIGINT) AS n_replayed,
+       CAST(SUM(id) AS BIGINT) AS id_sum,
+       CAST(MIN(id) AS BIGINT) AS first_replayed_id
+FROM ids WHERE id > (SELECT pos FROM med)
+""",
+    tags=("cdc", "decode-once", "storage", "checkpoint", "replay"),
+)
+def cdc_store_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume-from-checkpoint over the decode-once store: a consumer hands
+    back its last record-level checkpoint string (the reference's
+    `"0@idLow31@sourcePosition@tsMillis"` format,
+    `impl/LazyParseRecordImpl.java:199-209`), the position is PARSED BACK
+    from the stored checkpoint column (split on '@'), and replay is a
+    plain store scan for ids beyond it — seek-by-position without
+    touching a broker or re-decoding wire. Resume point = the median
+    orders-table record id (deterministic); replayed count + id checksum
+    + first replayed id are oracle-pinned. The store-side twin of the
+    Kafka timestamp re-seek (`FlinkDtsKafkaConsumer.java:372-380`)."""
+    from flink_dts_connector_spark.formats.ingest import read_store
+    from flink_dts_connector_spark.sources.generator import TBL as _TBL
+
+    # data changes only: DDL rows ride the same table name with 2e10-range
+    # ids (their low-31-bit checkpoint ids would pollute the replay set)
+    env = read_store(spark, sf_dir, table=_TBL).where(
+        F.col("operation").isin("INSERT", "UPDATE", "DELETE")
+    )
+    # parse the id back out of the checkpoint string, like a consumer
+    # handing its position back (data-change ids are < 2^31, so idLow31 == id)
+    ck_id = F.split(F.col("checkpoint"), "@").getItem(1).cast("bigint")
+    env = env.withColumn("_ck_id", ck_id)
+    # deterministic resume point: the id-range midpoint (median definitions
+    # differ between engines; the resume semantics only need a fixed cut)
+    lo, hi = env.agg(F.min("_ck_id"), F.max("_ck_id")).collect()[0]
+    pos = (int(lo) + int(hi)) // 2
+    replay = env.where(F.col("_ck_id") > pos)
+    return replay.agg(
+        F.lit(pos).cast("bigint").alias("resume_after_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_replayed"),
+        F.sum("_ck_id").cast("bigint").alias("id_sum"),
+        F.min("_ck_id").cast("bigint").alias("first_replayed_id"),
+    )
