@@ -6277,3 +6277,52 @@ def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionByName(row)
     assert out is not None
     return out
+
+
+@register(
+    "ann_topk_filtered",
+    oracle=SQL_ANN_BASE.format(bucket="label", bucket_cond="AND fq.qb = fi.ib"),
+    tags=("ext", "similarity", "filtered-search"),
+)
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED nearest-neighbor search: top-5 within the query's
+    own label only ("nearest in my category" — the retrieval shape RAG and
+    recommendation filters actually run). Strategy is PRE-filter: the
+    label predicate becomes the candidate-join key, so the exact scorer
+    touches only same-label pairs — unlike post-filtering a global top-k,
+    which silently starves queries whose neighbors are cross-label (the
+    recall trap this query's design dodges; at scale the same shape rides
+    the IVF cells WITHIN each label partition). Exact integer scoring,
+    full oracle."""
+    from flink_dts_connector_spark.operators.similarity import (
+        cosine_q,
+        dot_q,
+        norm_sq_q,
+        quantized,
+    )
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("_ql"),
+        quantized("embedding").alias("_qe"),
+    ).withColumn("_qn", norm_sq_q(F.col("_qe")))
+    it = e.select(
+        "vec_id", F.col("label").alias("_il"), quantized("embedding").alias("_ie")
+    ).withColumn("_in", norm_sq_q(F.col("_ie")))
+    scored = (
+        it.join(F.broadcast(q), F.col("_il") == F.col("_ql"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_q(dot_q(F.col("_qe"), F.col("_ie")), F.col("_qn"), F.col("_in")).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+        F.col("rank") <= 5
+    )
