@@ -6326,3 +6326,64 @@ def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
         F.col("rank") <= 5
     )
+
+
+@register(
+    "events_periodicity_profile",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * c) AS BIGINT) AS ssq,
+         CAST(COUNT(*) AS BIGINT) AS n_active_hours
+  FROM hourly GROUP BY 1
+), peak AS (
+  SELECT event_type, h AS peak_hour, c AS peak_n
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c DESC, h) AS r
+    FROM hourly
+  ) WHERE r = 1
+)
+SELECT t.event_type, t.n, p.peak_hour, p.peak_n, t.n_active_hours,
+       CAST(t.ssq * 1000000 // (t.n * t.n) AS BIGINT) AS hhi_ppm
+FROM tot t JOIN peak p USING (event_type)
+""",
+    tags=("ext", "events", "profiling"),
+)
+def events_periodicity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal periodicity profile per event type: hour-of-day activity
+    histogram reduced to peak hour, active-hour count, and an exact
+    integer Herfindahl concentration index (Σ share² in ppm — 41667 ppm =
+    perfectly uniform over 24 hours, 1e6 = single-hour burst). One hash
+    agg on (type, hour) then a 24-row-per-type reduction — the
+    load-shaping statistic capacity planning reads before sizing
+    streaming-ingest partitions for the daily peak."""
+    from pyspark.sql import Window as W
+
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.hour("ts").cast("bigint").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_hours"),
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("c"), F.asc("h"))
+    peak = (
+        hourly.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("event_type", F.col("h").alias("peak_hour"), F.col("c").alias("peak_n"))
+    )
+    return tot.join(peak, "event_type").select(
+        "event_type",
+        "n",
+        "peak_hour",
+        "peak_n",
+        "n_active_hours",
+        F.expr("ssq * 1000000 div (n * n)").cast("bigint").alias("hhi_ppm"),
+    )
