@@ -6387,3 +6387,183 @@ def events_periodicity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active_hours",
         F.expr("ssq * 1000000 div (n * n)").cast("bigint").alias("hhi_ppm"),
     )
+
+
+@register(
+    "events_autocorrelation",
+    oracle="""
+WITH span AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1 FROM events
+), cal AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span
+), types AS (SELECT DISTINCT event_type FROM events),
+raw AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), dense AS (
+  SELECT t.event_type, cal.h, COALESCE(r.c, 0) AS c
+  FROM types t CROSS JOIN cal
+  LEFT JOIN raw r ON r.event_type = t.event_type AND r.h = cal.h
+), tot AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM dense GROUP BY 1
+), dev AS (
+  SELECT d.event_type, d.h, t.n, (t.n * d.c - t.s) AS dv
+  FROM dense d JOIN tot t USING (event_type)
+), lagged AS (
+  SELECT event_type, n, dv,
+         LAG(dv, 1) OVER (PARTITION BY event_type ORDER BY h) AS dv1,
+         LAG(dv, 24) OVER (PARTITION BY event_type ORDER BY h) AS dv24
+  FROM dev
+), sums AS (
+  SELECT event_type, ANY_VALUE(n) AS n_hours,
+         CAST(SUM(dv * dv) AS BIGINT) AS den,
+         CAST(SUM(CASE WHEN dv1 IS NOT NULL THEN dv * dv1 ELSE 0 END) AS BIGINT) AS num1,
+         CAST(SUM(CASE WHEN dv24 IS NOT NULL THEN dv * dv24 ELSE 0 END) AS BIGINT) AS num24
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type, lag, n_hours,
+       CAST(CASE WHEN num < 0 THEN -((1000000 * (-num)) // den)
+                 ELSE (1000000 * num) // den END AS BIGINT) AS acf_ppm
+FROM (
+  SELECT event_type, 1 AS lag, n_hours, num1 AS num, den FROM sums
+  UNION ALL
+  SELECT event_type, 24 AS lag, n_hours, num24 AS num, den FROM sums
+) WHERE den > 0
+""",
+    tags=("ext", "events", "timeseries"),
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer autocorrelation of the hourly event-count series per
+    event type, at lag 1 (short-term momentum) and lag 24 (diurnal
+    seasonality). The calendar is densified so silent hours count as zero,
+    and the mean never materializes as a float: deviations are n-scaled
+    (``n*c - S`` = n·(c − mean)), so numerator and denominator are exact
+    BIGINTs and acf = num/den is rendered as a truncated-toward-zero signed
+    ppm ratio — bit-identical under any partitioning. One hash agg on
+    (type, hour) + one window pass; the calendar frame is |hours|×|types|
+    rows, never the raw events. The seasonality statistic that justifies
+    `events_seasonal_baseline`'s same-hour-prior model."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    cal = span.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    raw = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    dense = (
+        types.crossJoin(F.broadcast(cal))
+        .join(raw, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    dev = dense.join(tot, "event_type").select(
+        "event_type", "h", "n", (F.col("n") * F.col("c") - F.col("s")).alias("dv")
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    lagged = dev.select(
+        "event_type",
+        "n",
+        "dv",
+        F.lag("dv", 1).over(w).alias("dv1"),
+        F.lag("dv", 24).over(w).alias("dv24"),
+    )
+    sums = lagged.groupBy("event_type").agg(
+        F.first("n").alias("n_hours"),
+        F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("den"),
+        F.sum(
+            F.when(F.col("dv1").isNotNull(), F.col("dv") * F.col("dv1")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("num1"),
+        F.sum(
+            F.when(F.col("dv24").isNotNull(), F.col("dv") * F.col("dv24")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("num24"),
+    )
+    both = sums.selectExpr(
+        "event_type", "1 AS lag", "n_hours", "num1 AS num", "den"
+    ).unionByName(
+        sums.selectExpr("event_type", "24 AS lag", "n_hours", "num24 AS num", "den")
+    )
+    return both.where(F.col("den") > 0).select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        "n_hours",
+        F.expr(
+            "CAST(CASE WHEN num < 0 THEN -((1000000 * (-num)) div den)"
+            " ELSE (1000000 * num) div den END AS BIGINT)"
+        ).alias("acf_ppm"),
+    )
+
+
+@register(
+    "text_source_lang_independence",
+    oracle="""
+WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), rt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+contrib AS (
+  SELECT cells.source, cells.lang,
+         CAST((CAST(cells.o AS HUGEINT) * n.n - CAST(rt.r AS HUGEINT) * ct.c)
+              * (CAST(cells.o AS HUGEINT) * n.n - CAST(rt.r AS HUGEINT) * ct.c)
+              * 1000000
+              // (CAST(rt.r AS HUGEINT) * ct.c * n.n) AS BIGINT) AS chi2_ppm
+  FROM cells JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
+)
+SELECT source, CAST(SUM(chi2_ppm) AS BIGINT) AS chi2_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM contrib GROUP BY source
+""",
+    tags=("ext", "text", "stats"),
+)
+def text_source_lang_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test between document source and
+    language, reported per source (summing the rows reproduces the global
+    statistic; dof = (|sources|-1)(|langs|-1)). Exact integer arithmetic:
+    the per-cell contribution (O·N − R·C)² / (R·C·N) is computed on
+    DECIMAL(38,0) (the cross term O·N squares past int64 once the corpus
+    passes ~3M docs) and truncated to ppm — both engines render the same
+    BIGINT. One hash agg on (source, lang); everything downstream runs on
+    the |sources|×|langs| cell frame. The contamination check that flags a
+    source whose language mix diverges from the corpus (high chi2_ppm =
+    scraper drift / mislabeled pipeline)."""
+    docs = t(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rt = cells.groupBy("source").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("c"))
+    n = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    contrib = (
+        cells.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "lang",
+            F.expr(
+                "CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+                " * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+                " * 1000000"
+                " div (CAST(r AS DECIMAL(38,0)) * c * n) AS BIGINT)"
+            ).alias("chi2_ppm"),
+        )
+    )
+    return contrib.groupBy("source").agg(
+        F.sum("chi2_ppm").cast("bigint").alias("chi2_ppm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
