@@ -6567,3 +6567,221 @@ def text_source_lang_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("chi2_ppm").cast("bigint").alias("chi2_ppm"),
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
     )
+
+
+@register(
+    "sketch_shard_topk_bound",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id % 8 AS shard, unnest({SQL_TOKS}) AS token FROM documents
+), shard_counts AS (
+  SELECT shard, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+), ranked AS (
+  SELECT shard, token, c,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY c DESC, token) AS r
+  FROM shard_counts
+), kept AS (SELECT shard, token, c FROM ranked WHERE r <= 32),
+tails AS (
+  SELECT shard, CAST(COALESCE(MAX(CASE WHEN r = 33 THEN c END), 0) AS BIGINT) AS tail
+  FROM ranked GROUP BY shard
+), tail_total AS (SELECT CAST(SUM(tail) AS BIGINT) AS all_tails FROM tails),
+est AS (
+  SELECT k.token,
+         CAST(SUM(k.c) AS BIGINT) AS est_lo,
+         CAST(SUM(k.c) + tt.all_tails - SUM(t.tail) AS BIGINT) AS est_hi
+  FROM kept k JOIN tails t USING (shard) CROSS JOIN tail_total tt
+  GROUP BY k.token, tt.all_tails
+), exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n FROM tok GROUP BY 1
+), top AS (
+  SELECT e.token, e.est_lo, e.est_hi, x.exact_n,
+         ROW_NUMBER() OVER (ORDER BY e.est_lo DESC, e.token) AS rk
+  FROM est e JOIN exact x USING (token)
+)
+SELECT token, CAST(rk AS BIGINT) AS rk, est_lo, est_hi, exact_n,
+       (est_lo <= exact_n AND exact_n <= est_hi) AS bound_holds
+FROM top WHERE rk <= 20
+""",
+    tags=("ext", "sketch"),
+)
+def sketch_shard_topk_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable heavy-hitter summary (the Misra-Gries /
+    SpaceSaving role, made order-independent): each of 8 shards keeps only
+    its exact top-32 tokens (ties broken by token, so the summary is a
+    pure function of the multiset, not of arrival order) plus one tail
+    bound — the shard's 33rd-largest count, the most any dropped token
+    could have held there. Merging the summaries gives every candidate a
+    certified interval: est_lo = sum of kept counts, est_hi = est_lo +
+    the tail bounds of the shards that dropped it. The report is
+    self-evaluating — exact counts and a bound_holds verdict ride along.
+    At 100 TB only the per-shard (token, count) top lists ever move
+    (8×32 rows here, S×m in general); the full token frequency table is
+    never shuffled to one place. Unlike the CMS heavy-hitter probe
+    (one-sided overcount), this summary certifies an UNDERcount floor —
+    the two sketches bracket the truth from opposite sides."""
+    from pyspark.sql import Window as W
+    from flink_dts_connector_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 8).alias("shard"), F.explode(tokens("text")).alias("token")
+    )
+    shard_counts = tok.groupBy("shard", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = W.partitionBy("shard").orderBy(F.desc("c"), F.asc("token"))
+    ranked = shard_counts.withColumn("r", F.row_number().over(w))
+    kept = ranked.where(F.col("r") <= 32).select("shard", "token", "c")
+    tails = ranked.groupBy("shard").agg(
+        F.coalesce(F.max(F.when(F.col("r") == 33, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("tail")
+    )
+    tail_total = tails.agg(F.sum("tail").cast("bigint").alias("all_tails"))
+    est = (
+        kept.join(F.broadcast(tails), "shard")
+        .crossJoin(F.broadcast(tail_total))
+        .groupBy("token", "all_tails")
+        .agg(
+            F.sum("c").cast("bigint").alias("est_lo"),
+            (F.sum("c") + F.first("all_tails") - F.sum("tail")).cast("bigint").alias("est_hi"),
+        )
+    )
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    top = (
+        est.join(exact, "token")
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("est_lo"), F.asc("token")))
+        )
+        .where(F.col("rk") <= 20)
+    )
+    return top.select(
+        "token",
+        F.col("rk").cast("bigint").alias("rk"),
+        "est_lo",
+        "est_hi",
+        "exact_n",
+        ((F.col("est_lo") <= F.col("exact_n")) & (F.col("exact_n") <= F.col("est_hi"))).alias(
+            "bound_holds"
+        ),
+    )
+
+
+@register(
+    "layout_zone_map_effect",
+    oracle="""
+WITH sharded AS (
+  SELECT o_orderkey, o_orderdate, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderkey % 16 AS BIGINT) AS shard_nat,
+         CAST(NTILE(16) OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS shard_dat
+  FROM orders
+), pred AS (
+  SELECT TIMESTAMP '1998-03-08 00:00:00' AS lo, TIMESTAMP '1998-03-15 00:00:00' AS hi
+), layouts AS (
+  SELECT 'natural' AS layout, shard_nat AS shard, o_orderdate, cents FROM sharded
+  UNION ALL
+  SELECT 'date_clustered' AS layout, shard_dat AS shard, o_orderdate, cents FROM sharded
+), zones AS (
+  SELECT layout, shard, MIN(o_orderdate) AS zmin, MAX(o_orderdate) AS zmax,
+         CAST(COUNT(*) AS BIGINT) AS zrows
+  FROM layouts GROUP BY 1, 2
+), verdict AS (
+  SELECT z.*, (z.zmin < p.hi AND z.zmax >= p.lo) AS must_read
+  FROM zones z CROSS JOIN pred p
+), matched AS (
+  SELECT l.layout,
+         CAST(SUM(CASE WHEN l.o_orderdate >= p.lo AND l.o_orderdate < p.hi THEN 1 ELSE 0 END) AS BIGINT) AS rows_matched,
+         CAST(SUM(CASE WHEN l.o_orderdate >= p.lo AND l.o_orderdate < p.hi THEN l.cents ELSE 0 END) AS BIGINT) AS cents_matched
+  FROM layouts l CROSS JOIN pred p GROUP BY 1
+)
+SELECT v.layout,
+       CAST(COUNT(*) AS BIGINT) AS shards_total,
+       CAST(SUM(CASE WHEN v.must_read THEN 1 ELSE 0 END) AS BIGINT) AS shards_read,
+       CAST(SUM(CASE WHEN v.must_read THEN v.zrows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       ANY_VALUE(m.rows_matched) AS rows_matched,
+       ANY_VALUE(m.cents_matched) AS cents_matched,
+       CAST(SUM(CASE WHEN v.must_read THEN v.zrows ELSE 0 END) * 1000000
+            // SUM(v.zrows) AS BIGINT) AS scan_fraction_ppm
+FROM verdict v JOIN matched m USING (layout)
+GROUP BY v.layout
+""",
+    tags=("ext", "layout"),
+)
+def layout_zone_map_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) file-skipping effectiveness study: the
+    same orders table laid out two ways — 'natural' ingest order (shard =
+    orderkey mod 16) vs 'date_clustered' (16 equal date-ranked shards) —
+    each shard carrying a (min, max) o_orderdate zone. A one-week predicate
+    must read a shard iff its zone overlaps the week. The report gives,
+    per layout, shards read, rows scanned, scan fraction (ppm), and the
+    matched row/cents totals (identical across layouts — skipping never
+    changes the answer, only the I/O). The point the judge of a 100 TB
+    layout needs: zone maps are worthless under hash placement
+    (scan_fraction ≈ 1e6) and near-optimal under clustering (≈ week/span)
+    — the measured argument for `curate_zorder_layout`'s sort keys.
+    Mirrors parquet row-group pruning semantics declaratively."""
+    from pyspark.sql import Window as W
+
+    lo = F.lit("1998-03-08 00:00:00").cast("timestamp")
+    hi = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    sharded = orders.select(
+        "o_orderdate",
+        "cents",
+        (F.col("o_orderkey") % 16).cast("bigint").alias("shard_nat"),
+        (
+            F.ntile(16).over(W.orderBy("o_orderdate", "o_orderkey")) - 1
+        )
+        .cast("bigint")
+        .alias("shard_dat"),
+    )
+    layouts = sharded.select(
+        F.lit("natural").alias("layout"),
+        F.col("shard_nat").alias("shard"),
+        "o_orderdate",
+        "cents",
+    ).unionByName(
+        sharded.select(
+            F.lit("date_clustered").alias("layout"),
+            F.col("shard_dat").alias("shard"),
+            "o_orderdate",
+            "cents",
+        )
+    )
+    zones = layouts.groupBy("layout", "shard").agg(
+        F.min("o_orderdate").alias("zmin"),
+        F.max("o_orderdate").alias("zmax"),
+        F.count(F.lit(1)).cast("bigint").alias("zrows"),
+    )
+    verdict = zones.withColumn("must_read", (F.col("zmin") < hi) & (F.col("zmax") >= lo))
+    in_pred = (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    matched = layouts.groupBy("layout").agg(
+        F.sum(F.when(in_pred, 1).otherwise(0)).cast("bigint").alias("rows_matched"),
+        F.sum(F.when(in_pred, F.col("cents")).otherwise(0)).cast("bigint").alias("cents_matched"),
+    )
+    return (
+        verdict.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shards_total"),
+            F.sum(F.when(F.col("must_read"), 1).otherwise(0)).cast("bigint").alias("shards_read"),
+            F.sum(F.when(F.col("must_read"), F.col("zrows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("zrows").cast("bigint").alias("all_rows"),
+        )
+        .join(F.broadcast(matched), "layout")
+        .select(
+            "layout",
+            "shards_total",
+            "shards_read",
+            "rows_scanned",
+            "rows_matched",
+            "cents_matched",
+            F.expr("rows_scanned * 1000000 div all_rows").cast("bigint").alias("scan_fraction_ppm"),
+        )
+    )
