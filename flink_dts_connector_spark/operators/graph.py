@@ -198,3 +198,50 @@ def triangle_counts(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") 
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
     return nodes
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_hops: int = 6,
+) -> DataFrame:
+    """(id, hops) — shortest hop distance from the highest-degree node
+    (deterministic seed, ties broken by min id) to every node within
+    ``max_hops``. Frontier-expansion BFS: each round joins only the NEW
+    frontier against the edge list, anti-joins the settled set, and
+    localCheckpoints to truncate lineage — per-round shuffle is
+    O(|frontier| + degree mass), never the whole graph re-walked. The
+    DataFrame re-expression of Pregel/GraphX shortest-hop with a bounded
+    radius (the blast-radius query of a contamination/near-dup audit)."""
+    sym = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .union(edges.select(F.col(dst).cast("long").alias("u"), F.col(src).cast("long").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # deterministic seed: the highest-degree node (ties -> min id) — the
+    # hub whose blast radius is the audit's worst case
+    dist = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("u"))
+        .limit(1)
+        .select(F.col("u").alias("id"), F.lit(0).cast("int").alias("hops"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.select(F.col("id").alias("u")), "u")
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .select("id", F.lit(h).cast("int").alias("hops"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist

@@ -6785,3 +6785,166 @@ def layout_zone_map_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("rows_scanned * 1000000 div all_rows").cast("bigint").alias("scan_fraction_ppm"),
         )
     )
+
+
+@register(
+    "graph_bfs_blast_radius",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+  FROM toks
+  QUALIFY LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE 100 * n_inter >= 30 * (sa.n_sh + sb.n_sh - n_inter)
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+), seed AS (
+  SELECT u AS s FROM (
+    SELECT u, COUNT(*) AS deg FROM edges GROUP BY u ORDER BY deg DESC, u LIMIT 1
+  )
+),
+reach(id, d) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT e.v, r.d + 1 FROM reach r JOIN edges e ON e.u = r.id WHERE r.d < 6
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(d) AS INT) AS hops
+FROM reach GROUP BY id
+""",
+    tags=("ext", "graph"),
+)
+def graph_bfs_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius BFS: shortest hop distance from a deterministic seed
+    (the highest-degree hub of the near-dup graph, ties by min id — the
+    audit's worst case) to every document reachable
+    within 6 hops of ≥0.30-Jaccard near-dup edges. The Spark side is
+    frontier-expansion BFS (per-round join of only the NEW frontier,
+    anti-join of the settled set, localCheckpoint lineage truncation); the
+    oracle is a DuckDB recursive CTE with (id, d) state — a second
+    end-to-end check of an ITERATIVE distributed traversal, complementary
+    to `dedup_components` (which proves membership but not distance). The
+    audit question it answers: if THIS document is contaminated, how far
+    does transitive near-duplication carry the contamination?"""
+    from flink_dts_connector_spark.operators.graph import bfs_hops
+
+    pairs = D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold_pct=30)
+    out = bfs_hops(pairs)
+    return out.select(F.col("id").cast("bigint").alias("doc_id"), F.col("hops").cast("int"))
+
+
+@register(
+    "events_ewma_forecast",
+    oracle="""
+WITH span AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+         CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1 FROM events
+), cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM span),
+types AS (SELECT DISTINCT event_type FROM events),
+raw AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), dense AS (
+  SELECT t.event_type, CAST(cal.d AS DATE) AS d, COALESCE(r.c, 0) AS c
+  FROM types t CROSS JOIN cal
+  LEFT JOIN raw r ON r.event_type = t.event_type AND r.d = cal.d
+), lagged AS (
+  SELECT event_type, d, c,
+         128 * LAG(c, 1) OVER w + 64 * LAG(c, 2) OVER w + 32 * LAG(c, 3) OVER w
+         + 16 * LAG(c, 4) OVER w + 8 * LAG(c, 5) OVER w + 4 * LAG(c, 6) OVER w
+         + 2 * LAG(c, 7) OVER w + 2 * LAG(c, 8) OVER w AS pred_x256,
+         LAG(c, 8) OVER w AS oldest
+  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY d)
+), scored AS (
+  SELECT event_type, d, c, pred_x256,
+         ABS(256 * c - pred_x256) AS abs_resid_x256
+  FROM lagged WHERE oldest IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(abs_resid_x256) // (256 * COUNT(*)) AS BIGINT) AS mae_units,
+       CAST(MAX(CASE WHEN d = (SELECT MAX(d) FROM scored) THEN pred_x256 END) AS BIGINT) AS last_pred_x256,
+       CAST(MAX(CASE WHEN d = (SELECT MAX(d) FROM scored) THEN c END) AS BIGINT) AS last_actual
+FROM scored GROUP BY event_type
+""",
+    tags=("ext", "events", "timeseries"),
+)
+def events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA volume forecast per event type with EXACT dyadic
+    weights: alpha = 1/2 truncated at 8 lags, weights (128,64,32,16,8,4,
+    2,2)/256 (the geometric tail mass folded into the last term so weights
+    sum to 1 exactly). Everything stays integer — predictions carry a
+    ×256 fixed-point scale, residuals are |256·actual − pred|, and MAE is
+    reported in whole events via one integer division, so the forecast
+    skill score is bit-identical under any partitioning (no float EWMA
+    recursion, no order sensitivity). One window pass over the densified
+    |days|×|types| frame. The anomaly-detector companion: alert when
+    today's count leaves a band around pred_x256/256."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("d1"),
+    )
+    cal = span.select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"))
+    types = ev.select("event_type").distinct()
+    raw = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    dense = (
+        types.crossJoin(F.broadcast(cal))
+        .join(raw, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    weights = (128, 64, 32, 16, 8, 4, 2, 2)
+    pred = None
+    for j, wt in enumerate(weights, start=1):
+        term = F.lag("c", j).over(w) * wt
+        pred = term if pred is None else pred + term
+    lagged = dense.select(
+        "event_type",
+        "d",
+        "c",
+        pred.alias("pred_x256"),
+        F.lag("c", 8).over(w).alias("oldest"),
+    )
+    scored = lagged.where(F.col("oldest").isNotNull()).select(
+        "event_type",
+        "d",
+        "c",
+        "pred_x256",
+        F.abs(F.lit(256) * F.col("c") - F.col("pred_x256")).alias("abs_resid_x256"),
+    )
+    last_d = scored.agg(F.max("d").alias("dmax"))
+    return (
+        scored.crossJoin(F.broadcast(last_d))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.expr("CAST(SUM(abs_resid_x256) div (256 * COUNT(*)) AS BIGINT)").alias("mae_units"),
+            F.max(F.when(F.col("d") == F.col("dmax"), F.col("pred_x256")))
+            .cast("bigint")
+            .alias("last_pred_x256"),
+            F.max(F.when(F.col("d") == F.col("dmax"), F.col("c")))
+            .cast("bigint")
+            .alias("last_actual"),
+        )
+    )
