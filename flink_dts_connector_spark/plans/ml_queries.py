@@ -991,3 +991,213 @@ def sketch_hll_time_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(exact))
         .select("n_days_merged", "range_est", "exact_distinct", "n_zero_registers")
     )
+
+
+@register(
+    "plan_join_order_advisor",
+    oracle="""
+WITH keys AS (
+  SELECT 'orders_lineitem' AS jn, 'a' AS side, CAST(o_orderkey AS VARCHAR) AS w FROM orders
+  UNION ALL
+  SELECT 'orders_lineitem', 'b', CAST(l_orderkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'customer_orders', 'a', CAST(c_custkey AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'customer_orders', 'b', CAST(o_custkey AS VARCHAR) FROM orders
+), kc AS (
+  SELECT jn, side, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM keys GROUP BY 1, 2, 3
+), cells AS (
+  SELECT jn, side, j,
+         CAST(md5_number_lower('cms' || CAST(j AS VARCHAR) || ':' || w) % 1048576 AS BIGINT) AS b,
+         CAST(SUM(cnt) AS BIGINT) AS c
+  FROM kc CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) GROUP BY 1, 2, 3, 4
+), ip AS (
+  SELECT a.jn, a.j, CAST(SUM(a.c * b.c) AS BIGINT) AS prod
+  FROM cells a JOIN cells b ON a.jn = b.jn AND a.j = b.j AND a.b = b.b
+  WHERE a.side = 'a' AND b.side = 'b'
+  GROUP BY 1, 2
+), est AS (
+  SELECT jn, CAST(MIN(prod) AS BIGINT) AS est_rows FROM ip GROUP BY 1
+), exact AS (
+  SELECT 'orders_lineitem' AS jn, CAST(COUNT(*) AS BIGINT) AS exact_rows
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  UNION ALL
+  SELECT 'customer_orders', CAST(COUNT(*) AS BIGINT)
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+)
+SELECT e.jn AS first_join, e.est_rows, x.exact_rows,
+       CAST(ROW_NUMBER() OVER (ORDER BY e.est_rows, e.jn) AS BIGINT) AS est_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY x.exact_rows, e.jn) AS BIGINT) AS exact_rank,
+       (ROW_NUMBER() OVER (ORDER BY e.est_rows, e.jn)
+        = ROW_NUMBER() OVER (ORDER BY x.exact_rows, e.jn)) AS order_agrees
+FROM est e JOIN exact x USING (jn)
+""",
+    tags=("ext", "sketch", "planner", "join"),
+)
+def plan_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven join-order selection for the customer–orders–lineitem
+    chain: both candidate first joins (orders⋈lineitem on orderkey vs
+    customer⋈orders on custkey) get an AMS/CMS inner-product cardinality
+    forecast from depth-4 × 2^20 count-min sketches of their key columns —
+    the intermediate-size comparison a cost-based optimizer runs before
+    committing 100 TB to the wrong shape. Self-evaluating: exact join
+    sizes and an order_agrees verdict (does the sketch ranking match the
+    true ranking?) ride along. Cost of the advice: one pass per key
+    column into ≤ depth·width cells + an inner product on cell rows —
+    never a trial join. Catalyst analogy: CBO join reordering from column
+    stats (SURVEY §4), served here by mergeable sketches that CDC streams
+    keep fresh (`cdc_signed_count_sketch`)."""
+    from pyspark.sql import Window as W
+
+    def side_keys(tbl: str, col: str):
+        return (
+            t(spark, sf_dir, tbl)
+            .groupBy(F.col(col).cast("string").alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    ests = []
+    chains = {
+        "orders_lineitem": (("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
+        "customer_orders": (("customer", "c_custkey"), ("orders", "o_custkey")),
+    }
+    for jn, ((ta, ca_col), (tb, cb_col)) in chains.items():
+        ca = SK.cms_build(side_keys(ta, ca_col), "w", depth=4, width=1 << 20, weight_col="cnt").persist()
+        cb = SK.cms_build(side_keys(tb, cb_col), "w", depth=4, width=1 << 20, weight_col="cnt").persist()
+        ca.count(), cb.count()
+        ip = (
+            ca.alias("a")
+            .join(cb.alias("b"), ["j", "b"])
+            .groupBy("j")
+            .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias("prod"))
+        )
+        est = ip.agg(F.min("prod").cast("bigint").alias("est_rows")).select(
+            F.lit(jn).alias("jn"), "est_rows"
+        ).localCheckpoint()
+        ca.unpersist()
+        cb.unpersist()
+        ests.append(est)
+    est_all = ests[0].unionByName(ests[1])
+    exact = (
+        t(spark, sf_dir, "orders")
+        .join(t(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_rows"))
+        .select(F.lit("orders_lineitem").alias("jn"), "exact_rows")
+        .unionByName(
+            t(spark, sf_dir, "customer")
+            .join(t(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_rows"))
+            .select(F.lit("customer_orders").alias("jn"), "exact_rows")
+        )
+    )
+    we = W.orderBy("est_rows", "jn")
+    wx = W.orderBy("exact_rows", "jn")
+    return (
+        est_all.join(F.broadcast(exact), "jn")
+        .withColumn("est_rank", F.row_number().over(we).cast("bigint"))
+        .withColumn("exact_rank", F.row_number().over(wx).cast("bigint"))
+        .select(
+            F.col("jn").alias("first_join"),
+            "est_rows",
+            "exact_rows",
+            "est_rank",
+            "exact_rank",
+            (F.col("est_rank") == F.col("exact_rank")).alias("order_agrees"),
+        )
+    )
+
+
+@register(
+    "sketch_hll_set_algebra",
+    oracle=f"""
+WITH vocab AS (
+  SELECT DISTINCT source AS g, unnest({SQL_TOKS}) AS k
+  FROM documents WHERE source IN ('src0', 'src1')
+), both_sides AS (
+  SELECT g, k FROM vocab
+  UNION ALL
+  SELECT '__union__', k FROM vocab GROUP BY 2
+), regs AS (
+  SELECT g, j, CAST(MAX(CASE WHEN v = 0 THEN 32 ELSE 32 - length(bin(v)) END) AS BIGINT) AS r
+  FROM (
+    SELECT g, CAST(md5_number_lower(k || ':hllb') % 256 AS BIGINT) AS j,
+           CAST(md5_number_lower(k || ':hllr') % 2147483648 AS BIGINT) AS v
+    FROM both_sides
+  ) GROUP BY 1, 2
+), est AS (
+  SELECT g,
+         CAST(4043669515425284096 AS BIGINT) // (10000 * (sp + (256 - np) * (CAST(1 AS BIGINT) << 33))) AS hll_est
+  FROM (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS np,
+           CAST(SUM(CAST(1 AS BIGINT) << (33 - r)) AS BIGINT) AS sp
+    FROM regs GROUP BY 1
+  )
+), wide AS (
+  SELECT MAX(CASE WHEN g = 'src0' THEN hll_est END) AS est_a,
+         MAX(CASE WHEN g = 'src1' THEN hll_est END) AS est_b,
+         MAX(CASE WHEN g = '__union__' THEN hll_est END) AS est_union
+  FROM est
+), exact AS (
+  SELECT CAST(COUNT(DISTINCT CASE WHEN g = 'src0' THEN k END) AS BIGINT) AS exact_a,
+         CAST(COUNT(DISTINCT CASE WHEN g = 'src1' THEN k END) AS BIGINT) AS exact_b,
+         CAST(COUNT(DISTINCT k) AS BIGINT) AS exact_union
+  FROM vocab
+)
+SELECT w.est_a, w.est_b, w.est_union,
+       CAST(w.est_a + w.est_b - w.est_union AS BIGINT) AS est_inter,
+       CAST(w.est_union - w.est_b AS BIGINT) AS est_only_a,
+       x.exact_a, x.exact_b, x.exact_union,
+       CAST(x.exact_a + x.exact_b - x.exact_union AS BIGINT) AS exact_inter,
+       CAST(x.exact_union - x.exact_b AS BIGINT) AS exact_only_a
+FROM wide w CROSS JOIN exact x
+""",
+    tags=("ext", "sketch", "hll"),
+)
+def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set ALGEBRA by inclusion-exclusion: intersection and difference
+    cardinalities of two source vocabularies estimated from three 256-int
+    register tables alone — |A∩B| ≈ est(A)+est(B)−est(A∪B) and |A\\\\B| ≈
+    est(A∪B)−est(B), where the union sketch is the per-cell max merge
+    (never a rescan). HLL has no native intersect; inclusion-exclusion is
+    the standard (error-amplifying) bridge, so the exact values ride
+    along to expose the amplification — the honest version of every
+    "audience overlap" dashboard. Complements `sketch_kmv_user_overlap`,
+    whose KMV sketches estimate Jaccard directly: two sketch families,
+    two overlap routes, one truth."""
+    from flink_dts_connector_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents").where(F.col("source").isin("src0", "src1"))
+    vocab = docs.select(
+        F.col("source").alias("g"), F.explode(tokens("text")).alias("k")
+    ).distinct()
+    per_source = SK.hll_registers(vocab, key_col="k", group_col="g")
+    # the union sketch NEVER rescans tokens: per-cell max merge of the two
+    # per-source register tables (lossless — sketch_hll_union_merge pins it)
+    union_regs = SK.hll_merge(per_source.select(F.lit("__union__").alias("g"), "j", "r"))
+    est = SK.hll_estimate(per_source.unionByName(union_regs))
+    wide = est.agg(
+        F.max(F.when(F.col("g") == "src0", F.col("hll_est"))).cast("bigint").alias("est_a"),
+        F.max(F.when(F.col("g") == "src1", F.col("hll_est"))).cast("bigint").alias("est_b"),
+        F.max(F.when(F.col("g") == "__union__", F.col("hll_est")))
+        .cast("bigint")
+        .alias("est_union"),
+    )
+    exact = vocab.agg(
+        F.countDistinct(F.when(F.col("g") == "src0", F.col("k"))).cast("bigint").alias("exact_a"),
+        F.countDistinct(F.when(F.col("g") == "src1", F.col("k"))).cast("bigint").alias("exact_b"),
+        F.countDistinct("k").cast("bigint").alias("exact_union"),
+    )
+    return wide.crossJoin(F.broadcast(exact)).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).cast("bigint").alias("est_inter"),
+        (F.col("est_union") - F.col("est_b")).cast("bigint").alias("est_only_a"),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+        .cast("bigint")
+        .alias("exact_inter"),
+        (F.col("exact_union") - F.col("exact_b")).cast("bigint").alias("exact_only_a"),
+    )

@@ -1068,3 +1068,49 @@ def test_ivfpq_candidates_respect_probes_and_recall_floor(spark, sf_dir):
     }
     hits = sum(1 for r in got if (r["query_id"], r["vec_id"]) in truth)
     assert hits / len(truth) >= 0.3  # same floor as the IVF recall pin
+
+
+# ---------------------------------------------------------------------------
+# round-6 wave 3: BFS hops + shard-top-k bound
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_matches_known_distances(spark):
+    """Crafted graph: hub 1 with spokes {2,3}, chain 3-4-5, island {8,9}.
+    Max-degree seed is node 3 (degree 2: 1 and 4... hub 1 also degree 2 —
+    tie broken by min id → seed 1). Distances from 1 are known."""
+    from flink_dts_connector_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4), (4, 5), (8, 9)], ["a_id", "b_id"]
+    )
+    got = {r["id"]: r["hops"] for r in bfs_hops(edges).collect()}
+    # degrees: 1→2, 3→2, 4→2, others 1; tie on max degree → min id = 1
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_bfs_hops_respects_max_hops(spark):
+    from flink_dts_connector_spark.operators.graph import bfs_hops
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], ["a_id", "b_id"]
+    )
+    got = {r["id"]: r["hops"] for r in bfs_hops(chain, max_hops=3).collect()}
+    # max-degree tie among all interior nodes → min id seed = 2
+    assert got[2] == 0
+    assert max(got.values()) == 3
+    assert set(got) == {1, 2, 3, 4, 5}  # radius-3 ball around 2
+
+
+def test_shard_topk_bound_certifies_exact_counts(spark, sf_dir):
+    """The [est_lo, est_hi] interval must contain the exact count for every
+    reported token — the summary's defining guarantee (checked at the
+    fixture SF for all 20 reported rows, not just spot rows)."""
+    from flink_dts_connector_spark.plans.registry import get_query
+
+    q = get_query("sketch_shard_topk_bound")
+    rows = q.fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["est_lo"] <= r["exact_n"] <= r["est_hi"], r
+        assert r["bound_holds"]
