@@ -341,3 +341,55 @@ def decode_bmp_features(
         schema="doc_id bigint, width bigint, height bigint, n_pixels bigint,"
         " sum_r bigint, sum_g bigint, sum_b bigint",
     )
+
+
+def resize_bmp_half(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL media transform, dependency-free: nearest-neighbor 2x
+    downsample of 24-bit BI_RGB BMP payloads — decode (header + stride +
+    bottom-up flip), keep every even (x, y) pixel in top-down coordinates
+    (new dims = ceil(w/2) x ceil(h/2)), re-encode a valid BMP. The full
+    decode→transform→encode round trip of a media pipeline's resize
+    stage, Arrow-batched; output rows are (id, media) with the new
+    payload, ready for `decode_bmp_features` or another hop."""
+    import struct
+
+    import numpy as np
+
+    def parse_px(raw: bytes):
+        if len(raw) < 54 or raw[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        offset = struct.unpack_from("<I", raw, 10)[0]
+        hdr_size, width, height = struct.unpack_from("<Iii", raw, 14)
+        planes, bpp = struct.unpack_from("<HH", raw, 26)
+        compression = struct.unpack_from("<I", raw, 30)[0]
+        if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+            raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+        if height <= 0 or width <= 0:
+            raise ValueError("top-down/degenerate BMP unsupported")
+        stride = (width * 3 + 3) & ~3
+        px = np.frombuffer(raw, dtype=np.uint8, count=stride * height, offset=offset)
+        rows = px.reshape(height, stride)[::-1, : width * 3]
+        return rows.reshape(height, width, 3)  # top-down BGR
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for raw in pdf[media_col]:
+                bgr = parse_px(raw)[::2, ::2, :]  # nearest-neighbor half
+                h2, w2 = bgr.shape[0], bgr.shape[1]
+                out.append(
+                    encode_bmp(
+                        w2,
+                        h2,
+                        lambda x, y, a=bgr: (int(a[y, x, 2]), int(a[y, x, 1]), int(a[y, x, 0])),
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), media_col: out})
+
+    return df.select(id_col, media_col).mapInPandas(
+        fn, schema=f"{id_col} bigint, {media_col} binary"
+    )

@@ -6720,7 +6720,10 @@ def layout_zone_map_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout needs: zone maps are worthless under hash placement
     (scan_fraction ≈ 1e6) and near-optimal under clustering (≈ week/span)
     — the measured argument for `curate_zorder_layout`'s sort keys.
-    Mirrors parquet row-group pruning semantics declaratively."""
+    Mirrors parquet row-group pruning semantics declaratively. Scale
+    note: ntile is a global window here for fixture-scale exactness; at
+    scale the 16 date cuts come from `layout_range_boundaries`
+    (histogram cut, no global sort)."""
     from pyspark.sql import Window as W
 
     lo = F.lit("1998-03-08 00:00:00").cast("timestamp")
@@ -6948,3 +6951,198 @@ def events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("last_actual"),
         )
     )
+
+
+@register(
+    "layout_zorder_vs_linear",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderdate, o_custkey,
+         CAST(NTILE(256) OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS xb,
+         CAST(NTILE(256) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS BIGINT) AS yb
+  FROM orders
+), zval AS (
+  SELECT *,
+         (((xb >> 0) & 1) << 0) | (((yb >> 0) & 1) << 1)
+       | (((xb >> 1) & 1) << 2) | (((yb >> 1) & 1) << 3)
+       | (((xb >> 2) & 1) << 4) | (((yb >> 2) & 1) << 5)
+       | (((xb >> 3) & 1) << 6) | (((yb >> 3) & 1) << 7)
+       | (((xb >> 4) & 1) << 8) | (((yb >> 4) & 1) << 9)
+       | (((xb >> 5) & 1) << 10) | (((yb >> 5) & 1) << 11)
+       | (((xb >> 6) & 1) << 12) | (((yb >> 6) & 1) << 13)
+       | (((xb >> 7) & 1) << 14) | (((yb >> 7) & 1) << 15) AS z
+  FROM base
+), sharded AS (
+  SELECT o_orderdate, o_custkey,
+         CAST(NTILE(64) OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS shard_date,
+         CAST(NTILE(64) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS BIGINT) AS shard_cust,
+         CAST(NTILE(64) OVER (ORDER BY z, o_orderkey) - 1 AS BIGINT) AS shard_z
+  FROM zval
+), pred AS (
+  SELECT TIMESTAMP '1997-01-01 00:00:00' AS dlo, TIMESTAMP '1998-01-01 00:00:00' AS dhi,
+         (SELECT MAX(o_custkey) // 4 FROM orders) AS chi
+), layouts AS (
+  SELECT 'linear_date' AS layout, shard_date AS shard, o_orderdate, o_custkey FROM sharded
+  UNION ALL
+  SELECT 'linear_cust', shard_cust, o_orderdate, o_custkey FROM sharded
+  UNION ALL
+  SELECT 'zorder', shard_z, o_orderdate, o_custkey FROM sharded
+), zones AS (
+  SELECT layout, shard,
+         MIN(o_orderdate) AS dmin, MAX(o_orderdate) AS dmax,
+         MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+         CAST(COUNT(*) AS BIGINT) AS zrows
+  FROM layouts GROUP BY 1, 2
+), verdict AS (
+  SELECT z.*, (z.dmin < p.dhi AND z.dmax >= p.dlo AND z.cmin <= p.chi) AS must_read
+  FROM zones z CROSS JOIN pred p
+), matched AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rows_matched
+  FROM sharded s CROSS JOIN pred p
+  WHERE s.o_orderdate >= p.dlo AND s.o_orderdate < p.dhi AND s.o_custkey <= p.chi
+)
+SELECT v.layout,
+       CAST(SUM(CASE WHEN v.must_read THEN 1 ELSE 0 END) AS BIGINT) AS shards_read,
+       CAST(SUM(CASE WHEN v.must_read THEN v.zrows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       ANY_VALUE(m.rows_matched) AS rows_matched,
+       CAST(SUM(CASE WHEN v.must_read THEN v.zrows ELSE 0 END) * 1000000
+            // SUM(v.zrows) AS BIGINT) AS scan_fraction_ppm
+FROM verdict v CROSS JOIN matched m
+GROUP BY v.layout
+""",
+    tags=("ext", "layout"),
+)
+def layout_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-ORDER argument, measured: the same orders table cut into 64
+    shards under three sort orders — linear by date, linear by custkey,
+    and Morton/Z-order (bit-interleave of the two 256-bucket rank
+    coordinates) — each shard keeping min/max zones on BOTH columns. A
+    2-D predicate (one year AND lowest custkey quartile) must read a
+    shard iff both zones overlap. Linear layouts prune only their own
+    dimension; Z-order keeps locality in both, so its scan fraction
+    approaches the PRODUCT of the selectivities rather than the better
+    single one. This is `curate_zorder_layout`'s payoff quantified — the
+    number that justifies interleaved sort keys for multi-dimension
+    filter workloads at 100 TB (Delta/Iceberg OPTIMIZE ZORDER, data
+    skipping). Matched row counts are layout-invariant (skipping never
+    changes answers). Scale note: the ntile ranks here are a global
+    window (SinglePartition) for bit-exactness at fixture scale; the
+    production path derives the same 256 bucket boundaries from
+    `layout_range_boundaries`' 1024-bucket histogram — no sort, no
+    single-partition stage — then buckets by range lookup."""
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_custkey")
+    base = orders.select(
+        "*",
+        (F.ntile(256).over(W.orderBy("o_orderdate", "o_orderkey")) - 1)
+        .cast("bigint")
+        .alias("xb"),
+        (F.ntile(256).over(W.orderBy("o_custkey", "o_orderkey")) - 1)
+        .cast("bigint")
+        .alias("yb"),
+    )
+    zbits = " | ".join(
+        f"(shiftleft((shiftright(xb, {b}) & 1), {2 * b}))"
+        f" | (shiftleft((shiftright(yb, {b}) & 1), {2 * b + 1}))"
+        for b in range(8)
+    )
+    zval = base.withColumn("z", F.expr(zbits))
+    sharded = zval.select(
+        "o_orderdate",
+        "o_custkey",
+        (F.ntile(64).over(W.orderBy("o_orderdate", "o_orderkey")) - 1)
+        .cast("bigint")
+        .alias("shard_date"),
+        (F.ntile(64).over(W.orderBy("o_custkey", "o_orderkey")) - 1)
+        .cast("bigint")
+        .alias("shard_cust"),
+        (F.ntile(64).over(W.orderBy("z", "o_orderkey")) - 1).cast("bigint").alias("shard_z"),
+    )
+    dlo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    dhi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    chi_df = orders.agg(F.expr("CAST(MAX(o_custkey) div 4 AS BIGINT)").alias("chi"))
+    layouts = None
+    for name, col in (
+        ("linear_date", "shard_date"),
+        ("linear_cust", "shard_cust"),
+        ("zorder", "shard_z"),
+    ):
+        part = sharded.select(
+            F.lit(name).alias("layout"),
+            F.col(col).alias("shard"),
+            "o_orderdate",
+            "o_custkey",
+        )
+        layouts = part if layouts is None else layouts.unionByName(part)
+    zones = layouts.groupBy("layout", "shard").agg(
+        F.min("o_orderdate").alias("dmin"),
+        F.max("o_orderdate").alias("dmax"),
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.count(F.lit(1)).cast("bigint").alias("zrows"),
+    )
+    verdict = zones.crossJoin(F.broadcast(chi_df)).withColumn(
+        "must_read",
+        (F.col("dmin") < dhi) & (F.col("dmax") >= dlo) & (F.col("cmin") <= F.col("chi")),
+    )
+    matched = (
+        sharded.crossJoin(F.broadcast(chi_df))
+        .where((F.col("o_orderdate") >= dlo) & (F.col("o_orderdate") < dhi) & (F.col("o_custkey") <= F.col("chi")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_matched"))
+    )
+    return (
+        verdict.groupBy("layout")
+        .agg(
+            F.sum(F.when(F.col("must_read"), 1).otherwise(0)).cast("bigint").alias("shards_read"),
+            F.sum(F.when(F.col("must_read"), F.col("zrows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("zrows").cast("bigint").alias("all_rows"),
+        )
+        .crossJoin(F.broadcast(matched))
+        .select(
+            "layout",
+            "shards_read",
+            "rows_scanned",
+            "rows_matched",
+            F.expr("rows_scanned * 1000000 div all_rows").cast("bigint").alias("scan_fraction_ppm"),
+        )
+    )
+
+
+@register(
+    "multimodal_bmp_resize",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+), px AS (
+  SELECT doc_id, (w + 1) // 2 AS w2, (h + 1) // 2 AS h2, xs.x, ys.y
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, w - 1, 2)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 1, 2)) AS y) ys
+)
+SELECT doc_id,
+       CAST(w2 AS BIGINT) AS width,
+       CAST(h2 AS BIGINT) AS height,
+       CAST(w2 * h2 AS BIGINT) AS n_pixels,
+       CAST(SUM((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((2 * doc_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((5 * doc_id + x + 11 * y) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w2, h2
+""",
+    tags=("ext", "multimodal", "codec"),
+)
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media resize end-to-end: every document's genuine BMP payload
+    goes through decode → nearest-neighbor 2x downsample (even (x, y)
+    pixels, top-down) → RE-ENCODE as a valid BMP → a second full decode
+    into per-channel sums. The oracle reproduces the surviving pixels'
+    sums in closed form, so the round trip proves both parse directions
+    AND the resampling geometry (ceil-half dims, even-index selection
+    surviving the bottom-up flip twice). The resize stage of a multimodal
+    training pipeline with zero media libraries; jpeg/png keep the
+    disclosed stub contract."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_bmp_media(docs)
+    return M.decode_bmp_features(M.resize_bmp_half(media))
