@@ -278,8 +278,13 @@ def decode_zoo_fixed(df: DataFrame, value_col: str = "value") -> DataFrame:
         o = 18 + i * ZOO_SLOT_W  # 1-based start of slot i
         kind = F.substring(v, o, 1)
         body = F.substring(v, o + 1, ZOO_SLOT_W - 1)
+        # the slot payload after kind+2-hex-length is ZOO_SLOT_W - 3 chars;
+        # clamp the read there and render NULL for a corrupt length field so
+        # a bad record can never silently bleed into the neighboring slot
+        max_text = ZOO_SLOT_W - 3
         text_len = F.conv(F.substring(v, o + 1, 2), 16, 10).cast("int")
-        text = F.substring(v, o + 3, 64).substr(F.lit(1), text_len)
+        safe_len = F.when(text_len <= F.lit(max_text), text_len)
+        text = F.substring(v, o + 3, max_text).substr(F.lit(1), safe_len)
         sign = F.when(F.substring(v, o + 1, 1) == "-", F.lit(-1)).otherwise(F.lit(1))
         fmicros = F.conv(F.substring(v, o + 2, 18), 10, 10).cast("bigint")
         fval = (sign * fmicros).cast("double") / 1000000.0

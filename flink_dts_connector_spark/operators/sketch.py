@@ -245,6 +245,12 @@ def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
     harmonic sum with 2^(W+2) (absent registers contribute Mj = 0).
     Returns ``(g, hll_est, n_zero_registers)``."""
     num = 7183 * m * m * (1 << (HLL_W + 2))  # fits int64 for m = 256
+    if num > (1 << 63) - 1:
+        raise ValueError(
+            f"hll_estimate: m={m} overflows the int64 numerator "
+            f"(7183*m*m*2^{HLL_W + 2} = {num}); max supported m is "
+            f"{int((((1 << 63) - 1) / (7183 * (1 << (HLL_W + 2)))) ** 0.5)}"
+        )
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W + 2} - r AS INT))")
     agg = registers.groupBy("g").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_present"),

@@ -6417,14 +6417,14 @@ raw AS (
   FROM dev
 ), sums AS (
   SELECT event_type, ANY_VALUE(n) AS n_hours,
-         CAST(SUM(dv * dv) AS BIGINT) AS den,
-         CAST(SUM(CASE WHEN dv1 IS NOT NULL THEN dv * dv1 ELSE 0 END) AS BIGINT) AS num1,
-         CAST(SUM(CASE WHEN dv24 IS NOT NULL THEN dv * dv24 ELSE 0 END) AS BIGINT) AS num24
+         SUM(CAST(dv AS HUGEINT) * dv) AS den,
+         SUM(CASE WHEN dv1 IS NOT NULL THEN CAST(dv AS HUGEINT) * dv1 ELSE CAST(0 AS HUGEINT) END) AS num1,
+         SUM(CASE WHEN dv24 IS NOT NULL THEN CAST(dv AS HUGEINT) * dv24 ELSE CAST(0 AS HUGEINT) END) AS num24
   FROM lagged GROUP BY event_type
 )
 SELECT event_type, lag, n_hours,
-       CAST(CASE WHEN num < 0 THEN -((1000000 * (-num)) // den)
-                 ELSE (1000000 * num) // den END AS BIGINT) AS acf_ppm
+       CAST(CASE WHEN num < 0 THEN -((CAST(1000000 AS HUGEINT) * (-num)) // den)
+                 ELSE (CAST(1000000 AS HUGEINT) * num) // den END AS BIGINT) AS acf_ppm
 FROM (
   SELECT event_type, 1 AS lag, n_hours, num1 AS num, den FROM sums
   UNION ALL
@@ -6438,9 +6438,11 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     event type, at lag 1 (short-term momentum) and lag 24 (diurnal
     seasonality). The calendar is densified so silent hours count as zero,
     and the mean never materializes as a float: deviations are n-scaled
-    (``n*c - S`` = n·(c − mean)), so numerator and denominator are exact
-    BIGINTs and acf = num/den is rendered as a truncated-toward-zero signed
-    ppm ratio — bit-identical under any partitioning. One hash agg on
+    (``n*c - S`` = n·(c − mean)) BIGINTs, and their products/sums are
+    carried in DECIMAL(38,0) (DuckDB HUGEINT) — dv² squares past int64
+    once hours×rate passes ~3e9 — so acf = num/den is rendered as a
+    truncated-toward-zero signed ppm ratio, bit-identical under any
+    partitioning and safe at large scale factors. One hash agg on
     (type, hour) + one window pass; the calendar frame is |hours|×|types|
     rows, never the raw events. The seasonality statistic that justifies
     `events_seasonal_baseline`'s same-hour-prior model."""
@@ -6477,18 +6479,20 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("dv", 1).over(w).alias("dv1"),
         F.lag("dv", 24).over(w).alias("dv24"),
     )
+    dvd = F.col("dv").cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
     sums = lagged.groupBy("event_type").agg(
         F.first("n").alias("n_hours"),
-        F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("den"),
+        F.sum(dvd * F.col("dv")).cast("decimal(38,0)").alias("den"),
         F.sum(
-            F.when(F.col("dv1").isNotNull(), F.col("dv") * F.col("dv1")).otherwise(F.lit(0))
+            F.when(F.col("dv1").isNotNull(), dvd * F.col("dv1")).otherwise(zero)
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("num1"),
         F.sum(
-            F.when(F.col("dv24").isNotNull(), F.col("dv") * F.col("dv24")).otherwise(F.lit(0))
+            F.when(F.col("dv24").isNotNull(), dvd * F.col("dv24")).otherwise(zero)
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("num24"),
     )
     both = sums.selectExpr(

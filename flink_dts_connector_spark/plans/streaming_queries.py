@@ -1963,10 +1963,23 @@ def stream_store_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["totals"] = kept.unionByName(changed).localCheckpoint()
         state["batches"] += 1
 
+    # derive the trigger size from the store's actual committed file count so
+    # at least two micro-batches are guaranteed at ANY fixture scale (the old
+    # hard-coded 60 errored whenever tables×months yielded <= 60 files)
+    import glob as _glob
+    import os as _os
+
+    n_files = sum(
+        1
+        for p in _glob.glob(_os.path.join(store, "**", "*.parquet"), recursive=True)
+        if "_spark_metadata" not in p
+    )
+    per_trigger = max(1, -(-n_files // 2))  # ceil(n/2): batch2 gets the rest
+
     with pinned_shuffle_partitions(spark):
         env = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "60")
+            .option("maxFilesPerTrigger", str(per_trigger))
             .parquet(store)
         )
         chg = project_table(
