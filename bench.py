@@ -206,7 +206,6 @@ def main() -> None:
         start = time.perf_counter()
         n_dec = decode_cdc(raw).write.format("noop").mode("overwrite").save()
         best_dec = min(best_dec, time.perf_counter() - start)
-    raw.unpersist()
     cores = spark.sparkContext.defaultParallelism
 
     # Round-5 twin: the fixed-layout JVM codec (formats/fixedwire.py) —
@@ -225,6 +224,32 @@ def main() -> None:
         best_fixed = min(best_fixed, time.perf_counter() - start)
     fixed.unpersist()
 
+    # Round-7: filtered-ingest throughput — the realistic multi-tenant-topic
+    # shape (select UPDATE/DELETE of one table, drop the rest). Python path:
+    # every record's header is parsed in a Python worker, payload only for
+    # survivors. JVM path (formats/jvmheader.py): the header parse + filter
+    # run as column expressions, so dropped records never reach Python at
+    # all. Rates are over INPUT records (the stream you must keep up with).
+    from flink_dts_connector_spark.formats.decoder import decode_cdc_prefiltered
+    from flink_dts_connector_spark.sources.generator import DB, TBL
+
+    tbls, opsel = [f"{DB}.{TBL}"], ["UPDATE", "DELETE"]
+    best_pyf = float("inf")
+    for _ in range(runs):
+        start = time.perf_counter()
+        decode_cdc(raw, tables=tbls, ops=opsel).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best_pyf = min(best_pyf, time.perf_counter() - start)
+    best_jvmf = float("inf")
+    for _ in range(runs):
+        start = time.perf_counter()
+        decode_cdc_prefiltered(raw, tables=tbls, ops=opsel).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best_jvmf = min(best_jvmf, time.perf_counter() - start)
+    raw.unpersist()
+
     decode_stats = {
         "records": n_raw,
         "sec": round(best_dec, 4),
@@ -237,6 +262,14 @@ def main() -> None:
             "records": n_fixed,
             "sec": round(best_fixed, 4),
             "recs_per_sec": round(n_fixed / best_fixed),
+        },
+        "filtered": {
+            "records_in": n_raw,
+            "python_sec": round(best_pyf, 4),
+            "python_recs_per_sec": round(n_raw / best_pyf),
+            "jvm_prefilter_sec": round(best_jvmf, 4),
+            "jvm_prefilter_recs_per_sec": round(n_raw / best_jvmf),
+            "speedup": round(best_pyf / best_jvmf, 2),
         },
     }
 

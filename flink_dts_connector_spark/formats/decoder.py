@@ -312,3 +312,30 @@ def decode_cdc(
             yield pd.DataFrame(out, columns=_ENVELOPE_COLS)
 
     return raw_df.mapInPandas(fn, schema=ENVELOPE_SCHEMA)
+
+
+def decode_cdc_prefiltered(
+    raw_df: DataFrame,
+    tables: Sequence[str] | None = None,
+    ops: Sequence[str | OperationType] | None = None,
+    **kwargs,
+) -> DataFrame:
+    """`decode_cdc` with a JVM header pre-filter in front: op/table
+    filtering runs as pure column expressions (`formats/jvmheader.py`), so
+    records dropped by the filters never cross the Arrow boundary into a
+    Python worker at all — the 100 TB multi-tenant-topic ingest path, where
+    one table's consumer shouldn't pay Python time for the other 99%.
+
+    The Python layer re-applies the exact filters on the (few) survivors,
+    so semantics — including logical `l_db_name`/`l_tb_name` renames the
+    JVM pass only approximates — are identical to `decode_cdc`.
+    """
+    from flink_dts_connector_spark.formats.jvmheader import prefilter
+
+    pre = prefilter(
+        raw_df,
+        tables=list(tables) if tables is not None else None,
+        ops=list(ops) if ops is not None else None,
+        drop_invalid=(kwargs.get("on_error") == "skip"),
+    )
+    return decode_cdc(pre, tables=tables, ops=ops, **kwargs)

@@ -1316,3 +1316,108 @@ def cdc_store_partition_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     env2 = spark.read.parquet(serving).where(F.col("tbl_part") == _TBL)
     return project_table(env2, ORDERS_CDC_SCHEMA, table=f"{DB}.{TBL}")
+
+
+@register(
+    "cdc_header_jvm_filter",
+    oracle="""
+WITH recs AS (
+  SELECT 'UPDATE' AS operation, o_orderkey * 4 + 1 AS id,
+         CAST(epoch(o_orderdate) AS BIGINT) + 3600 AS ts
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT 'UPDATE', o_orderkey * 4 + 2, CAST(epoch(o_orderdate) AS BIGINT) + 7200
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT 'DELETE', o_orderkey * 4 + 3, CAST(epoch(o_orderdate) AS BIGINT) + 10800
+  FROM orders WHERE o_orderkey % 97 = 0
+), ck AS (
+  SELECT operation, id, ts,
+         '0@' || CAST(id % 2147483648 AS VARCHAR) || '@mysql-bin.000001:'
+           || CAST(id AS VARCHAR) || '@' || CAST(ts * 1000 AS VARCHAR) AS ckpt
+  FROM recs
+)
+SELECT operation, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS id_sum,
+       CAST(MIN(ts) AS BIGINT) AS ts_min, CAST(MAX(ts) AS BIGINT) AS ts_max,
+       CAST(SUM(md5_number_lower(ckpt) % 2147483648) AS BIGINT) AS ckpt_checksum
+FROM ck GROUP BY operation
+""",
+    tags=("cdc", "decode", "jvm-header"),
+)
+def cdc_header_jvm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's lazy-parse win — op/table filtering that reads ONLY
+    the header (`impl/LazyParseRecordImpl.java:53-84`) — executed entirely
+    inside the JVM: `formats/jvmheader.py` parses the varint header (id,
+    ts, op, table, v2 source_position) with chained `aggregate()` column
+    expressions, filters UPDATE/DELETE on the orders table, and aggregates
+    count + id checksum + commit-ts bounds + a checkpoint-string checksum,
+    all without a single record crossing into a Python worker after the
+    generator. The checkpoint checksum pins the JVM render of
+    `0@idLow31@sourcePosition@tsMillis` (`LazyParseRecordImpl.java:199-209`)
+    byte-for-byte. Plan guard: tests/test_plan_shapes.py asserts the
+    post-generator subtree is Python-free."""
+    from flink_dts_connector_spark.formats.jvmheader import with_jvm_header
+    from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
+
+    raw = generate_cdc_bytes(spark, sf_dir)
+    hdr = with_jvm_header(raw)
+    flt = hdr.where(
+        F.col("hdr_op").isin("UPDATE", "DELETE")
+        & (F.col("hdr_db") == DB)
+        & (F.col("hdr_tbl") == TBL)
+    )
+    return flt.groupBy(F.col("hdr_op").alias("operation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("hdr_id").cast("bigint").alias("id_sum"),
+        F.min("hdr_ts").cast("bigint").alias("ts_min"),
+        F.max("hdr_ts").cast("bigint").alias("ts_max"),
+        F.sum(md5_number_lower_mod(F.col("hdr_checkpoint"), 1 << 31))
+        .cast("bigint")
+        .alias("ckpt_checksum"),
+    )
+
+
+@register(
+    "cdc_jvm_prefiltered_changelog",
+    oracle=f"""
+SELECT o_orderdate + INTERVAL 1 HOUR AS ts, o_orderkey * 4 + 1 AS record_id,
+       o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE0} AS o_totalprice, o_orderdate, o_orderpriority, 'UB' AS op
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 1 HOUR, o_orderkey * 4 + 1, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, o_orderpriority, 'UA'
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 2 HOUR, o_orderkey * 4 + 2, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, o_orderpriority, 'UB'
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 2 HOUR, o_orderkey * 4 + 2, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, '9-RUSH', 'UA'
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 3 HOUR, o_orderkey * 4 + 3, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, {SQL_PRIO1}, 'D'
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+    tags=("cdc", "typed", "changelog", "jvm-header"),
+)
+def cdc_jvm_prefiltered_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`decode_cdc_prefiltered` end-to-end: the JVM header pre-filter drops
+    INSERT/HEARTBEAT/DDL records (the bulk of the stream) before the Arrow
+    hop, then the Python layer decodes payloads for the UPDATE/DELETE
+    survivors only — and the typed changelog must equal the unfiltered
+    pipeline's result restricted to those ops, row for row. This is the
+    filtered-ingest shape a 100 TB multi-tenant topic needs: Python cost
+    scales with the selection, not the stream."""
+    from flink_dts_connector_spark.formats.decoder import decode_cdc_prefiltered
+
+    raw = generate_cdc_bytes(spark, sf_dir)
+    env = decode_cdc_prefiltered(
+        raw,
+        tables=[f"{DB}.{TBL}"],
+        ops=["UPDATE", "DELETE"],
+        columns=[f.name for f in ORDERS_CDC_SCHEMA.fields],
+    )
+    return project_table(env, ORDERS_CDC_SCHEMA, table=f"{DB}.{TBL}")

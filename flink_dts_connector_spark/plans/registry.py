@@ -75,24 +75,32 @@ def _load_all() -> None:
 # per plan shape; the remaining registry entries follow in registration order
 # and are exercised by tools/sweep.py and the pytest oracle harness.
 GATE_PRIORITY: tuple[str, ...] = (
-    # TPC-H core shapes: agg, join+topk, scan-filter-agg, agg-having-semijoin
+    # TPC-H core shapes: agg, join+topk. r7 rotation: q6 (scan-filter-agg —
+    # the bench sentinel, sweep-green) and q18 (agg-having-semijoin,
+    # sweep-green) hand their slots to the r6/r7 flagship families below;
+    # both shapes remain inside other gated queries (q1 is the same
+    # agg-over-scan, cdc_incremental_checksum carries a HAVING-style gate)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q18_large_volume_orders",
     # aggregation batteries
     "events_incremental_window_maintenance",  # r4 cont.: MV maintenance == full recompute (grouping sets stays sweep-green)
     # r5: KMV sketch takes the distinct-estimation slot with a FULL oracle
     # (HLL's approx_count_distinct stays sweep-green) and adds the
     # sketch-only pairwise set-overlap shape
     "sketch_kmv_user_overlap",
+    # r7: the per-day HLL register time-cube (mergeable-sketch family
+    # flagship — arbitrary date ranges answered by register max-merge)
+    # takes the range-frame window slot (win_range_frame_and_navigation
+    # stays sweep-green; navigation/frame shapes also live inside the
+    # gated win_topk + events MV slots)
+    "sketch_hll_time_cube",
     # windows
     "win_topk_orders_per_customer",
-    "win_range_frame_and_navigation",
-    # joins (anti / as-of / range)
+    # joins (anti / as-of; range-bucketized stays sweep-green via
+    # range_join_purchase_views — the as-of slot gates the same
+    # bucketized-interval machinery)
     "join_anti_customers_without_orders",
     "asof_purchase_last_view",
-    "range_join_purchase_views",
     # events
     "events_sessionize",
     # r4 cont. 2: bloom semi-join reduction takes the JSON-struct slot
@@ -110,6 +118,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "cdc_scd2_asof",  # r4 cont.: AS-OF subsumes the SCD2 build + time-travel read
     "cdc_value_zoo_render",
     "cdc_txn_atomic_apply",
+    # r7: the JVM varint-header decode + filter (the reference's lazy-parse
+    # contract executed with zero Python, formats/jvmheader.py) and the
+    # decode-once store's signed-agg twin (store-served ≡ wire-served) gate
+    # the two r6/r7 structural moves
+    "cdc_header_jvm_filter",
+    "cdc_store_signed_agg",
     # deduplication family — r4 wave 2: directional containment joins; the
     # xxhash LSH twin and embedding-components rotate to sweep coverage
     # (md5 LSH + probe and cosine-pairs + text-components keep both shapes)
@@ -139,6 +153,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # (it contains the full codebook/encode/ADC machinery plus cell
     # pruning; ann_topk_pq stays sweep-green)
     "ann_topk_ivfpq",
+    # r7: attribute-filtered ANN (label predicate as the join key — the
+    # pre-filter design that doesn't starve recall) gates the r6 addition
+    "ann_topk_filtered",
     # text analysis — r4 wave 2: the rare-bigram LM-style filter joins;
     # per-source token stats rotate out (the same explode+agg shape backs
     # bpe stats and the top-terms sweep entries)
