@@ -224,31 +224,51 @@ def main() -> None:
         best_fixed = min(best_fixed, time.perf_counter() - start)
     fixed.unpersist()
 
-    # Round-7: filtered-ingest throughput — the realistic multi-tenant-topic
-    # shape (select UPDATE/DELETE of one table, drop the rest). Python path:
-    # every record's header is parsed in a Python worker, payload only for
-    # survivors. JVM path (formats/jvmheader.py): the header parse + filter
-    # run as column expressions, so dropped records never reach Python at
-    # all. Rates are over INPUT records (the stream you must keep up with).
+    # Round-7: filtered-ingest throughput on the realistic multi-tenant
+    # topic (orders stream ∪ documents stream; select one table's INSERTs).
+    # Python path: every record's header is parsed in a Python worker,
+    # payload only for survivors. JVM path (formats/jvmheader.py): a
+    # contains() byte-search + single-expression header-parse filter run as
+    # column expressions, so dropped records never reach Python at all.
+    # Rates are over INPUT records (the stream you must keep up with).
     from flink_dts_connector_spark.formats.decoder import decode_cdc_prefiltered
-    from flink_dts_connector_spark.sources.generator import DB, TBL
+    from flink_dts_connector_spark.formats.jvmheader import prefilter
+    from flink_dts_connector_spark.sources.generator import (
+        DOC_DB,
+        DOC_TBL,
+        generate_doc_cdc_bytes,
+    )
 
-    tbls, opsel = [f"{DB}.{TBL}"], ["UPDATE", "DELETE"]
+    mixed = (
+        raw.select("value")
+        .unionByName(generate_doc_cdc_bytes(spark, sf_dir).select("value"))
+        .persist()
+    )
+    n_mixed = mixed.count()
+    raw.unpersist()
+    tbls, opsel = [f"{DOC_DB}.{DOC_TBL}"], ["INSERT"]
+    best_pre = float("inf")
+    for _ in range(runs):
+        start = time.perf_counter()
+        prefilter(mixed, tables=tbls, ops=opsel).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best_pre = min(best_pre, time.perf_counter() - start)
     best_pyf = float("inf")
     for _ in range(runs):
         start = time.perf_counter()
-        decode_cdc(raw, tables=tbls, ops=opsel).write.format("noop").mode(
+        decode_cdc(mixed, tables=tbls, ops=opsel).write.format("noop").mode(
             "overwrite"
         ).save()
         best_pyf = min(best_pyf, time.perf_counter() - start)
     best_jvmf = float("inf")
     for _ in range(runs):
         start = time.perf_counter()
-        decode_cdc_prefiltered(raw, tables=tbls, ops=opsel).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        decode_cdc_prefiltered(mixed, tables=tbls, ops=opsel).write.format(
+            "noop"
+        ).mode("overwrite").save()
         best_jvmf = min(best_jvmf, time.perf_counter() - start)
-    raw.unpersist()
+    mixed.unpersist()
 
     decode_stats = {
         "records": n_raw,
@@ -264,12 +284,13 @@ def main() -> None:
             "recs_per_sec": round(n_fixed / best_fixed),
         },
         "filtered": {
-            "records_in": n_raw,
-            "python_sec": round(best_pyf, 4),
-            "python_recs_per_sec": round(n_raw / best_pyf),
-            "jvm_prefilter_sec": round(best_jvmf, 4),
-            "jvm_prefilter_recs_per_sec": round(n_raw / best_jvmf),
-            "speedup": round(best_pyf / best_jvmf, 2),
+            "records_in": n_mixed,
+            "jvm_prefilter_only_sec": round(best_pre, 4),
+            "jvm_prefilter_only_recs_per_sec": round(n_mixed / best_pre),
+            "python_ingest_sec": round(best_pyf, 4),
+            "python_ingest_recs_per_sec": round(n_mixed / best_pyf),
+            "jvm_ingest_sec": round(best_jvmf, 4),
+            "jvm_ingest_recs_per_sec": round(n_mixed / best_jvmf),
         },
     }
 
@@ -314,6 +335,9 @@ def main() -> None:
             "sentinel_median_sec": sentinel_stats["median"],
             "decode_recs_per_sec": decode_stats["recs_per_sec"],
             "decode_jvm_recs_per_sec": decode_stats["jvm_fixed"]["recs_per_sec"],
+            "filtered_jvm_prefilter_recs_per_sec": decode_stats["filtered"][
+                "jvm_prefilter_only_recs_per_sec"
+            ],
             "sf": sf_val,
             "detail_file": os.path.basename(local_path),
         }

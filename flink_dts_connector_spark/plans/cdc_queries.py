@@ -1356,11 +1356,18 @@ def cdc_header_jvm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     `0@idLow31@sourcePosition@tsMillis` (`LazyParseRecordImpl.java:199-209`)
     byte-for-byte. Plan guard: tests/test_plan_shapes.py asserts the
     post-generator subtree is Python-free."""
-    from flink_dts_connector_spark.formats.jvmheader import with_jvm_header
+    from flink_dts_connector_spark.formats.jvmheader import (
+        prefilter,
+        with_jvm_header,
+    )
     from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
 
     raw = generate_cdc_bytes(spark, sf_dir)
-    hdr = with_jvm_header(raw)
+    # cheap single-expression prefilter first (one parse per record, none
+    # for contains()-cut records); the exact residual predicate below then
+    # prices its per-reference parse on the few survivors only
+    pre = prefilter(raw, tables=[f"{DB}.{TBL}"], ops=["UPDATE", "DELETE"])
+    hdr = with_jvm_header(pre)
     flt = hdr.where(
         F.col("hdr_op").isin("UPDATE", "DELETE")
         & (F.col("hdr_db") == DB)
