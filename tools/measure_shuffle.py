@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Shuffle-linearity measurement (SCALING.md §shuffle-linearity).
+
+For one flagship query per heavy family, record the TOTAL shuffle-write
+bytes its execution produces at two scale factors. If a family's shuffle
+budget scales with the INPUT (the design claim: shingle/band/cell/posting
+keys bound every quadratic), a 10× data step must produce ~10× the
+exchange bytes — not ~100× (an all-pairs leak) and not a constant dominated
+by some materialized side state.
+
+Metrics come from the Spark UI REST API (a dedicated session with the UI
+enabled — the tuned session keeps it off), summing `shuffleWriteBytes`
+over the completed stages between snapshots, so the number is the real
+exchange traffic incl. AQE re-plans, not a plan-time estimate.
+
+Usage: python tools/measure_shuffle.py [--json OUT.json] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = [
+    "dedup_minhash_md5",          # MinHash-LSH: shingle/band keys
+    "ann_topk_ivfpq",             # IVF-PQ: cell/codebook keys
+    "search_bm25_topk",           # BM25: posting keys
+    "sketch_count_min_heavy_hitters",  # CMS: sketch cells
+]
+SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def completed_stage_bytes(sc) -> tuple[int, int]:
+    url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages?status=complete"
+    stages = json.load(urllib.request.urlopen(url))
+    return (
+        sum(s["shuffleWriteBytes"] for s in stages),
+        sum(s["inputBytes"] for s in stages),
+    )
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    out_path = None
+    if args and args[0] == "--json":
+        out_path = args[1]
+        args = args[2:]
+    names = args or DEFAULT_QUERIES
+
+    from flink_dts_connector_spark.plans.registry import all_queries
+    from flink_dts_connector_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="fdcs-shuffle-measure", extra_conf={"spark.ui.enabled": "true"}
+    )
+    sc = spark.sparkContext
+    queries = all_queries()
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = queries[name].fn
+        per_sf = {}
+        for sf_dir in SF_DIRS:
+            w0, i0 = completed_stage_bytes(sc)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            w1, i1 = completed_stage_bytes(sc)
+            sf = os.path.basename(sf_dir.rstrip("/"))
+            per_sf[sf] = {"shuffle_write_bytes": w1 - w0, "input_bytes": i1 - i0}
+        sfs = list(per_sf)
+        growth = (
+            per_sf[sfs[1]]["shuffle_write_bytes"]
+            / max(per_sf[sfs[0]]["shuffle_write_bytes"], 1)
+        )
+        per_sf["shuffle_growth_10x_data"] = round(growth, 2)
+        results[name] = per_sf
+        print(f"{name}: {json.dumps(per_sf)}")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=1)
+    # one-line verdict per query
+    for name, r in results.items():
+        g = r["shuffle_growth_10x_data"]
+        tag = "LINEAR-ish" if g < 30 else "SUPERLINEAR"
+        print(f"VERDICT {name}: 10x data -> {g}x shuffle bytes [{tag}]")
+
+
+if __name__ == "__main__":
+    main()
