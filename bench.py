@@ -109,6 +109,14 @@ HEADLINE = [
     "events_disorder_profile",
     "events_markov_transitions",
     "text_token_burstiness",
+    # appended in round 7: JVM header-filter family + the store twin of the
+    # upsert shape (wire vs store amortization visible in one artifact) +
+    # the two newly gated r6 flagships
+    "cdc_header_jvm_filter",
+    "cdc_jvm_prefiltered_changelog",
+    "cdc_store_upsert_state",
+    "sketch_hll_time_cube",
+    "ann_topk_filtered",
     # ml_bpe_train_merges / ml_bpe_encode_stats stay registry-only: their
     # cost is 8 eager localCheckpoint rounds of vocabulary-sized work
     # (~fixed latency, like dedup_components' edge materialization) — a
