@@ -393,3 +393,133 @@ def resize_bmp_half(
     return df.select(id_col, media_col).mapInPandas(
         fn, schema=f"{id_col} bigint, {media_col} binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real media codec #2, dependency-free: RIFF/WAVE PCM16 mono audio. Like the
+# BMP codec above, the bytes are genuine files (any audio tool plays them),
+# and every feature is integer-exact so a SQL oracle can reproduce it in
+# closed form. jpeg/png/mp4 keep the disclosed NotImplementedError contract.
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+
+
+def encode_wav(samples, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Build a real RIFF/WAVE file: 44-byte canonical header (PCM fmt 1,
+    mono, 16-bit) + little-endian int16 samples."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    n = len(data)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + n, b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", n,
+    )
+    return hdr + data
+
+
+def wav_fixture_samples(doc_id: int) -> list[int]:
+    """Deterministic PCM16 fixture derived from the id: n = 16 + id%17
+    samples, sample k = ((id*31 + k*57) % 4096) - 2048 — a closed form a
+    SQL oracle reproduces without parsing bytes."""
+    n = 16 + doc_id % 17
+    return [((doc_id * 31 + k * 57) % 4096) - 2048 for k in range(n)]
+
+
+def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real WAV payload per row (the audio twin of `attach_bmp_media`)."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_wav(wav_fixture_samples(int(i))) for i in ids]
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {
+                    "codec": "wav",
+                    "n_bytes": len(p),
+                    "width": 0,
+                    "height": 0,
+                    "duration_ms": (16 + int(i) % 17) * 1000 // WAV_SAMPLE_RATE,
+                }
+                for i, p in zip(ids, payloads)
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_wav_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio decode: validate the RIFF/WAVE/fmt/data chunk layout
+    (PCM, mono, 16-bit) and emit integer-exact signal features — sample
+    count, duration, Σ|s| loudness, Σs² energy, peak amplitude, and the
+    zero-crossing count (adjacent sample pairs whose product is negative).
+    Arrow-batched mapInPandas; bytes never leave the executor; malformed
+    payloads fail loudly (trusted ingest path, like the BMP decoder)."""
+    import struct
+
+    import numpy as np
+
+    def parse(raw: bytes):
+        if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        if raw[12:16] != b"fmt ":
+            raise ValueError("missing fmt chunk")
+        fmt_size, audio_fmt, channels, rate = struct.unpack_from("<IHHI", raw, 16)
+        bits = struct.unpack_from("<H", raw, 34)[0]
+        if fmt_size != 16 or audio_fmt != 1 or channels != 1 or bits != 16:
+            raise ValueError(
+                f"unsupported WAV variant (fmt={audio_fmt}, ch={channels}, bits={bits})"
+            )
+        if raw[36:40] != b"data":
+            raise ValueError("missing data chunk")
+        n_bytes = struct.unpack_from("<I", raw, 40)[0]
+        if 44 + n_bytes > len(raw) or n_bytes % 2:
+            raise ValueError("torn data chunk")
+        s = np.frombuffer(raw, dtype="<i2", count=n_bytes // 2, offset=44).astype(
+            np.int64
+        )
+        n = len(s)
+        zc = int((s[:-1] * s[1:] < 0).sum()) if n > 1 else 0
+        return (
+            n,
+            int(rate),
+            n * 1000 // rate,
+            int(np.abs(s).sum()),
+            int((s * s).sum()),
+            int(np.abs(s).max()) if n else 0,
+            zc,
+        )
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [parse(raw) for raw in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_samples": [p[0] for p in parsed],
+                    "sample_rate": [p[1] for p in parsed],
+                    "duration_ms": [p[2] for p in parsed],
+                    "sum_abs": [p[3] for p in parsed],
+                    "energy": [p[4] for p in parsed],
+                    "peak": [p[5] for p in parsed],
+                    "zero_crossings": [p[6] for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, n_samples bigint, sample_rate bigint,"
+        " duration_ms bigint, sum_abs bigint, energy bigint, peak bigint,"
+        " zero_crossings bigint",
+    )

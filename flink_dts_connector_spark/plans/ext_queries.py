@@ -7150,3 +7150,45 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = M.attach_bmp_media(docs)
     return M.decode_bmp_features(M.resize_bmp_half(media))
+
+
+@register(
+    "multimodal_wav_features",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 17 AS n FROM documents
+), smp AS (
+  SELECT doc_id, n, k.k, ((doc_id * 31 + k.k * 57) % 4096) - 2048 AS s
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS k) k
+), lagged AS (
+  SELECT doc_id, n, k, s,
+         LAG(s) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+  FROM smp
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(ANY_VALUE(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings
+FROM lagged GROUP BY doc_id
+""",
+    tags=("ext", "multimodal", "codec", "audio"),
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end, dependency-free (the WAV twin of
+    `multimodal_bmp_features`): every document gets a genuine RIFF/WAVE
+    PCM16 mono payload (deterministic samples derived from doc_id — real
+    files, any audio tool plays them), and `decode_wav_features` validates
+    the chunk layout and emits integer-exact signal features (Σ|s|
+    loudness, Σs² energy, peak, zero crossings). The oracle reproduces
+    every number in closed form from the sample formula — header layout,
+    int16 little-endian packing, and the data-chunk length are all
+    verified bit-exactly. Closes the audio modality's "decode is stubbed"
+    gap; mp3/flac keep the disclosed NotImplementedError contract."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_wav_media(docs)
+    return M.decode_wav_features(media)
