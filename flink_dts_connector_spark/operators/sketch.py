@@ -267,3 +267,91 @@ def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
         F.expr(f"CAST({num} AS BIGINT) div ({_HLL_DEN} * _s)").alias("hll_est"),
         "n_zero_registers",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dyadic histogram quantile sketch (round 7) — the quantile member of the
+# mergeable-sketch family (CMS = frequency, KMV/HLL = distinct, AMS = F2,
+# this = rank/quantile). Deterministic, integer-exact, and oracle-able:
+# values bucket at a fixed power-of-two width, per-group cell counts merge
+# by addition (shards, days, partitions), and any rank query answers from
+# the cumulative cell walk with error bounded by ONE bucket width. The
+# shuffle is O(cells) regardless of input mass — same scaling law the CMS
+# family proves — and a per-period cube answers arbitrary ranges by cell
+# addition without rescanning rows (the quantile twin of hll time-cube).
+# ---------------------------------------------------------------------------
+
+
+def value_histogram(
+    df: DataFrame, group_col: str, value_col: str, shift: int
+) -> DataFrame:
+    """Bucket counts per group: bucket = value >> shift (bucket width
+    2^shift). One map-side-combined hash agg; returns (g, bucket, c).
+    Values must be non-negative integers (cast upstream)."""
+    return (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.shiftright(F.col(value_col).cast("bigint"), shift).alias("bucket"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def histogram_merge(*hists: DataFrame) -> DataFrame:
+    """Merge histogram sketches by cell addition (the union operator —
+    shards, days, incremental batches all merge identically)."""
+    if not hists:
+        raise ValueError("need at least one histogram frame")
+    u = hists[0]
+    for h in hists[1:]:
+        u = u.unionByName(h)
+    return u.groupBy("g", "bucket").agg(F.sum("c").cast("bigint").alias("c"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: list[tuple[int, int]], shift: int
+) -> DataFrame:
+    """Rank queries against the sketch: for each (num, den) quantile
+    q = num/den, the estimate is the first bucket whose cumulative count
+    reaches rank ceil(q·n) (ranks 1-based, ties toward the lower bucket —
+    the deterministic rule both engines mirror). Returns per (g, q):
+    ``(g, q_num, q_den, rank, est_lo, est_hi)`` where [est_lo, est_hi] is
+    the bucket's value range — the true q-quantile provably lies inside.
+
+    Quantiles are exact rationals (num, den), never floats, so the rank
+    arithmetic is bit-stable across engines."""
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("g").orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    ).withColumn("n", F.sum("c").over(Window.partitionBy("g")))
+    qdf = None
+    for num, den in qs:
+        one = cum.select(
+            "g", "bucket", "cum", "n",
+            F.lit(num).alias("q_num"), F.lit(den).alias("q_den"),
+        )
+        qdf = one if qdf is None else qdf.unionByName(one)
+    # rank = ceil(q*n) = (q_num*n + q_den - 1) div q_den, floored at 1
+    ranked = qdf.withColumn(
+        "rank",
+        F.greatest(
+            F.expr("CAST((q_num * n + q_den - 1) div q_den AS BIGINT)"), F.lit(1)
+        ),
+    )
+    hit = (
+        ranked.where(F.col("cum") >= F.col("rank"))
+        .groupBy("g", "q_num", "q_den")
+        .agg(F.min("bucket").alias("bucket"), F.first("rank").alias("rank"))
+    )
+    w = 1 << shift
+    return hit.select(
+        "g", "q_num", "q_den",
+        F.col("rank").cast("bigint").alias("rank"),
+        (F.col("bucket") * w).cast("bigint").alias("est_lo"),
+        (F.col("bucket") * w + (w - 1)).cast("bigint").alias("est_hi"),
+    )

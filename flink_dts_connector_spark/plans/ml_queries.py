@@ -1201,3 +1201,230 @@ def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exact_inter"),
         (F.col("exact_union") - F.col("exact_b")).cast("bigint").alias("exact_only_a"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dyadic histogram quantile sketch (round 7): the rank/quantile member of
+# the mergeable-sketch family. Bucket width 2^16 over exact order cents.
+# ---------------------------------------------------------------------------
+
+_HQ_SHIFT = 16
+_HQ_W = 1 << _HQ_SHIFT
+#: exact rational quantiles — never floats, so the rank arithmetic is
+#: bit-stable across engines
+_HQ_QS = [(1, 2), (9, 10), (99, 100)]
+_SQL_HQ_QS = "SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) AS t(q_num, q_den)"
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+WITH vals AS (
+  SELECT o_orderpriority AS g, {{cents}} AS v FROM orders
+), hist AS (
+  SELECT g, v // {_HQ_W} AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2
+), cum AS (
+  SELECT g, bucket, SUM(c) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM hist
+), qs AS ({_SQL_HQ_QS}),
+ranked AS (
+  SELECT g, bucket, cum, q_num, q_den,
+         GREATEST((q_num * n + q_den - 1) // q_den, 1) AS rank
+  FROM cum CROSS JOIN qs
+), hit AS (
+  SELECT g, q_num, q_den, CAST(ANY_VALUE(rank) AS BIGINT) AS rank,
+         MIN(bucket) AS bucket
+  FROM ranked WHERE cum >= rank GROUP BY 1, 2, 3
+), exact AS (
+  SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM vals
+)
+SELECT h.g, CAST(h.q_num AS INT) AS q_num, CAST(h.q_den AS INT) AS q_den,
+       h.rank,
+       CAST(h.bucket * {_HQ_W} AS BIGINT) AS est_lo,
+       CAST(h.bucket * {_HQ_W} + {_HQ_W - 1} AS BIGINT) AS est_hi,
+       CAST(e.v AS BIGINT) AS exact_cents,
+       e.v BETWEEN h.bucket * {_HQ_W} AND h.bucket * {_HQ_W} + {_HQ_W - 1}
+         AS within_bound
+FROM hit h JOIN exact e ON e.g = h.g AND e.rn = h.rank
+""".format(cents="CAST(round(o_totalprice * 100) AS BIGINT)"),
+    tags=("ext", "sketch", "quantile"),
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic histogram quantile sketch: per-priority bucket counts at
+    width 2^16 over exact order cents — ONE map-side-combined hash agg
+    whose shuffle is O(cells) regardless of input mass — then p50/p90/p99
+    answered from the cumulative cell walk. The estimate is a PROVEN
+    bracket: the true rank-r value lies in [est_lo, est_hi] by
+    construction, and the query emits the exact rank value (row_number
+    proof apparatus — production serves from the sketch alone) plus the
+    containment flag, which must be TRUE for every row. Quantiles travel
+    as exact rationals (num, den) so ceil(q·n) is bit-stable across
+    engines. The rank/quantile member of the mergeable-sketch family
+    (CMS = frequency, KMV/HLL = distinct, AMS = F2)."""
+    from pyspark.sql import Window as W
+
+    vals = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    hist = SK.value_histogram(vals, "g", "v", _HQ_SHIFT)
+    quants = SK.histogram_quantiles(hist, _HQ_QS, _HQ_SHIFT)
+    exact = vals.withColumn(
+        "rn", F.row_number().over(W.partitionBy("g").orderBy("v")).cast("bigint")
+    )
+    return (
+        quants.join(
+            exact, (quants["g"] == exact["g"]) & (quants["rank"] == exact["rn"])
+        )
+        .select(
+            quants["g"],
+            "q_num",
+            "q_den",
+            "rank",
+            "est_lo",
+            "est_hi",
+            F.col("v").cast("bigint").alias("exact_cents"),
+            F.col("v").between(F.col("est_lo"), F.col("est_hi")).alias("within_bound"),
+        )
+    )
+
+
+@register(
+    "sketch_histogram_merge",
+    oracle=f"""
+WITH vals AS (
+  SELECT o_orderpriority AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+), hist AS (
+  SELECT g, v // {_HQ_W} AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2
+), cum AS (
+  SELECT g, bucket, SUM(c) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM hist
+), qs AS ({_SQL_HQ_QS}),
+ranked AS (
+  SELECT g, bucket, cum, q_num, q_den,
+         GREATEST((q_num * n + q_den - 1) // q_den, 1) AS rank
+  FROM cum CROSS JOIN qs
+), hit AS (
+  SELECT g, q_num, q_den, MIN(bucket) AS bucket
+  FROM ranked WHERE cum >= rank GROUP BY 1, 2, 3
+)
+SELECT g, CAST(q_num AS INT) AS q_num, CAST(q_den AS INT) AS q_den,
+       CAST(bucket * {_HQ_W} AS BIGINT) AS est_lo_merged,
+       CAST(bucket * {_HQ_W} AS BIGINT) AS est_lo_direct
+FROM hit
+""",
+    tags=("ext", "sketch", "quantile", "merge"),
+)
+def sketch_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-losslessness proof for the quantile sketch: four per-shard
+    histograms (orderkey mod 4) merged by cell addition must answer every
+    quantile identically to the direct whole-table build — the property
+    that makes the sketch a per-day/per-shard storable summary. The engine
+    emits BOTH paths' answers; the oracle computes the closed form once,
+    so a hash match proves merged ≡ direct ≡ closed form."""
+    vals = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        (F.col("o_orderkey") % 4).alias("shard"),
+    )
+    shards = [
+        SK.value_histogram(vals.where(F.col("shard") == i), "g", "v", _HQ_SHIFT)
+        for i in range(4)
+    ]
+    merged = SK.histogram_merge(*shards)
+    direct = SK.value_histogram(vals, "g", "v", _HQ_SHIFT)
+    qm = SK.histogram_quantiles(merged, _HQ_QS, _HQ_SHIFT).select(
+        "g", "q_num", "q_den", F.col("est_lo").alias("est_lo_merged")
+    )
+    qd = SK.histogram_quantiles(direct, _HQ_QS, _HQ_SHIFT).select(
+        "g", "q_num", "q_den", F.col("est_lo").alias("est_lo_direct")
+    )
+    return qm.join(qd, ["g", "q_num", "q_den"])
+
+
+@register(
+    "sketch_histogram_time_cube",
+    oracle=f"""
+WITH vals AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), probe AS (SELECT MIN(m) AS m0 FROM vals),
+sel AS (
+  SELECT v FROM vals, probe WHERE m >= m0 AND m < m0 + INTERVAL 12 MONTH
+), hist AS (
+  SELECT v // {_HQ_W} AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM sel GROUP BY 1
+), cum AS (
+  SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cum, SUM(c) OVER () AS n FROM hist
+), qs AS ({_SQL_HQ_QS}),
+ranked AS (
+  SELECT bucket, cum, q_num, q_den,
+         GREATEST((q_num * n + q_den - 1) // q_den, 1) AS rank
+  FROM cum CROSS JOIN qs
+), hit AS (
+  SELECT q_num, q_den, CAST(ANY_VALUE(rank) AS BIGINT) AS rank, MIN(bucket) AS bucket
+  FROM ranked WHERE cum >= rank GROUP BY 1, 2
+), exact AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM sel
+), months AS (
+  SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS n_months_merged
+  FROM vals, probe WHERE m >= m0 AND m < m0 + INTERVAL 12 MONTH
+)
+SELECT CAST(h.q_num AS INT) AS q_num, CAST(h.q_den AS INT) AS q_den, h.rank,
+       CAST(h.bucket * {_HQ_W} AS BIGINT) AS est_lo,
+       CAST(e.v AS BIGINT) AS exact_cents,
+       e.v BETWEEN h.bucket * {_HQ_W} AND h.bucket * {_HQ_W} + {_HQ_W - 1}
+         AS within_bound,
+       months.n_months_merged
+FROM hit h JOIN exact e ON e.rn = h.rank CROSS JOIN months
+""",
+    tags=("ext", "sketch", "quantile", "cube"),
+)
+def sketch_histogram_time_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-queryable quantile cube (the quantile twin of
+    `sketch_hll_time_cube`): per-MONTH histogram cells are the stored
+    layer, and an arbitrary date-range quantile is answered by ADDING the
+    covered months' cells — never rescanning orders. Probed on the first
+    12 months at p50/p90/p99; each estimate's bucket must bracket the
+    exact rank value. Plain per-month percentiles cannot be combined into
+    a range percentile — mergeable cells are the only way, which is the
+    entire point of the sketch."""
+    from pyspark.sql import Window as W
+
+    vals = t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    m0 = vals.agg(F.min("m")).collect()[0][0]
+    hi = m0.replace(year=m0.year + 1)  # + 12 months (m0 is a month boundary)
+    sel = vals.where((F.col("m") >= F.lit(m0)) & (F.col("m") < F.lit(hi)))
+    month_hists = SK.value_histogram(
+        sel.select(F.col("m").alias("g"), "v"), "g", "v", _HQ_SHIFT
+    )
+    merged = SK.histogram_merge(
+        month_hists.select(F.lit("range").alias("g"), "bucket", "c")
+    )
+    quants = SK.histogram_quantiles(merged, _HQ_QS, _HQ_SHIFT)
+    exact = sel.select(
+        "v", F.row_number().over(W.orderBy("v")).cast("bigint").alias("rn")
+    )
+    months = sel.select("m").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months_merged")
+    )
+    return (
+        quants.join(exact, quants["rank"] == exact["rn"])
+        .crossJoin(F.broadcast(months))
+        .select(
+            "q_num",
+            "q_den",
+            "rank",
+            "est_lo",
+            F.col("v").cast("bigint").alias("exact_cents"),
+            F.col("v").between(
+                F.col("est_lo"), F.col("est_lo") + F.lit(_HQ_W - 1)
+            ).alias("within_bound"),
+            "n_months_merged",
+        )
+    )
