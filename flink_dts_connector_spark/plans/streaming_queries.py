@@ -2011,3 +2011,55 @@ def stream_store_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "stream_jvm_prefiltered_ingest",
+    oracle="""
+WITH recs AS (
+  SELECT 'UPDATE' AS operation, o_orderkey * 4 + 1 AS id
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT 'UPDATE', o_orderkey * 4 + 2 FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT 'DELETE', o_orderkey * 4 + 3 FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT operation, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS id_sum
+FROM recs GROUP BY operation
+""",
+    tags=("streaming", "cdc", "jvm-header"),
+)
+def stream_jvm_prefiltered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM header pre-filter under Structured Streaming: a raw-bytes
+    file stream flows through `jvmheader.prefilter` (pure column
+    expressions — the micro-batch plan drops INSERT/HEARTBEAT/DDL records
+    before any Python stage) and only the UPDATE/DELETE survivors cross
+    into the Arrow-batched decoder; an update-mode running aggregation
+    must converge to the closed-form totals. This is the shape of a
+    production multi-tenant-topic consumer: per-micro-batch Python cost
+    tracks the selection, not the topic."""
+    from flink_dts_connector_spark.formats.decoder import decode_cdc
+    from flink_dts_connector_spark.formats.jvmheader import prefilter
+    from flink_dts_connector_spark.sources.generator import (
+        DB,
+        TBL,
+        generate_cdc_bytes,
+    )
+    from flink_dts_connector_spark.streaming.runner import run_to_memory
+
+    raw_dir = scratch_dir("fdcs_jvmpre_raw_")
+    generate_cdc_bytes(spark, sf_dir).select("value").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(raw_dir)
+    with pinned_shuffle_partitions(spark):
+        raw = spark.readStream.schema("value binary").parquet(raw_dir)
+        pre = prefilter(raw, tables=[f"{DB}.{TBL}"], ops=["UPDATE", "DELETE"])
+        env = decode_cdc(pre, tables=[f"{DB}.{TBL}"], ops=["UPDATE", "DELETE"])
+        agg = env.groupBy("operation").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("id").alias("id_sum")
+        )
+        sink = run_to_memory(agg, output_mode="update")
+    return sink.groupBy("operation").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("id_sum").cast("bigint").alias("id_sum"),
+    )
