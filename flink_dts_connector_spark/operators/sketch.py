@@ -283,18 +283,32 @@ def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
 
 
 def value_histogram(
-    df: DataFrame, group_col: str, value_col: str, shift: int
+    df: DataFrame, group_col: str, value_col: str, shift: int,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Bucket counts per group: bucket = value >> shift (bucket width
     2^shift). One map-side-combined hash agg; returns (g, bucket, c).
-    Values must be non-negative integers (cast upstream)."""
+    Values must be non-negative integers (cast upstream).
+
+    ``weight_col`` (BIGINT, may be negative) is the turnstile variant: a
+    CDC changelog with +1 (I/UA) / −1 (UB/D) signs maintains the cells
+    under retractions — linearity means the maintained cells equal a
+    fresh build over the CURRENT state, so quantiles answered from the
+    maintained sketch are quantiles of the live table
+    (`cdc_signed_histogram_quantiles` pins this)."""
+    w = (
+        F.lit(1).cast("bigint")
+        if weight_col is None
+        else F.col(weight_col).cast("bigint")
+    )
     return (
         df.select(
             F.col(group_col).alias("g"),
             F.shiftright(F.col(value_col).cast("bigint"), shift).alias("bucket"),
+            w.alias("_w"),
         )
         .groupBy("g", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum("_w").cast("bigint").alias("c"))
     )
 
 

@@ -1428,3 +1428,69 @@ def cdc_jvm_prefiltered_changelog(spark: SparkSession, sf_dir: str) -> DataFrame
         columns=[f.name for f in ORDERS_CDC_SCHEMA.fields],
     )
     return project_table(env, ORDERS_CDC_SCHEMA, table=f"{DB}.{TBL}")
+
+
+@register(
+    "cdc_signed_histogram_quantiles",
+    oracle=f"""
+WITH vals AS (
+  SELECT {SQL_PRIO1} AS g, {SQL_CENTS1} AS v FROM orders WHERE o_orderkey % 97 <> 0
+), hist AS (
+  SELECT g, v // 65536 AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2
+), cum AS (
+  SELECT g, bucket, SUM(c) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM hist
+), qs AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) AS t(q_num, q_den)),
+ranked AS (
+  SELECT g, bucket, cum, q_num, q_den,
+         GREATEST((q_num * n + q_den - 1) // q_den, 1) AS rank
+  FROM cum CROSS JOIN qs
+), hit AS (
+  SELECT g, q_num, q_den, MIN(bucket) AS bucket
+  FROM ranked WHERE cum >= rank GROUP BY 1, 2, 3
+)
+SELECT g, CAST(q_num AS INT) AS q_num, CAST(q_den AS INT) AS q_den,
+       CAST(bucket * 65536 AS BIGINT) AS est_lo_maintained,
+       CAST(bucket * 65536 AS BIGINT) AS est_lo_fresh
+FROM hit
+""",
+    tags=("cdc", "changelog", "sketch", "quantile"),
+)
+def cdc_signed_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turnstile quantile sketch over the CDC changelog: histogram cells
+    maintained with +1/−1 signed weights (UB/D retract, I/UA insert —
+    priority renames move mass between groups through their UB/UA pair)
+    answer every quantile identically to a fresh build over the
+    materialized current state. Linearity is the whole trick: the
+    maintained cells ARE the live table's cells, so a 100 TB pipeline
+    keeps per-day quantile cells current by folding the change stream —
+    no state-table rescan, shuffle O(cells). The engine emits both paths;
+    the oracle computes the closed form once — hash match proves
+    maintained ≡ fresh ≡ closed form."""
+    from flink_dts_connector_spark.operators import sketch as SK
+
+    qs = [(1, 2), (9, 10), (99, 100)]
+    chg = _typed_changelog(spark, sf_dir)
+    s = sign_col("op")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    signed = chg.select(
+        F.col("o_orderpriority").alias("g"), cents.alias("v"), s.alias("w")
+    )
+    maintained = SK.value_histogram(signed, "g", "v", 16, weight_col="w").where(
+        F.col("c") != 0
+    )
+    state = materialize_upsert(
+        chg, ["o_orderkey"], order_cols=["ts", "record_id"]
+    ).select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    fresh = SK.value_histogram(state, "g", "v", 16)
+    qm = SK.histogram_quantiles(maintained, qs, 16).select(
+        "g", "q_num", "q_den", F.col("est_lo").alias("est_lo_maintained")
+    )
+    qf = SK.histogram_quantiles(fresh, qs, 16).select(
+        "g", "q_num", "q_den", F.col("est_lo").alias("est_lo_fresh")
+    )
+    return qm.join(qf, ["g", "q_num", "q_den"])
