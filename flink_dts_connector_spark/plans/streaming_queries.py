@@ -2063,3 +2063,90 @@ def stream_jvm_prefiltered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("n").cast("bigint").alias("n"),
         F.max("id_sum").cast("bigint").alias("id_sum"),
     )
+
+
+@register(
+    "stream_histogram_convergence",
+    oracle="""
+WITH vals AS (
+  SELECT o_orderpriority AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+), hist AS (
+  SELECT g, v // 65536 AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2
+), cum AS (
+  SELECT g, bucket, SUM(c) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM hist
+), qs AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) AS t(q_num, q_den)),
+ranked AS (
+  SELECT g, bucket, cum, q_num, q_den,
+         GREATEST((q_num * n + q_den - 1) // q_den, 1) AS rank
+  FROM cum CROSS JOIN qs
+), hit AS (
+  SELECT g, q_num, q_den, MIN(bucket) AS bucket
+  FROM ranked WHERE cum >= rank GROUP BY 1, 2, 3
+)
+SELECT g, CAST(q_num AS INT) AS q_num, CAST(q_den AS INT) AS q_den,
+       CAST(bucket * 65536 AS BIGINT) AS est_lo,
+       CAST(bucket * 65536 + 65535 AS BIGINT) AS est_hi
+FROM hit
+""",
+    tags=("streaming", "sketch", "quantile", "incremental"),
+)
+def stream_histogram_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantile-sketch maintenance — the live twin of
+    `sketch_histogram_quantiles`, completing the streaming convergence
+    battery (CMS update-mode, KMV retake-k, HLL max-merge, histogram
+    cell-ADDITION): micro-batches (3 interleaved waves by orderkey % 3)
+    fold per-batch histogram cells into the state by addition — linear,
+    so arrival order and batching cannot change the converged cells, and
+    every quantile answered from the streamed sketch must hash-match the
+    whole-table closed form. State is O(cells) per group forever — the
+    streaming percentile answer at 100 TB."""
+    from flink_dts_connector_spark.operators import sketch as SK
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    waves_dir = scratch_dir("fdcs_hq_waves_")
+    for i in range(3):
+        orders.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(waves_dir)
+
+    empty = spark.createDataFrame([], "g string, bucket bigint, c bigint")
+    state = {"cells": empty.localCheckpoint(), "batches": 0}
+
+    def merge(bdf: DataFrame, batch_id: int) -> None:
+        batch_cells = SK.value_histogram(
+            bdf.select(
+                F.col("o_orderpriority").alias("g"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            ),
+            "g",
+            "v",
+            16,
+        )
+        state["cells"] = SK.histogram_merge(state["cells"], batch_cells).localCheckpoint()
+        state["batches"] += 1
+
+    with pinned_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", scratch_dir("fdcs_hq_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(waves_dir, ignore_errors=True)  # state is localCheckpoint-ed
+    if state["batches"] < 2:
+        raise AssertionError(f"expected multiple micro-batches, got {state['batches']}")
+    return SK.histogram_quantiles(
+        state["cells"], [(1, 2), (9, 10), (99, 100)], 16
+    ).select("g", "q_num", "q_den", "est_lo", "est_hi")
