@@ -1428,3 +1428,95 @@ def sketch_histogram_time_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_months_merged",
         )
     )
+
+
+@register(
+    "sketch_hll_sliding_distinct",
+    oracle="""
+WITH bounds AS (SELECT date_trunc('day', MIN(ts)) AS d0 FROM events),
+days AS (
+  SELECT unnest(generate_series(d0, d0 + INTERVAL 29 DAY, INTERVAL 1 DAY)) AS day
+  FROM bounds
+), keys AS (
+  SELECT date_trunc('day', ts) AS d, CAST(user_id AS VARCHAR) AS k FROM events
+  GROUP BY 1, 2
+), win AS (
+  SELECT days.day, keys.k FROM days JOIN keys
+    ON keys.d BETWEEN days.day - INTERVAL 6 DAY AND days.day
+  GROUP BY 1, 2
+), regs AS (
+  SELECT day, CAST(md5_number_lower(k || ':hllb') % 256 AS BIGINT) AS j,
+         CAST(MAX(CASE WHEN v = 0 THEN 32 ELSE 32 - length(bin(v)) END) AS BIGINT) AS r
+  FROM (SELECT day, k, CAST(md5_number_lower(k || ':hllr') % 2147483648 AS BIGINT) AS v FROM win)
+  GROUP BY 1, 2
+), est AS (
+  SELECT day,
+         CAST(4043669515425284096 AS BIGINT)
+           // (10000 * (sp + (256 - np) * (CAST(1 AS BIGINT) << 33))) AS hll_est,
+         CAST(256 - np AS BIGINT) AS n_zero_registers
+  FROM (SELECT day, CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(SUM(CAST(1 AS BIGINT) << (33 - r)) AS BIGINT) AS sp
+        FROM regs GROUP BY 1)
+), exact AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM win GROUP BY 1
+)
+SELECT e.day, est.hll_est, est.n_zero_registers, e.exact_distinct
+FROM est JOIN exact e USING (day)
+""",
+    tags=("ext", "sketch", "hll", "sliding"),
+)
+def sketch_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window distinct counts from stored per-day HLL registers —
+    the third 'impossible with plain counts' OLAP shape the HLL family
+    closes (union-merge across sets, time-cube over ranges, and now
+    SLIDING windows): for each of the first 30 days, the 7-day-trailing
+    distinct-user count comes from max-merging that window's 7 daily
+    register tables — per-day distinct counts can never produce this, and
+    rescanning events per window would cost 7× the corpus. Probed against
+    the exact per-window distinct; the oracle rebuilds each window's
+    registers from its raw keys, which by merge-losslessness must equal
+    the merged daily registers bit-for-bit. At 100 TB the daily register
+    tables are the stored layer (256 ints/day) and every trailing-window
+    dashboard series is a cells-only merge."""
+    ev = t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    )
+    d0 = ev.agg(F.min("d")).collect()[0][0]
+    import datetime as dt
+
+    lo, hi = d0, d0 + dt.timedelta(days=30)
+    day_regs = SK.hll_registers(
+        ev.where((F.col("d") >= F.lit(lo)) & (F.col("d") < F.lit(hi))),
+        key_col="user_id",
+        group_col="d",
+    )
+    days = spark.range(30).select(
+        F.expr(f"timestamp'{d0}' + make_interval(0, 0, 0, CAST(id AS INT))").alias("day")
+    )
+    cov = days.select(
+        "day",
+        F.explode(
+            F.expr("sequence(0, 6)")
+        ).alias("off"),
+    ).select("day", F.expr("day - make_interval(0, 0, 0, off)").alias("g"))
+    merged = (
+        F.broadcast(cov)
+        .join(day_regs, "g")
+        .groupBy("day", "j")
+        .agg(F.max("r").cast("bigint").alias("r"))
+        .select(F.col("day").alias("g"), "j", "r")
+    )
+    est = SK.hll_estimate(merged).select(
+        F.col("g").alias("day"), "hll_est", "n_zero_registers"
+    )
+    exact = (
+        F.broadcast(days)
+        .join(
+            ev.where((F.col("d") >= F.lit(lo)) & (F.col("d") < F.lit(hi))),
+            (F.col("d") >= F.expr("day - make_interval(0, 0, 0, 6)"))
+            & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(exact, "day")
