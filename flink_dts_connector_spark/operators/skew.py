@@ -83,11 +83,28 @@ def two_phase_agg(
     return phase1.groupBy(*keys).agg(*combiners)
 
 
+def bloom_hash_xx(key: Column, seed: int, m: int) -> Column:
+    """Default position hash: JVM xxhash64 (fastest; not oracle-mirrorable)."""
+    return F.pmod(F.xxhash64(key, F.lit(int(seed))), F.lit(m))
+
+
+def bloom_hash_md5(key: Column, seed: int, m: int) -> Column:
+    """Oracle-mirrorable position hash: DuckDB computes the identical
+    ``md5_number_lower('bloom' || seed || ':' || key) % m`` — used by the
+    FPR calibration sweep where the oracle must reproduce every bit."""
+    from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
+
+    return md5_number_lower_mod(
+        F.concat(F.lit(f"bloom{int(seed)}:"), key.cast("string")), m
+    )
+
+
 def bloom_bitmap(
     keys: DataFrame,
     key_col: str,
     m_bits_log2: int = 16,
     seeds: Sequence[int] = (11, 23, 47),
+    hash_fn=bloom_hash_xx,
 ) -> DataFrame:
     """Build a distributed Bloom filter over ``keys[key_col]`` as a tiny
     word-indexed bitmap table: ``(word BIGINT, bits BIGINT)`` where bit
@@ -105,7 +122,7 @@ def bloom_bitmap(
     """
     m = 1 << m_bits_log2
     pos = F.explode(
-        F.array(*[F.pmod(F.xxhash64(F.col(key_col), F.lit(int(s))), F.lit(m)) for s in seeds])
+        F.array(*[hash_fn(F.col(key_col), s, m) for s in seeds])
     ).alias("pos")
     return (
         keys.select(pos)
@@ -122,6 +139,7 @@ def bloom_prefilter(
     big_key_col: str | None = None,
     m_bits_log2: int = 16,
     seeds: Sequence[int] = (11, 23, 47),
+    hash_fn=bloom_hash_xx,
 ) -> DataFrame:
     """Drop ``big`` rows whose ``big_key_col`` cannot appear in
     ``keys[key_col]``, using the :func:`bloom_bitmap` filter — k broadcast
@@ -138,10 +156,10 @@ def bloom_prefilter(
     """
     bk = big_key_col or key_col
     m = 1 << m_bits_log2
-    bitmap = bloom_bitmap(keys, key_col, m_bits_log2, seeds)
+    bitmap = bloom_bitmap(keys, key_col, m_bits_log2, seeds, hash_fn=hash_fn)
     out = big
     for j, s in enumerate(seeds):
-        p = F.pmod(F.xxhash64(F.col(bk), F.lit(int(s))), F.lit(m))
+        p = hash_fn(F.col(bk), s, m)
         out = out.withColumn(f"_bw{j}", F.shiftright(p, 6)).withColumn(f"_bb{j}", p % 64)
         bm = F.broadcast(
             bitmap.select(F.col("word").alias(f"_bw{j}"), F.col("bits").alias(f"_bs{j}"))

@@ -7192,3 +7192,193 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = M.attach_wav_media(docs)
     return M.decode_wav_features(media)
+
+
+@register(
+    "sketch_bloom_fpr_sweep",
+    oracle="""
+WITH keys AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS k FROM customer),
+probes AS (
+  SELECT 'p' || CAST(i AS VARCHAR) AS k
+  FROM (SELECT unnest(generate_series(0, 19999)) AS i)
+), ms AS (SELECT * FROM (VALUES (12), (14), (16)) AS t(mb)),
+seeds AS (SELECT * FROM (VALUES (11), (23), (47)) AS t(s)),
+bits AS (
+  SELECT DISTINCT mb,
+         md5_number_lower('bloom' || CAST(s AS VARCHAR) || ':' || k) % (1 << mb) AS pos
+  FROM keys CROSS JOIN ms CROSS JOIN seeds
+), pp AS (
+  SELECT mb, p.k,
+         md5_number_lower('bloom' || CAST(s AS VARCHAR) || ':' || p.k) % (1 << mb) AS pos
+  FROM probes p CROSS JOIN ms CROSS JOIN seeds
+), hits AS (
+  SELECT pp.mb, pp.k, COUNT(*) AS n_hit
+  FROM pp JOIN bits ON bits.mb = pp.mb AND bits.pos = pp.pos
+  GROUP BY 1, 2
+), fp AS (
+  SELECT mb, CAST(COUNT(*) AS BIGINT) AS n_false_pos FROM hits WHERE n_hit = 3 GROUP BY mb
+), nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys)
+SELECT CAST(ms.mb AS INT) AS m_bits_log2, nk.n_keys,
+       CAST(20000 AS BIGINT) AS n_probes,
+       COALESCE(fp.n_false_pos, 0) AS n_false_pos,
+       CAST(1000000 * COALESCE(fp.n_false_pos, 0) // 20000 AS BIGINT) AS fpr_ppm
+FROM ms LEFT JOIN fp USING (mb) CROSS JOIN nk
+""",
+    tags=("ext", "sketch", "bloom", "calibration"),
+)
+def sketch_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing study (the bloom sibling of
+    `sketch_count_min_width_sweep`): the customer key set builds 4 Kbit /
+    16 Kbit / 64 Kbit bitmaps (3 seeds, md5 positions so the oracle
+    reproduces every bit), probed by 20k keys DISJOINT by construction
+    ('p' vs 'c' namespaces) — every survivor is a measured false
+    positive. The empirical FPR-vs-bits/key law is what sizes the
+    semi-join-reduction filter (`join_bloom_prefilter`) at 100 TB: the
+    sweep runs the REAL `bloom_prefilter` probe machinery (word-indexed
+    broadcast lookups + bit tests), not a simulation."""
+    from flink_dts_connector_spark.operators.skew import (
+        bloom_hash_md5,
+        bloom_prefilter,
+    )
+
+    keys = (
+        t(spark, sf_dir, "customer")
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("k"))
+        .distinct()
+    )
+    probes = spark.range(20000).select(
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("k")
+    )
+    n_keys = keys.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    out = None
+    for mb in (12, 14, 16):
+        surv = bloom_prefilter(
+            probes, keys, "k", m_bits_log2=mb, hash_fn=bloom_hash_md5
+        )
+        row = (
+            surv.groupBy()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_false_pos"))
+            .select(
+                F.lit(mb).cast("int").alias("m_bits_log2"),
+                F.lit(20000).cast("bigint").alias("n_probes"),
+                "n_false_pos",
+                F.expr("CAST(1000000 * n_false_pos div 20000 AS BIGINT)").alias(
+                    "fpr_ppm"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.crossJoin(F.broadcast(n_keys)).select(
+        "m_bits_log2", "n_keys", "n_probes", "n_false_pos", "fpr_ppm"
+    )
+
+
+@register(
+    "layout_zorder_skipping",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderkey,
+         o_custkey % 16 AS c,
+         ((EXTRACT(year FROM o_orderdate) - 1992) * 12
+           + EXTRACT(month FROM o_orderdate) - 1) % 16 AS td
+  FROM orders
+), coded AS (
+  SELECT o_orderkey, c, td,
+         ((c // 1) % 2) * 1 + ((td // 1) % 2) * 2
+         + ((c // 2) % 2) * 4 + ((td // 2) % 2) * 8
+         + ((c // 4) % 2) * 16 + ((td // 4) % 2) * 32
+         + ((c // 8) % 2) * 64 + ((td // 8) % 2) * 128 AS z
+  FROM pts
+), assigned AS (
+  SELECT 'time_sorted' AS layout, td AS file, c, td FROM coded
+  UNION ALL
+  SELECT 'zorder', z // 16, c, td FROM coded
+), zones AS (
+  SELECT layout, file, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(c) AS min_c, MAX(c) AS max_c, MIN(td) AS min_t, MAX(td) AS max_t
+  FROM assigned GROUP BY 1, 2
+), verdicts AS (
+  SELECT layout, n_rows,
+         (min_c <= 7 AND max_c >= 4 AND min_t <= 11 AND max_t >= 8) AS touched
+  FROM zones
+), sel AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rows_selected
+  FROM pts WHERE c BETWEEN 4 AND 7 AND td BETWEEN 8 AND 11
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN touched THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+       CAST(SUM(CASE WHEN touched THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       ANY_VALUE(sel.rows_selected) AS rows_selected
+FROM verdicts CROSS JOIN sel GROUP BY layout
+""",
+    tags=("ext", "layout", "zorder"),
+)
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout study (the multi-dimensional sibling of the r6
+    zone-map skipping study): orders hashed into 16 files under two
+    layouts — 1-D time-sorted vs Morton-interleaved (customer-bucket,
+    month-bucket) — then a 2-D predicate box (one quarter of each dim) is
+    planned against per-file zone maps (min/max of both dims). The 1-D
+    layout must touch every file holding the time range regardless of the
+    customer predicate; the z-order layout confines the box to the files
+    whose bit-interleaved tile intersects it (a single file here), which
+    is why lakehouse tables cluster multi-dim query columns by Morton/
+    Hilbert codes. Every number (file assignment, zone bounds, touched
+    set, rows scanned/selected) is exact integer arithmetic both engines
+    reproduce."""
+    o = t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 16).alias("c"),
+        (
+            ((F.year("o_orderdate") - F.lit(1992)) * 12 + F.month("o_orderdate") - 1)
+            % 16
+        ).alias("td"),
+    )
+    z = None
+    for b in range(4):
+        term = (
+            F.shiftright(F.col("c"), b).bitwiseAND(F.lit(1)) * (1 << (2 * b))
+            + F.shiftright(F.col("td"), b).bitwiseAND(F.lit(1)) * (1 << (2 * b + 1))
+        )
+        z = term if z is None else z + term
+    coded = o.withColumn("z", z)
+    assigned = coded.select(
+        F.lit("time_sorted").alias("layout"), F.col("td").alias("file"), "c", "td"
+    ).unionByName(
+        coded.select(
+            F.lit("zorder").alias("layout"),
+            F.shiftright(F.col("z"), 4).alias("file"),
+            "c",
+            "td",
+        )
+    )
+    zones = assigned.groupBy("layout", "file").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+        F.min("td").alias("min_t"),
+        F.max("td").alias("max_t"),
+    )
+    touched = (
+        (F.col("min_c") <= 7)
+        & (F.col("max_c") >= 4)
+        & (F.col("min_t") <= 11)
+        & (F.col("max_t") >= 8)
+    )
+    sel = o.where(F.col("c").between(4, 7) & F.col("td").between(8, 11)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_selected")
+    )
+    return (
+        zones.withColumn("touched", touched)
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.when(F.col("touched"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("files_touched"),
+            F.sum(F.when(F.col("touched"), F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+        .crossJoin(F.broadcast(sel))
+    )
