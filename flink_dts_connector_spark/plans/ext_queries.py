@@ -7382,3 +7382,68 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(sel))
     )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=f"""
+WITH q AS (
+  SELECT lang,
+         (CAST(len({SQL_TOKS}) AS BIGINT) // 25) * 25 AS len_bucket,
+         source AS sensitive
+  FROM documents
+), groups AS (
+  SELECT lang, len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS group_size,
+         CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_distinct,
+         CAST(MAX(cnt) AS BIGINT) AS max_sensitive_count
+  FROM (
+    SELECT lang, len_bucket, sensitive,
+           COUNT(*) OVER (PARTITION BY lang, len_bucket, sensitive) AS cnt
+    FROM q
+  ) GROUP BY 1, 2
+)
+SELECT lang, len_bucket, group_size, l_distinct,
+       CAST(1000000 * max_sensitive_count // group_size AS BIGINT)
+         AS dominance_ppm,
+       (l_distinct < 2 OR 1000000 * max_sensitive_count // group_size > 900000)
+         AS violates
+FROM groups
+""",
+    tags=("ext", "privacy", "audit"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure sibling of
+    `privacy_k_anonymity`: a quasi-identifier group (language, token-length
+    bucket) is unsafe when its SENSITIVE attribute (the provenance source)
+    is homogeneous (l < 2 distinct
+    values) or near-homogeneous (one value > 90% dominance in exact ppm),
+    because membership in the group then discloses the sensitive value
+    even if the group is large enough to pass k-anonymity. One window +
+    one hash agg on the quasi-ID tuple; every group is reported with its
+    verdict (the violating rows are what a generalization pass must break
+    up before release — emitting all groups keeps the audit non-vacuous
+    at SFs where nothing violates)."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        ((X.token_count("text") / 25).cast("bigint") * 25).alias("len_bucket"),
+        F.col("source").alias("sensitive"),
+    )
+    from pyspark.sql import Window as W
+
+    cnt = F.count(F.lit(1)).over(W.partitionBy("lang", "len_bucket", "sensitive"))
+    groups = (
+        d.withColumn("cnt", cnt)
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct("sensitive").cast("bigint").alias("l_distinct"),
+            F.max("cnt").cast("bigint").alias("max_sensitive_count"),
+        )
+    )
+    dom = F.expr("CAST(1000000 * max_sensitive_count div group_size AS BIGINT)")
+    return groups.select(
+        "lang", "len_bucket", "group_size", "l_distinct",
+        dom.alias("dominance_ppm"),
+        ((F.col("l_distinct") < 2) | (dom > 900000)).alias("violates"),
+    )
