@@ -1354,8 +1354,8 @@ def cdc_header_jvm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     all without a single record crossing into a Python worker after the
     generator. The checkpoint checksum pins the JVM render of
     `0@idLow31@sourcePosition@tsMillis` (`LazyParseRecordImpl.java:199-209`)
-    byte-for-byte. Plan guard: tests/test_plan_shapes.py asserts the
-    post-generator subtree is Python-free."""
+    byte-for-byte. Plan guard: tests/test_jvmheader.py asserts the
+    pre-filter subtree over materialized bytes is Python-free."""
     from flink_dts_connector_spark.formats.jvmheader import (
         prefilter,
         with_jvm_header,
