@@ -3,10 +3,14 @@ BINARY columns + typed metadata structs, with decode/feature-extract/resize/
 frame-sample as Arrow-batched Pandas UDF stages.
 
 The container has no image/audio libraries; two decode tiers exist:
-- **REAL, dependency-free**: 24-bit uncompressed BMP — `encode_bmp` /
-  `decode_bmp_features` below parse genuine BMP bytes with pure byte
-  arithmetic (oracle-checked end-to-end by `multimodal_bmp_features`).
-- **STUBBED**: jpeg/png/wav/mp4 need external decoders — `decode_media`
+- **REAL, dependency-free**: 24-bit uncompressed BMP (`encode_bmp` /
+  `decode_bmp_features` — pure byte arithmetic), RIFF/WAVE PCM16 audio
+  (`encode_wav` / `decode_wav_features`), and PNG RGB8 (`encode_png` /
+  `decode_png_features` — stdlib zlib deflate, chunk CRCs verified, all
+  five scanline filters reconstructed). Each oracle-checked end-to-end
+  (`multimodal_bmp_features`, `multimodal_wav_features`,
+  `multimodal_png_features`).
+- **STUBBED**: jpeg/mp3/mp4 need external decoders — `decode_media`
   raises NotImplementedError for them by disclosed contract, and offers a
   deterministic fake decoder so the Spark-side plumbing — schema,
   partitioning, UDF signature, batch shape — is tested end-to-end (that
@@ -102,7 +106,7 @@ def resize_plan(df: DataFrame, max_w: int, max_h: int) -> DataFrame:
 def decode_media(df: DataFrame, media_col: str = "media", meta_col: str = "meta") -> DataFrame:
     """Decode media payloads → fixed-size feature rows (Arrow-batched).
 
-    Real codecs (jpeg/png/wav/mp4…) are unavailable in this image — they
+    Real external codecs (jpeg/mp3/mp4…) are unavailable in this image — they
     raise NotImplementedError by contract; the 'fake' codec decodes
     deterministically (byte histogram moments) so the full mapInPandas
     path is exercised. Output: doc_id, n_bytes, byte_sum, byte_mean.
@@ -219,7 +223,7 @@ def phash_neardup_pairs(
 # Real media codec, dependency-free: 24-bit uncompressed BMP (BITMAPINFOHEADER
 # + BI_RGB — pure byte arithmetic, no imaging library). This closes the
 # "media decode is stubbed" gap for one real format: the bytes on the wire
-# are genuine BMP files any image viewer opens; jpeg/png/wav/mp4 keep the
+# are genuine BMP files any image viewer opens; jpeg/mp3/mp4 keep the
 # disclosed NotImplementedError contract in `decode_media`.
 # ---------------------------------------------------------------------------
 
@@ -396,10 +400,237 @@ def resize_bmp_half(
 
 
 # ---------------------------------------------------------------------------
+# Real media codec #3, dependency-free: PNG (RGB8, color type 2). The deflate
+# layer is the stdlib `zlib` module — no imaging library. The encoder cycles
+# ALL FIVE scanline filter types (None/Sub/Up/Average/Paeth, y % 5) so the
+# decoder's de-filter logic is genuinely exercised, and every chunk carries a
+# real CRC-32 the decoder verifies. Bytes on the wire are genuine PNG files
+# any viewer opens; jpeg/mp4 keep the NotImplementedError contract.
+# ---------------------------------------------------------------------------
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, pixel_fn) -> bytes:
+    """Build a real PNG: 8-byte signature, IHDR (8-bit RGB, no interlace),
+    one zlib-deflated IDAT of filtered scanlines, IEND — each chunk with
+    its CRC-32. Scanline y uses filter type y % 5, so a decoder must
+    implement None, Sub, Up, Average AND Paeth to reconstruct the pixels.
+    ``pixel_fn(x, y) -> (r, g, b)``, y counted from the top row."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    bpp = 3
+    prior = bytes(width * bpp)  # row above the first row is all zeros
+    raw = bytearray()
+    for y in range(height):
+        cur = bytearray()
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            cur += bytes((r & 0xFF, g & 0xFF, b & 0xFF))
+        ftype = y % 5
+        raw.append(ftype)
+        for i in range(width * bpp):
+            left = cur[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, ul)
+            raw.append((cur[i] - pred) & 0xFF)
+        prior = bytes(cur)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG fixture (the PNG twin of `attach_bmp_media`):
+    w = 4 + id%5, h = 5 + id%4 — h ≥ 5 guarantees every one of the five
+    scanline filter types appears in every payload — channel values linear
+    in (id, x, y) mod 256, so a SQL oracle reproduces every per-channel
+    sum in closed form without inflating bytes."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 4 + i % 5, 5 + i % 4
+                payloads.append(
+                    encode_png(
+                        w,
+                        h,
+                        lambda x, y, i=i: (
+                            (3 * i + 5 * x + 17 * y) % 256,
+                            (7 * i + 11 * x + 2 * y) % 256,
+                            (i + 13 * x + 3 * y) % 256,
+                        ),
+                    )
+                )
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "png", "n_bytes": len(p), "width": 4 + int(i) % 5,
+                 "height": 5 + int(i) % 4, "duration_ms": 0}
+                for i, p in zip(ids, payloads)
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_png_rgb(raw: bytes):
+    """REAL PNG decode (RGB8, non-interlaced): verify signature, walk the
+    chunk stream checking every CRC-32, concatenate + inflate IDAT, then
+    reconstruct scanlines through all five filter types. Returns a
+    (height, width, 3) uint8 numpy array in RGB order. Raises ValueError
+    loudly on any structural damage (trusted ingest path)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, width, height, idat = 8, None, None, b""
+    while pos + 12 <= len(raw):
+        (ln,) = struct.unpack_from(">I", raw, pos)
+        tag = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", raw, pos + 8 + ln)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or ilace != 0:
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth}, color={ctype}, "
+                    f"interlace={ilace})"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    stream = zlib.decompress(idat)
+    bpp, stride = 3, width * 3
+    if len(stream) != (stride + 1) * height:
+        raise ValueError("inflated size does not match dimensions")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        ftype = stream[y * (stride + 1)]
+        filt = np.frombuffer(
+            stream, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:
+            cur = filt
+        elif ftype == 2:
+            cur = (filt + prior) & 0xFF
+        elif ftype in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                ul = prior[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(int(left), int(up), int(ul))
+                cur[i] = (filt[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prior = cur
+    return out.reshape(height, width, 3)
+
+
+def decode_png_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL media decode #3: per-channel pixel sums from genuine PNG
+    payloads via `decode_png_rgb` (chunk walk + CRC verify + inflate +
+    all-five-filter reconstruction). Arrow-batched mapInPandas — bytes
+    never leave the executor. Same output contract as the BMP decoder, so
+    the two formats are interchangeable downstream."""
+    import numpy as np
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for raw in pdf[media_col]:
+                rgb = decode_png_rgb(raw).astype(np.int64)
+                h, w = rgb.shape[0], rgb.shape[1]
+                rows.append(
+                    (w, h, w * h,
+                     int(rgb[:, :, 0].sum()), int(rgb[:, :, 1].sum()),
+                     int(rgb[:, :, 2].sum()))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_pixels": [r[2] for r in rows],
+                    "sum_r": [r[3] for r in rows],
+                    "sum_g": [r[4] for r in rows],
+                    "sum_b": [r[5] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, width bigint, height bigint, n_pixels bigint,"
+        " sum_r bigint, sum_g bigint, sum_b bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real media codec #2, dependency-free: RIFF/WAVE PCM16 mono audio. Like the
 # BMP codec above, the bytes are genuine files (any audio tool plays them),
 # and every feature is integer-exact so a SQL oracle can reproduce it in
-# closed form. jpeg/png/mp4 keep the disclosed NotImplementedError contract.
+# closed form. jpeg/mp3/mp4 keep the disclosed NotImplementedError contract.
 # ---------------------------------------------------------------------------
 
 WAV_SAMPLE_RATE = 8000

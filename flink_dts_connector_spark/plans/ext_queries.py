@@ -7447,3 +7447,43 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dom.alias("dominance_ppm"),
         ((F.col("l_distinct") < 2) | (dom > 900000)).alias("violates"),
     )
+
+
+@register(
+    "multimodal_png_features",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 5 + doc_id % 4 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, xs.x, ys.y
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM((3 * doc_id + 5 * x + 17 * y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((7 * doc_id + 11 * x + 2 * y) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((doc_id + 13 * x + 3 * y) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h
+""",
+    tags=("ext", "multimodal", "codec"),
+)
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media codec #3 end-to-end, dependency-free: every document gets
+    a genuine PNG payload (RGB8, stdlib-zlib deflate, chunk CRCs) whose
+    scanlines cycle through ALL FIVE PNG filter types (None/Sub/Up/
+    Average/Paeth — fixture h ≥ 5 guarantees each appears in every file),
+    and `decode_png_features` walks the chunk stream verifying every
+    CRC-32, inflates IDAT, and reconstructs pixels through the filter
+    chain (numpy over Arrow batches) into per-channel sums. The oracle
+    reproduces the sums in closed form from the pixel formula — so chunk
+    framing, CRC math, deflate round-trip, and every de-filter branch are
+    verified bit-exactly. With BMP (r6) and WAV (r7) this makes three
+    real codecs; jpeg/mp3/mp4 keep the disclosed NotImplementedError
+    contract (`operators/multimodal.py:decode_media`)."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_png_media(docs)
+    return M.decode_png_features(media)
