@@ -7487,3 +7487,206 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = M.attach_png_media(docs)
     return M.decode_png_features(media)
+
+
+@register(
+    "privacy_t_closeness",
+    oracle="""
+WITH d AS (
+  SELECT lang, source, LEAST(n_chars // 60, 9) AS cat FROM documents
+), gdist AS (
+  SELECT cat, CAST(COUNT(*) AS BIGINT) AS q_cnt FROM d GROUP BY 1
+), consts AS (
+  SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n,
+         CAST((SELECT COUNT(*) FROM gdist) AS BIGINT) AS m
+), grp AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_g FROM d GROUP BY 1, 2
+), gc AS (
+  SELECT lang, source, cat, CAST(COUNT(*) AS BIGINT) AS g_cnt FROM d GROUP BY 1, 2, 3
+), grid AS (
+  SELECT g.lang, g.source, g.n_g, c.cat, c.q_cnt, k.n, k.m,
+         COALESCE(x.g_cnt, 0) AS g_cnt
+  FROM grp g CROSS JOIN gdist c CROSS JOIN consts k
+  LEFT JOIN gc x ON x.lang = g.lang AND x.source = g.source AND x.cat = c.cat
+), cum AS (
+  SELECT lang, source, n_g, n, m,
+         SUM(g_cnt) OVER w AS cum_g,
+         SUM(q_cnt) OVER w AS cum_q
+  FROM grid
+  WINDOW w AS (PARTITION BY lang, source ORDER BY cat
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT lang, source, n_g AS group_size,
+       CAST(1000000 * SUM(ABS(CAST(cum_g AS HUGEINT) * n - CAST(cum_q AS HUGEINT) * n_g))
+            // (CAST(n_g AS HUGEINT) * n * (m - 1)) AS BIGINT) AS t_emd_ppm,
+       (1000000 * SUM(ABS(CAST(cum_g AS HUGEINT) * n - CAST(cum_q AS HUGEINT) * n_g))
+            // (CAST(n_g AS HUGEINT) * n * (m - 1))) > 200000 AS violates
+FROM cum GROUP BY lang, source, n_g, n, m
+""",
+    tags=("ext", "privacy", "audit"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — completes the release-safety trio beside
+    `privacy_k_anonymity` (group too small) and `privacy_l_diversity`
+    (sensitive value homogeneous): a quasi-identifier group (lang, source)
+    is unsafe when the DISTRIBUTION of its ordered sensitive attribute
+    (document length in fixed 60-char buckets) sits far from the corpus
+    distribution — earth-mover's distance over the ordered categories,
+    which for 1-D is the mean absolute difference of the two cumulative
+    distributions. Exact integer arithmetic end-to-end: the per-prefix
+    term |cum_g·N − cum_q·n_g| is computed on DECIMAL(38,0) (mirroring
+    DuckDB HUGEINT) and the final EMD is truncated to ppm of the category
+    span, so both engines render the same BIGINT. Plan shape: two hash
+    aggs on the (quasi-ID, category) and quasi-ID keys, a broadcasted
+    10-row category frame to complete the grid (absent categories count
+    zero — omitting them would understate the distance), and a per-group
+    window over ≤10 rows; nothing scales with corpus size except the
+    two aggregations. Groups with t_emd_ppm > 200000 (the classic
+    t = 0.2) are flagged; all groups are emitted so the audit stays
+    non-vacuous at SFs where nothing violates."""
+    docs = t(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr("LEAST(n_chars DIV 60, 9)").alias("cat")
+    )
+    gdist = docs.groupBy("cat").agg(F.count(F.lit(1)).cast("bigint").alias("q_cnt"))
+    consts = gdist.agg(
+        F.sum("q_cnt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    grp = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    gc = docs.groupBy("lang", "source", "cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("g_cnt")
+    )
+    from pyspark.sql import Window as W
+
+    grid = (
+        grp.crossJoin(F.broadcast(gdist))
+        .crossJoin(F.broadcast(consts))
+        .join(gc, ["lang", "source", "cat"], "left")
+        .withColumn("g_cnt", F.coalesce(F.col("g_cnt"), F.lit(0)).cast("bigint"))
+    )
+    w = (
+        W.partitionBy("lang", "source")
+        .orderBy("cat")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grid.select(
+        "lang", "source", "n_g", "n", "m",
+        F.sum("g_cnt").over(w).alias("cum_g"),
+        F.sum("q_cnt").over(w).alias("cum_q"),
+    )
+    emd = (
+        "1000000 * SUM(ABS(CAST(cum_g AS DECIMAL(38,0)) * n"
+        " - CAST(cum_q AS DECIMAL(38,0)) * n_g))"
+        " div (CAST(n_g AS DECIMAL(38,0)) * n * (m - 1))"
+    )
+    return (
+        cum.groupBy("lang", "source", "n_g", "n", "m")
+        .agg(
+            F.expr(f"CAST({emd} AS BIGINT)").alias("t_emd_ppm"),
+            F.expr(f"({emd}) > 200000").alias("violates"),
+        )
+        .select(
+            "lang", "source", F.col("n_g").alias("group_size"),
+            "t_emd_ppm", "violates",
+        )
+    )
+
+
+@register(
+    "events_drift_tv",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS half,
+         LEAST(CAST(FLOOR(value / 25) AS BIGINT), 19) AS bucket
+  FROM events
+), cells AS (
+  SELECT event_type, bucket,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM e GROUP BY 1, 2
+), halves AS (
+  SELECT event_type, CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+  FROM cells GROUP BY 1
+), diffs AS (
+  SELECT c.event_type, c.bucket, h.n0, h.n1,
+         ABS(CAST(c.c0 AS HUGEINT) * h.n1 - CAST(c.c1 AS HUGEINT) * h.n0) AS diff
+  FROM cells c JOIN halves h USING (event_type)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY diff DESC, bucket) AS rk
+  FROM diffs
+)
+SELECT event_type, n0 AS n_first_half, n1 AS n_second_half,
+       CAST(1000000 * SUM(diff) // (2 * CAST(n0 AS HUGEINT) * n1) AS BIGINT)
+         AS tv_drift_ppm,
+       CAST(MAX(CASE WHEN rk = 1 THEN bucket END) AS BIGINT) AS top_drift_bucket
+FROM ranked GROUP BY event_type, n0, n1
+""",
+    tags=("ext", "stats", "drift"),
+)
+def events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit for a feature pipeline: per event type,
+    the total-variation distance between the value distribution of the
+    first half of the month (day ≤ 15) and the second half, over fixed
+    25-unit value buckets — TV = ½·Σ|p_b − q_b|, the standard drift gate
+    a training pipeline runs before trusting fresh data, reported in
+    exact ppm (the cross products c0·n1 − c1·n0 ride DECIMAL(38,0) /
+    HUGEINT so both engines truncate the same BIGINT; bucket boundaries
+    come from the same IEEE floor(value/25) in both). Also pins the most
+    drifted bucket per type (row_number with a bucket tiebreak — argmax
+    alone is nondeterministic under ties). Plan: one hash agg on
+    (event_type, bucket) with the half split folded into conditional
+    counts — no second scan, no shuffle beyond the one agg; the
+    downstream window runs on ≤20 rows per type. At 100 TB the cell
+    frame is |types|×20 rows regardless of input mass."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END").alias("half"),
+        F.expr("LEAST(CAST(FLOOR(value / 25) AS BIGINT), 19)").alias("bucket"),
+    )
+    cells = ev.groupBy("event_type", "bucket").agg(
+        F.sum(F.expr("CASE WHEN half = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.expr("CASE WHEN half = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    halves = cells.groupBy("event_type").agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+    )
+    diffs = cells.join(F.broadcast(halves), "event_type").select(
+        "event_type", "bucket", "n0", "n1",
+        F.expr(
+            "ABS(CAST(c0 AS DECIMAL(38,0)) * n1 - CAST(c1 AS DECIMAL(38,0)) * n0)"
+        ).alias("diff"),
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.desc("diff"), "bucket")
+    )
+    return (
+        diffs.withColumn("rk", rk)
+        .groupBy("event_type", "n0", "n1")
+        .agg(
+            F.expr(
+                "CAST(1000000 * SUM(diff)"
+                " div (2 * CAST(n0 AS DECIMAL(38,0)) * n1) AS BIGINT)"
+            ).alias("tv_drift_ppm"),
+            F.expr("CAST(MAX(CASE WHEN rk = 1 THEN bucket END) AS BIGINT)").alias(
+                "top_drift_bucket"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("n0").alias("n_first_half"),
+            F.col("n1").alias("n_second_half"),
+            "tv_drift_ppm",
+            "top_drift_bucket",
+        )
+    )
