@@ -7642,12 +7642,20 @@ def events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — no second scan, no shuffle beyond the one agg; the
     downstream window runs on ≤20 rows per type. At 100 TB the cell
     frame is |types|×20 rows regardless of input mass."""
-    ev = t(spark, sf_dir, "events").select(
+    cells = drift_tv_cells(t(spark, sf_dir, "events"))
+    return drift_tv_report(cells)
+
+
+def drift_tv_cells(events: DataFrame) -> DataFrame:
+    """(event_type, bucket, c0, c1) histogram cells for the TV drift gate —
+    additive, so per-micro-batch cells fold into a running state by
+    plain summation (`stream_drift_monitor` relies on this)."""
+    ev = events.select(
         "event_type",
         F.expr("CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END").alias("half"),
         F.expr("LEAST(CAST(FLOOR(value / 25) AS BIGINT), 19)").alias("bucket"),
     )
-    cells = ev.groupBy("event_type", "bucket").agg(
+    return ev.groupBy("event_type", "bucket").agg(
         F.sum(F.expr("CASE WHEN half = 0 THEN 1 ELSE 0 END"))
         .cast("bigint")
         .alias("c0"),
@@ -7655,6 +7663,12 @@ def events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c1"),
     )
+
+
+def drift_tv_report(cells: DataFrame) -> DataFrame:
+    """TV drift report from (event_type, bucket, c0, c1) cells — the exact
+    arithmetic tail shared by `events_drift_tv` (one-shot cells) and
+    `stream_drift_monitor` (cells folded across micro-batches)."""
     halves = cells.groupBy("event_type").agg(
         F.sum("c0").cast("bigint").alias("n0"),
         F.sum("c1").cast("bigint").alias("n1"),

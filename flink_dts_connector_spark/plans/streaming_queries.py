@@ -2150,3 +2150,102 @@ def stream_histogram_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.histogram_quantiles(
         state["cells"], [(1, 2), (9, 10), (99, 100)], 16
     ).select("g", "q_num", "q_den", "est_lo", "est_hi")
+
+
+@register(
+    "stream_drift_monitor",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS half,
+         LEAST(CAST(FLOOR(value / 25) AS BIGINT), 19) AS bucket
+  FROM events
+), cells AS (
+  SELECT event_type, bucket,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM e GROUP BY 1, 2
+), halves AS (
+  SELECT event_type, CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+  FROM cells GROUP BY 1
+), diffs AS (
+  SELECT c.event_type, c.bucket, h.n0, h.n1,
+         ABS(CAST(c.c0 AS HUGEINT) * h.n1 - CAST(c.c1 AS HUGEINT) * h.n0) AS diff
+  FROM cells c JOIN halves h USING (event_type)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY diff DESC, bucket) AS rk
+  FROM diffs
+)
+SELECT event_type, n0 AS n_first_half, n1 AS n_second_half,
+       CAST(1000000 * SUM(diff) // (2 * CAST(n0 AS HUGEINT) * n1) AS BIGINT)
+         AS tv_drift_ppm,
+       CAST(MAX(CASE WHEN rk = 1 THEN bucket END) AS BIGINT) AS top_drift_bucket
+FROM ranked GROUP BY event_type, n0, n1
+""",
+    tags=("streaming", "drift", "incremental"),
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distribution-drift monitor — the live twin of
+    `events_drift_tv`: micro-batches (3 interleaved waves by event_id % 3)
+    fold per-batch (event_type, bucket) half-month histogram cells into
+    running state by ADDITION — linear, so arrival order and batching
+    cannot change the converged cells — and the drift report computed
+    from the streamed state must hash-match the whole-table closed form.
+    This is the deploy shape of the drift gate: the reference histogram
+    and the live histogram accrue cell-by-cell as data lands, the TV
+    distance is recomputed per trigger from O(|types|×|buckets|) state,
+    and no micro-batch ever re-scans history. State is O(cells) forever —
+    the drift answer at 100 TB costs the same as at 100 MB."""
+    from flink_dts_connector_spark.plans.ext_queries import (
+        drift_tv_cells,
+        drift_tv_report,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    waves_dir = scratch_dir("fdcs_drift_waves_")
+    for i in range(3):
+        events.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(waves_dir)
+
+    empty = spark.createDataFrame(
+        [], "event_type string, bucket bigint, c0 bigint, c1 bigint"
+    )
+    state = {"cells": empty.localCheckpoint(), "batches": 0}
+
+    def merge(bdf: DataFrame, batch_id: int) -> None:
+        batch_cells = drift_tv_cells(bdf)
+        state["cells"] = (
+            state["cells"]
+            .unionByName(batch_cells)
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.sum("c0").cast("bigint").alias("c0"),
+                F.sum("c1").cast("bigint").alias("c1"),
+            )
+            .localCheckpoint()
+        )
+        state["batches"] += 1
+
+    with pinned_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", scratch_dir("fdcs_drift_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(waves_dir, ignore_errors=True)  # state is localCheckpoint-ed
+    if state["batches"] < 2:
+        raise AssertionError(f"expected multiple micro-batches, got {state['batches']}")
+    return drift_tv_report(state["cells"])
