@@ -7704,3 +7704,80 @@ def drift_tv_report(cells: DataFrame) -> DataFrame:
             "top_drift_bucket",
         )
     )
+
+
+@register(
+    "privacy_generalization_repair",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, LEAST(n_chars // 60, 9) AS b60,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2, 3
+), lv AS (
+  SELECT 0 AS level, lang, source, CAST(b60 AS VARCHAR) AS qb,
+         CAST(SUM(c) AS BIGINT) AS n_g
+  FROM cells GROUP BY 2, 3, 4
+  UNION ALL
+  SELECT 1, lang, source, CAST(b60 // 2 AS VARCHAR), CAST(SUM(c) AS BIGINT)
+  FROM cells GROUP BY 2, 3, 4
+  UNION ALL
+  SELECT 2, lang, '*', CAST(b60 // 2 AS VARCHAR), CAST(SUM(c) AS BIGINT)
+  FROM cells GROUP BY 2, 3, 4
+  UNION ALL
+  SELECT 3, lang, '*', '*', CAST(SUM(c) AS BIGINT)
+  FROM cells GROUP BY 2, 3, 4
+)
+SELECT level,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n_g < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(SUM(CASE WHEN n_g < 10 THEN n_g ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       SUM(CASE WHEN n_g < 10 THEN 1 ELSE 0 END) = 0 AS passes
+FROM lv GROUP BY level
+""",
+    tags=("ext", "privacy", "repair"),
+)
+def privacy_generalization_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPAIR side of the privacy audits — closes the loop the same way
+    the disorder profiler closes the watermark loop: walk the
+    generalization ladder (level 0 = (lang, source, 60-char bucket);
+    1 = widen the bucket to 120; 2 = suppress source; 3 = suppress the
+    bucket) and report, per level, how many quasi-identifier groups
+    remain, how many still violate k-anonymity (k = 10), and how many
+    rows sit in violating groups — the first level with `passes` = true
+    is the minimal generalization a release needs. Scale shape: ONE hash
+    aggregation over the corpus builds the finest cells; every coarser
+    level is a re-aggregation of that cell frame (levels are unions of
+    finest cells by construction), so the ladder costs O(cells), not
+    O(corpus), per level — at 100 TB the three re-aggs run on a frame of
+    a few thousand rows. All counts exact BIGINT."""
+    cells = (
+        t(spark, sf_dir, "documents")
+        .groupBy(
+            "lang", "source", F.expr("LEAST(n_chars DIV 60, 9)").alias("b60")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cells = cells.localCheckpoint()  # reused by all 4 levels; frame is tiny
+
+    def level(lvl: int, src_col, qb_col) -> DataFrame:
+        return (
+            cells.groupBy(F.col("lang"), src_col.alias("source"), qb_col.alias("qb"))
+            .agg(F.sum("c").cast("bigint").alias("n_g"))
+            .select(F.lit(lvl).alias("level"), "n_g")
+        )
+
+    lv = (
+        level(0, F.col("source"), F.col("b60").cast("string"))
+        .unionByName(level(1, F.col("source"), F.expr("b60 DIV 2").cast("string")))
+        .unionByName(level(2, F.lit("*"), F.expr("b60 DIV 2").cast("string")))
+        .unionByName(level(3, F.lit("*"), F.lit("*")))
+    )
+    viol = F.sum(F.expr("CASE WHEN n_g < 10 THEN 1 ELSE 0 END"))
+    return lv.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        viol.cast("bigint").alias("n_violating"),
+        F.sum(F.expr("CASE WHEN n_g < 10 THEN n_g ELSE 0 END"))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        (viol == 0).alias("passes"),
+    )
