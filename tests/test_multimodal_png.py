@@ -104,3 +104,27 @@ def test_decode_rejects_malformed():
     struct.pack_into(">I", deep, 29, zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
     with pytest.raises(ValueError, match="unsupported"):
         decode_png_rgb(bytes(deep))
+
+
+def test_roundtrip_property_random_pixels():
+    """Hypothesis sweep: decode(encode(px)) == px for arbitrary pixel
+    fields and dimensions — including w=1 (no left neighbor anywhere) and
+    h≥5 (every filter type appears). Catches de-filter arithmetic errors
+    (e.g. Average's floor vs round, Paeth tie order) that a fixed formula
+    might never hit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=5, max_value=11),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rgb = decode_png_rgb(encode_png(w, h, lambda x, y: tuple(int(v) for v in px[y, x])))
+        assert (rgb == px).all()
+
+    check()
