@@ -470,10 +470,20 @@ def _keep_sql(
             )
 
     keep_invalid = "false" if drop_invalid else "true"
-    branches = [f"WHEN NOT {_valid_sql(v)} THEN {keep_invalid}"]
+    # NULL value (Kafka tombstone): _valid_sql(NULL) is NULL, so a bare
+    # `WHEN NOT valid` branch would be skipped and the fold over NULL bytes
+    # would yield NULL — where() would then silently DROP the tombstone even
+    # with drop_invalid=False. Route NULLs through the invalid branch so the
+    # Python decoder's on_error contract still sees the poison pill.
+    branches = [
+        f"WHEN {v} IS NULL OR NOT {_valid_sql(v)} THEN {keep_invalid}"
+    ]
     if tier1 is not None:
         branches.append(f"WHEN NOT {tier1} THEN false")
-    return "CASE " + " ".join(branches) + f" ELSE {fold} END"
+    # coalesce: a valid-magic record whose parsed db/tbl slot decodes to wire
+    # NULL makes keep_parsed NULL (NULL IN (...) etc.) — conservative-KEEP it
+    # and let the exact Python filter decide, never false-drop JVM-side.
+    return "CASE " + " ".join(branches) + f" ELSE coalesce({fold}, true) END"
 
 
 def prefilter(

@@ -7518,9 +7518,9 @@ WITH d AS (
 )
 SELECT lang, source, n_g AS group_size,
        CAST(1000000 * SUM(ABS(CAST(cum_g AS HUGEINT) * n - CAST(cum_q AS HUGEINT) * n_g))
-            // (CAST(n_g AS HUGEINT) * n * (m - 1)) AS BIGINT) AS t_emd_ppm,
+            // (CAST(n_g AS HUGEINT) * n * GREATEST(m - 1, 1)) AS BIGINT) AS t_emd_ppm,
        (1000000 * SUM(ABS(CAST(cum_g AS HUGEINT) * n - CAST(cum_q AS HUGEINT) * n_g))
-            // (CAST(n_g AS HUGEINT) * n * (m - 1))) > 200000 AS violates
+            // (CAST(n_g AS HUGEINT) * n * GREATEST(m - 1, 1))) > 200000 AS violates
 FROM cum GROUP BY lang, source, n_g, n, m
 """,
     tags=("ext", "privacy", "audit"),
@@ -7543,7 +7543,11 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over ≤10 rows; nothing scales with corpus size except the
     two aggregations. Groups with t_emd_ppm > 200000 (the classic
     t = 0.2) are flagged; all groups are emitted so the audit stays
-    non-vacuous at SFs where nothing violates."""
+    non-vacuous at SFs where nothing violates. The span denominator is
+    GREATEST(m-1, 1): a corpus that collapses to ONE length category
+    (m = 1) has zero EMD everywhere, and without the guard Spark
+    (non-ANSI) would return NULL while DuckDB errors on division by zero
+    — a silent engine/oracle divergence (ADVICE r7)."""
     docs = t(spark, sf_dir, "documents").select(
         "lang", "source", F.expr("LEAST(n_chars DIV 60, 9)").alias("cat")
     )
@@ -7579,7 +7583,7 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     emd = (
         "1000000 * SUM(ABS(CAST(cum_g AS DECIMAL(38,0)) * n"
         " - CAST(cum_q AS DECIMAL(38,0)) * n_g))"
-        " div (CAST(n_g AS DECIMAL(38,0)) * n * (m - 1))"
+        " div (CAST(n_g AS DECIMAL(38,0)) * n * GREATEST(m - 1, 1))"
     )
     return (
         cum.groupBy("lang", "source", "n_g", "n", "m")

@@ -195,6 +195,67 @@ def test_prefilter_invalid_handling(spark):
     assert prefilter(df, ops=["UPDATE"], drop_invalid=True).count() == 1
 
 
+def test_prefilter_null_tombstone(spark):
+    """ADVICE r7 (medium): a NULL value (Kafka tombstone) must follow the
+    conservative-keep path — _valid_sql(NULL) is NULL, and before the fix
+    the CASE fell through to the fold, which yielded NULL and where()
+    silently dropped the row even with drop_invalid=False."""
+    good = encode_record(_mk_record(id=5))
+    df = spark.createDataFrame([(good,), (None,)], "value binary")
+    # no table filter, with table filter, with op filter — every shape keeps
+    # the tombstone by default and drops it only under drop_invalid=True
+    for kw in (
+        {},
+        {"tables": ["mydb.mytbl"]},
+        {"ops": ["UPDATE"]},
+        {"tables": ["mydb.mytbl"], "ops": ["UPDATE"]},
+    ):
+        kept = prefilter(df, **kw).collect()
+        assert len(kept) == 2, f"tombstone dropped for {kw}"
+        assert any(r["value"] is None for r in kept)
+        dropped = prefilter(df, drop_invalid=True, **kw).collect()
+        assert len(dropped) == 1 and dropped[0]["value"] is not None
+
+
+def _long_name_record() -> bytes:
+    """A real record whose db/tbl names push the header past
+    MAX_HEADER_BYTES=192 — every field is valid wire, the fold just runs
+    out of budget (hdr_complete = false)."""
+    return encode_record(
+        _mk_record(db="db_" + "x" * 120, tbl="tbl_" + "y" * 120)
+    )
+
+
+def test_prefilter_incomplete_header_kept(spark):
+    """ADVICE r7: the hdr_complete=false conservative-keep branch — a
+    header longer than MAX_HEADER_BYTES and a header truncated mid-varint
+    both parse incomplete (never invalid) and MUST be kept even when their
+    names don't match the table filter."""
+    from flink_dts_connector_spark.formats.jvmheader import MAX_HEADER_BYTES
+
+    long_hdr = _long_name_record()
+    # truncate a valid record mid-varint: cut inside the multi-byte id
+    # varint (id chosen so its zigzag-varint spans >= 2 bytes)
+    whole = encode_record(_mk_record(id=123456789))
+    torn = whole[:4]  # magic + version + 2 bytes of the id varint
+    df = _raw_df(spark, [long_hdr, torn])
+
+    hdr = with_jvm_header(df).collect()
+    by_len = {len(bytes(r["value"])): r for r in hdr}
+    lr, tr = by_len[len(long_hdr)], by_len[len(torn)]
+    assert len(long_hdr) > MAX_HEADER_BYTES
+    assert lr["hdr_valid"] and not lr["hdr_complete"]
+    assert tr["hdr_valid"] and not tr["hdr_complete"]
+
+    # both survive a table filter that matches neither name — the
+    # never-false-drop contract's one unreachable-by-fixture branch.
+    # (tier-1 contains() would cut the torn record, so pick names whose
+    # bytes appear in it: 'mydb'/'mytbl' are absent from torn[:4], so use
+    # a no-tier1 shape — a bracketed name disables the contains() tier.)
+    kept = prefilter(df, tables=["[some].[other].[name]"], ops=["UPDATE"])
+    assert kept.count() == 2
+
+
 def test_prefilter_plan_is_python_free(spark, tmp_path):
     """The pre-filter subtree over a materialized raw frame (scan → header
     expressions → filter → agg) contains no Python eval node — the JVM-only

@@ -33,13 +33,20 @@ DEFAULT_QUERIES = [
 ]
 SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
+#: the delta-of-sums technique below is only sound while NO completed stage
+#: is evicted from the UI store between snapshots (default retention is
+#: 1000 stages — a long run can cross it and silently under-count). Raised
+#: retention + a non-negativity assert turn that silent skew into a failure.
+RETAINED = "100000"
 
-def completed_stage_bytes(sc) -> tuple[int, int]:
+
+def completed_stage_bytes(sc) -> tuple[int, int, int]:
     url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages?status=complete"
     stages = json.load(urllib.request.urlopen(url))
     return (
         sum(s["shuffleWriteBytes"] for s in stages),
         sum(s["inputBytes"] for s in stages),
+        len(stages),
     )
 
 
@@ -55,7 +62,12 @@ def main() -> None:
     from flink_dts_connector_spark.session import get_spark
 
     spark = get_spark(
-        app_name="fdcs-shuffle-measure", extra_conf={"spark.ui.enabled": "true"}
+        app_name="fdcs-shuffle-measure",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": RETAINED,
+            "spark.ui.retainedJobs": RETAINED,
+        },
     )
     sc = spark.sparkContext
     queries = all_queries()
@@ -64,9 +76,13 @@ def main() -> None:
         fn = queries[name].fn
         per_sf = {}
         for sf_dir in SF_DIRS:
-            w0, i0 = completed_stage_bytes(sc)
+            w0, i0, n0 = completed_stage_bytes(sc)
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            w1, i1 = completed_stage_bytes(sc)
+            w1, i1, n1 = completed_stage_bytes(sc)
+            assert w1 >= w0 and i1 >= i0 and n1 >= n0, (
+                f"{name}@{sf_dir}: stage eviction between snapshots "
+                f"(w {w0}->{w1}, n {n0}->{n1}) — raise RETAINED"
+            )
             sf = os.path.basename(sf_dir.rstrip("/"))
             per_sf[sf] = {"shuffle_write_bytes": w1 - w0, "input_bytes": i1 - i0}
         sfs = list(per_sf)
