@@ -232,6 +232,62 @@ def main() -> None:
         best_fixed = min(best_fixed, time.perf_counter() - start)
     fixed.unpersist()
 
+    # Round-8 tier: the generic varint wire decoded to TYPED rows entirely
+    # JVM-side (formats/jvmvalue.py) vs the Python decode→project path, on
+    # the same persisted raw frame. The JVM query's expression trees are
+    # huge, so OPTIMIZER time (~2-10 s) would swamp a per-action timing at
+    # toy SFs; real consumers build the plan once and stream forever. We
+    # therefore reuse ONE aggregated Dataset (its QueryExecution caches the
+    # optimized plan) and report plan_sec separately — both numbers honest.
+    # The checksum aggregate consumes EVERY output column (column pruning
+    # would otherwise skip the value extraction) and must match between the
+    # two paths — a correctness cross-check inside the bench.
+    from pyspark.sql import functions as F
+
+    from flink_dts_connector_spark.formats.jvmvalue import decode_typed_jvm
+    from flink_dts_connector_spark.formats.typed import project_table
+    from flink_dts_connector_spark.plans.cdc_queries import ORDERS_CDC_SCHEMA
+    from flink_dts_connector_spark.sources.generator import ORDERS_FIELDS
+
+    def _checksum(df):
+        # decimal sum: int64 hash sums overflow under ANSI mode
+        return df.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
+        )
+
+    t0 = time.perf_counter()
+    jvm_q = _checksum(
+        decode_typed_jvm(raw, ORDERS_CDC_SCHEMA, ORDERS_FIELDS, "dts_demo.orders")
+    )
+    jvm_row = jvm_q.collect()[0]  # first run pays analysis+optimize+codegen
+    typed_plan_sec = time.perf_counter() - t0
+    best_tj = float("inf")
+    for _ in range(runs):
+        start = time.perf_counter()
+        jvm_q.collect()
+        best_tj = min(best_tj, time.perf_counter() - start)
+    py_q = _checksum(
+        project_table(
+            decode_cdc(
+                raw, tables=["dts_demo.orders"],
+                ops=["INSERT", "UPDATE", "DELETE"],
+                columns=[f.name for f in ORDERS_CDC_SCHEMA.fields],
+            ),
+            ORDERS_CDC_SCHEMA, table="dts_demo.orders",
+        )
+    )
+    py_row = py_q.collect()[0]
+    best_tp = float("inf")
+    for _ in range(runs):
+        start = time.perf_counter()
+        py_q.collect()
+        best_tp = min(best_tp, time.perf_counter() - start)
+    if (jvm_row["n"], jvm_row["h"]) != (py_row["n"], py_row["h"]):
+        raise AssertionError(
+            f"typed decode mismatch: jvm {tuple(jvm_row)} != python {tuple(py_row)}"
+        )
+
     # Round-7: filtered-ingest throughput on the realistic multi-tenant
     # topic (orders stream ∪ documents stream; select one table's INSERTs).
     # Python path: every record's header is parsed in a Python worker,
@@ -291,6 +347,16 @@ def main() -> None:
             "sec": round(best_fixed, 4),
             "recs_per_sec": round(n_fixed / best_fixed),
         },
+        "typed": {
+            "records": n_raw,
+            "rows_out": jvm_row["n"],
+            "jvm_sec": round(best_tj, 4),
+            "jvm_recs_per_sec": round(n_raw / best_tj),
+            "jvm_plan_sec": round(typed_plan_sec, 2),
+            "python_sec": round(best_tp, 4),
+            "python_recs_per_sec": round(n_raw / best_tp),
+            "checksum_match": True,
+        },
         "filtered": {
             "records_in": n_mixed,
             "jvm_prefilter_only_sec": round(best_pre, 4),
@@ -343,6 +409,7 @@ def main() -> None:
             "sentinel_median_sec": sentinel_stats["median"],
             "decode_recs_per_sec": decode_stats["recs_per_sec"],
             "decode_jvm_recs_per_sec": decode_stats["jvm_fixed"]["recs_per_sec"],
+            "typed_jvm_recs_per_sec": decode_stats["typed"]["jvm_recs_per_sec"],
             "filtered_jvm_prefilter_recs_per_sec": decode_stats["filtered"][
                 "jvm_prefilter_only_recs_per_sec"
             ],

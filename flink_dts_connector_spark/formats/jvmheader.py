@@ -362,6 +362,30 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def tier1_sql(value_col: str, tables: list[str]) -> str | None:
+    """The contains() byte-search tier as a standalone predicate: TRUE for
+    any record that could possibly belong to one of ``tables`` (its bytes
+    contain some requested (db AND tbl) pair, or a logical-rename tag key).
+    Never false-drops; returns None when a table name isn't a plain
+    ``db.tbl`` (bracketed/1-part names can't be byte-searched soundly)."""
+    v = value_col
+    pairs = []
+    for t in tables:
+        parts = t.split(".")
+        if len(parts) == 2 and parts[0] and parts[1] and "[" not in t:
+            pairs.append(
+                f"(contains({v}, CAST({_sql_quote(parts[0])} AS BINARY))"
+                f" AND contains({v}, CAST({_sql_quote(parts[1])} AS BINARY)))"
+            )
+        else:
+            return None
+    return (
+        "(" + " OR ".join(pairs)
+        + f" OR contains({v}, CAST('l_db_name' AS BINARY))"
+        + f" OR contains({v}, CAST('l_tb_name' AS BINARY)))"
+    )
+
+
 def _keep_sql(
     value_col: str,
     tables: list[str] | None,
@@ -449,25 +473,7 @@ def _keep_sql(
     # db.tbl name whose parts we can byte-search for. A record containing
     # neither any requested (db AND tbl) pair nor a rename-tag key cannot
     # match — drop it before the parse fold ever runs.
-    tier1 = None
-    if tables:
-        pairs = []
-        for t in tables:
-            parts = t.split(".")
-            if len(parts) == 2 and parts[0] and parts[1] and "[" not in t:
-                pairs.append(
-                    f"(contains({v}, CAST({_sql_quote(parts[0])} AS BINARY))"
-                    f" AND contains({v}, CAST({_sql_quote(parts[1])} AS BINARY)))"
-                )
-            else:
-                pairs = None
-                break
-        if pairs:
-            tier1 = (
-                "(" + " OR ".join(pairs)
-                + f" OR contains({v}, CAST('l_db_name' AS BINARY))"
-                + f" OR contains({v}, CAST('l_tb_name' AS BINARY)))"
-            )
+    tier1 = tier1_sql(v, tables) if tables else None
 
     keep_invalid = "false" if drop_invalid else "true"
     # NULL value (Kafka tombstone): _valid_sql(NULL) is NULL, so a bare
