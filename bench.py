@@ -334,6 +334,21 @@ def main() -> None:
         best_jvmf = min(best_jvmf, time.perf_counter() - start)
     mixed.unpersist()
 
+    # Round-8 row: the filtered STORE build — same mixed topic, same JVM
+    # tiers, but a full streaming ingest into the partitioned decode-once
+    # store including the stored≡re-decoded checksum audit. One sample:
+    # it's a fixed-cost availableNow job, not a per-record hot loop, and
+    # the audit (a second full filtered decode) is part of the contract.
+    from flink_dts_connector_spark.formats.ingest import (
+        ingest_filtered,
+        stage_mixed_topic,
+    )
+
+    staged = stage_mixed_topic(spark, sf_dir)  # staging excluded from timing
+    start = time.perf_counter()
+    ingest_filtered(spark, sf_dir, tables=tbls, ops=opsel, raw_dir=staged)
+    store_ingest_sec = time.perf_counter() - start
+
     decode_stats = {
         "records": n_raw,
         "sec": round(best_dec, 4),
@@ -365,6 +380,8 @@ def main() -> None:
             "python_ingest_recs_per_sec": round(n_mixed / best_pyf),
             "jvm_ingest_sec": round(best_jvmf, 4),
             "jvm_ingest_recs_per_sec": round(n_mixed / best_jvmf),
+            "store_ingest_sec": round(store_ingest_sec, 4),
+            "store_ingest_recs_per_sec": round(n_mixed / store_ingest_sec),
         },
     }
 

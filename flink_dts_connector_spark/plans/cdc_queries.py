@@ -1449,6 +1449,54 @@ def cdc_jvm_prefiltered_changelog(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "cdc_store_filtered_ingest",
+    oracle="""
+SELECT source,
+       CAST(SUM(w) AS BIGINT) AS n,
+       CAST(SUM(doc_id * w) AS BIGINT) AS id_sum,
+       CAST(SUM(n_chars * w) AS BIGINT) AS chars_sum
+FROM (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS w
+  FROM documents
+)
+GROUP BY source
+""",
+    tags=("cdc", "store", "jvm-header", "ingest"),
+)
+def cdc_store_filtered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-TABLE decode-once store built from the MULTI-TENANT topic
+    (orders change stream ∪ documents ingest stream) with the JVM tiers
+    inside the streaming ingest plan — the r7 verdict's gap: `ingest_once`
+    paid Python header decode on foreign-table records. `ingest_filtered`
+    routes the raw file stream through `jvmheader.prefilter` (contains()
+    byte-search + lean header fold) so only `corpus.documents` INSERTs
+    cross into the Arrow decoder; the stored≡re-decoded checksum audit
+    runs at build time, and the scan below is partition-pruned to the one
+    stored table. Totals carry the generator's at-least-once duplicates
+    (every 5th document delivered twice) — the store keeps delivery
+    fidelity; dedup is a downstream choice."""
+    from flink_dts_connector_spark.formats.ingest import ingest_filtered
+    from flink_dts_connector_spark.sources.generator import DOC_DB, DOC_TBL
+
+    store = ingest_filtered(
+        spark, sf_dir, tables=[f"{DOC_DB}.{DOC_TBL}"], ops=["INSERT"]
+    )
+    df = spark.read.parquet(store).where(F.col("tbl_part") == DOC_TBL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:", 1)
+    if len(pf) < 2 or "tbl_part" not in pf[1].split("]", 1)[0]:
+        raise AssertionError("filtered-store scan is not partition-pruned")
+    return df.groupBy(F.element_at("after", "source").alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+        F.sum(F.element_at("after", "n_chars").cast("bigint"))
+        .cast("bigint")
+        .alias("chars_sum"),
+    )
+
+
+@register(
     "cdc_jvm_typed_changelog",
     oracle=f"""
 SELECT o_orderdate AS ts, o_orderkey * 4 AS record_id,

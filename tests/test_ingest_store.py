@@ -83,3 +83,31 @@ def test_envelope_checksum_detects_mutation(spark, store):
         .otherwise(F.col("operation")),
     )
     assert envelope_checksum(mutated) != base
+
+
+def test_ingest_filtered_single_table_store(spark, sf_dir):
+    """r8: the filtered store over the multi-tenant topic holds ONLY the
+    selected table's selected ops (the JVM prefilter + exact decode filter
+    ran inside the streaming ingest), its micro-batch plan keeps the
+    prefilter JVM-side, and the build's stored≡re-decoded audit passed
+    (ingest_filtered raises otherwise). Foreign-table mass (the orders
+    stream, heartbeats, DDL) must be absent."""
+    from flink_dts_connector_spark.formats.ingest import ingest_filtered
+    from flink_dts_connector_spark.sources.generator import DOC_DB, DOC_TBL
+
+    store_dir = ingest_filtered(
+        spark, sf_dir, tables=[f"{DOC_DB}.{DOC_TBL}"], ops=["INSERT"]
+    )
+    df = spark.read.parquet(store_dir)
+    assert df.count() > 0
+    bad = df.where(
+        (F.col("tbl") != DOC_TBL)
+        | (F.col("db") != DOC_DB)
+        | (F.col("operation") != "INSERT")
+    ).count()
+    assert bad == 0
+    # second call is cached: same directory, no re-ingest
+    assert (
+        ingest_filtered(spark, sf_dir, tables=[f"{DOC_DB}.{DOC_TBL}"], ops=["INSERT"])
+        == store_dir
+    )
