@@ -147,7 +147,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     # oracle) takes the brute-force slot — brute force is the recall
     # baseline inside the PQ/IVF oracles anyway and stays sweep-green
     "embed_kmeans_clusters",
-    "ann_topk_lsh_multiprobe",
+    # r8: the dyadic-histogram quantile sketch (the quantile member of the
+    # mergeable-sketch family, KMV/HLL/CMS's sibling) takes the LSH-multiprobe
+    # slot — multiprobe stays sweep-green and its LSH index is also evaluated
+    # inside the gated ann_recall_report
+    "sketch_histogram_quantiles",
     "ann_recall_report",  # r4 cont.: one slot evaluates all four ANN indexes vs brute force
     # r4 cont. 2: the composed IVF-PQ cascade supersedes the plain-PQ slot
     # (it contains the full codebook/encode/ADC machinery plus cell
@@ -168,10 +172,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     # slot (same explode + vocab-join + per-doc re-agg shape, plus the
     # cross-class argmin; rare_bigram_fraction stays sweep-green)
     "ml_nb_source_confusion",
-    # r4 continuation: unigram-LM surprisal (whole-distribution perplexity
-    # proxy) takes the BPE-stats slot (same explode+agg shape stays
-    # sweep-green via token stats / top terms)
-    "text_unigram_surprisal",
+    # r8: the privacy audit→repair ladder (k-anonymity generalization repair,
+    # the analytics-family flagship of wave 3) takes the unigram-surprisal
+    # slot — surprisal stays sweep-green and its explode+vocab-join+re-agg
+    # shape remains gated via ml_nb_source_confusion
+    "privacy_generalization_repair",
     # curation — r4 wave 2: chunking joins the gate
     "curate_leakage_repaired_split",  # r4 cont.: audit->repair loop (stratified stays sweep-green)
     "curate_pack_sequences",
@@ -186,10 +191,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "curate_chunk_windows",
     # search (new family, r4 wave 2)
     "search_bm25_topk",
-    # multimodal — r6: the REAL BMP codec takes the family slot (strictly
-    # stronger: genuine byte-format parse with a closed-form pixel oracle;
-    # the fake-codec decode_features shape stays sweep-green)
-    "multimodal_bmp_features",
+    # multimodal — r6 gated the real BMP codec; r8 rotates the slot to the
+    # strictly stronger PNG codec (CRC-verified chunks, zlib inflate, all
+    # five scanline filters; BMP + fake-codec shapes stay sweep-green)
+    "multimodal_png_features",
     # streaming (availableNow-bounded, rerun-safe) — r4: corpus ingestion
     # replaces stream_dedup_exactly_once (dropDuplicatesWithinWatermark is
     # inside it, plus the dts source + gate + manifest composition)
@@ -204,9 +209,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     # cdc_txn_atomic_apply and stays sweep-green); this gates the new
     # wire-codec family (encode -> decode -> signed agg, zero Python)
     "cdc_fixed_wire_roundtrip",
-    # r6: gate the streaming sketch-maintenance family (update-mode CMS
-    # convergence vs the batch closed form), previously sweep-green only
-    "stream_count_min_convergence",
+    # r6 gated the streaming sketch-maintenance family via CMS convergence;
+    # r8 rotates the slot to the wave-3 flagship of the same family — the
+    # streaming TV-distance drift monitor (O(cells) state folded across
+    # micro-batches vs the batch closed form; CMS convergence stays
+    # sweep-green and the turnstile CMS shape is also inside the gated
+    # cdc_incremental_checksum's signed maintenance)
+    "stream_drift_monitor",
 )
 
 

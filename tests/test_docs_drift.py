@@ -28,6 +28,45 @@ def test_gate_priority_resolves_and_is_50():
     assert list(qs)[:50] == list(GATE_PRIORITY)
 
 
+def test_doc_backtick_paths_exist():
+    """Every backtick-quoted repo path in COVERAGE.md / SCALING.md must
+    resolve to a real file (r7 verdict caught `test_sketch_properties.py`
+    citing a renamed test). Resolution: repo-root relative, package
+    relative, or basename-anywhere for bare names; runtime-generated bench
+    artifacts are allowed by pattern."""
+    pkg = os.path.join(REPO, "flink_dts_connector_spark")
+    basenames = set()
+    for root, dirs, files in os.walk(REPO):
+        dirs[:] = [
+            d
+            for d in dirs
+            if d not in {".git", "__pycache__", "spark-warehouse", ".pytest_cache"}
+        ]
+        basenames.update(files)
+    generated = re.compile(r"^(BENCH|CORRECTNESS|SWEEP|PLAN_AUDIT|SHUFFLE_LINEARITY)[A-Za-z0-9_.]*\.json$")
+    missing = []
+    for doc in ("COVERAGE.md", "SCALING.md"):
+        text = open(os.path.join(REPO, doc)).read()
+        for m in re.finditer(r"`([^`\n]+)`", text):
+            span = m.group(1)
+            pm = re.match(
+                r"([A-Za-z0-9_][A-Za-z0-9_./-]*\.(?:py|md|json|sh|txt|yaml|toml))(?::|$)",
+                span,
+            )
+            if not pm:
+                continue
+            p = pm.group(1)
+            if (
+                os.path.exists(os.path.join(REPO, p))
+                or os.path.exists(os.path.join(pkg, p))
+                or ("/" not in p and os.path.basename(p) in basenames)
+                or generated.match(os.path.basename(p))
+            ):
+                continue
+            missing.append(f"{doc}: `{span}`")
+    assert not missing, "doc citations point at nonexistent files:\n" + "\n".join(missing)
+
+
 def test_bench_headline_names_are_registered():
     """bench.py silently skips unknown names (`if n in queries`); assert
     they all resolve so a rename can't quietly shrink the headline set."""
