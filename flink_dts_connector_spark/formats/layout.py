@@ -1,0 +1,194 @@
+"""Z-order serving layout for the decode-once CDC store.
+
+`layout_zorder_skipping` / `layout_zorder_vs_linear` measured Morton
+clustering on synthetic rectangles; this module APPLIES it to the real
+store: re-cluster a table's stored changelog by the Morton interleave of
+two probe dimensions and write a serving copy whose files each cover a
+small RECTANGLE in (x, y) space. Parquet min/max statistics then prune a
+2-D probe at the row-group level on EITHER dimension — a single-column
+sort only prunes one (the lakehouse OPTIMIZE ZORDER contract, same idea
+as the reference's range-partitioned replay windows:
+`FlinkDtsKafkaConsumer.java:372-380` prunes on time only; a consumer
+filtering on key AND time needs the interleave).
+
+Scale notes (100 TB): the re-cluster is ONE range shuffle on the Morton
+key (`repartitionByRange` samples the key space, so files are balanced
+even when the dims are skewed) + a within-partition sort — the same cost
+as any compaction pass, paid once per serving snapshot. The skip
+measurement reads parquet FOOTERS only (pyarrow metadata, no row data),
+which is exactly what the scan planner does — so the measured
+touched-fraction is the fraction of bytes a 1000-executor scan would
+actually read.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_dts_connector_spark.operators.curation import zorder_key
+
+#: (applicationId, sf_dir, table, layout) -> serving directory
+_SERVE_CACHE: dict[tuple, str] = {}
+
+#: Morton bits per dimension (1024 buckets) and serving file count. 32
+#: files at toy SF = one row group each; at 100 TB the same code yields
+#: thousands of files, each still a small (x, y) rectangle.
+ZORDER_BITS = 10
+SERVE_FILES = 32
+
+
+def _bucket(col, mn, mx, bits: int = ZORDER_BITS):
+    """Rank-free bucketization: map [mn, mx] onto 0..2^bits-1 with pure
+    integer arithmetic (no window, no shuffle — min/max come from a 1-row
+    broadcast agg)."""
+    span = F.greatest(mx - mn + F.lit(1), F.lit(1))
+    return F.floor(((col - mn) * F.lit(1 << bits)) / span).cast("long")
+
+
+def write_layout(
+    df: DataFrame,
+    out_dir: str,
+    dim_x: str,
+    dim_y: str,
+    layout: str = "zorder",
+    files: int = SERVE_FILES,
+) -> None:
+    """Write ``df`` re-clustered for 2-D probes on integer-able columns
+    ``dim_x``/``dim_y`` (timestamps are bucketed via epoch seconds).
+
+    ``zorder``: Morton-interleave the bucketized dims, range-partition +
+    sort on the key — every file covers a small (x, y) rectangle.
+    ``linear``: range-partition + sort on ``dim_y`` alone (the natural
+    time-clustered ingest order — the baseline a z-order must beat on
+    x-filtered probes)."""
+    if layout not in ("zorder", "linear"):
+        raise ValueError(f"unknown layout: {layout}")
+
+    def as_long(name: str):
+        c = F.col(name)
+        dt = dict(df.dtypes)[name]
+        return F.unix_timestamp(c) if dt.startswith("timestamp") else c.cast("long")
+
+    if layout == "linear":
+        out = df.repartitionByRange(files, F.col(dim_y)).sortWithinPartitions(dim_y)
+    else:
+        x, y = as_long(dim_x), as_long(dim_y)
+        bounds = df.agg(
+            F.min(x).alias("mnx"),
+            F.max(x).alias("mxx"),
+            F.min(y).alias("mny"),
+            F.max(y).alias("mxy"),
+        )
+        # zorder_key puts its SECOND argument in the higher bit of each
+        # interleaved pair, so pass (y, x): with files = 2^(2k+1) the file
+        # boundaries resolve dim_x one bit finer — the key dimension is
+        # the one probes band on, time probes are already coarse.
+        keyed = df.join(F.broadcast(bounds)).withColumn(
+            "zkey",
+            zorder_key(
+                _bucket(y, F.col("mny"), F.col("mxy")),
+                _bucket(x, F.col("mnx"), F.col("mxx")),
+                bits=ZORDER_BITS,
+            ),
+        )
+        out = (
+            keyed.repartitionByRange(files, F.col("zkey"))
+            .sortWithinPartitions("zkey")
+            .drop("mnx", "mxx", "mny", "mxy", "zkey")
+        )
+    # Spark's default parquet timestamp encoding is INT96, which carries NO
+    # column statistics — the time dimension would be unprunable. Write the
+    # serving copy with µs TIMESTAMP (stats-bearing), restore the conf after.
+    spark = df.sparkSession
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        out.write.mode("overwrite").parquet(out_dir)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+
+def serve_store_zorder(
+    spark: SparkSession,
+    sf_dir: str,
+    dim_x: str = "o_custkey",
+    dim_y: str = "o_orderdate",
+    layout: str = "zorder",
+) -> str:
+    """Serving copy of the orders changelog from the decode-once store,
+    re-clustered per ``layout``. Cached per (session, sf_dir, layout) —
+    the store build itself is shared with every other store-backed query
+    via `ingest_once`'s cache."""
+    key = (spark.sparkContext.applicationId, sf_dir, dim_x, dim_y, layout)
+    cached = _SERVE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from flink_dts_connector_spark.formats.ingest import read_store
+    from flink_dts_connector_spark.formats.typed import project_table
+    from flink_dts_connector_spark.sources.generator import DB, TBL
+    from flink_dts_connector_spark.plans.cdc_queries import ORDERS_CDC_SCHEMA
+    from flink_dts_connector_spark.streaming.runner import scratch_dir
+
+    env = read_store(spark, sf_dir, table=TBL)
+    chg = project_table(env, ORDERS_CDC_SCHEMA, table=f"{DB}.{TBL}")
+    out = scratch_dir(f"fdcs_serve_{layout}_")
+    write_layout(chg, out, dim_x, dim_y, layout=layout)
+    _SERVE_CACHE[key] = out
+    return out
+
+
+def touched_row_groups(path: str, preds: dict[str, tuple]) -> tuple[int, int]:
+    """(touched, total) row groups under ``path`` for a conjunctive range
+    probe ``{col: (lo, hi)}``, judged on parquet footer min/max statistics
+    only — the same decision the scan planner makes, measured without
+    reading a single data page."""
+    import pyarrow.parquet as pq
+
+    touched = total = 0
+    for dirpath, _, files in os.walk(path):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(dirpath, fname))
+            names = pf.schema_arrow.names
+            idx = {c: names.index(c) for c in preds}
+            for rg in range(pf.metadata.num_row_groups):
+                total += 1
+                hit = True
+                for col, (lo, hi) in preds.items():
+                    st = pf.metadata.row_group(rg).column(idx[col]).statistics
+                    if st is None or not st.has_min_max:
+                        continue  # no stats -> cannot skip
+                    mn, mx = st.min, st.max
+                    # parquet timestamp stats come back UTC-aware; the
+                    # engine runs in UTC, so compare naive-to-naive
+                    if isinstance(mn, datetime.datetime) and mn.tzinfo is not None:
+                        mn, mx = mn.replace(tzinfo=None), mx.replace(tzinfo=None)
+                    if mx < lo or mn > hi:
+                        hit = False
+                        break
+                if hit:
+                    touched += 1
+    return touched, total
+
+
+def assert_pushed(df: DataFrame, cols: list[str]) -> None:
+    """Assert every probe column's predicate reached the parquet scan's
+    PushedFilters — without pushdown there is no row-group skipping and
+    the z-order layout is dead weight."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    section = plan.split("PushedFilters:", 1)
+    pushed = section[1].split("]", 1)[0] if len(section) > 1 else ""
+    missing = [c for c in cols if c not in pushed]
+    if missing:
+        raise AssertionError(
+            f"probe predicates not pushed to the scan ({missing}):\n{plan[:2000]}"
+        )

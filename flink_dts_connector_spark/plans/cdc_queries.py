@@ -989,6 +989,74 @@ def cdc_store_signed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_store_zorder_probe",
+    oracle=f"""
+WITH chg AS (
+  SELECT o_orderkey, o_custkey, {SQL_PRICE0} AS o_totalprice, 'I' AS op FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, {SQL_PRICE0}, 'UB' FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, {SQL_PRICE1}, 'UA' FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, {SQL_PRICE1}, 'UB' FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, {SQL_PRICE1}, 'UA' FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, {SQL_PRICE1}, 'D' FROM orders WHERE o_orderkey % 97 = 0
+),
+bounds AS (
+  SELECT min(o_custkey) + (max(o_custkey) - min(o_custkey)) * 45 // 100 AS lo,
+         min(o_custkey) + (max(o_custkey) - min(o_custkey)) * 55 // 100 AS hi
+  FROM orders
+)
+SELECT op, COUNT(*) AS n_records,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM chg, bounds
+WHERE o_custkey BETWEEN lo AND hi
+GROUP BY op
+""",
+    tags=("cdc", "decode-once", "storage", "layout", "zorder"),
+)
+def cdc_store_zorder_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER SERVING LAYOUT of the decode-once store, probed for real:
+    the orders changelog is re-clustered by the Morton interleave of
+    (o_custkey, o_orderdate) — `formats/layout.py:serve_store_zorder`, the
+    applied form of the `layout_zorder_*` studies — and a key-band probe
+    (middle custkey decile, all time) runs against the serving files. The
+    band bounds are collected as LITERALS on purpose: only literal
+    predicates reach the parquet scan's PushedFilters, and the query
+    asserts they do (`assert_pushed`) — at 100 TB that pushdown is what
+    turns the Morton layout into row-group skipping (the key-band probe
+    touches only the files whose (x, y) rectangle intersects the band; a
+    time-sorted layout reads everything — measured fractions in
+    `tests/test_layout_store.py` and SCALING.md §zorder-store). Result
+    content is layout-invariant and oracle-checked: per-op record counts +
+    exact-cents price sums over the band."""
+    from flink_dts_connector_spark.formats.layout import assert_pushed, serve_store_zorder
+    from flink_dts_connector_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.expr("min(o_custkey) + (max(o_custkey) - min(o_custkey)) * 45 DIV 100").alias("lo"),
+        F.expr("min(o_custkey) + (max(o_custkey) - min(o_custkey)) * 55 DIV 100").alias("hi"),
+    ).collect()[0]
+    serving = serve_store_zorder(spark, sf_dir)
+    probe = spark.read.parquet(serving).where(
+        F.col("o_custkey").between(int(b["lo"]), int(b["hi"]))
+    )
+    assert_pushed(probe, ["o_custkey"])
+    return probe.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("sum_price"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
 def _fixed_zoo_oracle() -> str:
     from flink_dts_connector_spark.formats.fixedwire import ZOO_FIXED_EXPECTED
 
