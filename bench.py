@@ -117,6 +117,16 @@ HEADLINE = [
     "cdc_store_upsert_state",
     "sketch_hll_time_cube",
     "ann_topk_filtered",
+    # appended in round 8: JVM typed value decode (the Python-free dts-cdc
+    # path), the filtered store build's serving twin, the z-order serving
+    # probe, and the three newly gated batch flagships. stream_drift_monitor
+    # stays registry-only like the other availableNow lifecycles.
+    "cdc_jvm_typed_changelog",
+    "cdc_store_filtered_ingest",
+    "cdc_store_zorder_probe",
+    "privacy_generalization_repair",
+    "sketch_histogram_quantiles",
+    "multimodal_png_features",
     # ml_bpe_train_merges / ml_bpe_encode_stats stay registry-only: their
     # cost is 8 eager localCheckpoint rounds of vocabulary-sized work
     # (~fixed latency, like dedup_components' edge materialization) — a

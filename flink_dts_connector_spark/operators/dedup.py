@@ -157,6 +157,79 @@ def jaccard_pairs(
     )
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    threshold_pct: int = 60,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via PREFIX FILTERING (the
+    SSJoin/PPJoin candidate bound) — the exact-recall alternative to both
+    the full shingle self-join (whose fan-out is df² on EVERY shingle) and
+    MinHash-LSH (which trades recall for cost).
+
+    Order all shingles globally rare-first (document frequency asc, then
+    shingle); each doc contributes only its first
+    ``p = |x| − ceil(t·|x|/100) + 1`` shingles to the candidate join.
+    Exact recall: for any pair with J ≥ t, the overlap I satisfies
+    I ≥ ceil(t·|x|/100) for BOTH sets (I ≥ t/100·U and U ≥ |x|). Take the
+    pair's smaller prefix-boundary token e under the global order: every
+    common token ≤ e lies in both prefixes; if all common tokens were > e,
+    they would all sit in that set's suffix of ceil(t·|x|/100) − 1
+    elements < I — contradiction. So ≥1 shared prefix token exists and
+    the equi-join on prefix tokens misses nothing.
+
+    Why it scales where the alternatives don't: candidate fan-out is df²
+    only over each doc's RAREST ~(1−t) fraction of shingles — boilerplate
+    shingles ("all rights reserved …") sort last and never enter the
+    join, without `drop_hot_shingles`' recall caveat. The df pass, prefix
+    build, and candidate join all shuffle on the shingle/id keys already
+    used by the exact join. A size-ratio filter (J ≥ t forces
+    t·|b| ≤ 100·|a|) prunes candidates before verification; survivors are
+    verified with the FULL shingle sets (`_verify_jaccard`), so the
+    output is bit-identical to `jaccard_pairs` at the same threshold.
+    """
+    sh = _shingled(df, id_col, text_col, n).withColumn(
+        "n_sh", F.size("sh").cast("bigint")
+    )
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    dfs = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = (
+        F.col("n_sh")
+        - F.floor((F.lit(threshold_pct) * F.col("n_sh") + F.lit(99)) / F.lit(100))
+        + F.lit(1)
+    )
+    pref = (
+        ex.join(dfs, "s")
+        .groupBy("id")
+        .agg(
+            F.first("n_sh").alias("n_sh"),
+            F.array_sort(F.collect_list(F.struct("df", "s"))).alias("toks"),
+        )
+        .select(
+            "id",
+            "n_sh",
+            F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("tok"),
+        )
+        .select("id", "n_sh", F.col("tok.s").alias("s"))
+    )
+    a = pref.select(F.col("id").alias("a_id"), F.col("n_sh").alias("n_a"), "s")
+    b = pref.select(F.col("id").alias("b_id"), F.col("n_sh").alias("n_b"), "s")
+    t = F.lit(threshold_pct)
+    cand = (
+        a.join(b, "s")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.lit(100) * F.col("n_a") >= t * F.col("n_b"))
+            & (F.lit(100) * F.col("n_b") >= t * F.col("n_a"))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh.select("id", "sh"), threshold_pct)
+
+
 def containment_pairs(
     df: DataFrame,
     threshold_pct: int = 90,

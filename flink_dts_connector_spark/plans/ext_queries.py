@@ -337,6 +337,47 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_prefix_filter_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+  FROM toks
+  QUALIFY LEAD(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_inter,
+       sa.n_sh + sb.n_sh - n_inter AS n_union,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE 100 * n_inter >= 60 * (sa.n_sh + sb.n_sh - n_inter)
+""",
+    tags=("ext", "dedup", "prefix-filter"),
+)
+def neardup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs (≥0.60) via PREFIX FILTERING —
+    candidates come only from each doc's rarest ~40% of shingles under a
+    global df-asc order, with a size-ratio prune, then full-set exact
+    verification. ZERO recall loss (the oracle is the full exact join):
+    the scale answer when LSH's probabilistic recall is not acceptable
+    and the full shingle self-join's boilerplate fan-out is not payable
+    (`operators/dedup.py:prefix_filter_pairs` has the proof and the
+    cost argument)."""
+    return D.prefix_filter_pairs(t(spark, sf_dir, "documents"), threshold_pct=60)
+
+
+@register(
     "dedup_components",
     oracle=f"""
 WITH RECURSIVE toks AS (

@@ -622,6 +622,73 @@ def test_containment_orientation_and_superset_of_jaccard(spark, sf_dir):
         assert abs(r["containment"] - 1.0) < 1e-12
 
 
+def test_prefix_filter_pairs_equals_exact_join(spark, sf_dir):
+    """Prefix filtering is EXACT-recall by construction (the lemma in
+    `prefix_filter_pairs`' docstring): at the same threshold its output
+    must be row-identical to the full shingle self-join — at 0.60 and at
+    the looser 0.30 where candidate pruning does the least work."""
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (60, 30):
+        exact = {
+            (r["a_id"], r["b_id"], r["n_inter"], r["n_union"])
+            for r in D.jaccard_pairs(docs, threshold_pct=t).collect()
+        }
+        pf = {
+            (r["a_id"], r["b_id"], r["n_inter"], r["n_union"])
+            for r in D.prefix_filter_pairs(docs, threshold_pct=t).collect()
+        }
+        assert pf == exact and len(exact) > 0, f"t={t}: {len(pf)} vs {len(exact)}"
+
+
+def test_prefix_filter_prunes_candidates(spark, sf_dir):
+    """The point of the prefix: the candidate pair set fed to verification
+    must be strictly smaller than the full shingle-join's candidate set
+    (docs sharing ANY shingle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D._shingled(docs, "doc_id", "text", 3)
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    full_cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+        .count()
+    )
+    # re-derive the prefix candidate count with the operator's own pieces
+    shn = sh.withColumn("n_sh", F.size("sh").cast("bigint"))
+    exn = shn.select("id", "n_sh", F.explode("sh").alias("s"))
+    dfs = exn.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    plen = (
+        F.col("n_sh")
+        - F.floor((F.lit(60) * F.col("n_sh") + F.lit(99)) / F.lit(100))
+        + F.lit(1)
+    )
+    pref = (
+        exn.join(dfs, "s")
+        .groupBy("id")
+        .agg(
+            F.first("n_sh").alias("n_sh"),
+            F.array_sort(F.collect_list(F.struct("df", "s"))).alias("toks"),
+        )
+        .select("id", "n_sh", F.explode(F.slice("toks", F.lit(1), plen)).alias("tok"))
+        .select("id", "n_sh", F.col("tok.s").alias("s"))
+    )
+    pa = pref.select(F.col("id").alias("a_id"), F.col("n_sh").alias("n_a"), "s")
+    pb = pref.select(F.col("id").alias("b_id"), F.col("n_sh").alias("n_b"), "s")
+    pf_cand = (
+        pa.join(pb, "s")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.lit(100) * F.col("n_a") >= F.lit(60) * F.col("n_b"))
+            & (F.lit(100) * F.col("n_b") >= F.lit(60) * F.col("n_a"))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+        .count()
+    )
+    assert pf_cand < full_cand, (pf_cand, full_cand)
+
+
 def test_chunk_windows_cover_every_token(spark, sf_dir):
     """Chunking invariants: chunk k starts at 1+48k; consecutive chunks
     overlap by 16 tokens (window 64, stride 48); the union of [start,

@@ -13,7 +13,10 @@ enabled — the tuned session keeps it off), summing `shuffleWriteBytes`
 over the completed stages between snapshots, so the number is the real
 exchange traffic incl. AQE re-plans, not a plan-time estimate.
 
-Usage: python tools/measure_shuffle.py [--json OUT.json] [query ...]
+Usage: python tools/measure_shuffle.py [--json OUT.json] [--sfs d1,d2,...] [query ...]
+r8: --sfs extends the curve to any number of points (default adds the
+locally synthesized sf1 from tools/gen_sf1.py when present — a third
+decade, 0.01 -> 0.1 -> 1); growth is reported per consecutive 10x step.
 """
 
 from __future__ import annotations
@@ -31,7 +34,12 @@ DEFAULT_QUERIES = [
     "search_bm25_topk",           # BM25: posting keys
     "sketch_count_min_heavy_hitters",  # CMS: sketch cells
 ]
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# third decade: the locally synthesized sf1 (tools/gen_sf1.py), when built
+_SF1 = os.path.join(_REPO, "sf1_data")
+if os.path.exists(os.path.join(_SF1, "lineitem.parquet")):
+    SF_DIRS.append(_SF1)
 
 #: the delta-of-sums technique below is only sound while NO completed stage
 #: is evicted from the UI store between snapshots (default retention is
@@ -53,8 +61,12 @@ def completed_stage_bytes(sc) -> tuple[int, int, int]:
 def main() -> None:
     args = sys.argv[1:]
     out_path = None
+    sf_dirs = SF_DIRS
     if args and args[0] == "--json":
         out_path = args[1]
+        args = args[2:]
+    if args and args[0] == "--sfs":
+        sf_dirs = args[1].split(",")
         args = args[2:]
     names = args or DEFAULT_QUERIES
 
@@ -75,7 +87,7 @@ def main() -> None:
     for name in names:
         fn = queries[name].fn
         per_sf = {}
-        for sf_dir in SF_DIRS:
+        for sf_dir in sf_dirs:
             w0, i0, n0 = completed_stage_bytes(sc)
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             w1, i1, n1 = completed_stage_bytes(sc)
@@ -86,11 +98,17 @@ def main() -> None:
             sf = os.path.basename(sf_dir.rstrip("/"))
             per_sf[sf] = {"shuffle_write_bytes": w1 - w0, "input_bytes": i1 - i0}
         sfs = list(per_sf)
-        growth = (
-            per_sf[sfs[1]]["shuffle_write_bytes"]
-            / max(per_sf[sfs[0]]["shuffle_write_bytes"], 1)
-        )
-        per_sf["shuffle_growth_10x_data"] = round(growth, 2)
+        growths = [
+            round(
+                per_sf[b]["shuffle_write_bytes"]
+                / max(per_sf[a]["shuffle_write_bytes"], 1),
+                2,
+            )
+            for a, b in zip(sfs, sfs[1:])
+        ]
+        per_sf["shuffle_growth_per_10x_step"] = growths
+        # back-compat: the first step is the r7 artifact's single ratio
+        per_sf["shuffle_growth_10x_data"] = growths[0] if growths else None
         results[name] = per_sf
         print(f"{name}: {json.dumps(per_sf)}")
     if out_path:
@@ -98,9 +116,9 @@ def main() -> None:
             json.dump(results, fh, indent=1)
     # one-line verdict per query
     for name, r in results.items():
-        g = r["shuffle_growth_10x_data"]
-        tag = "LINEAR-ish" if g < 30 else "SUPERLINEAR"
-        print(f"VERDICT {name}: 10x data -> {g}x shuffle bytes [{tag}]")
+        gs = r["shuffle_growth_per_10x_step"]
+        tag = "LINEAR-ish" if all(g < 30 for g in gs) else "SUPERLINEAR"
+        print(f"VERDICT {name}: per-10x-step shuffle growth {gs} [{tag}]")
 
 
 if __name__ == "__main__":
