@@ -6897,6 +6897,105 @@ def graph_bfs_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_seasonal_decompose",
+    oracle="""
+WITH span AS (
+  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1 FROM events
+), cal AS (
+  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+), raw AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), dense AS (
+  SELECT cal.day, COALESCE(r.c, 0) AS n FROM cal LEFT JOIN raw r ON r.day = cal.day
+), ma AS (
+  SELECT day, n, SUM(n) OVER w AS s7, COUNT(*) OVER w AS c7
+  FROM dense
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), d AS (
+  SELECT day, date_diff('day', DATE '1970-01-05', day) % 7 AS dow, n, s7, c7,
+         CASE WHEN c7 = 7 THEN 7 * n - s7 END AS dnum
+  FROM ma
+), si AS (
+  SELECT dow, CAST(SUM(dnum) AS BIGINT) AS dsum, CAST(COUNT(dnum) AS BIGINT) AS dcnt
+  FROM d WHERE dnum IS NOT NULL GROUP BY dow
+)
+SELECT d.day, CAST(d.dow AS BIGINT) AS dow, d.n,
+       CASE WHEN c7 = 7 THEN CAST(s7 AS DOUBLE) / 7 END AS trend,
+       CAST(dsum AS DOUBLE) / (7 * dcnt) AS seasonal,
+       CASE WHEN dnum IS NOT NULL
+            THEN CAST(dnum * dcnt - dsum AS DOUBLE) / (7 * dcnt) END AS residual
+FROM d JOIN si ON si.dow = d.dow
+""",
+    tags=("ext", "events", "timeseries", "decomposition"),
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event-count
+    series (period 7, day-of-week): trend = centered 7-day moving average
+    (NULL at the edges where the window is partial), seasonal index =
+    per-dow mean of the detrended series, residual = the rest. Completes
+    the time-series battery (seasonal-naive baseline → autocorrelation →
+    EWMA → decomposition).
+
+    Determinism: every emitted double is ONE division of exact integers —
+    detrended is kept as the integer numerator ``7·n − sum7``, the
+    seasonal index as ``Σ dnum / (7·c)``, and the residual as
+    ``(dnum·c − Σ dnum) / (7·c)`` — so no cross-row double summation ever
+    happens and both engines produce bit-identical values. Scale: windows
+    and joins run on the DAY-grain frame (365 rows/year regardless of
+    event volume; the one SinglePartition window exchange moves that tiny
+    frame, never the events), the dow index is a 7-row broadcast join,
+    and the calendar is densified so silent days count as zero."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    cal = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    raw = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    dense = cal.join(raw, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).cast("bigint").alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    d = (
+        dense.select(
+            "day",
+            "n",
+            F.sum("n").over(w).alias("s7"),
+            F.count(F.lit(1)).over(w).alias("c7"),
+        )
+        .withColumn("dow", F.pmod(F.datediff("day", F.lit("1970-01-05")), F.lit(7)).cast("bigint"))
+        .withColumn("dnum", F.when(F.col("c7") == 7, 7 * F.col("n") - F.col("s7")))
+    )
+    si = (
+        d.where(F.col("dnum").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.sum("dnum").cast("bigint").alias("dsum"),
+            F.count("dnum").cast("bigint").alias("dcnt"),
+        )
+    )
+    return d.join(F.broadcast(si), "dow").select(
+        "day",
+        "dow",
+        "n",
+        F.when(F.col("c7") == 7, F.col("s7").cast("double") / 7).alias("trend"),
+        (F.col("dsum").cast("double") / (7 * F.col("dcnt"))).alias("seasonal"),
+        F.when(
+            F.col("dnum").isNotNull(),
+            (F.col("dnum") * F.col("dcnt") - F.col("dsum")).cast("double")
+            / (7 * F.col("dcnt")),
+        ).alias("residual"),
+    )
+
+
+@register(
     "events_ewma_forecast",
     oracle="""
 WITH span AS (
