@@ -1032,6 +1032,87 @@ def text_top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_fuzzy_terms",
+    oracle=f"""
+WITH vocab AS (
+  SELECT token AS term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT unnest({SQL_TOKS}) AS token FROM documents)
+  GROUP BY token
+), ranked AS (
+  SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rnk
+  FROM vocab WHERE length(term) >= 5
+), q AS (
+  SELECT DISTINCT concat(substring(term, 1, (length(term) + 1) // 2 - 1),
+                         substring(term, (length(term) + 1) // 2 + 1, length(term))) AS q
+  FROM ranked WHERE rnk <= 50
+)
+SELECT q.q, v.term, CAST(levenshtein(q.q, v.term) AS BIGINT) AS dist, v.df
+FROM q CROSS JOIN vocab v
+WHERE levenshtein(q.q, v.term) <= 1
+""",
+    tags=("ext", "search", "fuzzy"),
+)
+def search_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance ≤ 1) term matching via SymSpell-style DELETION
+    NEIGHBORHOODS — the scale answer to spell-correction/fuzzy search,
+    where the naive plan is queries × vocabulary levenshtein (the oracle
+    does exactly that, so the equi-join path is verified against brute
+    force). Each side expands to {{identity}} ∪ {{one-char deletions}} and
+    candidates come from an EQUI-JOIN on the deletion key; exact recall
+    for dist ≤ 1: substitution at i → del_i matches del_i; insertion →
+    the query IS a deletion of the term; deletion → the term IS a
+    deletion of the query. Survivors are verified with levenshtein, so
+    false candidates (different edits colliding on a key) are removed.
+
+    Query terms are derived deterministically from the corpus: the top-50
+    tokens by (df desc, token) with length ≥ 5, each "misspelled" by
+    dropping its middle character. Scale: the vocab side grows by ~avg
+    token length (linear), the join shuffles on short string keys, and
+    query neighborhoods broadcast — never a cross join in the plan."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    vocab = (
+        d.select(F.explode(X.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    mid = "(length(term) + 1) div 2"
+    qterms = (
+        vocab.where(F.length("term") >= 5)
+        .withColumn("rnk", F.row_number().over(W.orderBy(F.desc("df"), F.asc("term"))))
+        .where(F.col("rnk") <= 50)
+        .select(
+            F.expr(
+                f"concat(substring(term, 1, {mid} - 1), "
+                f"substring(term, {mid} + 1, length(term))) AS q"
+            )
+        )
+        .distinct()
+    )
+
+    def dkeys(col: str) -> str:
+        return (
+            f"array_union(array({col}), transform(sequence(1, length({col})), "
+            f"i -> concat(substring({col}, 1, i - 1), "
+            f"substring({col}, i + 1, length({col})))))"
+        )
+
+    vkeys = vocab.select(
+        "term", "df", F.explode(F.expr(dkeys("term"))).alias("k")
+    )
+    qkeys = qterms.select("q", F.explode(F.expr(dkeys("q"))).alias("k"))
+    return (
+        vkeys.join(F.broadcast(qkeys), "k")
+        .select("q", "term", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein("q", "term").cast("bigint"))
+        .where(F.col("dist") <= 1)
+        .select("q", "term", "dist", "df")
+    )
+
+
+@register(
     "events_funnel_view_to_purchase",
     oracle="""
 WITH v AS (
