@@ -6977,9 +6977,7 @@ def graph_bfs_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").cast("bigint").alias("doc_id"), F.col("hops").cast("int"))
 
 
-@register(
-    "events_seasonal_decompose",
-    oracle="""
+SEASONAL_DECOMP_ORACLE = """
 WITH span AS (
   SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
          CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1 FROM events
@@ -7010,7 +7008,12 @@ SELECT d.day, CAST(d.dow AS BIGINT) AS dow, d.n,
        CASE WHEN dnum IS NOT NULL
             THEN CAST(dnum * dcnt - dsum AS DOUBLE) / (7 * dcnt) END AS residual
 FROM d JOIN si ON si.dow = d.dow
-""",
+"""
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle=SEASONAL_DECOMP_ORACLE,
     tags=("ext", "events", "timeseries", "decomposition"),
 )
 def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7030,17 +7033,26 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     event volume; the one SinglePartition window exchange moves that tiny
     frame, never the events), the dow index is a 7-row broadcast join,
     and the calendar is densified so silent days count as zero."""
+    return seasonal_decompose_report(seasonal_daily_cells(t(spark, sf_dir, "events")))
+
+
+def seasonal_daily_cells(e: DataFrame) -> DataFrame:
+    """(day, n) daily event counts — the ADDITIVE state cells of the
+    decomposition: counts from disjoint micro-batches sum to the full
+    count, so `stream_seasonal_monitor` folds these per trigger."""
+    return e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+def seasonal_decompose_report(daily: DataFrame) -> DataFrame:
+    """Decomposition report from (day, n) cells (dense or sparse — the
+    calendar is re-densified here so silent days count as zero)."""
     from pyspark.sql import Window as W
 
-    e = t(spark, sf_dir, "events")
-    span = e.agg(
-        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
-    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     cal = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
-    raw = e.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    dense = cal.join(raw, "day", "left").select(
+    dense = cal.join(daily.withColumnRenamed("n", "c"), "day", "left").select(
         "day", F.coalesce("c", F.lit(0)).cast("bigint").alias("n")
     )
     w = W.orderBy("day").rowsBetween(-3, 3)

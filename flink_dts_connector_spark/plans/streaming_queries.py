@@ -2249,3 +2249,70 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     if state["batches"] < 2:
         raise AssertionError(f"expected multiple micro-batches, got {state['batches']}")
     return drift_tv_report(state["cells"])
+
+
+def _seasonal_oracle() -> str:
+    from flink_dts_connector_spark.plans.ext_queries import SEASONAL_DECOMP_ORACLE
+
+    return SEASONAL_DECOMP_ORACLE
+
+
+@register(
+    "stream_seasonal_monitor",
+    oracle=_seasonal_oracle(),
+    tags=("streaming", "timeseries", "decomposition", "incremental"),
+)
+def stream_seasonal_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING seasonal decomposition — the live twin of
+    `events_seasonal_decompose`: micro-batches (3 interleaved waves by
+    event_id % 3) fold per-batch DAILY COUNT cells into running state by
+    addition (linear — arrival order and batching cannot change the
+    converged cells), and the decomposition recomputed from the streamed
+    state must hash-match the whole-table closed form. The deploy shape
+    of a seasonality dashboard: state is O(days) forever (365 rows/year
+    at ANY event volume), each trigger re-derives trend/seasonal/residual
+    from that tiny frame, and no micro-batch ever re-scans history."""
+    from flink_dts_connector_spark.plans.ext_queries import (
+        seasonal_daily_cells,
+        seasonal_decompose_report,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    waves_dir = scratch_dir("fdcs_seas_waves_")
+    for i in range(3):
+        events.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(waves_dir)
+
+    empty = spark.createDataFrame([], "day date, n bigint")
+    state = {"cells": empty.localCheckpoint(), "batches": 0}
+
+    def merge(bdf: DataFrame, batch_id: int) -> None:
+        state["cells"] = (
+            state["cells"]
+            .unionByName(seasonal_daily_cells(bdf))
+            .groupBy("day")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+            .localCheckpoint()
+        )
+        state["batches"] += 1
+
+    with pinned_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", scratch_dir("fdcs_seas_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(waves_dir, ignore_errors=True)  # state is localCheckpoint-ed
+    if state["batches"] < 2:
+        raise AssertionError(f"expected multiple micro-batches, got {state['batches']}")
+    return seasonal_decompose_report(state["cells"])
