@@ -7089,6 +7089,77 @@ def seasonal_decompose_report(daily: DataFrame) -> DataFrame:
 
 
 @register(
+    "events_theilsen_trend",
+    oracle="""
+WITH span AS (
+  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1 FROM events
+), cal AS (
+  SELECT d0, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+), raw AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), dense AS (
+  SELECT CAST(date_diff('day', cal.d0, cal.day) AS BIGINT) AS i, COALESCE(r.c, 0) AS n
+  FROM cal LEFT JOIN raw r ON r.day = cal.day
+), pairs AS (
+  SELECT b.n - a.n AS num, b.i - a.i AS den
+  FROM dense a JOIN dense b ON a.i < b.i
+), ranked AS (
+  SELECT num, den,
+         ROW_NUMBER() OVER (ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rk,
+         COUNT(*) OVER () AS np
+  FROM pairs
+)
+SELECT CAST(np AS BIGINT) AS n_pairs, num AS slope_num, den AS slope_den,
+       CAST(num AS DOUBLE) / den AS slope_per_day
+FROM ranked WHERE rk = (np + 1) // 2
+""",
+    tags=("ext", "events", "timeseries", "robust"),
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily event-count series: the median
+    of all pairwise slopes — the estimator that shrugs off the outlier
+    days a least-squares fit chases. Exact: slopes stay integer rationals
+    (num = n_j − n_i, den = j − i); the lower median is selected by rank
+    with a (num, den) tiebreak, and the only double is the one reported
+    division. Scale: pairwise means DAY-GRAIN pairwise — 365 days/year →
+    ~66k integer pairs regardless of event volume (the events themselves
+    are touched once, in the daily count agg); the rank is a window over
+    that bounded frame."""
+    from pyspark.sql import Window as W
+
+    daily = seasonal_daily_cells(t(spark, sf_dir, "events"))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select("d0", F.explode(F.sequence("d0", "d1")).alias("day"))
+    dense = cal.join(daily.withColumnRenamed("n", "c"), "day", "left").select(
+        F.datediff("day", "d0").cast("bigint").alias("i"),
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("n"),
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    pairs = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        (F.col("b.n") - F.col("a.n")).alias("num"),
+        (F.col("b.i") - F.col("a.i")).alias("den"),
+    )
+    ranked = pairs.select(
+        "num",
+        "den",
+        F.row_number()
+        .over(W.orderBy(F.col("num").cast("double") / F.col("den"), "num", "den"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("np"),
+    )
+    return ranked.where(F.col("rk") == F.expr("(np + 1) div 2")).select(
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.col("num").alias("slope_num"),
+        F.col("den").alias("slope_den"),
+        (F.col("num").cast("double") / F.col("den")).alias("slope_per_day"),
+    )
+
+
+@register(
     "events_ewma_forecast",
     oracle="""
 WITH span AS (
