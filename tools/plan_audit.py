@@ -68,6 +68,7 @@ def main() -> int:
         out_json = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    only = set(args[1:])  # optional query-name filter (audit just these)
 
     from pyspark.sql import SparkSession
 
@@ -88,6 +89,8 @@ def main() -> int:
     report: dict[str, dict] = {}
     failures: list[str] = []
     for name, q in sorted(queries.items()):
+        if only and name not in only:
+            continue
         if "streaming" in q.tags:
             continue  # stream executes inside fn; audited by its own guards
         try:
