@@ -359,6 +359,60 @@ def main() -> None:
     ingest_filtered(spark, sf_dir, tables=tbls, ops=opsel, raw_dir=staged)
     store_ingest_sec = time.perf_counter() - start
 
+    # Round-8 row: z-order serving-layout probe (formats/layout.py) — the
+    # store-layout payoff measured per round. Build time is one sample (a
+    # compaction-pass-shaped fixed cost); the probe wall is min-of-N on the
+    # Morton layout vs the time-sorted baseline; touched row groups are
+    # judged from parquet footers exactly as the scan planner would.
+    from flink_dts_connector_spark.formats.layout import (
+        serve_store_zorder,
+        touched_row_groups,
+    )
+    from flink_dts_connector_spark.session import load_table as _load_table
+
+    zb = (
+        _load_table(spark, sf_dir, "orders")
+        .agg(
+            F.expr(
+                "min(o_custkey) + (max(o_custkey) - min(o_custkey)) * 45 DIV 100"
+            ).alias("lo"),
+            F.expr(
+                "min(o_custkey) + (max(o_custkey) - min(o_custkey)) * 55 DIV 100"
+            ).alias("hi"),
+        )
+        .collect()[0]
+    )
+    z_lo, z_hi = int(zb["lo"]), int(zb["hi"])
+    # cdc_store_zorder_probe in HEADLINE already built the serving copy, so
+    # this is normally a cache hit (~0s) — the build cost is inside that
+    # query's first bench sample; the honest per-tier numbers here are the
+    # probe walls and the footer-judged touched fractions.
+    start = time.perf_counter()
+    z_dir = serve_store_zorder(spark, sf_dir, layout="zorder")
+    z_build_sec = time.perf_counter() - start
+    lin_dir = serve_store_zorder(spark, sf_dir, layout="linear")
+
+    def probe_sec(path: str) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            start = time.perf_counter()
+            spark.read.parquet(path).where(
+                F.col("o_custkey").between(z_lo, z_hi)
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    z_probe, lin_probe = probe_sec(z_dir), probe_sec(lin_dir)
+    z_t, z_n = touched_row_groups(z_dir, {"o_custkey": (z_lo, z_hi)})
+    l_t, l_n = touched_row_groups(lin_dir, {"o_custkey": (z_lo, z_hi)})
+    layout_stats = {
+        "zorder_build_sec": round(z_build_sec, 4),
+        "zorder_probe_sec": round(z_probe, 4),
+        "linear_probe_sec": round(lin_probe, 4),
+        "zorder_touched_row_groups": f"{z_t}/{z_n}",
+        "linear_touched_row_groups": f"{l_t}/{l_n}",
+    }
+
     decode_stats = {
         "records": n_raw,
         "sec": round(best_dec, 4),
@@ -407,6 +461,7 @@ def main() -> None:
         "queries_normalized": normalized,
         "sentinel": sentinel_stats,
         "decode": decode_stats,
+        "layout": layout_stats,
         "sf": sf_val,
     }
 
