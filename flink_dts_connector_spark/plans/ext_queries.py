@@ -636,6 +636,55 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_rag_hydrated_topk",
+    oracle=f"""
+WITH ann AS ({SQL_ANN_BASE.format(bucket="0", bucket_cond="")})
+SELECT ann.query_id, ann.vec_id, ann.score, ann.rank,
+       d.source, d.lang, d.n_chars,
+       ROW_NUMBER() OVER (PARTITION BY ann.query_id
+                          ORDER BY ann.score DESC, ann.vec_id) AS final_rank
+FROM ann JOIN documents d ON d.doc_id = ann.vec_id
+WHERE d.n_chars >= 200
+""",
+    tags=("ext", "search", "similarity", "rag"),
+)
+def search_rag_hydrated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG serving composition: ANN top-5 candidates → METADATA HYDRATION
+    (join the documents table on the shared id) → quality gate
+    (n_chars ≥ 200 — short snippets are poor context) → per-query
+    re-rank of the survivors. This is the retrieval shape every
+    RAG/serving pipeline runs: the vector index returns ids, the corpus
+    table supplies the payload and the filters, and the final rank is
+    over what survives hydration. Scale: the candidate set is
+    queries × k rows (tiny — it BROADCASTS into the documents join, so
+    hydration is a pruned probe of the corpus, never a shuffle of it);
+    the exact-cosine scorer inherits `ann_topk_bruteforce`'s
+    quantized-integer determinism."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = S.brute_force_topk(e, q, k=5)
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source", "lang", "n_chars"
+    )
+    hydrated = docs.join(F.broadcast(cand), "vec_id").where(F.col("n_chars") >= 200)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return hydrated.select(
+        "query_id",
+        "vec_id",
+        "score",
+        "rank",
+        "source",
+        "lang",
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("final_rank"),
+    )
+
+
+@register(
     "ann_topk_lsh",
     oracle=SQL_ANN_BASE.format(bucket=f"({SQL_BUCKET})", bucket_cond="AND fq.qb = fi.ib"),
     tags=("ext", "similarity", "approx"),
