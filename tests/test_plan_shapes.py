@@ -343,3 +343,38 @@ def test_fixed_wire_zoo_plan_jvm_only(spark):
         "ShuffleQueryStage", "ColumnarToRow", "Scan",
     }
     assert nodes <= allowed, f"unexpected nodes: {nodes - allowed}"
+
+
+def test_prefix_filter_plan_no_cartesian_no_python(spark):
+    """Prefix-filter join: candidates come from hash equi-joins on the
+    shingle/prefix keys — never a cartesian/BNLJ of the corpus — and the
+    whole pipeline stays JVM-side."""
+    plan = _plan(spark, "neardup_prefix_filter_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not re.search(r"ArrowEvalPython|BatchEvalPython|MapInPandas", plan)
+
+
+def test_fuzzy_terms_query_side_broadcasts(spark):
+    """SymSpell join: the query-side deletion neighborhood is the tiny
+    side and must broadcast — the vocab side is never collected or
+    nested-looped."""
+    plan = _plan(spark, "search_fuzzy_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rag_hydration_candidates_broadcast(spark):
+    """RAG composition: the queries x k candidate frame broadcasts into
+    the documents join (hydration probes the corpus, never shuffles it)."""
+    plan = _plan(spark, "search_rag_hydrated_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_seasonal_decompose_windows_on_day_grain(spark):
+    """Decomposition plan: no Python nodes, and the dow-index join is a
+    broadcast (7-row side)."""
+    plan = _plan(spark, "events_seasonal_decompose")
+    assert not re.search(r"ArrowEvalPython|BatchEvalPython|MapInPandas", plan)
+    assert "BroadcastHashJoin" in plan
