@@ -7843,6 +7843,46 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_features",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 5 + doc_id % 4 AS w, 4 + doc_id % 5 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, (3 * doc_id + 5 * xs.x + 17 * ys.y) % 256 AS idx
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(idx) AS BIGINT) AS sum_r,
+       CAST(SUM((2 * idx) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((3 * idx) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h
+""",
+    tags=("ext", "multimodal", "codec"),
+)
+def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media codec #4 end-to-end, dependency-free: every document gets
+    a genuine GIF87a payload (256-entry global color table, sub-blocked
+    image data) whose LZW layer — unlike PNG's stdlib deflate — is
+    implemented from scratch (`operators/multimodal.py:_lzw_encode_gif` /
+    `_lzw_decode_gif`: LSB-first variable-width codes, CLEAR/END, width
+    growth at 2^n, 4096-entry reset), and `decode_gif_features`
+    reassembles the sub-blocks, LZW-decodes the index stream, and maps
+    indexes through the palette into per-channel sums. The oracle
+    reproduces the sums in closed form from the index and palette
+    formulas — so the container walk AND the LZW round-trip are verified
+    pixel-exactly. Fourth real codec beside BMP/PNG/WAV; jpeg/mp3/mp4
+    keep the disclosed NotImplementedError contract."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_gif_media(docs)
+    return M.decode_gif_features(media)
+
+
+@register(
     "privacy_t_closeness",
     oracle="""
 WITH d AS (
