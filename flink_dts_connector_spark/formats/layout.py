@@ -24,6 +24,7 @@ actually read.
 from __future__ import annotations
 
 import datetime
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,45 +76,159 @@ def write_layout(
 
     if layout == "linear":
         out = df.repartitionByRange(files, F.col(dim_y)).sortWithinPartitions(dim_y)
+        meta = {"layout": "linear", "dim_x": dim_x, "dim_y": dim_y}
     else:
         x, y = as_long(dim_x), as_long(dim_y)
-        bounds = df.agg(
+        b = df.agg(
             F.min(x).alias("mnx"),
             F.max(x).alias("mxx"),
             F.min(y).alias("mny"),
             F.max(y).alias("mxy"),
-        )
+        ).collect()[0]
+        bounds = {k: int(b[k]) for k in ("mnx", "mxx", "mny", "mxy")}
         # zorder_key puts its SECOND argument in the higher bit of each
         # interleaved pair, so pass (y, x): with files = 2^(2k+1) the file
         # boundaries resolve dim_x one bit finer — the key dimension is
-        # the one probes band on, time probes are already coarse.
-        keyed = df.join(F.broadcast(bounds)).withColumn(
-            "zkey",
-            zorder_key(
-                _bucket(y, F.col("mny"), F.col("mxy")),
-                _bucket(x, F.col("mnx"), F.col("mxx")),
-                bits=ZORDER_BITS,
-            ),
-        )
+        # the one probes band on, time probes are already coarse. The zkey
+        # column is KEPT in the files: its footer min/max per file is the
+        # file's Morton range, which `merge_layout` uses to rewrite only
+        # the files a delta actually lands in.
         out = (
-            keyed.repartitionByRange(files, F.col("zkey"))
+            df.withColumn("zkey", _zkey_expr(x, y, bounds))
+            .repartitionByRange(files, F.col("zkey"))
             .sortWithinPartitions("zkey")
-            .drop("mnx", "mxx", "mny", "mxy", "zkey")
         )
-    # Spark's default parquet timestamp encoding is INT96, which carries NO
-    # column statistics — the time dimension would be unprunable. Write the
-    # serving copy with µs TIMESTAMP (stats-bearing), restore the conf after.
-    spark = df.sparkSession
+        meta = {
+            "layout": "zorder",
+            "dim_x": dim_x,
+            "dim_y": dim_y,
+            "bits": ZORDER_BITS,
+            **bounds,
+        }
+    _stats_safe_write(df.sparkSession, out, out_dir, mode="overwrite")
+    with open(os.path.join(out_dir, "_layout_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _zkey_expr(x, y, bounds: dict):
+    """Morton key from PLAN-TIME bound literals, clamped into the bucket
+    grid — out-of-range values (a delta can exceed the base's min/max)
+    land in the edge buckets, so their rectangles stay valid."""
+    top = F.lit((1 << ZORDER_BITS) - 1)
+    bx = F.least(
+        F.greatest(_bucket(x, F.lit(bounds["mnx"]), F.lit(bounds["mxx"])), F.lit(0)),
+        top,
+    )
+    by = F.least(
+        F.greatest(_bucket(y, F.lit(bounds["mny"]), F.lit(bounds["mxy"])), F.lit(0)),
+        top,
+    )
+    return zorder_key(by, bx, bits=ZORDER_BITS)
+
+
+def _stats_safe_write(spark: SparkSession, out: DataFrame, out_dir: str, mode: str) -> None:
+    """Parquet write with stats-bearing timestamps: Spark's default INT96
+    encoding carries NO column statistics, which would make the time
+    dimension unprunable. Scoped conf set + restore."""
     conf_key = "spark.sql.parquet.outputTimestampType"
     prev = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, "TIMESTAMP_MICROS")
     try:
-        out.write.mode("overwrite").parquet(out_dir)
+        out.write.mode(mode).parquet(out_dir)
     finally:
         if prev is None:
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+def merge_layout(
+    spark: SparkSession,
+    serving_dir: str,
+    delta: DataFrame,
+    out_dir: str,
+) -> dict:
+    """INCREMENTAL z-order maintenance — the OPTIMIZE-clustering shape a
+    100 TB serving layout needs: merging a delta must NOT rewrite the
+    whole layout, only the files whose Morton range the delta actually
+    lands in. Each serving file's z-range comes from its own zkey footer
+    stats; delta rows are keyed with the SAME persisted bounds
+    (`_layout_meta.json`), clamped at the grid edges; untouched files are
+    carried into the new generation as-is (hard links when possible), and
+    only (affected files ∪ delta) re-cluster through one range shuffle.
+
+    Returns ``{"files_total", "files_rewritten", "rows_delta"}``. The new
+    generation at ``out_dir`` serves identically to a full rebuild over
+    base ∪ delta (content parity pinned in tests/test_layout_store.py)."""
+    with open(os.path.join(serving_dir, "_layout_meta.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("layout") != "zorder":
+        raise ValueError("merge_layout requires a zorder serving layout")
+    bounds = {k: meta[k] for k in ("mnx", "mxx", "mny", "mxy")}
+
+    def as_long(df: DataFrame, name: str):
+        c = F.col(name)
+        dt = dict(df.dtypes)[name]
+        return F.unix_timestamp(c) if dt.startswith("timestamp") else c.cast("long")
+
+    keyed = delta.withColumn(
+        "zkey", _zkey_expr(as_long(delta, meta["dim_x"]), as_long(delta, meta["dim_y"]), bounds)
+    )
+    # per-file Morton ranges from footers (tiny: one row per file)
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for dirpath, _, files in os.walk(serving_dir):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            path = os.path.join(dirpath, fname)
+            pf = pq.ParquetFile(path)
+            i = pf.schema_arrow.names.index("zkey")
+            zmin = zmax = None
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(i).statistics
+                zmin = st.min if zmin is None else min(zmin, st.min)
+                zmax = st.max if zmax is None else max(zmax, st.max)
+            ranges.append((path, int(zmin), int(zmax)))
+    # which files does the delta land in? (bounded: |files| rows broadcast)
+    rng_df = spark.createDataFrame(ranges, "path string, zmin long, zmax long")
+    hit = {
+        r["path"]
+        for r in keyed.join(
+            F.broadcast(rng_df),
+            (F.col("zkey") >= F.col("zmin")) & (F.col("zkey") <= F.col("zmax")),
+        )
+        .select("path")
+        .distinct()
+        .collect()
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    kept = 0
+    for path, _, _ in ranges:
+        if path in hit:
+            continue
+        dst = os.path.join(out_dir, "kept_" + os.path.basename(path))
+        try:
+            os.link(path, dst)
+        except OSError:
+            import shutil
+
+            shutil.copy2(path, dst)
+        kept += 1
+    merged = keyed
+    if hit:
+        merged = spark.read.parquet(*sorted(hit)).unionByName(keyed)
+    n_files = max(1, round(len(hit) + 1))
+    out = merged.repartitionByRange(n_files, F.col("zkey")).sortWithinPartitions("zkey")
+    _stats_safe_write(spark, out, out_dir, mode="append")
+    with open(os.path.join(out_dir, "_layout_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return {
+        "files_total": len(ranges),
+        "files_rewritten": len(hit),
+        "rows_delta": keyed.count(),
+    }
 
 
 def serve_store_zorder(

@@ -43,7 +43,10 @@ def test_doc_backtick_paths_exist():
             if d not in {".git", "__pycache__", "spark-warehouse", ".pytest_cache"}
         ]
         basenames.update(files)
-    generated = re.compile(r"^(BENCH|CORRECTNESS|SWEEP|PLAN_AUDIT|SHUFFLE_LINEARITY)[A-Za-z0-9_.]*\.json$")
+    generated = re.compile(
+        r"^(BENCH|CORRECTNESS|SWEEP|PLAN_AUDIT|SHUFFLE_LINEARITY)[A-Za-z0-9_.]*\.json$"
+        r"|^_layout_meta\.json$"  # runtime sidecar written by formats/layout.py
+    )
     missing = []
     for doc in ("COVERAGE.md", "SCALING.md"):
         text = open(os.path.join(REPO, doc)).read()

@@ -104,3 +104,48 @@ def test_zorder_two_dim_box_prunes_on_both(spark, sf_dir):
         .where(F.col("o_orderdate").between(F.lit(y0), F.lit(y1)))
     )
     assert _content(probe) == _content(direct)
+
+
+def test_merge_layout_rewrites_only_landing_files(spark, sf_dir):
+    """Incremental z-order maintenance: split the changelog into a base
+    (everything outside the middle custkey band) and a localized delta
+    (the band). Merging the delta must (a) serve content identical to a
+    full rebuild over base ∪ delta, (b) rewrite only a strict subset of
+    the serving files (the band lands in few Morton strips), and (c) keep
+    the merged layout probe-prunable."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from flink_dts_connector_spark.formats.ingest import read_store
+    from flink_dts_connector_spark.formats.layout import (
+        merge_layout,
+        touched_row_groups,
+        write_layout,
+    )
+    from flink_dts_connector_spark.formats.typed import project_table
+    from flink_dts_connector_spark.plans.cdc_queries import ORDERS_CDC_SCHEMA
+    from flink_dts_connector_spark.sources.generator import DB, TBL
+
+    lo, hi = _band(spark, sf_dir)
+    env = read_store(spark, sf_dir, table=TBL)
+    chg = project_table(env, ORDERS_CDC_SCHEMA, table=f"{DB}.{TBL}")
+    base = chg.where(~F2.col("o_custkey").between(lo, hi))
+    delta = chg.where(F2.col("o_custkey").between(lo, hi))
+
+    base_dir = tempfile.mkdtemp(prefix="fdcs_zmerge_base_")
+    out_dir = tempfile.mkdtemp(prefix="fdcs_zmerge_out_") + "/g2"
+    write_layout(base, base_dir, "o_custkey", "o_orderdate", layout="zorder")
+    stats = merge_layout(spark, base_dir, delta, out_dir)
+    assert stats["rows_delta"] == delta.count() > 0
+    # localized delta -> strict subset of files rewritten
+    assert 0 < stats["files_rewritten"] < stats["files_total"], stats
+
+    merged_rows = _content(spark.read.parquet(out_dir))
+    full_dir = tempfile.mkdtemp(prefix="fdcs_zmerge_full_")
+    write_layout(chg, full_dir, "o_custkey", "o_orderdate", layout="zorder")
+    assert merged_rows == _content(spark.read.parquet(full_dir))
+
+    # merged generation still prunes a key-band probe on footer stats
+    t_band, n_all = touched_row_groups(out_dir, {"o_custkey": (lo, hi)})
+    assert t_band < n_all
