@@ -365,24 +365,12 @@ def main() -> None:
     # Morton layout vs the time-sorted baseline; touched row groups are
     # judged from parquet footers exactly as the scan planner would.
     from flink_dts_connector_spark.formats.layout import (
+        custkey_band,
         serve_store_zorder,
         touched_row_groups,
     )
-    from flink_dts_connector_spark.session import load_table as _load_table
 
-    zb = (
-        _load_table(spark, sf_dir, "orders")
-        .agg(
-            F.expr(
-                "min(o_custkey) + (max(o_custkey) - min(o_custkey)) * 45 DIV 100"
-            ).alias("lo"),
-            F.expr(
-                "min(o_custkey) + (max(o_custkey) - min(o_custkey)) * 55 DIV 100"
-            ).alias("hi"),
-        )
-        .collect()[0]
-    )
-    z_lo, z_hi = int(zb["lo"]), int(zb["hi"])
+    z_lo, z_hi = custkey_band(spark, sf_dir)
     # cdc_store_zorder_probe in HEADLINE already built the serving copy, so
     # this is normally a cache hit (~0s) — the build cost is inside that
     # query's first bench sample; the honest per-tier numbers here are the

@@ -218,18 +218,21 @@ def ingest_filtered(
         scratch_dir,
     )
 
+    # resolve the staged dir BEFORE building the cache key: a caller passing
+    # the stage_mixed_topic dir explicitly and one passing raw_dir=None must
+    # hit the same entry (the docstring's (session, sf_dir, tables, ops)
+    # contract), or the ingest + audit run twice per session for nothing
+    staged = raw_dir if raw_dir is not None else stage_mixed_topic(spark, sf_dir)
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
         tuple(sorted(tables)),
         tuple(sorted(ops)) if ops is not None else None,
-        raw_dir,
+        staged,
     )
     cached = _FILTERED_CACHE.get(key)
     if cached is not None:
         return cached
-
-    staged = raw_dir if raw_dir is not None else stage_mixed_topic(spark, sf_dir)
     store = scratch_dir("fdcs_filtstore_")
     ckpt = scratch_dir("fdcs_filtingest_ckpt_")
     with pinned_shuffle_partitions(spark):

@@ -390,7 +390,13 @@ def _img_fold_sql(value_col: str, nfields: int, images_start: str) -> str:
 _CHARSETS = {
     "utf8": "UTF-8", "utf-8": "UTF-8", "utf8mb4": "UTF-8", "utf8mb3": "UTF-8",
     "ascii": "US-ASCII", "latin1": "ISO-8859-1", "iso-8859-1": "ISO-8859-1",
-    "gbk": "GBK", "utf16": "UTF-16", "utf-16": "UTF-16",
+    # 'utf16' mirrors envelope.resolve_charset's utf-16-be PIN: Java's plain
+    # 'UTF-16' consumes BOMs and would diverge from the Python path (which
+    # keeps a BOM as U+FEFF); UTF-16BE matches byte-for-byte. The hyphenated
+    # 'utf-16' (Python codec: BOM-sniff, LE default) has NO Java equivalent
+    # and is deliberately absent — it takes the fallback render and such
+    # tables route through the Python decoder (disclosed below).
+    "gbk": "GBK", "utf16": "UTF-16BE", "ucs2": "UTF-16BE",
 }
 
 
@@ -526,6 +532,30 @@ def _anchor_sql(value_col: str, fd: bytes) -> str:
     )
 
 
+def _anchor_resolved_sql(value_col: str, fd: bytes) -> str:
+    """Guard-verified anchor position with ONE retry (0 = no valid anchor).
+
+    locate() finds the FIRST occurrence of the field-def bytes; a record
+    whose header region (transaction id, source position, a tag value)
+    happens to embed those bytes would otherwise shadow the true anchor
+    and get dropped by the guard. The retry re-searches past a
+    guard-failing first hit, so one embedded copy is tolerated; a record
+    carrying TWO embedded copies before the real anchor is still dropped
+    (skip semantics — bounded by design, the Python path decodes such
+    records exactly)."""
+    pat = f"decode(X'{fd.hex()}', 'ISO-8859-1')"
+    dv = f"decode({value_col}, 'ISO-8859-1')"
+    retry = _let(
+        [("fd2", f"locate({pat}, {dv}, fd1 + 1)")],
+        f"IF({_anchor_guard_sql(value_col, 'fd2')}, fd2, 0)",
+    )
+    return _let(
+        [("fd1", f"locate({pat}, {dv})")],
+        f"CASE WHEN {_anchor_guard_sql(value_col, 'fd1')} THEN fd1 "
+        f"WHEN fd1 = 0 THEN 0 ELSE {retry} END",
+    )
+
+
 def _anchor_guard_sql(value_col: str, fd_col: str) -> str:
     """The anchor is real iff the zigzag varint of the implied payload
     length (payload = field defs + images = everything from the anchor on)
@@ -558,12 +588,13 @@ def _rename_tag_sql(value_col: str, key: str, lo: str, hi: str) -> str:
         f"locate(decode(X'{lit.hex()}', 'ISO-8859-1'), "
         f"decode({value_col}, 'ISO-8859-1'), greatest({lo}, 1))"
     )
+    # value decode via the generic len-prefixed fragment (1-3 byte varint
+    # lengths, so rename values up to <1 MiB decode — a single-byte-only
+    # read would silently fall back to the PHYSICAL name for >=64-char
+    # rename values and misfilter)
     return _let(
-        [("tgl", loc), ("tvp", f"tgl + {key_b + 1}"), ("tvb", q.b("tvp"))],
-        f"CASE WHEN tgl = 0 OR tgl > {hi} THEN NULL "
-        f"WHEN tvb % 2 = 0 AND tvb < 128 THEN "
-        f"CAST(substring({value_col}, tvp + 1, CAST(tvb div 2 AS INT)) AS STRING) "
-        f"ELSE NULL END",
+        [("tgl", loc), ("tvp", f"tgl + {key_b + 1}")],
+        f"CASE WHEN tgl = 0 OR tgl > {hi} THEN NULL ELSE {q.txt('tvp')} END",
     )
 
 
@@ -611,8 +642,8 @@ def decode_typed_jvm(
     valid = f"({v} IS NOT NULL AND {_valid_sql(v)})"
     t1 = tier1_sql(v, [table])
     df = raw_df.where(F.expr(f"{valid} AND {t1}" if t1 else valid))
-    df = df.withColumn("_fd", F.expr(_anchor_sql(v, fd)))
-    df = df.where(F.expr(_anchor_guard_sql(v, "_fd")))
+    df = df.withColumn("_fd", F.expr(_anchor_resolved_sql(v, fd)))
+    df = df.where(F.col("_fd") > 0)
     df = df.withColumn("_th", F.expr(_hdr_fold_sql(v)))
     df = df.withColumn(
         "_ti", F.expr(_img_fold_sql(v, nf, images_start=f"_fd + {len(fd)}"))

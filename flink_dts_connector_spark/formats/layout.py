@@ -42,6 +42,15 @@ ZORDER_BITS = 10
 SERVE_FILES = 32
 
 
+def _as_long(df: DataFrame, name: str):
+    """Integer view of a dim column; timestamps key on epoch seconds. ONE
+    definition for both the base write and the delta merge — the two must
+    key on the same grid or landing-file detection corrupts."""
+    c = F.col(name)
+    dt = dict(df.dtypes)[name]
+    return F.unix_timestamp(c) if dt.startswith("timestamp") else c.cast("long")
+
+
 def _bucket(col, mn, mx, bits: int = ZORDER_BITS):
     """Rank-free bucketization: map [mn, mx] onto 0..2^bits-1 with pure
     integer arithmetic (no window, no shuffle — min/max come from a 1-row
@@ -69,16 +78,11 @@ def write_layout(
     if layout not in ("zorder", "linear"):
         raise ValueError(f"unknown layout: {layout}")
 
-    def as_long(name: str):
-        c = F.col(name)
-        dt = dict(df.dtypes)[name]
-        return F.unix_timestamp(c) if dt.startswith("timestamp") else c.cast("long")
-
     if layout == "linear":
         out = df.repartitionByRange(files, F.col(dim_y)).sortWithinPartitions(dim_y)
         meta = {"layout": "linear", "dim_x": dim_x, "dim_y": dim_y}
     else:
-        x, y = as_long(dim_x), as_long(dim_y)
+        x, y = _as_long(df, dim_x), _as_long(df, dim_y)
         b = df.agg(
             F.min(x).alias("mnx"),
             F.max(x).alias("mxx"),
@@ -165,14 +169,11 @@ def merge_layout(
     if meta.get("layout") != "zorder":
         raise ValueError("merge_layout requires a zorder serving layout")
     bounds = {k: meta[k] for k in ("mnx", "mxx", "mny", "mxy")}
-
-    def as_long(df: DataFrame, name: str):
-        c = F.col(name)
-        dt = dict(df.dtypes)[name]
-        return F.unix_timestamp(c) if dt.startswith("timestamp") else c.cast("long")
-
     keyed = delta.withColumn(
-        "zkey", _zkey_expr(as_long(delta, meta["dim_x"]), as_long(delta, meta["dim_y"]), bounds)
+        "zkey",
+        _zkey_expr(
+            _as_long(delta, meta["dim_x"]), _as_long(delta, meta["dim_y"]), bounds
+        ),
     )
     # per-file Morton ranges from footers (tiny: one row per file)
     import pyarrow.parquet as pq
@@ -188,8 +189,12 @@ def merge_layout(
             zmin = zmax = None
             for rg in range(pf.metadata.num_row_groups):
                 st = pf.metadata.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    continue
                 zmin = st.min if zmin is None else min(zmin, st.min)
                 zmax = st.max if zmax is None else max(zmax, st.max)
+            if zmin is None:
+                continue  # zero-row-group / stats-less part file: nothing lands here
             ranges.append((path, int(zmin), int(zmax)))
     # which files does the delta land in? (bounded: |files| rows broadcast)
     rng_df = spark.createDataFrame(ranges, "path string, zmin long, zmax long")
@@ -219,7 +224,8 @@ def merge_layout(
     merged = keyed
     if hit:
         merged = spark.read.parquet(*sorted(hit)).unionByName(keyed)
-    n_files = max(1, round(len(hit) + 1))
+    # one output file per rewritten file plus one for the delta's own mass
+    n_files = len(hit) + 1
     out = merged.repartitionByRange(n_files, F.col("zkey")).sortWithinPartitions("zkey")
     _stats_safe_write(spark, out, out_dir, mode="append")
     with open(os.path.join(out_dir, "_layout_meta.json"), "w") as fh:
@@ -229,6 +235,31 @@ def merge_layout(
         "files_rewritten": len(hit),
         "rows_delta": keyed.count(),
     }
+
+
+def custkey_band(
+    spark: SparkSession, sf_dir: str, lo_pct: int = 45, hi_pct: int = 55
+) -> tuple[int, int]:
+    """Middle custkey band bounds as LITERALS (collected — only literal
+    predicates reach PushedFilters). ONE definition for the registry
+    probe, the bench layout tier, and the tests; the DuckDB oracle of
+    `cdc_store_zorder_probe` necessarily carries its own SQL copy of the
+    same integer arithmetic — keep them in lockstep."""
+    from flink_dts_connector_spark.session import load_table
+
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.expr(
+                f"min(o_custkey) + (max(o_custkey) - min(o_custkey)) * {lo_pct} DIV 100"
+            ).alias("lo"),
+            F.expr(
+                f"min(o_custkey) + (max(o_custkey) - min(o_custkey)) * {hi_pct} DIV 100"
+            ).alias("hi"),
+        )
+        .collect()[0]
+    )
+    return int(b["lo"]), int(b["hi"])
 
 
 def serve_store_zorder(

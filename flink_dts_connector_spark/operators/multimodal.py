@@ -917,6 +917,16 @@ def decode_gif_indexes(raw: bytes):
         for i in range(n):
             palette.append(tuple(raw[pos + 3 * i : pos + 3 * i + 3]))
         pos += 3 * n
+    # skip 0x21 extension blocks (Graphic Control / Comment / Application —
+    # virtually every real GIF89a carries one before the image descriptor):
+    # introducer + label, then length-prefixed sub-blocks to a 0 terminator
+    while pos + 1 < len(raw) and raw[pos] == 0x21:
+        pos += 2
+        while pos < len(raw) and raw[pos] != 0:
+            pos += 1 + raw[pos]
+        if pos >= len(raw):
+            raise ValueError("unterminated extension block")
+        pos += 1
     if pos >= len(raw) or raw[pos] != 0x2C:
         raise ValueError("expected image descriptor")
     _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", raw, pos + 1)

@@ -1034,18 +1034,15 @@ def cdc_store_zorder_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     `tests/test_layout_store.py` and SCALING.md §zorder-store). Result
     content is layout-invariant and oracle-checked: per-op record counts +
     exact-cents price sums over the band."""
-    from flink_dts_connector_spark.formats.layout import assert_pushed, serve_store_zorder
-    from flink_dts_connector_spark.session import load_table
-
-    orders = load_table(spark, sf_dir, "orders")
-    b = orders.agg(
-        F.expr("min(o_custkey) + (max(o_custkey) - min(o_custkey)) * 45 DIV 100").alias("lo"),
-        F.expr("min(o_custkey) + (max(o_custkey) - min(o_custkey)) * 55 DIV 100").alias("hi"),
-    ).collect()[0]
-    serving = serve_store_zorder(spark, sf_dir)
-    probe = spark.read.parquet(serving).where(
-        F.col("o_custkey").between(int(b["lo"]), int(b["hi"]))
+    from flink_dts_connector_spark.formats.layout import (
+        assert_pushed,
+        custkey_band,
+        serve_store_zorder,
     )
+
+    lo, hi = custkey_band(spark, sf_dir)
+    serving = serve_store_zorder(spark, sf_dir)
+    probe = spark.read.parquet(serving).where(F.col("o_custkey").between(lo, hi))
     assert_pushed(probe, ["o_custkey"])
     return probe.groupBy("op").agg(
         F.count(F.lit(1)).alias("n_records"),

@@ -7094,16 +7094,23 @@ def seasonal_daily_cells(e: DataFrame) -> DataFrame:
     )
 
 
+def dense_daily(daily: DataFrame) -> DataFrame:
+    """Calendar-densified (d0, day, n) from sparse (day, n) cells — ONE
+    definition for every day-grain time-series query (decomposition,
+    Theil–Sen) so they all analyze the identically densified series."""
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select("d0", F.explode(F.sequence("d0", "d1")).alias("day"))
+    return cal.join(daily.withColumnRenamed("n", "c"), "day", "left").select(
+        "d0", "day", F.coalesce("c", F.lit(0)).cast("bigint").alias("n")
+    )
+
+
 def seasonal_decompose_report(daily: DataFrame) -> DataFrame:
     """Decomposition report from (day, n) cells (dense or sparse — the
     calendar is re-densified here so silent days count as zero)."""
     from pyspark.sql import Window as W
 
-    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    cal = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
-    dense = cal.join(daily.withColumnRenamed("n", "c"), "day", "left").select(
-        "day", F.coalesce("c", F.lit(0)).cast("bigint").alias("n")
-    )
+    dense = dense_daily(daily).select("day", "n")
     w = W.orderBy("day").rowsBetween(-3, 3)
     d = (
         dense.select(
@@ -7180,12 +7187,8 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     that bounded frame."""
     from pyspark.sql import Window as W
 
-    daily = seasonal_daily_cells(t(spark, sf_dir, "events"))
-    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    cal = span.select("d0", F.explode(F.sequence("d0", "d1")).alias("day"))
-    dense = cal.join(daily.withColumnRenamed("n", "c"), "day", "left").select(
-        F.datediff("day", "d0").cast("bigint").alias("i"),
-        F.coalesce("c", F.lit(0)).cast("bigint").alias("n"),
+    dense = dense_daily(seasonal_daily_cells(t(spark, sf_dir, "events"))).select(
+        F.datediff("day", "d0").cast("bigint").alias("i"), "n"
     )
     a, b = dense.alias("a"), dense.alias("b")
     pairs = a.join(b, F.col("a.i") < F.col("b.i")).select(

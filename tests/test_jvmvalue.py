@@ -259,3 +259,62 @@ def test_jvm_typed_anchor_guard_rejects_embedded_fielddef(spark):
     )
     df = spark.createDataFrame([(encode_record(rec),)], "value binary")
     assert decode_typed_jvm(df, ZOO_SCHEMA, ZOO_FIELDS, ZOO_TABLE).count() == 0
+
+
+def test_jvm_typed_anchor_retry_rescues_header_false_match(spark):
+    """A record of the SELECTED table whose transaction id (header region,
+    BEFORE the real payload) embeds the exact field-def bytes used to
+    first-occurrence-shadow the true anchor and silently drop the record;
+    the guard-verified retry must now find the real anchor and decode it
+    bit-equal to the Python path."""
+    mini_fields = [FieldDef("v", "BIGINT", 8, True)]
+    mini_schema = T.StructType([T.StructField("v", T.LongType())])
+    fd = fielddef_bytes(mini_fields)
+    assert all(b < 128 for b in fd)  # precondition: txid embeds byte-exactly
+    rec = CdcRecord(
+        id=11, ts=1, operation=OperationType.INSERT, db="zdb", tbl="ztbl",
+        transaction_id=fd.decode("ascii"), fields=mini_fields,
+        after=[(ValueKind.INTEGER, 42)],
+    )
+    df = spark.createDataFrame([(encode_record(rec),)], "value binary")
+    jvm = decode_typed_jvm(df, mini_schema, mini_fields, "zdb.ztbl")
+    assert _rows(jvm) == _rows(_python_typed(df, mini_schema, "zdb.ztbl"))
+    assert jvm.count() == 1
+
+
+def test_jvm_typed_long_rename_value(spark):
+    """A logical-rename tag value >= 64 chars has a multi-byte length
+    varint; it must decode (a single-byte-only read would silently fall
+    back to the physical name and drop this renamed-in record)."""
+    long_tbl = "x" * 70
+    img = _zoo_images()[0]
+    rec = _zoo_rec(
+        12, img, db="other", tbl="t", tags={"l_db_name": "zdb", "l_tb_name": long_tbl}
+    )
+    df = spark.createDataFrame([(encode_record(rec),)], "value binary")
+    table = f"zdb.{long_tbl}"
+    jvm = decode_typed_jvm(df, ZOO_SCHEMA, ZOO_FIELDS, table)
+    assert jvm.count() == 1
+    assert _rows(jvm) == _rows(_python_typed(df, ZOO_SCHEMA, table))
+
+
+def test_jvm_typed_utf16_charset_parity(spark):
+    """'utf16' pins to utf-16-be on the Python path (NO BOM consumption —
+    a BOM survives as U+FEFF); the JVM map must use UTF-16BE, not Java's
+    BOM-eating 'UTF-16', for bit parity — with and without a BOM."""
+    mini_fields = [FieldDef("s", "VARCHAR", 12, True)]
+    mini_schema = T.StructType([T.StructField("s", T.StringType())])
+    plain = "Az".encode("utf-16-be")
+    bom = b"\xfe\xff" + plain
+    recs = [
+        CdcRecord(id=i, ts=1, operation=OperationType.INSERT, db="zdb",
+                  tbl="ztbl", transaction_id="t", fields=mini_fields,
+                  after=[(ValueKind.CHARACTER, ("utf16", payload))])
+        for i, payload in ((21, plain), (22, bom))
+    ]
+    df = spark.createDataFrame([(encode_record(r),) for r in recs], "value binary")
+    jvm = decode_typed_jvm(df, mini_schema, mini_fields, "zdb.ztbl")
+    py = _python_typed(df, mini_schema, "zdb.ztbl")
+    assert _rows(jvm) == _rows(py)
+    vals = {r["record_id"]: r["s"] for r in jvm.collect()}
+    assert vals[21] == "Az" and vals[22] == "﻿Az"

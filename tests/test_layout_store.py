@@ -22,21 +22,9 @@ from flink_dts_connector_spark.formats.layout import (
 
 
 def _band(spark, sf_dir):
-    from flink_dts_connector_spark.session import load_table
+    from flink_dts_connector_spark.formats.layout import custkey_band
 
-    b = (
-        load_table(spark, sf_dir, "orders")
-        .agg(
-            F.expr(
-                "min(o_custkey) + (max(o_custkey) - min(o_custkey)) * 45 DIV 100"
-            ).alias("lo"),
-            F.expr(
-                "min(o_custkey) + (max(o_custkey) - min(o_custkey)) * 55 DIV 100"
-            ).alias("hi"),
-        )
-        .collect()[0]
-    )
-    return int(b["lo"]), int(b["hi"])
+    return custkey_band(spark, sf_dir)
 
 
 def _content(df):

@@ -103,3 +103,17 @@ def test_gif_features_spark_roundtrip(spark, sf_dir):
         assert r["sum_r"] == sum(idx)
         assert r["sum_g"] == sum((2 * v) % 256 for v in idx)
         assert r["sum_b"] == sum((3 * v) % 256 for v in idx)
+
+
+def test_gif89a_extension_blocks_skipped():
+    """Real GIF89a files carry a Graphic Control Extension (0x21) before
+    the image descriptor; the decoder must skip extension blocks instead
+    of dying on 'expected image descriptor'."""
+    raw = bytearray(encode_gif(6, 5, _idx_fn(4)))
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # introducer+label+4-byte block+term
+    comment = b"\x21\xfe\x05hello\x00"
+    insert_at = 13 + 768  # right after the global color table
+    raw89 = b"GIF89a" + bytes(raw[6:insert_at]) + gce + comment + bytes(raw[insert_at:])
+    w, h, idx, palette = decode_gif_indexes(raw89)
+    assert (w, h) == (6, 5)
+    assert idx == bytes((3 * 4 + 5 * x + 17 * y) % 256 for y in range(5) for x in range(6))
