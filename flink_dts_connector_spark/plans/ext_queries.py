@@ -7145,6 +7145,96 @@ def seasonal_decompose_report(daily: DataFrame) -> DataFrame:
 
 
 @register(
+    "events_peak_concurrency",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000 OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+         ts
+  FROM flagged
+), iv AS (
+  SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e FROM sess GROUP BY 1, 2
+), bounds AS (
+  SELECT s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT e, CAST(-1 AS BIGINT) FROM iv
+), run AS (
+  SELECT CAST(date_trunc('day', t) AS DATE) AS day,
+         SUM(delta) OVER (ORDER BY t, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+  FROM bounds
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+       CAST(MAX(r) AS BIGINT) AS peak_concurrency
+FROM run GROUP BY day
+""",
+    tags=("ext", "events", "concurrency", "sweepline"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning sweep-line:
+    sessions (same 30-min-gap rule as `events_sessionize`) become ±1
+    boundary events, and the running sum's daily maximum is the day's
+    peak concurrency (ties at one timestamp order +1 before −1, so
+    touching sessions count as overlapping; the daily MAX is invariant
+    to the residual ordering within an equal (t, delta) group since the
+    maximum is attained only after a +1 run completes).
+
+    Scale: the oracle's single global cumsum would be one partition over
+    ALL boundaries — a scale-killer. The engine instead computes a
+    TWO-LEVEL prefix sum: a within-day running sum (window partitioned by
+    day) plus day-level carry offsets from the day-grain frame (365
+    rows/year, broadcast back) — identical totals, and the big window
+    shuffles on day, never globally."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull() | (us - F.lag(us).over(w) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    iv = (
+        flagged.withColumn("sid", F.sum("new_sess").over(wcum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    bounds = iv.select(F.col("s").alias("t"), F.lit(1).cast("bigint").alias("delta")).unionByName(
+        iv.select(F.col("e").alias("t"), F.lit(-1).cast("bigint").alias("delta"))
+    )
+    bounds = bounds.withColumn("day", F.to_date("t"))
+    wd = W.partitionBy("day").orderBy(F.col("t"), F.col("delta").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    in_day = bounds.withColumn("r_day", F.sum("delta").over(wd))
+    day_tot = bounds.groupBy("day").agg(F.sum("delta").alias("tot"))
+    w_days = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    offsets = day_tot.select(
+        "day", F.coalesce(F.sum("tot").over(w_days), F.lit(0)).alias("carry")
+    )
+    return (
+        in_day.join(F.broadcast(offsets), "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+            F.max(F.col("carry") + F.col("r_day")).cast("bigint").alias("peak_concurrency"),
+        )
+    )
+
+
+@register(
     "events_theilsen_trend",
     oracle="""
 WITH span AS (
