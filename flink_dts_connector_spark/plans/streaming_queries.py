@@ -2066,6 +2066,61 @@ def stream_jvm_prefiltered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "stream_jvm_typed_ingest",
+    oracle="""
+WITH chg AS (
+  SELECT 'I' AS op, o_orderkey FROM orders
+  UNION ALL SELECT 'UB', o_orderkey FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL SELECT 'UA', o_orderkey FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL SELECT 'UB', o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL SELECT 'UA', o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL SELECT 'D', o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM chg GROUP BY op
+""",
+    tags=("streaming", "cdc", "jvm-decode", "typed"),
+)
+def stream_jvm_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM VALUE decode under Structured Streaming — the deploy shape
+    of the r8 typed path: a raw-bytes file stream decodes to the typed
+    changelog entirely inside micro-batch column expressions
+    (`formats/jvmvalue.py:decode_typed_jvm` — anchor locate, per-field
+    folds, shared render; zero Python workers start for the decode), and
+    an update-mode running aggregation over the typed rows must converge
+    to the whole-table closed form. Complements
+    `stream_jvm_prefiltered_ingest` (header tier streamed, r7) — with
+    this, BOTH JVM decode tiers are proven under streaming plans, so a
+    100 TB declared-schema topic can run ingest → typed changelog →
+    aggregation without a Python stage anywhere in the hot path."""
+    from flink_dts_connector_spark.formats.jvmvalue import decode_typed_jvm
+    from flink_dts_connector_spark.plans.cdc_queries import ORDERS_CDC_SCHEMA
+    from flink_dts_connector_spark.sources.generator import (
+        DB,
+        ORDERS_FIELDS,
+        TBL,
+        generate_cdc_bytes,
+    )
+    from flink_dts_connector_spark.streaming.runner import run_to_memory
+
+    raw_dir = scratch_dir("fdcs_jvmtyped_raw_")
+    generate_cdc_bytes(spark, sf_dir).select("value").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(raw_dir)
+    with pinned_shuffle_partitions(spark):
+        raw = spark.readStream.schema("value binary").parquet(raw_dir)
+        typed = decode_typed_jvm(raw, ORDERS_CDC_SCHEMA, ORDERS_FIELDS, f"{DB}.{TBL}")
+        agg = typed.groupBy("op").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("key_sum")
+        )
+        sink = run_to_memory(agg, output_mode="update")
+    return sink.groupBy("op").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("key_sum").cast("bigint").alias("key_sum"),
+    )
+
+
+@register(
     "stream_histogram_convergence",
     oracle="""
 WITH vals AS (
