@@ -1054,6 +1054,49 @@ def cdc_store_zorder_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_jvm_doc_changelog",
+    oracle="""
+WITH base AS (
+  SELECT make_timestamp((1700000000 + doc_id) * 1000000) AS ts,
+         doc_id AS record_id, doc_id, text, source, n_chars, 'I' AS op
+  FROM documents
+)
+SELECT * FROM base
+UNION ALL
+SELECT * FROM base WHERE doc_id % 5 = 0
+""",
+    tags=("cdc", "jvm-decode", "typed", "documents"),
+)
+def cdc_jvm_doc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND declared schema through the JVM value decode — the documents
+    ingestion stream (4 fields, long free-text VARCHARs with multi-byte
+    length varints, a NOT NULL bigint) selected out of the MULTI-TENANT
+    topic (orders changelog ∪ documents stream): `decode_typed_jvm`
+    anchors on the documents field-def bytes, so every orders record is
+    cut before any value work and the survivors decode typed with zero
+    Python. Proves the r8 typed path is schema-general, not an
+    orders-shaped special case; at-least-once duplicates (every 5th doc
+    delivered twice) survive verbatim, exactly as the Python path emits
+    them."""
+    from flink_dts_connector_spark.formats.ingest import stage_mixed_topic
+    from flink_dts_connector_spark.formats.jvmvalue import decode_typed_jvm
+    from flink_dts_connector_spark.sources.generator import DOC_DB, DOC_FIELDS, DOC_TBL
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    raw = spark.read.parquet(stage_mixed_topic(spark, sf_dir))
+    return decode_typed_jvm(
+        raw, doc_schema, DOC_FIELDS, f"{DOC_DB}.{DOC_TBL}", ops=("INSERT",)
+    )
+
+
 def _fixed_zoo_oracle() -> str:
     from flink_dts_connector_spark.formats.fixedwire import ZOO_FIXED_EXPECTED
 

@@ -168,6 +168,15 @@ def _records_for_order(row) -> Iterator[CdcRecord]:
 
 DOC_DB, DOC_TBL = "corpus", "documents"
 
+#: the documents stream's declared wire schema — module-level so the JVM
+#: typed decode can anchor on its exact field-def bytes (`cdc_jvm_doc_changelog`)
+DOC_FIELDS = [
+    FieldDef("doc_id", "BIGINT", 8, False),
+    FieldDef("text", "VARCHAR", 252, True),
+    FieldDef("source", "VARCHAR", 12, True),
+    FieldDef("n_chars", "BIGINT", 8, True),
+]
+
 
 def generate_doc_cdc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `documents` table as a CDC INSERT stream — the ingestion feed of
@@ -180,12 +189,7 @@ def generate_doc_cdc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "source", "n_chars"
     )
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    fields = [
-        FieldDef("doc_id", "BIGINT", 8, False),
-        FieldDef("text", "VARCHAR", 252, True),
-        FieldDef("source", "VARCHAR", 12, True),
-        FieldDef("n_chars", "BIGINT", 8, True),
-    ]
+    fields = DOC_FIELDS
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -242,12 +246,7 @@ def generate_doc_delta_cdc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "source", "n_chars"
     )
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    fields = [
-        FieldDef("doc_id", "BIGINT", 8, False),
-        FieldDef("text", "VARCHAR", 252, True),
-        FieldDef("source", "VARCHAR", 12, True),
-        FieldDef("n_chars", "BIGINT", 8, True),
-    ]
+    fields = DOC_FIELDS
 
     def image(did: int, text: str, source: str, n_chars: int) -> list:
         return [
