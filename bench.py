@@ -244,14 +244,18 @@ def main() -> None:
 
     # Round-8 tier: the generic varint wire decoded to TYPED rows entirely
     # JVM-side (formats/jvmvalue.py) vs the Python decode→project path, on
-    # the same persisted raw frame. The JVM query's expression trees are
-    # huge, so OPTIMIZER time (~2-10 s) would swamp a per-action timing at
-    # toy SFs; real consumers build the plan once and stream forever. We
-    # therefore reuse ONE aggregated Dataset (its QueryExecution caches the
-    # optimized plan) and report plan_sec separately — both numbers honest.
-    # The checksum aggregate consumes EVERY output column (column pruning
-    # would otherwise skip the value extraction) and must match between the
-    # two paths — a correctness cross-check inside the bench.
+    # the same persisted raw frame. Every timed sample builds a FRESH
+    # Dataset: re-collecting one Dataset reuses its shuffle-map output and
+    # SKIPS the decode stage entirely — the first cut of this tier did
+    # that and reported a fantasy 2.38M rec/s (r8 post-mortem; honest
+    # fresh-lineage numbers are ~10-20× lower and the JVM path is SLOWER
+    # than Python per record — its value is the zero-Python resource
+    # shape, not raw throughput). The first JVM run also pays the cold
+    # optimizer/codegen cost of the huge expression tree, reported
+    # separately as jvm_plan_sec; later fresh plans re-optimize from warm
+    # caches. The checksum aggregate consumes EVERY output column (column
+    # pruning would otherwise skip the value extraction) and must match
+    # between the two paths — a correctness cross-check inside the bench.
     from pyspark.sql import functions as F
 
     from flink_dts_connector_spark.formats.jvmvalue import decode_typed_jvm
@@ -266,32 +270,38 @@ def main() -> None:
             F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
         )
 
+    def jvm_q():
+        return _checksum(
+            decode_typed_jvm(raw, ORDERS_CDC_SCHEMA, ORDERS_FIELDS, "dts_demo.orders")
+        )
+
+    def py_q():
+        return _checksum(
+            project_table(
+                decode_cdc(
+                    raw, tables=["dts_demo.orders"],
+                    ops=["INSERT", "UPDATE", "DELETE"],
+                    columns=[f.name for f in ORDERS_CDC_SCHEMA.fields],
+                ),
+                ORDERS_CDC_SCHEMA, table="dts_demo.orders",
+            )
+        )
+
     t0 = time.perf_counter()
-    jvm_q = _checksum(
-        decode_typed_jvm(raw, ORDERS_CDC_SCHEMA, ORDERS_FIELDS, "dts_demo.orders")
-    )
-    jvm_row = jvm_q.collect()[0]  # first run pays analysis+optimize+codegen
+    jvm_row = jvm_q().collect()[0]  # cold: analysis+optimize+codegen+exec
     typed_plan_sec = time.perf_counter() - t0
     best_tj = float("inf")
     for _ in range(runs):
+        q = jvm_q()  # fresh lineage per sample — no shuffle-stage reuse
         start = time.perf_counter()
-        jvm_q.collect()
+        q.collect()
         best_tj = min(best_tj, time.perf_counter() - start)
-    py_q = _checksum(
-        project_table(
-            decode_cdc(
-                raw, tables=["dts_demo.orders"],
-                ops=["INSERT", "UPDATE", "DELETE"],
-                columns=[f.name for f in ORDERS_CDC_SCHEMA.fields],
-            ),
-            ORDERS_CDC_SCHEMA, table="dts_demo.orders",
-        )
-    )
-    py_row = py_q.collect()[0]
+    py_row = py_q().collect()[0]
     best_tp = float("inf")
     for _ in range(runs):
+        q = py_q()
         start = time.perf_counter()
-        py_q.collect()
+        q.collect()
         best_tp = min(best_tp, time.perf_counter() - start)
     if (jvm_row["n"], jvm_row["h"]) != (py_row["n"], py_row["h"]):
         raise AssertionError(
