@@ -84,10 +84,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",
     # aggregation batteries
     "events_incremental_window_maintenance",  # r4 cont.: MV maintenance == full recompute (grouping sets stays sweep-green)
-    # r5: KMV sketch takes the distinct-estimation slot with a FULL oracle
-    # (HLL's approx_count_distinct stays sweep-green) and adds the
-    # sketch-only pairwise set-overlap shape
-    "sketch_kmv_user_overlap",
+    # r9 rotation: the seasonal decomposition (integer-exact moments over a
+    # day-grain pair frame, r8-new) takes the KMV slot — KMV stays
+    # sweep-green and the mergeable-sketch family keeps two gated members
+    # (hll_time_cube, histogram_quantiles) plus the streaming drift monitor
+    "events_seasonal_decompose",
     # r7: the per-day HLL register time-cube (mergeable-sketch family
     # flagship — arbitrary date ranges answered by register max-merge)
     # takes the range-frame window slot (win_range_frame_and_navigation
@@ -103,6 +104,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "asof_purchase_last_view",
     # events
     "events_sessionize",
+    # r9 rotation: the Theil–Sen robust trend (median-of-slopes over the
+    # day-grain pair frame, r8-new) takes the power-iteration slot — the
+    # iterative exact-vector shape stays gated via embed_kmeans_clusters and
+    # embed_power_iteration stays sweep-green
+    "events_theilsen_trend",
     # r4 cont. 2: bloom semi-join reduction takes the JSON-struct slot
     # (scalar/JSON rendering stays gated via cdc_value_zoo_render and
     # sweep-green via events_json_struct/extract)
@@ -119,27 +125,31 @@ GATE_PRIORITY: tuple[str, ...] = (
     "cdc_value_zoo_render",
     "cdc_txn_atomic_apply",
     # r7: the JVM varint-header decode + filter (the reference's lazy-parse
-    # contract executed with zero Python, formats/jvmheader.py) and the
-    # decode-once store's signed-agg twin (store-served ≡ wire-served) gate
-    # the two r6/r7 structural moves
+    # contract executed with zero Python, formats/jvmheader.py)
     "cdc_header_jvm_filter",
-    "cdc_store_signed_agg",
+    # r9 rotation: the two JVM typed VALUE decodes (declared-schema, zero
+    # Python — formats/jvmvalue.py, r8-new) take the fixed-wire-roundtrip
+    # and store-signed-agg slots: they are the strongest members of the same
+    # zero-Python codec family (fixed_wire stays sweep-green; the signed
+    # store agg's +1/−1 retraction shape remains gated via
+    # cdc_incremental_checksum and the store family via cdc_ingest_once +
+    # cdc_store_zorder_probe below)
+    "cdc_jvm_typed_changelog",
+    "cdc_jvm_doc_changelog",
+    # r9 rotation: the z-order-served store probe (r8-new: applied
+    # interleaved-bit layout + pruned probe ≡ unordered scan) takes the
+    # signed-agg store slot
+    "cdc_store_zorder_probe",
     # deduplication family — r4 wave 2: directional containment joins; the
     # xxhash LSH twin and embedding-components rotate to sweep coverage
     # (md5 LSH + probe and cosine-pairs + text-components keep both shapes)
+    # r9 rotation: shared_spans and containment rotate to sweep coverage —
+    # their prefix-filter candidate machinery is the same as the gated
+    # neardup_jaccard_pairs, and the gate keeps four dedup slots
     "dedup_exact_groups",
     "neardup_jaccard_pairs",
     "dedup_components",
-    "embed_power_iteration",  # r4 cont.: exact iterative PCA (md5-LSH shape stays gated via dedup_minhash_probe)
     "dedup_minhash_probe",
-    # r4 continuation: shared-span extraction (exact-substring signal)
-    # replaces the snapshot-oracled SimHash slot (SimHash stays sweep-green;
-    # spans carry a live relational oracle + maximality pytests)
-    "neardup_shared_spans",
-    # r6: the gate was full at 50, so the streaming-sketch slot comes from
-    # rotating neardup_cosine_pairs to sweep coverage (its exact-cosine
-    # scoring is also inside the gated ann_recall_report's brute-force side)
-    "dedup_containment",
     # similarity / ANN — r4 wave 2: product quantization replaces the
     # trained-IVF slot (same trained-codebook cascade, finer scorer;
     # trained IVF stays sweep-green)
@@ -157,9 +167,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # (it contains the full codebook/encode/ADC machinery plus cell
     # pruning; ann_topk_pq stays sweep-green)
     "ann_topk_ivfpq",
-    # r7: attribute-filtered ANN (label predicate as the join key — the
-    # pre-filter design that doesn't starve recall) gates the r6 addition
-    "ann_topk_filtered",
+    # r9 rotation: ann_topk_filtered rotates to sweep coverage (its IVF
+    # index is also evaluated inside the gated ann_recall_report); its slot
+    # goes to the RAG retrieval composition below
     # text analysis — r4 wave 2: the rare-bigram LM-style filter joins;
     # per-source token stats rotate out (the same explode+agg shape backs
     # bpe stats and the top-terms sweep entries)
@@ -181,7 +191,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "curate_leakage_repaired_split",  # r4 cont.: audit->repair loop (stratified stays sweep-green)
     "curate_pack_sequences",
     "curate_token_budget",
-    "curate_mixture_resample",
+    # r9 rotation: mixture_resample rotates to sweep coverage (water-filling
+    # budget cut shape also gated via curate_token_budget); slot goes to the
+    # fuzzy-term SymSpell search below
     "curate_incremental_pipeline",
     # r6: the decode-once store flagship takes the provenance-manifest slot
     # (cdc_ingest_once proves ingest-once == re-decode AND serves the typed
@@ -191,10 +203,20 @@ GATE_PRIORITY: tuple[str, ...] = (
     "curate_chunk_windows",
     # search (new family, r4 wave 2)
     "search_bm25_topk",
+    # r9 rotation (both r8-new): the RAG retrieval composition (ANN top-k →
+    # hydrate → gate → re-rank, all joins keyed) and the SymSpell
+    # deletion-neighborhood fuzzy match take the ann_topk_filtered and
+    # curate_mixture_resample slots
+    "search_rag_hydrated_topk",
+    "search_fuzzy_terms",
     # multimodal — r6 gated the real BMP codec; r8 rotates the slot to the
     # strictly stronger PNG codec (CRC-verified chunks, zlib inflate, all
     # five scanline filters; BMP + fake-codec shapes stay sweep-green)
     "multimodal_png_features",
+    # r9 rotation (r8-new): the GIF87a codec (from-scratch variable-width
+    # LSB-first LZW inflate) joins PNG in the gate, taking the
+    # neardup_shared_spans slot
+    "multimodal_gif_features",
     # streaming (availableNow-bounded, rerun-safe) — r4: corpus ingestion
     # replaces stream_dedup_exactly_once (dropDuplicatesWithinWatermark is
     # inside it, plus the dts source + gate + manifest composition)
@@ -204,11 +226,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_stream_interval_join",
     "stream_partition_watermarks",
     "stream_late_data_gate",
-    # r5: the fixed-layout JVM codec roundtrip takes the second txn-apply
-    # slot (stream_txn_atomic_apply is the streaming twin of the gated
-    # cdc_txn_atomic_apply and stays sweep-green); this gates the new
-    # wire-codec family (encode -> decode -> signed agg, zero Python)
-    "cdc_fixed_wire_roundtrip",
     # r6 gated the streaming sketch-maintenance family via CMS convergence;
     # r8 rotates the slot to the wave-3 flagship of the same family — the
     # streaming TV-distance drift monitor (O(cells) state folded across
