@@ -195,6 +195,7 @@ def ingest_filtered(
     tables: list[str],
     ops: list[str] | None = None,
     raw_dir: str | None = None,
+    force: bool = False,
 ) -> str:
     """Single-table decode-once store over a MULTI-TENANT topic, with the
     JVM tiers in the streaming ingest plan (round-8 closure of the r7 gap:
@@ -210,7 +211,10 @@ def ingest_filtered(
 
     Same audit contract as `ingest_once`: the stored envelope must
     checksum-equal a fresh batch re-decode (with the same exact filters)
-    of the staged bytes. Cached per (session, sf_dir, tables, ops)."""
+    of the staged bytes. Cached per (session, sf_dir, tables, ops);
+    ``force=True`` skips the cache READ (a fresh ingest + audit always
+    runs, then refreshes the cache entry) — for timing a real ingest when
+    an earlier query in the same session already populated the key."""
     from flink_dts_connector_spark.formats.decoder import decode_cdc
     from flink_dts_connector_spark.formats.jvmheader import prefilter
     from flink_dts_connector_spark.streaming.runner import (
@@ -231,7 +235,7 @@ def ingest_filtered(
         staged,
     )
     cached = _FILTERED_CACHE.get(key)
-    if cached is not None:
+    if cached is not None and not force:
         return cached
     store = scratch_dir("fdcs_filtstore_")
     ckpt = scratch_dir("fdcs_filtingest_ckpt_")

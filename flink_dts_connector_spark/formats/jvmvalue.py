@@ -396,6 +396,13 @@ _CHARSETS = {
     # 'utf-16' (Python codec: BOM-sniff, LE default) has NO Java equivalent
     # and is deliberately absent — it takes the fallback render and such
     # tables route through the Python decoder (disclosed below).
+    # DELIBERATE DEVIATION FROM THE REFERENCE (r8 ADVICE): upstream
+    # StringValue.java resolves via Charset.forName("utf16") -> Java UTF-16,
+    # which CONSUMES a leading BOM; both of this repo's paths instead
+    # preserve it as U+FEFF so the JVM and Python tiers stay bit-identical
+    # to each other (pinned by test_jvm_typed_utf16_charset_parity and the
+    # README "Known divergences" list). A BOM-leading utf16 cell therefore
+    # renders one extra U+FEFF character here vs the reference.
     "gbk": "GBK", "utf16": "UTF-16BE", "ucs2": "UTF-16BE",
 }
 

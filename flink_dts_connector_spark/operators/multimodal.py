@@ -1019,3 +1019,17 @@ def decode_gif_features(
         schema="doc_id bigint, width bigint, height bigint, n_pixels bigint,"
         " sum_r bigint, sum_g bigint, sum_b bigint",
     )
+
+
+#: Machine-readable codec inventory — the single source of truth the README's
+#: "Known divergences" codec paragraph is pinned to (tests/test_docs_drift.py).
+#: REAL = dependency-free from-scratch decoders in this module; STUBBED =
+#: formats whose external decoders aren't in this container, rejected by the
+#: disclosed NotImplementedError contract in `decode_media`.
+REAL_CODECS: dict[str, object] = {
+    "bmp": decode_bmp_features,
+    "wav": decode_wav_features,
+    "png": decode_png_features,
+    "gif": decode_gif_features,
+}
+STUBBED_CODECS: tuple[str, ...] = ("jpeg", "mp3", "mp4")

@@ -111,3 +111,14 @@ def test_ingest_filtered_single_table_store(spark, sf_dir):
         ingest_filtered(spark, sf_dir, tables=[f"{DOC_DB}.{DOC_TBL}"], ops=["INSERT"])
         == store_dir
     )
+    # force=True bypasses the cache READ: a fresh ingest runs (new scratch
+    # store dir) and refreshes the cache entry — this is what lets bench.py
+    # time a real ingest after HEADLINE already populated the key (r8 ADVICE)
+    forced = ingest_filtered(
+        spark, sf_dir, tables=[f"{DOC_DB}.{DOC_TBL}"], ops=["INSERT"], force=True
+    )
+    assert forced != store_dir
+    assert (
+        ingest_filtered(spark, sf_dir, tables=[f"{DOC_DB}.{DOC_TBL}"], ops=["INSERT"])
+        == forced
+    )

@@ -378,3 +378,25 @@ def test_seasonal_decompose_windows_on_day_grain(spark):
     plan = _plan(spark, "events_seasonal_decompose")
     assert not re.search(r"ArrowEvalPython|BatchEvalPython|MapInPandas", plan)
     assert "BroadcastHashJoin" in plan
+
+
+def test_wscg_counter_sees_codegen_spans(spark):
+    """Guard for tools/plan_audit.py's wscg counter (dead in r8): with AQE
+    off (the audit session's config), formatted explain renders
+    "[codegen id : N]" per node, and the audit's distinct-id count must see
+    >= 2 spans on the canonical agg query (partial + final HashAggregate
+    pipelines). With AQE on (the default test session), the static plan is
+    wrapped in AdaptiveSparkPlan and carries NO codegen markers — which is
+    exactly why the audit disables AQE; pin both halves."""
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = _plan(spark, "q1_pricing_summary")
+        spans = set(re.findall(r"\[codegen id : (\d+)\]", plan))
+        assert len(spans) >= 2, plan[:500]
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        plan_aqe = _plan(spark, "q1_pricing_summary")
+        assert "AdaptiveSparkPlan" in plan_aqe
+        assert not re.search(r"\[codegen id : \d+\]", plan_aqe)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)

@@ -59,16 +59,24 @@ def completed_stage_bytes(sc) -> tuple[int, int, int]:
 
 
 def main() -> None:
+    # flags are accepted in any order (r8 ADVICE: the old sequential
+    # if-blocks silently treated `--sfs ... --json OUT` as query names)
     args = sys.argv[1:]
     out_path = None
     sf_dirs = SF_DIRS
-    if args and args[0] == "--json":
-        out_path = args[1]
-        args = args[2:]
-    if args and args[0] == "--sfs":
-        sf_dirs = args[1].split(",")
+    while args and args[0].startswith("--"):
+        flag = args[0]
+        if flag == "--json":
+            out_path = args[1]
+        elif flag == "--sfs":
+            sf_dirs = args[1].split(",")
+        else:
+            raise SystemExit(f"unknown flag {flag!r} (expected --json or --sfs)")
         args = args[2:]
     names = args or DEFAULT_QUERIES
+    unknown = [n for n in names if n.startswith("--")]
+    if unknown:
+        raise SystemExit(f"flags must precede query names: {unknown}")
 
     from flink_dts_connector_spark.plans.registry import all_queries
     from flink_dts_connector_spark.session import get_spark

@@ -78,6 +78,14 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # the audit reads the STATIC physical plan; with AQE on, explain
+        # wraps it in AdaptiveSparkPlan(isFinalPlan=false) which defers
+        # codegen annotation to runtime — so neither "WholeStageCodegen"
+        # nor "[codegen id : N]" ever appears and the wscg counter reads 0
+        # for every plan (the r8 dead-counter finding). Static operator
+        # counts (joins/exchanges/scans) are the same either way; AQE stays
+        # on in the bench/sweep sessions where it actually executes.
+        .config("spark.sql.adaptive.enabled", "false")
         .appName("fdcs-plan-audit")
         .getOrCreate()
     )
@@ -112,7 +120,12 @@ def main() -> int:
                 re.findall(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
             ),
             "scans": len(re.findall(r"Scan parquet", plan)),
-            "wscg": len(re.findall(r"WholeStageCodegen", plan)),
+            # formatted-mode explain renders codegen membership as
+            # "[codegen id : N]" per node, NOT "WholeStageCodegen" (that
+            # string only appears in simple mode) — the r8 counter matched
+            # the latter and reported 0 spans everywhere. Distinct ids =
+            # number of whole-stage-codegen spans in the plan.
+            "wscg": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
         }
         report[name] = stats
         if stats["cartesian"]:
@@ -128,11 +141,26 @@ def main() -> int:
         "smj", "cartesian", "python_eval", "scans", "wscg",
     )
     totals = {k: sum(report[n][k] for n in audited) for k in stat_keys}
+    # codegen-coverage floor: a codegen regression (e.g. an accidental
+    # interpreted-only expression tree or a conf disabling WSCG) must trip
+    # the audit, not silently zero a counter (the r8 failure mode). Only
+    # meaningful on full-registry runs — a hand-picked `only` set could be
+    # legitimately all-Python.
+    wscg_cov = (
+        sum(1 for n in audited if report[n]["wscg"] >= 1) / len(audited)
+        if audited
+        else 0.0
+    )
+    if not only and audited and wscg_cov < 0.80:
+        failures.append(
+            f"codegen coverage {wscg_cov:.0%} of audited plans < 80% floor"
+        )
     summary = {
         "sf_dir": sf_dir,
         "audited": len(audited),
         "skipped_streaming": sum(1 for q in queries.values() if "streaming" in q.tags),
         "totals": totals,
+        "wscg_coverage": round(wscg_cov, 4),
         "failures": failures,
         "queries": report,
     }
@@ -143,7 +171,8 @@ def main() -> int:
         f"{totals.get('smj', 0)} SMJ, {totals.get('cartesian', 0)} cartesian, "
         f"{totals.get('exchanges_range', 0)} range-exchanges, "
         f"{totals.get('broadcasts', 0)} broadcasts, "
-        f"{totals.get('python_eval', 0)} python boundaries; "
+        f"{totals.get('python_eval', 0)} python boundaries, "
+        f"{totals.get('wscg', 0)} codegen spans ({wscg_cov:.0%} coverage); "
         f"{len(failures)} failures"
     )
     if out_json:
