@@ -58,9 +58,11 @@ Contract vs the Python decoder (`decoder.decode_cdc` → `typed.project_table`):
   and CAST exactly like the Python path — ANSI raises, non-ANSI NULLs,
   in both engines), TIMESTAMP, DATETIME/TIMESTAMP_TZ (segment
   bitmap, zero-date → NULL), TEXT_GEOMETRY, BINARY_OBJECT (hex),
-  TEXT_OBJECT, BIT (utf8). BINARY_GEOMETRY (WKB→WKT needs a geometry
-  parser) is the one disclosed gap: its cells render NULL — route
-  geometry tables through the Python path.
+  TEXT_OBJECT, BIT (utf8), and (r9) BINARY_GEOMETRY: WKB→WKT for
+  POINT/LINESTRING/POLYGON in both byte orders with optional EWKB SRID,
+  rendered by bounds-checked transform()/aggregate() folds with hex
+  fallback exactly where the Python reader raises (`wire.wkb_to_wkt`);
+  ordinate digits are roundtrip-verified shortest (JDK-4511638-proof).
 - size bounds (out-of-bound records are dropped by the end-of-record
   check, not mis-read): string/bytes values < 1 MiB; |id| < 2^62;
   charset/tz/object-type prefixes single-varint-byte (true for every
@@ -407,6 +409,206 @@ _CHARSETS = {
 }
 
 
+def _wkt_num_sql(d: str) -> str:
+    """JTS-style WKT ordinate text for the DOUBLE expression ``d``, pinned
+    to `wire._wkt_num`: shortest-roundtrip digits rendered POSITIONALLY
+    (never scientific), no fraction on whole values, ±Inf/NaN render
+    'inf'/'-inf'/'nan', ±0 render '0'.
+
+    Digits must match CPython repr's shortest correctly-rounded string —
+    but Java 17's Double.toString is occasionally non-minimal
+    (JDK-4511638, e.g. 1e23 → '9.999999999999999E22'), so the JVM string
+    is only a CANDIDATE: if dropping its last digit still roundtrips, a
+    roundtrip search over format_string('%.kE') rounded candidates
+    (ascending k, first that casts back equal) recovers the true shortest
+    string. The common case (JVM string already minimal) costs one extra
+    format+cast; decimal grids are nested, so roundtripping precisions are
+    upward-closed and the minimality test at len-1 is sound. The chosen
+    scientific/plain string is then re-expanded into positional text."""
+    # positional expansion of a sign-stripped candidate string bound as wc8
+    expand = _let(
+        [
+            ("xe", "locate('E', wc8)"),
+            ("xm", "IF(xe > 0, substring(wc8, 1, xe - 1), wc8)"),
+            ("xx", "IF(xe > 0, CAST(substring(wc8, xe + 1) AS INT), 0)"),
+            ("xd", "locate('.', xm)"),
+            ("xg", "regexp_replace(replace(xm, '.', ''), '0+$', '')"),
+            ("xp", "IF(xd > 0, xd - 1, length(xm)) + xx"),
+            ("xi", "CASE WHEN xg = '' THEN '0' WHEN xp <= 0 THEN '0' "
+                   "WHEN xp >= length(xg) THEN rpad(xg, xp, '0') "
+                   "ELSE substring(xg, 1, xp) END"),
+            ("xf", "regexp_replace(CASE WHEN xg = '' THEN '' WHEN xp <= 0 THEN "
+                   "concat(repeat('0', -xp), xg) "
+                   "WHEN xp >= length(xg) THEN '' "
+                   "ELSE substring(xg, xp + 1) END, '0+$', '')"),
+        ],
+        "concat(xi, IF(xf = '', '', concat('.', xf)))",
+    )
+    # rt(k): does the correctly-rounded k-significant-digit decimal of |d|
+    # cast back to |d|? (sign never affects roundtrip)
+    def rt(k: int) -> str:
+        return f"CAST(format_string('%.{k - 1}E', wa8) AS DOUBLE) = wa8"
+
+    # CASE over the JVM candidate's digit count — exactly one branch runs
+    min_test = "CASE wk8 " + " ".join(
+        f"WHEN {jk} THEN ({rt(jk - 1)})" for jk in range(2, 18)
+    ) + " ELSE false END"
+    # ascending search, only entered when the JVM string is non-minimal
+    search = "CASE " + " ".join(
+        f"WHEN {rt(k)} THEN format_string('%.{k - 1}E', wa8)"
+        for k in range(1, 17)
+    ) + " ELSE ws8 END"
+    pos = _let(
+        [
+            ("wa8", f"abs({d})"),
+            ("wj8", f"CAST({d} AS STRING)"),
+            ("wn8", "substring(wj8, 1, 1) = '-'"),
+            ("ws8", "IF(wn8, substring(wj8, 2), wj8)"),
+            ("we8", "locate('E', ws8)"),
+            ("wk8", "length(regexp_replace(replace("
+                    "IF(we8 > 0, substring(ws8, 1, we8 - 1), ws8),"
+                    " '.', ''), '0+$', ''))"),
+            ("wc8", f"IF(wk8 <= 1 OR NOT ({min_test}), ws8, {search})"),
+        ],
+        f"concat(IF(wn8, '-', ''), {expand})",
+    )
+    return (
+        f"CASE WHEN isnan({d}) THEN 'nan' "
+        f"WHEN {d} = CAST('Infinity' AS DOUBLE) THEN 'inf' "
+        f"WHEN {d} = CAST('-Infinity' AS DOUBLE) THEN '-inf' "
+        f"WHEN {d} = 0.0D THEN '0' "  # ±0 both render '0'
+        f"ELSE {pos} END"
+    )
+
+
+def _u64_hex_sql(g: str, p: str, le: str) -> str:
+    """Hex string of the 8 bytes at 1-based position p of ``g``, byte-order
+    normalized to big-endian (``le`` is a BOOLEAN expr)."""
+    rev = ", ".join(f"hex(substring({g}, ({p}) + {j}, 1))" for j in reversed(range(8)))
+    return f"IF({le}, concat({rev}), hex(substring({g}, {p}, 8)))"
+
+
+def _dbl_at_sql(g: str, p: str, le: str) -> str:
+    """IEEE-754 DOUBLE at position p of ``g`` (either byte order) — the
+    FLOAT kind's exact 2^k reconstruction, generalized. Callers bounds-check
+    p+7 <= octet_length(g); a short read here would mis-decode silently."""
+    finite = (
+        "CASE WHEN ge = 0 THEN gs * CAST(gm AS DOUBLE) * power(2.0D, -1074) "
+        "ELSE gs * (CAST(gm AS DOUBLE) + 4503599627370496.0D)"
+        " * power(2.0D, ge - 1075) END"
+    )
+    return _let(
+        [("gu", f"CAST(conv({_u64_hex_sql(g, p, le)}, 16, 10) AS DECIMAL(20,0))"),
+         ("ge", "CAST((gu div 4503599627370496) % 2048 AS INT)"),
+         ("gm", "CAST(gu % 4503599627370496 AS BIGINT)"),
+         ("gs", "IF(gu >= 9223372036854775808, -1.0D, 1.0D)")],
+        f"CASE WHEN ge = 2047 THEN "
+        f"IF(gm != 0, CAST('NaN' AS DOUBLE), "
+        f"IF(gs < 0.0D, CAST('-Infinity' AS DOUBLE), CAST('Infinity' AS DOUBLE))) "
+        f"ELSE {finite} END",
+    )
+
+
+def _u32_at_sql(g: str, p: str, le: str) -> str:
+    """Unsigned 32-bit int at position p of ``g`` (either byte order) as
+    BIGINT. Callers bounds-check p+3 <= octet_length(g)."""
+    rev = ", ".join(f"hex(substring({g}, ({p}) + {j}, 1))" for j in reversed(range(4)))
+    return (
+        f"CAST(conv(IF({le}, concat({rev}), hex(substring({g}, {p}, 4))), 16, 10)"
+        f" AS BIGINT)"
+    )
+
+
+def _pt_sql(g: str, p: str, le: str) -> str:
+    """'x y' ordinate-pair text at position p (16 bytes, bounds-checked by
+    the caller). The ordinate render rides a transform() over the two
+    positions so its large expression tree appears ONCE per call site."""
+    wn = _wkt_num_sql(_dbl_at_sql(g, "po8", le))
+    return (
+        f"array_join(transform(array(CAST({p} AS BIGINT), CAST(({p}) + 8 AS BIGINT)), "
+        f"po8 -> {wn}), ' ')"
+    )
+
+
+def _geom_sql(raw_expr: str) -> str:
+    """WKB → WKT render for a BINARY_GEOMETRY cell, pinned to
+    `wire.wkb_to_wkt` + the hex fallback of `wire.render_value` (reference:
+    JTS render `common/GeometryUtil.java:14-22`, ParseException→hex catch
+    `value/WKBGeometry.java:42-48`). POINT/LINESTRING/POLYGON, both byte
+    orders, optional EWKB SRID flag; anything else — Z/M flags, other
+    geometry types, torn/short bytes, trailing bytes — falls back to
+    lowercase hex exactly where the Python reader raises. Every byte read
+    is bounds-checked BEFORE it happens, so garbage counts can't build
+    runaway sequence() frames: ring/point counts are validated against the
+    remaining byte budget first (any count the check rejects would also
+    run Python's reader out of bounds → both paths hex)."""
+    # NOTE on lambda nesting: every let-name here (g8/gl/ge8/gt/gw/gb/n8/
+    # r8*/w*/g*) is distinct from its enclosing chain (sl → vp → these), so
+    # no HOF variable shadowing occurs.
+    g, gl, le = "g8", "gl8", f"(ascii(decode(substring(g8, 1, 1), 'ISO-8859-1')) = 1)"
+    # linestring body at base gb with count n8 (n8 >= 1, bounds pre-checked)
+    ring = (
+        f"concat('(', array_join(transform(sequence(0, CAST(n8 - 1 AS INT)), "
+        f"pj8 -> {_pt_sql(g, 'gb + 4 + pj8 * 16', 'ge8')}), ', '), ')')"
+    )
+    line_body = _let(
+        [("n8", _u32_at_sql(g, "gb", "ge8"))],
+        f"CASE WHEN {gl} != gb + 3 + 16 * n8 THEN NULL "
+        f"WHEN n8 = 0 THEN 'LINESTRING ()' "
+        f"ELSE concat('LINESTRING ', {ring}) END",
+    )
+    # polygon: fold over rings, each advancing the cursor by its own size;
+    # state = (cursor, text, ok). nr8 is pre-capped by the byte budget
+    # (each ring needs >= 4 bytes), so sequence() is bounded by gl/4.
+    ring_at = (
+        f"concat('(', array_join(transform(sequence(0, CAST(rn8 - 1 AS INT)), "
+        f"pk8 -> {_pt_sql(g, 'rp8 + 4 + pk8 * 16', 'ge8')}), ', '), ')')"
+    )
+    ring_step = _let(
+        [("rp8", "ac8.cur"),
+         ("rn8", f"IF(ac8.cur + 3 <= {gl}, {_u32_at_sql(g, 'ac8.cur', 'ge8')}, NULL)")],
+        f"IF(rn8 IS NOT NULL AND rp8 + 3 + 16 * rn8 <= {gl}, "
+        f"named_struct('cur', rp8 + 4 + 16 * rn8, "
+        f"'txt', concat(ac8.txt, IF(ri8 = 1, '', ', '), "
+        f"IF(rn8 = 0, '()', {ring_at})), 'ok', true), "
+        f"named_struct('cur', ac8.cur, 'txt', ac8.txt, 'ok', false))",
+    )
+    poly_fold = (
+        f"aggregate(sequence(1, CAST(nr8 AS INT)), "
+        f"named_struct('cur', CAST(gb + 4 AS BIGINT), 'txt', '', 'ok', true), "
+        f"(ac8, ri8) -> IF(ac8.ok, {ring_step}, ac8))"
+    )
+    poly_done = _let(
+        [("pf8", poly_fold)],
+        f"IF(pf8.ok AND pf8.cur = {gl} + 1, "
+        f"concat('POLYGON (', pf8.txt, ')'), NULL)",
+    )
+    poly_body = _let(
+        [("nr8", _u32_at_sql(g, "gb", "ge8"))],
+        f"CASE WHEN nr8 = 0 THEN IF({gl} = gb + 3, 'POLYGON ()', NULL) "
+        f"WHEN nr8 > {gl} div 4 THEN NULL "
+        f"ELSE {poly_done} END",
+    )
+    wkt = _let(
+        [("ge8", le),
+         ("gw", f"IF({gl} >= 5, {_u32_at_sql(g, '2', 'ge8')}, NULL)"),
+         ("gt", "CAST(gw % 256 AS INT)"),
+         ("gb", "IF((gw div 536870912) % 2 = 1, CAST(10 AS BIGINT), CAST(6 AS BIGINT))")],
+        # flags check: type word may carry ONLY the low type byte + 0x20000000
+        f"CASE WHEN gw IS NULL OR gw - (gw % 256)"
+        f" - IF((gw div 536870912) % 2 = 1, 536870912, 0) != 0 THEN NULL "
+        f"WHEN gt = 1 THEN IF({gl} = gb + 15, "
+        f"concat('POINT (', {_pt_sql(g, 'gb', 'ge8')}, ')'), NULL) "
+        f"WHEN gt = 2 THEN IF({gl} >= gb + 3, {line_body}, NULL) "
+        f"WHEN gt = 3 THEN IF({gl} >= gb + 3, {poly_body}, NULL) "
+        f"ELSE NULL END",
+    )
+    return _let(
+        [("g8", raw_expr), ("gl8", "octet_length(g8)")],
+        f"IF(g8 IS NULL, NULL, coalesce({wkt}, lower(hex(g8))))",
+    )
+
+
 def _render_sql(value_col: str, slot: str) -> str:
     """Rendered STRING cell for one packed slot — semantics pinned to
     `wire.render_value`; the declared-type CAST happens outside (exactly
@@ -519,9 +721,10 @@ def _render_sql(value_col: str, slot: str) -> str:
         f"WHEN 4 THEN {float_str} "
         f"WHEN 5 THEN {ts_sql} "
         f"WHEN 6 THEN {dt_sql} WHEN 7 THEN {dt_sql} "
+        f"WHEN 8 THEN {_geom_sql(q.raw('vp'))} "
         f"WHEN 10 THEN {obj_hex} WHEN 11 THEN {obj_txt} "
         f"WHEN 13 THEN CAST({q.raw('vp')} AS STRING) "
-        f"ELSE NULL END"  # kind 8 (WKB) + unknown kinds: disclosed gap
+        f"ELSE NULL END"  # unknown kinds: NULL (Python path raises/drops)
     )
     return _let([("vp", f"CAST({slot} % {_KS} AS INT)")], rendered)
 

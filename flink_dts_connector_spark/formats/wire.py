@@ -261,18 +261,25 @@ def decode_value(data: bytes, pos: int) -> tuple[tuple[ValueKind, Any], int]:
 def _wkt_num(v: float) -> str:
     """Ordinate formatting matching JTS WKTWriter: no trailing '.0' on whole
     numbers, plain positional decimal otherwise — never scientific notation,
-    which repr() would produce for |v| ≥ 1e16 or < 1e-4 (JTS's DecimalFormat
-    always writes positionally)."""
+    which repr() would produce for |v| ≥ 1e16 or < 1e-4. Digits are the
+    SHORTEST-roundtrip digit string positionally expanded (zero-padded),
+    exactly like JTS's DecimalFormat over Double.toString — NOT str(int(v))'s
+    exact binary expansion, which diverges from JTS for whole |v| > 2^53
+    (e.g. 1e300 renders '1' + 300 zeros, not the 5250476... exact digits).
+    The JVM typed path (`jvmvalue._wkt_num_sql`) implements the same rule in
+    column expressions; the two must stay bit-identical."""
     import math
 
-    if math.isfinite(v) and v == int(v):
-        return str(int(v))
+    if math.isfinite(v) and v == int(v) and abs(v) < 2**53:
+        return str(int(v))  # fast path: exact == shortest-padded here
     s = repr(v)
     if "e" in s or "E" in s:
         from decimal import Decimal
 
         s = format(Decimal(s), "f")
-    return s
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return s or "0"
 
 
 def wkb_to_wkt(data: bytes) -> str:

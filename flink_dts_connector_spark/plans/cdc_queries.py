@@ -1097,6 +1097,54 @@ def cdc_jvm_doc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from flink_dts_connector_spark.sources.zoo import expected_geom_sql as _geom_oracle
+
+
+@register(
+    "cdc_jvm_geom_changelog",
+    oracle=_geom_oracle(),
+    tags=("cdc", "jvm-decode", "typed", "geometry"),
+)
+def cdc_jvm_geom_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB geometry through the JVM typed decode (r9 closure of the last
+    typed-path value gap): six geometry cells per record — LE point,
+    BE point, EWKB+SRID point, linestring, polygon, and a torn payload —
+    decode to WKT / hex-fallback text as pure column expressions
+    (`jvmvalue._geom_sql`: bounds-checked transform()/aggregate() folds,
+    roundtrip-verified shortest ordinate digits). The oracle's expected
+    strings are produced by the pure-Python reference reader
+    (`wire.wkb_to_wkt`, reference parity `value/WKBGeometry.java:10-61`
+    via JTS `common/GeometryUtil.java:14-22`), so hash-green means the
+    distributed JVM render is bit-identical to the local reference
+    implementation. DELETE records (every 5th shape) decode their BEFORE
+    image — geometry rides the retraction path too."""
+    from flink_dts_connector_spark.formats.jvmvalue import decode_typed_jvm
+    from flink_dts_connector_spark.sources.zoo import (
+        GEOM_DB,
+        GEOM_FIELDS,
+        GEOM_TBL,
+        generate_geom_bytes,
+    )
+
+    geom_schema = T.StructType(
+        [T.StructField("shape_id", T.LongType())]
+        + [
+            T.StructField(n, T.StringType())
+            for n in ("pt", "pt_be", "pt_srid", "path", "ring", "torn")
+        ]
+    )
+    typed = decode_typed_jvm(
+        generate_geom_bytes(spark),
+        geom_schema,
+        GEOM_FIELDS,
+        f"{GEOM_DB}.{GEOM_TBL}",
+        include_metadata=False,
+    )
+    return typed.groupBy(*[f.name for f in geom_schema.fields], "op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies")
+    )
+
+
 def _fixed_zoo_oracle() -> str:
     from flink_dts_connector_spark.formats.fixedwire import ZOO_FIXED_EXPECTED
 

@@ -497,3 +497,124 @@ FROM (VALUES
   {values}
 ) AS t(uid, name, email, n_copies)
 """
+
+
+# ---------------------------------------------------------------------------
+# geometry zoo: every WKB shape the JVM typed path renders (r9), plus the
+# hex-fallback cases — one table with per-record-varying geometry so the
+# declared-schema JVM decode (`jvmvalue._geom_sql`) and the Python reader
+# (`wire.wkb_to_wkt`) are pinned to each other AND to a literal oracle
+# ---------------------------------------------------------------------------
+
+GEOM_DB, GEOM_TBL = "geo_db", "shapes"
+N_GEOM_SHAPES = 12
+N_GEOM_COPIES = 16
+
+#: constant torn payload (first 9 bytes of a point) → hex fallback, same text
+#: every record so the oracle can pin it literally
+_GEOM_TORN = _wkb_point(10, 20)[:9]
+
+
+def _wkb_point_be(x: float, y: float, srid: int | None = None) -> bytes:
+    import struct
+
+    tw = 1 | (0x20000000 if srid is not None else 0)
+    out = struct.pack(">BI", 0, tw)
+    if srid is not None:
+        out += struct.pack(">I", srid)
+    return out + struct.pack(">dd", x, y)
+
+
+def _geom_image(i: int) -> list:
+    """Wire image for shape i — deterministic, fraction-bearing ordinates."""
+    return [
+        (ValueKind.INTEGER, i),
+        (ValueKind.BINARY_GEOMETRY, _wkb_point(i, i + 0.5)),
+        (ValueKind.BINARY_GEOMETRY, _wkb_point_be(-i - 0.25, i * 1000000.0)),
+        (ValueKind.BINARY_GEOMETRY, _wkb_point_srid(i + 0.125, float(-i), 4326)),
+        (ValueKind.BINARY_GEOMETRY, _wkb_linestring([(-i, 0.25), (i + 1, 2), (i, i)])),
+        (ValueKind.BINARY_GEOMETRY, _wkb_polygon([[(i, i), (i + 4, i), (i + 4, i + 4), (i, i)]])),
+        (ValueKind.BINARY_GEOMETRY, _GEOM_TORN),
+    ]
+
+
+def _wkb_point_srid(x: float, y: float, srid: int) -> bytes:
+    import struct
+
+    return struct.pack("<BII", 1, 1 | 0x20000000, srid) + struct.pack("<dd", x, y)
+
+
+GEOM_FIELDS = [
+    FieldDef("shape_id", "BIGINT", 8, False),
+    FieldDef("pt", "GEOMETRY", 255, True),
+    FieldDef("pt_be", "GEOMETRY", 255, True),
+    FieldDef("pt_srid", "GEOMETRY", 255, True),
+    FieldDef("path", "GEOMETRY", 255, True),
+    FieldDef("ring", "GEOMETRY", 255, True),
+    FieldDef("torn", "GEOMETRY", 255, True),
+]
+
+
+def _geom_record(i: int) -> CdcRecord:
+    img = _geom_image(i)
+    delete = i % 5 == 0
+    return CdcRecord(
+        id=9000 + i,
+        ts=1700000400 + i,
+        operation=OperationType.DELETE if delete else OperationType.INSERT,
+        db=GEOM_DB,
+        tbl=GEOM_TBL,
+        transaction_id=f"geo-{i}",
+        source_type=SourceType.MySQL,
+        fields=list(GEOM_FIELDS),
+        before=img if delete else None,
+        after=None if delete else img,
+    )
+
+
+def generate_geom_bytes(spark: SparkSession) -> DataFrame:
+    """Kafka-shaped bytes for the geometry zoo: N_GEOM_SHAPES distinct
+    shapes × N_GEOM_COPIES copies spread across partitions."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            values, parts, offs = [], [], []
+            for row in pdf.itertuples(index=False):
+                copy = int(row.id)
+                for i in range(N_GEOM_SHAPES):
+                    values.append(encode_record(_geom_record(i)))
+                    parts.append(copy % 8)
+                    offs.append(copy * N_GEOM_SHAPES + i)
+            yield pd.DataFrame({"value": values, "partition": parts, "offset": offs})
+
+    return (
+        spark.range(N_GEOM_COPIES)
+        .repartition(8)
+        .mapInPandas(fn, schema="value binary, partition int, offset long")
+    )
+
+
+def expected_geom_sql() -> str:
+    """Literal oracle: the expected WKT/hex text per shape comes from the
+    pure-Python reader (`wire.render_value` → `wkb_to_wkt`) at oracle-build
+    time — pinning the distributed JVM render to the local reference
+    implementation, shape by shape."""
+    from flink_dts_connector_spark.datamodel.envelope import ValueKind as VK
+    from flink_dts_connector_spark.formats.wire import render_value
+
+    rows = []
+    for i in range(N_GEOM_SHAPES):
+        cells = [
+            render_value(kind, payload) for kind, payload in _geom_image(i)[1:]
+        ]
+        op = "D" if i % 5 == 0 else "I"
+        quoted = ", ".join("'" + c.replace("'", "''") + "'" for c in cells)
+        rows.append(f"({i}, {quoted}, '{op}', {N_GEOM_COPIES})")
+    values = ",\n  ".join(rows)
+    return f"""
+SELECT CAST(shape_id AS BIGINT) AS shape_id, pt, pt_be, pt_srid, path, ring,
+       torn, op, CAST(n_copies AS BIGINT) AS n_copies
+FROM (VALUES
+  {values}
+) AS t(shape_id, pt, pt_be, pt_srid, path, ring, torn, op, n_copies)
+"""
