@@ -8271,3 +8271,261 @@ def privacy_generalization_repair(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("rows_at_risk"),
         (viol == 0).alias("passes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 wave: exact changepoint detection, deterministic weighted sampling,
+# robust (median/MAD) outlier days
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_binseg_changepoint",
+    oracle="""
+WITH span AS (
+  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1 FROM events
+), cal AS (
+  SELECT d0, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+), raw AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), dense AS (
+  SELECT cal.d0, cal.day, CAST(date_diff('day', cal.d0, cal.day) AS BIGINT) AS i,
+         COALESCE(r.c, 0) AS n
+  FROM cal LEFT JOIN raw r ON r.day = cal.day
+), cum AS (
+  SELECT d0, day, i, n,
+         SUM(n) OVER (ORDER BY i) AS cs,
+         SUM(n) OVER () AS s,
+         COUNT(*) OVER () AS t
+  FROM dense
+), cand AS (
+  SELECT i AS k, day, t, cs - n AS sl, s - (cs - n) AS sr, i AS l, t - i AS r
+  FROM cum WHERE i >= 1
+), scored AS (
+  SELECT k, day, t, sl, sr, l, r,
+         sl * sl * r + sr * sr * l AS gain_num, l * r AS gain_den,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(sl * sl * r + sr * sr * l AS DOUBLE) / (l * r) DESC, k
+         ) AS rk
+  FROM cand
+)
+SELECT CAST(k AS BIGINT) AS split_i, day AS split_day, CAST(t AS BIGINT) AS n_days,
+       CAST(sl AS DOUBLE) / l AS left_mean, CAST(sr AS DOUBLE) / r AS right_mean,
+       CAST(gain_num AS BIGINT) AS gain_num, CAST(gain_den AS BIGINT) AS gain_den
+FROM scored WHERE rk = 1
+""",
+    tags=("ext", "events", "timeseries", "changepoint"),
+)
+def events_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single changepoint of the daily event-count series (binary
+    segmentation's first split): the day k whose two-segment split
+    maximizes the between-segment gain S_L²/L + S_R²/R — equivalently
+    minimizes total SSE, since Σn² is split-invariant. Complements
+    `events_changepoint_cusum` (the mean-deviation trace): CUSUM shows the
+    drift path, binseg COMMITS to the optimal split. Exact: the gain is
+    ranked as the integer fraction (S_L²·R + S_R²·L) / (L·R); at day grain
+    the numerator stays under 2^53 (S ≤ ~1e6 events at sf1 → ~1.5e15), so
+    its DOUBLE order key is bit-identical across engines and the k
+    tiebreak handles exact ties. Scale: the events are touched once (daily
+    count agg); the candidate frame is O(days), the same bounded shape as
+    the Theil–Sen pair frame."""
+    from pyspark.sql import Window as W
+
+    dense = dense_daily(seasonal_daily_cells(t(spark, sf_dir, "events"))).select(
+        "day", F.datediff("day", "d0").cast("bigint").alias("i"), "n"
+    )
+    cum = dense.select(
+        "day",
+        "i",
+        "n",
+        F.sum("n").over(W.orderBy("i")).alias("cs"),
+        F.sum("n").over(W.partitionBy()).alias("s"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("t"),
+    )
+    cand = cum.where(F.col("i") >= 1).select(
+        F.col("i").alias("k"),
+        "day",
+        "t",
+        (F.col("cs") - F.col("n")).alias("sl"),
+        (F.col("s") - (F.col("cs") - F.col("n"))).alias("sr"),
+        F.col("i").alias("l"),
+        (F.col("t") - F.col("i")).alias("r"),
+    )
+    scored = cand.select(
+        "*",
+        (F.col("sl") * F.col("sl") * F.col("r") + F.col("sr") * F.col("sr") * F.col("l")).alias("gain_num"),
+        (F.col("l") * F.col("r")).alias("gain_den"),
+    ).select(
+        "*",
+        F.row_number()
+        .over(W.orderBy((F.col("gain_num").cast("double") / F.col("gain_den")).desc(), "k"))
+        .alias("rk"),
+    )
+    return scored.where(F.col("rk") == 1).select(
+        F.col("k").cast("bigint").alias("split_i"),
+        F.col("day").alias("split_day"),
+        F.col("t").cast("bigint").alias("n_days"),
+        (F.col("sl").cast("double") / F.col("l")).alias("left_mean"),
+        (F.col("sr").cast("double") / F.col("r")).alias("right_mean"),
+        F.col("gain_num").cast("bigint").alias("gain_num"),
+        F.col("gain_den").cast("bigint").alias("gain_den"),
+    )
+
+
+#: weighted-sample size (docs kept by priority = weight / hash-uniform)
+_WSAMPLE_K = 400
+
+#: DuckDB-side hex→uint32 for the first 8 md5 nibbles (DuckDB has no conv();
+#: the nibble sum is exactly Spark's conv(substring(md5, 1, 8), 16, 10))
+_DUCK_MD5_U32 = " + ".join(
+    f"(strpos('0123456789abcdef', substring(h, {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+    for k in range(8)
+)
+
+
+@register(
+    "curate_priority_sample",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), keyed AS (
+  SELECT doc_id, source, n_chars,
+         CAST(n_chars AS DOUBLE) / ({_DUCK_MD5_U32} + 1) AS priority
+  FROM hashed
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rk FROM keyed
+)
+SELECT CAST(rk AS BIGINT) AS rank, doc_id, source, n_chars, priority
+FROM ranked WHERE rk <= {_WSAMPLE_K}
+""",
+    tags=("ext", "curation", "sampling", "weighted"),
+)
+def curate_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic FIXED-SIZE weighted sampling (priority sampling):
+    each document draws priority = weight / u with u a uniform 32-bit
+    integer from md5(doc_id), and the top-k by priority form the sample —
+    the fixed-k counterpart of `curate_weighted_sample`'s Bernoulli keep
+    (that one answers "keep with prob ∝ weight", this one "give me exactly
+    k, weight-biased"). Reproducible across engines, partitions, reruns. The only float op is one IEEE division of two
+    exact integers (weight < 2^53, u+1 ≤ 2^32), so the order key is
+    bit-identical in Spark and the oracle and ties break on doc_id.
+    Scale: one scan + one top-k (no shuffle beyond the bounded top-k
+    frame); the 100 TB shape is TakeOrderedAndProject, never a global
+    sort."""
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.col("n_chars").cast("double")
+            / (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") + 1)
+        ).alias("priority"),
+    )
+    from pyspark.sql import Window as W
+
+    ranked = keyed.select(
+        "*", F.row_number().over(W.orderBy(F.col("priority").desc(), "doc_id")).alias("rk")
+    )
+    return ranked.where(F.col("rk") <= _WSAMPLE_K).select(
+        F.col("rk").cast("bigint").alias("rank"),
+        "doc_id",
+        "source",
+        "n_chars",
+        "priority",
+    )
+
+
+@register(
+    "events_robust_outlier_days",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM daily
+), m AS (
+  SELECT event_type, n AS med FROM med WHERE rn = (cnt + 1) // 2
+), dev AS (
+  SELECT d.event_type, d.day, d.n, m.med, ABS(d.n - m.med) AS dv
+  FROM daily d JOIN m ON d.event_type = m.event_type
+), mad AS (
+  SELECT event_type, dv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM dev
+), md AS (
+  SELECT event_type, dv AS mad FROM mad WHERE rn = (cnt + 1) // 2
+)
+SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(d.med) AS BIGINT) AS med, CAST(MAX(md.mad) AS BIGINT) AS mad,
+       CAST(COUNT(*) FILTER (WHERE d.dv > 3 * md.mad) AS BIGINT) AS n_outlier_days,
+       CAST(MAX(d.dv) AS BIGINT) AS max_abs_dev
+FROM dev d JOIN md ON d.event_type = md.event_type
+GROUP BY d.event_type
+""",
+    tags=("ext", "events", "analytics", "robust"),
+)
+def events_robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection over daily event counts:
+    median + MAD (both LOWER medians — pure integer rank selection, no
+    interpolation float), outlier = |n − med| > 3·MAD, all comparisons in
+    exact integers so the result is engine- and partition-order-exact.
+    The mean/stddev z-score chases its own outliers; median/MAD doesn't —
+    this is the monitoring primitive a drifting 100 TB ingest needs (the
+    TIME-SERIES twin of `text_robust_outliers`' per-source length screen).
+    Scale: events touched once (type×day agg); everything after is
+    windows over the O(types × days) frame."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wt = W.partitionBy("event_type")
+    med = (
+        daily.select(
+            "event_type",
+            "n",
+            F.row_number().over(wt.orderBy("n")).alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("cnt"),
+        )
+        .where(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("event_type", F.col("n").alias("med"))
+    )
+    dev = daily.join(med, "event_type").select(
+        "event_type", "day", "n", "med", F.abs(F.col("n") - F.col("med")).alias("dv")
+    )
+    mad = (
+        dev.select(
+            "event_type",
+            "dv",
+            F.row_number().over(wt.orderBy("dv")).alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("cnt"),
+        )
+        .where(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("event_type", F.col("dv").alias("mad"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("med").cast("bigint").alias("med"),
+            F.max("mad").cast("bigint").alias("mad"),
+            F.sum(F.when(F.col("dv") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outlier_days"),
+            F.max("dv").cast("bigint").alias("max_abs_dev"),
+        )
+    )
