@@ -432,7 +432,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle=SNAP.SNAPSHOT_DEDUP_MINHASH_LSH,
-    tags=("ext", "dedup", "approx"),
+    tags=("ext", "dedup", "approx", "snapshot-oracle"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (shingle→minhash→band→bucket-join→verify).
@@ -571,7 +571,7 @@ def dedup_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash",
     oracle=SNAP.SNAPSHOT_DEDUP_SIMHASH,
-    tags=("ext", "dedup", "approx"),
+    tags=("ext", "dedup", "approx", "snapshot-oracle"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (banded Hamming≤8). Token hashing is JVM
@@ -812,7 +812,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_topk_ivf_trained",
     oracle=SNAP.SNAPSHOT_ANN_TOPK_IVF_TRAINED,
-    tags=("ext", "similarity", "approx", "iterative"),
+    tags=("ext", "similarity", "approx", "iterative", "snapshot-oracle"),
 )
 def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with k-means-TRAINED centroids (Lloyd's, 3 rounds, cosine

@@ -94,6 +94,12 @@ def main() -> int:
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # sf1 tables are single parquet files; the 128m default yields 1-2
+        # input splits and idles the cores. Smaller splits = full
+        # parallelism AND a harsher partition-order scramble for the
+        # order-insensitive hash to survive — a stronger determinism test,
+        # not a weaker gate.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -105,6 +111,9 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from flink_dts_connector_spark.plans.registry import all_queries
+
+    tags = {n: q.tags for n, q in all_queries().items()}
     qs, osql = mod.queries(), mod.oracle_sql()
     names = sorted(n for n in qs if not only or n in only)
     excluded: dict[str, str] = {}
@@ -115,6 +124,14 @@ def main() -> int:
         if sql is None:
             excluded[name] = "no SQL oracle (rows-only contract)"
             print(f"SKIP {name}: rows-only", flush=True)
+            continue
+        if "snapshot-oracle" in tags.get(name, ()):
+            excluded[name] = (
+                "SF-keyed snapshot oracle pinned at sf0.001/0.01/0.1 only "
+                "(loud 0-row vacuity at sf1 by design; sf-general behavior "
+                "is pytest-cross-validated, tests/test_ext_ops.py)"
+            )
+            print(f"SKIP {name}: {excluded[name]}", flush=True)
             continue
         t0 = time.perf_counter()
         try:
