@@ -444,20 +444,25 @@ def _wkt_num_sql(d: str) -> str:
         ],
         "concat(xi, IF(xf = '', '', concat('.', xf)))",
     )
-    # rt(k): does the correctly-rounded k-significant-digit decimal of |d|
-    # cast back to |d|? (sign never affects roundtrip)
-    def rt(k: int) -> str:
-        return f"CAST(format_string('%.{k - 1}E', wa8) AS DOUBLE) = wa8"
+    # rt(k) for a RUNTIME k: does the correctly-rounded k-significant-digit
+    # decimal of |d| cast back to |d|? (dynamic precision via a computed
+    # format string keeps ONE template in the plan instead of 16 branches —
+    # the first cut's static CASE chain doubled the render tree and the
+    # typed tier's cold-plan cost)
+    def rt(k_expr: str) -> str:
+        return (
+            f"CAST(format_string(concat('%.', CAST(({k_expr}) - 1 AS STRING), 'E'),"
+            f" wa8) AS DOUBLE) = wa8"
+        )
 
-    # CASE over the JVM candidate's digit count — exactly one branch runs
-    min_test = "CASE wk8 " + " ".join(
-        f"WHEN {jk} THEN ({rt(jk - 1)})" for jk in range(2, 18)
-    ) + " ELSE false END"
-    # ascending search, only entered when the JVM string is non-minimal
-    search = "CASE " + " ".join(
-        f"WHEN {rt(k)} THEN format_string('%.{k - 1}E', wa8)"
-        for k in range(1, 17)
-    ) + " ELSE ws8 END"
+    # ascending minimal-k search, entered only when the JVM string is
+    # non-minimal; the fold evaluates one format+cast per step until found
+    search = _let(
+        [("wf8", f"aggregate(sequence(1, CAST(wk8 - 1 AS INT)), 0, "
+                 f"(wacc8, wi8) -> IF(wacc8 > 0, wacc8, IF({rt('wi8')}, wi8, 0)))")],
+        "IF(wf8 > 0, format_string(concat('%.', CAST(wf8 - 1 AS STRING), 'E'), wa8),"
+        " ws8)",
+    )
     pos = _let(
         [
             ("wa8", f"abs({d})"),
@@ -468,7 +473,7 @@ def _wkt_num_sql(d: str) -> str:
             ("wk8", "length(regexp_replace(replace("
                     "IF(we8 > 0, substring(ws8, 1, we8 - 1), ws8),"
                     " '.', ''), '0+$', ''))"),
-            ("wc8", f"IF(wk8 <= 1 OR NOT ({min_test}), ws8, {search})"),
+            ("wc8", f"IF(wk8 <= 1 OR NOT ({rt('wk8 - 1')}), ws8, {search})"),
         ],
         f"concat(IF(wn8, '-', ''), {expand})",
     )
