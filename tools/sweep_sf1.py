@@ -187,6 +187,8 @@ def main() -> int:
                 flush=True,
             )
             fails.append(name)
+        if json_out:
+            _flush(json_out, sf_dir, names, results, fails, excluded)
     green = [
         n
         for n, r in results.items()
@@ -197,24 +199,35 @@ def main() -> int:
         f"{len(green)} green, {len(fails)} failed, {len(excluded)} excluded"
     )
     if json_out:
-        with open(json_out, "w") as f:
-            json.dump(
-                {
-                    "sf_dir": sf_dir,
-                    "safe_abs_bound": SAFE_ABS,
-                    "considered": len(names),
-                    "swept": len(results),
-                    "green": len(green),
-                    "failed": sorted(fails),
-                    "excluded": excluded,
-                    "results": results,
-                },
-                f,
-                indent=1,
-                sort_keys=True,
-            )
+        _flush(json_out, sf_dir, names, results, fails, excluded)
         print(f"wrote {json_out}")
     return 1 if fails else 0
+
+
+def _flush(json_out, sf_dir, names, results, fails, excluded) -> None:
+    """Write the artifact; called after EVERY query so a killed or crashed
+    run still leaves a complete record of what it covered."""
+    green = [
+        n
+        for n, r in results.items()
+        if r.get("hash_match") and r.get("rows_match") and not r.get("err")
+    ]
+    with open(json_out, "w") as f:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "safe_abs_bound": SAFE_ABS,
+                "considered": len(names),
+                "swept": len(results),
+                "green": len(green),
+                "failed": sorted(fails),
+                "excluded": excluded,
+                "results": results,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
 
 
 if __name__ == "__main__":
