@@ -38,6 +38,15 @@ from sweep import TABLES, hash_rows  # noqa: E402
 SAFE_ABS = 9.0e9  # |double| bound for correctly-rounded DECIMAL(38,6)→DOUBLE
 ORACLE_BUDGET_SEC = 900  # DuckDB per-oracle wall budget (interrupt + exclude)
 
+#: threshold queries whose result is legitimately EMPTY at sf1 — both
+#: engines agree on zero rows, and the same query is non-vacuous and
+#: hash-green at sf0.01/0.1. Add names only with the reason spelled out.
+ALLOW_EMPTY_SF1 = {
+    # k-anonymity audit (k=5): the 50k-doc sf1 corpus has no
+    # (lang, source, len_bucket) group smaller than 5 — nothing violates
+    "privacy_k_anonymity",
+}
+
 
 def run_oracle(con, sql: str):
     """Run one oracle with a wall-clock budget; returns (cols, rows) or
@@ -167,7 +176,7 @@ def main() -> int:
         ok_rows = len(srows) == len(orows)
         ok_schema = sorted(scols) == sorted(ocols)
         ok_hash = ok_schema and hash_rows(scols, srows) == hash_rows(ocols, orows)
-        ok_nonempty = len(srows) > 0
+        ok_nonempty = len(srows) > 0 or name in ALLOW_EMPTY_SF1
         results[name] = {
             "rows_match": ok_rows,
             "schema_match": ok_schema,
