@@ -614,7 +614,7 @@ def _geom_sql(raw_expr: str) -> str:
     )
 
 
-def _render_sql(value_col: str, slot: str) -> str:
+def _render_sql(value_col: str, slot: str, with_geometry: bool = False) -> str:
     """Rendered STRING cell for one packed slot — semantics pinned to
     `wire.render_value`; the declared-type CAST happens outside (exactly
     `typed.project_table`'s map-string → cast contract; for FLOAT cells
@@ -625,7 +625,15 @@ def _render_sql(value_col: str, slot: str) -> str:
     shared `transform()` — one copy of the 13-kind tree in the plan instead
     of one per output column (optimizer time scales with tree size; the
     per-column version cost minutes of first-run planning at 32 cores).
-    The slot expression must be cheap (a lambda variable)."""
+    The slot expression must be cheap (a lambda variable).
+
+    ``with_geometry`` gates the kind-8 WKB→WKT branch: measured r9, the
+    UNTAKEN branch still costs ~1.8× at runtime (per-row cost tracks total
+    expression size under the interpreted HOF path, laziness
+    notwithstanding), so schemas with no geometry field keep the old
+    NULL branch and pay nothing — the render specializes to the declared
+    schema. `decode_typed_jvm` auto-enables it when any declared wire
+    field is geometry-typed."""
     q = _Frag(value_col)
     v = value_col
     kind = f"CAST({slot} div {_KS} AS INT)"
@@ -726,10 +734,12 @@ def _render_sql(value_col: str, slot: str) -> str:
         f"WHEN 4 THEN {float_str} "
         f"WHEN 5 THEN {ts_sql} "
         f"WHEN 6 THEN {dt_sql} WHEN 7 THEN {dt_sql} "
-        f"WHEN 8 THEN {_geom_sql(q.raw('vp'))} "
-        f"WHEN 10 THEN {obj_hex} WHEN 11 THEN {obj_txt} "
+        + (f"WHEN 8 THEN {_geom_sql(q.raw('vp'))} " if with_geometry else "")
+        + f"WHEN 10 THEN {obj_hex} WHEN 11 THEN {obj_txt} "
         f"WHEN 13 THEN CAST({q.raw('vp')} AS STRING) "
-        f"ELSE NULL END"  # unknown kinds: NULL (Python path raises/drops)
+        # unknown kinds (and kind 8 when no geometry field is declared):
+        # NULL — the Python path renders geometry fully either way
+        f"ELSE NULL END"
     )
     return _let([("vp", f"CAST({slot} % {_KS} AS INT)")], rendered)
 
@@ -847,6 +857,11 @@ def decode_typed_jvm(
     fd = fielddef_bytes(wire_fields)
     v = value_col
     q = _Frag(v)
+    # schema-specialized render: the WKB branch enters the plan only when a
+    # declared field is geometry-typed (measured r9: even UNTAKEN, the
+    # branch costs ~1.8x at runtime — expression size is not free under the
+    # interpreted HOF path)
+    with_geom = any("GEOM" in f.type_name.upper() for f in wire_fields)
 
     # Cheap cut only — NOT the full prefilter(): its lean header fold is
     # redundant here (the value fold + exact keep below re-derive op/table),
@@ -915,7 +930,11 @@ def decode_typed_jvm(
     # once in the plan), then trivial per-column element_at + declared cast
     slots = ", ".join(f"_chg.img.s{i}" for i in range(1, nf + 1))
     df = df.withColumn(
-        "_r", F.expr(f"transform(array({slots}), sl -> {_render_sql(v, 'sl')})")
+        "_r",
+        F.expr(
+            f"transform(array({slots}), sl -> "
+            f"{_render_sql(v, 'sl', with_geometry=with_geom)})"
+        ),
     )
     cols: list[Column] = []
     if include_metadata:
