@@ -36,7 +36,14 @@ def pinned_shuffle_partitions(spark: SparkSession, n: int | None = None):
     Stateful operators own one state store PER shuffle partition PER stateful
     op side; a vanilla 200-partition session pays hundreds of store setups
     per micro-batch, and the count is frozen at the first checkpoint anyway
-    — so pin it to the target parallelism before the first run."""
+    — so pin it to the target parallelism before the first run.
+
+    State-store PROVIDER stays Spark's default (HDFS-backed, in-heap):
+    measured r9 on the interval join it beats RocksDB at sf0.1 (3.07 vs
+    3.14 s) and sf1 (3.00 vs 4.28 s) while resident state is
+    interval-bounded (SCALING.md §stream-stream join, STATESTORE_r09.json);
+    RocksDB is the right switch only when per-partition state exceeds the
+    executor heap."""
     n_parts = str(n if n is not None else spark.sparkContext.defaultParallelism)
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n_parts)
