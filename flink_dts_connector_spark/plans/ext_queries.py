@@ -8529,3 +8529,113 @@ def events_robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dv").cast("bigint").alias("max_abs_dev"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 2: spatial proximity family (grid-cell blocked joins, exact int64)
+# ---------------------------------------------------------------------------
+
+_SPATIAL_R = 50000  # radius on the 1e6 x 1e6 integer plane
+_SPATIAL_COORD = 1000000
+
+
+def _duck_md5_u32(expr: str) -> str:
+    """DuckDB twin of Spark's conv(substring(md5(expr),1,8),16,10) — DuckDB
+    has no conv(), so the 8 nibbles are summed positionally."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({expr}), {k + 1}, 1)) - 1)"
+        f" * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+
+
+def _spatial_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic point per user on the integer plane: coordinates
+    from md5 so both engines derive the identical layout."""
+    u32x = "conv(substring(md5(concat('x', CAST(user_id AS STRING))), 1, 8), 16, 10)"
+    u32y = "conv(substring(md5(concat('y', CAST(user_id AS STRING))), 1, 8), 16, 10)"
+    return (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.expr(f"CAST({u32x} AS BIGINT) % {_SPATIAL_COORD}").alias("x"),
+            F.expr(f"CAST({u32y} AS BIGINT) % {_SPATIAL_COORD}").alias("y"),
+        )
+    )
+
+
+_DUCK_SPATIAL_PTS = f"""
+  SELECT user_id,
+         CAST(({_duck_md5_u32("'x' || CAST(user_id AS VARCHAR)")}) % {_SPATIAL_COORD} AS BIGINT) AS x,
+         CAST(({_duck_md5_u32("'y' || CAST(user_id AS VARCHAR)")}) % {_SPATIAL_COORD} AS BIGINT) AS y
+  FROM (SELECT DISTINCT user_id FROM events)
+"""
+
+
+@register(
+    "events_spatial_neighbor_pairs",
+    oracle=f"""
+WITH pts AS ({_DUCK_SPATIAL_PTS})
+SELECT a.user_id AS id_a, b.user_id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+FROM pts a JOIN pts b ON a.user_id < b.user_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_SPATIAL_R * _SPATIAL_R}
+""",
+    tags=("ext", "spatial", "join"),
+)
+def events_spatial_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-bounded spatial self-join with NO cross join: grid-cell
+    blocking (cell = radius) + 3x3 neighborhood candidates + exact int64
+    squared-distance verify (`operators/spatial.py` — the fixed-grid
+    spatial join Sedona/PostGIS use). The ORACLE is the brute-force O(n²)
+    pairwise join, so the hash match proves the blocked join loses nothing
+    and invents nothing — LSH-style candidate generation with EXACT recall,
+    like the prefix-filter set-similarity join. Scale: the cell id is the
+    shuffle key; candidates track local density, not n²."""
+    from flink_dts_connector_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = _spatial_points(spark, sf_dir)
+    return grid_neighbor_pairs(pts, "user_id", "x", "y", _SPATIAL_R).select(
+        F.col("id_a"), F.col("id_b"), F.col("dist_sq")
+    )
+
+
+@register(
+    "events_spatial_neighbor_stats",
+    oracle=f"""
+WITH pts AS ({_DUCK_SPATIAL_PTS}),
+pairs AS (
+  SELECT a.user_id AS id_a, b.user_id AS id_b,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b ON a.user_id < b.user_id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_SPATIAL_R * _SPATIAL_R}
+), sym AS (
+  SELECT id_a AS user_id, d2 FROM pairs
+  UNION ALL
+  SELECT id_b AS user_id, d2 FROM pairs
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       CAST(MIN(d2) AS BIGINT) AS nn_dist_sq
+FROM sym GROUP BY user_id
+""",
+    tags=("ext", "spatial", "analytics"),
+)
+def events_spatial_neighbor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point neighborhood stats off the SAME blocked pair frame:
+    neighbor count within the radius and the within-radius nearest-neighbor
+    distance (users with no neighbor in range drop — a left-complete
+    variant would left-join the point set back; the oracle pins the same
+    semantics). One extra shuffle (group on user) over the pair frame."""
+    from flink_dts_connector_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = _spatial_points(spark, sf_dir)
+    pairs = grid_neighbor_pairs(pts, "user_id", "x", "y", _SPATIAL_R)
+    sym = pairs.select(F.col("id_a").alias("user_id"), "dist_sq").unionAll(
+        pairs.select(F.col("id_b").alias("user_id"), "dist_sq")
+    )
+    return sym.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+        F.min("dist_sq").cast("bigint").alias("nn_dist_sq"),
+    )

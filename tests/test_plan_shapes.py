@@ -400,3 +400,13 @@ def test_wscg_counter_sees_codegen_spans(spark):
         assert not re.search(r"\[codegen id : \d+\]", plan_aqe)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
+def test_spatial_blocked_join_no_cartesian(spark):
+    """The grid-cell spatial self-join (r9) is an equi-join on the cell id
+    — no CartesianProduct, no broadcast nested loop; the distance verify
+    is a post-join filter."""
+    plan = _plan(spark, "events_spatial_neighbor_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not __import__("re").search(r"ArrowEvalPython|BatchEvalPython|MapInPandas", plan)
