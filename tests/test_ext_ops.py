@@ -1181,3 +1181,59 @@ def test_shard_topk_bound_certifies_exact_counts(spark, sf_dir):
     for r in rows:
         assert r["est_lo"] <= r["exact_n"] <= r["est_hi"], r
         assert r["bound_holds"]
+
+
+def test_spatial_blocked_join_equals_bruteforce_adversarial(spark):
+    """r9 spatial family: the grid-blocked pair join is bit-identical to
+    the in-Spark brute force on ADVERSARIAL layouts the md5 fixture can't
+    hit — points exactly on cell boundaries, at exactly radius distance,
+    collinear runs along a cell edge, duplicate coordinates, and a dense
+    clump inside one cell. Exact int64 arithmetic: <= r*r is inclusive."""
+    import random
+
+    from flink_dts_connector_spark.operators.spatial import grid_neighbor_pairs
+
+    r = 1000
+    rng = random.Random(20260815)
+    pts = []
+    # cell-boundary points (multiples of r) and exact-radius pairs
+    for k in range(6):
+        pts.append((len(pts), k * r, 0))
+        pts.append((len(pts), k * r, r))  # exactly r below the row above
+    # collinear run along a cell edge
+    for k in range(8):
+        pts.append((len(pts), 3 * r, k * 300))
+    # duplicate coordinates (dist 0) and a dense clump in one cell
+    pts.append((len(pts), 7 * r + 13, 7 * r + 13))
+    pts.append((len(pts), 7 * r + 13, 7 * r + 13))
+    for _ in range(25):
+        pts.append((len(pts), 7 * r + rng.randrange(r), 7 * r + rng.randrange(r)))
+    # random scatter
+    for _ in range(60):
+        pts.append((len(pts), rng.randrange(0, 10 * r), rng.randrange(0, 10 * r)))
+
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+    blocked = {
+        (row["id_a"], row["id_b"], row["dist_sq"])
+        for row in grid_neighbor_pairs(df, "pid", "x", "y", r).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (row["ia"], row["ib"], row["d2"])
+        for row in a.join(b, F.col("a.pid") < F.col("b.pid"))
+        .select(
+            F.col("a.pid").alias("ia"),
+            F.col("b.pid").alias("ib"),
+            (
+                (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+                + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y"))
+            ).alias("d2"),
+        )
+        .where(F.col("d2") <= r * r)
+        .collect()
+    }
+    assert blocked == brute
+    # the exact-radius pairs are present (boundary inclusive)
+    assert any(d == r * r for _, _, d in blocked)
+    # the duplicate-coordinate pair scores distance zero
+    assert any(d == 0 for _, _, d in blocked)
