@@ -8603,6 +8603,34 @@ def events_spatial_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "events_spatial_neighbor_pairs_salted",
+    oracle=f"""
+WITH pts AS ({_DUCK_SPATIAL_PTS})
+SELECT a.user_id AS id_a, b.user_id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+FROM pts a JOIN pts b ON a.user_id < b.user_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_SPATIAL_R * _SPATIAL_R}
+""",
+    tags=("ext", "spatial", "join", "skew"),
+)
+def events_spatial_neighbor_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: the hot-cell-salted grid join — same brute-force O(n²) oracle
+    as `events_spatial_neighbor_pairs`, so the hash match proves salting
+    changes the SHUFFLE (hot cells split into `salt` sub-buckets, build
+    rows replicated only for hot cells) and nothing else. A deliberately
+    low hot_threshold makes the fixture's densest cells take the salted
+    path at every SF. Scale: at 100x a dense city cell becomes `salt`
+    independent join tasks instead of one straggler
+    (`operators/spatial.py::grid_neighbor_pairs_salted`)."""
+    from flink_dts_connector_spark.operators.spatial import grid_neighbor_pairs_salted
+
+    pts = _spatial_points(spark, sf_dir)
+    return grid_neighbor_pairs_salted(
+        pts, "user_id", "x", "y", _SPATIAL_R, salt=8, hot_threshold=4
+    ).select(F.col("id_a"), F.col("id_b"), F.col("dist_sq"))
+
+
+@register(
     "events_spatial_neighbor_stats",
     oracle=f"""
 WITH pts AS ({_DUCK_SPATIAL_PTS}),

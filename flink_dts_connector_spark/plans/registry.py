@@ -104,11 +104,16 @@ GATE_PRIORITY: tuple[str, ...] = (
     "asof_purchase_last_view",
     # events
     "events_sessionize",
-    # r9 rotation: the Theil–Sen robust trend (median-of-slopes over the
-    # day-grain pair frame, r8-new) takes the power-iteration slot — the
-    # iterative exact-vector shape stays gated via embed_kmeans_clusters and
-    # embed_power_iteration stays sweep-green
-    "events_theilsen_trend",
+    # r10 rotation: binary-segmentation changepoint detection (r9-new:
+    # exact SSE split scan via prefix sums) takes the Theil–Sen slot — the
+    # day-grain pair-frame machinery Theil–Sen exercises is the same frame
+    # binseg scans, and theilsen stays sweep-green
+    "events_binseg_changepoint",
+    # r10 rotation: the MAD-based robust outlier-day detector (r9-new)
+    # takes the histogram-quantile sketch slot (dyadic quantiles stay
+    # sweep-green; the mergeable-sketch family keeps hll_time_cube +
+    # the streaming drift monitor + cdc_incremental_checksum's CMS)
+    "events_robust_outlier_days",
     # r4 cont. 2: bloom semi-join reduction takes the JSON-struct slot
     # (scalar/JSON rendering stays gated via cdc_value_zoo_render and
     # sweep-green via events_json_struct/extract)
@@ -135,7 +140,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     # cdc_incremental_checksum and the store family via cdc_ingest_once +
     # cdc_store_zorder_probe below)
     "cdc_jvm_typed_changelog",
-    "cdc_jvm_doc_changelog",
+    # r10 rotation: the WKB→WKT geometry changelog (r9-new: both byte
+    # orders, EWKB SRID, JDK-4511638 shortest-ordinate repair — the hardest
+    # member of the zero-Python jvmvalue family) takes the doc-changelog
+    # slot; cdc_jvm_doc_changelog stays sweep-green and its declared-schema
+    # string/array decode path is also inside cdc_jvm_typed_changelog
+    "cdc_jvm_geom_changelog",
     # r9 rotation: the z-order-served store probe (r8-new: applied
     # interleaved-bit layout + pruned probe ≡ unordered scan) takes the
     # signed-agg store slot
@@ -157,16 +167,15 @@ GATE_PRIORITY: tuple[str, ...] = (
     # oracle) takes the brute-force slot — brute force is the recall
     # baseline inside the PQ/IVF oracles anyway and stays sweep-green
     "embed_kmeans_clusters",
-    # r8: the dyadic-histogram quantile sketch (the quantile member of the
-    # mergeable-sketch family, KMV/HLL/CMS's sibling) takes the LSH-multiprobe
-    # slot — multiprobe stays sweep-green and its LSH index is also evaluated
-    # inside the gated ann_recall_report
-    "sketch_histogram_quantiles",
+    # r10 rotation: the grid-cell blocked spatial distance join (r9-new:
+    # cell = radius, 3×3 candidate block, exact int64 verify — the engine's
+    # spatial family) takes two slots: the histogram-quantile sketch slot
+    # (quantiles stay sweep-green; see events_robust_outlier_days note) and
+    # the IVF-PQ slot (the trained-codebook ADC cascade is also evaluated
+    # inside the gated ann_recall_report; ann_topk_ivfpq stays sweep-green)
+    "events_spatial_neighbor_pairs",
+    "events_spatial_neighbor_stats",
     "ann_recall_report",  # r4 cont.: one slot evaluates all four ANN indexes vs brute force
-    # r4 cont. 2: the composed IVF-PQ cascade supersedes the plain-PQ slot
-    # (it contains the full codebook/encode/ADC machinery plus cell
-    # pruning; ann_topk_pq stays sweep-green)
-    "ann_topk_ivfpq",
     # r9 rotation: ann_topk_filtered rotates to sweep coverage (its IVF
     # index is also evaluated inside the gated ann_recall_report); its slot
     # goes to the RAG retrieval composition below
@@ -177,7 +186,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     # counts and adds the unpivoted per-rule verdict agg — it subsumes the
     # quality-scores slot (scores stay sweep-green)
     "text_quality_rules",
-    "text_langid",
+    # r10 rotation: text_langid rotates to sweep coverage (its trigram
+    # profile-join + per-doc argmax shape is the same vocab-join + re-agg
+    # machinery gated via ml_nb_source_confusion); the slot goes to the
+    # priority-sample curation flagship below
     # r5: the trained NB classifier subsumes the self-trained-LM-filter
     # slot (same explode + vocab-join + per-doc re-agg shape, plus the
     # cross-class argmin; rare_bigram_fraction stays sweep-green)
@@ -200,7 +212,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     # changelog through a pruned store scan; curate_pipeline_manifest stays
     # sweep-green)
     "cdc_ingest_once",
-    "curate_chunk_windows",
+    # r10 rotation: deterministic priority sampling (r9-new: key-seeded
+    # exponential-race weights, exact integer tie-break — the
+    # weighted-sampling member of the curation family) takes the
+    # chunk-windows slot; curate_chunk_windows stays sweep-green and its
+    # sequence-window machinery is also inside curate_pack_sequences
+    "curate_priority_sample",
     # search (new family, r4 wave 2)
     "search_bm25_topk",
     # r9 rotation (both r8-new): the RAG retrieval composition (ANN top-k →

@@ -1237,3 +1237,106 @@ def test_spatial_blocked_join_equals_bruteforce_adversarial(spark):
     assert any(d == r * r for _, _, d in blocked)
     # the duplicate-coordinate pair scores distance zero
     assert any(d == 0 for _, _, d in blocked)
+
+
+def _brute_pairs(pts, r):
+    """In-Python brute-force oracle for the grid joins (tiny fixtures)."""
+    out = set()
+    for i, (ia, xa, ya) in enumerate(pts):
+        for ib, xb, yb in pts[i + 1 :]:
+            lo, hi = (ia, ib) if ia < ib else (ib, ia)
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= r * r:
+                out.add((lo, hi, d2))
+    return out
+
+
+def test_spatial_blocked_join_negative_coordinates(spark):
+    """r10 ADVICE fix: cell ids use exact floor division, so points
+    straddling zero land in ADJACENT cells and qualifying pairs survive.
+    Under truncate-toward-zero `div`, (-1, 0) and (1, 0) both mapped to
+    cell 0 while (-r-1, 0) vs (-1, 0) mapped two cells apart and the pair
+    at distance r was silently dropped."""
+    from flink_dts_connector_spark.operators.spatial import grid_neighbor_pairs
+
+    r = 1000
+    pts = [
+        (0, -1, 0),
+        (1, 1, 0),             # dist 2 across the zero boundary
+        (2, -r - 1, 0),        # exactly r from point 0
+        (3, -r, -r),           # negative cell corner
+        (4, -r + 1, -r + 1),
+        (5, -3 * r, 2 * r),    # far away, pairs with nothing
+        (6, r // 2, -r // 2),
+    ]
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+    blocked = {
+        (row["id_a"], row["id_b"], row["dist_sq"])
+        for row in grid_neighbor_pairs(df, "pid", "x", "y", r).collect()
+    }
+    assert blocked == _brute_pairs(pts, r)
+    assert (0, 2, r * r) in blocked  # the truncation-dropped pair
+
+
+def test_spatial_salted_join_identical_on_hot_cell(spark):
+    """r10: the hot-cell-salted grid join is bit-identical to the unsalted
+    one on the adversarial all-points-in-one-cell layout, and the salt
+    actually splits the hot cell: no (cell, salt) probe bucket holds more
+    than 2x the mean candidate volume."""
+    import random
+
+    from flink_dts_connector_spark.operators.spatial import (
+        grid_neighbor_pairs,
+        grid_neighbor_pairs_salted,
+    )
+
+    r = 1000
+    rng = random.Random(20260815)
+    # one pathological cell with 120 points + a sprinkle of cold cells
+    pts = [(i, 5 * r + rng.randrange(r), 5 * r + rng.randrange(r)) for i in range(120)]
+    pts += [(200 + k, k * 3 * r, -2 * r + k * r) for k in range(6)]
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+
+    unsalted = {
+        tuple(row) for row in grid_neighbor_pairs(df, "pid", "x", "y", r).collect()
+    }
+    salted_df = grid_neighbor_pairs_salted(
+        df, "pid", "x", "y", r, salt=8, hot_threshold=64
+    )
+    salted = {tuple(row) for row in salted_df.collect()}
+    assert salted == unsalted == _brute_pairs(pts, r)
+
+    # skew check: reconstruct the (cell, salt) probe buckets the join
+    # shuffles on and assert the hot cell's volume is genuinely spread —
+    # max bucket <= 2x mean bucket among the hot cell's buckets.
+    from flink_dts_connector_spark.operators.spatial import _cells, _probes
+    from pyspark.sql import functions as SF
+
+    cells = _cells(df, "pid", "x", "y", r)
+    hot = (
+        cells.groupBy("_cx", "_cy")
+        .agg(SF.count(SF.lit(1)).alias("_n"))
+        .where(SF.col("_n") >= 64)
+        .select("_cx", "_cy")
+    )
+    buckets = (
+        _probes(cells)
+        .join(hot, ["_cx", "_cy"])  # hot-cell probes only
+        .withColumn("_salt", SF.pmod(SF.xxhash64("_aid"), SF.lit(8)))
+        .groupBy("_cx", "_cy", "_salt")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .collect()
+    )
+    sizes = [row["n"] for row in buckets]
+    assert len(sizes) >= 8  # the hot cell really fanned out over salts
+    assert max(sizes) <= 2 * (sum(sizes) / len(sizes))
+
+
+def test_spatial_salted_rejects_degenerate_salt(spark):
+    from flink_dts_connector_spark.operators.spatial import grid_neighbor_pairs_salted
+
+    df = spark.createDataFrame([(1, 0, 0)], "pid long, x long, y long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        grid_neighbor_pairs_salted(df, "pid", "x", "y", 10, salt=1)

@@ -410,3 +410,16 @@ def test_spatial_blocked_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not __import__("re").search(r"ArrowEvalPython|BatchEvalPython|MapInPandas", plan)
+
+
+def test_spatial_salted_join_no_cartesian_and_broadcast_hot_list(spark):
+    """The salted variant (r10) keeps the equi-join shape — the only new
+    plan features are a BroadcastHashJoin for the tiny hot-cell list (it
+    must be broadcast, never shuffled) and the salt column in the join key;
+    still zero Cartesian/nested-loop/Python."""
+    plan = _plan(spark, "events_spatial_neighbor_pairs_salted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the hot-cell list
+    assert "_salt" in plan  # salt participates in the join key
+    assert not __import__("re").search(r"ArrowEvalPython|BatchEvalPython|MapInPandas", plan)
