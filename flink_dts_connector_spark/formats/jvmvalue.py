@@ -424,7 +424,20 @@ def _wkt_num_sql(d: str) -> str:
     string. The common case (JVM string already minimal) costs one extra
     format+cast; decimal grids are nested, so roundtripping precisions are
     upward-closed and the minimality test at len-1 is sound. The chosen
-    scientific/plain string is then re-expanded into positional text."""
+    scientific/plain string is then re-expanded into positional text.
+
+    Known remote divergence (ADVICE r9): format_string('%.kE') rounds
+    HALF_UP while CPython repr is correctly rounded (ties-to-even). A
+    double whose exact decimal expansion ties EXACTLY at the minimal digit
+    count — and which is ALSO only reached via the non-minimal
+    Double.toString repair path — could therefore render with a final
+    digit one off from the Python repr. Both renders would still roundtrip
+    to the same double (the roundtrip equality check is what admits a
+    candidate), so correctness of the value survives; only the digit
+    string could differ. No such double has been constructed — the
+    ordinate fuzz test (test_jvm_geom_ordinate_fuzz) has never hit one,
+    and the repair path itself fires only on the rare JDK-4511638
+    non-minimal strings."""
     # positional expansion of a sign-stripped candidate string bound as wc8
     expand = _let(
         [

@@ -31,9 +31,14 @@ def main() -> int:
                 "schema_match": True,
                 "hash_match": True,
                 "spark_rows": int(m.group(2)),
+                # oracle_rows is NOT in the OK log line; the matches above
+                # were measured by the sweep, but this row-count echo is
+                # synthesized — flag it per-entry (ADVICE r9) so the
+                # artifact can't be mistaken for a directly measured one.
                 "oracle_rows": int(m.group(2)),
                 "spark_sec": float(m.group(3)),
                 "err": None,
+                "reconstructed": True,
             }
             continue
         m = re.search(r"SKIP ([a-z0-9_]+): (.+)$", ln)
@@ -52,6 +57,7 @@ def main() -> int:
                 "spark_rows": int(m.group(2)),
                 "oracle_rows": int(m.group(3)),
                 "err": None,
+                "reconstructed": True,
             }
             fails.append(name)
             continue

@@ -51,8 +51,20 @@ ALLOW_EMPTY_SF1 = {
 def run_oracle(con, sql: str):
     """Run one oracle with a wall-clock budget; returns (cols, rows) or
     raises. A timer interrupts DuckDB so a pathological sf1 oracle can't
-    hang the sweep."""
-    timer = threading.Timer(ORACLE_BUDGET_SEC, con.interrupt)
+    hang the sweep. The interrupt is gated on a `done` flag checked inside
+    the callback (ADVICE r9): without it, a timer firing between fetchall()
+    returning and timer.cancel() would interrupt the SHARED connection and
+    abort the NEXT query's oracle, mislabeling a healthy query as
+    budget-exceeded."""
+    done = threading.Event()
+    lock = threading.Lock()  # makes check-then-interrupt atomic vs. completion
+
+    def _interrupt():
+        with lock:
+            if not done.is_set():
+                con.interrupt()
+
+    timer = threading.Timer(ORACLE_BUDGET_SEC, _interrupt)
     timer.start()
     try:
         res = con.execute(sql)
@@ -60,6 +72,8 @@ def run_oracle(con, sql: str):
         rows = res.fetchall()
         return cols, rows
     finally:
+        with lock:
+            done.set()
         timer.cancel()
 
 
