@@ -131,6 +131,62 @@ def cdc_typed_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_routed_ingest",
+    oracle=f"""
+SELECT o_orderdate AS ts, o_orderkey * 4 AS record_id,
+       o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE0} AS o_totalprice, o_orderdate, o_orderpriority, 'I' AS op
+FROM orders
+UNION ALL
+SELECT o_orderdate + INTERVAL 1 HOUR, o_orderkey * 4 + 1, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE0}, o_orderdate, o_orderpriority, 'UB'
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 1 HOUR, o_orderkey * 4 + 1, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, o_orderpriority, 'UA'
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 2 HOUR, o_orderkey * 4 + 2, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, o_orderpriority, 'UB'
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 2 HOUR, o_orderkey * 4 + 2, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, '9-RUSH', 'UA'
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderdate + INTERVAL 3 HOUR, o_orderkey * 4 + 3, o_orderkey, o_custkey, o_orderstatus,
+       {SQL_PRICE1}, o_orderdate, {SQL_PRIO1}, 'D'
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+    tags=("cdc", "typed", "changelog", "router"),
+)
+def cdc_routed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: the typed changelog THROUGH the programmatic path chooser
+    (`formats/router.py` — the code form of SCALING.md's decision table,
+    priced from INGEST_TRADEOFF_r09.json). This session has Python workers
+    and an 8-read reuse profile, so the chooser must price the decode-once
+    store cheapest (build + 8 serves beats 8 fused passes from N=7 on the
+    pinned numbers) — asserted here so a silent re-pricing can't flip the
+    route unnoticed. The oracle is PATH-INDEPENDENT (the same SQL
+    reconstruction as `cdc_typed_changelog`), proving routing changes the
+    cost shape and nothing else; tests/test_ingest_router.py collects all
+    routes and asserts identical multisets."""
+    from flink_dts_connector_spark.formats.router import (
+        choose_ingest_path,
+        read_changelog_routed,
+    )
+    from flink_dts_connector_spark.sources.generator import ORDERS_FIELDS
+
+    decision = choose_ingest_path(
+        declared_schema=True, python_workers=True, expected_reads=8
+    )
+    assert decision.path == "store" and decision.build_via == "python_fused", decision
+    return read_changelog_routed(
+        spark, sf_dir, ORDERS_CDC_SCHEMA, ORDERS_FIELDS, f"{DB}.{TBL}", decision
+    )
+
+
+@register(
     "cdc_upsert_current_state",
     oracle=f"""
 SELECT o_orderkey, {SQL_PRICE1} AS o_totalprice, {SQL_PRIO1} AS o_orderpriority
