@@ -2371,3 +2371,175 @@ def stream_seasonal_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     if state["batches"] < 2:
         raise AssertionError(f"expected multiple micro-batches, got {state['batches']}")
     return seasonal_decompose_report(state["cells"])
+
+
+# ---------------------------------------------------------------------------
+# r10: DStore failover re-seek, end-to-end over the wire-level fake broker
+# ---------------------------------------------------------------------------
+
+#: (applicationId, sf_dir) -> (phase1 parquet dir, phase2 parquet dir)
+_FAILOVER_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+_FAILOVER_TS_BASE = 1_500_000_000_000  # ms; +1 ms per record id
+
+
+def _failover_phase_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Run the reference's signature failover flow once per session:
+
+    1. Broker A (cluster id dstore-A, offsets from 5000) holds the stream's
+       PREFIX — every record with ts <= cut (cut = 2*max(o_orderkey) ids in);
+       a consumer drains it, tracking offset@timestamp per partition
+       (`streaming/failover.py`, `util/DtsUtil.java:15-25`).
+    2. The DStore fails over: broker B (cluster id dstore-B, offsets from 0
+       — a fresh reload) holds the FULL log. Stored offsets are
+       meaningless; stored timestamps are not.
+    3. `DtsProgressTracker.cluster_switched` detects the id change
+       (`fetcher/ClusterSwitchListener.java:32-50`) and the consumer
+       restarts with `startingOffsetsByTimestamp` built from the tracked
+       timestamps (`FlinkDtsKafkaConsumer.java:303-333`) — re-reading the
+       boundary second per partition, skipping nothing.
+
+    Both phases' decoded envelopes land in parquet; the query aggregates
+    their union. At 100 TB the phases are real Kafka streams — everything
+    downstream of `read_stream` is unchanged."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _FAILOVER_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    from flink_dts_connector_spark.sources.fakebroker import (
+        broker_cluster_id,
+        create_broker,
+        register_fake_broker,
+    )
+    from flink_dts_connector_spark.sources.generator import generate_cdc_bytes
+    from flink_dts_connector_spark.sources.kafka import read_stream
+    from flink_dts_connector_spark.streaming.failover import DtsProgressTracker
+
+    register_fake_broker(spark)
+    topic = "dts-failover-topic"
+    users = [("alice-SID42", "s3cret")]
+    recs = generate_cdc_bytes(spark, sf_dir).select(
+        "value",
+        "partition",
+        (F.lit(_FAILOVER_TS_BASE) + F.col("offset")).alias("ts_ms"),
+    )
+    cut_id = 2 * load_table(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey")
+    ).collect()[0][0]
+    cut_ts = _FAILOVER_TS_BASE + int(cut_id)
+
+    broker_a = scratch_dir("fdcs_brokerA_")
+    broker_b = scratch_dir("fdcs_brokerB_")
+    create_broker(
+        spark, recs.where(F.col("ts_ms") <= cut_ts), broker_a,
+        "dstore-A", topic, users=users, offset_base=5000,
+    )
+    create_broker(
+        spark, recs, broker_b, "dstore-B", topic, users=users, offset_base=0,
+    )
+
+    def run_phase(broker: str, out: str, offsets_by_timestamp: str | None) -> None:
+        env = read_stream(
+            spark, broker, topic, sid="SID42", user="alice", password="s3cret",
+            offsets_by_timestamp=offsets_by_timestamp, source_format="kafka_fake",
+        ).select("id", "operation", "kafka_partition", "kafka_offset", "kafka_timestamp")
+        with pinned_shuffle_partitions(spark):
+            q = (
+                env.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", scratch_dir("fdcs_failover_ckpt_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    out1 = scratch_dir("fdcs_failover_p1_")
+    run_phase(broker_a, out1, None)
+
+    # offset@timestamp progress from the drained phase (4 scalar rows)
+    tracker = DtsProgressTracker(state_path=scratch_dir("fdcs_failover_st_") + "/progress.json")
+    tracker.cluster_id = broker_cluster_id(broker_a)
+    prog = (
+        spark.read.parquet(out1)
+        .groupBy("kafka_partition")
+        .agg(
+            F.max("kafka_offset").alias("off"),
+            F.max(F.unix_timestamp("kafka_timestamp")).alias("ts"),
+        )
+        .collect()
+    )
+    tracker.update_from_batch((r["kafka_partition"], r["off"], r["ts"]) for r in prog)
+    if not tracker.cluster_switched(broker_cluster_id(broker_b)):
+        raise AssertionError("cluster switch must be detected before re-seeking")
+    by_ts = tracker.starting_offsets_by_timestamp(topic)
+
+    out2 = scratch_dir("fdcs_failover_p2_")
+    run_phase(broker_b, out2, by_ts)
+    _FAILOVER_CACHE[key] = (out1, out2)
+    return out1, out2
+
+
+@register(
+    "stream_failover_reseek",
+    oracle="""
+WITH ids AS (
+  SELECT o_orderkey*4 AS id, 'INSERT' AS operation FROM orders
+  UNION ALL
+  SELECT o_orderkey*4+1, 'UPDATE' FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey*4+2, 'UPDATE' FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey*4+3, 'DELETE' FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT 10000000000+o_orderkey, 'HEARTBEAT' FROM orders WHERE o_orderkey % 50 = 0
+  UNION ALL
+  SELECT 20000000000+o_orderkey, 'DDL' FROM orders WHERE o_orderkey % 200 = 0
+),
+recs AS (SELECT id, operation, id % 4 AS part, 1500000000000 + id AS ts FROM ids),
+cut AS (SELECT 1500000000000 + 2*MAX(o_orderkey) AS cut_ts FROM orders),
+prefix AS (SELECT r.* FROM recs r, cut c WHERE r.ts <= c.cut_ts),
+seek AS (SELECT part, (MAX(ts) // 1000) * 1000 AS tp FROM prefix GROUP BY part),
+phase2 AS (SELECT r.* FROM recs r JOIN seek s ON r.part = s.part WHERE r.ts >= s.tp),
+uni AS (
+  SELECT id, operation, MAX(p1) + MAX(p2) AS nsrc FROM (
+    SELECT id, operation, 1 AS p1, 0 AS p2 FROM prefix
+    UNION ALL
+    SELECT id, operation, 0 AS p1, 1 AS p2 FROM phase2
+  ) GROUP BY id, operation
+)
+SELECT operation, CAST(COUNT(*) AS BIGINT) AS n_covered,
+       CAST(SUM(id) AS BIGINT) AS id_sum,
+       CAST(SUM(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_redelivered
+FROM uni GROUP BY operation
+""",
+    tags=("streaming", "failover", "kafka"),
+)
+def stream_failover_reseek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: kill → cluster switch → timestamp re-seek, END TO END through
+    `sources/kafka.py` + `sources/fakebroker.py` + `streaming/failover.py`
+    (the reference's signature feature, previously only unit-tested). The
+    oracle reconstructs BOTH phases in SQL: the prefix read from cluster A,
+    the per-partition re-seek second on cluster B (tracker stores whole
+    seconds — `offset@timestamp`, `util/DtsUtil.java:15-18`), and the union
+    with duplicate accounting. n_covered/id_sum per operation hash-matching
+    the full id universe IS the no-gaps proof; n_redelivered > 0 rows show
+    the at-least-once boundary re-read the reference documents
+    (README.md:26-28)."""
+    out1, out2 = _failover_phase_dirs(spark, sf_dir)
+    p1 = spark.read.parquet(out1).select(
+        "id", "operation", F.lit(1).alias("p1"), F.lit(0).alias("p2")
+    )
+    p2 = spark.read.parquet(out2).select(
+        "id", "operation", F.lit(0).alias("p1"), F.lit(1).alias("p2")
+    )
+    uni = (
+        p1.unionAll(p2)
+        .groupBy("id", "operation")
+        .agg((F.max("p1") + F.max("p2")).alias("nsrc"))
+    )
+    return uni.groupBy("operation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_covered"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+        F.sum(F.when(F.col("nsrc") == 2, 1).otherwise(0)).cast("bigint").alias("n_redelivered"),
+    )

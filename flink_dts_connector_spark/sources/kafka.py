@@ -93,6 +93,8 @@ def read_stream(
     tables: list[str] | None = None,
     ops: list[str] | None = None,
     available_now: bool = False,
+    source_format: str = "kafka",
+    extra: dict[str, str] | None = None,
 ) -> DataFrame:
     """Streaming CDC envelope DataFrame from a DTS-subscription Kafka topic.
 
@@ -101,10 +103,16 @@ def read_stream(
     discovery/offset state; we decode and filter. All six readable-metadata
     columns (`table/DtsDynamicSource.java:268-345`) ride the envelope:
     topic/partition/offset/timestamp/timestamp-type/headers.
+
+    ``source_format`` swaps the wire: "kafka" (default, a real cluster) or
+    "kafka_fake" (`sources/fakebroker.py`, the in-process broker whose
+    bootstrap "address" is a directory) — the OPTIONS are built identically
+    either way, which is the point: the fake executes the same contract.
     """
-    reader = spark.readStream.format("kafka")
+    reader = spark.readStream.format(source_format)
     for k, v in dts_kafka_options(
-        broker_url, topic, sid, group, user, password, checkpoint_ts, offsets_by_timestamp
+        broker_url, topic, sid, group, user, password, checkpoint_ts,
+        offsets_by_timestamp, extra=extra,
     ).items():
         reader = reader.option(k, v)
     reader = reader.option("includeHeaders", "true")
