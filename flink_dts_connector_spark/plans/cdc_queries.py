@@ -208,7 +208,7 @@ def cdc_upsert_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_signed_agg_revenue",
     oracle=f"""
 SELECT o_orderpriority_final AS o_orderpriority,
-       CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_open_price,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_open_price,
        COUNT(*) AS n_orders
 FROM (
   SELECT {SQL_PRIO1} AS o_orderpriority_final, {SQL_PRICE1} AS price
@@ -216,7 +216,7 @@ FROM (
 )
 GROUP BY o_orderpriority_final
 """,
-    tags=("cdc", "changelog", "signed-agg"),
+    tags=("cdc", "changelog", "signed-agg", "dec2"),
 )
 def cdc_signed_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retraction-correct aggregation straight over the changelog (no
@@ -227,8 +227,9 @@ def cdc_signed_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         chg.groupBy("o_orderpriority")
         .agg(
+            # dec2: 6.5e10 at sf1 breaches the scale-6 bound
             F.sum(F.col("o_totalprice").cast("decimal(18,2)") * s)
-            .cast("decimal(38,6)")
+            .cast("decimal(38,2)")
             .cast("double")
             .alias("total_open_price"),
             F.sum(s).alias("n_orders"),
@@ -1016,7 +1017,7 @@ def cdc_store_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_store_signed_agg",
     oracle=f"""
 SELECT o_orderpriority_final AS o_orderpriority,
-       CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_open_price,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_open_price,
        COUNT(*) AS n_orders
 FROM (
   SELECT {SQL_PRIO1} AS o_orderpriority_final, {SQL_PRICE1} AS price
@@ -1024,7 +1025,7 @@ FROM (
 )
 GROUP BY o_orderpriority_final
 """,
-    tags=("cdc", "decode-once", "storage", "signed-agg"),
+    tags=("cdc", "decode-once", "storage", "signed-agg", "dec2"),
 )
 def cdc_store_signed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retraction-correct signed aggregation re-pointed at the decode-once
@@ -1035,8 +1036,9 @@ def cdc_store_signed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         chg.groupBy("o_orderpriority")
         .agg(
+            # dec2: 6.5e10 at sf1 breaches the scale-6 bound
             F.sum(F.col("o_totalprice").cast("decimal(18,2)") * s)
-            .cast("decimal(38,6)")
+            .cast("decimal(38,2)")
             .cast("double")
             .alias("total_open_price"),
             F.sum(s).alias("n_orders"),
@@ -1067,13 +1069,13 @@ bounds AS (
   FROM orders
 )
 SELECT op, COUNT(*) AS n_records,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
        COUNT(DISTINCT o_orderkey) AS n_orders
 FROM chg, bounds
 WHERE o_custkey BETWEEN lo AND hi
 GROUP BY op
 """,
-    tags=("cdc", "decode-once", "storage", "layout", "zorder"),
+    tags=("cdc", "decode-once", "storage", "layout", "zorder", "dec2"),
 )
 def cdc_store_zorder_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER SERVING LAYOUT of the decode-once store, probed for real:
@@ -1102,8 +1104,9 @@ def cdc_store_zorder_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert_pushed(probe, ["o_custkey"])
     return probe.groupBy("op").agg(
         F.count(F.lit(1)).alias("n_records"),
+        # dec2: 3.8e10 at sf1 breaches the scale-6 bound
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,6)")
+        .cast("decimal(38,2)")
         .cast("double")
         .alias("sum_price"),
         F.countDistinct("o_orderkey").alias("n_orders"),

@@ -1613,13 +1613,13 @@ def curate_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_items,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                 * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE)
+       CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)), 2) AS DOUBLE)
          AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 """,
-    tags=("ext", "skew", "join"),
+    tags=("ext", "skew", "join", "dec2"),
 )
 def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigation under the driver gate: the lineitem⋈orders join runs
@@ -1628,7 +1628,7 @@ def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-identical to the plain join — the oracle IS the plain join. Exact
     decimal revenue per the determinism contract."""
     from flink_dts_connector_spark.operators.skew import salted_join
-    from flink_dts_connector_spark.plans.relational import dec, dsum
+    from flink_dts_connector_spark.plans.relational import dec, dsum2
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -1637,7 +1637,7 @@ def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        dsum(dec("l_extendedprice") * (1 - dec("l_discount")), "revenue"),
+        dsum2(dec("l_extendedprice") * (1 - dec("l_discount")), "revenue"),
     )
 
 
@@ -2622,7 +2622,7 @@ SELECT vec_id, label, nrm2, mean_nrm2, std_nrm2
 FROM scored
 WHERE abs(nrm2 - mean_nrm2) > 2 * std_nrm2
 """,
-    tags=("ext", "embedding", "quality"),
+    tags=("ext", "embedding", "quality", "i64dbl"),
 )
 def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding data-quality screen: vectors whose squared L2 norm
@@ -3077,7 +3077,7 @@ UNION ALL
 SELECT 'purchase_after_click', CAST(COUNT(*) AS BIGINT),
        CAST(SUM(epoch_us(t3) - epoch_us(t2)) AS DOUBLE) / COUNT(*) FROM s3
 """,
-    tags=("ext", "events", "funnel"),
+    tags=("ext", "events", "funnel", "i64dbl"),
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: a user counts
@@ -3682,7 +3682,7 @@ WHERE ABS(a.dist2 - CAST(s.sd AS DOUBLE) / s.n)
       > 2 * sqrt(CAST(s.n * s.sdd - CAST(s.sd AS HUGEINT) * s.sd AS DOUBLE)
                  / CAST(CAST(s.n AS HUGEINT) * s.n AS DOUBLE))""",
     ),
-    tags=("ext", "embedding", "clustering", "quality"),
+    tags=("ext", "embedding", "clustering", "quality", "i64dbl"),
 )
 def embed_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-conditional outlier screen: vectors whose exact squared
@@ -4386,7 +4386,7 @@ SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
 FROM orders
 GROUP BY ROLLUP (yr, qtr, mth)
 """,
-    tags=("agg", "rollup", "time"),
+    tags=("agg", "rollup", "time", "i64dbl"),
 )
 def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-hierarchy ROLLUP (year → quarter → month) over order revenue —
@@ -4427,7 +4427,7 @@ SELECT region, segment,
        CAST(cents AS DOUBLE) / SUM(cents) OVER () AS share_of_total
 FROM seg
 """,
-    tags=("window", "ratio-to-report"),
+    tags=("window", "ratio-to-report", "i64dbl"),
 )
 def win_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-report: each (region, segment)'s revenue share of its
@@ -4865,12 +4865,12 @@ def events_sparse_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_bloom_prefilter",
     oracle="""
 SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY 1
 """,
-    tags=("ext", "join", "bloom", "runtime-filter"),
+    tags=("ext", "join", "bloom", "runtime-filter", "dec2"),
 )
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join reduction: the BUILDING-segment customer keys
@@ -4897,8 +4897,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            # dec2: 1.5e10 at sf1 breaches the scale-6 bound
             F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
+            .cast("decimal(38,2)")
             .cast("double")
             .alias("total_price"),
         )

@@ -11,7 +11,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from flink_dts_connector_spark.plans.registry import register
-from flink_dts_connector_spark.plans.relational import dec, dsum, t
+from flink_dts_connector_spark.plans.relational import dec, dsum, dsum2, t
 
 
 @register(
@@ -44,18 +44,18 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unpivot_lineitem_measures",
     oracle="""
 SELECT 'quantity' AS measure,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total, COUNT(*) AS n
+       CAST(round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total, COUNT(*) AS n
 FROM lineitem
 UNION ALL
 SELECT 'extendedprice',
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), COUNT(*)
+       CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)), 2) AS DOUBLE), COUNT(*)
 FROM lineitem
 UNION ALL
 SELECT 'discount',
-       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), COUNT(*)
+       CAST(round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)), 2) AS DOUBLE), COUNT(*)
 FROM lineitem
 """,
-    tags=("unpivot",),
+    tags=("unpivot", "dec2"),
 )
 def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (stack) wide measures into (measure, value) rows, then the
@@ -65,7 +65,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'discount', l_discount) AS (measure, value)"
     )
     return stacked.groupBy("measure").agg(
-        dsum(dec("value"), "total"), F.count(F.lit(1)).alias("n")
+        dsum2(dec("value"), "total"), F.count(F.lit(1)).alias("n")
     )
 
 

@@ -50,6 +50,39 @@ def dsum(c: Column, alias: str) -> Column:
     return F.sum(c).cast("decimal(38,6)").cast("double").alias(alias)
 
 
+def dsum2(c: Column, alias: str) -> Column:
+    """`dsum` with the final scale reduced to DECIMAL(38,2) — the registry
+    header's prescribed fix for aggregates whose magnitude breaches the
+    scale-6 2^53 bound at big SFs (r10, VERDICT r9 #7). The sum itself is
+    still exact; only the FINAL value is rounded to cents before the
+    double cast, identically in both engines (HALF_UP at scale 2), which
+    raises the correctly-rounded DECIMAL→DOUBLE bound from ~9.0e9 to
+    ~9.0e13 — two orders above the largest sf1 aggregate (3.8e11) with
+    headroom to ~sf200. Queries using it carry the ``dec2`` tag so
+    tools/sweep_sf1.py applies the matching bound.
+
+    The rounding must be an EXPLICIT round(x, 2), not a bare cast to
+    DECIMAL(38,2): Spark's decimal downscale cast rounds HALF_UP while
+    DuckDB's TRUNCATES (measured: 270163925.4896 → .49 vs .48), so a bare
+    cast diverges whenever the summed expression carries real sub-cent
+    digits (disc_price has 4). Both engines' round() is half-away-from-
+    zero on decimals, so the oracle mirrors `round(CAST(SUM(..) AS
+    DECIMAL(38,6)), 2)`."""
+    return (
+        F.round(F.sum(c).cast("decimal(38,6)"), 2)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias(alias)
+    )
+
+
+#: SQL twin of dsum2: round half-away-from-zero at scale 2, then DOUBLE.
+def sql_dsum2(sum_expr: str, alias: str) -> str:
+    return (
+        f"CAST(round(CAST(SUM({sum_expr}) AS DECIMAL(38,6)), 2) AS DOUBLE) AS {alias}"
+    )
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -71,19 +104,19 @@ SQL_DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount A
     "q1_pricing_summary",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
-       CAST(CAST(SUM({SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
-       CAST(CAST(SUM({SQL_DISC_PRICE} * CAST(1 + l_tax AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(CAST(SUM({SQL_DISC_PRICE}) AS DECIMAL(38,6)), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(CAST(SUM({SQL_DISC_PRICE} * CAST(1 + l_tax AS DECIMAL(8,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS sum_charge,
+       CAST(round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) / COUNT(*) AS avg_price,
        CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
-    tags=("agg", "tpch"),
+    tags=("agg", "tpch", "dec2"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: scan-filter → partial+final hash aggregate, 8 aggregates."""
@@ -92,11 +125,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc_price = disc_price_col()
     charge = disc_price * dec(F.lit(1) + F.col("l_tax"), D8)
+    # dsum2: sf1+ sums breach the scale-6 bound (sum_charge hit 2.9e10);
+    # final cents-rounding is applied identically in the oracle
     g = l.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum(dec("l_quantity"), "sum_qty"),
-        dsum(dec("l_extendedprice"), "sum_base_price"),
-        dsum(disc_price, "sum_disc_price"),
-        dsum(charge, "sum_charge"),
+        dsum2(dec("l_quantity"), "sum_qty"),
+        dsum2(dec("l_extendedprice"), "sum_base_price"),
+        dsum2(disc_price, "sum_disc_price"),
+        dsum2(charge, "sum_charge"),
         dsum(dec("l_discount"), "_sum_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
@@ -312,19 +347,20 @@ def agg_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """,
-    tags=("agg", "grouping-sets"),
+    tags=("agg", "grouping-sets", "dec2"),
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS via Spark SQL over a temp view."""
+    """GROUPING SETS via Spark SQL over a temp view (dec2: the grand-total
+    cell reached 3.8e11 at sf1 — cents-rounded final in both engines)."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,2)) AS DOUBLE) AS total
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """

@@ -1048,7 +1048,7 @@ UNION ALL
 SELECT 'purchase_after_click', CAST(COUNT(*) AS BIGINT),
        CAST(SUM(epoch_us(t3) - epoch_us(t2)) AS DOUBLE) / COUNT(*) FROM s3
 """,
-    tags=("streaming", "stateful", "cep"),
+    tags=("streaming", "stateful", "cep", "i64dbl"),
 )
 def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP-style funnel detection: a per-user state machine
@@ -1918,7 +1918,7 @@ def stream_hll_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_store_tail",
     oracle="""
 SELECT prio AS o_orderpriority,
-       CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS DOUBLE) AS total_open_price,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_open_price,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM (
   SELECT (CASE WHEN o_orderkey % 7 = 0 THEN '9-RUSH' ELSE o_orderpriority END) AS prio,
@@ -1929,7 +1929,7 @@ FROM (
 )
 GROUP BY 1
 """,
-    tags=("streaming", "cdc", "decode-once", "storage"),
+    tags=("streaming", "cdc", "decode-once", "storage", "dec2"),
 )
 def stream_store_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode-once store as a STREAMING SOURCE: a downstream consumer
@@ -1951,7 +1951,7 @@ def stream_store_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(store).schema
 
     empty = spark.createDataFrame(
-        [], "o_orderpriority string, total_open_price decimal(38,6), n_orders bigint"
+        [], "o_orderpriority string, total_open_price decimal(38,2), n_orders bigint"
     )
     state = {"totals": empty.localCheckpoint(), "batches": 0}
 
@@ -1987,8 +1987,10 @@ def stream_store_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         s = sign_col("op")
         agg = chg.groupBy("o_orderpriority").agg(
+            # dec2: 6.5e10 at sf1 breaches the scale-6 bound (cents are
+            # exact at scale 2, so no rounding is introduced here)
             F.sum(F.col("o_totalprice").cast("decimal(18,2)") * s)
-            .cast("decimal(38,6)")
+            .cast("decimal(38,2)")
             .alias("total_open_price"),
             F.sum(s).cast("bigint").alias("n_orders"),
         )

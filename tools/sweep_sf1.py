@@ -77,18 +77,34 @@ def run_oracle(con, sql: str):
         timer.cancel()
 
 
-def float_bound_violation(rows) -> float | None:
-    """Max |float cell| if any exceeds SAFE_ABS, else None. NaN/Inf pass
-    (they survive both engines' casts bit-exactly)."""
+def float_bound_violation(rows, bound: float = SAFE_ABS) -> float | None:
+    """Max |float cell| if any exceeds ``bound``, else None. NaN/Inf pass
+    (they survive both engines' casts bit-exactly).
+
+    The bound is tag-driven (r10, VERDICT r9 #7):
+      * default: SAFE_ABS = 9.0e9, the DECIMAL(38,6)->DOUBLE bound;
+      * ``dec2``: the query's final casts use DECIMAL(38,2) in BOTH
+        engines (dsum2, plans/relational.py) -> bound 9.0e13;
+      * ``i64dbl``: every float output is an int64/exact-integer ->
+        double conversion or arithmetic thereon — correctly rounded in
+        both engines at any magnitude -> no bound."""
     import math
 
     worst = None
     for r in rows:
         for v in r:
-            if isinstance(v, float) and math.isfinite(v) and abs(v) >= SAFE_ABS:
+            if isinstance(v, float) and math.isfinite(v) and abs(v) >= bound:
                 if worst is None or abs(v) > worst:
                     worst = abs(v)
     return worst
+
+
+def bound_for_tags(qtags: tuple) -> float:
+    if "i64dbl" in qtags:
+        return float("inf")
+    if "dec2" in qtags:
+        return 9.0e13
+    return SAFE_ABS
 
 
 def main() -> int:
@@ -168,10 +184,11 @@ def main() -> int:
             print(f"SKIP {name}: {excluded[name]}", flush=True)
             continue
         o_el = time.perf_counter() - t0
-        worst = float_bound_violation(orows)
+        bound = bound_for_tags(tags.get(name, ()))
+        worst = float_bound_violation(orows, bound)
         if worst is not None:
             excluded[name] = (
-                f"float output |{worst:.4g}| >= {SAFE_ABS:.1e} "
+                f"float output |{worst:.4g}| >= {bound:.1e} "
                 f"(DuckDB DECIMAL->DOUBLE 2^53-safe bound, plans/registry.py)"
             )
             print(f"SKIP {name}: {excluded[name]}", flush=True)
