@@ -10,7 +10,7 @@ The container has no image/audio libraries; two decode tiers exist:
   five scanline filters reconstructed). Each oracle-checked end-to-end
   (`multimodal_bmp_features`, `multimodal_wav_features`,
   `multimodal_png_features`).
-- **STUBBED**: jpeg/mp3/mp4 need external decoders — `decode_media`
+- **STUBBED**: mp3/mp4 need external decoders — `decode_media`
   raises NotImplementedError for them by disclosed contract, and offers a
   deterministic fake decoder so the Spark-side plumbing — schema,
   partitioning, UDF signature, batch shape — is tested end-to-end (that
@@ -106,7 +106,7 @@ def resize_plan(df: DataFrame, max_w: int, max_h: int) -> DataFrame:
 def decode_media(df: DataFrame, media_col: str = "media", meta_col: str = "meta") -> DataFrame:
     """Decode media payloads → fixed-size feature rows (Arrow-batched).
 
-    Real external codecs (jpeg/mp3/mp4…) are unavailable in this image — they
+    Real external codecs (mp3/mp4…) are unavailable in this image — they
     raise NotImplementedError by contract; the 'fake' codec decodes
     deterministically (byte histogram moments) so the full mapInPandas
     path is exercised. Output: doc_id, n_bytes, byte_sum, byte_mean.
@@ -223,7 +223,7 @@ def phash_neardup_pairs(
 # Real media codec, dependency-free: 24-bit uncompressed BMP (BITMAPINFOHEADER
 # + BI_RGB — pure byte arithmetic, no imaging library). This closes the
 # "media decode is stubbed" gap for one real format: the bytes on the wire
-# are genuine BMP files any image viewer opens; jpeg/mp3/mp4 keep the
+# are genuine BMP files any image viewer opens; mp3/mp4 keep the
 # disclosed NotImplementedError contract in `decode_media`.
 # ---------------------------------------------------------------------------
 
@@ -405,7 +405,7 @@ def resize_bmp_half(
 # ALL FIVE scanline filter types (None/Sub/Up/Average/Paeth, y % 5) so the
 # decoder's de-filter logic is genuinely exercised, and every chunk carries a
 # real CRC-32 the decoder verifies. Bytes on the wire are genuine PNG files
-# any viewer opens; jpeg/mp4 keep the NotImplementedError contract.
+# any viewer opens; mp3/mp4 keep the NotImplementedError contract.
 # ---------------------------------------------------------------------------
 
 
@@ -630,7 +630,7 @@ def decode_png_features(
 # Real media codec #2, dependency-free: RIFF/WAVE PCM16 mono audio. Like the
 # BMP codec above, the bytes are genuine files (any audio tool plays them),
 # and every feature is integer-exact so a SQL oracle can reproduce it in
-# closed form. jpeg/mp3/mp4 keep the disclosed NotImplementedError contract.
+# closed form. mp3/mp4 keep the disclosed NotImplementedError contract.
 # ---------------------------------------------------------------------------
 
 WAV_SAMPLE_RATE = 8000
@@ -762,7 +762,7 @@ def decode_wav_features(
 # is no stdlib codec to lean on, so the variable-width LZW encode AND decode
 # (LSB-first bit packing, CLEAR/END codes, width growth at table size 2^n,
 # 4096-entry reset) are implemented here. Bytes on the wire are genuine GIF
-# files any viewer opens; jpeg/mp3/mp4 keep the NotImplementedError contract.
+# files any viewer opens; mp3/mp4 keep the NotImplementedError contract.
 # Reference parity: opaque-binary media columns beside typed metadata is the
 # same payload contract as the other codecs (`decode_media` docstring).
 # ---------------------------------------------------------------------------
@@ -1032,4 +1032,411 @@ REAL_CODECS: dict[str, object] = {
     "png": decode_png_features,
     "gif": decode_gif_features,
 }
-STUBBED_CODECS: tuple[str, ...] = ("jpeg", "mp3", "mp4")
+STUBBED_CODECS: tuple[str, ...] = ("mp3", "mp4")
+
+
+# ---------------------------------------------------------------------------
+# Real media codec #5, dependency-free: BASELINE JPEG (grayscale, SOF0) —
+# r10, closing the biggest multimodal stub (VERDICT r9 #8). The full
+# baseline machinery is real: marker stream (SOI/DQT/SOF0/DHT/SOS/EOI),
+# canonical Huffman DC+AC tables carried in DHT, magnitude-category
+# coding with one's-complement negatives, zigzag, ZRL runs, EOB, byte
+# stuffing (0xFF -> 0xFF 0x00), dequantization, and a float IDCT.
+#
+# Exactness (what makes a closed-form SQL oracle possible for a LOSSY
+# format): each fixture 8x8 block carries ONLY two nonzero coefficients —
+# DC = 8*(c-128) and F(4,4) = 8*k. Both IDCT contributions are exactly
+# c-128 and k*s(x)s(y) with s = sign(cos((2x+1)pi/4)) = (+,-,-,+,+,-,-,+)
+# (the (4,4) basis product is +-1/8 exactly), so the decoded block is
+# c + k*s(x)s(y) up to ~1e-13 float error, which rounding removes. The
+# quant table is all ones, dims are multiples of 8, and c,k ranges keep
+# pixels inside [0,255] — decode is bit-exact END TO END while the AC
+# path (two ZRLs to zigzag index 39, magnitude bits, EOB) is genuinely
+# exercised. mp3/mp4 keep the NotImplementedError contract.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """Standard 8x8 zigzag order, derived (not transcribed): walk the 15
+    anti-diagonals, even diagonals traversed up-right."""
+    order: list[tuple[int, int]] = []
+    for s in range(15):
+        idx = [(r, s - r) for r in range(8) if 0 <= s - r < 8]
+        if s % 2 == 0:
+            idx.reverse()
+        order.extend(idx)
+    return order
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+#: canonical one-length Huffman specs (valid: n symbols < 2^len, so the
+#: all-ones code stays unused as JPEG requires). DC: categories 0..11;
+#: AC: EOB, ZRL, and (run=6, size 1..7) — zigzag index 39 sits behind
+#: 38 zeros = ZRL + ZRL + run 6.
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_VALS = [0x00, 0xF0] + [0x60 | s for s in range(1, 8)]
+
+
+def _jpeg_bits(vals: list[int], length: int) -> list[int]:
+    bits = [0] * 16
+    bits[length - 1] = len(vals)
+    return bits
+
+
+def _jpeg_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    codes: dict[int, tuple[int, int]] = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_mag(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + appended bits (one's complement for
+    negatives) — T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((code >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.buf.append(self._acc)
+                if self._acc == 0xFF:  # byte stuffing
+                    self.buf.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> bytes:
+        while self._n:
+            self.put(1, 1)  # pad with 1-bits per T.81 F.1.2.3
+        return bytes(self.buf)
+
+
+def encode_jpeg_gray(width: int, height: int, block_fn) -> bytes:
+    """Build a real baseline grayscale JPEG. ``block_fn(bx, by) -> (c, k)``
+    gives each 8x8 block's flat level c and checkerboard amplitude k (the
+    two-coefficient construction documented above). Dims must be multiples
+    of 8 (no edge replication in the fixture)."""
+    import struct
+
+    if width % 8 or height % 8:
+        raise ValueError("fixture JPEGs use multiple-of-8 dimensions")
+    dc_bits = _jpeg_bits(_JPEG_DC_VALS, 4)
+    ac_bits = _jpeg_bits(_JPEG_AC_VALS, 4)
+    dc_codes = _jpeg_codes(dc_bits, _JPEG_DC_VALS)
+    ac_codes = _jpeg_codes(ac_bits, _JPEG_AC_VALS)
+
+    def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+        body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)  # DQT all-ones
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", height, width)
+        + bytes([1, 1, 0x11, 0])  # 1 component, no subsampling, qtable 0
+    )
+    out += dht(0x00, dc_bits, _JPEG_DC_VALS)
+    out += dht(0x10, ac_bits, _JPEG_AC_VALS)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])  # SOS
+
+    w = _JpegBitWriter()
+    pred = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            c, k = block_fn(bx, by)
+            dc = 8 * (c - 128)
+            s, b = _jpeg_mag(dc - pred)
+            pred = dc
+            code, ln = dc_codes[s]
+            w.put(code, ln)
+            if s:
+                w.put(b, s)
+            if k:
+                for _ in range(2):  # 38 leading zeros -> ZRL, ZRL, run 6
+                    code, ln = ac_codes[0xF0]
+                    w.put(code, ln)
+                s, b = _jpeg_mag(8 * k)
+                code, ln = ac_codes[0x60 | s]
+                w.put(code, ln)
+                w.put(b, s)
+            code, ln = ac_codes[0x00]  # EOB
+            w.put(code, ln)
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader with 0xFF00 de-stuffing; raises loudly
+    on a real marker inside the stream (trusted ingest path)."""
+
+    def __init__(self, data: bytes) -> None:
+        self._d = data
+        self._i = 0
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            b = self._d[self._i]
+            self._i += 1
+            if b == 0xFF:
+                nxt = self._d[self._i]
+                self._i += 1
+                if nxt != 0x00:
+                    raise ValueError(f"marker 0xff{nxt:02x} inside entropy data")
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    table: dict[tuple[int, int], int] = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_read_huff(r: _JpegBitReader, table: dict) -> int:
+    code = length = 0
+    while True:
+        code = (code << 1) | r.bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+        if length > 16:
+            raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s appended bits back to the signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(raw: bytes):
+    """REAL baseline JPEG decode (grayscale SOF0, no subsampling): marker
+    walk, DQT (8-bit) + DHT (generic canonical tables — not just the ones
+    our encoder emits), Huffman entropy decode with de-stuffing, dezigzag,
+    dequantize, float IDCT, level shift, round, clamp. Returns (h, w)
+    uint8 numpy. Raises ValueError on progressive/multi-component/
+    structural damage."""
+    import struct
+
+    import numpy as np
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    qt: dict[int, list[int]] = {}
+    hts: dict[int, dict] = {}
+    w = h = None
+    tq = td = ta = 0
+    scan = None
+    while i < len(raw):
+        if raw[i] != 0xFF:
+            raise ValueError("bad marker alignment")
+        m = raw[i + 1]
+        i += 2
+        if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue  # standalone markers
+        ln = struct.unpack(">H", raw[i : i + 2])[0]
+        seg = raw[i + 2 : i + ln]
+        if m == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tqi = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:
+                    qt[tqi] = list(struct.unpack(">64H", seg[j : j + 128]))
+                    j += 128
+                else:
+                    qt[tqi] = list(seg[j : j + 64])
+                    j += 64
+        elif m == 0xC4:
+            j = 0
+            while j < len(seg):
+                tcth = seg[j]
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                hts[tcth] = _jpeg_build_decode(bits, list(seg[j + 17 : j + 17 + n]))
+                j += 17 + n
+        elif m == 0xC0:
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            if seg[5] != 1:
+                raise ValueError("grayscale baseline only (1 component)")
+            if seg[7] != 0x11:
+                raise ValueError("subsampling not supported")
+            tq = seg[8]
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline SOF0 supported")
+        elif m == 0xDA:
+            if seg[0] != 1:
+                raise ValueError("grayscale baseline only")
+            td, ta = seg[2] >> 4, seg[2] & 15
+            scan = raw[i + ln :]
+            break
+        i += ln
+    if scan is None or w is None:
+        raise ValueError("truncated JPEG (no SOS/SOF)")
+    if w % 8 or h % 8:
+        raise ValueError("fixture JPEGs are multiple-of-8 sized")
+
+    # IDCT as two matrix products: f = Ay @ F @ Ax^T with A[x,u] =
+    # 0.5*alpha(u)*cos((2x+1)u*pi/16)
+    cosm = np.array(
+        [[np.cos((2 * x + 1) * u * np.pi / 16) for u in range(8)] for x in range(8)]
+    )
+    alpha = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+    A = cosm * alpha[None, :] * 0.5
+
+    r = _JpegBitReader(scan)
+    dc_t, ac_t, q = hts[0x00 | td], hts[0x10 | ta], qt[tq]
+    img = np.zeros((h, w), dtype=np.uint8)
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            s = _jpeg_read_huff(r, dc_t)
+            pred += _jpeg_extend(r.bits(s), s) if s else 0
+            coef = np.zeros((8, 8))
+            coef[0, 0] = pred * q[0]
+            kidx = 0
+            while kidx < 63:
+                sym = _jpeg_read_huff(r, ac_t)
+                if sym == 0x00:
+                    break  # EOB
+                if sym == 0xF0:
+                    kidx += 16
+                    continue
+                kidx += (sym >> 4) + 1
+                if kidx > 63:
+                    raise ValueError("AC coefficient index overflow")
+                v = _jpeg_extend(r.bits(sym & 15), sym & 15)
+                rr, cc = _JPEG_ZZ[kidx]
+                coef[rr, cc] = v * q[kidx]
+            px = A @ coef @ A.T + 128.0
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = np.clip(
+                np.round(px), 0, 255
+            ).astype(np.uint8)
+    return img
+
+
+def _jpeg_block_params(doc_id: int, bx: int, by: int) -> tuple[int, int]:
+    """Fixture block law (mirrored by the SQL oracle): flat level c in
+    [16, 239], checkerboard amplitude k in [-14, 14] — pixels stay inside
+    [2, 253], no clamping ever fires."""
+    c = 16 + (5 * doc_id + 11 * bx + 23 * by) % 224
+    k = ((doc_id + bx + 3 * by) % 29) - 14
+    return c, k
+
+
+def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic JPEG fixture: w = 8*(1 + id%3), h = 8*(1 + id%2),
+    block law `_jpeg_block_params` — every payload carries DC prediction
+    across blocks, double-ZRL AC runs, EOB, and (statistically) byte
+    stuffing; all decode bit-exactly."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+                payloads.append(
+                    encode_jpeg_gray(
+                        w, h, lambda bx, by, i=i: _jpeg_block_params(i, bx, by)
+                    )
+                )
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "jpeg", "n_bytes": len(p), "width": 8 * (1 + int(i) % 3),
+                 "height": 8 * (1 + int(i) % 2), "duration_ms": 0}
+                for i, p in zip(ids, payloads)
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_jpeg_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL media decode #5: luma features from genuine baseline JPEGs via
+    `decode_jpeg_gray`. sum_luma pins the DC path (the checkerboard sums
+    to zero over each block); sum_block_origin — the sum of every block's
+    (0,0) pixel = c + k — pins the AC path (Huffman runs, magnitude bits,
+    zigzag target, dequantize, IDCT sign pattern). Arrow-batched
+    mapInPandas; bytes never leave the executor."""
+    import numpy as np
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for raw in pdf[media_col]:
+                img = decode_jpeg_gray(bytes(raw)).astype(np.int64)
+                h, w = img.shape
+                rows.append(
+                    (w, h, w * h, int(img.sum()), int(img[0::8, 0::8].sum()))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_pixels": [r[2] for r in rows],
+                    "sum_luma": [r[3] for r in rows],
+                    "sum_block_origin": [r[4] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, width bigint, height bigint, n_pixels bigint,"
+        " sum_luma bigint, sum_block_origin bigint",
+    )
+
+
+# jpeg joined the REAL tier in r10 (the codec lives below the inventory
+# declaration, so the registration happens here, after its definition)
+REAL_CODECS["jpeg"] = decode_jpeg_features

@@ -7969,11 +7969,55 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes through the palette into per-channel sums. The oracle
     reproduces the sums in closed form from the index and palette
     formulas — so the container walk AND the LZW round-trip are verified
-    pixel-exactly. Fourth real codec beside BMP/PNG/WAV; jpeg/mp3/mp4
+    pixel-exactly. Fourth real codec beside BMP/PNG/WAV; mp3/mp4
     keep the disclosed NotImplementedError contract."""
     docs = t(spark, sf_dir, "documents")
     media = M.attach_gif_media(docs)
     return M.decode_gif_features(media)
+
+
+@register(
+    "multimodal_jpeg_features",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h FROM documents
+), blocks AS (
+  SELECT doc_id, w, h, bxs.bx, bys.by
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, w // 8 - 1)) AS bx) bxs,
+       LATERAL (SELECT unnest(generate_series(0, h // 8 - 1)) AS by) bys
+), vals AS (
+  SELECT doc_id, w, h,
+         16 + (5 * doc_id + 11 * bx + 23 * by) % 224 AS c,
+         ((doc_id + bx + 3 * by) % 29) - 14 AS k
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(64 * c) AS BIGINT) AS sum_luma,
+       CAST(SUM(c + k) AS BIGINT) AS sum_block_origin
+FROM vals GROUP BY doc_id, w, h
+""",
+    tags=("ext", "multimodal", "codec"),
+)
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media codec #5 end-to-end, dependency-free: BASELINE JPEG
+    (r10 — closes the biggest multimodal stub). Every document gets a
+    genuine grayscale SOF0 JPEG: canonical Huffman DC/AC tables in DHT,
+    DC prediction across blocks, double-ZRL AC runs to zigzag index 39,
+    EOB, byte stuffing; `decode_jpeg_features` runs the full baseline
+    decoder (marker walk, generic DHT build, entropy decode, dezigzag,
+    dequantize, float IDCT, level shift). The two-coefficient fixture
+    blocks (DC + F(4,4)) make the lossy format decode BIT-EXACTLY (both
+    IDCT contributions are exact integers — `operators/multimodal.py`),
+    so the oracle reproduces sum_luma (DC path) and sum_block_origin (AC
+    path) in closed form. Fifth real codec beside BMP/PNG/WAV/GIF;
+    mp3/mp4 keep the disclosed NotImplementedError contract."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_jpeg_media(docs)
+    return M.decode_jpeg_features(media)
 
 
 @register(
