@@ -145,3 +145,60 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def rrf_topk(
+    df: DataFrame,
+    k: int = 10,
+    pool: int = 20,
+    rrf_k: int = 60,
+    n_terms: int = 8,
+    terms_per_query: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers (r10) — the standard
+    hybrid-search combiner (Cormack/Clarke/Büttcher RRF; what OpenSearch/
+    Vespa/Azure "hybrid" modes run): fuse each retriever's top-``pool``
+    by summing 1/(rrf_k + rank), take the fused top-``k``.
+
+    Retriever A is the integer-exact BM25 above; retriever B is a
+    tf-mass ranking over the same derived queries (Σ min(tf, cap) of the
+    query's terms — idf-free, so its ordering genuinely differs). The
+    fusion term is computed as ``1000000 div (rrf_k + rank)`` — integer
+    division, bit-identical in both engines — and a document appearing in
+    only one pool contributes that one term (RRF over the union, the
+    standard form). Ranks and the final order break ties by doc_id, so
+    every step is deterministic.
+
+    Scale: both retrievers are postings-bounded (Σ df of the query terms,
+    never corpus×queries); fusion touches 2·pool rows per query. At
+    100 TB the inverted index is a persisted bucketed table and the two
+    rankers share one postings scan."""
+    a = bm25_topk(df, k=pool, n_terms=n_terms, terms_per_query=terms_per_query,
+                  id_col=id_col, text_col=text_col)
+    post = postings(df, id_col, text_col)
+    qterms = top_query_terms(post, n_terms=n_terms, terms_per_query=terms_per_query)
+    mass = (
+        post.join(F.broadcast(qterms.select("query_id", "token")), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.least(F.col("tf"), F.lit(_TF_CAP))).alias("mass"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("mass"), F.asc("doc_id"))
+    b = (
+        mass.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= pool)
+    )
+    contrib = lambda rank: F.expr(f"1000000 div ({rrf_k} + {rank})")  # noqa: E731
+    pooled = a.select(
+        "query_id", "doc_id", contrib("rank").alias("c")
+    ).unionAll(b.select("query_id", "doc_id", contrib("rank").alias("c")))
+    fused = pooled.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("rrf6")
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf6"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf6", "rank")
+    )

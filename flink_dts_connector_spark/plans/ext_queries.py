@@ -2133,6 +2133,75 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_rrf_fusion",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+), post AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dls AS (
+  SELECT doc_id, CAST(len({SQL_TOKS}) AS BIGINT) AS dl FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls
+), dftbl AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM post
+  WHERE length(token) >= 4 AND token NOT IN ('the','a','of','and')
+  GROUP BY token
+), qt AS (
+  SELECT CAST((rnk - 1) // 2 AS BIGINT) AS query_id, token, df FROM (
+    SELECT token, df, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS rnk FROM dftbl
+  ) WHERE rnk <= 8
+), hits AS (
+  SELECT qt.query_id, p.doc_id, p.tf,
+         CAST(FLOOR(
+           CAST(((s.n_docs - qt.df) * 1000000) // s.n_docs
+                * LEAST(p.tf, 1000) * 22 * ((s.sum_dl * 1000) // s.n_docs) AS DOUBLE)
+           / CAST(10 * LEAST(p.tf, 1000) * ((s.sum_dl * 1000) // s.n_docs)
+                + 3 * ((s.sum_dl * 1000) // s.n_docs) + 9 * d.dl * 1000 AS DOUBLE)
+           * 1000000.0) AS BIGINT) AS t6
+  FROM post p
+  JOIN qt ON qt.token = p.token
+  JOIN dls d ON d.doc_id = p.doc_id, stats s
+), ranka AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY SUM(t6) DESC, doc_id) AS BIGINT) AS rank
+  FROM (SELECT query_id, doc_id, t6 FROM hits) GROUP BY query_id, doc_id
+), rankb AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY SUM(LEAST(tf, 1000)) DESC, doc_id) AS BIGINT) AS rank
+  FROM hits GROUP BY query_id, doc_id
+), pooled AS (
+  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM ranka WHERE rank <= 20
+  UNION ALL
+  SELECT query_id, doc_id, 1000000 // (60 + rank) FROM rankb WHERE rank <= 20
+), fused AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf6 FROM pooled GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf6, rank FROM (
+  SELECT query_id, doc_id, rrf6,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY rrf6 DESC, doc_id) AS BIGINT) AS rank
+  FROM fused
+) WHERE rank <= 10
+""",
+    tags=("ext", "search", "topk", "fusion"),
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: reciprocal-rank fusion — the standard hybrid-search combiner —
+    over two genuinely different retrievers on the same derived queries:
+    integer-exact BM25 (idf-weighted) and raw tf-mass (idf-free). Each
+    contributes 1000000 div (60 + rank) for its top-20 pool; fused top-10
+    per query. Integer division end to end, ties broken by doc_id, so the
+    oracle reconstructs both rankings and the fusion bit-exactly
+    (`operators/search.py::rrf_topk`)."""
+    from flink_dts_connector_spark.operators import search as SR
+
+    return SR.rrf_topk(t(spark, sf_dir, "documents"), k=10, pool=20)
+
+
+@register(
     "curate_chunk_dedup",
     oracle=f"""
 WITH d AS (
