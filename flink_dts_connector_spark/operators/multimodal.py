@@ -1128,11 +1128,15 @@ class _JpegBitWriter:
         return bytes(self.buf)
 
 
-def encode_jpeg_gray(width: int, height: int, block_fn) -> bytes:
+def encode_jpeg_gray(
+    width: int, height: int, block_fn, restart_interval: int = 0
+) -> bytes:
     """Build a real baseline grayscale JPEG. ``block_fn(bx, by) -> (c, k)``
     gives each 8x8 block's flat level c and checkerboard amplitude k (the
     two-coefficient construction documented above). Dims must be multiples
-    of 8 (no edge replication in the fixture)."""
+    of 8 (no edge replication in the fixture). ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that many MCUs — byte-
+    aligned, DC prediction reset, marker index mod 8 (T.81 E.1.4)."""
     import struct
 
     if width % 8 or height % 8:
@@ -1157,12 +1161,21 @@ def encode_jpeg_gray(width: int, height: int, block_fn) -> bytes:
     )
     out += dht(0x00, dc_bits, _JPEG_DC_VALS)
     out += dht(0x10, ac_bits, _JPEG_AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])  # SOS
 
     w = _JpegBitWriter()
     pred = 0
+    mcu = 0
     for by in range(height // 8):
         for bx in range(width // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out += w.flush()  # byte-align the segment
+                w = _JpegBitWriter()
+                out += bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+                pred = 0  # DC prediction resets at a restart
+            mcu += 1
             c, k = block_fn(bx, by)
             dc = 8 * (c - 128)
             s, b = _jpeg_mag(dc - pred)
@@ -1216,6 +1229,16 @@ class _JpegBitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> int:
+        """Consume a byte-aligned RSTn marker (T.81 E.1.4): discard the
+        current byte's padding bits, require 0xFF 0xD0-0xD7, return n."""
+        self._n = 0  # drop pad bits
+        b0, b1 = self._d[self._i], self._d[self._i + 1]
+        if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+            raise ValueError(f"expected RST marker, got 0x{b0:02x}{b1:02x}")
+        self._i += 2
+        return b1 - 0xD0
+
 
 def _jpeg_build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     table: dict[tuple[int, int], int] = {}
@@ -1263,6 +1286,7 @@ def decode_jpeg_gray(raw: bytes):
     hts: dict[int, dict] = {}
     w = h = None
     tq = td = ta = 0
+    restart_interval = 0
     scan = None
     while i < len(raw):
         if raw[i] != 0xFF:
@@ -1305,6 +1329,8 @@ def decode_jpeg_gray(raw: bytes):
             tq = seg[8]
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline SOF0 supported")
+        elif m == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:
             if seg[0] != 1:
                 raise ValueError("grayscale baseline only")
@@ -1329,8 +1355,15 @@ def decode_jpeg_gray(raw: bytes):
     dc_t, ac_t, q = hts[0x00 | td], hts[0x10 | ta], qt[tq]
     img = np.zeros((h, w), dtype=np.uint8)
     pred = 0
+    mcu = 0
     for by in range(h // 8):
         for bx in range(w // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                n = r.restart()
+                if n != (mcu // restart_interval - 1) % 8:
+                    raise ValueError(f"RST marker out of sequence: {n}")
+                pred = 0
+            mcu += 1
             s = _jpeg_read_huff(r, dc_t)
             pred += _jpeg_extend(r.bits(s), s) if s else 0
             coef = np.zeros((8, 8))
@@ -1369,7 +1402,8 @@ def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic JPEG fixture: w = 8*(1 + id%3), h = 8*(1 + id%2),
     block law `_jpeg_block_params` — every payload carries DC prediction
     across blocks, double-ZRL AC runs, EOB, and (statistically) byte
-    stuffing; all decode bit-exactly."""
+    stuffing; every third doc adds DRI=2 restart intervals with RSTn
+    markers (byte-aligned, prediction reset). All decode bit-exactly."""
     from collections.abc import Iterator as _It
 
     def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
@@ -1381,7 +1415,11 @@ def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
                 payloads.append(
                     encode_jpeg_gray(
-                        w, h, lambda bx, by, i=i: _jpeg_block_params(i, bx, by)
+                        w, h, lambda bx, by, i=i: _jpeg_block_params(i, bx, by),
+                        # every third doc streams with DRI=2 + RSTn markers,
+                        # so restart handling is exercised corpus-wide
+                        # (features are restart-invariant: same pixels)
+                        restart_interval=2 if i % 3 == 0 else 0,
                     )
                 )
             out = pd.DataFrame({"doc_id": ids, "media": payloads})

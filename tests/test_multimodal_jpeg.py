@@ -111,3 +111,26 @@ def test_jpeg_features_spark_roundtrip(spark, sf_dir):
         assert row["n_pixels"] == w * h
         assert row["sum_luma"] == 64 * sum(c for c, _ in cs)
         assert row["sum_block_origin"] == sum(c + k for c, k in cs)
+
+
+@pytest.mark.parametrize("doc_id", [1, 2, 5, 7, 11])  # all multi-MCU dims
+def test_jpeg_restart_markers_roundtrip(doc_id):
+    """DRI/RST path: restart intervals flush+byte-align, reset DC
+    prediction, and cycle marker indices mod 8 — pixels identical to the
+    restart-free encoding of the same blocks."""
+    w, h = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
+    bf = lambda bx, by: _jpeg_block_params(doc_id, bx, by)  # noqa: E731
+    plain = decode_jpeg_gray(encode_jpeg_gray(w, h, bf))
+    with_rst = encode_jpeg_gray(w, h, bf, restart_interval=1)
+    assert b"\xff\xdd" in with_rst and b"\xff\xd0" in with_rst
+    assert (decode_jpeg_gray(with_rst) == plain).all()
+
+
+def test_jpeg_rst_out_of_sequence_rejected():
+    raw = encode_jpeg_gray(32, 16, lambda bx, by: (100 + bx, 2), restart_interval=1)
+    # find the first RST0 marker in the entropy stream and bump its index
+    sos = raw.index(b"\xff\xda")
+    k = raw.index(b"\xff\xd0", sos)
+    broken = raw[:k] + b"\xff\xd3" + raw[k + 2 :]
+    with pytest.raises(ValueError, match="out of sequence|RST"):
+        decode_jpeg_gray(broken)
