@@ -864,13 +864,15 @@ WITH RECURSIVE e AS (
   SELECT vec_id, label, {SQL_Q} AS qe FROM embeddings
 ), n AS (
   SELECT vec_id, label, qe, CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS nrm FROM e
-), flat AS (
-  SELECT vec_id, label, nrm, unnest(qe) AS x, generate_subscripts(qe, 1) AS i FROM n
 ), dots AS (
-  SELECT a.vec_id AS a_id, b.vec_id AS b_id, CAST(SUM(a.x * b.x) AS BIGINT) AS dot,
-         ANY_VALUE(a.nrm) AS na, ANY_VALUE(b.nrm) AS nb
-  FROM flat a JOIN flat b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
-  GROUP BY 1, 2
+  -- r10: list_dot_product on the pair join instead of unnest+regroup —
+  -- 64x fewer intermediate rows, which is what let the sf1 oracle finish
+  -- inside the budget. Exact: quantized |x| <= ~5.3e5, dim 64 => every
+  -- partial double sum stays under 2^53, so the BIGINT cast is lossless.
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dot,
+         a.nrm AS na, b.nrm AS nb
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 ), pairs AS (
   SELECT a_id, b_id FROM dots
   WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.35
