@@ -825,3 +825,111 @@ def ivfpq_topk(
         rer.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
+
+
+def sq8_train_dims(items: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Train scalar quantization (SQ8): per-DIMENSION min/max over the
+    corpus — one posexplode + grouped agg + re-assembly into two
+    64-element arrays on a single broadcastable row. The quantized-int
+    domain keeps everything engine-exact."""
+    flat = items.select(
+        F.posexplode(quantized(emb_col)).alias("_i", "_x")
+    )
+    per_dim = flat.groupBy("_i").agg(
+        F.min("_x").alias("_mn"), F.max("_x").alias("_mx")
+    )
+    return per_dim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_mn"))), lambda s: s["_mn"]
+        ).alias("mn"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_mx"))), lambda s: s["_mx"]
+        ).alias("mx"),
+    )
+
+
+def sq8_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN member #5 (r10): SQ8 scalar quantization — FAISS's
+    ScalarQuantizer shape. Train per-dimension (min, max) on one corpus
+    pass; store every vector as 64 8-bit levels (8x smaller than the
+    quantized ints, 32x smaller than float32); score queries
+    ASYMMETRICALLY (full-precision query against reconstructed items —
+    the ADC trick) and exactly re-rank the top-``pool``. All encode/
+    reconstruct arithmetic is integer half-up rounding, so the oracle
+    reproduces every code and the ranking bit-exactly.
+
+    Scale: the trained (mn, mx) row broadcasts (128 ints); items encode in
+    one map; the scored join is |queries| x |items| like brute force but
+    over 8-bit reconstructions — in a real deployment the codes ride an
+    IVF cell layout (see ivfpq_topk) and this member contributes the
+    compression tier."""
+    dims = sq8_train_dims(items, emb_col)
+    it = (
+        items.select(F.col(id_col), quantized(emb_col).alias("_ie"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            id_col,
+            F.expr(
+                "zip_with(zip_with(_ie, mn, (x, m) -> x - m), "
+                "zip_with(mx, mn, (a, b) -> a - b), "
+                "(d, g) -> IF(g = 0, CAST(0 AS BIGINT), (d * 510 + g) div (2 * g)))"
+            ).alias("_code"),
+            "mn",
+            "mx",
+        )
+        .select(
+            id_col,
+            F.expr(
+                "zip_with(zip_with(_code, zip_with(mx, mn, (a, b) -> a - b), "
+                "(c, g) -> (c * g * 2 + 255) div 510), mn, (t, m) -> m + t)"
+            ).alias("_re"),
+        )
+        .withColumn("_rn", norm_sq_q(F.col("_re")))
+    )
+    q = queries.select(
+        F.col(query_id_col), quantized(emb_col).alias("_qe")
+    ).withColumn("_qn", norm_sq_q(F.col("_qe")))
+    scored = (
+        it.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine_q(dot_q(F.col("_qe"), F.col("_re")), F.col("_qn"), F.col("_rn")).alias(
+                "_s8"
+            ),
+        )
+    )
+    wp = W.partitionBy(query_id_col).orderBy(F.desc("_s8"), F.asc(id_col))
+    cand = scored.withColumn("_prank", F.row_number().over(wp)).where(
+        F.col("_prank") <= pool
+    )
+    # exact re-rank of the candidate pool (full-precision both sides)
+    exact = items.select(
+        F.col(id_col), quantized(emb_col).alias("_xe")
+    ).withColumn("_xn", norm_sq_q(F.col("_xe")))
+    rer = (
+        cand.join(exact, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine_q(dot_q(F.col("_qe"), F.col("_xe")), F.col("_qn"), F.col("_xn")).alias(
+                "score"
+            ),
+        )
+    )
+    wf = W.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

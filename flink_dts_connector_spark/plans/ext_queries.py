@@ -810,6 +810,76 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_sq8",
+    oracle=f"""
+WITH it AS (
+  SELECT vec_id, {SQL_Q} AS ie FROM embeddings
+), flat AS (
+  SELECT vec_id, unnest(ie) AS x, generate_subscripts(ie, 1) AS i FROM it
+), dims AS (
+  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM flat GROUP BY i
+), rec AS (
+  SELECT f.vec_id, f.i,
+         CASE WHEN d.mx = d.mn THEN d.mn
+              ELSE d.mn + ((((f.x - d.mn) * 510 + (d.mx - d.mn)) // (2 * (d.mx - d.mn)))
+                           * (d.mx - d.mn) * 2 + 255) // 510
+         END AS r
+  FROM flat f JOIN dims d USING (i)
+), recv AS (
+  SELECT vec_id, array_agg(r ORDER BY i) AS re FROM rec GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS query_id, {SQL_Q} AS qe FROM embeddings WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT q.query_id, r.vec_id,
+         CAST(list_dot_product(q.qe, r.re) AS BIGINT) AS dot,
+         CAST(list_dot_product(q.qe, q.qe) AS BIGINT) AS qn,
+         CAST(list_dot_product(r.re, r.re) AS BIGINT) AS rn
+  FROM q JOIN recv r ON r.vec_id <> q.query_id
+), cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(rn AS DOUBLE)) DESC,
+                      vec_id) AS prank
+    FROM scored
+  ) WHERE prank <= 20
+), rer AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(list_dot_product(q.qe, i.ie) AS BIGINT) AS dot,
+         CAST(list_dot_product(q.qe, q.qe) AS BIGINT) AS qn,
+         CAST(list_dot_product(i.ie, i.ie) AS BIGINT) AS xn
+  FROM cand c JOIN q ON q.query_id = c.query_id JOIN it i ON i.vec_id = c.vec_id
+)
+SELECT query_id, vec_id,
+       CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(xn AS DOUBLE)) AS score,
+       rank
+FROM (
+  SELECT query_id, vec_id, dot, qn, xn,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(xn AS DOUBLE)) DESC,
+                    vec_id) AS BIGINT) AS rank
+  FROM rer
+) WHERE rank <= 5
+""",
+    tags=("ext", "similarity", "approx"),
+)
+def ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10, ANN member #5: SQ8 scalar quantization (FAISS ScalarQuantizer
+    shape) — per-dimension (min, max) trained in one pass, vectors stored
+    as 8-bit levels, ASYMMETRIC scoring (full-precision query vs
+    reconstructed items), exact top-20→top-5 rerank. Encode and
+    reconstruct are integer half-up roundings, so the oracle reproduces
+    every code, both rankings, and the final scores bit-exactly
+    (`operators/similarity.py::sq8_topk`). Completes the quantization
+    family: sign-LSH / IVF / PQ / IVF-PQ / SQ8."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.sq8_topk(e, q, k=5, pool=20)
+
+
+@register(
     "ann_topk_ivf_trained",
     oracle=SNAP.SNAPSHOT_ANN_TOPK_IVF_TRAINED,
     tags=("ext", "similarity", "approx", "iterative", "snapshot-oracle"),
