@@ -144,6 +144,19 @@ HEADLINE = [
     # stream_incremental_curate (~19s: three full availableNow query
     # lifecycles + state materialization — a correctness flagship, not a
     # throughput probe).
+    # appended in round 10: the spatial pair join and its hot-cell-salted
+    # twin (same oracle — the pair shows what salting costs when there is
+    # no skew), the baseline-JPEG codec, hybrid RRF retrieval, SQ8 ANN,
+    # and the router-served typed changelog (store serve path).
+    # stream_failover_reseek stays registry-only: its cost is two full
+    # availableNow lifecycles + two broker builds — a correctness
+    # flagship, not a throughput probe.
+    "events_spatial_neighbor_pairs",
+    "events_spatial_neighbor_pairs_salted",
+    "multimodal_jpeg_features",
+    "search_rrf_fusion",
+    "ann_topk_sq8",
+    "cdc_routed_ingest",
 ]
 
 
