@@ -423,3 +423,23 @@ def test_spatial_salted_join_no_cartesian_and_broadcast_hot_list(spark):
     assert "BroadcastHashJoin" in plan  # the hot-cell list
     assert "_salt" in plan  # salt participates in the join key
     assert not __import__("re").search(r"ArrowEvalPython|BatchEvalPython|MapInPandas", plan)
+
+
+def test_rrf_fusion_plan_is_postings_bounded(spark):
+    """r10 RRF: both retrievers join broadcast query terms onto postings —
+    no CartesianProduct, no Python eval; the only nested-loop joins are
+    broadcast scalar frames (corpus stats)."""
+    plan = _plan(spark, "search_rrf_fusion")
+    assert "CartesianProduct" not in plan
+    assert not __import__("re").search(r"ArrowEvalPython|BatchEvalPython|MapInPandas", plan)
+
+
+def test_sq8_plan_broadcasts_trained_dims(spark):
+    """r10 SQ8: the trained (mn, mx) row and the query set broadcast; the
+    scored pass is one scan of the encoded items — zero Python, no
+    CartesianProduct (the broadcast-nested-loop of the 1-row dims frame is
+    the sanctioned scalar-broadcast form)."""
+    plan = _plan(spark, "ann_topk_sq8")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert not __import__("re").search(r"ArrowEvalPython|BatchEvalPython|MapInPandas", plan)
