@@ -157,6 +157,10 @@ HEADLINE = [
     "search_rrf_fusion",
     "ann_topk_sq8",
     "cdc_routed_ingest",
+    # r10 continuation: the two container codecs (mp3 frame walk / mp4 box
+    # walk) — Arrow-batched mapInPandas encode+parse over every document
+    "multimodal_mp3_features",
+    "multimodal_mp4_boxes",
 ]
 
 

@@ -2,19 +2,26 @@
 BINARY columns + typed metadata structs, with decode/feature-extract/resize/
 frame-sample as Arrow-batched Pandas UDF stages.
 
-The container has no image/audio libraries; two decode tiers exist:
-- **REAL, dependency-free**: 24-bit uncompressed BMP (`encode_bmp` /
-  `decode_bmp_features` — pure byte arithmetic), RIFF/WAVE PCM16 audio
-  (`encode_wav` / `decode_wav_features`), and PNG RGB8 (`encode_png` /
-  `decode_png_features` — stdlib zlib deflate, chunk CRCs verified, all
-  five scanline filters reconstructed). Each oracle-checked end-to-end
-  (`multimodal_bmp_features`, `multimodal_wav_features`,
-  `multimodal_png_features`).
-- **STUBBED**: mp3/mp4 need external decoders — `decode_media`
-  raises NotImplementedError for them by disclosed contract, and offers a
-  deterministic fake decoder so the Spark-side plumbing — schema,
-  partitioning, UDF signature, batch shape — is tested end-to-end (that
-  plumbing, not the pixel math, is what this engine owns at 100 TB).
+The container has no image/audio libraries; three decode tiers exist:
+- **REAL, dependency-free (sample-exact)**: 24-bit uncompressed BMP
+  (`encode_bmp` / `decode_bmp_features` — pure byte arithmetic), RIFF/WAVE
+  PCM16 audio (`encode_wav` / `decode_wav_features`), PNG RGB8
+  (`encode_png` / `decode_png_features` — stdlib zlib deflate, chunk CRCs
+  verified, all five scanline filters reconstructed), GIF87a (from-scratch
+  LZW), and baseline JPEG (Huffman + IDCT). Each oracle-checked end-to-end
+  (`multimodal_{bmp,wav,png,gif,jpeg}_features`).
+- **CONTAINER-REAL (structure-exact)**: MP3 frame walk (`encode_mp3` /
+  `decode_mp3_features` — ID3v2 skip, sync/version/layer validation,
+  bitrate/sample-rate tables, the frame-length law) and MP4 ISO-BMFF box
+  walk (`encode_mp4` / `decode_mp4_features` — box grammar, sample-table
+  cross-checks). The compressed AV sample payloads (Layer III granules,
+  AVC/AAC frames) stay undecoded by disclosed contract — features are
+  container-structure-exact, never waveform/pixel values.
+- **STUBBED**: `decode_media` raises NotImplementedError for any codec it
+  doesn't own and offers a deterministic fake decoder so the Spark-side
+  plumbing — schema, partitioning, UDF signature, batch shape — is tested
+  end-to-end (that plumbing, not the pixel math, is what this engine owns
+  at 100 TB).
 
 Scale notes: media bytes never leave the executor that read them (mapInPandas
 per-partition); metadata-only operations (frame sampling plans, filters)
@@ -106,10 +113,13 @@ def resize_plan(df: DataFrame, max_w: int, max_h: int) -> DataFrame:
 def decode_media(df: DataFrame, media_col: str = "media", meta_col: str = "meta") -> DataFrame:
     """Decode media payloads → fixed-size feature rows (Arrow-batched).
 
-    Real external codecs (mp3/mp4…) are unavailable in this image — they
-    raise NotImplementedError by contract; the 'fake' codec decodes
-    deterministically (byte histogram moments) so the full mapInPandas
-    path is exercised. Output: doc_id, n_bytes, byte_sum, byte_mean.
+    This generic stage supports only the deterministic 'fake' codec and
+    raises NotImplementedError for everything else by disclosed contract —
+    the real codecs each have a dedicated feature decoder
+    (`decode_{bmp,wav,png,gif,jpeg}_features` sample-exact,
+    `decode_{mp3,mp4}_features` container-exact); route by `REAL_CODECS` /
+    `CONTAINER_CODECS`. The fake path exercises the full mapInPandas
+    plumbing. Output: doc_id, n_bytes, byte_sum, byte_mean.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -221,10 +231,10 @@ def phash_neardup_pairs(
 
 # ---------------------------------------------------------------------------
 # Real media codec, dependency-free: 24-bit uncompressed BMP (BITMAPINFOHEADER
-# + BI_RGB — pure byte arithmetic, no imaging library). This closes the
+# + BI_RGB — pure byte arithmetic, no imaging library). This closed the
 # "media decode is stubbed" gap for one real format: the bytes on the wire
-# are genuine BMP files any image viewer opens; mp3/mp4 keep the
-# disclosed NotImplementedError contract in `decode_media`.
+# are genuine BMP files any image viewer opens. (mp3/mp4 have since joined
+# the container tier — see CONTAINER_CODECS at the end of this module.)
 # ---------------------------------------------------------------------------
 
 
@@ -405,7 +415,7 @@ def resize_bmp_half(
 # ALL FIVE scanline filter types (None/Sub/Up/Average/Paeth, y % 5) so the
 # decoder's de-filter logic is genuinely exercised, and every chunk carries a
 # real CRC-32 the decoder verifies. Bytes on the wire are genuine PNG files
-# any viewer opens; mp3/mp4 keep the NotImplementedError contract.
+# any viewer opens. (mp3/mp4 have since joined the container tier.)
 # ---------------------------------------------------------------------------
 
 
@@ -630,7 +640,7 @@ def decode_png_features(
 # Real media codec #2, dependency-free: RIFF/WAVE PCM16 mono audio. Like the
 # BMP codec above, the bytes are genuine files (any audio tool plays them),
 # and every feature is integer-exact so a SQL oracle can reproduce it in
-# closed form. mp3/mp4 keep the disclosed NotImplementedError contract.
+# closed form. (mp3/mp4 have since joined the container tier.)
 # ---------------------------------------------------------------------------
 
 WAV_SAMPLE_RATE = 8000
@@ -762,7 +772,7 @@ def decode_wav_features(
 # is no stdlib codec to lean on, so the variable-width LZW encode AND decode
 # (LSB-first bit packing, CLEAR/END codes, width growth at table size 2^n,
 # 4096-entry reset) are implemented here. Bytes on the wire are genuine GIF
-# files any viewer opens; mp3/mp4 keep the NotImplementedError contract.
+# files any viewer opens. (mp3/mp4 have since joined the container tier.)
 # Reference parity: opaque-binary media columns beside typed metadata is the
 # same payload contract as the other codecs (`decode_media` docstring).
 # ---------------------------------------------------------------------------
@@ -1032,7 +1042,11 @@ REAL_CODECS: dict[str, object] = {
     "png": decode_png_features,
     "gif": decode_gif_features,
 }
-STUBBED_CODECS: tuple[str, ...] = ("mp3", "mp4")
+#: mp3/mp4 moved to the CONTAINER tier in the r10 continuation (see
+#: `CONTAINER_CODECS` at the end of this module): their frame/box structure
+#: parses for real; only the compressed AV sample payloads stay undecoded.
+#: No whole format remains fully stubbed.
+STUBBED_CODECS: tuple[str, ...] = ()
 
 
 # ---------------------------------------------------------------------------
@@ -1052,7 +1066,7 @@ STUBBED_CODECS: tuple[str, ...] = ("mp3", "mp4")
 # quant table is all ones, dims are multiples of 8, and c,k ranges keep
 # pixels inside [0,255] — decode is bit-exact END TO END while the AC
 # path (two ZRLs to zigzag index 39, magnitude bits, EOB) is genuinely
-# exercised. mp3/mp4 keep the NotImplementedError contract.
+# exercised. (mp3/mp4 have since joined the container tier.)
 # ---------------------------------------------------------------------------
 
 
@@ -1478,3 +1492,480 @@ def decode_jpeg_features(
 # jpeg joined the REAL tier in r10 (the codec lives below the inventory
 # declaration, so the registration happens here, after its definition)
 REAL_CODECS["jpeg"] = decode_jpeg_features
+
+
+# ---------------------------------------------------------------------------
+# Container codec #6: MP3 (MPEG-1 Audio Layer III) at the FRAME level — r10
+# continuation, shrinking the last multimodal stub. What is REAL here is the
+# container: ID3v2.3 tag skip (syncsafe 28-bit size), frame-sync walk
+# (11 set bits), MPEG-version / layer / protection-bit validation, the
+# published Layer III bitrate and sample-rate tables, the padding bit, and
+# the frame-length law floor(144 * bitrate / sample_rate) + pad — the same
+# walk ffprobe does to count frames and compute duration. What stays OUT of
+# scope (disclosed): the compressed granule payload (side info, scalefactors,
+# Huffman spectrum, IMDCT) is NOT decoded to PCM — fixture payloads are
+# deterministic filler, and features are frame-structure-exact
+# (frame count, CBR bitrate, sample count = 1152/frame, duration) plus an
+# integer payload checksum, never waveform values.
+# ---------------------------------------------------------------------------
+
+#: MPEG-1 Layer III bitrate table (kbps), index 0 = free format (rejected),
+#: index 15 = invalid (rejected) — ISO/IEC 11172-3 table B.2.
+MP3_BITRATE_KBPS = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+#: MPEG-1 sample-rate table, index 3 = reserved (rejected).
+MP3_SAMPLE_RATES = (44100, 48000, 32000)
+MP3_SAMPLES_PER_FRAME = 1152
+
+
+def mp3_fixture_params(doc_id: int) -> dict:
+    """Deterministic per-doc stream law (mirrored by the SQL oracle):
+    3..7 frames, bitrate index 5..13 (64..256 kbps), all three MPEG-1
+    sample rates, 0..16 bytes of ID3v2 body."""
+    return {
+        "n_frames": 3 + doc_id % 5,
+        "bitrate_idx": 5 + doc_id % 9,
+        "sr_idx": doc_id % 3,
+        "id3_body": doc_id % 17,
+    }
+
+
+def mp3_frame_size(bitrate_idx: int, sr_idx: int, pad: int) -> int:
+    """Layer III frame length: floor(144 * bitrate / sample_rate) + padding."""
+    return 144 * MP3_BITRATE_KBPS[bitrate_idx] * 1000 // MP3_SAMPLE_RATES[sr_idx] + pad
+
+
+def encode_mp3(doc_id: int) -> bytes:
+    """Genuine MPEG-1 Layer III framing: optional ID3v2.3 tag, then CBR
+    frames whose 4-byte headers any mp3 frame walker parses (sync 0xFFE,
+    version MPEG-1, layer III, no CRC, mono). The payload after each
+    header is deterministic filler ((doc_id*7 + k*13) % 251 — never 0xFF,
+    so no false syncs even for a scanning parser): framing real, audio
+    synthetic, as disclosed in the section banner."""
+    p = mp3_fixture_params(doc_id)
+    m = p["id3_body"]
+    out = bytearray()
+    out += b"ID3" + bytes((3, 0, 0))
+    out += bytes(((m >> 21) & 0x7F, (m >> 14) & 0x7F, (m >> 7) & 0x7F, m & 0x7F))
+    out += bytes(m)
+    for k in range(p["n_frames"]):
+        pad = (doc_id + k) % 2
+        size = mp3_frame_size(p["bitrate_idx"], p["sr_idx"], pad)
+        b2 = (p["bitrate_idx"] << 4) | (p["sr_idx"] << 2) | (pad << 1)
+        # 0xFB = sync low bits + MPEG-1 (11) + Layer III (01) + no-CRC (1);
+        # 0xC4 = mono (11) + mode-ext 00 + copyright 0 + original 1 + emphasis 00
+        out += bytes((0xFF, 0xFB, b2, 0xC4))
+        v = (doc_id * 7 + k * 13) % 251
+        out += bytes([v]) * (size - 4)
+    return bytes(out)
+
+
+def attach_mp3_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real-framed MP3 payload per row (the container twin of
+    `attach_wav_media`)."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_mp3(int(i)) for i in ids]
+            metas = []
+            for i, p in zip(ids, payloads):
+                q = mp3_fixture_params(int(i))
+                sr = MP3_SAMPLE_RATES[q["sr_idx"]]
+                metas.append(
+                    {
+                        "codec": "mp3",
+                        "n_bytes": len(p),
+                        "width": 0,
+                        "height": 0,
+                        "duration_ms": q["n_frames"] * MP3_SAMPLES_PER_FRAME * 1000 // sr,
+                    }
+                )
+            out = pd.DataFrame({"doc_id": ids, "media": payloads, "meta": metas})
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_mp3_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL frame-level MP3 parse (no PCM decode — see section banner):
+    skip ID3v2 via the syncsafe size, then walk frames validating sync /
+    version / layer / bitrate / sample-rate indexes and the frame-length
+    law; enforce CBR; reject torn frames, trailing garbage, free-format
+    and reserved indexes, and CRC-protected streams (unsupported, loud).
+    Emits integer-exact structure features. Arrow-batched mapInPandas."""
+
+    def parse(raw: bytes):
+        raw = bytes(raw)
+        pos = 0
+        id3_bytes = 0
+        if raw[:3] == b"ID3":
+            if len(raw) < 10:
+                raise ValueError("torn ID3v2 header")
+            if raw[5] & 0x10:
+                raise ValueError("ID3v2 footer unsupported")
+            if (raw[6] | raw[7] | raw[8] | raw[9]) & 0x80:
+                raise ValueError("non-syncsafe ID3v2 size")
+            sz = (raw[6] << 21) | (raw[7] << 14) | (raw[8] << 7) | raw[9]
+            id3_bytes = 10 + sz
+            if id3_bytes > len(raw):
+                raise ValueError("torn ID3v2 tag")
+            pos = id3_bytes
+        frames = padded = payload_sum = 0
+        bitrate = srate = None
+        while pos < len(raw):
+            if pos + 4 > len(raw):
+                raise ValueError("torn frame header")
+            b0, b1, b2 = raw[pos], raw[pos + 1], raw[pos + 2]
+            if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+                raise ValueError(f"lost frame sync at byte {pos}")
+            if (b1 >> 3) & 0x3 != 0x3:
+                raise ValueError("unsupported MPEG version (MPEG-1 only)")
+            if (b1 >> 1) & 0x3 != 0x1:
+                raise ValueError("unsupported layer (Layer III only)")
+            if not (b1 & 0x1):
+                raise ValueError("CRC-protected frames unsupported")
+            bidx, sidx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+            if bidx == 0:
+                raise ValueError("free-format bitrate unsupported")
+            if bidx == 15:
+                raise ValueError("invalid bitrate index")
+            if sidx == 3:
+                raise ValueError("reserved sample-rate index")
+            kbps, sr = MP3_BITRATE_KBPS[bidx], MP3_SAMPLE_RATES[sidx]
+            if bitrate is None:
+                bitrate, srate = kbps, sr
+            elif (kbps, sr) != (bitrate, srate):
+                raise ValueError("VBR stream (CBR walk expected)")
+            size = 144 * kbps * 1000 // sr + pad
+            if pos + size > len(raw):
+                raise ValueError("torn frame body")
+            payload_sum += sum(raw[pos + 4 : pos + size])
+            padded += pad
+            frames += 1
+            pos += size
+        if frames == 0:
+            raise ValueError("no MPEG frames")
+        n_samples = frames * MP3_SAMPLES_PER_FRAME
+        return (
+            frames,
+            srate,
+            bitrate,
+            n_samples,
+            n_samples * 1000 // srate,
+            padded,
+            payload_sum,
+            len(raw),
+            id3_bytes,
+        )
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [parse(raw) for raw in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_frames": [p[0] for p in parsed],
+                    "sample_rate": [p[1] for p in parsed],
+                    "bitrate_kbps": [p[2] for p in parsed],
+                    "n_samples": [p[3] for p in parsed],
+                    "duration_ms": [p[4] for p in parsed],
+                    "padded_frames": [p[5] for p in parsed],
+                    "payload_sum": [p[6] for p in parsed],
+                    "n_bytes": [p[7] for p in parsed],
+                    "id3_bytes": [p[8] for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, n_frames bigint, sample_rate bigint,"
+        " bitrate_kbps bigint, n_samples bigint, duration_ms bigint,"
+        " padded_frames bigint, payload_sum bigint, n_bytes bigint,"
+        " id3_bytes bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Container codec #7: MP4 (ISO/IEC 14496-12 ISO-BMFF) at the BOX level — the
+# video-container sibling of the MP3 frame walk. REAL here: the box grammar
+# (32-bit size + fourcc, 64-bit largesize escape, containment with exact
+# child-size coverage), and the sample-table machinery a frame-sampling
+# pipeline actually reads — mvhd/mdhd timescales and durations, hdlr, stts
+# (decode deltas), stsz (per-sample sizes), stsc/stco chunk mapping, with
+# the stco offset and the mdat payload cross-checked byte-exactly against
+# stsz. OUT of scope (disclosed): the codec bitstream inside the samples
+# (AVC NAL units / AAC frames) is NOT decoded — fixture sample payloads are
+# deterministic filler; features are container-structure-exact.
+# ---------------------------------------------------------------------------
+
+MP4_TIMESCALES = (600, 1000, 90000)
+MP4_CONTAINERS = (b"moov", b"trak", b"mdia", b"minf", b"stbl")
+
+
+def mp4_fixture_params(doc_id: int) -> dict:
+    """Deterministic per-doc movie law (mirrored by the SQL oracle):
+    5..11 samples, media timescale from the canonical {600, 1000, 90000},
+    uniform decode delta 100..149 ticks, alternating soun/vide handler."""
+    return {
+        "n_samples": 5 + doc_id % 7,
+        "timescale": MP4_TIMESCALES[doc_id % 3],
+        "delta": 100 + doc_id % 50,
+        "handler": b"vide" if doc_id % 2 else b"soun",
+    }
+
+
+def mp4_sample_size(doc_id: int, k: int) -> int:
+    return 20 + (doc_id * 11 + k * 17) % 43
+
+
+def mp4_sample_fill(doc_id: int, k: int) -> int:
+    return (doc_id * 5 + k * 29) % 251
+
+
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + tag + body
+
+
+def _mp4_full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _mp4_box(tag, bytes((version,)) + flags.to_bytes(3, "big") + body)
+
+
+#: fixed byte overhead of the fixture box tree (everything except stsz's
+#: 4-byte-per-sample table and the mdat payload); pinned by
+#: tests/test_multimodal_mp4.py::test_fixture_overhead_constant
+MP4_FIXTURE_OVERHEAD = 481
+
+
+def encode_mp4(doc_id: int) -> bytes:
+    """Genuine ISO-BMFF: ftyp(isom) + moov[mvhd + trak[tkhd + mdia[mdhd +
+    hdlr + minf[nmhd + stbl[stsd + stts + stsc + stsz + stco]]]]] + mdat.
+    The stco entry is the true file offset of the first (only) chunk, so
+    the decoder can cross-check it against the mdat payload start. Sample
+    payloads are deterministic filler (see section banner)."""
+    import struct
+
+    p = mp4_fixture_params(doc_id)
+    n, ts, delta = p["n_samples"], p["timescale"], p["delta"]
+    sizes = [mp4_sample_size(doc_id, k) for k in range(n)]
+    dur = n * delta
+    mv_dur = dur * 1000 // ts
+    ftyp = _mp4_box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isom" + b"mp41")
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, mv_dur)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, mv_dur)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 0, 0),
+    )
+    mdhd = _mp4_full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, ts, dur, 0x55C4, 0))
+    hdlr = _mp4_full(b"hdlr", 0, 0, b"\x00" * 4 + p["handler"] + b"\x00" * 12 + b"\x00")
+    nmhd = _mp4_full(b"nmhd", 0, 0, b"")
+    fmt = b"mp4v" if p["handler"] == b"vide" else b"mp4a"
+    entry = _mp4_box(fmt, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8)
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _mp4_full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+
+    def build_moov(chunk_off: int) -> bytes:
+        stco = _mp4_full(b"stco", 0, 0, struct.pack(">II", 1, chunk_off))
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _mp4_box(b"minf", nmhd + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        return _mp4_box(b"moov", mvhd + trak)
+
+    # stco holds an absolute file offset; the moov length is offset-invariant
+    # (one fixed-width entry), so lay out once with 0 then rebuild with the
+    # real offset.
+    payload_off = len(ftyp) + len(build_moov(0)) + 8
+    moov = build_moov(payload_off)
+    payload = b"".join(
+        bytes([mp4_sample_fill(doc_id, k)]) * sizes[k] for k in range(n)
+    )
+    return ftyp + moov + _mp4_box(b"mdat", payload)
+
+
+def attach_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real ISO-BMFF payload per row."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_mp4(int(i)) for i in ids]
+            metas = []
+            for i, p in zip(ids, payloads):
+                q = mp4_fixture_params(int(i))
+                metas.append(
+                    {
+                        "codec": "mp4",
+                        "n_bytes": len(p),
+                        "width": 0,
+                        "height": 0,
+                        "duration_ms": q["n_samples"] * q["delta"] * 1000 // q["timescale"],
+                    }
+                )
+            out = pd.DataFrame({"doc_id": ids, "media": payloads, "meta": metas})
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def _mp4_walk(buf: bytes, start: int, end: int, depth: int, out: list) -> None:
+    """Recursive box walk: every box must fit its parent exactly; container
+    children are themselves walked. Supports the 64-bit largesize escape."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("torn box header")
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        tag = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("torn largesize box")
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            hdr = 16
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad box size for {tag!r}")
+        out.append((bytes(tag), pos + hdr, pos + size, depth))
+        if bytes(tag) in MP4_CONTAINERS:
+            _mp4_walk(buf, pos + hdr, pos + size, depth + 1, out)
+        pos += size
+
+
+def decode_mp4_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL box-level MP4 parse (no AV bitstream decode — see banner):
+    full recursive box walk with exact-containment checks, then the
+    sample-table cross-checks a frame-sampling plan needs: stts count ==
+    stsz count, mdat payload length == Σ stsz, stco chunk offset == mdat
+    payload start, mvhd duration == mdhd duration rescaled to the movie
+    timescale. Emits integer-exact container features."""
+    import struct
+
+    def parse(raw: bytes):
+        raw = bytes(raw)
+        boxes: list = []
+        _mp4_walk(raw, 0, len(raw), 0, boxes)
+        by_tag: dict = {}
+        for tag, b0, b1, depth in boxes:
+            by_tag.setdefault(tag, []).append((b0, b1, depth))
+        for tag in (b"ftyp", b"moov", b"mvhd", b"mdhd", b"hdlr",
+                    b"stts", b"stsz", b"stco", b"mdat"):
+            if len(by_tag.get(tag, [])) != 1:
+                raise ValueError(f"expected exactly one {tag!r} box")
+        f0, f1, _ = by_tag[b"ftyp"][0]
+        if raw[f0 : f0 + 4] != b"isom":
+            raise ValueError("unsupported major brand")
+        v0, _, _ = by_tag[b"mvhd"][0]
+        if raw[v0] != 0:
+            raise ValueError("mvhd version 1 unsupported")
+        _, _, movie_ts, movie_dur = struct.unpack_from(">IIII", raw, v0 + 4)
+        m0, _, _ = by_tag[b"mdhd"][0]
+        if raw[m0] != 0:
+            raise ValueError("mdhd version 1 unsupported")
+        _, _, media_ts, media_dur = struct.unpack_from(">IIII", raw, m0 + 4)
+        if media_ts == 0:
+            raise ValueError("zero media timescale")
+        h0, _, _ = by_tag[b"hdlr"][0]
+        handler = raw[h0 + 8 : h0 + 12].decode("ascii")
+        t0, _, _ = by_tag[b"stts"][0]
+        (n_stts,) = struct.unpack_from(">I", raw, t0 + 4)
+        if n_stts != 1:
+            raise ValueError("multi-entry stts unsupported in fixture walk")
+        stts_count, stts_delta = struct.unpack_from(">II", raw, t0 + 8)
+        z0, _, _ = by_tag[b"stsz"][0]
+        uniform, n_samples = struct.unpack_from(">II", raw, z0 + 4)
+        if uniform != 0:
+            raise ValueError("uniform stsz unsupported in fixture walk")
+        sizes = list(struct.unpack_from(f">{n_samples}I", raw, z0 + 12))
+        c0, _, _ = by_tag[b"stco"][0]
+        n_stco, chunk_off = struct.unpack_from(">II", raw, c0 + 4)
+        if n_stco != 1:
+            raise ValueError("multi-chunk stco unsupported in fixture walk")
+        d0, d1, _ = by_tag[b"mdat"][0]
+        if chunk_off != d0:
+            raise ValueError("stco offset does not hit the mdat payload")
+        if d1 - d0 != sum(sizes):
+            raise ValueError("mdat length != sum(stsz)")
+        if stts_count != n_samples:
+            raise ValueError("stts sample count != stsz count")
+        if media_dur != stts_count * stts_delta:
+            raise ValueError("mdhd duration != stts total")
+        if movie_dur != media_dur * movie_ts // media_ts:
+            raise ValueError("mvhd duration not rescaled from mdhd")
+        payload_sum = sum(raw[d0:d1])
+        return (
+            len(boxes),
+            max(d for _, _, _, d in boxes),
+            movie_ts,
+            media_ts,
+            media_dur,
+            media_dur * 1000 // media_ts,
+            n_samples,
+            sum(sizes),
+            payload_sum,
+            handler,
+            len(raw),
+        )
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [parse(raw) for raw in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_boxes": [p[0] for p in parsed],
+                    "max_depth": [p[1] for p in parsed],
+                    "movie_timescale": [p[2] for p in parsed],
+                    "media_timescale": [p[3] for p in parsed],
+                    "media_duration": [p[4] for p in parsed],
+                    "duration_ms": [p[5] for p in parsed],
+                    "n_samples": [p[6] for p in parsed],
+                    "sample_bytes": [p[7] for p in parsed],
+                    "payload_sum": [p[8] for p in parsed],
+                    "handler": [p[9] for p in parsed],
+                    "n_bytes": [p[10] for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, n_boxes bigint, max_depth bigint,"
+        " movie_timescale bigint, media_timescale bigint, media_duration bigint,"
+        " duration_ms bigint, n_samples bigint, sample_bytes bigint,"
+        " payload_sum bigint, handler string, n_bytes bigint",
+    )
+
+
+# mp3/mp4 joined the CONTAINER tier in the r10 continuation: the container
+# walk (framing / box grammar / sample tables) is real and oracle-checked;
+# the compressed AV sample payloads stay undecoded by disclosed contract.
+CONTAINER_CODECS: dict[str, object] = {
+    "mp3": decode_mp3_features,
+    "mp4": decode_mp4_features,
+}

@@ -6336,8 +6336,8 @@ def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the sums in closed form from the pixel formula — so header
     layout, row padding, bottom-up flip, and BGR channel order are all
     verified bit-exactly. This closes the multimodal family's "decode is
-    stubbed" gap for one real format; jpeg/png keep the disclosed
-    NotImplementedError contract (`operators/multimodal.py:decode_media`)."""
+    stubbed" gap for one real format (jpeg/png/gif have since joined the
+    sample-exact tier, mp3/mp4 the container tier)."""
     docs = t(spark, sf_dir, "documents")
     media = M.attach_bmp_media(docs)
     return M.decode_bmp_features(media)
@@ -7776,7 +7776,8 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     every number in closed form from the sample formula — header layout,
     int16 little-endian packing, and the data-chunk length are all
     verified bit-exactly. Closes the audio modality's "decode is stubbed"
-    gap; mp3/flac keep the disclosed NotImplementedError contract."""
+    gap; the MP3 sibling is container-level (`multimodal_mp3_features`) —
+    its PCM decode stays out of scope by disclosed contract."""
     docs = t(spark, sf_dir, "documents")
     media = M.attach_wav_media(docs)
     return M.decode_wav_features(media)
@@ -8070,8 +8071,8 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the sums in closed form from the pixel formula — so chunk
     framing, CRC math, deflate round-trip, and every de-filter branch are
     verified bit-exactly. With BMP (r6) and WAV (r7) this makes three
-    real codecs; jpeg/mp3/mp4 keep the disclosed NotImplementedError
-    contract (`operators/multimodal.py:decode_media`)."""
+    real codecs (jpeg has since joined them, mp3/mp4 the container
+    tier)."""
     docs = t(spark, sf_dir, "documents")
     media = M.attach_png_media(docs)
     return M.decode_png_features(media)
@@ -8110,8 +8111,8 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes through the palette into per-channel sums. The oracle
     reproduces the sums in closed form from the index and palette
     formulas — so the container walk AND the LZW round-trip are verified
-    pixel-exactly. Fourth real codec beside BMP/PNG/WAV; mp3/mp4
-    keep the disclosed NotImplementedError contract."""
+    pixel-exactly. Fourth real codec beside BMP/PNG/WAV (mp3/mp4 have
+    since joined the container tier)."""
     docs = t(spark, sf_dir, "documents")
     media = M.attach_gif_media(docs)
     return M.decode_gif_features(media)
@@ -8154,8 +8155,8 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks (DC + F(4,4)) make the lossy format decode BIT-EXACTLY (both
     IDCT contributions are exact integers — `operators/multimodal.py`),
     so the oracle reproduces sum_luma (DC path) and sum_block_origin (AC
-    path) in closed form. Fifth real codec beside BMP/PNG/WAV/GIF;
-    mp3/mp4 keep the disclosed NotImplementedError contract."""
+    path) in closed form. Fifth real codec beside BMP/PNG/WAV/GIF
+    (mp3/mp4 have since joined the container tier)."""
     docs = t(spark, sf_dir, "documents")
     media = M.attach_jpeg_media(docs)
     return M.decode_jpeg_features(media)
@@ -8853,3 +8854,110 @@ def events_spatial_neighbor_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
         F.min("dist_sq").cast("bigint").alias("nn_dist_sq"),
     )
+
+
+@register(
+    "multimodal_mp3_features",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         3 + doc_id % 5 AS nf,
+         5 + doc_id % 9 AS bidx,
+         doc_id % 3 AS sridx,
+         doc_id % 17 AS id3m
+  FROM documents
+), t AS (
+  SELECT doc_id, nf, id3m,
+         CASE bidx WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+                   WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+                   WHEN 12 THEN 224 WHEN 13 THEN 256 END AS kbps,
+         CASE sridx WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr
+  FROM p
+), fr AS (
+  SELECT doc_id, nf, id3m, kbps, sr, k.k,
+         (doc_id + k.k) % 2 AS pad,
+         144 * kbps * 1000 // sr + (doc_id + k.k) % 2 AS fsize,
+         (doc_id * 7 + k.k * 13) % 251 AS v
+  FROM t, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS k) k
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(nf) AS BIGINT) AS n_frames,
+       CAST(ANY_VALUE(sr) AS BIGINT) AS sample_rate,
+       CAST(ANY_VALUE(kbps) AS BIGINT) AS bitrate_kbps,
+       CAST(ANY_VALUE(nf) * 1152 AS BIGINT) AS n_samples,
+       CAST(ANY_VALUE(nf) * 1152 * 1000 // ANY_VALUE(sr) AS BIGINT) AS duration_ms,
+       CAST(SUM(pad) AS BIGINT) AS padded_frames,
+       CAST(SUM(v * (fsize - 4)) AS BIGINT) AS payload_sum,
+       CAST(10 + ANY_VALUE(id3m) + SUM(fsize) AS BIGINT) AS n_bytes,
+       CAST(10 + ANY_VALUE(id3m) AS BIGINT) AS id3_bytes
+FROM fr GROUP BY doc_id
+""",
+    tags=("ext", "multimodal", "codec", "audio"),
+)
+def multimodal_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame-level MP3 container parse end-to-end (container codec
+    #6): every document gets a genuine MPEG-1 Layer III CBR stream —
+    ID3v2.3 tag + frames whose sync words, version/layer bits, bitrate and
+    sample-rate table indexes, padding bits, and frame-length law
+    floor(144*kbps/sr)+pad are all real and all validated on decode, the
+    same walk ffprobe does to count frames and compute duration. The
+    oracle reproduces every feature (frame count, CBR bitrate, 1152
+    samples/frame, exact-integer duration, padded-frame count, payload
+    checksum, byte lengths) in closed form, so tag skip, header packing,
+    and the length law are verified bit-exactly. DISCLOSED boundary: the
+    compressed granule payload (Huffman spectrum + IMDCT) stays undecoded
+    — features are frame-structure-exact, not waveform-exact."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_mp3_media(docs)
+    return M.decode_mp3_features(media)
+
+
+@register(
+    "multimodal_mp4_boxes",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         5 + doc_id % 7 AS n,
+         CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS ts,
+         100 + doc_id % 50 AS delta,
+         CASE WHEN doc_id % 2 = 1 THEN 'vide' ELSE 'soun' END AS handler
+  FROM documents
+), smp AS (
+  SELECT doc_id, n, ts, delta, handler, k.k,
+         20 + (doc_id * 11 + k.k * 17) % 43 AS sz,
+         (doc_id * 5 + k.k * 29) % 251 AS fill
+  FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS k) k
+)
+SELECT doc_id,
+       CAST(17 AS BIGINT) AS n_boxes,
+       CAST(5 AS BIGINT) AS max_depth,
+       CAST(1000 AS BIGINT) AS movie_timescale,
+       CAST(ANY_VALUE(ts) AS BIGINT) AS media_timescale,
+       CAST(ANY_VALUE(n) * ANY_VALUE(delta) AS BIGINT) AS media_duration,
+       CAST(ANY_VALUE(n) * ANY_VALUE(delta) * 1000 // ANY_VALUE(ts) AS BIGINT) AS duration_ms,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_samples,
+       CAST(SUM(sz) AS BIGINT) AS sample_bytes,
+       CAST(SUM(sz * fill) AS BIGINT) AS payload_sum,
+       ANY_VALUE(handler) AS handler,
+       CAST(481 + 4 * ANY_VALUE(n) + SUM(sz) AS BIGINT) AS n_bytes
+FROM smp GROUP BY doc_id
+""",
+    tags=("ext", "multimodal", "codec", "video"),
+)
+def multimodal_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL box-level ISO-BMFF (MP4) parse end-to-end (container codec
+    #7, the video sibling of `multimodal_mp3_features`): every document
+    gets a genuine ftyp/moov/trak/mdia/minf/stbl/mdat tree; the decoder
+    re-walks the box grammar recursively (exact containment, largesize
+    escape) and cross-checks the sample tables the way a frame-sampling
+    pipeline must — stts count == stsz count, mdat length == Σ stsz, stco
+    chunk offset == mdat payload start, mvhd duration == mdhd duration
+    rescaled to the movie timescale. The oracle reproduces every feature
+    (box census, timescales, exact-integer durations, per-sample size sum,
+    payload checksum, total byte length incl. the 481-byte fixed tree
+    overhead) in closed form. DISCLOSED boundary: the codec bitstream
+    inside samples (AVC/AAC) stays undecoded — features are
+    container-structure-exact."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_mp4_media(docs)
+    return M.decode_mp4_features(media)

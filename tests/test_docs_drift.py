@@ -94,6 +94,7 @@ def test_readme_codec_paragraph_matches_codec_inventory():
     appear in the paragraph, every STUBBED name must appear in its stub
     clause, and no stubbed codec may be claimed real."""
     from flink_dts_connector_spark.operators.multimodal import (
+        CONTAINER_CODECS,
         REAL_CODECS,
         STUBBED_CODECS,
     )
@@ -102,14 +103,22 @@ def test_readme_codec_paragraph_matches_codec_inventory():
     m = re.search(r"- Media codecs:(.*?)(?=\n- )", text, re.S)
     assert m, "README 'Media codecs' divergence bullet missing"
     para = m.group(1)
-    real_part, _, stub_part = para.partition("remain stubbed")
-    assert stub_part, "paragraph lost its 'remain stubbed' clause"
+    real_part, _, cont_part = para.partition("CONTAINER-REAL")
+    assert cont_part, "paragraph lost its 'CONTAINER-REAL' clause"
+    cont_clause, _, stub_part = cont_part.partition("remain stubbed")
+    assert stub_part, "paragraph lost its 'remain stubbed' payload clause"
     for codec in REAL_CODECS:
         assert re.search(codec, real_part, re.I), f"real codec {codec!r} not claimed"
-    stub_list = stub_part + real_part.rsplit(";", 1)[-1]  # "jpeg/mp3/mp4 remain stubbed"
+    for codec in CONTAINER_CODECS:
+        # container codecs: disclosed in the container clause, and never
+        # claimed in the sample-exact decoder clause (before its own
+        # "mp3/mp4 are" subject list)
+        assert re.search(codec, cont_clause, re.I) or re.search(
+            codec, real_part.rsplit(";", 1)[-1], re.I
+        ), f"container codec {codec!r} undisclosed"
+        real_clause = real_part.rsplit(";", 1)[0]
+        assert not re.search(codec, real_clause, re.I), f"{codec!r} claimed sample-exact"
     for codec in STUBBED_CODECS:
         assert re.search(codec, para, re.I), f"stub codec {codec!r} undisclosed"
-        # a stubbed codec must not appear in the real-decoder clause
-        # (everything before the stub sentence's own subject list)
         real_clause = real_part.rsplit(";", 1)[0]
         assert not re.search(codec, real_clause, re.I), f"{codec!r} claimed real"

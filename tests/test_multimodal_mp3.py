@@ -1,0 +1,167 @@
+"""Frame-level MP3 container codec (operators/multimodal.py): byte-level
+format checks the SQL oracle can't see — ID3v2 syncsafe size, header bit
+packing against ISO/IEC 11172-3 tables, the frame-length law, and loud
+rejection of torn/VBR/free-format/CRC'd/wrong-version streams. The audio
+payload is disclosed filler: these tests pin the CONTAINER walk only."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_dts_connector_spark.operators.multimodal import (
+    MP3_BITRATE_KBPS,
+    MP3_SAMPLE_RATES,
+    MP3_SAMPLES_PER_FRAME,
+    attach_mp3_media,
+    decode_mp3_features,
+    encode_mp3,
+    mp3_fixture_params,
+    mp3_frame_size,
+)
+
+
+def _walk(raw: bytes):
+    """Independent mini-walker used to cross-check the encoder."""
+    assert raw[:3] == b"ID3"
+    sz = (raw[6] << 21) | (raw[7] << 14) | (raw[8] << 7) | raw[9]
+    pos = 10 + sz
+    frames = []
+    while pos < len(raw):
+        b1, b2 = raw[pos + 1], raw[pos + 2]
+        assert raw[pos] == 0xFF and (b1 & 0xE0) == 0xE0
+        bidx, sidx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+        size = 144 * MP3_BITRATE_KBPS[bidx] * 1000 // MP3_SAMPLE_RATES[sidx] + pad
+        frames.append((bidx, sidx, pad, size))
+        pos += size
+    assert pos == len(raw)
+    return sz, frames
+
+
+def test_encode_header_bits_and_length_law():
+    """Every fixture frame header decodes back to the fixture law, and the
+    stream length is exactly ID3 + Σ frame sizes (no slack, no overlap)."""
+    for i in (0, 1, 2, 3, 7, 44, 101, 999):
+        raw = encode_mp3(i)
+        p = mp3_fixture_params(i)
+        id3_body, frames = _walk(raw)
+        assert id3_body == p["id3_body"]
+        assert len(frames) == p["n_frames"]
+        for k, (bidx, sidx, pad, size) in enumerate(frames):
+            assert bidx == p["bitrate_idx"] and sidx == p["sr_idx"]
+            assert pad == (i + k) % 2
+            assert size == mp3_frame_size(bidx, sidx, pad)
+
+
+def test_padding_changes_frame_length_by_one_byte():
+    assert mp3_frame_size(9, 0, 1) == mp3_frame_size(9, 0, 0) + 1
+    # the canonical check: 128 kbps @ 44100 -> floor(144*128000/44100) = 417
+    assert mp3_frame_size(9, 0, 0) == 417
+
+
+def test_decode_matches_fixture_closed_form(spark):
+    ids = spark.range(30).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["doc_id"]: r for r in decode_mp3_features(attach_mp3_media(ids)).collect()
+    }
+    assert len(rows) == 30
+    for i in range(30):
+        p = mp3_fixture_params(i)
+        sr = MP3_SAMPLE_RATES[p["sr_idx"]]
+        r = rows[i]
+        assert r["n_frames"] == p["n_frames"]
+        assert r["sample_rate"] == sr
+        assert r["bitrate_kbps"] == MP3_BITRATE_KBPS[p["bitrate_idx"]]
+        assert r["n_samples"] == p["n_frames"] * MP3_SAMPLES_PER_FRAME
+        assert r["duration_ms"] == r["n_samples"] * 1000 // sr
+        assert r["padded_frames"] == sum((i + k) % 2 for k in range(p["n_frames"]))
+        assert r["id3_bytes"] == 10 + p["id3_body"]
+        sizes = [
+            mp3_frame_size(p["bitrate_idx"], p["sr_idx"], (i + k) % 2)
+            for k in range(p["n_frames"])
+        ]
+        assert r["n_bytes"] == r["id3_bytes"] + sum(sizes)
+        assert r["payload_sum"] == sum(
+            ((i * 7 + k * 13) % 251) * (sizes[k] - 4) for k in range(p["n_frames"])
+        )
+
+
+def _decode_one(spark, raw: bytes):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "media": [raw]}))
+    return decode_mp3_features(df).collect()
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda b: b[:-1], "torn frame body"),
+        (lambda b: b[: 10 + (7 % 17)] + b"\x00" + b[10 + (7 % 17) + 1 :], "lost frame sync"),
+        # version bits 10 = MPEG-2: clear bit 3 of byte1 of the first header
+        (
+            lambda b, o=10 + (7 % 17): b[: o + 1]
+            + bytes([b[o + 1] & ~0x08])
+            + b[o + 2 :],
+            "unsupported MPEG version",
+        ),
+        # layer bits 11 = Layer I
+        (
+            lambda b, o=10 + (7 % 17): b[: o + 1]
+            + bytes([(b[o + 1] & ~0x06) | 0x06])
+            + b[o + 2 :],
+            "unsupported layer",
+        ),
+        # protection bit 0 = CRC follows
+        (
+            lambda b, o=10 + (7 % 17): b[: o + 1]
+            + bytes([b[o + 1] & ~0x01])
+            + b[o + 2 :],
+            "CRC-protected",
+        ),
+        # bitrate index 15
+        (
+            lambda b, o=10 + (7 % 17): b[: o + 2]
+            + bytes([b[o + 2] | 0xF0])
+            + b[o + 3 :],
+            "invalid bitrate index",
+        ),
+        # bitrate index 0 = free format
+        (
+            lambda b, o=10 + (7 % 17): b[: o + 2]
+            + bytes([b[o + 2] & 0x0F])
+            + b[o + 3 :],
+            "free-format",
+        ),
+        # sample-rate index 3 = reserved
+        (
+            lambda b, o=10 + (7 % 17): b[: o + 2]
+            + bytes([b[o + 2] | 0x0C])
+            + b[o + 3 :],
+            "reserved sample-rate",
+        ),
+        # ID3 size claims past EOF
+        (lambda b: b[:6] + b"\x7f\x7f\x7f\x7f" + b[10:], "torn ID3v2 tag"),
+    ],
+)
+def test_malformed_streams_fail_loudly(spark, mutate, msg):
+    raw = encode_mp3(7)
+    with pytest.raises(Exception, match=msg):
+        _decode_one(spark, mutate(raw))
+
+
+def test_vbr_stream_rejected(spark):
+    """Concatenate two different-bitrate docs: the CBR walk must refuse."""
+    a = encode_mp3(7)
+    b = encode_mp3(8)  # different bitrate index (5 + id % 9)
+    id3 = 10 + (8 % 17)
+    with pytest.raises(Exception, match="VBR stream"):
+        _decode_one(spark, a + b[id3:])
+
+
+def test_id3less_stream_accepted(spark):
+    """A bare frame stream (no ID3 tag) parses with id3_bytes = 0."""
+    raw = encode_mp3(7)
+    bare = raw[10 + (7 % 17) :]
+    (row,) = _decode_one(spark, bare)
+    assert row["id3_bytes"] == 0
+    assert row["n_frames"] == mp3_fixture_params(7)["n_frames"]
