@@ -127,7 +127,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     # md5 drift checksum; signed_agg_revenue stays sweep-green)
     "cdc_incremental_checksum",
     "cdc_scd2_asof",  # r4 cont.: AS-OF subsumes the SCD2 build + time-travel read
-    "cdc_value_zoo_render",
+    # r10 continuation rotation: the programmatic ingest router (r10-new:
+    # choose_ingest_path picks Python-fused / JVM-typed / store-serve from
+    # the declared schema + worker availability + reuse count, then runs
+    # the chosen tier end-to-end) takes the value-zoo slot; the 13-kind
+    # value render stays sweep-green via cdc_value_zoo_render and the same
+    # shared render is inside the gated cdc_jvm_typed_changelog
+    "cdc_routed_ingest",
     "cdc_txn_atomic_apply",
     # r7: the JVM varint-header decode + filter (the reference's lazy-parse
     # contract executed with zero Python, formats/jvmheader.py)
@@ -218,22 +224,32 @@ GATE_PRIORITY: tuple[str, ...] = (
     # chunk-windows slot; curate_chunk_windows stays sweep-green and its
     # sequence-window machinery is also inside curate_pack_sequences
     "curate_priority_sample",
-    # search (new family, r4 wave 2)
-    "search_bm25_topk",
+    # search (new family, r4 wave 2). r10 continuation rotation: the
+    # reciprocal-rank-fusion hybrid retriever (r10-new) takes the BM25
+    # slot — it runs the full integer-exact BM25 ranking INSIDE its fusion
+    # (plus the idf-free tf retriever and the 1e6 div (60+rank) combiner),
+    # so the BM25 shape stays gated; search_bm25_topk stays sweep-green
+    "search_rrf_fusion",
     # r9 rotation (both r8-new): the RAG retrieval composition (ANN top-k →
     # hydrate → gate → re-rank, all joins keyed) and the SymSpell
     # deletion-neighborhood fuzzy match take the ann_topk_filtered and
     # curate_mixture_resample slots
     "search_rag_hydrated_topk",
     "search_fuzzy_terms",
-    # multimodal — r6 gated the real BMP codec; r8 rotates the slot to the
-    # strictly stronger PNG codec (CRC-verified chunks, zlib inflate, all
-    # five scanline filters; BMP + fake-codec shapes stay sweep-green)
-    "multimodal_png_features",
-    # r9 rotation (r8-new): the GIF87a codec (from-scratch variable-width
-    # LSB-first LZW inflate) joins PNG in the gate, taking the
-    # neardup_shared_spans slot
-    "multimodal_gif_features",
+    # multimodal — r6 gated BMP, r8 PNG, r9 GIF. r10 continuation rotation:
+    # baseline JPEG (r10-new: DHT canonical Huffman, DC prediction, ZRL/EOB
+    # runs, byte de-stuffing, zigzag, dequantize, float IDCT — strictly the
+    # hardest decode machinery in the codec family) takes the PNG slot
+    # (PNG stays sweep-green; its chunk-CRC walk is structurally the same
+    # checked-container discipline the gated mp4 box walk carries)
+    "multimodal_jpeg_features",
+    # r10 continuation rotation: the ISO-BMFF box walk (r10-continuation-new:
+    # recursive grammar with exact containment + stts/stsz/stco/mdat
+    # sample-table cross-checks — the container tier's structural flagship)
+    # takes the GIF slot; GIF stays sweep-green and its from-scratch LZW
+    # roundtrip remains pinned byte-exactly by tests/test_multimodal_gif.py;
+    # the mp3 frame walk stays sweep-green beside it
+    "multimodal_mp4_boxes",
     # streaming (availableNow-bounded, rerun-safe) — r4: corpus ingestion
     # replaces stream_dedup_exactly_once (dropDuplicatesWithinWatermark is
     # inside it, plus the dts source + gate + manifest composition)
@@ -242,7 +258,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_scd2_maintenance",  # r4 cont.: live SCD2 merges == batch closed form (corpus_ingest stays sweep-green; incremental_curate keeps the CDC->curation shape gated)
     "stream_stream_interval_join",
     "stream_partition_watermarks",
-    "stream_late_data_gate",
+    # r10 continuation rotation: the wire-level Kafka failover drill
+    # (r10-new: in-process broker, start-by-timestamp, cluster-switch →
+    # restart → re-seek with the no-gaps contract — the highest-risk gap
+    # the r9 verdict named) takes the late-data slot; stream_late_data_gate
+    # stays sweep-green and watermark-driven late-row handling remains
+    # gated via stream_partition_watermarks + stream_stream_interval_join
+    # (state eviction) + stream_drift_monitor (watermarked fold)
+    "stream_failover_reseek",
     # r6 gated the streaming sketch-maintenance family via CMS convergence;
     # r8 rotates the slot to the wave-3 flagship of the same family — the
     # streaming TV-distance drift monitor (O(cells) state folded across
