@@ -161,6 +161,9 @@ HEADLINE = [
     # walk) — Arrow-batched mapInPandas encode+parse over every document
     "multimodal_mp3_features",
     "multimodal_mp4_boxes",
+    # r10 continuation: trigram-index substring search (index build + rarest-K
+    # probe + verify — the corpus-scan-free LIKE '%p%' path)
+    "search_trigram_substring",
 ]
 
 

@@ -202,3 +202,86 @@ def rrf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "rrf6", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring search via a positional-trigram inverted index (r10 continuation).
+# The LIKE-'%pattern%' problem at 100 TB: a raw contains() scan reads the
+# whole corpus per query batch. The standard index (pg_trgm, Lucene regex/
+# wildcard, Zoekt) is an inverted index over character TRIGRAMS: a document
+# matches a pattern only if it contains EVERY trigram of the pattern, so the
+# index join yields a complete (no-false-negative) candidate set and one
+# verification pass makes it exact. Scale levers, both implemented here:
+#   * candidate completeness holds for ANY subset of the pattern's trigrams
+#     — probing only the K RAREST (by corpus document frequency, ties by
+#     trigram text so the choice is deterministic) caps the postings join
+#     volume at Σ_q K·df(rare trigram), the same rarest-first discipline as
+#     `dedup.prefix_filter_pairs`;
+#   * the trigram is the shuffle key (postings join), the pattern set is
+#     tiny and broadcasts, and verification joins the small candidate frame
+#     back to the corpus on doc_id — no scan of non-candidate text.
+# ---------------------------------------------------------------------------
+
+
+def trigram_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(trigram, doc_id) inverted index — each document's DISTINCT character
+    trigrams via one JVM-side transform + explode (no Python)."""
+    tri = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
+        f" i -> substring({text_col}, i, 3)))"
+    )
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(tri).alias("tri"))
+
+
+def trigram_substring_search(
+    docs: DataFrame,
+    patterns: DataFrame,
+    k_rarest: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Exact substring search for a batch of patterns: rarest-``k_rarest``
+    trigram index probe (complete candidate set) + contains() verification.
+    Returns per pattern: n_candidates (index survivors — the measured
+    selectivity of the blocking scheme), n_matches (verified), and
+    min_match_doc. Hash-equality with the brute-force contains() oracle
+    proves the probe loses no matches."""
+    dtri = trigram_postings(docs, id_col, text_col)
+    dfreq = dtri.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
+
+    ptri = patterns.select(
+        F.col(pattern_col).alias("pattern"),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(length({pattern_col}) - 2, 0)),"
+                f" i -> substring({pattern_col}, i, 3)))"
+            )
+        ).alias("tri"),
+    )
+    w = Window.partitionBy("pattern").orderBy(F.col("df").asc(), F.col("tri").asc())
+    ranked = (
+        ptri.join(dfreq, "tri", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_tri", F.count(F.lit(1)).over(Window.partitionBy("pattern")))
+    )
+    probe = ranked.where(F.col("rk") <= k_rarest).select(
+        "pattern", "tri", F.least(F.col("n_tri"), F.lit(k_rarest)).alias("need")
+    )
+    cand = (
+        probe.join(dtri, "tri")
+        .groupBy("pattern", "doc_id")
+        .agg(F.count(F.lit(1)).alias("hit"), F.min("need").alias("need"))
+        .where(F.col("hit") == F.col("need"))
+        .select("pattern", "doc_id")
+    )
+    ver = cand.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")),
+        "doc_id",
+    ).withColumn("m", F.expr("instr(_text, pattern) > 0"))
+    return ver.groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("m"), 1).otherwise(0)).cast("bigint").alias("n_matches"),
+        F.min(F.when(F.col("m"), F.col("doc_id"))).cast("bigint").alias("min_match_doc"),
+    )

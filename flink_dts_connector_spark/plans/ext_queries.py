@@ -8961,3 +8961,73 @@ def multimodal_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = M.attach_mp4_media(docs)
     return M.decode_mp4_features(media)
+
+
+@register(
+    "search_trigram_substring",
+    oracle="""
+WITH pats AS (
+  SELECT DISTINCT substr(text, 11, 12) AS pattern
+  FROM documents WHERE doc_id % 397 = 3 AND length(text) >= 60
+), ptri AS (
+  SELECT pattern,
+         unnest(list_distinct(list_transform(generate_series(1, length(pattern) - 2),
+                                             i -> substr(pattern, i, 3)))) AS tri
+  FROM pats
+), dtri AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, length(text) - 2),
+                                             i -> substr(text, i, 3)))) AS tri
+  FROM documents
+), dfreq AS (
+  SELECT tri, COUNT(*) AS df FROM dtri GROUP BY tri
+), ranked AS (
+  SELECT p.pattern, p.tri,
+         ROW_NUMBER() OVER (PARTITION BY p.pattern
+                            ORDER BY COALESCE(d.df, 0), p.tri) AS rk,
+         COUNT(*) OVER (PARTITION BY p.pattern) AS n_tri
+  FROM ptri p LEFT JOIN dfreq d USING (tri)
+), probe AS (
+  SELECT pattern, tri, LEAST(n_tri, 3) AS need FROM ranked WHERE rk <= 3
+), cand AS (
+  SELECT pr.pattern, dt.doc_id
+  FROM probe pr JOIN dtri dt USING (tri)
+  GROUP BY pr.pattern, dt.doc_id
+  HAVING COUNT(*) = MIN(pr.need)
+), ver AS (
+  SELECT c.pattern, c.doc_id, strpos(d.text, c.pattern) > 0 AS m
+  FROM cand c JOIN documents d USING (doc_id)
+)
+SELECT pattern,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       CAST(MIN(CASE WHEN m THEN doc_id END) AS BIGINT) AS min_match_doc
+FROM ver GROUP BY pattern
+""",
+    tags=("ext", "search", "index"),
+)
+def search_trigram_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (LIKE '%p%') search over the corpus via a
+    positional-trigram inverted index — the pg_trgm/Zoekt design
+    (`operators/search.py::trigram_substring_search`): candidates = docs
+    containing the pattern's K=3 RAREST trigrams (complete by
+    construction: a matching doc contains every pattern trigram, so any
+    subset probe has no false negatives; rarest-first caps the postings
+    join volume, ties broken by trigram text for determinism), then one
+    contains() verification on the candidate frame only. Patterns are
+    12-char substrings sampled deterministically from the corpus itself
+    (doc_id % 397 = 3, offset 11). The oracle runs the SAME index
+    construction in SQL (so the reported n_candidates selectivity is
+    pinned too) with brute-force strpos verification — hash equality
+    proves exact recall of the blocking scheme. At 100 TB: the trigram is
+    the shuffle key, the pattern batch broadcasts, verification touches
+    candidates only — never a corpus scan per query."""
+    from flink_dts_connector_spark.operators.search import trigram_substring_search
+
+    docs = t(spark, sf_dir, "documents")
+    pats = (
+        docs.where((F.col("doc_id") % 397 == 3) & (F.length("text") >= 60))
+        .select(F.expr("substring(text, 11, 12)").alias("pattern"))
+        .distinct()
+    )
+    return trigram_substring_search(docs, pats, k_rarest=3)

@@ -1,0 +1,109 @@
+"""Trigram-indexed substring search (operators/search.py): exactness vs an
+in-engine brute-force contains() scan on adversarial layouts the registry
+fixture can't produce — hot trigrams shared by every doc, patterns with no
+match, duplicate-trigram patterns, and sub-trigram-length patterns."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_dts_connector_spark.operators.search import (
+    trigram_postings,
+    trigram_substring_search,
+)
+
+
+def _brute(docs, pats):
+    return (
+        pats.crossJoin(docs)
+        .where(F.expr("instr(text, pattern) > 0"))
+        .groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.min("doc_id").cast("bigint").alias("min_match_doc"),
+        )
+    )
+
+
+def _fixture(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown cat sits under the lazy dog"),
+        (3, "aaaaaaaaaaaaaaaaaaaaaa"),
+        (4, "the the the the the the"),
+        (5, "completely unrelated words here zzz"),
+        (6, "quick brown foxes are quick brown"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_matches_brute_force_exactly(spark):
+    docs = _fixture(spark)
+    pats = spark.createDataFrame(
+        [("quick brown",), ("lazy dog",), ("aaaa",), ("the the",), ("zzz",)],
+        "pattern string",
+    )
+    got = {
+        r["pattern"]: (r["n_matches"], r["min_match_doc"])
+        for r in trigram_substring_search(docs, pats, k_rarest=3).collect()
+    }
+    want = {
+        r["pattern"]: (r["n_matches"], r["min_match_doc"])
+        for r in _brute(docs, pats).collect()
+    }
+    # every true match is found (completeness) with the same min doc
+    for p, v in want.items():
+        assert got[p] == v, (p, got.get(p), v)
+    # patterns with no matches may appear with n_matches=0 or have no
+    # candidates at all — they must never report a false match
+    for p, (nm, _) in got.items():
+        assert p in want or nm == 0
+
+
+def test_candidates_superset_and_bounded(spark):
+    """n_candidates >= n_matches always; with k_rarest covering the whole
+    pattern the candidate count still includes trigram-coincidence false
+    positives, which verification removes."""
+    docs = _fixture(spark)
+    pats = spark.createDataFrame([("quick brown",)], "pattern string")
+    (row,) = trigram_substring_search(docs, pats, k_rarest=3).collect()
+    assert row["n_candidates"] >= row["n_matches"] >= 2
+
+
+def test_hot_trigram_everywhere(spark):
+    """All-'a' docs: every doc shares every trigram of the pattern (one hot
+    posting list); exactness must survive the degenerate df distribution."""
+    rows = [(i, "a" * (10 + i)) for i in range(1, 9)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pats = spark.createDataFrame([("a" * 14,)], "pattern string")
+    (row,) = trigram_substring_search(docs, pats, k_rarest=3).collect()
+    # docs with length >= 14: lengths 11..18 -> 14,15,16,17,18 = 5 matches
+    assert row["n_matches"] == 5
+    assert row["min_match_doc"] == 4
+    # the single distinct trigram 'aaa' puts every doc in the candidate set
+    assert row["n_candidates"] == 8
+
+
+def test_short_pattern_contract(spark):
+    """Patterns shorter than 3 chars have no trigrams: they drop from the
+    result by contract (the operator is an index probe, not a scanner)."""
+    docs = _fixture(spark)
+    pats = spark.createDataFrame([("ab",), ("quick brown",)], "pattern string")
+    out = trigram_substring_search(docs, pats, k_rarest=3).collect()
+    assert sorted(r["pattern"] for r in out) == ["quick brown"]
+
+
+def test_postings_are_distinct_per_doc(spark):
+    docs = spark.createDataFrame([(1, "ababab")], "doc_id bigint, text string")
+    rows = trigram_postings(docs).collect()
+    assert sorted(r["tri"] for r in rows) == ["aba", "bab"]
+
+
+def test_no_cartesian_in_plan(spark):
+    docs = _fixture(spark)
+    pats = spark.createDataFrame([("quick brown",)], "pattern string")
+    plan = trigram_substring_search(docs, pats)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
