@@ -623,3 +623,68 @@ def waterfill_quotas(
         )
         .withColumn("saturated", F.col("quota") == F.col("available"))
     )
+
+
+def hilbert_d_py(bits: int, x: int, y: int) -> int:
+    """Reference Hilbert-curve distance (the canonical xy2d loop) — used by
+    tests to pin `hilbert_sql_steps` and by nothing on the hot path."""
+    n = 1 << bits
+    rx = ry = 0
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def hilbert_sql_steps(bits: int = 8, x: str = "xb", y: str = "yb") -> list[tuple[str, str]]:
+    """The Hilbert xy2d transform unrolled into portable SQL column steps —
+    one (alias, expression) pair per assignment, each referencing only
+    earlier aliases, so BOTH engines (Spark `withColumn` chain, DuckDB CTE
+    chain) evaluate the identical integer arithmetic. Dialect-neutral by
+    construction: CASE / & / + / - / * only (no XOR operator — Spark's `^`
+    is xor while DuckDB's is power; the 2-bit quadrant code (3*rx)^ry is a
+    4-way CASE instead). The final alias is ``hd{bits-1}``.
+
+    Why Hilbert next to Morton (`zorder_key`): both map 2-D to 1-D for
+    range-partitioned layouts, but Hilbert has no 'seams' — consecutive
+    curve positions are always grid-adjacent, so equal-size shards cover
+    tighter rectangles and a 2-D box predicate prunes more files. The
+    measured comparison is `layout_hilbert_vs_zorder`."""
+    n1 = (1 << bits) - 1
+    steps: list[tuple[str, str]] = []
+    px, py, pd = x, y, "0"
+    for i, b in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << b
+        rx = f"(CASE WHEN ({px} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({py} & {s}) > 0 THEN 1 ELSE 0 END)"
+        quad = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+            f" WHEN {rx} = 0 THEN 1"
+            f" WHEN {ry} = 0 THEN 3 ELSE 2 END)"
+        )
+        steps.append((f"hd{i}", f"({pd} + {s * s} * {quad})"))
+        steps.append(
+            (
+                f"hx{i}",
+                f"(CASE WHEN {ry} = 1 THEN {px}"
+                f" WHEN {rx} = 1 THEN {n1} - {py} ELSE {py} END)",
+            )
+        )
+        steps.append(
+            (
+                f"hy{i}",
+                f"(CASE WHEN {ry} = 1 THEN {py}"
+                f" WHEN {rx} = 1 THEN {n1} - {px} ELSE {px} END)",
+            )
+        )
+        px, py, pd = f"hx{i}", f"hy{i}", f"hd{i}"
+    return steps

@@ -9031,3 +9031,172 @@ def search_trigram_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return trigram_substring_search(docs, pats, k_rarest=3)
+
+
+# --- Hilbert-vs-Morton layout study (r10 continuation) ----------------------
+from flink_dts_connector_spark.operators.curation import hilbert_sql_steps as _hsteps
+
+_HILBERT_STEPS = _hsteps(8, "xb", "yb")
+
+
+def _hilbert_cte_chain(prev: str) -> tuple[str, str]:
+    """DuckDB CTE chain for the unrolled Hilbert steps (3 aliases/level)."""
+    parts = []
+    for i in range(0, len(_HILBERT_STEPS), 3):
+        chunk = _HILBERT_STEPS[i : i + 3]
+        cols = ", ".join(f"{e} AS {a}" for a, e in chunk)
+        name = f"h{i // 3}"
+        parts.append(f"{name} AS (SELECT *, {cols} FROM {prev})")
+        prev = name
+    return ", ".join(parts), prev
+
+
+_HIL_CTES, _HIL_LAST = _hilbert_cte_chain("zval")
+_Z_BITS_SQL = " | ".join(
+    f"(((xb >> {b}) & 1) << {2 * b}) | (((yb >> {b}) & 1) << {2 * b + 1})"
+    for b in range(8)
+)
+
+
+@register(
+    "layout_hilbert_vs_zorder",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderdate, o_custkey,
+         CAST(NTILE(256) OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS xb,
+         CAST(NTILE(256) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS BIGINT) AS yb
+  FROM orders
+), zval AS (
+  SELECT *, {_Z_BITS_SQL} AS z
+  FROM base
+), {_HIL_CTES}, sharded AS (
+  SELECT o_orderdate, o_custkey,
+         CAST(NTILE(64) OVER (ORDER BY z, o_orderkey) - 1 AS BIGINT) AS shard_z,
+         CAST(NTILE(64) OVER (ORDER BY hd7, o_orderkey) - 1 AS BIGINT) AS shard_h
+  FROM {_HIL_LAST}
+), pred AS (
+  SELECT TIMESTAMP '1997-01-01 00:00:00' AS dlo, TIMESTAMP '1998-01-01 00:00:00' AS dhi,
+         (SELECT MAX(o_custkey) // 4 FROM orders) AS chi
+), layouts AS (
+  SELECT 'zorder' AS layout, shard_z AS shard, o_orderdate, o_custkey FROM sharded
+  UNION ALL
+  SELECT 'hilbert', shard_h, o_orderdate, o_custkey FROM sharded
+), zones AS (
+  SELECT layout, shard,
+         MIN(o_orderdate) AS dmin, MAX(o_orderdate) AS dmax,
+         MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+         CAST(COUNT(*) AS BIGINT) AS zrows
+  FROM layouts GROUP BY 1, 2
+), verdict AS (
+  SELECT z.*, (z.dmin < p.dhi AND z.dmax >= p.dlo AND z.cmin <= p.chi) AS must_read
+  FROM zones z CROSS JOIN pred p
+), matched AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rows_matched
+  FROM sharded s CROSS JOIN pred p
+  WHERE s.o_orderdate >= p.dlo AND s.o_orderdate < p.dhi AND s.o_custkey <= p.chi
+)
+SELECT v.layout,
+       CAST(SUM(CASE WHEN v.must_read THEN 1 ELSE 0 END) AS BIGINT) AS shards_read,
+       CAST(SUM(CASE WHEN v.must_read THEN v.zrows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       ANY_VALUE(m.rows_matched) AS rows_matched,
+       CAST(SUM(CASE WHEN v.must_read THEN v.zrows ELSE 0 END) * 1000000
+            // SUM(v.zrows) AS BIGINT) AS scan_fraction_ppm
+FROM verdict v CROSS JOIN matched m
+GROUP BY v.layout
+""",
+    tags=("ext", "layout"),
+)
+def layout_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HILBERT argument, measured against Morton on identical inputs:
+    the same 256x256 rank coordinates, 64 shards each under a Morton sort
+    and a Hilbert sort, shard min/max zones on both dimensions, and the
+    same 2-D predicate as `layout_zorder_vs_linear` (one year AND lowest
+    custkey quartile). Hilbert's defining property — consecutive curve
+    positions are always grid-adjacent (no Morton 'seams' where the curve
+    jumps across the plane) — makes equal-row shards cover tighter
+    rectangles, so the same zone-map machinery prunes MORE shards; this
+    query pins the measured gap. The Hilbert xy2d transform is unrolled
+    into 24 portable integer-CASE steps generated ONCE and shared
+    verbatim by both engines (`operators/curation.py:hilbert_sql_steps`,
+    pinned to the canonical loop by tests/test_ext_ops.py), so the oracle
+    proves the transform bit-exactly at every SF. Scale note: like the
+    Morton study, the ntile ranks are fixture-scale bit-exactness
+    devices; the production write path derives bucket boundaries from
+    `layout_range_boundaries` and range-partitions by the curve key —
+    the layout IS the index, Hilbert just draws it with less surface."""
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_custkey")
+    base = orders.select(
+        "*",
+        (F.ntile(256).over(W.orderBy("o_orderdate", "o_orderkey")) - 1)
+        .cast("bigint")
+        .alias("xb"),
+        (F.ntile(256).over(W.orderBy("o_custkey", "o_orderkey")) - 1)
+        .cast("bigint")
+        .alias("yb"),
+    )
+    zbits = " | ".join(
+        f"(shiftleft((shiftright(xb, {b}) & 1), {2 * b}))"
+        f" | (shiftleft((shiftright(yb, {b}) & 1), {2 * b + 1}))"
+        for b in range(8)
+    )
+    cur = base.withColumn("z", F.expr(zbits))
+    for alias, expr in _HILBERT_STEPS:
+        cur = cur.withColumn(alias, F.expr(expr))
+    sharded = cur.select(
+        "o_orderdate",
+        "o_custkey",
+        (F.ntile(64).over(W.orderBy("z", "o_orderkey")) - 1).cast("bigint").alias("shard_z"),
+        (F.ntile(64).over(W.orderBy("hd7", "o_orderkey")) - 1).cast("bigint").alias("shard_h"),
+    )
+    dlo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    dhi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    chi_df = orders.agg(F.expr("CAST(MAX(o_custkey) div 4 AS BIGINT)").alias("chi"))
+    layouts = None
+    for name, col in (("zorder", "shard_z"), ("hilbert", "shard_h")):
+        part = sharded.select(
+            F.lit(name).alias("layout"),
+            F.col(col).alias("shard"),
+            "o_orderdate",
+            "o_custkey",
+        )
+        layouts = part if layouts is None else layouts.unionByName(part)
+    zones = layouts.groupBy("layout", "shard").agg(
+        F.min("o_orderdate").alias("dmin"),
+        F.max("o_orderdate").alias("dmax"),
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.count(F.lit(1)).cast("bigint").alias("zrows"),
+    )
+    verdict = zones.crossJoin(F.broadcast(chi_df)).withColumn(
+        "must_read",
+        (F.col("dmin") < dhi) & (F.col("dmax") >= dlo) & (F.col("cmin") <= F.col("chi")),
+    )
+    matched = (
+        sharded.crossJoin(F.broadcast(chi_df))
+        .where(
+            (F.col("o_orderdate") >= dlo)
+            & (F.col("o_orderdate") < dhi)
+            & (F.col("o_custkey") <= F.col("chi"))
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_matched"))
+    )
+    return (
+        verdict.groupBy("layout")
+        .agg(
+            F.sum(F.when(F.col("must_read"), 1).otherwise(0)).cast("bigint").alias("shards_read"),
+            F.sum(F.when(F.col("must_read"), F.col("zrows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("zrows").cast("bigint").alias("all_rows"),
+        )
+        .crossJoin(F.broadcast(matched))
+        .select(
+            "layout",
+            "shards_read",
+            "rows_scanned",
+            "rows_matched",
+            F.expr("rows_scanned * 1000000 div all_rows").cast("bigint").alias("scan_fraction_ppm"),
+        )
+    )
