@@ -2545,3 +2545,131 @@ def stream_failover_reseek(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("id").cast("bigint").alias("id_sum"),
         F.sum(F.when(F.col("nsrc") == 2, 1).otherwise(0)).cast("bigint").alias("n_redelivered"),
     )
+
+
+@register(
+    "stream_media_catalog",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         3 + doc_id % 5 AS nf,
+         5 + doc_id % 9 AS bidx,
+         doc_id % 3 AS sridx,
+         doc_id % 17 AS id3m
+  FROM documents
+), t AS (
+  SELECT doc_id, nf, id3m,
+         CASE bidx WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+                   WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+                   WHEN 12 THEN 224 WHEN 13 THEN 256 END AS kbps,
+         CASE sridx WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr
+  FROM p
+), fr AS (
+  SELECT doc_id, kbps, sr,
+         144 * kbps * 1000 // sr + (doc_id + k.k) % 2 AS fsize,
+         (doc_id * 7 + k.k * 13) % 251 AS v
+  FROM t, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS k) k
+), per_doc AS (
+  SELECT doc_id, ANY_VALUE(kbps) AS kbps, ANY_VALUE(sr) AS sr,
+         COUNT(*) AS nf, SUM(fsize) AS stream_bytes,
+         SUM(v * (fsize - 4)) AS psum
+  FROM fr GROUP BY doc_id
+), with_tag AS (
+  SELECT pd.*, 10 + t.id3m AS id3_bytes
+  FROM per_doc pd JOIN t USING (doc_id)
+)
+SELECT CAST(sr AS BIGINT) AS sample_rate,
+       CAST(kbps AS BIGINT) AS bitrate_kbps,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nf) AS BIGINT) AS total_frames,
+       CAST(SUM(nf) * 1152 AS BIGINT) AS total_samples,
+       CAST(SUM(nf) * 1152 * 1000 // sr AS BIGINT) AS total_duration_ms,
+       CAST(SUM(stream_bytes + id3_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(psum) AS BIGINT) AS payload_sum
+FROM with_tag GROUP BY sr, kbps
+""",
+    tags=("streaming", "ext", "multimodal", "codec"),
+)
+def stream_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING media-catalog maintenance — the live twin of
+    `multimodal_mp3_features`, proving the container codec under
+    micro-batch plans (the Arrow-batched frame walk runs inside
+    foreachBatch like a real media-ingest firehose): documents arrive in
+    3 interleaved waves (doc_id % 3), each batch attaches genuine MPEG-1
+    Layer III payloads, frame-walks them, and folds per-(sample_rate,
+    bitrate) catalog cells into O(formats) state BY ADDITION — linear, so
+    arrival order and batching cannot change the converged catalog, and
+    the result must hash-match the whole-corpus closed form. The catalog
+    (docs / frames / samples / exact-integer duration / bytes / payload
+    checksum per format cell) is what a 100 TB media lake maintains
+    incrementally instead of re-walking every file."""
+    from flink_dts_connector_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    waves_dir = scratch_dir("fdcs_media_waves_")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(
+            waves_dir
+        )
+
+    empty = spark.createDataFrame(
+        [],
+        "sample_rate bigint, bitrate_kbps bigint, n_docs bigint, total_frames bigint,"
+        " stream_bytes bigint, id3_bytes bigint, payload_sum bigint",
+    )
+    state = {"cells": empty.localCheckpoint(), "batches": 0}
+
+    def merge(bdf: DataFrame, batch_id: int) -> None:
+        feats = M.decode_mp3_features(M.attach_mp3_media(bdf))
+        batch_cells = feats.groupBy("sample_rate", "bitrate_kbps").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_frames").cast("bigint").alias("total_frames"),
+            F.sum(F.col("n_bytes") - F.col("id3_bytes")).cast("bigint").alias("stream_bytes"),
+            F.sum("id3_bytes").cast("bigint").alias("id3_bytes"),
+            F.sum("payload_sum").cast("bigint").alias("payload_sum"),
+        )
+        merged = (
+            state["cells"]
+            .unionByName(batch_cells)
+            .groupBy("sample_rate", "bitrate_kbps")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("total_frames").cast("bigint").alias("total_frames"),
+                F.sum("stream_bytes").cast("bigint").alias("stream_bytes"),
+                F.sum("id3_bytes").cast("bigint").alias("id3_bytes"),
+                F.sum("payload_sum").cast("bigint").alias("payload_sum"),
+            )
+        )
+        state["cells"] = merged.localCheckpoint()
+        state["batches"] += 1
+
+    with pinned_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", scratch_dir("fdcs_media_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(waves_dir, ignore_errors=True)
+    if state["batches"] < 2:
+        raise AssertionError(f"expected multiple micro-batches, got {state['batches']}")
+    return state["cells"].select(
+        "sample_rate",
+        "bitrate_kbps",
+        "n_docs",
+        "total_frames",
+        (F.col("total_frames") * 1152).cast("bigint").alias("total_samples"),
+        F.expr("total_frames * 1152 * 1000 div sample_rate")
+        .cast("bigint")
+        .alias("total_duration_ms"),
+        (F.col("stream_bytes") + F.col("id3_bytes")).cast("bigint").alias("total_bytes"),
+        "payload_sum",
+    )
