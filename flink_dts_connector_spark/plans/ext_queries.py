@@ -9200,3 +9200,82 @@ def layout_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("rows_scanned * 1000000 div all_rows").cast("bigint").alias("scan_fraction_ppm"),
         )
     )
+
+
+_SEMDEDUP_TAIL = """, vecs AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, a.dist2, q.v,
+         CAST(list_sum(list_transform(q.v, x -> x*x)) AS BIGINT) AS nrm
+  FROM assign a JOIN q USING (vec_id)
+), dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cluster,
+         a.dist2 AS da, b.dist2 AS db,
+         CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot,
+         a.nrm AS na, b.nrm AS nb
+  FROM vecs a JOIN vecs b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+), prs AS (
+  SELECT * FROM dots
+  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.35
+), losers AS (
+  SELECT DISTINCT CASE WHEN da > db OR (da = db AND a_id > b_id)
+                       THEN a_id ELSE b_id END AS vec_id
+  FROM prs
+)
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - SUM(dropped) AS BIGINT) AS n_survivors,
+       CAST(MIN(CASE WHEN dropped = 0 THEN vec_id END) AS BIGINT) AS min_survivor
+FROM (
+  SELECT v.cluster, v.vec_id,
+         CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END AS dropped
+  FROM vecs v LEFT JOIN losers l USING (vec_id)
+) GROUP BY cluster"""
+
+
+@register(
+    "curate_semdedup",
+    oracle=_kmeans_oracle(k=4, n_iter=2, tail=_SEMDEDUP_TAIL),
+    tags=("ext", "curation", "dedup", "embedding", "iterative"),
+)
+def curate_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic dedup at cluster scale,
+    composed from the engine's own pieces: (1) integer-exact k-means
+    clusters the embedding space (k=4, 2 Lloyd rounds — the clustering IS
+    the blocking key, replacing `neardup_cosine_pairs`' label blocks, so
+    the quadratic term is bounded by cluster size instead of corpus
+    size); (2) within each cluster, exact quantized-cosine pairs >= 0.35;
+    (3) of each similar pair, the member FARTHER from its centroid is
+    dropped (exact int64 dist^2 from the k-means assignment, ties to the
+    higher vec_id) — keeping the most prototypical example per semantic
+    neighborhood. Survivors/dropped per cluster must hash-match the
+    unrolled-CTE oracle that replays Lloyd's, the pair scoring, AND the
+    keep rule. At 100 TB the centroids broadcast, the pair join shuffles
+    on cluster id, and the loser set is a semi-join back — the published
+    SemDeDup recipe mapped 1:1 onto shuffle-bounded primitives."""
+    emb = t(spark, sf_dir, "embeddings")
+    assign = S.kmeans_int_clusters(emb, k=4, n_iter=2).localCheckpoint()
+    clustered = emb.join(assign.select("vec_id", "cluster"), "vec_id")
+    pairs = S.cosine_pairs(clustered, block_col="cluster", threshold=0.35)
+    d = assign.select("vec_id", "dist2")
+    scored = (
+        pairs.join(d.withColumnRenamed("vec_id", "a_id").withColumnRenamed("dist2", "da"), "a_id")
+        .join(d.withColumnRenamed("vec_id", "b_id").withColumnRenamed("dist2", "db"), "b_id")
+    )
+    losers = scored.select(
+        F.when(
+            (F.col("da") > F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a_id") > F.col("b_id"))),
+            F.col("a_id"),
+        )
+        .otherwise(F.col("b_id"))
+        .alias("vec_id")
+    ).distinct()
+    flagged = assign.join(
+        losers.withColumn("dropped", F.lit(1)), "vec_id", "left"
+    ).withColumn("dropped", F.coalesce(F.col("dropped"), F.lit(0)))
+    return flagged.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("dropped").cast("bigint").alias("n_dropped"),
+        (F.count(F.lit(1)) - F.sum("dropped")).cast("bigint").alias("n_survivors"),
+        F.min(F.when(F.col("dropped") == 0, F.col("vec_id"))).cast("bigint").alias("min_survivor"),
+    )
