@@ -245,3 +245,53 @@ def bfs_hops(
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return dist
+
+
+def label_propagation_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    src: str = "a_id",
+    dst: str = "b_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Synchronous label propagation over an undirected pair graph —
+    community detection for near-dup graphs, the finer-grained sibling of
+    `connected_components` (components merge everything reachable; LP
+    communities stop where neighborhood majorities stop, so one stray
+    bridge edge does not fuse two templates).
+
+    Determinism contract (classic LP is notoriously order-dependent —
+    this variant is not): SYNCHRONOUS rounds (every update reads the
+    previous round's labels), label init = own id, and the update is the
+    neighbor-label MODE with a total tie-break (count DESC, label ASC),
+    so the fixed round count yields one bit-exact answer any engine can
+    replay with unrolled joins. Isolated nodes keep their own label.
+
+    Scale: per round one |E| shuffle (labels onto edges) + one
+    (node, label)-keyed count + one |V| argmax window — exactly the
+    `connected_components` envelope; labels never leave int64."""
+    from pyspark.sql import Window as W
+
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("u"), F.col(id_col).cast("bigint").alias("lbl")
+    )
+    w = W.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    for _ in range(iterations):
+        neigh = sym.join(labels, "u").groupBy("v", "lbl").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        best = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("v").alias("u"), F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "u", "left")
+            .select("u", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels

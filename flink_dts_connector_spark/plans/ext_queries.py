@@ -9279,3 +9279,83 @@ def curate_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("dropped")).cast("bigint").alias("n_survivors"),
         F.min(F.when(F.col("dropped") == 0, F.col("vec_id"))).cast("bigint").alias("min_survivor"),
     )
+
+
+def _labelprop_oracle(n_iter: int) -> str:
+    """Unrolled-CTE DuckDB twin of `graph.label_propagation_int` over the
+    exact-Jaccard pair graph — same trick as the PageRank oracle, with the
+    neighbor-label mode + (count DESC, label ASC) argmax per round."""
+    parts = [
+        f"""WITH {SQL_SHINGLES_CTE}, pairs AS MATERIALIZED (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE 100 * n_inter >= 30 * (sa.n_sh + sb.n_sh - n_inter)
+), sym AS MATERIALIZED (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+), l0 AS MATERIALIZED (
+  SELECT doc_id AS u, CAST(doc_id AS BIGINT) AS lbl FROM documents
+)"""
+    ]
+    prev = "l0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", n{i} AS MATERIALIZED (
+  SELECT s.v, l.lbl, COUNT(*) AS cnt
+  FROM sym s JOIN {prev} l ON l.u = s.u GROUP BY s.v, l.lbl
+), b{i} AS MATERIALIZED (
+  SELECT v AS u, lbl AS new_lbl FROM (
+    SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn
+    FROM n{i}) WHERE rn = 1
+), l{i} AS MATERIALIZED (
+  SELECT l.u, COALESCE(b.new_lbl, l.lbl) AS lbl
+  FROM {prev} l LEFT JOIN b{i} b USING (u)
+)"""
+        )
+        prev = f"l{i}"
+    parts.append(
+        f"""
+SELECT lbl AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(u) AS BIGINT) AS min_member,
+       CAST(MAX(u) AS BIGINT) AS max_member
+FROM {prev} GROUP BY lbl HAVING COUNT(*) >= 2"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_labelprop_communities",
+    oracle=_labelprop_oracle(3),
+    tags=("ext", "graph", "dedup", "communities", "iterative"),
+)
+def graph_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template communities in the near-dup graph: 3 SYNCHRONOUS rounds of
+    deterministic label propagation (neighbor-label mode, count-DESC /
+    label-ASC tie-break, init = own id) over the exact 3-gram-Jaccard
+    pair graph at 0.30 — the finer-grained sibling of `dedup_components`:
+    components fuse everything reachable (one stray bridge edge merges
+    two boilerplate templates), LP communities stop where neighborhood
+    MAJORITIES stop. Classic LP is order-dependent; the synchronous
+    variant with a total tie-break is bit-exact, so the unrolled-CTE
+    oracle replays all 3 rounds and the multi-member community census
+    (singletons excluded) must hash-match. Per round: one |E| shuffle +
+    one (node,label) count + one |V| argmax — `connected_components`'
+    shuffle envelope with a bounded round count instead of
+    convergence-dependent iteration."""
+    from flink_dts_connector_spark.operators.graph import label_propagation_int
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold_pct=30)
+    labels = label_propagation_int(pairs, docs.select("doc_id"), iterations=3)
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("u").cast("bigint").alias("min_member"),
+            F.max("u").cast("bigint").alias("max_member"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
