@@ -1589,6 +1589,75 @@ def attach_mp3_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def mp3_stream_features(raw: bytes):
+    """Pure parse of one MP3 stream (see `decode_mp3_features`): returns
+    (n_frames, sample_rate, bitrate_kbps, n_samples, duration_ms,
+    padded_frames, payload_sum, n_bytes, id3_bytes); raises ValueError on
+    any malformed stream. Module-level so fuzz tests hit it directly."""
+    raw = bytes(raw)
+    pos = 0
+    id3_bytes = 0
+    if raw[:3] == b"ID3":
+        if len(raw) < 10:
+            raise ValueError("torn ID3v2 header")
+        if raw[5] & 0x10:
+            raise ValueError("ID3v2 footer unsupported")
+        if (raw[6] | raw[7] | raw[8] | raw[9]) & 0x80:
+            raise ValueError("non-syncsafe ID3v2 size")
+        sz = (raw[6] << 21) | (raw[7] << 14) | (raw[8] << 7) | raw[9]
+        id3_bytes = 10 + sz
+        if id3_bytes > len(raw):
+            raise ValueError("torn ID3v2 tag")
+        pos = id3_bytes
+    frames = padded = payload_sum = 0
+    bitrate = srate = None
+    while pos < len(raw):
+        if pos + 4 > len(raw):
+            raise ValueError("torn frame header")
+        b0, b1, b2 = raw[pos], raw[pos + 1], raw[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        if (b1 >> 3) & 0x3 != 0x3:
+            raise ValueError("unsupported MPEG version (MPEG-1 only)")
+        if (b1 >> 1) & 0x3 != 0x1:
+            raise ValueError("unsupported layer (Layer III only)")
+        if not (b1 & 0x1):
+            raise ValueError("CRC-protected frames unsupported")
+        bidx, sidx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+        if bidx == 0:
+            raise ValueError("free-format bitrate unsupported")
+        if bidx == 15:
+            raise ValueError("invalid bitrate index")
+        if sidx == 3:
+            raise ValueError("reserved sample-rate index")
+        kbps, sr = MP3_BITRATE_KBPS[bidx], MP3_SAMPLE_RATES[sidx]
+        if bitrate is None:
+            bitrate, srate = kbps, sr
+        elif (kbps, sr) != (bitrate, srate):
+            raise ValueError("VBR stream (CBR walk expected)")
+        size = 144 * kbps * 1000 // sr + pad
+        if pos + size > len(raw):
+            raise ValueError("torn frame body")
+        payload_sum += sum(raw[pos + 4 : pos + size])
+        padded += pad
+        frames += 1
+        pos += size
+    if frames == 0:
+        raise ValueError("no MPEG frames")
+    n_samples = frames * MP3_SAMPLES_PER_FRAME
+    return (
+        frames,
+        srate,
+        bitrate,
+        n_samples,
+        n_samples * 1000 // srate,
+        padded,
+        payload_sum,
+        len(raw),
+        id3_bytes,
+    )
+
+
 def decode_mp3_features(
     df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1599,69 +1668,7 @@ def decode_mp3_features(
     and reserved indexes, and CRC-protected streams (unsupported, loud).
     Emits integer-exact structure features. Arrow-batched mapInPandas."""
 
-    def parse(raw: bytes):
-        raw = bytes(raw)
-        pos = 0
-        id3_bytes = 0
-        if raw[:3] == b"ID3":
-            if len(raw) < 10:
-                raise ValueError("torn ID3v2 header")
-            if raw[5] & 0x10:
-                raise ValueError("ID3v2 footer unsupported")
-            if (raw[6] | raw[7] | raw[8] | raw[9]) & 0x80:
-                raise ValueError("non-syncsafe ID3v2 size")
-            sz = (raw[6] << 21) | (raw[7] << 14) | (raw[8] << 7) | raw[9]
-            id3_bytes = 10 + sz
-            if id3_bytes > len(raw):
-                raise ValueError("torn ID3v2 tag")
-            pos = id3_bytes
-        frames = padded = payload_sum = 0
-        bitrate = srate = None
-        while pos < len(raw):
-            if pos + 4 > len(raw):
-                raise ValueError("torn frame header")
-            b0, b1, b2 = raw[pos], raw[pos + 1], raw[pos + 2]
-            if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
-                raise ValueError(f"lost frame sync at byte {pos}")
-            if (b1 >> 3) & 0x3 != 0x3:
-                raise ValueError("unsupported MPEG version (MPEG-1 only)")
-            if (b1 >> 1) & 0x3 != 0x1:
-                raise ValueError("unsupported layer (Layer III only)")
-            if not (b1 & 0x1):
-                raise ValueError("CRC-protected frames unsupported")
-            bidx, sidx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
-            if bidx == 0:
-                raise ValueError("free-format bitrate unsupported")
-            if bidx == 15:
-                raise ValueError("invalid bitrate index")
-            if sidx == 3:
-                raise ValueError("reserved sample-rate index")
-            kbps, sr = MP3_BITRATE_KBPS[bidx], MP3_SAMPLE_RATES[sidx]
-            if bitrate is None:
-                bitrate, srate = kbps, sr
-            elif (kbps, sr) != (bitrate, srate):
-                raise ValueError("VBR stream (CBR walk expected)")
-            size = 144 * kbps * 1000 // sr + pad
-            if pos + size > len(raw):
-                raise ValueError("torn frame body")
-            payload_sum += sum(raw[pos + 4 : pos + size])
-            padded += pad
-            frames += 1
-            pos += size
-        if frames == 0:
-            raise ValueError("no MPEG frames")
-        n_samples = frames * MP3_SAMPLES_PER_FRAME
-        return (
-            frames,
-            srate,
-            bitrate,
-            n_samples,
-            n_samples * 1000 // srate,
-            padded,
-            payload_sum,
-            len(raw),
-            id3_bytes,
-        )
+    parse = mp3_stream_features
 
     def fn(batches):
         for pdf in batches:
@@ -1854,6 +1861,79 @@ def _mp4_walk(buf: bytes, start: int, end: int, depth: int, out: list) -> None:
         pos += size
 
 
+def mp4_container_features(raw: bytes):
+    """Pure parse of one ISO-BMFF file (see `decode_mp4_features`): returns
+    (n_boxes, max_depth, movie_timescale, media_timescale, media_duration,
+    duration_ms, n_samples, sample_bytes, payload_sum, handler, n_bytes);
+    raises ValueError on any malformed file. Module-level for fuzz tests."""
+    import struct
+
+    raw = bytes(raw)
+    boxes: list = []
+    _mp4_walk(raw, 0, len(raw), 0, boxes)
+    by_tag: dict = {}
+    for tag, b0, b1, depth in boxes:
+        by_tag.setdefault(tag, []).append((b0, b1, depth))
+    for tag in (b"ftyp", b"moov", b"mvhd", b"mdhd", b"hdlr",
+                b"stts", b"stsz", b"stco", b"mdat"):
+        if len(by_tag.get(tag, [])) != 1:
+            raise ValueError(f"expected exactly one {tag!r} box")
+    f0, f1, _ = by_tag[b"ftyp"][0]
+    if raw[f0 : f0 + 4] != b"isom":
+        raise ValueError("unsupported major brand")
+    v0, _, _ = by_tag[b"mvhd"][0]
+    if raw[v0] != 0:
+        raise ValueError("mvhd version 1 unsupported")
+    _, _, movie_ts, movie_dur = struct.unpack_from(">IIII", raw, v0 + 4)
+    m0, _, _ = by_tag[b"mdhd"][0]
+    if raw[m0] != 0:
+        raise ValueError("mdhd version 1 unsupported")
+    _, _, media_ts, media_dur = struct.unpack_from(">IIII", raw, m0 + 4)
+    if media_ts == 0:
+        raise ValueError("zero media timescale")
+    h0, _, _ = by_tag[b"hdlr"][0]
+    handler = raw[h0 + 8 : h0 + 12].decode("ascii")
+    t0, _, _ = by_tag[b"stts"][0]
+    (n_stts,) = struct.unpack_from(">I", raw, t0 + 4)
+    if n_stts != 1:
+        raise ValueError("multi-entry stts unsupported in fixture walk")
+    stts_count, stts_delta = struct.unpack_from(">II", raw, t0 + 8)
+    z0, _, _ = by_tag[b"stsz"][0]
+    uniform, n_samples = struct.unpack_from(">II", raw, z0 + 4)
+    if uniform != 0:
+        raise ValueError("uniform stsz unsupported in fixture walk")
+    sizes = list(struct.unpack_from(f">{n_samples}I", raw, z0 + 12))
+    c0, _, _ = by_tag[b"stco"][0]
+    n_stco, chunk_off = struct.unpack_from(">II", raw, c0 + 4)
+    if n_stco != 1:
+        raise ValueError("multi-chunk stco unsupported in fixture walk")
+    d0, d1, _ = by_tag[b"mdat"][0]
+    if chunk_off != d0:
+        raise ValueError("stco offset does not hit the mdat payload")
+    if d1 - d0 != sum(sizes):
+        raise ValueError("mdat length != sum(stsz)")
+    if stts_count != n_samples:
+        raise ValueError("stts sample count != stsz count")
+    if media_dur != stts_count * stts_delta:
+        raise ValueError("mdhd duration != stts total")
+    if movie_dur != media_dur * movie_ts // media_ts:
+        raise ValueError("mvhd duration not rescaled from mdhd")
+    payload_sum = sum(raw[d0:d1])
+    return (
+        len(boxes),
+        max(d for _, _, _, d in boxes),
+        movie_ts,
+        media_ts,
+        media_dur,
+        media_dur * 1000 // media_ts,
+        n_samples,
+        sum(sizes),
+        payload_sum,
+        handler,
+        len(raw),
+    )
+
+
 def decode_mp4_features(
     df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1865,71 +1945,7 @@ def decode_mp4_features(
     timescale. Emits integer-exact container features."""
     import struct
 
-    def parse(raw: bytes):
-        raw = bytes(raw)
-        boxes: list = []
-        _mp4_walk(raw, 0, len(raw), 0, boxes)
-        by_tag: dict = {}
-        for tag, b0, b1, depth in boxes:
-            by_tag.setdefault(tag, []).append((b0, b1, depth))
-        for tag in (b"ftyp", b"moov", b"mvhd", b"mdhd", b"hdlr",
-                    b"stts", b"stsz", b"stco", b"mdat"):
-            if len(by_tag.get(tag, [])) != 1:
-                raise ValueError(f"expected exactly one {tag!r} box")
-        f0, f1, _ = by_tag[b"ftyp"][0]
-        if raw[f0 : f0 + 4] != b"isom":
-            raise ValueError("unsupported major brand")
-        v0, _, _ = by_tag[b"mvhd"][0]
-        if raw[v0] != 0:
-            raise ValueError("mvhd version 1 unsupported")
-        _, _, movie_ts, movie_dur = struct.unpack_from(">IIII", raw, v0 + 4)
-        m0, _, _ = by_tag[b"mdhd"][0]
-        if raw[m0] != 0:
-            raise ValueError("mdhd version 1 unsupported")
-        _, _, media_ts, media_dur = struct.unpack_from(">IIII", raw, m0 + 4)
-        if media_ts == 0:
-            raise ValueError("zero media timescale")
-        h0, _, _ = by_tag[b"hdlr"][0]
-        handler = raw[h0 + 8 : h0 + 12].decode("ascii")
-        t0, _, _ = by_tag[b"stts"][0]
-        (n_stts,) = struct.unpack_from(">I", raw, t0 + 4)
-        if n_stts != 1:
-            raise ValueError("multi-entry stts unsupported in fixture walk")
-        stts_count, stts_delta = struct.unpack_from(">II", raw, t0 + 8)
-        z0, _, _ = by_tag[b"stsz"][0]
-        uniform, n_samples = struct.unpack_from(">II", raw, z0 + 4)
-        if uniform != 0:
-            raise ValueError("uniform stsz unsupported in fixture walk")
-        sizes = list(struct.unpack_from(f">{n_samples}I", raw, z0 + 12))
-        c0, _, _ = by_tag[b"stco"][0]
-        n_stco, chunk_off = struct.unpack_from(">II", raw, c0 + 4)
-        if n_stco != 1:
-            raise ValueError("multi-chunk stco unsupported in fixture walk")
-        d0, d1, _ = by_tag[b"mdat"][0]
-        if chunk_off != d0:
-            raise ValueError("stco offset does not hit the mdat payload")
-        if d1 - d0 != sum(sizes):
-            raise ValueError("mdat length != sum(stsz)")
-        if stts_count != n_samples:
-            raise ValueError("stts sample count != stsz count")
-        if media_dur != stts_count * stts_delta:
-            raise ValueError("mdhd duration != stts total")
-        if movie_dur != media_dur * movie_ts // media_ts:
-            raise ValueError("mvhd duration not rescaled from mdhd")
-        payload_sum = sum(raw[d0:d1])
-        return (
-            len(boxes),
-            max(d for _, _, _, d in boxes),
-            movie_ts,
-            media_ts,
-            media_dur,
-            media_dur * 1000 // media_ts,
-            n_samples,
-            sum(sizes),
-            payload_sum,
-            handler,
-            len(raw),
-        )
+    parse = mp4_container_features
 
     def fn(batches):
         for pdf in batches:
