@@ -1985,3 +1985,159 @@ CONTAINER_CODECS: dict[str, object] = {
     "mp3": decode_mp3_features,
     "mp4": decode_mp4_features,
 }
+
+
+# ---------------------------------------------------------------------------
+# ID3v2.3 tag FRAMES (r10 continuation, deepening the MP3 container tier):
+# `encode_mp3`'s tag body is disclosed filler — the walk only needs the
+# syncsafe size. This section makes the tag itself real: TIT2/TPE1/TRCK
+# text frames (4-byte id, 4-byte size, 2 flag bytes, ISO-8859-1 encoding
+# byte + text) plus trailing zero padding, encoded and parsed per the
+# ID3v2.3 spec — the metadata-extraction half of an audio catalog.
+# ---------------------------------------------------------------------------
+
+
+def id3_fixture_fields(doc_id: int) -> tuple[str, str, str, int]:
+    """(title, artist, track, padding) — the closed form the SQL oracle
+    mirrors."""
+    return (
+        f"doc-{doc_id}",
+        f"src-{doc_id % 7}",
+        str(doc_id % 30 + 1),
+        doc_id % 5,
+    )
+
+
+def _id3_text_frame(frame_id: bytes, text: str) -> bytes:
+    body = b"\x00" + text.encode("latin-1")  # encoding byte 0 = ISO-8859-1
+    return frame_id + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+
+
+def encode_mp3_tagged(doc_id: int) -> bytes:
+    """MP3 stream whose ID3v2.3 tag carries REAL text frames
+    (TIT2 title / TPE1 artist / TRCK track) + zero padding, followed by a
+    short CBR frame stream (128 kbps law, no padding bits)."""
+    title, artist, track, padding = id3_fixture_fields(doc_id)
+    frames = (
+        _id3_text_frame(b"TIT2", title)
+        + _id3_text_frame(b"TPE1", artist)
+        + _id3_text_frame(b"TRCK", track)
+    )
+    body = frames + b"\x00" * padding
+    m = len(body)
+    out = bytearray()
+    out += b"ID3" + bytes((3, 0, 0))
+    out += bytes(((m >> 21) & 0x7F, (m >> 14) & 0x7F, (m >> 7) & 0x7F, m & 0x7F))
+    out += body
+    sr_idx = doc_id % 3
+    n_frames = 2 + doc_id % 3
+    for k in range(n_frames):
+        size = mp3_frame_size(9, sr_idx, 0)  # 128 kbps, no padding bit
+        b2 = (9 << 4) | (sr_idx << 2)
+        out += bytes((0xFF, 0xFB, b2, 0xC4))
+        v = (doc_id * 3 + k * 19) % 251
+        out += bytes([v]) * (size - 4)
+    return bytes(out)
+
+
+def id3_tag_fields(raw: bytes) -> tuple[str, str, str, int, int]:
+    """Parse the ID3v2.3 tag frames: returns (title, artist, track,
+    n_tag_frames, tag_bytes). Validates the frame grammar — sizes must fit
+    the tag, text frames must carry the ISO-8859-1 encoding byte, the
+    first zero byte starts padding (which must be all zeros). Raises
+    ValueError on anything torn."""
+    raw = bytes(raw)
+    if raw[:3] != b"ID3" or len(raw) < 10:
+        raise ValueError("no ID3v2 tag")
+    if raw[3] != 3:
+        raise ValueError("only ID3v2.3 supported")
+    if (raw[6] | raw[7] | raw[8] | raw[9]) & 0x80:
+        raise ValueError("non-syncsafe ID3v2 size")
+    size = (raw[6] << 21) | (raw[7] << 14) | (raw[8] << 7) | raw[9]
+    end = 10 + size
+    if end > len(raw):
+        raise ValueError("torn ID3v2 tag")
+    pos = 10
+    fields = {}
+    n_frames = 0
+    while pos < end:
+        if raw[pos] == 0:  # padding: must be zeros to the tag end
+            if any(raw[pos:end]):
+                raise ValueError("garbage inside ID3v2 padding")
+            break
+        if pos + 10 > end:
+            raise ValueError("torn ID3v2 frame header")
+        fid = raw[pos : pos + 4].decode("latin-1")
+        fsize = int.from_bytes(raw[pos + 4 : pos + 8], "big")
+        if pos + 10 + fsize > end:
+            raise ValueError(f"ID3v2 frame {fid} overruns the tag")
+        body = raw[pos + 10 : pos + 10 + fsize]
+        if fid.startswith("T"):
+            if not body or body[0] != 0:
+                raise ValueError(f"unsupported text encoding in {fid}")
+            fields[fid] = body[1:].decode("latin-1")
+        n_frames += 1
+        pos += 10 + fsize
+    for need in ("TIT2", "TPE1", "TRCK"):
+        if need not in fields:
+            raise ValueError(f"missing {need} frame")
+    return fields["TIT2"], fields["TPE1"], fields["TRCK"], n_frames, end
+
+
+def attach_tagged_mp3_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One ID3v2.3-tagged MP3 payload per row."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_mp3_tagged(int(i)) for i in ids]
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "mp3", "n_bytes": len(p), "width": 0, "height": 0,
+                 "duration_ms": 0}
+                for p in payloads
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_id3_metadata(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL ID3v2.3 metadata extraction + the frame walk on the same
+    payload: title/artist/track from the tag frames, frame count and
+    sample rate from the MPEG stream after it."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for raw in pdf[media_col]:
+                t_, a_, tr, ntf, tb = id3_tag_fields(bytes(raw))
+                stream = mp3_stream_features(bytes(raw))
+                rows.append((t_, a_, tr, ntf, tb, stream[0], stream[1], stream[7]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "title": [r[0] for r in rows],
+                    "artist": [r[1] for r in rows],
+                    "track": [r[2] for r in rows],
+                    "n_tag_frames": [r[3] for r in rows],
+                    "tag_bytes": [r[4] for r in rows],
+                    "n_frames": [r[5] for r in rows],
+                    "sample_rate": [r[6] for r in rows],
+                    "n_bytes": [r[7] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, title string, artist string, track string,"
+        " n_tag_frames bigint, tag_bytes bigint, n_frames bigint,"
+        " sample_rate bigint, n_bytes bigint",
+    )

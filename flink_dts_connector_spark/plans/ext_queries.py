@@ -9359,3 +9359,44 @@ def graph_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_members") >= 2)
     )
+
+
+@register(
+    "multimodal_id3_metadata",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         'doc-' || CAST(doc_id AS VARCHAR) AS title,
+         'src-' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+         CAST(doc_id % 30 + 1 AS VARCHAR) AS track,
+         doc_id % 5 AS pad,
+         2 + doc_id % 3 AS nf,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr
+  FROM documents
+)
+SELECT doc_id, title, artist, track,
+       CAST(3 AS BIGINT) AS n_tag_frames,
+       CAST(10 + (15 + length(CAST(doc_id AS VARCHAR)))
+               + 16 + (11 + length(track)) + pad AS BIGINT) AS tag_bytes,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(10 + (15 + length(CAST(doc_id AS VARCHAR)))
+               + 16 + (11 + length(track)) + pad
+            + nf * (144 * 128 * 1000 // sr) AS BIGINT) AS n_bytes
+FROM p
+""",
+    tags=("ext", "multimodal", "codec", "audio", "metadata"),
+)
+def multimodal_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ID3v2.3 metadata extraction — the tag-frame half of the MP3
+    container tier (`multimodal_mp3_features` proves the frame walk; this
+    proves the TAG): every document's payload carries genuine TIT2/TPE1/
+    TRCK text frames (4-byte id, 4-byte size, flag bytes, ISO-8859-1
+    encoding byte) plus zero padding, parsed per the spec with loud
+    rejection of overruns / wrong encodings / non-zero padding — the
+    metadata-extraction stage of an audio-catalog pipeline. The oracle
+    reproduces the strings AND every byte count (frame bodies, padding,
+    the 128 kbps frame-length law after the tag) in closed form."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_tagged_mp3_media(docs)
+    return M.decode_id3_metadata(media)

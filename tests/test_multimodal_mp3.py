@@ -165,3 +165,67 @@ def test_id3less_stream_accepted(spark):
     (row,) = _decode_one(spark, bare)
     assert row["id3_bytes"] == 0
     assert row["n_frames"] == mp3_fixture_params(7)["n_frames"]
+
+
+# --- ID3v2.3 tag frames (encode_mp3_tagged / id3_tag_fields) ---------------
+
+
+def test_id3_tag_roundtrip():
+    from flink_dts_connector_spark.operators.multimodal import (
+        encode_mp3_tagged,
+        id3_fixture_fields,
+        id3_tag_fields,
+    )
+
+    for i in (0, 1, 6, 29, 30, 4999):
+        title, artist, track, pad = id3_fixture_fields(i)
+        t, a, tr, n, tag_bytes = id3_tag_fields(encode_mp3_tagged(i))
+        assert (t, a, tr, n) == (title, artist, track, 3)
+        raw = encode_mp3_tagged(i)
+        # tag_bytes is where the first MPEG frame starts
+        assert raw[tag_bytes] == 0xFF and (raw[tag_bytes + 1] & 0xE0) == 0xE0
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        # frame size overruns the tag
+        (lambda b: b[:14] + (2**20).to_bytes(4, "big") + b[18:], "overruns the tag"),
+        # text frame with UTF-16 encoding byte (unsupported in this parser)
+        (lambda b: b[:20] + b"\x01" + b[21:], "unsupported text encoding"),
+        # garbage inside padding: doc 2 has pad=2 — zero the first padding
+        # byte (enters the padding branch) and corrupt the second
+        (None, "garbage inside ID3v2 padding"),
+        # v2.4 tag version
+        (lambda b: b[:3] + b"\x04" + b[4:], "only ID3v2.3"),
+    ],
+)
+def test_id3_malformed_rejected(mutate, msg):
+    from flink_dts_connector_spark.operators.multimodal import (
+        encode_mp3_tagged,
+        id3_tag_fields,
+    )
+
+    raw = encode_mp3_tagged(2)  # doc 2: padding = 2 bytes
+    if mutate is None:
+        _, _, _, _, tag_bytes = id3_tag_fields(raw)
+        bad = raw[: tag_bytes - 1] + b"\x7f" + raw[tag_bytes:]
+    else:
+        bad = mutate(raw)
+    with pytest.raises(ValueError, match=msg):
+        id3_tag_fields(bad)
+
+
+def test_id3_missing_required_frame():
+    from flink_dts_connector_spark.operators.multimodal import (
+        _id3_text_frame,
+        id3_tag_fields,
+    )
+
+    body = _id3_text_frame(b"TIT2", "x")  # no TPE1/TRCK
+    m = len(body)
+    raw = b"ID3\x03\x00\x00" + bytes(
+        ((m >> 21) & 0x7F, (m >> 14) & 0x7F, (m >> 7) & 0x7F, m & 0x7F)
+    ) + body
+    with pytest.raises(ValueError, match="missing TPE1"):
+        id3_tag_fields(raw)
