@@ -2141,3 +2141,257 @@ def decode_id3_metadata(
         " n_tag_frames bigint, tag_bytes bigint, n_frames bigint,"
         " sample_rate bigint, n_bytes bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# General ISO-BMFF sample tables (r10 continuation, deepening the MP4 box
+# tier): `mp4_container_features` pins the single-chunk/single-delta fixture
+# and rejects the general layout loudly. This section implements the GENERAL
+# demuxer math every real MP4 reader runs: multi-entry stts (decode-delta
+# runs), multi-chunk stsc (run-length chunk→samples-per-chunk mapping), and
+# per-chunk stco offsets verified to TILE the mdat payload exactly against
+# cumulative stsz sizes.
+# ---------------------------------------------------------------------------
+
+
+def mp4_chunked_fixture_params(doc_id: int) -> dict:
+    """Chunked-movie law (mirrored by the SQL oracle): 6..12 samples, 2..3
+    samples per chunk (last chunk takes the remainder), TWO decode-delta
+    runs (first half d1, rest d2), timescale from the canonical set."""
+    n = 6 + doc_id % 7
+    return {
+        "n_samples": n,
+        "spc": 2 + doc_id % 2,
+        "n_first": n // 2,
+        "d1": 100 + doc_id % 50,
+        "d2": 40 + doc_id % 20,
+        "timescale": MP4_TIMESCALES[doc_id % 3],
+    }
+
+
+#: fixed byte overhead of the chunked fixture tree — everything except
+#: stsz entries (4/sample), stco entries (4/chunk), the optional second
+#: stsc entry (12), and the mdat payload; pinned by
+#: tests/test_multimodal_mp4.py::test_chunked_overhead_constant
+MP4_CHUNKED_OVERHEAD = 485
+
+
+def encode_mp4_chunked(doc_id: int) -> bytes:
+    """ISO-BMFF with the GENERAL sample tables: two stts runs, stsc with a
+    run-length chunk map (uniform chunks of `spc` samples, remainder in
+    the last chunk), and one stco offset per chunk — each the true file
+    offset of that chunk's first byte."""
+    import struct
+
+    p = mp4_chunked_fixture_params(doc_id)
+    n, spc, ts = p["n_samples"], p["spc"], p["timescale"]
+    sizes = [mp4_sample_size(doc_id, k) for k in range(n)]
+    n_chunks = (n + spc - 1) // spc
+    rem = n - spc * (n_chunks - 1)
+    dur = p["n_first"] * p["d1"] + (n - p["n_first"]) * p["d2"]
+    mv_dur = dur * 1000 // ts
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isom" + b"mp41")
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, mv_dur)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, mv_dur)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 0, 0),
+    )
+    mdhd = _mp4_full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, ts, dur, 0x55C4, 0))
+    hdlr = _mp4_full(b"hdlr", 0, 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"\x00")
+    nmhd = _mp4_full(b"nmhd", 0, 0, b"")
+    entry = _mp4_box(b"mp4a", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8)
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _mp4_full(
+        b"stts", 0, 0,
+        struct.pack(">I", 2)
+        + struct.pack(">II", p["n_first"], p["d1"])
+        + struct.pack(">II", n - p["n_first"], p["d2"]),
+    )
+    stsc_entries = [(1, spc, 1)]
+    if rem != spc:
+        stsc_entries.append((n_chunks, rem, 1))
+    stsc = _mp4_full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stsz = _mp4_full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+
+    def build_moov(base_off: int) -> bytes:
+        offs = []
+        acc = base_off
+        for c in range(n_chunks):
+            offs.append(acc)
+            take = spc if c < n_chunks - 1 else rem
+            acc += sum(sizes[c * spc : c * spc + take])
+        stco = _mp4_full(
+            b"stco", 0, 0,
+            struct.pack(">I", n_chunks) + b"".join(struct.pack(">I", o) for o in offs),
+        )
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _mp4_box(b"minf", nmhd + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        return _mp4_box(b"moov", mvhd + trak)
+
+    payload_off = len(ftyp) + len(build_moov(0)) + 8
+    moov = build_moov(payload_off)
+    payload = b"".join(
+        bytes([mp4_sample_fill(doc_id, k)]) * sizes[k] for k in range(n)
+    )
+    return ftyp + moov + _mp4_box(b"mdat", payload)
+
+
+def mp4_demux_features(raw: bytes):
+    """GENERAL sample-table demux: walk the box tree, expand the stsc
+    run-length chunk map, derive every chunk's expected file offset from
+    cumulative stsz sizes, and verify stco TILES the mdat payload exactly
+    (the math every demuxer runs before it can read sample 0). Returns
+    (n_boxes, n_chunks, n_stts_runs, n_samples, media_timescale,
+    media_duration, duration_ms, sample_bytes, payload_sum, n_bytes);
+    raises ValueError on any inconsistency."""
+    import struct
+
+    raw = bytes(raw)
+    boxes: list = []
+    _mp4_walk(raw, 0, len(raw), 0, boxes)
+    by_tag: dict = {}
+    for tag, b0, b1, depth in boxes:
+        by_tag.setdefault(tag, []).append((b0, b1, depth))
+    for tag in (b"ftyp", b"moov", b"mvhd", b"mdhd", b"stts", b"stsc",
+                b"stsz", b"stco", b"mdat"):
+        if len(by_tag.get(tag, [])) != 1:
+            raise ValueError(f"expected exactly one {tag!r} box")
+    v0, _, _ = by_tag[b"mvhd"][0]
+    _, _, movie_ts, movie_dur = struct.unpack_from(">IIII", raw, v0 + 4)
+    m0, _, _ = by_tag[b"mdhd"][0]
+    _, _, media_ts, media_dur = struct.unpack_from(">IIII", raw, m0 + 4)
+    if media_ts == 0:
+        raise ValueError("zero media timescale")
+    # stts: N (count, delta) runs
+    t0, _, _ = by_tag[b"stts"][0]
+    (n_stts,) = struct.unpack_from(">I", raw, t0 + 4)
+    runs = [struct.unpack_from(">II", raw, t0 + 8 + 8 * j) for j in range(n_stts)]
+    # stsz: per-sample sizes
+    z0, _, _ = by_tag[b"stsz"][0]
+    uniform, n_samples = struct.unpack_from(">II", raw, z0 + 4)
+    if uniform != 0:
+        raise ValueError("uniform stsz unsupported")
+    sizes = list(struct.unpack_from(f">{n_samples}I", raw, z0 + 12))
+    if sum(c for c, _ in runs) != n_samples:
+        raise ValueError("stts total != stsz count")
+    if media_dur != sum(c * d for c, d in runs):
+        raise ValueError("mdhd duration != stts total")
+    if movie_dur != media_dur * movie_ts // media_ts:
+        raise ValueError("mvhd duration not rescaled from mdhd")
+    # stco: chunk offsets
+    c0, _, _ = by_tag[b"stco"][0]
+    (n_chunks,) = struct.unpack_from(">I", raw, c0 + 4)
+    offs = list(struct.unpack_from(f">{n_chunks}I", raw, c0 + 8))
+    # stsc: run-length (first_chunk, samples_per_chunk) map -> per-chunk counts
+    s0, _, _ = by_tag[b"stsc"][0]
+    (n_stsc,) = struct.unpack_from(">I", raw, s0 + 4)
+    ents = [struct.unpack_from(">III", raw, s0 + 8 + 12 * j) for j in range(n_stsc)]
+    if not ents or ents[0][0] != 1:
+        raise ValueError("stsc must start at chunk 1")
+    if any(ents[j][0] >= ents[j + 1][0] for j in range(n_stsc - 1)):
+        raise ValueError("stsc first_chunk not strictly increasing")
+    per_chunk = []
+    for j, (first, spc, _desc) in enumerate(ents):
+        last = ents[j + 1][0] - 1 if j + 1 < n_stsc else n_chunks
+        per_chunk.extend([spc] * (last - first + 1))
+    if len(per_chunk) != n_chunks:
+        raise ValueError("stsc run map does not cover stco chunks")
+    if sum(per_chunk) != n_samples:
+        raise ValueError("stsc sample total != stsz count")
+    # tile mdat: expected offset of every chunk from cumulative sizes
+    d0, d1, _ = by_tag[b"mdat"][0]
+    acc = d0
+    k = 0
+    for c in range(n_chunks):
+        if offs[c] != acc:
+            raise ValueError(f"stco offset for chunk {c + 1} does not tile mdat")
+        acc += sum(sizes[k : k + per_chunk[c]])
+        k += per_chunk[c]
+    if acc != d1:
+        raise ValueError("chunks do not cover the mdat payload exactly")
+    return (
+        len(boxes),
+        n_chunks,
+        n_stts,
+        n_samples,
+        media_ts,
+        media_dur,
+        media_dur * 1000 // media_ts,
+        sum(sizes),
+        sum(raw[d0:d1]),
+        len(raw),
+    )
+
+
+def attach_chunked_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One chunked ISO-BMFF payload per row."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_mp4_chunked(int(i)) for i in ids]
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "mp4", "n_bytes": len(p), "width": 0, "height": 0,
+                 "duration_ms": 0}
+                for p in payloads
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_mp4_demux(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """General-demux feature stage over `mp4_demux_features`."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [mp4_demux_features(bytes(raw)) for raw in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_boxes": [p[0] for p in parsed],
+                    "n_chunks": [p[1] for p in parsed],
+                    "n_stts_runs": [p[2] for p in parsed],
+                    "n_samples": [p[3] for p in parsed],
+                    "media_timescale": [p[4] for p in parsed],
+                    "media_duration": [p[5] for p in parsed],
+                    "duration_ms": [p[6] for p in parsed],
+                    "sample_bytes": [p[7] for p in parsed],
+                    "payload_sum": [p[8] for p in parsed],
+                    "n_bytes": [p[9] for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, n_boxes bigint, n_chunks bigint, n_stts_runs bigint,"
+        " n_samples bigint, media_timescale bigint, media_duration bigint,"
+        " duration_ms bigint, sample_bytes bigint, payload_sum bigint, n_bytes bigint",
+    )

@@ -9400,3 +9400,64 @@ def multimodal_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = M.attach_tagged_mp3_media(docs)
     return M.decode_id3_metadata(media)
+
+
+@register(
+    "multimodal_mp4_demux",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         6 + doc_id % 7 AS n,
+         2 + doc_id % 2 AS spc,
+         (6 + doc_id % 7) // 2 AS n_first,
+         100 + doc_id % 50 AS d1,
+         40 + doc_id % 20 AS d2,
+         CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS ts
+  FROM documents
+), q AS (
+  SELECT *, (n + spc - 1) // spc AS n_chunks,
+         n - spc * ((n + spc - 1) // spc - 1) AS rem,
+         n_first * d1 + (n - n_first) * d2 AS dur
+  FROM p
+), smp AS (
+  SELECT doc_id, k.k,
+         20 + (doc_id * 11 + k.k * 17) % 43 AS sz,
+         (doc_id * 5 + k.k * 29) % 251 AS fill
+  FROM q, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS k) k
+), agg AS (
+  SELECT doc_id, CAST(SUM(sz) AS BIGINT) AS sample_bytes,
+         CAST(SUM(sz * fill) AS BIGINT) AS payload_sum
+  FROM smp GROUP BY doc_id
+)
+SELECT q.doc_id,
+       CAST(17 AS BIGINT) AS n_boxes,
+       CAST(q.n_chunks AS BIGINT) AS n_chunks,
+       CAST(2 AS BIGINT) AS n_stts_runs,
+       CAST(q.n AS BIGINT) AS n_samples,
+       CAST(q.ts AS BIGINT) AS media_timescale,
+       CAST(q.dur AS BIGINT) AS media_duration,
+       CAST(q.dur * 1000 // q.ts AS BIGINT) AS duration_ms,
+       agg.sample_bytes,
+       agg.payload_sum,
+       CAST(485 + 4 * q.n + 4 * q.n_chunks
+            + CASE WHEN q.rem <> q.spc THEN 12 ELSE 0 END
+            + agg.sample_bytes AS BIGINT) AS n_bytes
+FROM q JOIN agg USING (doc_id)
+""",
+    tags=("ext", "multimodal", "codec", "video"),
+)
+def multimodal_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL ISO-BMFF sample-table demux — the layout
+    `multimodal_mp4_boxes`' strict fixture walk rejects as unsupported,
+    done for real: multi-entry stts (two decode-delta runs), run-length
+    stsc chunk mapping (uniform chunks, remainder in the last), and one
+    stco offset per chunk, each verified to TILE the mdat payload exactly
+    against cumulative stsz sizes — the math every demuxer must run
+    before it can read sample 0 (`operators/multimodal.py:
+    mp4_demux_features`; the same parser also accepts the single-chunk
+    fixture). The oracle reproduces the chunking arithmetic (ceil-div
+    chunk count, remainder law, two-run duration) and every byte count
+    incl. the 485-byte fixed tree overhead in closed form."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_chunked_mp4_media(docs)
+    return M.decode_mp4_demux(media)

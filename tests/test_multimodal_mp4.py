@@ -141,3 +141,102 @@ def test_duplicate_top_level_box_rejected(spark):
     raw = encode_mp4(3)
     with pytest.raises(Exception, match="exactly one"):
         _decode_one(spark, raw + _mp4_box(b"mdat", b""))
+
+
+# --- general sample-table demux (encode_mp4_chunked / mp4_demux_features) ---
+
+
+def test_chunked_overhead_constant():
+    from flink_dts_connector_spark.operators.multimodal import (
+        MP4_CHUNKED_OVERHEAD,
+        encode_mp4_chunked,
+        mp4_chunked_fixture_params,
+        mp4_sample_size,
+    )
+
+    for i in range(40):
+        p = mp4_chunked_fixture_params(i)
+        n, spc = p["n_samples"], p["spc"]
+        n_chunks = (n + spc - 1) // spc
+        rem = n - spc * (n_chunks - 1)
+        sizes = sum(mp4_sample_size(i, k) for k in range(n))
+        extra = 12 if rem != spc else 0
+        assert len(encode_mp4_chunked(i)) == (
+            MP4_CHUNKED_OVERHEAD + 4 * n + 4 * n_chunks + extra + sizes
+        )
+
+
+def test_demux_accepts_single_chunk_fixture():
+    from flink_dts_connector_spark.operators.multimodal import (
+        encode_mp4,
+        mp4_demux_features,
+        mp4_fixture_params,
+    )
+
+    got = mp4_demux_features(encode_mp4(9))
+    p = mp4_fixture_params(9)
+    assert got[1] == 1 and got[2] == 1 and got[3] == p["n_samples"]
+
+
+def test_demux_tiling_violations_trip():
+    import struct
+
+    from flink_dts_connector_spark.operators.multimodal import (
+        _mp4_walk,
+        encode_mp4_chunked,
+        mp4_demux_features,
+    )
+
+    raw = encode_mp4_chunked(4)  # 10 samples, spc=2, 5 chunks
+    boxes: list = []
+    _mp4_walk(raw, 0, len(raw), 0, boxes)
+
+    # nudge the SECOND stco offset by one byte: tiling check must trip
+    stco = next(b for b in boxes if b[0] == b"stco")
+    off1_pos = stco[1] + 8 + 4  # after verflags+count, second entry
+    bad = bytearray(raw)
+    v = struct.unpack_from(">I", raw, off1_pos)[0]
+    bad[off1_pos : off1_pos + 4] = (v + 1).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="does not tile mdat"):
+        mp4_demux_features(bytes(bad))
+
+    # shrink a middle stsz entry: the chunk after it starts early -> trip
+    stsz = next(b for b in boxes if b[0] == b"stsz")
+    e3 = stsz[1] + 12 + 4 * 3
+    bad2 = bytearray(raw)
+    s3 = struct.unpack_from(">I", raw, e3)[0]
+    bad2[e3 : e3 + 4] = (s3 - 1).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="does not tile mdat|cover the mdat"):
+        mp4_demux_features(bytes(bad2))
+
+    # stsc run map that under-covers the chunks: drop the count to 1 run of
+    # spc covering all 5 chunks -> sample total mismatch
+    stsc = next(b for b in boxes if b[0] == b"stsc")
+    bad3 = bytearray(raw)
+    # rewrite entry 1's samples_per_chunk to 1 (5 chunks * 1 = 5 != 10)
+    spc_pos = stsc[1] + 8 + 4
+    bad3[spc_pos : spc_pos + 4] = (1).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="sample total != stsz count"):
+        mp4_demux_features(bytes(bad3))
+
+
+def test_demux_stts_consistency_trips():
+    import struct
+
+    from flink_dts_connector_spark.operators.multimodal import (
+        _mp4_walk,
+        encode_mp4_chunked,
+        mp4_demux_features,
+    )
+
+    raw = encode_mp4_chunked(7)
+    boxes: list = []
+    _mp4_walk(raw, 0, len(raw), 0, boxes)
+    stts = next(b for b in boxes if b[0] == b"stts")
+    # bump run 2's delta: mdhd duration no longer equals the stts total
+    d2_pos = stts[1] + 8 + 8 + 4
+    bad = bytearray(raw)
+    v = struct.unpack_from(">I", raw, d2_pos)[0]
+    bad[d2_pos : d2_pos + 4] = (v + 1).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="mdhd duration != stts total"):
+        mp4_demux_features(bytes(bad))
