@@ -164,6 +164,10 @@ HEADLINE = [
     # r10 continuation: trigram-index substring search (index build + rarest-K
     # probe + verify — the corpus-scan-free LIKE '%p%' path)
     "search_trigram_substring",
+    # r10 continuation wave 2: ID3v2.3 tag-frame extraction and the general
+    # ISO-BMFF sample-table demux (stco-tiles-mdat verification)
+    "multimodal_id3_metadata",
+    "multimodal_mp4_demux",
 ]
 
 
