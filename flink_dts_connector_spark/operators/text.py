@@ -533,3 +533,67 @@ def self_repeat_spans(
             F.max("span_tokens").alias("max_span_tokens"),
         )
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    top_k: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS,
+) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction, Rose et al. 2010) at
+    corpus scale — the phrase-level sibling of `tfidf_keywords`: candidate
+    phrases are the maximal stopword-free token runs (gaps-and-islands on
+    token position), each word scores degree/frequency where degree sums
+    the lengths of every phrase the word occurs in, and a phrase scores
+    the sum of its words' scores. Exactness: the division is one integer
+    ``degree * 10^6 div freq`` per word (score_ppm), summed as BIGINTs, so
+    ranking is bit-deterministic and the (score DESC, phrase ASC) top-k is
+    total. Scale: one explode + three keyed aggregates — the word-stat
+    frame is vocabulary-sized, phrase grouping shuffles on the phrase
+    text; nothing is per-document iterative."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("i", "w"),
+    )
+    ns = toks.where(~F.col("w").isin(*stopwords)).withColumn(
+        "island",
+        F.col("i") - F.row_number().over(W.partitionBy("doc_id").orderBy("i")),
+    )
+    ph = ns.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    occ = ns.join(ph, ["doc_id", "island"])
+    ws = occ.groupBy("w").agg(
+        F.sum("plen").cast("bigint").alias("degree"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+    )
+    scored = (
+        occ.join(ws, "w")
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("phrase").alias("phrase"),
+            F.min("plen").cast("bigint").alias("n_words"),
+            F.sum(F.expr("degree * 1000000 div freq")).cast("bigint").alias("score_ppm"),
+        )
+    )
+    agg = scored.groupBy("phrase").agg(
+        F.min("n_words").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.min("score_ppm").cast("bigint").alias("score_ppm"),
+    )
+    w_rank = W.orderBy(F.col("score_ppm").desc(), F.col("phrase").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rank") <= top_k)
+        .select("phrase", "n_words", "n_occurrences", "score_ppm", "rank")
+    )

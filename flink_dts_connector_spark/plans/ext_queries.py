@@ -9461,3 +9461,56 @@ def multimodal_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = M.attach_chunked_mp4_media(docs)
     return M.decode_mp4_demux(media)
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
+  FROM documents
+), ns AS (
+  SELECT doc_id, i, w,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM toks WHERE w NOT IN ('the', 'a', 'of', 'and')
+), ph AS (
+  SELECT doc_id, island, COUNT(*) AS plen,
+         string_agg(w, ' ' ORDER BY i) AS phrase
+  FROM ns GROUP BY 1, 2
+), occ AS (
+  SELECT ns.doc_id, ns.island, ns.w, ph.plen, ph.phrase
+  FROM ns JOIN ph USING (doc_id, island)
+), ws AS (
+  SELECT w, CAST(SUM(plen) AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM occ GROUP BY w
+), scored AS (
+  SELECT occ.doc_id, occ.island,
+         MIN(occ.phrase) AS phrase,
+         CAST(MIN(occ.plen) AS BIGINT) AS n_words,
+         CAST(SUM(ws.degree * 1000000 // ws.freq) AS BIGINT) AS score_ppm
+  FROM occ JOIN ws USING (w) GROUP BY occ.doc_id, occ.island
+), agg AS (
+  SELECT phrase,
+         CAST(MIN(n_words) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(MIN(score_ppm) AS BIGINT) AS score_ppm
+  FROM scored GROUP BY phrase
+)
+SELECT phrase, n_words, n_occurrences, score_ppm, CAST(rk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score_ppm DESC, phrase ASC) AS rk FROM agg)
+WHERE rk <= 15
+""",
+    tags=("ext", "text", "keywords"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus — the
+    phrase-level keyword method beside `text_tfidf_keywords`: candidate
+    phrases are maximal stopword-free token runs (gaps-and-islands on
+    token position), word score = degree/frequency (degree = Σ lengths of
+    the phrases containing the word), phrase score = Σ word scores. All
+    arithmetic integer-exact (one `degree·10⁶ div freq` per word, summed
+    as BIGINT), so the corpus-wide top-15 with its total (score DESC,
+    phrase ASC) order hash-matches the oracle, which replays the identical
+    islands/degree/frequency pipeline in SQL
+    (`operators/text.py::rake_keywords`)."""
+    return X.rake_keywords(t(spark, sf_dir, "documents"), top_k=15)
