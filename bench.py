@@ -168,6 +168,7 @@ HEADLINE = [
     # ISO-BMFF sample-table demux (stco-tiles-mdat verification)
     "multimodal_id3_metadata",
     "multimodal_mp4_demux",
+    "text_rake_keywords",
 ]
 
 
