@@ -1861,6 +1861,14 @@ def _mp4_walk(buf: bytes, start: int, end: int, depth: int, out: list) -> None:
         pos += size
 
 
+def _mp4_bound(end: int, off: int, nbytes: int, what: str) -> None:
+    """Every variable-length (and version-dependent) unpack must fit inside
+    its box's recorded extent: a corrupted count must surface as the
+    documented ValueError, never a struct.error (ADVICE r10)."""
+    if nbytes < 0 or off + nbytes > end:
+        raise ValueError(f"torn {what} table")
+
+
 def mp4_container_features(raw: bytes):
     """Pure parse of one ISO-BMFF file (see `decode_mp4_features`): returns
     (n_boxes, max_depth, movie_timescale, media_timescale, media_duration,
@@ -1881,29 +1889,37 @@ def mp4_container_features(raw: bytes):
     f0, f1, _ = by_tag[b"ftyp"][0]
     if raw[f0 : f0 + 4] != b"isom":
         raise ValueError("unsupported major brand")
-    v0, _, _ = by_tag[b"mvhd"][0]
+    v0, v1, _ = by_tag[b"mvhd"][0]
+    _mp4_bound(v1, v0, 20, "mvhd")
     if raw[v0] != 0:
         raise ValueError("mvhd version 1 unsupported")
     _, _, movie_ts, movie_dur = struct.unpack_from(">IIII", raw, v0 + 4)
-    m0, _, _ = by_tag[b"mdhd"][0]
+    m0, m1, _ = by_tag[b"mdhd"][0]
+    _mp4_bound(m1, m0, 20, "mdhd")
     if raw[m0] != 0:
         raise ValueError("mdhd version 1 unsupported")
     _, _, media_ts, media_dur = struct.unpack_from(">IIII", raw, m0 + 4)
     if media_ts == 0:
         raise ValueError("zero media timescale")
-    h0, _, _ = by_tag[b"hdlr"][0]
+    h0, h1, _ = by_tag[b"hdlr"][0]
+    _mp4_bound(h1, h0, 12, "hdlr")
     handler = raw[h0 + 8 : h0 + 12].decode("ascii")
-    t0, _, _ = by_tag[b"stts"][0]
+    t0, t1, _ = by_tag[b"stts"][0]
+    _mp4_bound(t1, t0, 8, "stts")
     (n_stts,) = struct.unpack_from(">I", raw, t0 + 4)
     if n_stts != 1:
         raise ValueError("multi-entry stts unsupported in fixture walk")
+    _mp4_bound(t1, t0 + 8, 8 * n_stts, "stts")
     stts_count, stts_delta = struct.unpack_from(">II", raw, t0 + 8)
-    z0, _, _ = by_tag[b"stsz"][0]
+    z0, z1, _ = by_tag[b"stsz"][0]
+    _mp4_bound(z1, z0, 12, "stsz")
     uniform, n_samples = struct.unpack_from(">II", raw, z0 + 4)
     if uniform != 0:
         raise ValueError("uniform stsz unsupported in fixture walk")
+    _mp4_bound(z1, z0 + 12, 4 * n_samples, "stsz")
     sizes = list(struct.unpack_from(f">{n_samples}I", raw, z0 + 12))
-    c0, _, _ = by_tag[b"stco"][0]
+    c0, c1, _ = by_tag[b"stco"][0]
+    _mp4_bound(c1, c0, 12, "stco")
     n_stco, chunk_off = struct.unpack_from(">II", raw, c0 + 4)
     if n_stco != 1:
         raise ValueError("multi-chunk stco unsupported in fixture walk")
@@ -2275,21 +2291,27 @@ def mp4_demux_features(raw: bytes):
                 b"stsz", b"stco", b"mdat"):
         if len(by_tag.get(tag, [])) != 1:
             raise ValueError(f"expected exactly one {tag!r} box")
-    v0, _, _ = by_tag[b"mvhd"][0]
+    v0, v1, _ = by_tag[b"mvhd"][0]
+    _mp4_bound(v1, v0, 20, "mvhd")
     _, _, movie_ts, movie_dur = struct.unpack_from(">IIII", raw, v0 + 4)
-    m0, _, _ = by_tag[b"mdhd"][0]
+    m0, m1, _ = by_tag[b"mdhd"][0]
+    _mp4_bound(m1, m0, 20, "mdhd")
     _, _, media_ts, media_dur = struct.unpack_from(">IIII", raw, m0 + 4)
     if media_ts == 0:
         raise ValueError("zero media timescale")
     # stts: N (count, delta) runs
-    t0, _, _ = by_tag[b"stts"][0]
+    t0, t1, _ = by_tag[b"stts"][0]
+    _mp4_bound(t1, t0, 8, "stts")
     (n_stts,) = struct.unpack_from(">I", raw, t0 + 4)
+    _mp4_bound(t1, t0 + 8, 8 * n_stts, "stts")
     runs = [struct.unpack_from(">II", raw, t0 + 8 + 8 * j) for j in range(n_stts)]
     # stsz: per-sample sizes
-    z0, _, _ = by_tag[b"stsz"][0]
+    z0, z1, _ = by_tag[b"stsz"][0]
+    _mp4_bound(z1, z0, 12, "stsz")
     uniform, n_samples = struct.unpack_from(">II", raw, z0 + 4)
     if uniform != 0:
         raise ValueError("uniform stsz unsupported")
+    _mp4_bound(z1, z0 + 12, 4 * n_samples, "stsz")
     sizes = list(struct.unpack_from(f">{n_samples}I", raw, z0 + 12))
     if sum(c for c, _ in runs) != n_samples:
         raise ValueError("stts total != stsz count")
@@ -2298,12 +2320,16 @@ def mp4_demux_features(raw: bytes):
     if movie_dur != media_dur * movie_ts // media_ts:
         raise ValueError("mvhd duration not rescaled from mdhd")
     # stco: chunk offsets
-    c0, _, _ = by_tag[b"stco"][0]
+    c0, c1, _ = by_tag[b"stco"][0]
+    _mp4_bound(c1, c0, 8, "stco")
     (n_chunks,) = struct.unpack_from(">I", raw, c0 + 4)
+    _mp4_bound(c1, c0 + 8, 4 * n_chunks, "stco")
     offs = list(struct.unpack_from(f">{n_chunks}I", raw, c0 + 8))
     # stsc: run-length (first_chunk, samples_per_chunk) map -> per-chunk counts
-    s0, _, _ = by_tag[b"stsc"][0]
+    s0, s1, _ = by_tag[b"stsc"][0]
+    _mp4_bound(s1, s0, 8, "stsc")
     (n_stsc,) = struct.unpack_from(">I", raw, s0 + 4)
+    _mp4_bound(s1, s0 + 8, 12 * n_stsc, "stsc")
     ents = [struct.unpack_from(">III", raw, s0 + 8 + 12 * j) for j in range(n_stsc)]
     if not ents or ents[0][0] != 1:
         raise ValueError("stsc must start at chunk 1")

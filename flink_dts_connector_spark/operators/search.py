@@ -226,11 +226,23 @@ def rrf_topk(
 def trigram_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(trigram, doc_id) inverted index — each document's DISTINCT character
     trigrams via one JVM-side transform + explode (no Python)."""
-    tri = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
-        f" i -> substring({text_col}, i, 3)))"
-    )
+    # CASE-gated: Spark's sequence(1, 0) is DESCENDING [1, 0], so an
+    # ungated expression would emit bogus sub-3-char postings for short
+    # docs (ADVICE r10). Sub-trigram docs contribute no postings, matching
+    # the DuckDB oracle's empty generate_series.
+    tri = F.expr(_trigram_set_sql(text_col))
     return df.select(F.col(id_col).alias("doc_id"), F.explode(tri).alias("tri"))
+
+
+def _trigram_set_sql(col: str) -> str:
+    """SQL for the distinct-trigram array of ``col``; empty array (not
+    [whole-string] or ['']) when length < 3."""
+    return (
+        f"CASE WHEN length({col}) >= 3 THEN "
+        f"array_distinct(transform(sequence(1, length({col}) - 2),"
+        f" i -> substring({col}, i, 3))) "
+        f"ELSE array() END"
+    )
 
 
 def trigram_substring_search(
@@ -252,12 +264,7 @@ def trigram_substring_search(
 
     ptri = patterns.select(
         F.col(pattern_col).alias("pattern"),
-        F.explode(
-            F.expr(
-                f"array_distinct(transform(sequence(1, greatest(length({pattern_col}) - 2, 0)),"
-                f" i -> substring({pattern_col}, i, 3)))"
-            )
-        ).alias("tri"),
+        F.explode(F.expr(_trigram_set_sql(pattern_col))).alias("tri"),
     )
     w = Window.partitionBy("pattern").orderBy(F.col("df").asc(), F.col("tri").asc())
     ranked = (

@@ -20,10 +20,12 @@ from flink_dts_connector_spark.operators.multimodal import (
     MP4_FIXTURE_OVERHEAD,
     encode_mp3,
     encode_mp4,
+    encode_mp4_chunked,
     mp3_fixture_params,
     mp3_frame_size,
     mp3_stream_features,
     mp4_container_features,
+    mp4_demux_features,
     mp4_fixture_params,
     mp4_sample_fill,
     mp4_sample_size,
@@ -134,3 +136,36 @@ def test_mp4_corruption_never_silent(i, data):
         return
     assert got[10] == len(raw)
     assert got[0] == 17 and got[6] >= 1
+
+
+@given(_ids, st.data())
+@settings(max_examples=150, deadline=None)
+def test_mp4_demux_truncation_always_rejected(i, data):
+    """Same length-prefix + required-box-census argument as the fixture
+    walk, over the general demux parser and the chunked fixture
+    (ADVICE r10: the demux path shipped without fuzz coverage)."""
+    raw = encode_mp4_chunked(i)
+    cut = data.draw(st.integers(0, len(raw) - 1))
+    with pytest.raises(ValueError):
+        mp4_demux_features(raw[:cut])
+
+
+@given(_ids, st.data())
+@settings(max_examples=150, deadline=None)
+def test_mp4_demux_corruption_never_silent(i, data):
+    """Flip one byte anywhere in the chunked fixture: the general demux
+    either rejects loudly (ValueError, never struct.error) or the flip
+    landed in the mdat payload and only the checksum moves — box census,
+    chunk map, and byte accounting must all still agree with the clean
+    parse."""
+    clean = mp4_demux_features(encode_mp4_chunked(i))
+    raw = bytearray(encode_mp4_chunked(i))
+    pos = data.draw(st.integers(0, len(raw) - 1))
+    bit = data.draw(st.integers(0, 7))
+    raw[pos] ^= 1 << bit
+    try:
+        got = mp4_demux_features(bytes(raw))
+    except ValueError:
+        return
+    assert got[9] == len(raw)
+    assert got[:8] == clean[:8]

@@ -101,6 +101,39 @@ def test_postings_are_distinct_per_doc(spark):
     assert sorted(r["tri"] for r in rows) == ["aba", "bab"]
 
 
+def test_short_docs_emit_no_postings(spark):
+    """ADVICE r10: Spark's sequence(1, 0) is DESCENDING [1, 0], so the
+    ungated expression emitted bogus 1-2-char (or empty) postings for
+    sub-trigram docs, diverging from the oracle's empty generate_series.
+    Gated: docs shorter than 3 chars contribute nothing to the index."""
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "xy"), (4, "abc")], "doc_id bigint, text string"
+    )
+    rows = trigram_postings(docs).collect()
+    assert [(r["doc_id"], r["tri"]) for r in rows] == [(4, "abc")]
+
+
+def test_exact_with_short_docs_mixed_in(spark):
+    """Sub-trigram docs can never contain a >=3-char pattern, so dropping
+    them from the index keeps the candidate set complete; exactness vs
+    brute force must hold with them present."""
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "quick brown fox"), (4, "q")],
+        "doc_id bigint, text string",
+    )
+    pats = spark.createDataFrame([("quick",), ("zzz",)], "pattern string")
+    got = {
+        r["pattern"]: (r["n_matches"], r["min_match_doc"])
+        for r in trigram_substring_search(docs, pats, k_rarest=3).collect()
+    }
+    want = {
+        r["pattern"]: (r["n_matches"], r["min_match_doc"])
+        for r in _brute(docs, pats).collect()
+    }
+    for p, v in want.items():
+        assert got[p] == v, (p, got.get(p), v)
+
+
 def test_no_cartesian_in_plan(spark):
     docs = _fixture(spark)
     pats = spark.createDataFrame([("quick brown",)], "pattern string")
