@@ -109,11 +109,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     # day-grain pair-frame machinery Theil–Sen exercises is the same frame
     # binseg scans, and theilsen stays sweep-green
     "events_binseg_changepoint",
-    # r10 rotation: the MAD-based robust outlier-day detector (r9-new)
-    # takes the histogram-quantile sketch slot (dyadic quantiles stay
-    # sweep-green; the mergeable-sketch family keeps hll_time_cube +
-    # the streaming drift monitor + cdc_incremental_checksum's CMS)
-    "events_robust_outlier_days",
+    # r11 rotation: events_robust_outlier_days rotates to sweep coverage
+    # (its day-grain MAD frame is the same pair-frame machinery gated via
+    # events_binseg_changepoint); the slot funds the r10-continuation
+    # additions below
     # r4 cont. 2: bloom semi-join reduction takes the JSON-struct slot
     # (scalar/JSON rendering stays gated via cdc_value_zoo_render and
     # sweep-green via events_json_struct/extract)
@@ -143,8 +142,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # and store-signed-agg slots: they are the strongest members of the same
     # zero-Python codec family (fixed_wire stays sweep-green; the signed
     # store agg's +1/−1 retraction shape remains gated via
-    # cdc_incremental_checksum and the store family via cdc_ingest_once +
-    # cdc_store_zorder_probe below)
+    # cdc_incremental_checksum and the store family via cdc_ingest_once)
     "cdc_jvm_typed_changelog",
     # r10 rotation: the WKB→WKT geometry changelog (r9-new: both byte
     # orders, EWKB SRID, JDK-4511638 shortest-ordinate repair — the hardest
@@ -152,10 +150,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     # slot; cdc_jvm_doc_changelog stays sweep-green and its declared-schema
     # string/array decode path is also inside cdc_jvm_typed_changelog
     "cdc_jvm_geom_changelog",
-    # r9 rotation: the z-order-served store probe (r8-new: applied
-    # interleaved-bit layout + pruned probe ≡ unordered scan) takes the
-    # signed-agg store slot
-    "cdc_store_zorder_probe",
+    # r11 rotation: the Hilbert-vs-Morton layout study (r10-new: 24-step
+    # integer-CASE xy2d shared verbatim by both engines, measured shard
+    # pruning under the same 2-D predicate) takes the z-order store-probe
+    # slot — it is the stronger member of the same space-filling-curve
+    # layout family; cdc_store_zorder_probe stays sweep-green and the
+    # store-serving scan remains gated via cdc_ingest_once
+    "layout_hilbert_vs_zorder",
     # deduplication family — r4 wave 2: directional containment joins; the
     # xxhash LSH twin and embedding-components rotate to sweep coverage
     # (md5 LSH + probe and cosine-pairs + text-components keep both shapes)
@@ -164,23 +165,40 @@ GATE_PRIORITY: tuple[str, ...] = (
     # neardup_jaccard_pairs, and the gate keeps four dedup slots
     "dedup_exact_groups",
     "neardup_jaccard_pairs",
-    "dedup_components",
+    # r11 rotation: deterministic label propagation (r10-new: synchronous
+    # neighbor-label-mode rounds with a total tie-break, init = own id)
+    # takes the connected-components slot — the finer-grained member of
+    # the same iterative pair-graph family; dedup_components stays
+    # sweep-green and its small-star rounds are the same
+    # shuffle-on-the-pair-graph shape labelprop gates
+    "graph_labelprop_communities",
     "dedup_minhash_probe",
     # similarity / ANN — r4 wave 2: product quantization replaces the
     # trained-IVF slot (same trained-codebook cascade, finer scorer;
     # trained IVF stays sweep-green)
-    # r4 continuation: integer-exact k-means clustering (iterative vector
-    # oracle) takes the brute-force slot — brute force is the recall
-    # baseline inside the PQ/IVF oracles anyway and stays sweep-green
-    "embed_kmeans_clusters",
+    # r11 rotation: SemDeDup (r10-new: k-means clusters AS the dedup
+    # blocking key → quantized-cosine pairs within clusters → keep the
+    # member nearer its centroid) takes the k-means slot — it executes the
+    # full integer-exact Lloyd's rounds INSIDE its blocking step, so the
+    # iterative-clustering machinery stays gated; embed_kmeans_clusters
+    # stays sweep-green
+    "curate_semdedup",
     # r10 rotation: the grid-cell blocked spatial distance join (r9-new:
     # cell = radius, 3×3 candidate block, exact int64 verify — the engine's
     # spatial family) takes two slots: the histogram-quantile sketch slot
     # (quantiles stay sweep-green; see events_robust_outlier_days note) and
     # the IVF-PQ slot (the trained-codebook ADC cascade is also evaluated
     # inside the gated ann_recall_report; ann_topk_ivfpq stays sweep-green)
-    "events_spatial_neighbor_pairs",
-    "events_spatial_neighbor_stats",
+    # r11 rotation: the SALTED grid-blocked spatial join (r10-new: hot
+    # cells split into sub-keys, bit-identical to the unsalted plan by
+    # committed test) takes both spatial slots — it is the scale-hardened
+    # variant of the same cell=radius blocking; events_spatial_neighbor_
+    # pairs/stats stay sweep-green and the agg-over-pairs shape remains
+    # inside the salted query's own aggregation
+    "events_spatial_neighbor_pairs_salted",
+    # r11 rotation: the day-grain robust-outlier MAD detector hands its
+    # slot to RAKE below (see text family) — binseg keeps the day-grain
+    # pair-frame family gated; events_robust_outlier_days stays sweep-green
     "ann_recall_report",  # r4 cont.: one slot evaluates all four ANN indexes vs brute force
     # r9 rotation: ann_topk_filtered rotates to sweep coverage (its IVF
     # index is also evaluated inside the gated ann_recall_report); its slot
@@ -192,6 +210,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     # counts and adds the unpivoted per-rule verdict agg — it subsumes the
     # quality-scores slot (scores stay sweep-green)
     "text_quality_rules",
+    # r11 rotation: RAKE keyword extraction (r10-new: gaps-and-islands
+    # stopword-free runs, degree/frequency word scores, BIGINT phrase
+    # scores) takes the slot freed by events_spatial_neighbor_stats — the
+    # phrase-mining member of the text family joins the gate beside the
+    # Gopher-rule census
+    "text_rake_keywords",
     # r10 rotation: text_langid rotates to sweep coverage (its trigram
     # profile-join + per-doc argmax shape is the same vocab-join + re-agg
     # machinery gated via ml_nb_source_confusion); the slot goes to the
@@ -235,7 +259,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     # deletion-neighborhood fuzzy match take the ann_topk_filtered and
     # curate_mixture_resample slots
     "search_rag_hydrated_topk",
-    "search_fuzzy_terms",
+    # r11 rotation: the trigram-indexed exact substring search (r10-new:
+    # rarest-K probe with complete candidate set + contains() verify — the
+    # pg_trgm/Zoekt design) takes the SymSpell fuzzy-terms slot; both are
+    # probe-then-verify index shapes and search_fuzzy_terms stays
+    # sweep-green with its deletion-neighborhood machinery pinned by pytest
+    "search_trigram_substring",
     # multimodal — r6 gated BMP, r8 PNG, r9 GIF. r10 continuation rotation:
     # baseline JPEG (r10-new: DHT canonical Huffman, DC prediction, ZRL/EOB
     # runs, byte de-stuffing, zigzag, dequantize, float IDCT — strictly the
@@ -243,13 +272,19 @@ GATE_PRIORITY: tuple[str, ...] = (
     # (PNG stays sweep-green; its chunk-CRC walk is structurally the same
     # checked-container discipline the gated mp4 box walk carries)
     "multimodal_jpeg_features",
-    # r10 continuation rotation: the ISO-BMFF box walk (r10-continuation-new:
-    # recursive grammar with exact containment + stts/stsz/stco/mdat
-    # sample-table cross-checks — the container tier's structural flagship)
-    # takes the GIF slot; GIF stays sweep-green and its from-scratch LZW
-    # roundtrip remains pinned byte-exactly by tests/test_multimodal_gif.py;
-    # the mp3 frame walk stays sweep-green beside it
-    "multimodal_mp4_boxes",
+    # r11 rotation: the GENERAL sample-table demux (r10-continuation-new:
+    # multi-entry stts runs, run-length stsc chunk map, stco offsets
+    # verified to tile mdat against cumulative stsz) supersedes the strict
+    # fixture box walk in the gate — it runs the same recursive box
+    # grammar PLUS the chunking math every real demuxer needs;
+    # multimodal_mp4_boxes stays sweep-green
+    "multimodal_mp4_demux",
+    # r11 rotation: REAL ID3v2.3 tag-frame parsing (r10-continuation-new:
+    # TIT2/TPE1/TRCK frame grammar, ISO-8859-1 encoding byte, padding
+    # discipline, loud v2.4/overrun rejection) takes the funnel-stages
+    # slot vacated by events_robust_outlier_days above — the metadata half
+    # of the MP3 container tier joins the gate beside the JPEG decode
+    "multimodal_id3_metadata",
     # streaming (availableNow-bounded, rerun-safe) — r4: corpus ingestion
     # replaces stream_dedup_exactly_once (dropDuplicatesWithinWatermark is
     # inside it, plus the dts source + gate + manifest composition)
