@@ -74,6 +74,30 @@ JVM expressions — Python workers never start. Reference parity:
 `impl/LazyRecordDeserializer.java:152-340` (value union),
 `DTSSubscribeRowDataDeserializationSchema.java:139-184` (declared-schema
 row projection), `record/value/*.java` (toString renders).
+
+FROZEN (r11): this tier's constant factor (~45-65k rec/s at 32 cores) is
+the measured optimum of its design space, not an unfinished optimization.
+The cost is structural — `transform`/`aggregate` are CodegenFallback, so
+the whole tree evaluates interpreted — and every escape hatch was built
+and measured SLOWER at sf0.1 (r11 session, same raw frame, checksums
+equal):
+
+- render tree copied per output column instead of the shared transform()
+  (codegen-visible): 25k vs 47k rec/s, 91 s cold plan — the optimizer
+  pays per-column for the 13-kind tree;
+- folds unrolled into chained plain-SQL projections with textually
+  inlined lets (fully HOF-free, whole-stage-codegen eligible): 6k rec/s,
+  71 s cold plan — inlining the position chain grows single-column
+  expressions to ~45 KB and the generated code thrashes JIT;
+- image fold with an array accumulator instead of the wide struct
+  (concat-append vs per-field IF copies): parity (193k vs 196k rec/s on
+  the isolated fold) — accumulator copies were never the bottleneck.
+
+The tier exists for ONE resource shape — clusters where Python workers
+are banned — and `formats/router.py` (`choose_ingest_path`, prices
+re-measured in INGEST_TRADEOFF_r11.json) is its only default entry
+point; every path with Python available prices it out. Revisit only if
+Spark exposes codegen for higher-order functions or a SQL LET.
 """
 
 from __future__ import annotations

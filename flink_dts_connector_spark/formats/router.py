@@ -1,7 +1,8 @@
 """Programmatic ingest-path chooser — the code form of SCALING.md's
 "which ingest path when" decision table (measured at sf1, 32 cores,
 fresh-lineage, cross-path checksum-gated: tools/ingest_tradeoff.py →
-INGEST_TRADEOFF_r09.json).
+INGEST_TRADEOFF_r11.json, re-measured from INGEST_TRADEOFF_r09.json
+with every tier within 10% of its r9 pin).
 
 Three ways to turn wire bytes into a typed changelog, identical output,
 very different cost shapes:
@@ -37,14 +38,15 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: pinned from INGEST_TRADEOFF_r09.json — sf1, local[32], 1,917,250 raw
-#: records, min-of-3 fresh-lineage walls, cross-path checksum green.
+#: pinned from INGEST_TRADEOFF_r11.json — sf1, local[32], 1,917,250 raw
+#: records, per-component min over two full runs of min-of-3 fresh-lineage
+#: walls, cross-path checksum green (r9 pins were within 10% on every tier).
 MEASURED_SF1 = {
-    "python_pass_sec": 4.40,
-    "jvm_pass_sec": 27.88,
-    "jvm_cold_plan_sec": 30.21,
-    "store_build_sec": 25.55,  # one Python-fused decode + write + stored≡re-decoded audit
-    "store_serve_sec": 0.49,
+    "python_pass_sec": 4.59,
+    "jvm_pass_sec": 29.68,
+    "jvm_cold_plan_sec": 37.36,
+    "store_build_sec": 25.47,  # one Python-fused decode + write + stored≡re-decoded audit
+    "store_serve_sec": 0.42,
 }
 
 
