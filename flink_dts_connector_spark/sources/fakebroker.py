@@ -15,7 +15,14 @@ honors the startup/auth option surface the reference consumer exercises —
   (`fetcher/DtsKafkaUtil.java:53-64`) against the broker's user list,
 * ``kafka.enable.auto.commit`` must be "false" (the checkpoint owns
   progress — starting a consumer with auto-commit on is a config bug the
-  fake rejects, as the reference's property builder prevents).
+  fake rejects, as the reference's property builder prevents),
+* consumer-group offset commits on micro-batch completion
+  (``kafka.commit.offsets.on.checkpoint`` — Flink's
+  setCommitOffsetsOnCheckpoints, which the reference consumer inherits)
+  and GROUP_OFFSETS startup via the broker-side group store
+  (`FlinkDtsKafkaConsumer.java:412-470`; `starting_offsets_from_group`
+  resolves committed offsets into explicit ``startingOffsets`` JSON, the
+  one startup mode that survives losing the engine checkpoint).
 
 A "DStore failover" (`fetcher/ClusterSwitchListener.java:32-50`) is
 modeled by `create_broker`-ing a SECOND directory holding the same
@@ -126,6 +133,85 @@ def broker_cluster_id(broker_dir: str) -> str:
     `DtsProgressTracker.cluster_switched`."""
     with open(os.path.join(broker_dir, _META_FILE)) as fh:
         return json.load(fh)["cluster_id"]
+
+
+# -- consumer-group offset store (the broker's __consumer_offsets surface) ----
+#
+# The reference consumer COMMITS offsets back to the group on checkpoint
+# completion (Flink's setCommitOffsetsOnCheckpoints — the DTS consumer
+# inherits it) and can START from them (StartupMode.GROUP_OFFSETS,
+# `FlinkDtsKafkaConsumer.java:412-470`): the one startup mode that survives
+# losing the engine checkpoint, because progress also lives broker-side.
+# Spark's Kafka source neither commits nor starts from group offsets, so the
+# Spark translation is: the fake's reader commits on micro-batch completion
+# when `kafka.commit.offsets.on.checkpoint` is "true" (a kafka.*-namespaced
+# option — the real Spark source passes unknown kafka.* configs through to
+# the client, so the option dict stays valid for a real cluster), and
+# startup reads the store driver-side via `group_committed_offsets` →
+# explicit `startingOffsets` JSON (the same coordinator lookup the
+# reference's fetcher performs at startup).
+
+
+def _group_path(broker_dir: str, group: str) -> str:
+    safe = re.sub(r"[^A-Za-z0-9._-]", "_", group)
+    return os.path.join(broker_dir, "groups", f"{safe}.json")
+
+
+def commit_group_offsets(
+    broker_dir: str, group: str, topic: str, offsets: dict[int, int]
+) -> None:
+    """Commit per-partition NEXT-offsets (Kafka commit semantics: the offset
+    of the next record to consume) for ``group``. Monotonic per partition —
+    a stale commit never moves the group backwards, like the coordinator."""
+    path = _group_path(broker_dir, group)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cur: dict = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            cur = json.load(fh)
+    tp = cur.setdefault(topic, {})
+    for p, off in offsets.items():
+        tp[str(p)] = max(int(off), int(tp.get(str(p), 0)))
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(cur, fh)
+    os.replace(tmp, path)  # atomic: a concurrent reader never sees a torn file
+
+
+def group_committed_offsets(
+    broker_dir: str, group: str, topic: str
+) -> dict[int, int] | None:
+    """Committed offsets for (group, topic), or None when the group has
+    never committed — callers fall back to ``auto.offset.reset`` (earliest,
+    `DtsKafkaUtil.java:44`), exactly the reference's GROUP_OFFSETS
+    fallback."""
+    path = _group_path(broker_dir, group)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        data = json.load(fh)
+    tp = data.get(topic)
+    if not tp:
+        return None
+    return {int(p): int(off) for p, off in tp.items()}
+
+
+def starting_offsets_from_group(
+    broker_dir: str, group: str, topic: str, partitions: list[int] | None = None
+) -> str | None:
+    """GROUP_OFFSETS startup as Spark options: the committed offsets as an
+    explicit ``startingOffsets`` JSON (partitions the group never committed
+    start at -2 = earliest, Kafka-source convention), or None when nothing
+    is committed (caller starts earliest)."""
+    committed = group_committed_offsets(broker_dir, group, topic)
+    if committed is None:
+        return None
+    if partitions is None:
+        with open(os.path.join(broker_dir, _META_FILE)) as fh:
+            partitions = json.load(fh)["partitions"]
+    return json.dumps(
+        {topic: {str(p): committed.get(p, -2) for p in partitions}}
+    )
 
 
 @dataclass
@@ -279,12 +365,20 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
                 for p in parts:
                     start[str(p)] = self._offset_bounds(p)[1]
             else:
-                # explicit per-partition JSON, Kafka-source style
+                # explicit per-partition JSON, Kafka-source style; honors
+                # the -2 (earliest) / -1 (latest) specials so a
+                # GROUP_OFFSETS map with never-committed partitions
+                # resolves like the real source would
                 m = json.loads(pos).get(self.topic, {})
                 for p in parts:
                     if str(p) not in m:
                         raise ValueError(f"startingOffsets missing partition {p}")
-                    start[str(p)] = int(m[str(p)])
+                    off = int(m[str(p)])
+                    if off == -2:
+                        off = self._offset_bounds(p)[0]
+                    elif off == -1:
+                        off = self._offset_bounds(p)[1]
+                    start[str(p)] = off
         return {"offsets": start}
 
     def latestOffset(self) -> dict:
@@ -354,7 +448,20 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
         return iter(rows)
 
     def commit(self, end: dict) -> None:
-        pass  # progress lives in the query's checkpoint WAL
+        # Progress lives in the query's checkpoint WAL; additionally, when
+        # `kafka.commit.offsets.on.checkpoint` is "true", mirror the
+        # reference consumer's commit-on-checkpoint into the broker's group
+        # store so a checkpoint-less restart can resume via GROUP_OFFSETS
+        # (`FlinkDtsKafkaConsumer.java:412-470`). Spark calls commit() only
+        # after the batch is durably in the WAL — same ordering Flink gives
+        # notifyCheckpointComplete.
+        if self._opts.get("kafka.commit.offsets.on.checkpoint", "false").lower() == "true":
+            commit_group_offsets(
+                self.broker_dir,
+                self._opts["kafka.group.id"],
+                self.topic,
+                {int(p): int(off) for p, off in end["offsets"].items()},
+            )
 
 
 class FakeKafkaDataSource(DataSource):

@@ -30,6 +30,7 @@ def dts_kafka_options(
     password: str | None,
     checkpoint_ts: int | None = None,
     offsets_by_timestamp: str | None = None,
+    group_starting_offsets: str | None = None,
     extra: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """Build Spark Kafka source options matching `DtsKafkaUtil.getKafkaProperties`.
@@ -44,8 +45,16 @@ def dts_kafka_options(
         wildcard in ``startingOffsetsByTimestamp``, so the global option is
         the correct re-seek primitive), or an explicit per-partition
         ``offsets_by_timestamp`` JSON from
-        `DtsProgressTracker.starting_offsets_by_timestamp`; else earliest
-        (auto.offset.reset=earliest parity, DtsKafkaUtil.java:44).
+        `DtsProgressTracker.starting_offsets_by_timestamp`; else committed
+        GROUP offsets when ``group_starting_offsets`` carries the explicit
+        per-partition JSON resolved by
+        `fakebroker.starting_offsets_from_group` (StartupMode.GROUP_OFFSETS,
+        `FlinkDtsKafkaConsumer.java:412-470` — Spark's source cannot ask the
+        coordinator itself, so the lookup happens driver-side at build time,
+        exactly when the reference's fetcher does it); else earliest
+        (auto.offset.reset=earliest parity, DtsKafkaUtil.java:44). The
+        precedence mirrors the reference: a restored checkpoint beats group
+        offsets (`FlinkDtsKafkaConsumer.java:263-267`).
     """
     opts: dict[str, str] = {
         "kafka.bootstrap.servers": broker_url,
@@ -73,6 +82,8 @@ def dts_kafka_options(
         # end for drained partitions (FlinkDtsKafkaConsumer.java:303-333)
         opts["startingTimestamp"] = str(checkpoint_ts * 1000)
         opts["startingOffsetsByTimestampStrategy"] = "latest"
+    elif group_starting_offsets is not None:
+        opts["startingOffsets"] = group_starting_offsets
     else:
         opts["startingOffsets"] = "earliest"
     for k, v in (extra or {}).items():
@@ -90,6 +101,7 @@ def read_stream(
     password: str | None = None,
     checkpoint_ts: int | None = None,
     offsets_by_timestamp: str | None = None,
+    group_starting_offsets: str | None = None,
     tables: list[str] | None = None,
     ops: list[str] | None = None,
     available_now: bool = False,
@@ -112,7 +124,7 @@ def read_stream(
     reader = spark.readStream.format(source_format)
     for k, v in dts_kafka_options(
         broker_url, topic, sid, group, user, password, checkpoint_ts,
-        offsets_by_timestamp, extra=extra,
+        offsets_by_timestamp, group_starting_offsets, extra=extra,
     ).items():
         reader = reader.option(k, v)
     reader = reader.option("includeHeaders", "true")

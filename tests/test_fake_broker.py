@@ -57,6 +57,7 @@ def _raw_stream(spark, broker_dir, **kw):
         broker_dir, TOPIC, kw.pop("sid", "SID42"), kw.pop("group", None),
         kw.pop("user", "alice"), kw.pop("password", "s3cret"),
         kw.pop("checkpoint_ts", None), kw.pop("offsets_by_timestamp", None),
+        kw.pop("group_starting_offsets", None),
         extra=kw.pop("extra", None),
     ).items():
         reader = reader.option(k, v)
@@ -223,6 +224,130 @@ def test_kill_switch_reseek_no_gaps_dupes_allowed(spark, broker, tmp_path):
         "offset restore across a cluster switch must lose data — "
         "that loss is why the reference re-seeks by timestamp"
     )
+
+
+def test_group_offsets_commit_and_checkpointless_resume(spark, broker, tmp_path):
+    """StartupMode.GROUP_OFFSETS end-to-end (`FlinkDtsKafkaConsumer.java:
+    412-470`) — the one startup mode that survives LOSING the engine
+    checkpoint, because progress also lives broker-side:
+
+    phase 1 consumes rate-limited with commit-on-checkpoint (Flink's
+    setCommitOffsetsOnCheckpoints, which the reference consumer inherits)
+    and is KILLED mid-stream; phase 2 starts with a FRESH checkpoint dir —
+    the Spark WAL is gone — resolving its start from the broker's group
+    store. Exactly-once across the union: committed offsets are exact
+    (unlike the timestamp re-seek, which re-reads the boundary)."""
+    import time
+
+    from flink_dts_connector_spark.sources.fakebroker import (
+        group_committed_offsets,
+        starting_offsets_from_group,
+    )
+
+    group = "g-resume"
+    seen_1 = []
+
+    def sink_1(batch_df, epoch_id):
+        seen_1.extend(batch_df.collect())
+
+    q1 = (
+        _raw_stream(
+            spark, broker, group=group,
+            extra={
+                "maxRecordsPerTrigger": "6",
+                "kafka.commit.offsets.on.checkpoint": "true",
+            },
+        )
+        .writeStream.foreachBatch(sink_1)
+        .option("checkpointLocation", str(tmp_path / "ckg1"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while len(seen_1) < 10 and time.time() < deadline and q1.isActive:
+        time.sleep(0.1)
+    q1.stop()  # kill mid-stream; the checkpoint dir is then thrown away
+    q1.awaitTermination()
+    assert 0 < len(seen_1) < 24, "must die mid-stream for the test to mean anything"
+
+    # the broker-side group store holds NEXT-offsets exactly one past what
+    # phase 1 durably consumed (commit() fires only for WAL-complete batches,
+    # so committed <= seen — Spark may have collected a batch whose commit
+    # never ran; those records will be re-read, at-least-once, never skipped)
+    committed = group_committed_offsets(broker, group, TOPIC)
+    assert committed is not None and set(committed) <= {0, 1, 2}
+    seen_max = {}
+    for r in seen_1:
+        seen_max[r["partition"]] = max(seen_max.get(r["partition"], -1), r["offset"])
+    for p, nxt in committed.items():
+        assert 5000 <= nxt <= seen_max.get(p, -1) + 1
+
+    # phase 2: FRESH checkpoint dir; startup = committed group offsets
+    start_json = starting_offsets_from_group(broker, group, TOPIC)
+    assert start_json is not None
+    rows_2 = _drain(
+        spark,
+        _raw_stream(spark, broker, group=group, group_starting_offsets=start_json),
+        str(tmp_path / "ckg2"),
+    )
+    ids_1 = [int(bytes(r["value"]).decode().split("-")[1]) for r in seen_1]
+    ids_2 = [int(bytes(r["value"]).decode().split("-")[1]) for r in rows_2]
+    # no gaps: the union is the whole log
+    assert set(ids_1) | set(ids_2) == set(range(24))
+    # at-least-once with exact offsets: phase 2 re-reads ONLY records whose
+    # batch was collected but not yet committed (kill between sink and
+    # commit); committed records never reappear
+    committed_ids = {
+        i for i in ids_1
+        if (i % 3) in committed and 5000 + sorted(
+            j for j in range(24) if j % 3 == i % 3
+        ).index(i) < committed[i % 3]
+    }
+    assert not committed_ids & set(ids_2), "committed records must not be re-read"
+
+
+def test_group_offsets_unknown_group_falls_back_earliest(spark, broker, tmp_path):
+    """A group that never committed resolves to None — the caller starts
+    earliest (auto.offset.reset parity, DtsKafkaUtil.java:44)."""
+    from flink_dts_connector_spark.sources.fakebroker import (
+        starting_offsets_from_group,
+    )
+
+    assert starting_offsets_from_group(broker, "never-seen", TOPIC) is None
+    # and a partial commit resolves uncommitted partitions to -2 (earliest)
+    from flink_dts_connector_spark.sources.fakebroker import commit_group_offsets
+    import json as _json
+
+    commit_group_offsets(broker, "g-partial", TOPIC, {0: 5004})
+    m = _json.loads(starting_offsets_from_group(broker, "g-partial", TOPIC))[TOPIC]
+    assert m["0"] == 5004 and m["1"] == -2 and m["2"] == -2
+    rows = _drain(
+        spark,
+        _raw_stream(
+            spark, broker, group="g-partial",
+            group_starting_offsets=_json.dumps({TOPIC: m}),
+        ),
+        str(tmp_path / "ckgp"),
+    )
+    ids = sorted(int(bytes(r["value"]).decode().split("-")[1]) for r in rows)
+    # partition 0 (ids 0,3,6,...) starts at its 5th record (offset 5004 →
+    # id 12); partitions 1 and 2 start earliest
+    want = [i for i in range(24) if i % 3 != 0] + [12, 15, 18, 21]
+    assert ids == sorted(want)
+
+
+def test_group_commits_are_monotonic(spark, broker):
+    """A stale commit never moves the group backwards — coordinator parity."""
+    from flink_dts_connector_spark.sources.fakebroker import (
+        commit_group_offsets,
+        group_committed_offsets,
+    )
+
+    commit_group_offsets(broker, "g-mono", TOPIC, {0: 5010, 1: 5008})
+    commit_group_offsets(broker, "g-mono", TOPIC, {0: 5006, 1: 5009, 2: 5001})
+    assert group_committed_offsets(broker, "g-mono", TOPIC) == {
+        0: 5010, 1: 5009, 2: 5001,
+    }
 
 
 def test_cdc_decode_rides_the_fake_broker(spark, sf_dir, tmp_path):
