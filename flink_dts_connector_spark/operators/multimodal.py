@@ -1658,6 +1658,314 @@ def mp3_stream_features(raw: bytes):
     )
 
 
+# ---------------------------------------------------------------------------
+# Layer III SIDE-INFO tier (r11) — one structural step past container-real.
+# The side-info block is the fixed-width bitfield region every Layer III
+# decoder parses BEFORE any Huffman work (ISO/IEC 11172-3 §2.4.1.7): 17
+# bytes after the header for MPEG-1 mono — main_data_begin (the bit-
+# reservoir back-pointer), scfsi, and per-granule part2_3_length /
+# big_values / global_gain / scalefac_compress / window-switching block
+# descriptors. Parsing it is exact and dependency-free; the Huffman-coded
+# spectrum behind it stays undecoded by the section banner's contract.
+# ---------------------------------------------------------------------------
+
+
+class _MsbBitWriter:
+    """Plain MSB-first bit packer (no byte-stuffing — that's JPEG's)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        if value < 0 or value >= (1 << length):
+            raise ValueError(f"value {value} does not fit in {length} bits")
+        self.acc = (self.acc << length) | value
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = self.nbits = 0
+        return bytes(self.out)
+
+
+class _MsbBitReader:
+    """Plain MSB-first bit reader over a bounded buffer slice."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bits(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("torn side-info bitfield")
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+def mp3_sideinfo_params(doc_id: int) -> dict:
+    """Deterministic stream law for the side-info fixture (mirrored by the
+    SQL oracle): 2..5 frames, bitrate index 7..11 (96..192 kbps), all
+    three MPEG-1 sample rates, mono (17-byte side info)."""
+    return {
+        "n_frames": 2 + doc_id % 4,
+        "bitrate_idx": 7 + doc_id % 5,
+        "sr_idx": doc_id % 3,
+    }
+
+
+def mp3_granule_law(doc_id: int, k: int, g: int) -> dict:
+    """Per-(frame k, granule g) side-info values — pure modular closed
+    forms so the DuckDB oracle replays them with generate_series. Every
+    value is in its spec range by construction (big_values % 289 ≤ 288;
+    block_type ∈ {1, 2} when the window-switching flag is set — 0 is
+    forbidden there by §2.4.1.7)."""
+    wsf = (doc_id + k + g) % 2
+    return {
+        "part23": (doc_id * 5 + k * 11 + g * 37) % 4096,
+        "big_values": (doc_id + k * 17 + g * 29) % 289,
+        "global_gain": (doc_id * 13 + k * 7 + g * 3) % 256,
+        "sfc": (doc_id + k + g) % 16,
+        "wsf": wsf,
+        "block_type": 2 - ((doc_id + k) % 2),  # 1 (long-start) or 2 (short)
+        "mixed": (k + g) % 2,
+        "table_select": [(doc_id + k + 7 * g + 11 * j) % 32 for j in range(3)],
+        "subblock_gain": [(doc_id + k + g + j) % 8 for j in range(3)],
+        "region0": (doc_id + k + g) % 16,
+        "region1": (doc_id * 7 + k) % 8,
+        "preflag": (doc_id + k) % 2,
+        "sfs": (doc_id + g) % 2,
+        "c1ts": (k + g) % 2,
+    }
+
+
+def encode_mp3_sideinfo(doc_id: int) -> bytes:
+    """CBR MPEG-1 Layer III mono frames whose 17-byte side-info region is
+    GENUINE spec bit-packing (§2.4.1.7 layout: 9-bit main_data_begin,
+    5 private bits, 4-bit scfsi, then 2 granules × 59 bits), followed by
+    deterministic filler. No ID3 tag — the tag tier is
+    `encode_mp3_tagged`; this fixture isolates the side-info walk."""
+    p = mp3_sideinfo_params(doc_id)
+    out = bytearray()
+    for k in range(p["n_frames"]):
+        pad = (doc_id + k) % 2
+        size = mp3_frame_size(p["bitrate_idx"], p["sr_idx"], pad)
+        b2 = (p["bitrate_idx"] << 4) | (p["sr_idx"] << 2) | (pad << 1)
+        out += bytes((0xFF, 0xFB, b2, 0xC4))
+        w = _MsbBitWriter()
+        w.put((doc_id * 3 + k * 19) % 512, 9)  # main_data_begin
+        w.put(0, 5)  # private_bits (mono width)
+        w.put((doc_id + k * 5) % 16, 4)  # scfsi (4 bands × 1 channel)
+        for g in range(2):
+            gr = mp3_granule_law(doc_id, k, g)
+            w.put(gr["part23"], 12)
+            w.put(gr["big_values"], 9)
+            w.put(gr["global_gain"], 8)
+            w.put(gr["sfc"], 4)
+            w.put(gr["wsf"], 1)
+            if gr["wsf"]:
+                w.put(gr["block_type"], 2)
+                w.put(gr["mixed"], 1)
+                for j in range(2):
+                    w.put(gr["table_select"][j], 5)
+                for j in range(3):
+                    w.put(gr["subblock_gain"][j], 3)
+            else:
+                for j in range(3):
+                    w.put(gr["table_select"][j], 5)
+                w.put(gr["region0"], 4)
+                w.put(gr["region1"], 3)
+            w.put(gr["preflag"], 1)
+            w.put(gr["sfs"], 1)
+            w.put(gr["c1ts"], 1)
+        si = w.flush()
+        assert len(si) == 17, "mono MPEG-1 side info is exactly 17 bytes"
+        out += si
+        v = (doc_id * 7 + k * 13) % 251
+        out += bytes([v]) * (size - 4 - 17)
+    return bytes(out)
+
+
+def mp3_parse_sideinfo(si: bytes) -> dict:
+    """Parse ONE mono MPEG-1 side-info block (17 bytes) into granule
+    dicts; raises ValueError on spec violations a real decoder rejects:
+    big_values > 288 (§2.4.1.7: the spectrum has 576 lines, big_values
+    counts PAIRS) and block_type 0 under the window-switching flag
+    (forbidden — reserved means 'normal', which must clear the flag)."""
+    if len(si) < 17:
+        raise ValueError("torn side-info block")
+    r = _MsbBitReader(si[:17])
+    out = {
+        "main_data_begin": r.bits(9),
+        "private": r.bits(5),
+        "scfsi": r.bits(4),
+        "granules": [],
+    }
+    for _g in range(2):
+        gr = {
+            "part23": r.bits(12),
+            "big_values": r.bits(9),
+            "global_gain": r.bits(8),
+            "sfc": r.bits(4),
+            "wsf": r.bits(1),
+        }
+        if gr["big_values"] > 288:
+            raise ValueError(f"big_values {gr['big_values']} exceeds 288")
+        if gr["wsf"]:
+            gr["block_type"] = r.bits(2)
+            if gr["block_type"] == 0:
+                raise ValueError("forbidden block_type 0 in windowed granule")
+            gr["mixed"] = r.bits(1)
+            gr["table_select"] = [r.bits(5) for _ in range(2)]
+            gr["subblock_gain"] = [r.bits(3) for _ in range(3)]
+        else:
+            gr["block_type"] = 0
+            gr["table_select"] = [r.bits(5) for _ in range(3)]
+            gr["region0"] = r.bits(4)
+            gr["region1"] = r.bits(3)
+        gr["preflag"] = r.bits(1)
+        gr["sfs"] = r.bits(1)
+        gr["c1ts"] = r.bits(1)
+        out["granules"].append(gr)
+    return out
+
+
+def mp3_sideinfo_features(raw: bytes):
+    """Frame-walk + side-info parse of one mono MPEG-1 Layer III stream:
+    the same CBR frame validation as `mp3_stream_features`, then the
+    §2.4.1.7 bitfields of EVERY frame. Returns stream-level exact
+    aggregates (n_frames, max_main_data_begin, sum_scfsi, sum_part23,
+    sum_big_values, sum_global_gain, switching_granules, short_granules,
+    sum_region0 over non-switching granules, n_bytes); raises ValueError
+    on any malformed stream or spec-violating side info."""
+    raw = bytes(raw)
+    pos = 0
+    frames = 0
+    bitrate = srate = None
+    max_mdb = sum_scfsi = sum_p23 = sum_bv = sum_gg = 0
+    switching = short = sum_r0 = 0
+    while pos < len(raw):
+        if pos + 4 > len(raw):
+            raise ValueError("torn frame header")
+        b0, b1, b2, b3 = raw[pos], raw[pos + 1], raw[pos + 2], raw[pos + 3]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
+            raise ValueError("MPEG-1 Layer III only")
+        if not (b1 & 0x1):
+            raise ValueError("CRC-protected frames unsupported")
+        if (b3 >> 6) != 0x3:
+            raise ValueError("mono side-info walk (17 bytes) requires mono mode")
+        bidx, sidx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+        if bidx in (0, 15) or sidx == 3:
+            raise ValueError("invalid bitrate/sample-rate index")
+        kbps, sr = MP3_BITRATE_KBPS[bidx], MP3_SAMPLE_RATES[sidx]
+        if bitrate is None:
+            bitrate, srate = kbps, sr
+        elif (kbps, sr) != (bitrate, srate):
+            raise ValueError("VBR stream (CBR walk expected)")
+        size = 144 * kbps * 1000 // sr + pad
+        if size < 4 + 17 or pos + size > len(raw):
+            raise ValueError("torn frame body")
+        si = mp3_parse_sideinfo(raw[pos + 4 : pos + 4 + 17])
+        max_mdb = max(max_mdb, si["main_data_begin"])
+        sum_scfsi += si["scfsi"]
+        for gr in si["granules"]:
+            sum_p23 += gr["part23"]
+            sum_bv += gr["big_values"]
+            sum_gg += gr["global_gain"]
+            if gr["wsf"]:
+                switching += 1
+                if gr["block_type"] == 2:
+                    short += 1
+            else:
+                sum_r0 += gr["region0"]
+        frames += 1
+        pos += size
+    if frames == 0:
+        raise ValueError("no MPEG frames")
+    return (
+        frames,
+        max_mdb,
+        sum_scfsi,
+        sum_p23,
+        sum_bv,
+        sum_gg,
+        switching,
+        short,
+        sum_r0,
+        len(raw),
+    )
+
+
+def attach_mp3_sideinfo_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One side-info-real MP3 payload per row."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_mp3_sideinfo(int(i)) for i in ids]
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "mp3", "n_bytes": len(p), "width": 0, "height": 0,
+                 "duration_ms": 0}
+                for p in payloads
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_mp3_sideinfo(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Side-info feature stage over `mp3_sideinfo_features`."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [mp3_sideinfo_features(bytes(r)) for r in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_frames": [p[0] for p in parsed],
+                    "max_main_data_begin": [p[1] for p in parsed],
+                    "sum_scfsi": [p[2] for p in parsed],
+                    "sum_part2_3_length": [p[3] for p in parsed],
+                    "sum_big_values": [p[4] for p in parsed],
+                    "sum_global_gain": [p[5] for p in parsed],
+                    "switching_granules": [p[6] for p in parsed],
+                    "short_granules": [p[7] for p in parsed],
+                    "sum_region0": [p[8] for p in parsed],
+                    "n_bytes": [p[9] for p in parsed],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        fn,
+        schema=(
+            "doc_id bigint, n_frames bigint, max_main_data_begin bigint, "
+            "sum_scfsi bigint, sum_part2_3_length bigint, sum_big_values bigint, "
+            "sum_global_gain bigint, switching_granules bigint, "
+            "short_granules bigint, sum_region0 bigint, n_bytes bigint"
+        ),
+    )
+
+
 def decode_mp3_features(
     df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
 ) -> DataFrame:

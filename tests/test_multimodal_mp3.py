@@ -229,3 +229,142 @@ def test_id3_missing_required_frame():
     ) + body
     with pytest.raises(ValueError, match="missing TPE1"):
         id3_tag_fields(raw)
+
+
+# ---------------------------------------------------------------------------
+# Layer III side-info tier (r11): genuine §2.4.1.7 bit-packing round-trips,
+# spec validations reject, corruption is never a non-ValueError crash.
+# ---------------------------------------------------------------------------
+
+
+def _sideinfo_closed_form(doc_id):
+    from flink_dts_connector_spark.operators.multimodal import (
+        mp3_frame_size,
+        mp3_granule_law,
+        mp3_sideinfo_params,
+    )
+
+    p = mp3_sideinfo_params(doc_id)
+    nf = p["n_frames"]
+    grs = [mp3_granule_law(doc_id, k, g) for k in range(nf) for g in range(2)]
+    return (
+        nf,
+        max((doc_id * 3 + k * 19) % 512 for k in range(nf)),
+        sum((doc_id + k * 5) % 16 for k in range(nf)),
+        sum(gr["part23"] for gr in grs),
+        sum(gr["big_values"] for gr in grs),
+        sum(gr["global_gain"] for gr in grs),
+        sum(1 for gr in grs if gr["wsf"]),
+        sum(1 for gr in grs if gr["wsf"] and gr["block_type"] == 2),
+        sum(gr["region0"] for gr in grs if not gr["wsf"]),
+        sum(
+            mp3_frame_size(p["bitrate_idx"], p["sr_idx"], (doc_id + k) % 2)
+            for k in range(nf)
+        ),
+    )
+
+
+def test_sideinfo_roundtrip_closed_form():
+    from flink_dts_connector_spark.operators.multimodal import (
+        encode_mp3_sideinfo,
+        mp3_sideinfo_features,
+    )
+
+    for d in (0, 1, 2, 3, 7, 42, 512, 1234, 65535, 999_999):
+        assert mp3_sideinfo_features(encode_mp3_sideinfo(d)) == _sideinfo_closed_form(d)
+
+
+def test_sideinfo_big_values_over_288_rejected():
+    from flink_dts_connector_spark.operators.multimodal import (
+        _MsbBitWriter,
+        mp3_parse_sideinfo,
+    )
+
+    w = _MsbBitWriter()
+    w.put(0, 9); w.put(0, 5); w.put(0, 4)
+    for _g in range(2):
+        w.put(0, 12)
+        w.put(289, 9)  # spec max is 288
+        w.put(0, 8); w.put(0, 4); w.put(0, 1)
+        for _j in range(3):
+            w.put(0, 5)
+        w.put(0, 4); w.put(0, 3)
+        w.put(0, 1); w.put(0, 1); w.put(0, 1)
+    with pytest.raises(ValueError, match="big_values"):
+        mp3_parse_sideinfo(w.flush())
+
+
+def test_sideinfo_block_type_zero_under_switch_rejected():
+    from flink_dts_connector_spark.operators.multimodal import (
+        _MsbBitWriter,
+        mp3_parse_sideinfo,
+    )
+
+    w = _MsbBitWriter()
+    w.put(0, 9); w.put(0, 5); w.put(0, 4)
+    for _g in range(2):
+        w.put(0, 12); w.put(0, 9); w.put(0, 8); w.put(0, 4)
+        w.put(1, 1)  # window switching on...
+        w.put(0, 2)  # ...with forbidden block_type 0
+        w.put(0, 1)
+        for _j in range(2):
+            w.put(0, 5)
+        for _j in range(3):
+            w.put(0, 3)
+        w.put(0, 1); w.put(0, 1); w.put(0, 1)
+    with pytest.raises(ValueError, match="block_type 0"):
+        mp3_parse_sideinfo(w.flush())
+
+
+def test_sideinfo_torn_block_rejected():
+    from flink_dts_connector_spark.operators.multimodal import mp3_parse_sideinfo
+
+    with pytest.raises(ValueError, match="torn side-info"):
+        mp3_parse_sideinfo(b"\x00" * 16)
+
+
+def test_sideinfo_stereo_stream_rejected():
+    from flink_dts_connector_spark.operators.multimodal import (
+        encode_mp3_sideinfo,
+        mp3_sideinfo_features,
+    )
+
+    raw = bytearray(encode_mp3_sideinfo(5))
+    raw[3] = 0x04  # mode bits 00 = stereo (side info would be 32 bytes)
+    with pytest.raises(ValueError, match="mono"):
+        mp3_sideinfo_features(bytes(raw))
+
+
+def test_sideinfo_truncation_rejected():
+    from flink_dts_connector_spark.operators.multimodal import (
+        encode_mp3_sideinfo,
+        mp3_sideinfo_features,
+    )
+
+    raw = encode_mp3_sideinfo(9)
+    for cut in (1, 3, 4, 10, 20, len(raw) - 1):
+        with pytest.raises(ValueError):
+            mp3_sideinfo_features(raw[:cut])
+
+
+def test_sideinfo_corruption_never_silent():
+    """Flip one bit at every byte position of a small stream: either a
+    loud ValueError, or the flip landed in a value field (gains, lengths,
+    filler) and the parse stays structurally consistent — same frame count
+    and full byte accounting."""
+    from flink_dts_connector_spark.operators.multimodal import (
+        encode_mp3_sideinfo,
+        mp3_sideinfo_features,
+    )
+
+    raw = encode_mp3_sideinfo(3)
+    clean = mp3_sideinfo_features(raw)
+    for pos in range(len(raw)):
+        for bit in (0, 3, 7):
+            bad = bytearray(raw)
+            bad[pos] ^= 1 << bit
+            try:
+                got = mp3_sideinfo_features(bytes(bad))
+            except ValueError:
+                continue
+            assert got[0] == clean[0] and got[9] == len(raw)
