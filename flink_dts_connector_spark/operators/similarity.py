@@ -250,6 +250,45 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_delta(
+    new: DataFrame,
+    old: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Incremental-maintenance twin of `cosine_pairs`: the pairs a DELTA of
+    new items adds to an existing corpus — (new × old) cross pairs plus
+    (new × new) within-delta pairs, each normalized to (a_id < b_id) so
+    the union over all deltas enumerates every corpus pair EXACTLY once
+    (``old`` must exclude ``new``). Per-batch work is |new| × |affected
+    block members|, never |corpus|² — the delta bound that makes streaming
+    dedup maintenance linear in arrivals."""
+    n = new.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("n_id"),
+        quantized(emb_col).alias("_ne"),
+    ).withColumn("_nn", norm_sq_q(F.col("_ne")))
+    o = old.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("o_id"),
+        quantized(emb_col).alias("_oe"),
+    ).withColumn("_on", norm_sq_q(F.col("_oe")))
+    score = cosine_q(dot_q(F.col("_ne"), F.col("_oe")), F.col("_nn"), F.col("_on"))
+    cross = (
+        n.join(o, n["_blk"] == o["_blk"])
+        .select(
+            F.least("n_id", "o_id").alias("a_id"),
+            F.greatest("n_id", "o_id").alias("b_id"),
+            score.alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+    within = cosine_pairs(new, block_col, threshold, id_col=id_col, emb_col=emb_col)
+    return cross.unionByName(within)
+
+
 def pq_codebooks(
     items: DataFrame,
     n_sub: int = 8,
@@ -515,6 +554,30 @@ def kmeans_int_clusters(
 
     Returns (id_col, cluster, dist2) — final assignment with exact
     distances."""
+    cent = kmeans_int_centroids(items, k=k, n_iter=n_iter, id_col=id_col, emb_col=emb_col)
+    return assign_to_centroids(items, cent, id_col=id_col, emb_col=emb_col)
+
+
+def _d2_q(vc: Column, cc: Column) -> Column:
+    """Exact int64 squared L2 between two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(vc, cc, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_int_centroids(
+    items: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The trained MODEL half of `kmeans_int_clusters`: final (cid, c)
+    centroid rows after ``n_iter`` exact Lloyd rounds — reusable to assign
+    vectors that arrive LATER (the SemDeDup production shape: cluster
+    once, assign forever). Same init/update laws as the fused function."""
     q = items.select(F.col(id_col), quantized(emb_col).alias("v"))
     w_init = W.orderBy(id_col)
     cent = (
@@ -527,12 +590,7 @@ def kmeans_int_clusters(
         .localCheckpoint()
     )
 
-    def d2(vc: Column, cc: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(vc, cc, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
+    d2 = _d2_q
 
     for _ in range(n_iter):
         assigned = (
@@ -559,9 +617,22 @@ def kmeans_int_clusters(
             .select("cid", F.coalesce("cnew", "c").alias("c"))
             .localCheckpoint()
         )
+    return cent
+
+
+def assign_to_centroids(
+    items: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to trained centroids — (id_col, cluster, dist2) via
+    the exact argmin with the (dist², cid) lexicographic tie-break.
+    Centroids broadcast; the corpus never shuffles."""
+    q = items.select(F.col(id_col), quantized(emb_col).alias("v"))
     return (
-        q.crossJoin(F.broadcast(cent))
-        .select(F.col(id_col), "cid", d2(F.col("v"), F.col("c")).alias("d2"))
+        q.crossJoin(F.broadcast(centroids))
+        .select(F.col(id_col), "cid", _d2_q(F.col("v"), F.col("c")).alias("d2"))
         .groupBy(id_col)
         .agg(F.min(F.struct("d2", "cid")).alias("m"))
         .select(

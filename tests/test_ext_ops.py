@@ -1340,3 +1340,41 @@ def test_spatial_salted_rejects_degenerate_salt(spark):
 
     with _pytest.raises(ValueError):
         grid_neighbor_pairs_salted(df, "pid", "x", "y", 10, salt=1)
+
+
+def test_cosine_pairs_delta_enumerates_each_pair_once(spark):
+    """`cosine_pairs_delta` (r11): streaming arrivals in any wave split
+    must enumerate EXACTLY the batch pair set — (new x old) + (new x new)
+    unioned over waves equals cosine_pairs over the full corpus, each
+    pair once."""
+    import random
+
+    from flink_dts_connector_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_delta,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, i % 3, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    full = spark.createDataFrame(
+        rows, "vec_id bigint, blk int, embedding array<float>"
+    )
+    want = sorted(
+        (r["a_id"], r["b_id"], r["score"])
+        for r in cosine_pairs(full, "blk", threshold=-1.0).collect()
+    )
+    for split in ([10, 20, 30], [1, 15, 29, 30], [30]):
+        got = []
+        lo = 0
+        roster = full.where(F.lit(False))
+        for hi in split:
+            new = full.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            got.extend(
+                (r["a_id"], r["b_id"], r["score"])
+                for r in cosine_pairs_delta(new, roster, "blk", threshold=-1.0).collect()
+            )
+            roster = full.where(F.col("vec_id") < hi)
+            lo = hi
+        assert sorted(got) == want, f"split {split} diverged"
