@@ -169,6 +169,10 @@ HEADLINE = [
     "multimodal_id3_metadata",
     "multimodal_mp4_demux",
     "text_rake_keywords",
+    # r11: Layer III side-info bit-parse (one step past container-real) and
+    # the streaming SemDeDup maintenance twin (delta pairs ≡ rebuild)
+    "multimodal_mp3_sideinfo",
+    "stream_semdedup_maintenance",
 ]
 
 
@@ -180,6 +184,15 @@ def main() -> None:
     extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA")
     if extra:  # opt-in: bench every registered query
         names = sorted(queries)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:  # opt-in: an explicit comma-separated subset (sf1 protocol —
+        # the full headline set at sf1 would run for an hour; the top-cost
+        # subset is what the superlinearity check needs)
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in queries]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names not registered: {unknown}")
+        names = wanted
 
     # Warm-up: JVM codegen + parquet footer caches, and the Python worker
     # pool (first Arrow UDF in a session pays worker spawn + imports — a

@@ -591,7 +591,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ANN_BASE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, {SQL_Q} AS qe, {{bucket}} AS qb
-  FROM embeddings WHERE vec_id % 100 = 0
+  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 5000
 ), it AS (
   SELECT vec_id, {SQL_Q} AS ie, {{bucket}} AS ib FROM embeddings
 ), qn AS (
@@ -626,10 +626,12 @@ SELECT query_id, vec_id, score, rank FROM (
     tags=("ext", "similarity"),
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 for the fixed query set (vec_id % 100 = 0) —
+    """Exact cosine top-5 for the FIXED query set (vec_id % 100 = 0, capped
+    below 5000 — the whole set at sf ≤ 0.1, a constant 50-query workload
+    beyond, so the scan is linear in corpus; r11 sf1 bench) —
     quantized-integer scoring, broadcast query side."""
     e = t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 100 == 0).select(
+    q = e.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.brute_force_topk(e, q, k=5)
@@ -663,7 +665,7 @@ def search_rag_hydrated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 100 == 0).select(
+    q = e.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     cand = S.brute_force_topk(e, q, k=5)
@@ -694,7 +696,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket, exact scorer on survivors. The bucketing rule is deterministic,
     so even this approximate path has a full DuckDB oracle."""
     e = t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 100 == 0).select(
+    q = e.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.lsh_topk(e, q, k=5)
@@ -716,7 +718,7 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate rule is exactly bit_count(qb XOR ib) <= 1, so DuckDB mirrors
     the whole cascade."""
     e = t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 100 == 0).select(
+    q = e.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.lsh_multiprobe_topk(e, q, k=5)
@@ -726,7 +728,7 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_topk_pq",
     oracle=f"""
 WITH q AS (
-  SELECT vec_id AS query_id, {SQL_Q} AS qe FROM embeddings WHERE vec_id % 100 = 0
+  SELECT vec_id AS query_id, {SQL_Q} AS qe FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 5000
 ), it AS (
   SELECT vec_id, {SQL_Q} AS ie FROM embeddings
 ), seeds AS (
@@ -803,7 +805,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole five-stage cascade — codebooks, encoding argmin, LUTs,
     shortlist, rerank — has a live step-for-step DuckDB oracle."""
     e = t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 100 == 0).select(
+    q = e.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.pq_topk(e, q, k=5)
@@ -828,7 +830,7 @@ WITH it AS (
 ), recv AS (
   SELECT vec_id, array_agg(r ORDER BY i) AS re FROM rec GROUP BY vec_id
 ), q AS (
-  SELECT vec_id AS query_id, {SQL_Q} AS qe FROM embeddings WHERE vec_id % 100 = 0
+  SELECT vec_id AS query_id, {SQL_Q} AS qe FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 5000
 ), scored AS (
   SELECT q.query_id, r.vec_id,
          CAST(list_dot_product(q.qe, r.re) AS BIGINT) AS dot,
@@ -873,7 +875,7 @@ def ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/similarity.py::sq8_topk`). Completes the quantization
     family: sign-LSH / IVF / PQ / IVF-PQ / SQ8."""
     e = t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 100 == 0).select(
+    q = e.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.sq8_topk(e, q, k=5, pool=20)
@@ -893,7 +895,7 @@ def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-validation; centroid determinism, objective improvement, and
     recall are additionally pytest-pinned."""
     e = t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 100 == 0).select(
+    q = e.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     centroids = S.kmeans_centroids(e, k=13, n_iter=3)
@@ -1052,7 +1054,7 @@ WITH itq AS (
 ), n AS (
   SELECT vec_id, e, CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm FROM itq
 ), c AS (
-  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id % 37 = 3
+  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id % 37 = 3 AND vec_id < 5000
 ), flat_n AS (
   SELECT vec_id, nrm, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM n
 ), flat_c AS (
@@ -1074,7 +1076,7 @@ WITH itq AS (
 ), probes AS (
   SELECT vec_id AS query_id, cid AS cell FROM (
     SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-    FROM ic_scored WHERE vec_id % 100 = 0
+    FROM ic_scored WHERE vec_id % 100 = 0 AND vec_id < 5000
   ) WHERE rn <= 3
 ), cand AS (
   SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON a.cell = p.cell
@@ -1102,15 +1104,16 @@ SELECT query_id, vec_id, score, rank FROM (
 @register("ann_topk_ivf", oracle=SQL_IVF, tags=("ext", "similarity", "approx"))
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: coarse quantizer = deterministic seed vectors
-    (vec_id % 37 == 3), nprobe=3 cells per query, exact rerank within.
+    (vec_id % 37 == 3, capped below 5000 → fixed nlist), nprobe=3 cells
+    per query, exact rerank within.
     The whole cascade — cell argmax, probe selection, rerank — is exact
     quantized-integer math, so even this approximate index has a full
     DuckDB oracle; recall vs brute force is pinned in tests/test_ext_ops.py."""
     e = t(spark, sf_dir, "embeddings")
-    centroids = e.where(F.col("vec_id") % 37 == 3).select(
+    centroids = e.where((F.col("vec_id") % 37 == 3) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    q = e.where(F.col("vec_id") % 100 == 0).select(
+    q = e.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.ivf_topk(e, q, centroids, k=5, nprobe=3)
@@ -3552,10 +3555,10 @@ def ann_ivf_delta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert(index(base), delta) ≡ index(base ∪ delta) row-for-row, the
     incremental-pipeline guarantee extended to the ANN index."""
     e = t(spark, sf_dir, "embeddings")
-    centroids = e.where(F.col("vec_id") % 37 == 3).select(
+    centroids = e.where((F.col("vec_id") % 37 == 3) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    q = e.where(F.col("vec_id") % 100 == 0).select(
+    q = e.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     base = e.where(F.col("vec_id") % 10 != 0)
@@ -5053,7 +5056,7 @@ WITH itq AS (
 ), n AS (
   SELECT vec_id, e, CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm FROM itq
 ), c AS (
-  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id % 37 = 3
+  SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id % 37 = 3 AND vec_id < 5000
 ), flat_n AS (
   SELECT vec_id, nrm, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM n
 ), flat_c AS (
@@ -5075,7 +5078,7 @@ WITH itq AS (
 ), probes AS (
   SELECT vec_id AS query_id, cid AS cell FROM (
     SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-    FROM ic_scored WHERE vec_id % 100 = 0
+    FROM ic_scored WHERE vec_id % 100 = 0 AND vec_id < 5000
   ) WHERE rn <= 3
 ), seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ce FROM (
@@ -5101,7 +5104,7 @@ cb AS (
   ) WHERE rn = 1
 ), qv AS (
   SELECT itq.vec_id AS query_id, m.sub, d.i, itq.e[m.sub * 8 + d.i] AS xq
-  FROM itq, subs m, dims d WHERE itq.vec_id % 100 = 0
+  FROM itq, subs m, dims d WHERE itq.vec_id % 100 = 0 AND itq.vec_id < 5000
 ), lut AS (
   SELECT qv.query_id, qv.sub, cb.code, SUM(qv.xq * cb.cc) AS dot
   FROM qv JOIN cb ON qv.sub = cb.sub AND qv.i = cb.i
@@ -5144,7 +5147,10 @@ SELECT query_id, vec_id, score, rank FROM (
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN top-5 — the two-level FAISS-style index that is THE
     100 TB ANN architecture: the IVF coarse quantizer (seed centroids,
-    vec_id % 37 == 3, nprobe=3) prunes which vectors are touched at all
+    vec_id % 37 == 3 capped below 5000 → FIXED nlist, so the assignment
+    pass is linear in corpus — the r11 sf1 bench caught the uncapped
+    nlist ∝ N version at ×32 raw on ×10 data; nprobe=3) prunes which
+    vectors are touched at all
     (partition pruning when the index is laid out by cell), and product
     quantization (8×16 deterministic codebooks) prunes the bytes per
     touched vector to an 8-byte code scanned via per-query lookup tables;
@@ -5153,10 +5159,10 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade — cell argmax, probe selection, encoding argmin, LUT ADC,
     shortlist, rerank — has a live step-for-step DuckDB oracle."""
     e = t(spark, sf_dir, "embeddings")
-    centroids = e.where(F.col("vec_id") % 37 == 3).select(
+    centroids = e.where((F.col("vec_id") % 37 == 3) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    q = e.where(F.col("vec_id") % 100 == 0).select(
+    q = e.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.ivfpq_topk(e, q, centroids, k=5, nprobe=3)
@@ -6616,7 +6622,7 @@ def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 100 == 0).select(
+    q = e.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("_ql"),
         quantized("embedding").alias("_qe"),
@@ -8968,7 +8974,7 @@ def multimodal_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH pats AS (
   SELECT DISTINCT substr(text, 11, 12) AS pattern
-  FROM documents WHERE doc_id % 397 = 3 AND length(text) >= 60
+  FROM documents WHERE doc_id % 397 = 3 AND doc_id < 5000 AND length(text) >= 60
 ), ptri AS (
   SELECT pattern,
          unnest(list_distinct(list_transform(generate_series(1, length(pattern) - 2),
@@ -9016,7 +9022,11 @@ def search_trigram_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     join volume, ties broken by trigram text for determinism), then one
     contains() verification on the candidate frame only. Patterns are
     12-char substrings sampled deterministically from the corpus itself
-    (doc_id % 397 = 3, offset 11). The oracle runs the SAME index
+    (doc_id % 397 = 3, capped below doc_id 5000 — the whole pattern
+    population at sf ≤ 0.1 and a FIXED query batch beyond, so the
+    probe-join volume scales linearly with the corpus; the r11 sf1 bench
+    caught the uncapped version at ×17 raw on ×10 data because patterns
+    grew with the corpus too). The oracle runs the SAME index
     construction in SQL (so the reported n_candidates selectivity is
     pinned too) with brute-force strpos verification — hash equality
     proves exact recall of the blocking scheme. At 100 TB: the trigram is
@@ -9026,7 +9036,11 @@ def search_trigram_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     pats = (
-        docs.where((F.col("doc_id") % 397 == 3) & (F.length("text") >= 60))
+        docs.where(
+            (F.col("doc_id") % 397 == 3)
+            & (F.col("doc_id") < 5000)
+            & (F.length("text") >= 60)
+        )
         .select(F.expr("substring(text, 11, 12)").alias("pattern"))
         .distinct()
     )

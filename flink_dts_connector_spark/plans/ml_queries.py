@@ -254,7 +254,7 @@ def ml_nb_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS query_id, {SQL_Q} AS qe, label AS actual_label
-  FROM embeddings WHERE vec_id % 20 = 0
+  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 5000
 ), it AS (
   SELECT vec_id, {SQL_Q} AS ie, label FROM embeddings
 ), qn AS (
@@ -299,12 +299,18 @@ GROUP BY 1, 2
     tags=("ext", "ml", "similarity"),
 )
 def ml_knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leave-one-out 5-NN label vote on the deterministic probe subset
-    (vec_id % 20 = 0): majority label of the 5 nearest other vectors by
-    exact quantized cosine, ties to the smallest label — the
-    embedding-space label-quality audit (mislabeled-cluster detection) run
-    entirely as a broadcast-probe join; the item table never shuffles."""
-    return ML.knn_label_confusion(t(spark, sf_dir, "embeddings"), k=5, probe_mod=20)
+    """Leave-one-out 5-NN label vote on the deterministic FIXED probe
+    sample (vec_id % 20 = 0, capped below 5000 — identical to the whole
+    probe population at sf ≤ 0.1, and a fixed 250-probe statistical audit
+    beyond, so total work scales LINEARLY with the corpus; the r11 sf1
+    bench caught the uncapped version at ×74 raw on ×10 data): majority
+    label of the 5 nearest other vectors by exact quantized cosine, ties
+    to the smallest label — the embedding-space label-quality audit
+    (mislabeled-cluster detection) run entirely as a broadcast-probe
+    join; the item table never shuffles."""
+    return ML.knn_label_confusion(
+        t(spark, sf_dir, "embeddings"), k=5, probe_mod=20, probe_max=5000
+    )
 
 
 def _bpe_oracle(n_merges: int) -> str:
@@ -701,10 +707,10 @@ def ml_knn_ivf_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_dts_connector_spark.operators import similarity as S
 
     e = t(spark, sf_dir, "embeddings")
-    centroids = e.where(F.col("vec_id") % 37 == 3).select(
+    centroids = e.where((F.col("vec_id") % 37 == 3) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    probes = e.where(F.col("vec_id") % 20 == 0).select(
+    probes = e.where((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     nn = S.ivf_topk(e, probes, centroids, k=5, nprobe=3)
