@@ -1966,6 +1966,349 @@ def decode_mp3_sideinfo(
     )
 
 
+# ---------------------------------------------------------------------------
+# AVC (H.264) SPS/PPS exp-Golomb headers (r11) — the video sibling of the
+# Layer III side-info tier. A demuxer/transcoder planner reads the SPS/PPS
+# before touching any slice: profile/level, exp-Golomb-coded frame geometry,
+# reference-frame budget, POC type, CABAC-vs-CAVLC, and init QP. All
+# fixed-width or Exp-Golomb bitfields (ITU-T H.264 §7.3.2.1/7.3.2.2) —
+# dependency-free and exactly parseable; slice payloads (CABAC/CAVLC
+# residuals) stay undecoded by the section banner's contract. Emulation-
+# prevention (00 00 03 escaping, §7.4.1) is handled for real on both sides.
+# ---------------------------------------------------------------------------
+
+
+def _ue_write(w: "_MsbBitWriter", v: int) -> None:
+    """Exp-Golomb unsigned: floor(log2(v+1)) zeros, then (v+1) in binary."""
+    if v < 0:
+        raise ValueError("ue(v) is unsigned")
+    n = (v + 1).bit_length()
+    w.put(0, n - 1)
+    w.put(v + 1, n)
+
+
+def _se_write(w: "_MsbBitWriter", v: int) -> None:
+    """Exp-Golomb signed: k = 2v-1 for v>0 else -2v (§9.1.1)."""
+    _ue_write(w, 2 * v - 1 if v > 0 else -2 * v)
+
+
+def _ue_read(r: "_MsbBitReader") -> int:
+    zeros = 0
+    while r.bits(1) == 0:
+        zeros += 1
+        if zeros > 31:
+            raise ValueError("torn exp-Golomb code")
+    return ((1 << zeros) | r.bits(zeros) if zeros else 1) - 1
+
+
+def _se_read(r: "_MsbBitReader") -> int:
+    k = _ue_read(r)
+    return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _ebsp_escape(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention 03 bytes: any 00 00 followed by
+    00/01/02/03 in the raw payload gets 03 injected (§7.4.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _ebsp_unescape(ebsp: bytes) -> tuple[bytes, int]:
+    """Strip emulation-prevention bytes; returns (rbsp, n_escapes);
+    raises on an illegal unescaped 00 00 00..02 run (a real decoder's
+    start-code-in-NAL error)."""
+    out = bytearray()
+    zeros = 0
+    escapes = 0
+    i = 0
+    while i < len(ebsp):
+        b = ebsp[i]
+        if zeros >= 2:
+            if b == 3:
+                if i + 1 < len(ebsp) and ebsp[i + 1] > 3:
+                    raise ValueError("emulation byte not followed by 00-03")
+                escapes += 1
+                zeros = 0
+                i += 1
+                continue
+            if b <= 2:
+                raise ValueError("unescaped start-code prefix inside NAL")
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out), escapes
+
+
+def avc_fixture_params(doc_id: int) -> dict:
+    """Deterministic SPS/PPS law (mirrored by the SQL oracle)."""
+    return {
+        "profile_idc": (66, 77, 100)[doc_id % 3],
+        "level_idc": (30, 31, 40, 41)[doc_id % 4],
+        "sps_id": doc_id % 8,
+        "log2mfn": doc_id % 5,
+        "poc_type": (0, 2)[doc_id % 2],
+        "poc_lsb": (doc_id + 1) % 5,
+        "refs": 1 + doc_id % 4,
+        "gaps": doc_id % 2,
+        "w_mbs": 7 + doc_id % 113,  # width 128..1920 px
+        "h_mbs": 5 + doc_id % 63,  # height 96..1072 px
+        "direct8x8": doc_id % 2,
+        "crop": doc_id % 2,
+        "crops": [(doc_id + j) % 4 for j in range(4)],
+        "pps_id": doc_id % 4,
+        "cabac": doc_id % 2,
+        "l0": doc_id % 3,
+        "l1": doc_id % 2,
+        "bipred": doc_id % 3,
+        "qp_off": (doc_id % 11) - 5,
+        "chroma_off": (doc_id % 5) - 2,
+    }
+
+
+def encode_avc_config(doc_id: int) -> bytes:
+    """Annex-B byte stream: 00 00 00 01 + SPS NAL, 00 00 00 01 + PPS NAL —
+    every field genuinely bit-packed per §7.3.2.1/7.3.2.2 (fixed-width u(n)
+    + Exp-Golomb ue(v)/se(v)), profile-100 chroma branch included, RBSP
+    stop-bit alignment, and REAL emulation-prevention escaping."""
+    p = avc_fixture_params(doc_id)
+    w = _MsbBitWriter()
+    w.put(p["profile_idc"], 8)
+    w.put(0, 8)  # constraint flags + reserved
+    w.put(p["level_idc"], 8)
+    _ue_write(w, p["sps_id"])
+    if p["profile_idc"] == 100:
+        _ue_write(w, 1)  # chroma_format_idc 4:2:0
+        _ue_write(w, 0)  # bit_depth_luma_minus8
+        _ue_write(w, 0)  # bit_depth_chroma_minus8
+        w.put(0, 1)  # qpprime_y_zero_transform_bypass
+        w.put(0, 1)  # seq_scaling_matrix_present
+    _ue_write(w, p["log2mfn"])
+    _ue_write(w, p["poc_type"])
+    if p["poc_type"] == 0:
+        _ue_write(w, p["poc_lsb"])
+    _ue_write(w, p["refs"])
+    w.put(p["gaps"], 1)
+    _ue_write(w, p["w_mbs"])
+    _ue_write(w, p["h_mbs"])
+    w.put(1, 1)  # frame_mbs_only_flag
+    w.put(p["direct8x8"], 1)
+    w.put(p["crop"], 1)
+    if p["crop"]:
+        for c in p["crops"]:
+            _ue_write(w, c)
+    w.put(0, 1)  # vui_parameters_present
+    w.put(1, 1)  # rbsp stop bit (flush pads the alignment zeros)
+    sps_rbsp = w.flush()
+
+    w = _MsbBitWriter()
+    _ue_write(w, p["pps_id"])
+    _ue_write(w, p["sps_id"])
+    w.put(p["cabac"], 1)
+    w.put(0, 1)  # bottom_field_pic_order_in_frame_present
+    _ue_write(w, 0)  # num_slice_groups_minus1
+    _ue_write(w, p["l0"])
+    _ue_write(w, p["l1"])
+    w.put(0, 1)  # weighted_pred_flag
+    w.put(p["bipred"], 2)
+    _se_write(w, p["qp_off"])
+    _se_write(w, 0)  # pic_init_qs_minus26
+    _se_write(w, p["chroma_off"])
+    w.put(1, 1)  # deblocking_filter_control_present
+    w.put(0, 1)  # constrained_intra_pred
+    w.put(0, 1)  # redundant_pic_cnt_present
+    w.put(1, 1)  # stop bit
+    pps_rbsp = w.flush()
+
+    sc = b"\x00\x00\x00\x01"
+    return (
+        sc + bytes((0x67,)) + _ebsp_escape(sps_rbsp)  # nal_ref_idc=3, type 7
+        + sc + bytes((0x68,)) + _ebsp_escape(pps_rbsp)  # type 8
+    )
+
+
+def _avc_trailing(r: "_MsbBitReader", rbsp: bytes) -> None:
+    """rbsp_trailing_bits: stop bit 1 then zero alignment — a parse that
+    ends anywhere else read the wrong grammar (§7.3.2.11)."""
+    if r.bits(1) != 1:
+        raise ValueError("missing RBSP stop bit")
+    while r.pos % 8:
+        if r.bits(1) != 0:
+            raise ValueError("non-zero RBSP alignment bit")
+    if r.pos != len(rbsp) * 8:
+        raise ValueError("trailing bytes after RBSP stop")
+
+
+def avc_config_features(raw: bytes):
+    """Parse one Annex-B SPS+PPS configuration stream: start codes, NAL
+    headers (forbidden bit, ref idc, type 7 then 8), emulation-prevention
+    de-escaping, full §7.3.2.1/7.3.2.2 field walk with exact trailing-bit
+    validation, and the cross-check a decoder applies: the PPS must
+    reference the SPS it shipped with. Returns (profile_idc, level_idc,
+    width_px, height_px, max_num_ref_frames, poc_type, cabac, init_qp,
+    sps_rbsp_bytes, pps_rbsp_bytes, n_emulation_bytes, n_bytes)."""
+    raw = bytes(raw)
+    sc = b"\x00\x00\x00\x01"
+    if not raw.startswith(sc):
+        raise ValueError("missing start code")
+    second = raw.find(sc, 4)
+    if second < 0:
+        raise ValueError("missing second NAL")
+    nals = [raw[4:second], raw[second + 4 :]]
+    parsed = []
+    total_escapes = 0
+    for nal, want_type in zip(nals, (7, 8)):
+        if not nal:
+            raise ValueError("empty NAL")
+        hdr = nal[0]
+        if hdr & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        if (hdr >> 5) == 0:
+            raise ValueError("SPS/PPS must be reference NALs (nal_ref_idc 0)")
+        if hdr & 0x1F != want_type:
+            raise ValueError(f"expected NAL type {want_type}, got {hdr & 0x1F}")
+        rbsp, escapes = _ebsp_unescape(nal[1:])
+        total_escapes += escapes
+        parsed.append(rbsp)
+    sps, pps = parsed
+
+    r = _MsbBitReader(sps)
+    profile = r.bits(8)
+    r.bits(8)  # constraint/reserved
+    level = r.bits(8)
+    sps_id = _ue_read(r)
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        chroma = _ue_read(r)
+        if chroma not in (1, 2, 3):
+            raise ValueError(f"unsupported chroma_format_idc {chroma}")
+        _ue_read(r)  # bit_depth_luma_minus8
+        _ue_read(r)  # bit_depth_chroma_minus8
+        r.bits(1)  # qpprime bypass
+        if r.bits(1):
+            raise ValueError("seq_scaling_matrix unsupported")
+    _ue_read(r)  # log2_max_frame_num_minus4
+    poc_type = _ue_read(r)
+    if poc_type == 0:
+        _ue_read(r)  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        raise ValueError("pic_order_cnt_type 1 unsupported")
+    elif poc_type != 2:
+        raise ValueError(f"invalid pic_order_cnt_type {poc_type}")
+    refs = _ue_read(r)
+    r.bits(1)  # gaps_in_frame_num_value_allowed
+    w_mbs = _ue_read(r)
+    h_mbs = _ue_read(r)
+    if r.bits(1) != 1:
+        raise ValueError("interlaced (frame_mbs_only_flag 0) unsupported")
+    r.bits(1)  # direct_8x8_inference
+    if r.bits(1):  # frame_cropping
+        for _ in range(4):
+            _ue_read(r)
+    if r.bits(1):
+        raise ValueError("VUI parameters unsupported")
+    _avc_trailing(r, sps)
+
+    r = _MsbBitReader(pps)
+    _ue_read(r)  # pps_id
+    pps_sps_id = _ue_read(r)
+    if pps_sps_id != sps_id:
+        raise ValueError(
+            f"PPS references SPS {pps_sps_id}, stream carries SPS {sps_id}"
+        )
+    cabac = r.bits(1)
+    r.bits(1)  # bottom_field_pic_order
+    if _ue_read(r) != 0:
+        raise ValueError("slice groups unsupported")
+    _ue_read(r)  # num_ref_idx_l0_default
+    _ue_read(r)  # num_ref_idx_l1_default
+    r.bits(1)  # weighted_pred
+    r.bits(2)  # weighted_bipred_idc
+    init_qp = 26 + _se_read(r)
+    _se_read(r)  # pic_init_qs_minus26
+    _se_read(r)  # chroma_qp_index_offset
+    r.bits(1); r.bits(1); r.bits(1)
+    _avc_trailing(r, pps)
+
+    return (
+        profile,
+        level,
+        (w_mbs + 1) * 16,
+        (h_mbs + 1) * 16,
+        refs,
+        poc_type,
+        cabac,
+        init_qp,
+        len(sps),
+        len(pps),
+        total_escapes,
+        len(raw),
+    )
+
+
+def attach_avc_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One Annex-B SPS+PPS configuration stream per row."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_avc_config(int(i)) for i in ids]
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "h264", "n_bytes": len(p), "width": 0, "height": 0,
+                 "duration_ms": 0}
+                for p in payloads
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_avc_headers(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """SPS/PPS feature stage over `avc_config_features`."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [avc_config_features(bytes(x)) for x in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "profile_idc": [p[0] for p in parsed],
+                    "level_idc": [p[1] for p in parsed],
+                    "width_px": [p[2] for p in parsed],
+                    "height_px": [p[3] for p in parsed],
+                    "max_num_ref_frames": [p[4] for p in parsed],
+                    "poc_type": [p[5] for p in parsed],
+                    "cabac": [p[6] for p in parsed],
+                    "init_qp": [p[7] for p in parsed],
+                    "sps_rbsp_bytes": [p[8] for p in parsed],
+                    "pps_rbsp_bytes": [p[9] for p in parsed],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        fn,
+        schema=(
+            "doc_id bigint, profile_idc bigint, level_idc bigint, "
+            "width_px bigint, height_px bigint, max_num_ref_frames bigint, "
+            "poc_type bigint, cabac bigint, init_qp bigint, "
+            "sps_rbsp_bytes bigint, pps_rbsp_bytes bigint"
+        ),
+    )
+
+
 def decode_mp3_features(
     df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -9546,6 +9546,96 @@ def multimodal_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_avc_headers",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END AS profile_idc,
+         CASE doc_id % 4 WHEN 0 THEN 30 WHEN 1 THEN 31 WHEN 2 THEN 40 ELSE 41 END AS level_idc,
+         doc_id % 8 AS sps_id,
+         doc_id % 5 AS log2mfn,
+         CASE doc_id % 2 WHEN 0 THEN 0 ELSE 2 END AS poc_type,
+         (doc_id + 1) % 5 AS poc_lsb,
+         1 + doc_id % 4 AS refs,
+         7 + doc_id % 113 AS w_mbs,
+         5 + doc_id % 63 AS h_mbs,
+         doc_id % 2 AS crop,
+         doc_id % 4 AS pps_id,
+         doc_id % 2 AS cabac,
+         doc_id % 3 AS l0,
+         doc_id % 2 AS l1,
+         (doc_id % 11) - 5 AS qp_off,
+         (doc_id % 5) - 2 AS chroma_off
+  FROM documents
+), b AS (
+  -- ue(v) costs 2*floor(log2(v+1))+1 bits; se(v) = ue(v>0 ? 2v-1 : -2v)
+  SELECT *,
+         24
+         + (2 * CAST(floor(log2(sps_id + 1)) AS INT) + 1)
+         + CASE WHEN profile_idc = 100
+                THEN 3 + 1 + 1 + 2 ELSE 0 END
+         + (2 * CAST(floor(log2(log2mfn + 1)) AS INT) + 1)
+         + (2 * CAST(floor(log2(poc_type + 1)) AS INT) + 1)
+         + CASE WHEN poc_type = 0
+                THEN 2 * CAST(floor(log2(poc_lsb + 1)) AS INT) + 1 ELSE 0 END
+         + (2 * CAST(floor(log2(refs + 1)) AS INT) + 1)
+         + 1
+         + (2 * CAST(floor(log2(w_mbs + 1)) AS INT) + 1)
+         + (2 * CAST(floor(log2(h_mbs + 1)) AS INT) + 1)
+         + 3
+         + CASE WHEN crop = 1 THEN
+             (2 * CAST(floor(log2((doc_id + 0) % 4 + 1)) AS INT) + 1)
+           + (2 * CAST(floor(log2((doc_id + 1) % 4 + 1)) AS INT) + 1)
+           + (2 * CAST(floor(log2((doc_id + 2) % 4 + 1)) AS INT) + 1)
+           + (2 * CAST(floor(log2((doc_id + 3) % 4 + 1)) AS INT) + 1)
+           ELSE 0 END
+         + 2 AS sps_bits,
+         (2 * CAST(floor(log2(pps_id + 1)) AS INT) + 1)
+         + (2 * CAST(floor(log2(sps_id + 1)) AS INT) + 1)
+         + 2 + 1
+         + (2 * CAST(floor(log2(l0 + 1)) AS INT) + 1)
+         + (2 * CAST(floor(log2(l1 + 1)) AS INT) + 1)
+         + 1 + 2
+         + (2 * CAST(floor(log2(CASE WHEN qp_off > 0 THEN 2 * qp_off - 1
+                                     ELSE -2 * qp_off END + 1)) AS INT) + 1)
+         + 1
+         + (2 * CAST(floor(log2(CASE WHEN chroma_off > 0 THEN 2 * chroma_off - 1
+                                     ELSE -2 * chroma_off END + 1)) AS INT) + 1)
+         + 3 + 1 AS pps_bits
+  FROM p
+)
+SELECT doc_id,
+       CAST(profile_idc AS BIGINT) AS profile_idc,
+       CAST(level_idc AS BIGINT) AS level_idc,
+       CAST((w_mbs + 1) * 16 AS BIGINT) AS width_px,
+       CAST((h_mbs + 1) * 16 AS BIGINT) AS height_px,
+       CAST(refs AS BIGINT) AS max_num_ref_frames,
+       CAST(poc_type AS BIGINT) AS poc_type,
+       CAST(cabac AS BIGINT) AS cabac,
+       CAST(26 + qp_off AS BIGINT) AS init_qp,
+       CAST((sps_bits + 7) // 8 AS BIGINT) AS sps_rbsp_bytes,
+       CAST((pps_bits + 7) // 8 AS BIGINT) AS pps_rbsp_bytes
+FROM b
+""",
+    tags=("ext", "multimodal", "codec", "video"),
+)
+def multimodal_avc_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVC (H.264) SPS/PPS header parse — the video sibling of the Layer
+    III side-info tier: genuine Annex-B streams (start codes, NAL headers,
+    REAL emulation-prevention escaping both ways) whose §7.3.2.1/7.3.2.2
+    bitfields are Exp-Golomb-packed and -parsed for real, incl. the
+    profile-100 chroma branch, signed se(v) QP offsets, RBSP stop-bit
+    alignment validation, and the PPS→SPS reference cross-check every
+    decoder applies. Slice payloads (CABAC/CAVLC residuals) stay
+    undecoded by disclosed contract. The oracle replays the field law AND
+    the exact Exp-Golomb bit-length arithmetic (ue(v) = 2⌊log2(v+1)⌋+1
+    bits) down to the per-NAL RBSP byte counts."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_avc_media(docs)
+    return M.decode_avc_headers(media)
+
+
+@register(
     "text_rake_keywords",
     oracle=f"""
 WITH toks AS (
