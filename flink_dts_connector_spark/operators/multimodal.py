@@ -1724,94 +1724,108 @@ def mp3_sideinfo_params(doc_id: int) -> dict:
     }
 
 
-def mp3_granule_law(doc_id: int, k: int, g: int) -> dict:
-    """Per-(frame k, granule g) side-info values — pure modular closed
-    forms so the DuckDB oracle replays them with generate_series. Every
-    value is in its spec range by construction (big_values % 289 ≤ 288;
-    block_type ∈ {1, 2} when the window-switching flag is set — 0 is
+def mp3_granule_law(doc_id: int, k: int, g: int, c: int = 0) -> dict:
+    """Per-(frame k, granule g, channel c) side-info values — pure modular
+    closed forms so the DuckDB oracle replays them with generate_series.
+    ``c=0`` is bit-for-bit the original mono law (the c-terms vanish).
+    Every value is in its spec range by construction (big_values % 289 ≤
+    288; block_type ∈ {1, 2} when the window-switching flag is set — 0 is
     forbidden there by §2.4.1.7)."""
-    wsf = (doc_id + k + g) % 2
+    wsf = (doc_id + k + g + c) % 2
     return {
-        "part23": (doc_id * 5 + k * 11 + g * 37) % 4096,
-        "big_values": (doc_id + k * 17 + g * 29) % 289,
-        "global_gain": (doc_id * 13 + k * 7 + g * 3) % 256,
-        "sfc": (doc_id + k + g) % 16,
+        "part23": (doc_id * 5 + k * 11 + g * 37 + c * 53) % 4096,
+        "big_values": (doc_id + k * 17 + g * 29 + c * 41) % 289,
+        "global_gain": (doc_id * 13 + k * 7 + g * 3 + c * 5) % 256,
+        "sfc": (doc_id + k + g + c) % 16,
         "wsf": wsf,
-        "block_type": 2 - ((doc_id + k) % 2),  # 1 (long-start) or 2 (short)
-        "mixed": (k + g) % 2,
-        "table_select": [(doc_id + k + 7 * g + 11 * j) % 32 for j in range(3)],
-        "subblock_gain": [(doc_id + k + g + j) % 8 for j in range(3)],
-        "region0": (doc_id + k + g) % 16,
-        "region1": (doc_id * 7 + k) % 8,
-        "preflag": (doc_id + k) % 2,
-        "sfs": (doc_id + g) % 2,
-        "c1ts": (k + g) % 2,
+        "block_type": 2 - ((doc_id + k + c) % 2),  # 1 (long-start) or 2 (short)
+        "mixed": (k + g + c) % 2,
+        "table_select": [(doc_id + k + 7 * g + 11 * j + 13 * c) % 32 for j in range(3)],
+        "subblock_gain": [(doc_id + k + g + j + c) % 8 for j in range(3)],
+        "region0": (doc_id + k + g + c) % 16,
+        "region1": (doc_id * 7 + k + c) % 8,
+        "preflag": (doc_id + k + c) % 2,
+        "sfs": (doc_id + g + c) % 2,
+        "c1ts": (k + g + c) % 2,
     }
 
 
-def encode_mp3_sideinfo(doc_id: int) -> bytes:
-    """CBR MPEG-1 Layer III mono frames whose 17-byte side-info region is
-    GENUINE spec bit-packing (§2.4.1.7 layout: 9-bit main_data_begin,
-    5 private bits, 4-bit scfsi, then 2 granules × 59 bits), followed by
-    deterministic filler. No ID3 tag — the tag tier is
-    `encode_mp3_tagged`; this fixture isolates the side-info walk."""
+def encode_mp3_sideinfo(doc_id: int, channels: int = 1) -> bytes:
+    """CBR MPEG-1 Layer III frames whose side-info region is GENUINE spec
+    bit-packing (§2.4.1.7): mono = 17 bytes (9-bit main_data_begin, 5
+    private bits, 4-bit scfsi, 2 granules × 59 bits), stereo = 32 bytes
+    (3 private bits, 4-bit scfsi × 2 channels, 2 granules × 2 channels ×
+    59 bits), followed by deterministic filler. No ID3 tag — the tag tier
+    is `encode_mp3_tagged`; this fixture isolates the side-info walk."""
+    if channels not in (1, 2):
+        raise ValueError("MPEG-1 Layer III has 1 or 2 channels")
     p = mp3_sideinfo_params(doc_id)
+    si_len = 17 if channels == 1 else 32
     out = bytearray()
     for k in range(p["n_frames"]):
         pad = (doc_id + k) % 2
         size = mp3_frame_size(p["bitrate_idx"], p["sr_idx"], pad)
         b2 = (p["bitrate_idx"] << 4) | (p["sr_idx"] << 2) | (pad << 1)
-        out += bytes((0xFF, 0xFB, b2, 0xC4))
+        # mode bits: 11 = single_channel, 00 = stereo; original flag set
+        b3 = 0xC4 if channels == 1 else 0x04
+        out += bytes((0xFF, 0xFB, b2, b3))
         w = _MsbBitWriter()
         w.put((doc_id * 3 + k * 19) % 512, 9)  # main_data_begin
-        w.put(0, 5)  # private_bits (mono width)
-        w.put((doc_id + k * 5) % 16, 4)  # scfsi (4 bands × 1 channel)
+        w.put(0, 5 if channels == 1 else 3)  # private_bits (mode width)
+        for c in range(channels):
+            w.put((doc_id + k * 5 + 7 * c) % 16, 4)  # scfsi (4 bands)
         for g in range(2):
-            gr = mp3_granule_law(doc_id, k, g)
-            w.put(gr["part23"], 12)
-            w.put(gr["big_values"], 9)
-            w.put(gr["global_gain"], 8)
-            w.put(gr["sfc"], 4)
-            w.put(gr["wsf"], 1)
-            if gr["wsf"]:
-                w.put(gr["block_type"], 2)
-                w.put(gr["mixed"], 1)
-                for j in range(2):
-                    w.put(gr["table_select"][j], 5)
-                for j in range(3):
-                    w.put(gr["subblock_gain"][j], 3)
-            else:
-                for j in range(3):
-                    w.put(gr["table_select"][j], 5)
-                w.put(gr["region0"], 4)
-                w.put(gr["region1"], 3)
-            w.put(gr["preflag"], 1)
-            w.put(gr["sfs"], 1)
-            w.put(gr["c1ts"], 1)
+            for c in range(channels):
+                gr = mp3_granule_law(doc_id, k, g, c)
+                w.put(gr["part23"], 12)
+                w.put(gr["big_values"], 9)
+                w.put(gr["global_gain"], 8)
+                w.put(gr["sfc"], 4)
+                w.put(gr["wsf"], 1)
+                if gr["wsf"]:
+                    w.put(gr["block_type"], 2)
+                    w.put(gr["mixed"], 1)
+                    for j in range(2):
+                        w.put(gr["table_select"][j], 5)
+                    for j in range(3):
+                        w.put(gr["subblock_gain"][j], 3)
+                else:
+                    for j in range(3):
+                        w.put(gr["table_select"][j], 5)
+                    w.put(gr["region0"], 4)
+                    w.put(gr["region1"], 3)
+                w.put(gr["preflag"], 1)
+                w.put(gr["sfs"], 1)
+                w.put(gr["c1ts"], 1)
         si = w.flush()
-        assert len(si) == 17, "mono MPEG-1 side info is exactly 17 bytes"
+        assert len(si) == si_len, "MPEG-1 side info is 17 (mono) / 32 (stereo) bytes"
         out += si
         v = (doc_id * 7 + k * 13) % 251
-        out += bytes([v]) * (size - 4 - 17)
+        out += bytes([v]) * (size - 4 - si_len)
     return bytes(out)
 
 
-def mp3_parse_sideinfo(si: bytes) -> dict:
-    """Parse ONE mono MPEG-1 side-info block (17 bytes) into granule
-    dicts; raises ValueError on spec violations a real decoder rejects:
-    big_values > 288 (§2.4.1.7: the spectrum has 576 lines, big_values
-    counts PAIRS) and block_type 0 under the window-switching flag
-    (forbidden — reserved means 'normal', which must clear the flag)."""
-    if len(si) < 17:
+def mp3_parse_sideinfo(si: bytes, channels: int = 1) -> dict:
+    """Parse ONE MPEG-1 side-info block (17 bytes mono / 32 stereo) into
+    granule-channel dicts; raises ValueError on spec violations a real
+    decoder rejects: big_values > 288 (§2.4.1.7: the spectrum has 576
+    lines, big_values counts PAIRS) and block_type 0 under the
+    window-switching flag (forbidden — reserved means 'normal', which
+    must clear the flag). Granule order is (granule, channel) per spec;
+    ``scfsi`` is the concatenation of the per-channel 4-bit fields."""
+    si_len = 17 if channels == 1 else 32
+    if len(si) < si_len:
         raise ValueError("torn side-info block")
-    r = _MsbBitReader(si[:17])
+    r = _MsbBitReader(si[:si_len])
     out = {
         "main_data_begin": r.bits(9),
-        "private": r.bits(5),
-        "scfsi": r.bits(4),
-        "granules": [],
+        "private": r.bits(5 if channels == 1 else 3),
     }
-    for _g in range(2):
+    scfsi_ch = [r.bits(4) for _ in range(channels)]
+    out["scfsi_ch"] = scfsi_ch
+    out["scfsi"] = sum(scfsi_ch)  # == the single 4-bit field for mono
+    out["granules"] = []
+    for _gc in range(2 * channels):
         gr = {
             "part23": r.bits(12),
             "big_values": r.bits(9),
@@ -1841,17 +1855,22 @@ def mp3_parse_sideinfo(si: bytes) -> dict:
 
 
 def mp3_sideinfo_features(raw: bytes):
-    """Frame-walk + side-info parse of one mono MPEG-1 Layer III stream:
+    """Frame-walk + side-info parse of one MPEG-1 Layer III stream (mono
+    OR stereo — the channel mode comes from the header mode bits, and the
+    side-info layout switches with it: 17 vs 32 bytes, 5 vs 3 private
+    bits, 1 vs 2 scfsi fields, 2 vs 4 granule-channel structs per frame):
     the same CBR frame validation as `mp3_stream_features`, then the
     §2.4.1.7 bitfields of EVERY frame. Returns stream-level exact
     aggregates (n_frames, max_main_data_begin, sum_scfsi, sum_part23,
     sum_big_values, sum_global_gain, switching_granules, short_granules,
-    sum_region0 over non-switching granules, n_bytes); raises ValueError
-    on any malformed stream or spec-violating side info."""
+    sum_region0 over non-switching granules, n_bytes, channels — appended
+    last so the mono query's column positions are unchanged); raises
+    ValueError on any malformed stream or spec-violating side info. The
+    channel mode must not change mid-stream."""
     raw = bytes(raw)
     pos = 0
     frames = 0
-    bitrate = srate = None
+    bitrate = srate = channels = None
     max_mdb = sum_scfsi = sum_p23 = sum_bv = sum_gg = 0
     switching = short = sum_r0 = 0
     while pos < len(raw):
@@ -1864,8 +1883,12 @@ def mp3_sideinfo_features(raw: bytes):
             raise ValueError("MPEG-1 Layer III only")
         if not (b1 & 0x1):
             raise ValueError("CRC-protected frames unsupported")
-        if (b3 >> 6) != 0x3:
-            raise ValueError("mono side-info walk (17 bytes) requires mono mode")
+        nch = 1 if (b3 >> 6) == 0x3 else 2
+        if channels is None:
+            channels = nch
+        elif nch != channels:
+            raise ValueError("channel mode changed mid-stream")
+        si_len = 17 if channels == 1 else 32
         bidx, sidx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
         if bidx in (0, 15) or sidx == 3:
             raise ValueError("invalid bitrate/sample-rate index")
@@ -1875,9 +1898,9 @@ def mp3_sideinfo_features(raw: bytes):
         elif (kbps, sr) != (bitrate, srate):
             raise ValueError("VBR stream (CBR walk expected)")
         size = 144 * kbps * 1000 // sr + pad
-        if size < 4 + 17 or pos + size > len(raw):
+        if size < 4 + si_len or pos + size > len(raw):
             raise ValueError("torn frame body")
-        si = mp3_parse_sideinfo(raw[pos + 4 : pos + 4 + 17])
+        si = mp3_parse_sideinfo(raw[pos + 4 : pos + 4 + si_len], channels)
         max_mdb = max(max_mdb, si["main_data_begin"])
         sum_scfsi += si["scfsi"]
         for gr in si["granules"]:
@@ -1905,6 +1928,7 @@ def mp3_sideinfo_features(raw: bytes):
         short,
         sum_r0,
         len(raw),
+        channels,
     )
 
 
@@ -2305,6 +2329,68 @@ def decode_avc_headers(
             "width_px bigint, height_px bigint, max_num_ref_frames bigint, "
             "poc_type bigint, cabac bigint, init_qp bigint, "
             "sps_rbsp_bytes bigint, pps_rbsp_bytes bigint"
+        ),
+    )
+
+
+def attach_mp3_sideinfo_mixed_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One side-info-real MP3 payload per row, channel mode alternating by
+    doc (odd docs stereo) — the parser must switch the 17/32-byte layout
+    per stream."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_mp3_sideinfo(int(i), channels=1 + int(i) % 2) for i in ids]
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "mp3", "n_bytes": len(p), "width": 0, "height": 0,
+                 "duration_ms": 0}
+                for p in payloads
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_mp3_sideinfo_mixed(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Side-info feature stage exposing the channel mode (mixed corpus)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [mp3_sideinfo_features(bytes(r)) for r in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "channels": [p[10] for p in parsed],
+                    "n_frames": [p[0] for p in parsed],
+                    "max_main_data_begin": [p[1] for p in parsed],
+                    "sum_scfsi": [p[2] for p in parsed],
+                    "sum_part2_3_length": [p[3] for p in parsed],
+                    "sum_big_values": [p[4] for p in parsed],
+                    "sum_global_gain": [p[5] for p in parsed],
+                    "switching_granules": [p[6] for p in parsed],
+                    "short_granules": [p[7] for p in parsed],
+                    "sum_region0": [p[8] for p in parsed],
+                    "n_bytes": [p[9] for p in parsed],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        fn,
+        schema=(
+            "doc_id bigint, channels bigint, n_frames bigint, "
+            "max_main_data_begin bigint, sum_scfsi bigint, "
+            "sum_part2_3_length bigint, sum_big_values bigint, "
+            "sum_global_gain bigint, switching_granules bigint, "
+            "short_granules bigint, sum_region0 bigint, n_bytes bigint"
         ),
     )
 

@@ -9546,6 +9546,80 @@ def multimodal_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp3_sideinfo_mixed",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         1 + doc_id % 2 AS nch,
+         2 + doc_id % 4 AS nf,
+         CASE 7 + doc_id % 5 WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+              WHEN 10 THEN 160 ELSE 192 END AS kbps,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr
+  FROM documents
+), fr AS (
+  SELECT doc_id, nch, nf, kbps, sr, k.k,
+         (doc_id * 3 + k.k * 19) % 512 AS mdb,
+         144 * kbps * 1000 // sr + (doc_id + k.k) % 2 AS fsize
+  FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS k) k
+), sc AS (
+  SELECT doc_id, k, c.c, (doc_id + k * 5 + 7 * c.c) % 16 AS scfsi
+  FROM fr, LATERAL (SELECT unnest(generate_series(0, nch - 1)) AS c) c
+), gr AS (
+  SELECT doc_id, k, g.g, c.c,
+         (doc_id * 5 + k * 11 + g.g * 37 + c.c * 53) % 4096 AS p23,
+         (doc_id + k * 17 + g.g * 29 + c.c * 41) % 289 AS bv,
+         (doc_id * 13 + k * 7 + g.g * 3 + c.c * 5) % 256 AS gg,
+         (doc_id + k + g.g + c.c) % 2 AS wsf,
+         2 - (doc_id + k + c.c) % 2 AS bt,
+         (doc_id + k + g.g + c.c) % 16 AS r0
+  FROM fr, LATERAL (SELECT unnest(generate_series(0, 1)) AS g) g,
+       LATERAL (SELECT unnest(generate_series(0, nch - 1)) AS c) c
+), fa AS (
+  SELECT doc_id, MAX(nch) AS nch, MAX(nf) AS nf, MAX(mdb) AS max_mdb,
+         SUM(fsize) AS n_bytes
+  FROM fr GROUP BY doc_id
+), sa AS (
+  SELECT doc_id, SUM(scfsi) AS sum_scfsi FROM sc GROUP BY doc_id
+), ga AS (
+  SELECT doc_id, SUM(p23) AS sum_p23, SUM(bv) AS sum_bv, SUM(gg) AS sum_gg,
+         SUM(wsf) AS switching,
+         SUM(CASE WHEN wsf = 1 AND bt = 2 THEN 1 ELSE 0 END) AS short_g,
+         SUM(CASE WHEN wsf = 0 THEN r0 ELSE 0 END) AS sum_r0
+  FROM gr GROUP BY doc_id
+)
+SELECT fa.doc_id,
+       CAST(fa.nch AS BIGINT) AS channels,
+       CAST(fa.nf AS BIGINT) AS n_frames,
+       CAST(fa.max_mdb AS BIGINT) AS max_main_data_begin,
+       CAST(sa.sum_scfsi AS BIGINT) AS sum_scfsi,
+       CAST(ga.sum_p23 AS BIGINT) AS sum_part2_3_length,
+       CAST(ga.sum_bv AS BIGINT) AS sum_big_values,
+       CAST(ga.sum_gg AS BIGINT) AS sum_global_gain,
+       CAST(ga.switching AS BIGINT) AS switching_granules,
+       CAST(ga.short_g AS BIGINT) AS short_granules,
+       CAST(ga.sum_r0 AS BIGINT) AS sum_region0,
+       CAST(fa.n_bytes AS BIGINT) AS n_bytes
+FROM fa JOIN sa USING (doc_id) JOIN ga USING (doc_id)
+""",
+    tags=("ext", "multimodal", "codec", "audio"),
+)
+def multimodal_mp3_sideinfo_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer III side-info parse over a MIXED mono/stereo corpus (r11 —
+    the natural follow-up to the mono walk): odd docs carry the 32-byte
+    stereo layout (3 private bits, two scfsi fields, 4 granule-channel
+    structs per frame in (granule, channel) order per §2.4.1.7), even
+    docs the 17-byte mono layout — the parser switches on the header mode
+    bits per stream and rejects a mid-stream mode change. The granule law
+    gains channel terms that vanish at c=0, so the mono slice is
+    bit-for-bit `multimodal_mp3_sideinfo`'s law; the oracle replays all
+    three nesting levels (frame × granule × channel) via lateral
+    generate_series."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_mp3_sideinfo_mixed_media(docs)
+    return M.decode_mp3_sideinfo_mixed(media)
+
+
+@register(
     "multimodal_avc_headers",
     oracle="""
 WITH p AS (

@@ -261,6 +261,7 @@ def _sideinfo_closed_form(doc_id):
             mp3_frame_size(p["bitrate_idx"], p["sr_idx"], (doc_id + k) % 2)
             for k in range(nf)
         ),
+        1,  # channels (mono fixture)
     )
 
 
@@ -323,15 +324,78 @@ def test_sideinfo_torn_block_rejected():
         mp3_parse_sideinfo(b"\x00" * 16)
 
 
-def test_sideinfo_stereo_stream_rejected():
+def test_sideinfo_stereo_roundtrip_and_layout():
+    """Stereo (r11): 32-byte side info — 3 private bits, two scfsi fields,
+    4 granule-channel structs per frame — round-trips against the same
+    closed-form law with the c-terms live; the mono law is the c=0 slice
+    (already pinned by test_sideinfo_roundtrip_closed_form)."""
+    from flink_dts_connector_spark.operators.multimodal import (
+        encode_mp3_sideinfo,
+        mp3_frame_size,
+        mp3_granule_law,
+        mp3_sideinfo_features,
+        mp3_sideinfo_params,
+    )
+
+    for d in (1, 3, 5, 42, 999):
+        p = mp3_sideinfo_params(d)
+        nf = p["n_frames"]
+        grs = [
+            mp3_granule_law(d, k, g, c)
+            for k in range(nf) for g in range(2) for c in range(2)
+        ]
+        got = mp3_sideinfo_features(encode_mp3_sideinfo(d, channels=2))
+        assert got == (
+            nf,
+            max((d * 3 + k * 19) % 512 for k in range(nf)),
+            sum((d + k * 5 + 7 * c) % 16 for k in range(nf) for c in range(2)),
+            sum(gr["part23"] for gr in grs),
+            sum(gr["big_values"] for gr in grs),
+            sum(gr["global_gain"] for gr in grs),
+            sum(1 for gr in grs if gr["wsf"]),
+            sum(1 for gr in grs if gr["wsf"] and gr["block_type"] == 2),
+            sum(gr["region0"] for gr in grs if not gr["wsf"]),
+            sum(
+                mp3_frame_size(p["bitrate_idx"], p["sr_idx"], (d + k) % 2)
+                for k in range(nf)
+            ),
+            2,
+        )
+
+
+def test_sideinfo_mode_flip_never_silent_crash():
+    """Flipping the mode bits of a mono stream makes the parser read a
+    32-byte layout over 17 bytes of side info + filler: it must either
+    reject (ValueError) or produce a structurally consistent parse —
+    never a crash of another type."""
     from flink_dts_connector_spark.operators.multimodal import (
         encode_mp3_sideinfo,
         mp3_sideinfo_features,
     )
 
     raw = bytearray(encode_mp3_sideinfo(5))
-    raw[3] = 0x04  # mode bits 00 = stereo (side info would be 32 bytes)
-    with pytest.raises(ValueError, match="mono"):
+    raw[3] = 0x04  # mode bits 00 = stereo
+    try:
+        got = mp3_sideinfo_features(bytes(raw))
+    except ValueError:
+        return
+    assert got[9] == len(raw) and got[10] == 2
+
+
+def test_sideinfo_mode_change_mid_stream_rejected():
+    from flink_dts_connector_spark.operators.multimodal import (
+        encode_mp3_sideinfo,
+        mp3_frame_size,
+        mp3_sideinfo_features,
+        mp3_sideinfo_params,
+    )
+
+    d = 4  # even doc: mono law, >=2 frames
+    raw = bytearray(encode_mp3_sideinfo(d))
+    p = mp3_sideinfo_params(d)
+    f0 = mp3_frame_size(p["bitrate_idx"], p["sr_idx"], d % 2)
+    raw[f0 + 3] = 0x04  # second frame flips to stereo
+    with pytest.raises(ValueError, match="changed mid-stream"):
         mp3_sideinfo_features(bytes(raw))
 
 
