@@ -2056,7 +2056,13 @@ def _ebsp_unescape(ebsp: bytes) -> tuple[bytes, int]:
         b = ebsp[i]
         if zeros >= 2:
             if b == 3:
-                if i + 1 < len(ebsp) and ebsp[i + 1] > 3:
+                # §7.4.1: the escaped byte must exist and be 00-03. A 03
+                # that is the LAST byte of the NAL escapes nothing — a real
+                # decoder rejects it (and silently consuming it would yield
+                # an RBSP ending in the forbidden 00 00 run).
+                if i + 1 >= len(ebsp):
+                    raise ValueError("trailing emulation byte at end of NAL")
+                if ebsp[i + 1] > 3:
                     raise ValueError("emulation byte not followed by 00-03")
                 escapes += 1
                 zeros = 0

@@ -276,8 +276,12 @@ def cosine_pairs_delta(
         quantized(emb_col).alias("_oe"),
     ).withColumn("_on", norm_sq_q(F.col("_oe")))
     score = cosine_q(dot_q(F.col("_ne"), F.col("_oe")), F.col("_nn"), F.col("_on"))
+    # Defensive n_id != o_id: the documented contract is "old excludes new",
+    # but a violated contract must not silently produce a self-pair
+    # (least/greatest would yield a_id == b_id at score 1, whose loser rule
+    # marks the vector as its own duplicate and corrupts dedup counts).
     cross = (
-        n.join(o, n["_blk"] == o["_blk"])
+        n.join(o, (n["_blk"] == o["_blk"]) & (F.col("n_id") != F.col("o_id")))
         .select(
             F.least("n_id", "o_id").alias("a_id"),
             F.greatest("n_id", "o_id").alias("b_id"),

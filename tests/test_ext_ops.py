@@ -1378,3 +1378,23 @@ def test_cosine_pairs_delta_enumerates_each_pair_once(spark):
             roster = full.where(F.col("vec_id") < hi)
             lo = hi
         assert sorted(got) == want, f"split {split} diverged"
+
+
+def test_cosine_pairs_delta_contract_violation_no_self_pairs(spark):
+    """r11 ADVICE: if a vec_id appears in BOTH new and old (violating the
+    documented 'old excludes new' contract), the cross join must not emit a
+    self-pair (a_id == b_id, score 1) — least/greatest would otherwise mark
+    the vector as its own duplicate and corrupt dedup survivor counts."""
+    import random
+
+    from flink_dts_connector_spark.operators.similarity import cosine_pairs_delta
+
+    rng = random.Random(13)
+    rows = [(i, 0, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, blk int, embedding array<float>")
+    # worst violation: old == new (every id duplicated across the inputs)
+    pairs = cosine_pairs_delta(df, df, "blk", threshold=-1.0).collect()
+    assert pairs, "expected cross pairs"
+    assert all(r["a_id"] != r["b_id"] for r in pairs), [
+        (r["a_id"], r["b_id"]) for r in pairs if r["a_id"] == r["b_id"]
+    ]

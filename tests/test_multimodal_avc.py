@@ -59,6 +59,14 @@ def test_unescaped_start_code_rejected():
         _ebsp_unescape(b"\x12\x00\x00\x01\x44")
 
 
+def test_trailing_emulation_byte_rejected():
+    """A 03 after 00 00 as the LAST byte of the NAL escapes nothing (§7.4.1
+    requires a following 00-03); silently consuming it would yield an RBSP
+    ending in the forbidden 00 00 run (r11 ADVICE)."""
+    with pytest.raises(ValueError, match="trailing emulation byte"):
+        _ebsp_unescape(b"\x12\x00\x00\x03")
+
+
 def test_roundtrip_matches_fixture_law():
     for d in (0, 1, 2, 3, 4, 5, 11, 42, 1234, 10**6):
         p = avc_fixture_params(d)
