@@ -2801,3 +2801,319 @@ def stream_semdedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("dropped")).cast("bigint").alias("n_survivors"),
         F.min(F.when(F.col("dropped") == 0, F.col("vec_id"))).cast("bigint").alias("min_survivor"),
     )
+
+
+def _labelprop_oracle_3() -> str:
+    from flink_dts_connector_spark.plans.ext_queries import _labelprop_oracle
+
+    return _labelprop_oracle(3)
+
+
+@register(
+    "stream_labelprop_maintenance",
+    oracle=_labelprop_oracle_3(),
+    tags=("streaming", "ext", "graph", "dedup", "communities", "incremental"),
+)
+def stream_labelprop_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING label-propagation maintenance — the live twin of
+    `graph_labelprop_communities` (the r11 verdict's named gap, the same
+    delta ≡ rebuild discipline as `stream_semdedup_maintenance`): near-dup
+    edges arrive in 3 interleaved waves, and each micro-batch re-converges
+    ONLY the components the new edges touch.
+
+    Why per-component recompute is the right delta unit: 3-round
+    synchronous LP on a node depends only on its component's edge set (no
+    label crosses a component boundary), so a component whose edge set did
+    not change keeps its converged labels verbatim, while a touched
+    component must be re-run (one new intra-component edge shifts neighbor
+    MODES arbitrarily — labels are not monotone like SemDeDup losers, so
+    the correct incremental unit is the component, not the pair). Per
+    batch:
+
+    1. map the new edges' endpoints to their current component ids (an
+       unseen node is its own singleton component),
+    2. union-find over the QUOTIENT graph (one node per touched component
+       — |touched| nodes, never |V|) to merge components the new edges
+       bridge,
+    3. rebuild the affected components' membership, then run the same
+       deterministic 3-round LP (`label_propagation_int`) over ONLY the
+       affected subgraph (its accumulated edges semi-joined through the
+       membership), and splice those labels over the previous ones.
+
+    Work per batch is O(|new edges| + affected component mass); state is
+    the edge set + (node → component) + (node → label), all O(graph) and
+    never globally recomputed. Because every component's final labels come
+    from a full 3-round LP over its complete final edge set, the converged
+    multi-member community census hash-matches the batch unrolled-CTE
+    oracle — delta ≡ rebuild, bit-exactly."""
+    from flink_dts_connector_spark.operators import dedup as D
+    from flink_dts_connector_spark.operators.graph import (
+        connected_components,
+        label_propagation_int,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold_pct=30).select("a_id", "b_id")
+
+    waves_dir = scratch_dir("fdcs_lpm_waves_")
+    for i in range(3):
+        pairs.where((F.col("a_id") * 31 + F.col("b_id")) % 3 == i).coalesce(
+            1
+        ).write.mode("append").parquet(waves_dir)
+
+    state = {
+        "edges": spark.createDataFrame([], "a_id bigint, b_id bigint").localCheckpoint(),
+        "comp": spark.createDataFrame([], "u bigint, cid bigint").localCheckpoint(),
+        "labels": spark.createDataFrame([], "u bigint, lbl bigint").localCheckpoint(),
+        "batches": 0,
+    }
+
+    def merge(bdf: DataFrame, batch_id: int) -> None:
+        new = bdf.select(
+            F.col("a_id").cast("long").alias("a_id"),
+            F.col("b_id").cast("long").alias("b_id"),
+        ).localCheckpoint()
+        if new.isEmpty():
+            return
+        # 1. endpoints -> current component id (unseen node = own singleton)
+        eps = (
+            new.select(F.col("a_id").alias("u"))
+            .union(new.select(F.col("b_id").alias("u")))
+            .distinct()
+        )
+        ep_cid = (
+            eps.join(state["comp"], "u", "left")
+            .select("u", F.coalesce("cid", "u").alias("cid"))
+            .localCheckpoint()
+        )
+        # 2. quotient union-find: one node per TOUCHED component. Self-loop
+        # quotient edges (both endpoints already in the same component)
+        # still mark that component affected — its LP must re-run.
+        quot = (
+            new.join(ep_cid.withColumnRenamed("u", "a_id").withColumnRenamed("cid", "ca"), "a_id")
+            .join(ep_cid.withColumnRenamed("u", "b_id").withColumnRenamed("cid", "cb"), "b_id")
+            .select("ca", "cb")
+        )
+        merged = connected_components(quot, src="ca", dst="cb").select(
+            F.col("id").alias("cid"), F.col("comp").alias("root")
+        ).localCheckpoint()  # old cid -> merged root, touched comps only
+        roots = merged.select("root").distinct()
+        # 3a. splice the component map: touched old comps re-root; new
+        # endpoint nodes enter with their merged root.
+        comp_kept = state["comp"].join(merged.select("cid"), "cid", "left_anti")
+        comp_new = (
+            state["comp"].join(merged, "cid").select("u", F.col("root").alias("cid"))
+            .unionByName(
+                ep_cid.join(state["comp"].select("u"), "u", "left_anti")
+                .join(merged, "cid")
+                .select("u", F.col("root").alias("cid"))
+            )
+        )
+        state["comp"] = comp_kept.unionByName(comp_new).localCheckpoint()
+        state["edges"] = state["edges"].unionByName(new).localCheckpoint()
+        # 3b. affected subgraph = members of the merged roots + their edges
+        # (an edge never crosses components, so one endpoint membership
+        # semi-join selects exactly the intra-component edge set).
+        sub_nodes = state["comp"].join(roots, state["comp"]["cid"] == roots["root"]).select("u")
+        sub_edges = state["edges"].join(
+            sub_nodes.withColumnRenamed("u", "a_id"), "a_id", "left_semi"
+        )
+        sub_labels = label_propagation_int(
+            sub_edges,
+            sub_nodes.select(F.col("u").alias("doc_id")),
+            iterations=3,
+        )
+        state["labels"] = (
+            state["labels"]
+            .join(sub_nodes, "u", "left_anti")
+            .unionByName(sub_labels)
+            .localCheckpoint()
+        )
+        state["batches"] += 1
+
+    with pinned_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema(pairs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", scratch_dir("fdcs_lpm_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(waves_dir, ignore_errors=True)
+    if state["batches"] < 2:
+        raise AssertionError(f"expected multiple micro-batches, got {state['batches']}")
+
+    return (
+        state["labels"]
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("u").cast("bigint").alias("min_member"),
+            F.max("u").cast("bigint").alias("max_member"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
+
+
+_GROUP_RESUME_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _group_resume_phase_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Run the reference's SECOND startup mode (StartupMode.GROUP_OFFSETS,
+    `FlinkDtsKafkaConsumer.java:412-470`) once per session — the
+    exact-offset sibling of `_failover_phase_dirs`' timestamp re-seek:
+
+    1. Phase 1 drains the topic's PREFIX (broker snapshot A: every record
+       with ts <= cut, offsets dense from 5000 in append order) with
+       commit-on-checkpoint enabled — each completed micro-batch commits
+       NEXT-offsets to the broker-side group store (Flink's
+       setCommitOffsetsOnCheckpoints, which the reference consumer
+       inherits).
+    2. The engine checkpoint is LOST (fresh checkpoint dir — the failure
+       GROUP_OFFSETS exists to survive; progress also lives broker-side).
+    3. Phase 2 resolves `starting_offsets_from_group` into an explicit
+       per-partition ``startingOffsets`` JSON (the driver-side coordinator
+       lookup, `DtsKafkaUtil.java:44` precedence) and reads the FULL log
+       (broker snapshot G — same topic after it grew; identical offset
+       law, so committed positions mean the same records).
+
+    Unlike the timestamp re-seek (whole-second granularity → boundary
+    re-reads), committed offsets are EXACT: the phases tile the log with
+    zero redelivery — which the query's n_redelivered column proves."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _GROUP_RESUME_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    from flink_dts_connector_spark.sources.fakebroker import (
+        create_broker,
+        register_fake_broker,
+        starting_offsets_from_group,
+    )
+    from flink_dts_connector_spark.sources.generator import generate_cdc_bytes
+    from flink_dts_connector_spark.sources.kafka import read_stream
+
+    register_fake_broker(spark)
+    topic = "dts-group-topic"
+    group = "dts-resume-group"
+    users = [("alice-SID42", "s3cret")]
+    recs = generate_cdc_bytes(spark, sf_dir).select(
+        "value",
+        "partition",
+        (F.lit(_FAILOVER_TS_BASE) + F.col("offset")).alias("ts_ms"),
+    )
+    cut_id = 2 * load_table(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey")
+    ).collect()[0][0]
+    cut_ts = _FAILOVER_TS_BASE + int(cut_id)
+
+    broker_a = scratch_dir("fdcs_groupA_")
+    broker_g = scratch_dir("fdcs_groupG_")
+    # prefix snapshot and full log share the offset law (dense per
+    # partition in ts order from 5000), so a committed offset names the
+    # same record in both — the invariant a real topic trivially has.
+    create_broker(
+        spark, recs.where(F.col("ts_ms") <= cut_ts), broker_a,
+        "dstore-G", topic, users=users, offset_base=5000,
+    )
+    create_broker(
+        spark, recs, broker_g, "dstore-G", topic, users=users, offset_base=5000,
+    )
+
+    def run_phase(broker: str, out: str, group_start: str | None, extra: dict) -> None:
+        env = read_stream(
+            spark, broker, topic, sid="SID42", group=group, user="alice",
+            password="s3cret", group_starting_offsets=group_start,
+            source_format="kafka_fake", extra=extra,
+        ).select("id", "operation", "kafka_partition", "kafka_offset")
+        with pinned_shuffle_partitions(spark):
+            q = (
+                env.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", scratch_dir("fdcs_group_ckpt_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    out1 = scratch_dir("fdcs_group_p1_")
+    run_phase(
+        broker_a, out1, None,
+        {"kafka.commit.offsets.on.checkpoint": "true"},
+    )
+    start_json = starting_offsets_from_group(broker_a, group, topic)
+    if start_json is None:
+        raise AssertionError("phase 1 committed nothing — group store empty")
+    out2 = scratch_dir("fdcs_group_p2_")
+    run_phase(broker_g, out2, start_json, {})
+    _GROUP_RESUME_CACHE[key] = (out1, out2)
+    return out1, out2
+
+
+@register(
+    "stream_group_offsets_resume",
+    oracle="""
+WITH ids AS (
+  SELECT o_orderkey*4 AS id, 'INSERT' AS operation FROM orders
+  UNION ALL
+  SELECT o_orderkey*4+1, 'UPDATE' FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey*4+2, 'UPDATE' FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey*4+3, 'DELETE' FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT 10000000000+o_orderkey, 'HEARTBEAT' FROM orders WHERE o_orderkey % 50 = 0
+  UNION ALL
+  SELECT 20000000000+o_orderkey, 'DDL' FROM orders WHERE o_orderkey % 200 = 0
+),
+recs AS (SELECT id, operation, 1500000000000 + id AS ts FROM ids),
+cut AS (SELECT 1500000000000 + 2*MAX(o_orderkey) AS cut_ts FROM orders)
+SELECT operation,
+       CAST(COUNT(*) AS BIGINT) AS n_covered,
+       CAST(SUM(id) AS BIGINT) AS id_sum,
+       CAST(SUM(CASE WHEN ts <= (SELECT cut_ts FROM cut) THEN 1 ELSE 0 END) AS BIGINT) AS n_phase1,
+       CAST(SUM(CASE WHEN ts >  (SELECT cut_ts FROM cut) THEN 1 ELSE 0 END) AS BIGINT) AS n_phase2,
+       CAST(0 AS BIGINT) AS n_redelivered
+FROM recs GROUP BY operation
+""",
+    tags=("streaming", "failover", "kafka", "group-offsets"),
+)
+def stream_group_offsets_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: StartupMode.GROUP_OFFSETS end to end through `sources/kafka.py`
+    + `sources/fakebroker.py` (`FlinkDtsKafkaConsumer.java:412-470`,
+    previously fakebroker-pytest-only): drain the prefix with
+    commit-on-checkpoint, LOSE the engine checkpoint, resume the grown log
+    from the broker-side group store. The oracle reconstructs both phases
+    in SQL — and because committed offsets are exact (unlike
+    `stream_failover_reseek`'s whole-second re-seek, which re-reads the
+    boundary), the phases must TILE the id universe: n_phase1/n_phase2
+    split exactly at the cut and n_redelivered is ZERO for every
+    operation. Any group-store breakage is loud: an earliest fallback
+    re-reads the prefix (n_redelivered > 0), a skipped record drops
+    n_covered/id_sum."""
+    out1, out2 = _group_resume_phase_dirs(spark, sf_dir)
+    p1 = spark.read.parquet(out1).select(
+        "id", "operation", F.lit(1).alias("p1"), F.lit(0).alias("p2")
+    )
+    p2 = spark.read.parquet(out2).select(
+        "id", "operation", F.lit(0).alias("p1"), F.lit(1).alias("p2")
+    )
+    uni = (
+        p1.unionAll(p2)
+        .groupBy("id", "operation")
+        .agg(F.max("p1").alias("in1"), F.max("p2").alias("in2"))
+    )
+    return uni.groupBy("operation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_covered"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+        F.sum("in1").cast("bigint").alias("n_phase1"),
+        F.sum("in2").cast("bigint").alias("n_phase2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("bigint").alias("n_redelivered"),
+    )
