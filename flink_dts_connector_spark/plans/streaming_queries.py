@@ -3043,11 +3043,60 @@ def _group_resume_phase_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str
             )
             q.awaitTermination()
 
+    # Phase 1: multiple rate-limited micro-batches (maxRecordsPerTrigger), so
+    # commit-on-checkpoint genuinely exercises the broker group store
+    # mid-stream (monotone NEXT-offset commits, like the pytest e2e). Spark
+    # only calls source.commit(N) when batch N+1 starts, so the FINAL batch's
+    # commit never reaches the source on a clean stop; the reference consumer
+    # gets it via notifyCheckpointComplete on the stop checkpoint
+    # (FlinkDtsKafkaConsumer inherits setCommitOffsetsOnCheckpoints). The
+    # driver-side top-up below IS that final-checkpoint commit — monotone, so
+    # it is a no-op for every partition an engine commit already covered.
+    import time
+
+    from flink_dts_connector_spark.sources.fakebroker import commit_group_offsets
+
+    n_prefix = int(recs.where(F.col("ts_ms") <= cut_ts).count())
     out1 = scratch_dir("fdcs_group_p1_")
-    run_phase(
-        broker_a, out1, None,
-        {"kafka.commit.offsets.on.checkpoint": "true"},
-    )
+    drained = {"n": 0}
+
+    def sink_1(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(out1)
+        drained["n"] += batch_df.count()  # scalar progress probe, not data
+        batch_df.unpersist()
+
+    env1 = read_stream(
+        spark, broker_a, topic, sid="SID42", group=group, user="alice",
+        password="s3cret", source_format="kafka_fake",
+        extra={
+            "kafka.commit.offsets.on.checkpoint": "true",
+            "maxRecordsPerTrigger": str(max(n_prefix // 4, 1)),
+        },
+    ).select("id", "operation", "kafka_partition", "kafka_offset")
+    with pinned_shuffle_partitions(spark):
+        q1 = (
+            env1.writeStream.foreachBatch(sink_1)
+            .option("checkpointLocation", scratch_dir("fdcs_group_ckpt_"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 300
+        while drained["n"] < n_prefix and time.time() < deadline and q1.isActive:
+            time.sleep(0.2)
+        q1.stop()
+        q1.awaitTermination()
+    if drained["n"] != n_prefix:
+        raise AssertionError(f"phase 1 drained {drained['n']} of {n_prefix} prefix records")
+    final = {
+        int(r["kafka_partition"]): int(r["nxt"])
+        for r in spark.read.parquet(out1)
+        .groupBy("kafka_partition")
+        .agg((F.max("kafka_offset") + 1).alias("nxt"))
+        .collect()  # 4 scalar rows: the final-checkpoint commit positions
+    }
+    commit_group_offsets(broker_a, group, topic, final)
+
     start_json = starting_offsets_from_group(broker_a, group, topic)
     if start_json is None:
         raise AssertionError("phase 1 committed nothing — group store empty")
