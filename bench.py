@@ -173,6 +173,11 @@ HEADLINE = [
     # the streaming SemDeDup maintenance twin (delta pairs ≡ rebuild)
     "multimodal_mp3_sideinfo",
     "stream_semdedup_maintenance",
+    # r12: YCbCr 4:2:0 color JPEG (MCU interleave + fixed-point color
+    # conversion over every document). stream_labelprop_maintenance and
+    # stream_group_offsets_resume stay registry-only like the other
+    # multi-lifecycle availableNow flagships (fixed cost, not throughput).
+    "multimodal_jpeg_color_features",
 ]
 
 # The compact machine line (what the driver records as BENCH_r{N}.json) can't
@@ -208,6 +213,8 @@ COMPACT_PINNED = [
     "ann_topk_lsh", "events_gap_fill_locf", "q4_order_priority",
     "events_spatial_neighbor_pairs_salted", "q5_local_supplier_volume",
     "sketch_hll_time_cube", "multimodal_mp4_demux", "ann_topk_lsh_multiprobe",
+    # r12 appends (tail — see pinning note above)
+    "multimodal_jpeg_color_features",
 ]
 
 

@@ -1495,6 +1495,388 @@ REAL_CODECS["jpeg"] = decode_jpeg_features
 
 
 # ---------------------------------------------------------------------------
+# r12: COLOR baseline JPEG — YCbCr 4:2:0 (the r11 verdict's named next
+# multimodal slice). Extends the shipped grayscale machinery (same canonical
+# Huffman build, bit I/O, zigzag, dequant, IDCT) with everything color adds:
+# three components with per-component quant/Huffman table ROUTING (luma
+# tables 0, chroma tables 1 — and the chroma quant table is all-2s, so a
+# routing mistake halves chroma values and the oracle catches it), 2x2/1x1
+# sampling factors, MCU interleave (4 Y blocks + Cb + Cr per 16x16 MCU),
+# per-component DC predictors (all reset at RSTn), chroma upsampling, and
+# the libjpeg-style FIXED-POINT YCbCr->RGB transform (16.16 constants,
+# positive-bias floor shifts) so the color conversion is bit-deterministic
+# in any engine — the SQL oracle replays it in integer arithmetic.
+# ---------------------------------------------------------------------------
+
+#: 16.16 fixed-point YCbCr->RGB constants (round(c * 65536) of the JFIF
+#: 1.402 / 0.344136 / 0.714136 / 1.772 law — libjpeg jdcolor.c shape).
+_JC_R_CR = 91881
+_JC_G_CB = 22554
+_JC_G_CR = 46802
+_JC_B_CB = 116130
+_JC_BIAS = 1 << 25  # keeps every pre-shift operand positive (floor == >>)
+
+
+def jpeg_ycbcr_to_rgb_int(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """Fixed-point YCbCr->RGB, bit-deterministic: 16.16 constants, a
+    positive bias so the >>16 is a floor in any engine, then clamp. The
+    SQL oracle replays this exactly with (x + BIAS) // 65536 - BIAS/65536."""
+    off = _JC_BIAS >> 16
+    r = y + ((_JC_R_CR * (cr - 128) + _JC_BIAS) >> 16) - off
+    g = y - (((_JC_G_CB * (cb - 128) + _JC_G_CR * (cr - 128)) + _JC_BIAS) >> 16) + off
+    b = y + ((_JC_B_CB * (cb - 128) + _JC_BIAS) >> 16) - off
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
+
+
+def _jpeg_color_block_params(doc_id: int, comp: int, bx: int, by: int) -> tuple[int, int]:
+    """Per-component fixture block law (comp 0=Y, 1=Cb, 2=Cr), mirrored by
+    the SQL oracle: the grayscale law with a component phase so the three
+    planes differ everywhere."""
+    c = 16 + (5 * doc_id + 11 * bx + 23 * by + 37 * comp) % 224
+    k = ((doc_id + bx + 3 * by + 7 * comp) % 29) - 14
+    return c, k
+
+
+def encode_jpeg_color(
+    width: int, height: int, block_fn, restart_interval: int = 0
+) -> bytes:
+    """Build a real baseline COLOR JPEG (YCbCr 4:2:0). ``block_fn(comp,
+    bx, by) -> (c, k)`` gives each component block's flat level and
+    checkerboard amplitude (comp 0=Y over the full-res w/8 x h/8 grid,
+    1=Cb / 2=Cr over the half-res grid). Dims must be multiples of 16
+    (whole MCUs). Luma uses quant/Huffman table slot 0 (all-ones DQT),
+    chroma slot 1 (all-TWOS DQT — coefficients are stored halved, so the
+    decoder's per-component table routing is load-bearing).
+    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs with
+    ALL THREE DC predictors reset (T.81 E.1.4)."""
+    import struct
+
+    if width % 16 or height % 16:
+        raise ValueError("fixture color JPEGs use multiple-of-16 dimensions")
+    dc_bits = _jpeg_bits(_JPEG_DC_VALS, 4)
+    ac_bits = _jpeg_bits(_JPEG_AC_VALS, 4)
+    dc_codes = _jpeg_codes(dc_bits, _JPEG_DC_VALS)
+    ac_codes = _jpeg_codes(ac_bits, _JPEG_AC_VALS)
+
+    def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+        body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00]) + bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x01]) + bytes([2] * 64)
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + bytes([8])
+        + struct.pack(">HH", height, width)
+        + bytes([3])
+        + bytes([1, 0x22, 0])  # Y: 2x2 sampling, qtable 0
+        + bytes([2, 0x11, 1])  # Cb: 1x1, qtable 1
+        + bytes([3, 0x11, 1])  # Cr: 1x1, qtable 1
+    )
+    out += dht(0x00, dc_bits, _JPEG_DC_VALS)
+    out += dht(0x10, ac_bits, _JPEG_AC_VALS)
+    out += dht(0x01, dc_bits, _JPEG_DC_VALS)
+    out += dht(0x11, ac_bits, _JPEG_AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += (
+        b"\xff\xda"
+        + struct.pack(">H", 12)
+        + bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+
+    w = _JpegBitWriter()
+    pred = [0, 0, 0]
+    quant = [1, 2, 2]  # DC/AC stored value divisor per component
+
+    def put_block(comp: int, bx: int, by: int) -> None:
+        c, k = block_fn(comp, bx, by)
+        dc = 8 * (c - 128) // quant[comp]
+        s, b = _jpeg_mag(dc - pred[comp])
+        pred[comp] = dc
+        code, ln = dc_codes[s]
+        w.put(code, ln)
+        if s:
+            w.put(b, s)
+        if k:
+            for _ in range(2):  # 38 leading zeros -> ZRL, ZRL, run 6
+                code, ln = ac_codes[0xF0]
+                w.put(code, ln)
+            s, b = _jpeg_mag(8 * k // quant[comp])
+            code, ln = ac_codes[0x60 | s]
+            w.put(code, ln)
+            w.put(b, s)
+        code, ln = ac_codes[0x00]  # EOB
+        w.put(code, ln)
+
+    mcu = 0
+    for my in range(height // 16):
+        for mx in range(width // 16):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out += w.flush()
+                w = _JpegBitWriter()
+                out += bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+                pred = [0, 0, 0]  # ALL components reset at a restart
+            mcu += 1
+            for dy in range(2):  # 4 Y blocks, raster order within the MCU
+                for dx in range(2):
+                    put_block(0, 2 * mx + dx, 2 * my + dy)
+            put_block(1, mx, my)
+            put_block(2, mx, my)
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_color(raw: bytes):
+    """REAL baseline color JPEG decode (SOF0, YCbCr 4:2:0): marker walk,
+    multi-table DQT/DHT, MCU-interleaved entropy decode with per-component
+    predictors and table routing, dezigzag, per-component dequantize,
+    float IDCT, level shift. Returns (y, cb, cr) uint8 numpy planes —
+    y at (h, w), chroma at (h/2, w/2). Raises ValueError on progressive /
+    non-4:2:0 / structural damage (strict-rejection posture of the
+    grayscale decoder)."""
+    import struct
+
+    import numpy as np
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    qt: dict[int, list[int]] = {}
+    hts: dict[int, dict] = {}
+    w = h = None
+    comp_q: dict[int, int] = {}
+    comp_samp: dict[int, int] = {}
+    scan_tables: dict[int, tuple[int, int]] = {}
+    comp_order: list[int] = []
+    restart_interval = 0
+    scan = None
+    while i < len(raw):
+        if raw[i] != 0xFF:
+            raise ValueError("bad marker alignment")
+        m = raw[i + 1]
+        i += 2
+        if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue
+        ln = struct.unpack(">H", raw[i : i + 2])[0]
+        seg = raw[i + 2 : i + ln]
+        if m == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tqi = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:
+                    qt[tqi] = list(struct.unpack(">64H", seg[j : j + 128]))
+                    j += 128
+                else:
+                    qt[tqi] = list(seg[j : j + 64])
+                    j += 64
+        elif m == 0xC4:
+            j = 0
+            while j < len(seg):
+                tcth = seg[j]
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                hts[tcth] = _jpeg_build_decode(bits, list(seg[j + 17 : j + 17 + n]))
+                j += 17 + n
+        elif m == 0xC0:
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            if seg[5] != 3:
+                raise ValueError("color decoder expects 3 components")
+            for ci in range(3):
+                cid, samp, tqi = seg[6 + 3 * ci : 9 + 3 * ci]
+                comp_samp[cid] = samp
+                comp_q[cid] = tqi
+            if comp_samp.get(1) != 0x22 or any(
+                comp_samp.get(c) != 0x11 for c in (2, 3)
+            ):
+                raise ValueError("only YCbCr 4:2:0 (2x2/1x1/1x1) supported")
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline SOF0 supported")
+        elif m == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:
+            if seg[0] != 3:
+                raise ValueError("color scan expects 3 components")
+            for ci in range(3):
+                cid, tt = seg[1 + 2 * ci : 3 + 2 * ci]
+                scan_tables[cid] = (tt >> 4, tt & 15)
+                comp_order.append(cid)
+            scan = raw[i + ln :]
+            break
+        i += ln
+    if scan is None or w is None:
+        raise ValueError("truncated JPEG (no SOS/SOF)")
+    if w % 16 or h % 16:
+        raise ValueError("fixture color JPEGs are multiple-of-16 sized")
+    if comp_order != [1, 2, 3]:
+        raise ValueError("scan component order must be Y, Cb, Cr")
+
+    cosm = np.array(
+        [[np.cos((2 * x + 1) * u * np.pi / 16) for u in range(8)] for x in range(8)]
+    )
+    alpha = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+    A = cosm * alpha[None, :] * 0.5
+
+    r = _JpegBitReader(scan)
+    planes = {
+        1: np.zeros((h, w), dtype=np.uint8),
+        2: np.zeros((h // 2, w // 2), dtype=np.uint8),
+        3: np.zeros((h // 2, w // 2), dtype=np.uint8),
+    }
+    pred = {1: 0, 2: 0, 3: 0}
+
+    def read_block(cid: int, bx: int, by: int) -> None:
+        td, ta = scan_tables[cid]
+        dc_t, ac_t = hts[0x00 | td], hts[0x10 | ta]
+        q = qt[comp_q[cid]]
+        s = _jpeg_read_huff(r, dc_t)
+        pred[cid] += _jpeg_extend(r.bits(s), s) if s else 0
+        coef = np.zeros((8, 8))
+        coef[0, 0] = pred[cid] * q[0]
+        kidx = 0
+        while kidx < 63:
+            sym = _jpeg_read_huff(r, ac_t)
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                kidx += 16
+                continue
+            kidx += (sym >> 4) + 1
+            if kidx > 63:
+                raise ValueError("AC coefficient index overflow")
+            v = _jpeg_extend(r.bits(sym & 15), sym & 15)
+            rr, cc = _JPEG_ZZ[kidx]
+            coef[rr, cc] = v * q[kidx]
+        px = A @ coef @ A.T + 128.0
+        planes[cid][by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = np.clip(
+            np.round(px), 0, 255
+        ).astype(np.uint8)
+
+    mcu = 0
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                n = r.restart()
+                if n != (mcu // restart_interval - 1) % 8:
+                    raise ValueError(f"RST marker out of sequence: {n}")
+                pred = {1: 0, 2: 0, 3: 0}
+            mcu += 1
+            for dy in range(2):
+                for dx in range(2):
+                    read_block(1, 2 * mx + dx, 2 * my + dy)
+            read_block(2, mx, my)
+            read_block(3, mx, my)
+    return planes[1], planes[2], planes[3]
+
+
+def attach_jpeg_color_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic color JPEG fixture: w = 16*(1 + id%2),
+    h = 16*(1 + id%3), per-component block law `_jpeg_color_block_params`;
+    every third doc streams with DRI=2 restart intervals (all predictors
+    reset). Payloads carry MCU interleave, per-component table routing
+    (chroma quant all-2s), three DC prediction chains, byte stuffing."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 16 * (1 + i % 2), 16 * (1 + i % 3)
+                payloads.append(
+                    encode_jpeg_color(
+                        w, h,
+                        lambda comp, bx, by, i=i: _jpeg_color_block_params(i, comp, bx, by),
+                        restart_interval=2 if i % 3 == 0 else 0,
+                    )
+                )
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "jpeg", "n_bytes": len(p), "width": 16 * (1 + int(i) % 2),
+                 "height": 16 * (1 + int(i) % 3), "duration_ms": 0}
+                for i, p in zip(ids, payloads)
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_jpeg_color_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Color JPEG features from `decode_jpeg_color`: per-plane sums pin
+    the three DC prediction chains and quant-table routing (the chroma
+    all-2s table makes a luma/chroma mixup halve the plane); per-plane
+    block-origin sums pin the AC path per component; sum_r/g/b sample the
+    fixed-point YCbCr->RGB conversion at every MCU origin (y from the
+    full-res plane, chroma from the co-sited subsampled sample — the
+    4:2:0 upsampling alignment), clamps included. Arrow-batched
+    mapInPandas; bytes never leave the executor."""
+    import numpy as np
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for raw in pdf[media_col]:
+                y, cb, cr = decode_jpeg_color(bytes(raw))
+                h, w = y.shape
+                sr = sg = sb = 0
+                for my in range(h // 16):
+                    for mx in range(w // 16):
+                        rv, gv, bv = jpeg_ycbcr_to_rgb_int(
+                            int(y[16 * my, 16 * mx]),
+                            int(cb[8 * my, 8 * mx]),
+                            int(cr[8 * my, 8 * mx]),
+                        )
+                        sr += rv
+                        sg += gv
+                        sb += bv
+                rows.append(
+                    (
+                        w, h, w * h,
+                        int(y.astype(np.int64).sum()),
+                        int(cb.astype(np.int64).sum()),
+                        int(cr.astype(np.int64).sum()),
+                        int(y.astype(np.int64)[0::8, 0::8].sum()),
+                        int(cb.astype(np.int64)[0::8, 0::8].sum()),
+                        int(cr.astype(np.int64)[0::8, 0::8].sum()),
+                        sr, sg, sb,
+                    )
+                )
+            cols = [
+                "width", "height", "n_pixels", "sum_y", "sum_cb", "sum_cr",
+                "sum_block_origin_y", "sum_block_origin_cb", "sum_block_origin_cr",
+                "sum_r", "sum_g", "sum_b",
+            ]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for ci, name in enumerate(cols):
+                out[name] = [r[ci] for r in rows]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, width bigint, height bigint, n_pixels bigint,"
+        " sum_y bigint, sum_cb bigint, sum_cr bigint,"
+        " sum_block_origin_y bigint, sum_block_origin_cb bigint,"
+        " sum_block_origin_cr bigint, sum_r bigint, sum_g bigint, sum_b bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Container codec #6: MP3 (MPEG-1 Audio Layer III) at the FRAME level — r10
 # continuation, shrinking the last multimodal stub. What is REAL here is the
 # container: ID3v2.3 tag skip (syncsafe 28-bit size), frame-sync walk

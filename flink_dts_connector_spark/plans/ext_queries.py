@@ -8169,6 +8169,87 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_color_features",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 16 * (1 + doc_id % 3) AS h FROM documents
+), yv AS (
+  SELECT doc_id,
+         16 + (5 * doc_id + 11 * bxs.bx + 23 * bys.by) % 224 AS c,
+         ((doc_id + bxs.bx + 3 * bys.by) % 29) - 14 AS k
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, w // 8 - 1)) AS bx) bxs,
+       LATERAL (SELECT unnest(generate_series(0, h // 8 - 1)) AS by) bys
+), ysum AS (
+  SELECT doc_id, SUM(64 * c) AS sum_y, SUM(c + k) AS so_y FROM yv GROUP BY doc_id
+), cv AS (
+  SELECT doc_id, bxs.bx, bys.by,
+         16 + (5 * doc_id + 11 * bxs.bx + 23 * bys.by + 37) % 224 AS cb_c,
+         ((doc_id + bxs.bx + 3 * bys.by + 7) % 29) - 14 AS cb_k,
+         16 + (5 * doc_id + 11 * bxs.bx + 23 * bys.by + 74) % 224 AS cr_c,
+         ((doc_id + bxs.bx + 3 * bys.by + 14) % 29) - 14 AS cr_k
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, w // 16 - 1)) AS bx) bxs,
+       LATERAL (SELECT unnest(generate_series(0, h // 16 - 1)) AS by) bys
+), mcu AS (
+  SELECT doc_id,
+         16 + (5 * doc_id + 22 * bx + 46 * by) % 224
+            + ((doc_id + 2 * bx + 6 * by) % 29) - 14 AS y0,
+         cb_c + cb_k AS cb0,
+         cr_c + cr_k AS cr0,
+         cb_c, cb_k, cr_c, cr_k
+  FROM cv
+), rgb AS (
+  SELECT doc_id,
+    LEAST(GREATEST(y0 + (91881 * (cr0 - 128) + 33554432) // 65536 - 512, 0), 255) AS r,
+    LEAST(GREATEST(y0 - (22554 * (cb0 - 128) + 46802 * (cr0 - 128) + 33554432) // 65536 + 512, 0), 255) AS g,
+    LEAST(GREATEST(y0 + (116130 * (cb0 - 128) + 33554432) // 65536 - 512, 0), 255) AS b,
+    cb_c, cb_k, cr_c, cr_k
+  FROM mcu
+), csum AS (
+  SELECT doc_id,
+         SUM(64 * cb_c) AS sum_cb, SUM(cb_c + cb_k) AS so_cb,
+         SUM(64 * cr_c) AS sum_cr, SUM(cr_c + cr_k) AS so_cr,
+         SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b
+  FROM rgb GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.w AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST(d.w * d.h AS BIGINT) AS n_pixels,
+       CAST(y.sum_y AS BIGINT) AS sum_y,
+       CAST(c.sum_cb AS BIGINT) AS sum_cb,
+       CAST(c.sum_cr AS BIGINT) AS sum_cr,
+       CAST(y.so_y AS BIGINT) AS sum_block_origin_y,
+       CAST(c.so_cb AS BIGINT) AS sum_block_origin_cb,
+       CAST(c.so_cr AS BIGINT) AS sum_block_origin_cr,
+       CAST(c.sum_r AS BIGINT) AS sum_r,
+       CAST(c.sum_g AS BIGINT) AS sum_g,
+       CAST(c.sum_b AS BIGINT) AS sum_b
+FROM dims d JOIN ysum y USING (doc_id) JOIN csum c USING (doc_id)
+""",
+    tags=("ext", "multimodal", "codec", "color"),
+)
+def multimodal_jpeg_color_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media codec #5b (r12): COLOR baseline JPEG, YCbCr 4:2:0 — the
+    r11 verdict's named next multimodal slice, extending the grayscale
+    Huffman/dequant/IDCT machinery with what color adds: MCU interleave
+    (4 Y + Cb + Cr per 16x16 MCU), per-component quant/Huffman table
+    ROUTING (chroma quant is all-2s, so a routing mistake halves a plane),
+    three DC prediction chains (all reset at RSTn — every third doc
+    streams with DRI=2), 4:2:0 chroma subsampling, and the libjpeg-style
+    FIXED-POINT YCbCr->RGB transform (16.16 constants, positive-bias floor
+    shifts — bit-deterministic in any engine). The two-coefficient fixture
+    blocks decode bit-exactly per plane, so the oracle reproduces plane
+    sums (DC chains), block-origin sums (AC path per component), and the
+    clamped integer RGB sums at every MCU origin in closed form
+    (`operators/multimodal.py:encode_jpeg_color/decode_jpeg_color`)."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_jpeg_color_media(docs)
+    return M.decode_jpeg_color_features(media)
+
+
+@register(
     "privacy_t_closeness",
     oracle="""
 WITH d AS (
