@@ -77,11 +77,20 @@ def _load_all() -> None:
 GATE_PRIORITY: tuple[str, ...] = (
     # TPC-H core shapes: agg, join+topk. r7 rotation: q6 (scan-filter-agg —
     # the bench sentinel, sweep-green) and q18 (agg-having-semijoin,
-    # sweep-green) hand their slots to the r6/r7 flagship families below;
-    # both shapes remain inside other gated queries (q1 is the same
-    # agg-over-scan, cdc_incremental_checksum carries a HAVING-style gate)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+    # sweep-green) hand their slots to the r6/r7 flagship families below.
+    # r12 rotation (per the r11 verdict: "displace redundant relational
+    # twins — q1/q3 style rows have years of green history"): q1 and q3
+    # rotate to sweep coverage; their shapes stay gated (agg-over-scan via
+    # events_seasonal_decompose + sketch_hll_time_cube, join+topk via
+    # win_topk_orders_per_customer + join_anti_customers_without_orders,
+    # and every TPC-H query stays sweep- and bench-covered). The two slots
+    # fund the r11-new bitstream parsers the r11 verdict asked gated:
+    # Layer III side-info on the MIXED mono+stereo corpus (17/32-byte
+    # layouts, scfsi, granule window-switching — the stronger variant) and
+    # AVC SPS/PPS exp-Golomb headers (Annex-B start codes,
+    # emulation-prevention de-escape, PPS→SPS cross-check)
+    "multimodal_mp3_sideinfo_mixed",
+    "multimodal_avc_headers",
     # aggregation batteries
     "events_incremental_window_maintenance",  # r4 cont.: MV maintenance == full recompute (grouping sets stays sweep-green)
     # r9 rotation: the seasonal decomposition (integer-exact moments over a
@@ -97,13 +106,23 @@ GATE_PRIORITY: tuple[str, ...] = (
     "sketch_hll_time_cube",
     # windows
     "win_topk_orders_per_customer",
-    # joins (anti / as-of; range-bucketized stays sweep-green via
-    # range_join_purchase_views — the as-of slot gates the same
-    # bucketized-interval machinery)
+    # joins (anti; range-bucketized stays sweep-green via
+    # range_join_purchase_views). r12 rotation: asof_purchase_last_view
+    # rotates to sweep coverage — its bucketized-interval as-of machinery
+    # stays gated via cdc_scd2_asof (the AS-OF time-travel read) and
+    # stream_stream_interval_join (watermark-bounded interval state); the
+    # slot funds the r12 streaming labelprop maintenance twin (the r11
+    # verdict's item 3: delta ≡ rebuild over affected components only)
     "join_anti_customers_without_orders",
-    "asof_purchase_last_view",
-    # events
-    "events_sessionize",
+    "stream_labelprop_maintenance",
+    # events — r12 rotation: events_sessionize rotates to sweep coverage
+    # (its gaps-and-islands sessionization is the same machinery gated via
+    # stream_funnel_stages' stateful CEP sequencer and text_rake_keywords'
+    # stopword-gap islands); the slot funds the GROUP_OFFSETS startup mode
+    # (r11 verdict item 8: commit-on-checkpoint → checkpoint loss → exact
+    # broker-side resume, n_redelivered = 0 — the reference's second
+    # startup mode, previously pytest-only)
+    "stream_group_offsets_resume",
     # r10 rotation: binary-segmentation changepoint detection (r9-new:
     # exact SSE split scan via prefix sums) takes the Theil–Sen slot — the
     # day-grain pair-frame machinery Theil–Sen exercises is the same frame
@@ -270,8 +289,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     # runs, byte de-stuffing, zigzag, dequantize, float IDCT — strictly the
     # hardest decode machinery in the codec family) takes the PNG slot
     # (PNG stays sweep-green; its chunk-CRC walk is structurally the same
-    # checked-container discipline the gated mp4 box walk carries)
-    "multimodal_jpeg_features",
+    # checked-container discipline the gated mp4 box walk carries).
+    # r12 rotation: the COLOR baseline JPEG (r12-new: YCbCr 4:2:0 MCU
+    # interleave, per-component table routing, three DC chains, fixed-point
+    # color conversion) supersedes the grayscale slot — it executes the
+    # full grayscale machinery (canonical DHT, entropy decode, de-stuff,
+    # zigzag, dequantize, IDCT) as a strict subset of its own decode;
+    # multimodal_jpeg_features stays sweep- and bench-green
+    "multimodal_jpeg_color_features",
     # r11 rotation: the GENERAL sample-table demux (r10-continuation-new:
     # multi-entry stts runs, run-length stsc chunk map, stco offsets
     # verified to tile mdat against cumulative stsz) supersedes the strict
@@ -289,7 +314,15 @@ GATE_PRIORITY: tuple[str, ...] = (
     # replaces stream_dedup_exactly_once (dropDuplicatesWithinWatermark is
     # inside it, plus the dts source + gate + manifest composition)
     "stream_funnel_stages",  # r4 cont.: stateful CEP sequence machine (hourly windows stays sweep-green)
-    "stream_incremental_curate",
+    # r12 rotation: the streaming SemDeDup maintenance twin (r11-new,
+    # named by the r11 verdict for gating: static k-means model, per-batch
+    # delta pairs only, monotone order-independent loser folds, converged
+    # survivors ≡ the batch rebuild bit-exactly) takes the incremental-
+    # curate slot — the strongest member of the same incremental
+    # CDC→curation family; stream_incremental_curate stays sweep-green and
+    # its gate→manifest composition remains gated via stream_corpus_ingest
+    # machinery inside stream_scd2_maintenance + curate_incremental_pipeline
+    "stream_semdedup_maintenance",
     "stream_scd2_maintenance",  # r4 cont.: live SCD2 merges == batch closed form (corpus_ingest stays sweep-green; incremental_curate keeps the CDC->curation shape gated)
     "stream_stream_interval_join",
     "stream_partition_watermarks",
