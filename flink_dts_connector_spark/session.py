@@ -41,6 +41,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # SF-aware shuffle sizing WITHOUT per-SF logic (r12, closing the r11
+        # sf1 finding that fixed shuffle.partitions=32 at 10x bytes cost the
+        # trigram/bm25 index builds x1.2-1.6 over linear): every AQE shuffle
+        # STARTS at 8x cores and coalesces down to advisoryPartitionSizeInBytes
+        # (64 MB default). Small-SF plans coalesce back to ~cores partitions
+        # (same effective plans as before); at sf1+ the exploded index-build
+        # shuffles keep more partitions, bounding per-partition bytes — the
+        # exact knob a real cluster scales with data, made automatic. This is
+        # batch-only: Spark disables AQE under streaming plans, where
+        # streaming/runner.py's pinned_shuffle_partitions stays in charge.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(int(n_shuffle) * 8),
+        )
         # Arrow for every pandas_udf / applyInPandas / mapInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
