@@ -454,10 +454,10 @@ _MINHASH_BANDS_SQL = "\n  UNION ALL ".join(
     for b in range(4)
 )
 
-
-@register(
-    "dedup_minhash_md5",
-    oracle=f"""
+#: Full md5 MinHash-LSH pipeline as SQL — the oracle of `dedup_minhash_md5`
+#: AND of its streaming maintenance twin (`stream_minhash_maintenance`: the
+#: union of per-wave probe pair sets must equal this batch pair set).
+MINHASH_MD5_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest({SQL_TOKS}) AS w, generate_subscripts({SQL_TOKS}, 1) AS i
   FROM documents
@@ -496,7 +496,12 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = a_id
 JOIN sizes sb ON sb.doc_id = b_id
 WHERE 100 * n_inter >= 50 * (sa.n_sh + sb.n_sh - n_inter)
-""",
+"""
+
+
+@register(
+    "dedup_minhash_md5",
+    oracle=MINHASH_MD5_ORACLE,
     tags=("ext", "dedup", "approx"),
 )
 def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:

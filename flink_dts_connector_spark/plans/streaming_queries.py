@@ -3166,3 +3166,108 @@ def stream_group_offsets_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in2").cast("bigint").alias("n_phase2"),
         F.sum(F.col("in1") * F.col("in2")).cast("bigint").alias("n_redelivered"),
     )
+
+
+def _minhash_md5_oracle() -> str:
+    from flink_dts_connector_spark.plans.ext_queries import MINHASH_MD5_ORACLE
+
+    return MINHASH_MD5_ORACLE
+
+
+@register(
+    "stream_minhash_maintenance",
+    oracle=_minhash_md5_oracle(),
+    tags=("streaming", "ext", "dedup", "approx", "incremental"),
+)
+def stream_minhash_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MinHash-LSH maintenance — the live twin of
+    `dedup_minhash_md5`, completing the dedup-trio of delta ≡ rebuild
+    twins (SemDeDup r11, label propagation r12, MinHash here): documents
+    arrive in 3 interleaved waves; each micro-batch probes ONLY the new
+    docs' band tuples against the materialized corpus band index
+    (`minhash_lsh_probe_md5`: delta × index equi-join + delta × delta
+    self-join, exact-Jaccard verify against the shingle store), then
+    appends the new docs' bands/shingles to the state.
+
+    Why the union is exact: every near-dup pair is emitted exactly once —
+    by the batch in which its LATER member arrives (delta × corpus) or in
+    which both arrive (delta × delta) — and each pair's (n_inter, n_union,
+    jaccard) is computed from full shingle sets, so it is a STATIC
+    function of the pair independent of arrival order. The converged pair
+    set therefore hash-matches the batch pipeline's step-for-step SQL
+    oracle verbatim. State = band index + shingle store (O(corpus),
+    bucketable by (band, r0) for a shuffle-free probe join at scale);
+    per-batch work is delta-sized — no corpus signature is ever
+    recomputed."""
+    from flink_dts_connector_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    waves_dir = scratch_dir("fdcs_mhm_waves_")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(
+            waves_dir
+        )
+
+    index_empty = spark.createDataFrame(
+        [], "id bigint, band int, r0 bigint, r1 bigint, r2 bigint, r3 bigint"
+    )
+    sh_empty = spark.createDataFrame([], "id bigint, sh array<string>")
+    pairs_empty = spark.createDataFrame(
+        [], "a_id bigint, b_id bigint, n_inter bigint, n_union bigint, jaccard double"
+    )
+    state = {
+        "index": index_empty.localCheckpoint(),
+        "sh": sh_empty.localCheckpoint(),
+        "pairs": pairs_empty.localCheckpoint(),
+        "batches": 0,
+    }
+
+    def merge(bdf: DataFrame, batch_id: int) -> None:
+        new = bdf.localCheckpoint()
+        if new.isEmpty():
+            return
+        batch_pairs = D.minhash_lsh_probe_md5(
+            new, state["index"], state["sh"], threshold_pct=50
+        )
+        state["pairs"] = (
+            state["pairs"]
+            .unionByName(
+                batch_pairs.select(
+                    "a_id", "b_id",
+                    F.col("n_inter").cast("bigint").alias("n_inter"),
+                    F.col("n_union").cast("bigint").alias("n_union"),
+                    "jaccard",
+                )
+            )
+            .localCheckpoint()
+        )
+        state["index"] = (
+            state["index"].unionByName(D.minhash_band_index_md5(new)).localCheckpoint()
+        )
+        state["sh"] = (
+            state["sh"]
+            .unionByName(D._shingled(new, "doc_id", "text", 3).where(F.size("sh") > 0))
+            .localCheckpoint()
+        )
+        state["batches"] += 1
+
+    with pinned_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", scratch_dir("fdcs_mhm_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(waves_dir, ignore_errors=True)
+    if state["batches"] < 2:
+        raise AssertionError(f"expected multiple micro-batches, got {state['batches']}")
+    return state["pairs"]
