@@ -432,3 +432,142 @@ def test_sideinfo_corruption_never_silent():
             except ValueError:
                 continue
             assert got[0] == clean[0] and got[9] == len(raw)
+
+
+# ---------------------------------------------------------------------------
+# r12: scale-factor tier (§2.4.2.7)
+# ---------------------------------------------------------------------------
+
+
+def test_scalefactor_roundtrip_closed_form():
+    """encode → parse equals the fixture law for a spread of ids covering
+    every block-type / scfsi / slen combination the laws generate."""
+    from flink_dts_connector_spark.operators.multimodal import (
+        _scfsi_group,
+        encode_mp3_scalefactors,
+        mp3_scalefactor_features,
+        mp3_sf_bands,
+        mp3_sf_law,
+        mp3_sf_value,
+        mp3_sideinfo_params,
+    )
+
+    for doc in list(range(24)) + [97, 255, 1000003, 2**31 - 5]:
+        got = mp3_scalefactor_features(encode_mp3_scalefactors(doc))
+        p = mp3_sideinfo_params(doc)
+        s1 = s2 = p2 = ntx = stx = g1e = short = mix = 0
+        for k in range(p["n_frames"]):
+            laws = [mp3_sf_law(doc, k, g) for g in range(2)]
+            g0 = {}
+            for g, law in enumerate(laws):
+                s1 += law["slen1"]
+                s2 += law["slen2"]
+                if law["wsf"] and law["block_type"] == 2:
+                    short += 1
+                    if law["mixed"]:
+                        mix += 1
+                for kind, i, w, slen in mp3_sf_bands(law):
+                    reuse = (
+                        g == 1 and kind == "long"
+                        and bool((law["scfsi"] >> (3 - _scfsi_group(i))) & 1)
+                    )
+                    v = mp3_sf_value(doc, k, g, i, w, slen)
+                    if reuse:
+                        g1e += g0[i]
+                        continue
+                    p2 += slen
+                    if slen:
+                        ntx += 1
+                        stx += v
+                    if g == 0 and kind == "long":
+                        g0[i] = v
+                    if g == 1:
+                        g1e += v
+        assert got == (p["n_frames"], s1, s2, p2, ntx, stx, g1e, short, mix, got[9])
+
+
+def test_scalefactor_slen_table_is_the_published_one():
+    from flink_dts_connector_spark.operators.multimodal import MP3_SLEN1, MP3_SLEN2
+
+    # ISO/IEC 11172-3 table for scalefac_compress — spot-pin the corners
+    assert (MP3_SLEN1[0], MP3_SLEN2[0]) == (0, 0)
+    assert (MP3_SLEN1[4], MP3_SLEN2[4]) == (3, 0)
+    assert (MP3_SLEN1[15], MP3_SLEN2[15]) == (4, 3)
+    assert len(MP3_SLEN1) == len(MP3_SLEN2) == 16
+
+
+def test_scalefactor_rejections():
+    from flink_dts_connector_spark.operators.multimodal import (
+        encode_mp3_scalefactors,
+        mp3_scalefactor_features,
+    )
+
+    raw = bytearray(encode_mp3_scalefactors(7))
+    # main_data_begin != 0: set the first side-info bit (reservoir use)
+    bad = bytearray(raw)
+    bad[4] |= 0x80
+    with pytest.raises(ValueError, match="reservoir"):
+        mp3_scalefactor_features(bytes(bad))
+    # stereo header rejected by this mono tier
+    bad = bytearray(raw)
+    bad[3] = 0x04
+    with pytest.raises(ValueError, match="mono"):
+        mp3_scalefactor_features(bytes(bad))
+    with pytest.raises(ValueError, match="torn|sync|frames"):
+        mp3_scalefactor_features(bytes(raw[: len(raw) // 2 + 1]))
+
+
+def test_scalefactor_part2_overflow_rejected():
+    """Lowering a granule's part2_3_length below its part2_length must
+    raise: the parser's consistency check is live, not decorative.
+    doc 1, frame k=0 is long-long (wsf = (1+0)%3 != 0), so part23 for
+    granule 0 sits at side-info bits 18..29 (after mdb 9 + private 5 +
+    scfsi 4); zeroing them forces part23 = 0 < part2_length > 0."""
+    from flink_dts_connector_spark.operators.multimodal import (
+        encode_mp3_scalefactors,
+        mp3_scalefactor_features,
+        mp3_sf_law,
+    )
+
+    law = mp3_sf_law(1, 0, 0)
+    assert law["wsf"] == 0 and (law["slen1"] or law["slen2"])
+    raw = bytearray(encode_mp3_scalefactors(1))
+    # side info starts at byte 4; bits 18..29 → bytes 6..7 within si
+    si = 4
+    raw[si + 2] &= 0xC0  # clear bits 18..23
+    raw[si + 3] &= 0x03  # clear bits 24..29
+    with pytest.raises(ValueError, match="part2_length exceeds"):
+        mp3_scalefactor_features(bytes(raw))
+
+
+def test_scalefactor_scfsi_reuse_is_load_bearing():
+    """Find a doc/frame with scfsi != 0 and verify granule 1's effective
+    sum differs from its transmitted sum (reused bands inherit g0)."""
+    from flink_dts_connector_spark.operators.multimodal import (
+        encode_mp3_scalefactors,
+        mp3_scalefactor_features,
+        mp3_sf_law,
+        mp3_sideinfo_params,
+    )
+
+    hit = None
+    for doc in range(60):
+        p = mp3_sideinfo_params(doc)
+        for k in range(p["n_frames"]):
+            law = mp3_sf_law(doc, k, 1)
+            if law["scfsi"] and (law["slen1"] or law["slen2"]):
+                hit = doc
+                break
+        if hit is not None:
+            break
+    assert hit is not None
+    feats = mp3_scalefactor_features(encode_mp3_scalefactors(hit))
+    # with reuse active, at least one long band was skipped: part2_bits is
+    # strictly below the no-reuse bit count of the same streams
+    from flink_dts_connector_spark.operators.multimodal import mp3_sf_bands
+
+    full_bits = 0
+    for k in range(mp3_sideinfo_params(hit)["n_frames"]):
+        for g in range(2):
+            full_bits += sum(b[3] for b in mp3_sf_bands(mp3_sf_law(hit, k, g)))
+    assert feats[3] < full_bits
