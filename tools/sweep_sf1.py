@@ -164,14 +164,9 @@ def main() -> int:
             excluded[name] = "no SQL oracle (rows-only contract)"
             print(f"SKIP {name}: rows-only", flush=True)
             continue
-        if "snapshot-oracle" in tags.get(name, ()):
-            excluded[name] = (
-                "SF-keyed snapshot oracle pinned at sf0.001/0.01/0.1 only "
-                "(loud 0-row vacuity at sf1 by design; sf-general behavior "
-                "is pytest-cross-validated, tests/test_ext_ops.py)"
-            )
-            print(f"SKIP {name}: {excluded[name]}", flush=True)
-            continue
+        # r12: snapshot oracles are no longer sf1 holes — tools/gen_snapshots.py
+        # pins an sf1 content-key block (VALUES or committed parquet), so the
+        # snapshot-tagged queries sweep at sf1 like everything else.
         t0 = time.perf_counter()
         try:
             ocols, orows = run_oracle(con, sql)
