@@ -581,9 +581,14 @@ def main() -> None:
         fh.write("\n")
 
     def compact_line(max_chars: int = 1800) -> str:
-        # normalized total: sum of mins over sum of adjacent sentinel
-        # readings — the round-over-round comparator (box load cancels)
-        norm_total = round(sum(timings.values()) / max(sum(sentinel_readings), 1e-9), 2)
+        # normalized total: sum of mins over sum of per-query ADJACENT
+        # sentinel medians (one per query — NOT the raw reading list, whose
+        # length tripled when r12 interleaved sentinels with every sample;
+        # dividing by all readings would silently rescale the round-over-
+        # round comparator). Box load cancels to first order.
+        norm_total = round(
+            sum(timings.values()) / max(sum(sentinel_adjacent.values()), 1e-9), 2
+        )
         base = {
             "metric": "headline_queries_total_sec",
             "value": round(total, 2),
