@@ -178,6 +178,10 @@ HEADLINE = [
     # stream_group_offsets_resume stay registry-only like the other
     # multi-lifecycle availableNow flagships (fixed cost, not throughput).
     "multimodal_jpeg_color_features",
+    # r12 continuation: the scale-factor tier (part2 bitstream parse over
+    # every document); stream_minhash_maintenance stays registry-only like
+    # the other multi-lifecycle availableNow flagships.
+    "multimodal_mp3_scalefactors",
 ]
 
 # The compact machine line (what the driver records as BENCH_r{N}.json) can't
@@ -215,6 +219,7 @@ COMPACT_PINNED = [
     "sketch_hll_time_cube", "multimodal_mp4_demux", "ann_topk_lsh_multiprobe",
     # r12 appends (tail — see pinning note above)
     "multimodal_jpeg_color_features",
+    "multimodal_mp3_scalefactors",
 ]
 
 
