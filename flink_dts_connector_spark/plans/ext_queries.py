@@ -2874,7 +2874,7 @@ WITH d AS (
   SELECT q.doc_id AS query_doc_id, i.doc_id, i.chunk_id, i.chunk_key,
          CAST(q.v0 * i.v0 + q.v1 * i.v1 + q.v2 * i.v2 + q.v3 * i.v3 + q.v4 * i.v4 + q.v5 * i.v5 + q.v6 * i.v6 + q.v7 * i.v7 + q.v8 * i.v8 + q.v9 * i.v9 + q.v10 * i.v10 + q.v11 * i.v11 + q.v12 * i.v12 + q.v13 * i.v13 + q.v14 * i.v14 + q.v15 * i.v15 AS BIGINT) AS dot, q.nrm AS qn, i.nrm AS inr
   FROM nz q JOIN nz i ON i.doc_id <> q.doc_id
-  WHERE q.chunk_id = 0 AND q.doc_id % 40 = 0
+  WHERE q.chunk_id = 0 AND q.doc_id % 40 = 0 AND q.doc_id < 5000
 )
 SELECT query_doc_id, doc_id, chunk_id,
        CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(inr AS DOUBLE)) AS score,
@@ -2901,7 +2901,14 @@ def search_chunk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-vector table, exact quantized-integer scoring — the
     chunk -> embed -> index -> search assembly line of a RAG/retrieval
     pipeline, every stage the already-oracle-checked operator. Zero-norm
-    chunks (sign-cancelled) are excluded on both sides."""
+    chunks (sign-cancelled) are excluded on both sides. r13: the query
+    population carries the r11 fixed-workload cap (doc_id < 5000, both
+    engines — closing the r12 flag that this query escaped the contract:
+    queries grew with the corpus, work = |chunks|x|docs|/40 quadratic,
+    x40.2 measured). The cap keeps the exact brute-force scoring as the
+    verifiable baseline; the indexed serving architecture is demonstrated
+    by the ann_* family (`ann_topk_ivf`, `ann_recall_report`) whose IVF
+    probe path this capstone's chunk vectors can reuse unchanged."""
     from flink_dts_connector_spark.operators.text import hash_embedding
 
     docs = t(spark, sf_dir, "documents")
@@ -2920,7 +2927,14 @@ def search_chunk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", dot(F.col("embedding"), F.col("embedding")))
         .where(F.col("nrm") > 0)
     )
-    q = items.where((F.col("chunk_id") == 0) & (F.col("doc_id") % 40 == 0)).select(
+    # r13: fixed-workload cap (the r11 scaling contract every other ANN/kNN
+    # probe population already carries, memory: fixed-workload-scaling) —
+    # doc_id < 5000 is a no-op at sf <= 0.1 (max doc_id 4999) but pins the
+    # query count at sf1+, so total work is |queries| x |chunks| = linear
+    # in the corpus instead of quadratic (r12 measured x40.2 on x14.9 mass).
+    q = items.where(
+        (F.col("chunk_id") == 0) & (F.col("doc_id") % 40 == 0) & (F.col("doc_id") < 5000)
+    ).select(
         F.col("doc_id").alias("query_doc_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("qn"),
@@ -3061,22 +3075,60 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.unigram_surprisal(t(spark, sf_dir, "documents"))
 
 
-def _kmeans_oracle(k: int, n_iter: int, tail: str | None = None) -> str:
+#: SF-aware SemDeDup cluster count (r13, closes the r12 watch item): real
+#: SemDeDup scales k with the corpus; a FIXED k makes cluster-blocked pair
+#: work quadratic one decade out. k = max(4, ceil(N / 1500)) keeps sf<=0.1
+#: bit-identical (N<=2000 -> k=4, the historical constant) and grows the
+#: blocking vocabulary with the corpus from sf1 on (N=20000 -> k=14).
+SEMDEDUP_K_FLOOR = 4
+SEMDEDUP_K_DIVISOR = 1500
+SEMDEDUP_K_SQL = (
+    f"GREATEST({SEMDEDUP_K_FLOOR},"
+    f" CAST(CEIL(COUNT(*) / {SEMDEDUP_K_DIVISOR}.0) AS BIGINT))"
+)
+
+
+def semdedup_k(emb) -> int:
+    """Spark-side twin of SEMDEDUP_K_SQL — one scalar count (control
+    metadata, not data movement)."""
+    import math
+
+    return max(SEMDEDUP_K_FLOOR, math.ceil(emb.count() / SEMDEDUP_K_DIVISOR))
+
+
+def _kmeans_oracle(
+    k: int, n_iter: int, tail: str | None = None, k_sql: str | None = None
+) -> str:
     """Unrolled-CTE DuckDB twin of `similarity.kmeans_int_clusters` — the
     same trick as the PageRank oracle, extended to vector state: every
     iteration's assignment (exact int64 argmin) and centroid update
-    (truncating `//` element-wise mean) is one MATERIALIZED CTE pair."""
+    (truncating `//` element-wise mean) is one MATERIALIZED CTE pair.
+
+    ``k_sql`` (r13): an aggregate expression over the embeddings CTE that
+    yields the cluster count — lets the SAME oracle string stay correct at
+    every SF when k is corpus-size-aware (SEMDEDUP_K_SQL). When given, it
+    replaces the literal-``k`` seed LIMIT with a rank filter."""
     d2 = (
         "CAST(list_sum(list_transform(list_zip(q.v, {c}.c),"
         " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
     )
-    parts = [
-        f"""WITH q AS MATERIALIZED (
-  SELECT vec_id, {SQL_Q} AS v FROM embeddings
-), c0 AS MATERIALIZED (
+    if k_sql is None:
+        c0 = f"""c0 AS MATERIALIZED (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS c
   FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {k})
 )"""
+    else:
+        c0 = f"""kq AS MATERIALIZED (
+  SELECT {k_sql} AS kk FROM q
+), c0 AS MATERIALIZED (
+  SELECT CAST(rn - 1 AS BIGINT) AS cid, v AS c
+  FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM q), kq
+  WHERE rn <= kq.kk
+)"""
+    parts = [
+        f"""WITH q AS MATERIALIZED (
+  SELECT vec_id, {SQL_Q} AS v FROM embeddings
+), {c0}"""
     ]
     prev = "c0"
     for i in range(1, n_iter + 1):
@@ -9345,16 +9397,17 @@ FROM (
 
 @register(
     "curate_semdedup",
-    oracle=_kmeans_oracle(k=4, n_iter=2, tail=_SEMDEDUP_TAIL),
+    oracle=_kmeans_oracle(k=4, n_iter=2, tail=_SEMDEDUP_TAIL, k_sql=SEMDEDUP_K_SQL),
     tags=("ext", "curation", "dedup", "embedding", "iterative"),
 )
 def curate_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) — semantic dedup at cluster scale,
     composed from the engine's own pieces: (1) integer-exact k-means
-    clusters the embedding space (k=4, 2 Lloyd rounds — the clustering IS
-    the blocking key, replacing `neardup_cosine_pairs`' label blocks, so
-    the quadratic term is bounded by cluster size instead of corpus
-    size); (2) within each cluster, exact quantized-cosine pairs >= 0.35;
+    clusters the embedding space (k = max(4, ceil(N/1500)) — SF-AWARE as
+    of r13, matching the published recipe's k ∝ N so mean cluster size
+    stays bounded and the cluster-blocked pair stage stays linear across
+    decades; 2 Lloyd rounds — the clustering IS the blocking key,
+    replacing `neardup_cosine_pairs`' label blocks); (2) within each cluster, exact quantized-cosine pairs >= 0.35;
     (3) of each similar pair, the member FARTHER from its centroid is
     dropped (exact int64 dist^2 from the k-means assignment, ties to the
     higher vec_id) — keeping the most prototypical example per semantic
@@ -9364,7 +9417,7 @@ def curate_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cluster id, and the loser set is a semi-join back — the published
     SemDeDup recipe mapped 1:1 onto shuffle-bounded primitives."""
     emb = t(spark, sf_dir, "embeddings")
-    assign = S.kmeans_int_clusters(emb, k=4, n_iter=2).localCheckpoint()
+    assign = S.kmeans_int_clusters(emb, k=semdedup_k(emb), n_iter=2).localCheckpoint()
     clustered = emb.join(assign.select("vec_id", "cluster"), "vec_id")
     pairs = S.cosine_pairs(clustered, block_col="cluster", threshold=0.35)
     d = assign.select("vec_id", "dist2")

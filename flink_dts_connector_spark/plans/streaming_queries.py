@@ -2678,10 +2678,11 @@ def stream_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_oracle() -> str:
     from flink_dts_connector_spark.plans.ext_queries import (
         _SEMDEDUP_TAIL,
+        SEMDEDUP_K_SQL,
         _kmeans_oracle,
     )
 
-    return _kmeans_oracle(k=4, n_iter=2, tail=_SEMDEDUP_TAIL)
+    return _kmeans_oracle(k=4, n_iter=2, tail=_SEMDEDUP_TAIL, k_sql=SEMDEDUP_K_SQL)
 
 
 @register(
@@ -2713,9 +2714,12 @@ def stream_semdedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild, bit-exactly. State = the cluster-keyed roster + loser ids
     (the same O(index) state the incremental IVF upsert carries)."""
     from flink_dts_connector_spark.operators import similarity as S
+    from flink_dts_connector_spark.plans.ext_queries import semdedup_k
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = S.kmeans_int_centroids(emb, k=4, n_iter=2)
+    # r13: SF-aware k (same rule as curate_semdedup — the twins must block
+    # on the same clustering or delta != rebuild)
+    cent = S.kmeans_int_centroids(emb, k=semdedup_k(emb), n_iter=2)
 
     waves_dir = scratch_dir("fdcs_semdd_waves_")
     for i in range(3):
