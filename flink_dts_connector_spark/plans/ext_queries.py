@@ -2963,9 +2963,11 @@ def search_chunk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "graph_pagerank_dedup_hubs",
-    oracle=f"""
+#: 5-round unrolled integer-PageRank oracle over the exact Jaccard pair
+#: graph — shared verbatim by the batch query and (r13) the streaming
+#: maintenance twin, whose delta ≡ rebuild contract is precisely "converge
+#: to what this CTE computes on the final graph".
+_PAGERANK_HUBS_ORACLE = f"""
 WITH {SQL_SHINGLES_CTE}, pairs AS MATERIALIZED (
   SELECT a_id, b_id FROM inter
   JOIN sizes sa ON sa.doc_id = a_id
@@ -3022,7 +3024,12 @@ c5 AS MATERIALIZED (
   FROM p4 LEFT JOIN c5 USING (u)
 )
 SELECT u AS doc_id, r AS rank_int FROM p5
-""",
+"""
+
+
+@register(
+    "graph_pagerank_dedup_hubs",
+    oracle=_PAGERANK_HUBS_ORACLE,
     tags=("ext", "graph", "dedup", "centrality"),
 )
 def graph_pagerank_dedup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -183,7 +183,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     # their prefix-filter candidate machinery is the same as the gated
     # neardup_jaccard_pairs, and the gate keeps four dedup slots
     "dedup_exact_groups",
-    "neardup_jaccard_pairs",
+    # r13 rotation (per the r12 verdict item 6): neardup_jaccard_pairs
+    # rotates to sweep coverage — its exact n-gram-Jaccard scoring is
+    # re-executed verbatim inside the gated dedup_minhash_probe's verify
+    # stage (every LSH candidate is re-scored with the full shingle sets),
+    # so the shape stays gated; the slot funds the r12-new streaming
+    # MinHash maintenance twin (delta ≡ rebuild over the band index,
+    # O(corpus) state, the third member of the streaming-dedup trio)
+    "stream_minhash_maintenance",
     # r11 rotation: deterministic label propagation (r10-new: synchronous
     # neighbor-label-mode rounds with a total tie-break, init = own id)
     # takes the connected-components slot — the finer-grained member of
@@ -256,11 +263,17 @@ GATE_PRIORITY: tuple[str, ...] = (
     # budget cut shape also gated via curate_token_budget); slot goes to the
     # fuzzy-term SymSpell search below
     "curate_incremental_pipeline",
-    # r6: the decode-once store flagship takes the provenance-manifest slot
-    # (cdc_ingest_once proves ingest-once == re-decode AND serves the typed
-    # changelog through a pruned store scan; curate_pipeline_manifest stays
-    # sweep-green)
-    "cdc_ingest_once",
+    # r6: the decode-once store flagship took the provenance-manifest slot.
+    # r13 rotation (per the r12 verdict item 6): cdc_ingest_once — gated
+    # since r6 — rotates to sweep coverage: its ingest-once ≡ re-decode
+    # store scan is re-executed inside the gated cdc_routed_ingest (the
+    # router's store-serve tier runs the same decode-once store end to
+    # end) and the z-order store layout stays gated via
+    # layout_hilbert_vs_zorder; the slot funds the r12-new MP3
+    # scale-factor tier (ISO 11172-3 §2.4.2.7: slen table, per-block-type
+    # band structures, scfsi granule-1 reuse — the bitstream step past the
+    # gated side-info row)
+    "multimodal_mp3_scalefactors",
     # r10 rotation: deterministic priority sampling (r9-new: key-seeded
     # exponential-race weights, exact integer tie-break — the
     # weighted-sampling member of the curation family) takes the

@@ -2966,6 +2966,189 @@ def stream_labelprop_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_hubs_oracle() -> str:
+    from flink_dts_connector_spark.plans.ext_queries import _PAGERANK_HUBS_ORACLE
+
+    return _PAGERANK_HUBS_ORACLE
+
+
+@register(
+    "stream_pagerank_maintenance",
+    oracle=_pagerank_hubs_oracle(),
+    tags=("streaming", "ext", "graph", "centrality", "incremental"),
+)
+def stream_pagerank_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PageRank maintenance — the live twin of
+    `graph_pagerank_dedup_hubs` (r12 verdict item 7: the last batch-only
+    graph operator), completing the incremental trio beside components/
+    labelprop and MinHash. Near-dup edges arrive in 3 interleaved waves;
+    each micro-batch re-converges ONLY the rank mass the new edges can
+    reach.
+
+    Which delta unit is sound for power iteration: unlike label
+    propagation (where one edge can shift neighbor MODES anywhere in its
+    component, so the component is the unit), a FIXED-iteration-count
+    power iteration has a bounded dependency radius — after t rounds,
+    r_t(v) is a function of v's t-hop in-neighborhood only. So when a
+    batch adds edges ΔE with endpoint set T (their degrees and in-edge
+    sets change), the nodes whose round-t value can differ between the old
+    and new graph are exactly
+
+        A_1 = T ∪ N(T),   A_t = T ∪ N(A_{t-1})   (monotone in t)
+
+    — the t-hop forward wavefront of the delta, NOT the whole component.
+    Each batch recomputes r_t only over A_t, reading each contributor u's
+    r_{t-1} from this batch's A_{t-1} recomputation if affected and from
+    the stored per-round history otherwise (state keeps r_1..r_5 per
+    node — 5 longs — precisely so unaffected history can be spliced).
+    Unseen endpoints enter with the isolated-node ladder (r_t = 150000,
+    the pure teleport mass — bit-equal to what the batch run assigns a
+    node whose edges haven't arrived yet). Invariant after every batch:
+    state == the 5-round integer PageRank of the accumulated graph, so
+    after the last wave the ranks hash-match the batch unrolled-CTE
+    oracle on the full graph — delta ≡ rebuild, bit-exactly.
+
+    Work per batch is O(|ΔE| + Σ_t |edges incident to A_t|) — the affected
+    mass — and state is O(V) ranks + O(E) edges, never recomputed
+    globally. Isolated documents never enter state at all: their rank is
+    the closed-form teleport constant appended at read time."""
+    from flink_dts_connector_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold_pct=30).select("a_id", "b_id")
+
+    waves_dir = scratch_dir("fdcs_prm_waves_")
+    for i in range(3):
+        pairs.where((F.col("a_id") * 31 + F.col("b_id")) % 3 == i).coalesce(
+            1
+        ).write.mode("append").parquet(waves_dir)
+
+    n_rounds = 5
+    rcols = [f"r{t}" for t in range(1, n_rounds + 1)]
+    ranks_schema = "u bigint, deg bigint, " + ", ".join(f"{c} bigint" for c in rcols)
+    state = {
+        "edges": spark.createDataFrame([], "a_id bigint, b_id bigint").localCheckpoint(),
+        "ranks": spark.createDataFrame([], ranks_schema).localCheckpoint(),
+        "batches": 0,
+    }
+    TELEPORT = 150_000  # rank of an isolated node after any round >= 1
+
+    def merge(bdf: DataFrame, batch_id: int) -> None:
+        new = bdf.select(
+            F.col("a_id").cast("long").alias("a_id"),
+            F.col("b_id").cast("long").alias("b_id"),
+        ).localCheckpoint()
+        if new.isEmpty():
+            return
+        new_sym = new.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")).unionByName(
+            new.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+        )
+        touched = new_sym.select("u").distinct().localCheckpoint()
+        # degree update (touched only) + isolated-ladder rows for unseen nodes
+        ddeg = new_sym.groupBy("u").agg(F.count(F.lit(1)).alias("_dd"))
+        unseen = touched.join(state["ranks"], "u", "left_anti").select(
+            "u",
+            F.lit(0).cast("bigint").alias("deg"),
+            *[F.lit(TELEPORT).cast("bigint").alias(c) for c in rcols],
+        )
+        base = (
+            state["ranks"]
+            .unionByName(unseen)
+            .join(ddeg, "u", "left")
+            .select(
+                "u",
+                (F.col("deg") + F.coalesce("_dd", F.lit(0))).cast("bigint").alias("deg"),
+                *rcols,
+            )
+            .localCheckpoint()
+        )
+        state["edges"] = state["edges"].unionByName(new).localCheckpoint()
+        sym = state["edges"].select(
+            F.col("a_id").alias("u"), F.col("b_id").alias("v")
+        ).unionByName(state["edges"].select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+
+        def nb(s: DataFrame) -> DataFrame:
+            return sym.join(s, "u").select(F.col("v").alias("u")).distinct()
+
+        aff_prev: DataFrame | None = None  # A_{t-1}
+        new_vals: list[DataFrame] = []  # per round: (u, _nv) over A_t
+        for t in range(1, n_rounds + 1):
+            a_t = (
+                touched.unionByName(nb(touched if aff_prev is None else aff_prev))
+                .distinct()
+                .localCheckpoint()
+            )
+            # contributor view: r_{t-1} spliced (this batch's A_{t-1}
+            # values where affected, stored history otherwise; r_0 = 1e6)
+            if t == 1:
+                rv = F.lit(1_000_000).cast("bigint").alias("_rv")
+                contrib_src = base.select("u", "deg", rv)
+            else:
+                contrib_src = (
+                    base.select("u", "deg", F.col(f"r{t-1}").alias("_rv"))
+                    .join(new_vals[-1].withColumnRenamed("_nv", "_nv2"), "u", "left")
+                    .select("u", "deg", F.coalesce("_nv2", "_rv").alias("_rv"))
+                )
+            in_mass = (
+                sym.join(a_t.withColumnRenamed("u", "v"), "v")
+                .join(contrib_src, "u")
+                .select(F.col("v").alias("u"), F.expr("_rv div deg").alias("_c"))
+                .groupBy("u")
+                .agg(F.sum("_c").alias("_m"))
+            )
+            nv = (
+                a_t.join(in_mass, "u", "left")
+                .select(
+                    "u",
+                    (
+                        F.lit(TELEPORT)
+                        + F.expr("(85 * coalesce(_m, 0L)) div 100")
+                    ).cast("bigint").alias("_nv"),
+                )
+                .localCheckpoint()
+            )
+            new_vals.append(nv)
+            aff_prev = a_t
+        spliced = base
+        for t, nv in enumerate(new_vals, start=1):
+            spliced = (
+                spliced.join(nv.withColumnRenamed("_nv", f"_n{t}"), "u", "left")
+                .withColumn(f"r{t}", F.coalesce(f"_n{t}", f"r{t}"))
+                .drop(f"_n{t}")
+            )
+        state["ranks"] = spliced.localCheckpoint()
+        state["batches"] += 1
+
+    with pinned_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema(pairs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", scratch_dir("fdcs_prm_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(waves_dir, ignore_errors=True)
+    if state["batches"] < 2:
+        raise AssertionError(f"expected multiple micro-batches, got {state['batches']}")
+
+    connected = state["ranks"].select(
+        F.col("u").alias("doc_id"), F.col(f"r{n_rounds}").alias("rank_int")
+    )
+    isolated = (
+        docs.select("doc_id")
+        .join(connected.select(F.col("doc_id")), "doc_id", "left_anti")
+        .select("doc_id", F.lit(TELEPORT).cast("bigint").alias("rank_int"))
+    )
+    return connected.unionByName(isolated)
+
+
 _GROUP_RESUME_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 
 
