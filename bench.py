@@ -182,6 +182,10 @@ HEADLINE = [
     # every document); stream_minhash_maintenance stays registry-only like
     # the other multi-lifecycle availableNow flagships.
     "multimodal_mp3_scalefactors",
+    # r13: the Huffman spectrum tier (part3 entropy decode over every
+    # document); stream_pagerank_maintenance stays registry-only like the
+    # other multi-lifecycle availableNow flagships.
+    "multimodal_mp3_spectrum",
 ]
 
 # The compact machine line (what the driver records as BENCH_r{N}.json) can't
@@ -220,6 +224,8 @@ COMPACT_PINNED = [
     # r12 appends (tail — see pinning note above)
     "multimodal_jpeg_color_features",
     "multimodal_mp3_scalefactors",
+    # r13 appends
+    "multimodal_mp3_spectrum",
 ]
 
 

@@ -3854,3 +3854,488 @@ def decode_mp3_scalefactors(
         " sum_scalefac_g1_effective bigint, short_granules bigint,"
         " mixed_granules bigint, n_bytes bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# MP3 Layer III HUFFMAN SPECTRUM tier (r13) — the next structural step past
+# the r12 scale-factor tier (the r12 verdict's item 4): the part3 entropy-
+# coded region after part2, parsed with a genuine bitstream decode. REAL
+# spec machinery (§2.4.2.8 / §2.4.1.7): the two-region/three-region split
+# from region0_count/region1_count via scalefactor-band boundaries (fixed
+# 36-sample region0 for window-switched granules), per-region Huffman table
+# routing with tables 4/14 loud-rejected as unused, paired-value (x, y)
+# codes, the ESC mechanism (x = 15 ⇒ linbits extension, only for tables
+# ≥ 16, with the published per-table linbits widths), a sign bit after each
+# non-zero value, the count1 quadruple region (table select via
+# count1table_select; table B = 4 literal bits) decoded until
+# part2_3_length is exhausted, exact part2+part3 ≡ part2_3_length
+# consistency, and the trailing rzero run. DISCLOSED FIXTURE STAND-INS
+# (data, not machinery): the Huffman CODE TABLES are deterministic
+# length-limited canonical codebooks generated from a stated weight law
+# (shared by encoder, decoder, and tests — ISO 11172-3 Table B.7's literal
+# code data is not reproducible in this container without risking silent
+# divergence, and the fixtures are self-encoded, so the codebook is
+# swappable data behind mp3_huff_codebook()); likewise ONE
+# scalefactor-band boundary geometry stands in for the per-sample-rate
+# tables. The bit reservoir stays loud-rejected (main_data_begin = 0),
+# carried from the r12 tier.
+# ---------------------------------------------------------------------------
+
+#: pair-table value range per table id (0 = no bits / all-zero region;
+#: tables 4 and 14 are unused per §2.4.2.8 and loud-rejected)
+MP3_HUFF_XLEN = (
+    0, 2, 3, 3, 0, 4, 4, 6, 6, 6, 8, 8, 8, 16, 0, 16,
+    16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16,
+)
+#: published linbits widths for the ESC tables 16..31
+MP3_HUFF_LINBITS = {
+    16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
+    24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13,
+}
+#: fixture long-block scalefactor-band BOUNDARIES (23 entries, 0..576) —
+#: one geometry for all sample rates (disclosed stand-in; the widths grow
+#: 4 → 158 in the spec's shape and sum to the 576-line granule)
+MP3_SPEC_SFB_BOUNDS = (
+    0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134,
+    162, 196, 238, 288, 342, 418, 576,
+)
+MP3_PAIR_CODE_MAXLEN = 12  # length-limited canonical codebooks (JPEG's
+MP3_QUAD_CODE_MAXLEN = 8   # 16-bit-cap analogue) — makes the worst-case
+#                            frame-fit bound provable for every doc_id
+
+
+def _huff_lengths(weights: list[int]) -> list[int]:
+    """Deterministic Huffman code lengths (heap with index tie-break)."""
+    import heapq
+
+    n = len(weights)
+    if n == 1:
+        return [1]
+    heap = [(w, i, i) for i, w in enumerate(weights)]  # (weight, tiebreak, node)
+    heapq.heapify(heap)
+    parent: dict[int, int] = {}
+    nxt = n
+    while len(heap) > 1:
+        w1, _, n1 = heapq.heappop(heap)
+        w2, _, n2 = heapq.heappop(heap)
+        parent[n1] = parent[n2] = nxt
+        heapq.heappush(heap, (w1 + w2, nxt, nxt))
+        nxt += 1
+    lengths = []
+    for i in range(n):
+        d, node = 0, i
+        while node in parent:
+            node = parent[node]
+            d += 1
+        lengths.append(d)
+    return lengths
+
+
+def _canonical_codes(lengths: list[int], maxlen: int):
+    """Clamp lengths to ``maxlen`` (Kraft repaired by lengthening the
+    shortest symbols — deterministic), then assign canonical codes in
+    (length, symbol) order. Returns (codes, fixed_lengths)."""
+    ls = [min(l, maxlen) for l in lengths]
+    kraft = sum(1 << (maxlen - l) for l in ls)
+    while kraft > (1 << maxlen):
+        s = min(
+            (i for i in range(len(ls)) if ls[i] < maxlen),
+            key=lambda i: (ls[i], i),
+        )
+        kraft -= 1 << (maxlen - ls[s] - 1)
+        ls[s] += 1
+    order = sorted(range(len(ls)), key=lambda i: (ls[i], i))
+    codes = [0] * len(ls)
+    code, prev = 0, 0
+    for i in order:
+        code <<= ls[i] - prev
+        codes[i] = code
+        prev = ls[i]
+        code += 1
+    return codes, ls
+
+
+def mp3_huff_codebook(t: int):
+    """Codebook for pair table ``t``: ({(x, y): (code, len)},
+    {(len, code): (x, y)}, xlen, linbits). Deterministic canonical
+    construction from the stated weight law 1 + (2·(xlen−1) − x − y)²
+    (smaller spectral values get shorter codes, the spec tables' shape).
+    Cached per table id; encoder and decoder share this single source."""
+    if t in (4, 14) or t <= 0 or t > 31:
+        raise ValueError(f"no codebook for table {t}")
+    cached = _MP3_CODEBOOKS.get(t)
+    if cached is not None:
+        return cached
+    n = MP3_HUFF_XLEN[t]
+    syms = [(x, y) for x in range(n) for y in range(n)]
+    weights = [1 + (2 * (n - 1) - x - y) ** 2 for x, y in syms]
+    codes, ls = _canonical_codes(_huff_lengths(weights), MP3_PAIR_CODE_MAXLEN)
+    enc = {s: (codes[i], ls[i]) for i, s in enumerate(syms)}
+    dec = {(ls[i], codes[i]): s for i, s in enumerate(syms)}
+    out = (enc, dec, n, MP3_HUFF_LINBITS.get(t, 0))
+    _MP3_CODEBOOKS[t] = out
+    return out
+
+
+_MP3_CODEBOOKS: dict = {}
+
+
+def mp3_count1_codebook():
+    """count1 table A analogue: canonical codebook over the 16 (v,w,x,y)
+    quads, weight law 16 − popcount·4 + index (all-zero quad shortest)."""
+    cached = _MP3_CODEBOOKS.get("c1a")
+    if cached is not None:
+        return cached
+    weights = [1 + 4 * bin(q).count("1") + q for q in range(16)]
+    codes, ls = _canonical_codes(_huff_lengths(weights), MP3_QUAD_CODE_MAXLEN)
+    enc = {q: (codes[q], ls[q]) for q in range(16)}
+    dec = {(ls[q], codes[q]): q for q in range(16)}
+    _MP3_CODEBOOKS["c1a"] = (enc, dec)
+    return enc, dec
+
+
+def mp3_spectrum_law(doc_id: int, k: int, g: int) -> dict:
+    """Spectrum fixture law (mirrored by the SQL oracle). Pair count is
+    capped at 15 and quad count at 11 so the provable worst case per
+    granule — part2 ≤ 126 + 15 pairs · (12-bit code + 2·13 linbits +
+    2 signs) + 11 quads · (8 + 4) bits ≤ 858 bits — fits the smallest
+    fixture frame body (267 bytes = 2136 bits for both granules) and the
+    12-bit part2_3_length field for EVERY doc_id."""
+    law = mp3_sf_law(doc_id, k, g)
+    ts = []
+    for j in range(3):
+        t = (doc_id + k + 7 * g + 11 * j) % 32
+        ts.append({4: 5, 14: 15}.get(t, t))
+    return {
+        **law,
+        "bvs": ((doc_id + k * 17 + g * 29) % 289) % 16,
+        "n1": (doc_id * 3 + k + g * 5) % 12,
+        "ts": ts,
+    }
+
+
+def mp3_spec_regions(law: dict) -> tuple[int, int]:
+    """(b0, b1) sample boundaries: window-switched granules use the fixed
+    36-sample region0 (two regions); long granules map region0_count /
+    region1_count through the scalefactor-band boundary table, clamped to
+    the last boundary."""
+    if law["wsf"]:
+        return 36, 576
+    b = MP3_SPEC_SFB_BOUNDS
+    b0 = b[min(law["region0"] + 1, 22)]
+    b1 = max(b0, b[min(law["region0"] + law["region1"] + 2, 22)])
+    return b0, b1
+
+
+def mp3_spec_sign(doc_id: int, k: int, g: int, s: int) -> int:
+    """Sign bit for the non-zero value at sample ``s`` (1 = negative)."""
+    return (doc_id + 5 * k + 3 * g + s) % 2
+
+
+def _mp3_spec_granule_bits(doc_id: int, k: int, g: int) -> list[tuple[int, int]]:
+    """The granule's part3 as (value, nbits) tuples in bitstream order."""
+    law = mp3_spectrum_law(doc_id, k, g)
+    b0, b1 = mp3_spec_regions(law)
+    out: list[tuple[int, int]] = []
+    for i in range(law["bvs"]):
+        r = 0 if 2 * i < b0 else (1 if 2 * i < b1 else 2)
+        t = law["ts"][r]
+        if t == 0:
+            continue
+        enc, _, n, linbits = mp3_huff_codebook(t)
+        x = (doc_id + 2 * k + 3 * g + 5 * i + r) % n
+        y = (doc_id + k + 7 * i + 3 * r) % n
+        code, ln = enc[(x, y)]
+        out.append((code, ln))
+        if t >= 16 and x == 15:
+            out.append(((doc_id + 11 * i) % (1 << linbits), linbits))
+        if x:
+            out.append((mp3_spec_sign(doc_id, k, g, 2 * i), 1))
+        if t >= 16 and y == 15:
+            out.append(((doc_id + 13 * i) % (1 << linbits), linbits))
+        if y:
+            out.append((mp3_spec_sign(doc_id, k, g, 2 * i + 1), 1))
+    enc_a, _ = mp3_count1_codebook()
+    base = 2 * law["bvs"]
+    for j in range(law["n1"]):
+        q = (doc_id + k + g + 13 * j) % 16
+        if law["c1ts"]:
+            out.append((q, 4))
+        else:
+            out.append(enc_a[q])
+        for o in range(4):
+            if (q >> (3 - o)) & 1:
+                out.append((mp3_spec_sign(doc_id, k, g, base + 4 * j + o), 1))
+    return out
+
+
+def encode_mp3_spectrum(doc_id: int) -> bytes:
+    """CBR MPEG-1 Layer III mono frames whose main data carries GENUINE
+    part2 scale-factor bits (the r12 tier, reused verbatim) followed by a
+    GENUINE part3 Huffman spectrum: region-routed pair codes, linbits
+    escapes, sign bits, then the count1 quad region —
+    part2_3_length = part2 + part3 EXACTLY (no filler inside the coded
+    region; the decoder re-derives the quad count from the field)."""
+    p = mp3_sideinfo_params(doc_id)
+    out = bytearray()
+    for k in range(p["n_frames"]):
+        pad = (doc_id + k) % 2
+        size = mp3_frame_size(p["bitrate_idx"], p["sr_idx"], pad)
+        b2 = (p["bitrate_idx"] << 4) | (p["sr_idx"] << 2) | (pad << 1)
+        out += bytes((0xFF, 0xFB, b2, 0xC4))  # mono, original
+        laws = [mp3_spectrum_law(doc_id, k, g) for g in range(2)]
+        part2 = []
+        for g, law in enumerate(laws):
+            bands = mp3_sf_bands(law)
+            if g == 1 and law["scfsi"]:
+                bands = [
+                    b for b in bands
+                    if not (law["scfsi"] >> (3 - _scfsi_group(b[1]))) & 1
+                ]
+            part2.append(bands)
+        part3 = [_mp3_spec_granule_bits(doc_id, k, g) for g in range(2)]
+        w = _MsbBitWriter()
+        w.put(0, 9)  # main_data_begin = 0 (reservoir loud-rejected)
+        w.put(0, 5)
+        w.put(laws[0]["scfsi"], 4)
+        for g, law in enumerate(laws):
+            p23 = sum(b[3] for b in part2[g]) + sum(nb for _, nb in part3[g])
+            w.put(p23, 12)
+            w.put(law["bvs"], 9)  # field must match the coded spectrum
+            w.put(law["global_gain"], 8)
+            w.put(law["sfc"], 4)
+            w.put(law["wsf"], 1)
+            if law["wsf"]:
+                w.put(law["block_type"], 2)
+                w.put(law["mixed"], 1)
+                for j in range(2):
+                    w.put(law["ts"][j], 5)
+                for j in range(3):
+                    w.put(law["subblock_gain"][j], 3)
+            else:
+                for j in range(3):
+                    w.put(law["ts"][j], 5)
+                w.put(law["region0"], 4)
+                w.put(law["region1"], 3)
+            w.put(law["preflag"], 1)
+            w.put(law["sfs"], 1)
+            w.put(law["c1ts"], 1)
+        si = w.flush()
+        assert len(si) == 17
+        out += si
+        md = _MsbBitWriter()
+        for g, law in enumerate(laws):
+            for kind, i, win, slen in part2[g]:
+                if slen:
+                    md.put(mp3_sf_value(doc_id, k, g, i, win, slen), slen)
+            for v, nb in part3[g]:
+                md.put(v, nb)
+        main = md.flush()
+        body = size - 4 - 17
+        if len(main) > body:
+            raise AssertionError("spectrum overflows the frame body")
+        v = (doc_id * 7 + k * 13) % 251
+        out += main + bytes([v]) * (body - len(main))
+    return bytes(out)
+
+
+def _mp3_huff_read(r: _MsbBitReader, dec: dict, maxlen: int):
+    """MSB-first prefix walk against a canonical decode map."""
+    code = 0
+    for ln in range(1, maxlen + 1):
+        code = (code << 1) | r.bits(1)
+        hit = dec.get((ln, code))
+        if hit is not None:
+            return hit
+    raise ValueError("invalid Huffman prefix in part3")
+
+
+def mp3_spectrum_features(raw: bytes):
+    """Frame-walk + side-info + part2 scale-factor walk + part3 HUFFMAN
+    SPECTRUM decode of one mono MPEG-1 Layer III stream. Per granule:
+    region boundaries from region0_count/region1_count (window-switched
+    granules: the fixed 36-sample region0), per-region table routing
+    (tables 4/14 rejected as unused, table 0 = zero region with no bits),
+    paired-value prefix decode, linbits ESC reconstruction (|x| = 15 +
+    linval, tables ≥ 16 only), per-value sign bits, then count1 quads
+    (table A canonical / table B literal 4-bit) decoded until
+    part2_3_length is exhausted — consumed bits must equal it EXACTLY —
+    and the rzero remainder. Raises ValueError on any violation: lost
+    sync, reservoir (main_data_begin != 0), bad table id, invalid prefix,
+    count1 overrun past the 576-line granule, or part2+part3 desync.
+
+    Returns (n_frames, n_big_pairs, n_count1_quads, n_esc, sum_abs,
+    sum_linval, checksum, rzero_total, region2_pairs, n_bytes) where
+    checksum = Σ signed_value · (1 + sample_index) — one misdecoded sign,
+    position, or magnitude anywhere breaks it."""
+    raw = bytes(raw)
+    pos = 0
+    frames = 0
+    bitrate = srate = None
+    n_pairs = n_quads = n_esc = sum_abs = sum_lin = checksum = 0
+    rzero_total = region2_pairs = 0
+    enc_a, dec_a = mp3_count1_codebook()
+    while pos < len(raw):
+        if pos + 4 > len(raw):
+            raise ValueError("torn frame header")
+        b0, b1, b2, b3 = raw[pos], raw[pos + 1], raw[pos + 2], raw[pos + 3]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
+            raise ValueError("MPEG-1 Layer III only")
+        if not (b1 & 0x1):
+            raise ValueError("CRC-protected frames unsupported")
+        if (b3 >> 6) != 0x3:
+            raise ValueError("spectrum tier is mono-only")
+        bidx, sidx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+        if bidx in (0, 15) or sidx == 3:
+            raise ValueError("invalid bitrate/sample-rate index")
+        kbps, sr = MP3_BITRATE_KBPS[bidx], MP3_SAMPLE_RATES[sidx]
+        if bitrate is None:
+            bitrate, srate = kbps, sr
+        elif (kbps, sr) != (bitrate, srate):
+            raise ValueError("VBR stream (CBR walk expected)")
+        size = 144 * kbps * 1000 // sr + pad
+        if size < 4 + 17 or pos + size > len(raw):
+            raise ValueError("torn frame body")
+        si = mp3_parse_sideinfo(raw[pos + 4 : pos + 4 + 17], channels=1)
+        if si["main_data_begin"] != 0:
+            raise ValueError("bit reservoir (main_data_begin != 0) unsupported")
+        scfsi = si["scfsi"]
+        if scfsi and any(
+            g["wsf"] and g["block_type"] == 2 for g in si["granules"]
+        ):
+            raise ValueError("scfsi reuse against a short-block granule")
+        r = _MsbBitReader(raw[pos + 4 + 17 : pos + size])
+        for g, gr in enumerate(si["granules"]):
+            start = r.pos
+            # --- part2: consume the scale-factor bits (r12 machinery)
+            sfc = gr["sfc"]
+            law_like = {
+                "wsf": gr["wsf"], "block_type": gr["block_type"],
+                "mixed": gr.get("mixed", 0),
+                "slen1": MP3_SLEN1[sfc], "slen2": MP3_SLEN2[sfc],
+            }
+            for kind, i, win, slen in mp3_sf_bands(law_like):
+                if (
+                    g == 1
+                    and kind == "long"
+                    and bool((scfsi >> (3 - _scfsi_group(i))) & 1)
+                ):
+                    continue
+                if slen:
+                    r.bits(slen)
+            # --- part3: big_values region
+            bv = gr["big_values"]
+            if gr["wsf"]:
+                b0_, b1_ = 36, 576
+            else:
+                bnd = MP3_SPEC_SFB_BOUNDS
+                b0_ = bnd[min(gr["region0"] + 1, 22)]
+                b1_ = max(b0_, bnd[min(gr["region0"] + gr["region1"] + 2, 22)])
+            ts = gr["table_select"]
+            for i in range(bv):
+                reg = 0 if 2 * i < b0_ else (1 if 2 * i < b1_ else 2)
+                if reg == 2:
+                    region2_pairs += 1
+                if reg >= len(ts):
+                    raise ValueError("region2 pair in a window-switched granule")
+                t = ts[reg]
+                if t in (4, 14):
+                    raise ValueError(f"unused Huffman table {t} selected")
+                if t == 0:
+                    continue
+                _, dec, n, linbits = mp3_huff_codebook(t)
+                x, y = _mp3_huff_read(r, dec, MP3_PAIR_CODE_MAXLEN)
+                for sample, v in ((2 * i, x), (2 * i + 1, y)):
+                    av = v
+                    if t >= 16 and v == 15:
+                        lin = r.bits(linbits)
+                        av += lin
+                        sum_lin += lin
+                        n_esc += 1
+                    if v:
+                        sgn = -1 if r.bits(1) else 1
+                        sum_abs += av
+                        checksum += sgn * av * (1 + sample)
+                n_pairs += 1
+            # --- part3: count1 region until part2_3_length is exhausted
+            quads = 0
+            sample = 2 * bv
+            while r.pos - start < gr["part23"]:
+                if sample + 4 > 576:
+                    raise ValueError("count1 region overruns the 576-line granule")
+                if gr["c1ts"]:
+                    q = r.bits(4)
+                else:
+                    q = _mp3_huff_read(r, dec_a, MP3_QUAD_CODE_MAXLEN)
+                for o in range(4):
+                    if (q >> (3 - o)) & 1:
+                        sgn = -1 if r.bits(1) else 1
+                        sum_abs += 1
+                        checksum += sgn * (1 + sample + o)
+                quads += 1
+                sample += 4
+            if r.pos - start != gr["part23"]:
+                raise ValueError("part2+part3 bits disagree with part2_3_length")
+            n_quads += quads
+            rzero_total += 576 - sample
+        frames += 1
+        pos += size
+    if frames == 0:
+        raise ValueError("no MPEG frames")
+    return (
+        frames, n_pairs, n_quads, n_esc, sum_abs, sum_lin, checksum,
+        rzero_total, region2_pairs, len(raw),
+    )
+
+
+def attach_mp3_spectrum_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One spectrum-real mono MP3 payload per row."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_mp3_spectrum(int(i)) for i in ids]
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "mp3", "n_bytes": len(p), "width": 0, "height": 0,
+                 "duration_ms": 0}
+                for p in payloads
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_mp3_spectrum(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Spectrum feature stage over `mp3_spectrum_features` (Arrow-batched
+    mapInPandas; bytes never leave the executor)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [mp3_spectrum_features(bytes(b)) for b in pdf[media_col]]
+            cols = [
+                "n_frames", "n_big_pairs", "n_count1_quads", "n_esc",
+                "sum_abs", "sum_linval", "checksum", "rzero_total",
+                "region2_pairs", "n_bytes",
+            ]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for ci, name in enumerate(cols):
+                out[name] = [p[ci] for p in parsed]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, n_frames bigint, n_big_pairs bigint,"
+        " n_count1_quads bigint, n_esc bigint, sum_abs bigint,"
+        " sum_linval bigint, checksum bigint, rzero_total bigint,"
+        " region2_pairs bigint, n_bytes bigint",
+    )
