@@ -568,6 +568,13 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        # r13 (r12 ADVICE): the normalization DEFINITION is versioned so
+        # tools/bench_diff.py can flag cross-version normalized comparisons
+        # instead of embedding a silent definition shift in the ratios.
+        # v2 = r12's min-of-runs / median-of-3-interleaved-adjacent-sentinels
+        # (r11 and earlier artifacts carry no version: v1, single adjacent
+        # sentinel reading).
+        "normalization_version": 2,
         "queries": timings,
         "queries_median": medians,
         "queries_normalized": normalized,
@@ -614,6 +621,7 @@ def main() -> None:
                 "jvm_prefilter_only_recs_per_sec"
             ],
             "sf": sf_val,
+            "norm_v": 2,  # normalization_version (see full artifact note)
             "detail_file": os.path.basename(local_path),
         }
         for ndigits in (2, 1):

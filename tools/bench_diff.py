@@ -47,12 +47,24 @@ def _load(path: str) -> dict:
     if "queries_normalized" in d:  # full artifact
         norm = d["queries_normalized"]
         s_med = d.get("sentinel", {}).get("median")
+        norm_source = "per-query"
     else:  # compact line: one global sentinel median
         s_med = d.get("sentinel_median_sec")
         norm = (
             {k: round(v / s_med, 3) for k, v in queries.items()} if s_med else {}
         )
-    return {"queries": queries, "normalized": norm, "sentinel_median": s_med}
+        norm_source = "global" if s_med else None
+    # r13 (r12 ADVICE): surface which normalization DEFINITION and SOURCE
+    # each side used — mixing per-query adjacent medians with a global
+    # sentinel median (or v1 with v2 semantics) skews norm_ratio, and the
+    # report must say so instead of presenting apples-to-oranges silently.
+    return {
+        "queries": queries,
+        "normalized": norm,
+        "sentinel_median": s_med,
+        "norm_source": norm_source,
+        "norm_version": d.get("normalization_version") or d.get("norm_v"),
+    }
 
 
 def main() -> None:
@@ -98,6 +110,14 @@ def main() -> None:
         "added": sorted(set(rn) - set(ro)),
         "removed": sorted(set(ro) - set(rn)),
         "sentinel_median": [old["sentinel_median"], new["sentinel_median"]],
+        "norm_source": [old["norm_source"], new["norm_source"]],
+        "norm_version": [old["norm_version"], new["norm_version"]],
+        "norm_comparability": (
+            "ok"
+            if old["norm_source"] == new["norm_source"]
+            and old["norm_version"] == new["norm_version"]
+            else "MIXED — normalized ratios compare different definitions"
+        ),
         "raw_total_sec": [round(raw_tot_o, 2), round(raw_tot_n, 2)],
         "raw_total_ratio": round(raw_tot_n / max(raw_tot_o, 1e-9), 3),
         "normalized_total_ratio": (
