@@ -745,7 +745,7 @@ def kmeans_int_clusters(
     Returns (id_col, cluster, dist2) — final assignment with exact
     distances."""
     cent = kmeans_int_centroids(items, k=k, n_iter=n_iter, id_col=id_col, emb_col=emb_col)
-    return assign_to_centroids(items, cent, id_col=id_col, emb_col=emb_col)
+    return assign_to_centroids(items, cent, id_col=id_col, emb_col=emb_col, k=k)
 
 
 def _d2_q(vc: Column, cc: Column) -> Column:
@@ -783,13 +783,23 @@ def kmeans_int_centroids(
     d2 = _d2_q
 
     for _ in range(n_iter):
-        assigned = (
-            q.crossJoin(F.broadcast(cent))
-            .select(F.col(id_col), "v", "cid", d2(F.col("v"), F.col("c")).alias("d2"))
-            .groupBy(id_col)
-            .agg(F.min(F.struct("d2", "cid")).alias("m"), F.first("v").alias("v"))
-            .select(F.col(id_col), F.col("m.cid").alias("cluster"), "v")
-        )
+        if k >= ASSIGN_GEMM_MIN_K:
+            # SF-aware-k regime: N·k HOF evaluations would make Lloyd's
+            # itself the quadratic (k ∝ N) — run the exact argmin at GEMM
+            # rate instead (bit-identical, see _assign_gemm)
+            assigned = _assign_gemm(q, cent, id_col).select(
+                F.col(id_col), "cluster", "v"
+            )
+        else:
+            assigned = (
+                q.crossJoin(F.broadcast(cent))
+                .select(
+                    F.col(id_col), "v", "cid", d2(F.col("v"), F.col("c")).alias("d2")
+                )
+                .groupBy(id_col)
+                .agg(F.min(F.struct("d2", "cid")).alias("m"), F.first("v").alias("v"))
+                .select(F.col(id_col), F.col("m.cid").alias("cluster"), "v")
+            )
         upd = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -810,16 +820,79 @@ def kmeans_int_centroids(
     return cent
 
 
+#: assignment switches from the broadcast-crossJoin HOF argmin to the
+#: cogroup-GEMM path at this centroid count — below it the HOF path is
+#: cheaper (no shuffle); above it the N·k·d interpreted-HOF cost dominates
+#: (the SF-aware SemDeDup regime, where k ∝ N makes assignment the new
+#: quadratic unless it runs at GEMM rate)
+ASSIGN_GEMM_MIN_K = 16
+
+
+def _assign_gemm(
+    q: DataFrame, centroids: DataFrame, id_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Exact integer k-means assignment as a distributed GEMM: items hash
+    into ``n_buckets`` groups, the (tiny) centroid set replicates to every
+    bucket via an explode — never through the driver — and each cogroup
+    task computes D = |v|² + |c|² − 2·V·Cᵀ in float64. Every term is an
+    integer ≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴ < 2⁵³, so the BLAS products and sums
+    are EXACT and the row-wise argmin (columns sorted by cid, numpy takes
+    the first minimum) reproduces the (dist², cid) lexicographic
+    tie-break bit-for-bit — pytest-pinned against the HOF path."""
+    import pandas as pd
+
+    qb = q.withColumn("_b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)))
+    cb = centroids.select(
+        "cid", "c", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("_b")
+    )
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"_id": [], "cluster": [], "dist2": [], "v": []})
+        right = right.sort_values("cid")
+        V = np.array([np.asarray(x) for x in left["v"]], dtype=np.float64)
+        C = np.array([np.asarray(x) for x in right["c"]], dtype=np.float64)
+        nv = (V * V).sum(axis=1)
+        nc = (C * C).sum(axis=1)
+        D = nv[:, None] + nc[None, :] - 2.0 * (V @ C.T)
+        arg = D.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "_id": left[id_col].to_numpy(),
+                "cluster": right["cid"].to_numpy()[arg],
+                "dist2": D[np.arange(len(V)), arg].astype(np.int64),
+                "v": left["v"],
+            }
+        )
+
+    return (
+        qb.groupBy("_b")
+        .cogroup(cb.groupBy("_b"))
+        .applyInPandas(
+            fn, f"_id bigint, cluster bigint, dist2 bigint, v array<bigint>"
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def assign_to_centroids(
     items: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    k: int | None = None,
 ) -> DataFrame:
     """Assign vectors to trained centroids — (id_col, cluster, dist2) via
     the exact argmin with the (dist², cid) lexicographic tie-break.
-    Centroids broadcast; the corpus never shuffles."""
+    ``k`` (when the caller knows the centroid count) routes large models
+    through the cogroup-GEMM path (`_assign_gemm`) — bit-identical, at
+    BLAS rate instead of N·k interpreted HOF evaluations; small models
+    keep the shuffle-free broadcast crossJoin."""
     q = items.select(F.col(id_col), quantized(emb_col).alias("v"))
+    if k is not None and k >= ASSIGN_GEMM_MIN_K:
+        return _assign_gemm(q, centroids, id_col).select(id_col, "cluster", "dist2")
     return (
         q.crossJoin(F.broadcast(centroids))
         .select(F.col(id_col), "cid", _d2_q(F.col("v"), F.col("c")).alias("d2"))

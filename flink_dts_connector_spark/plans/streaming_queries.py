@@ -2719,7 +2719,8 @@ def stream_semdedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # r13: SF-aware k (same rule as curate_semdedup — the twins must block
     # on the same clustering or delta != rebuild)
-    cent = S.kmeans_int_centroids(emb, k=semdedup_k(emb), n_iter=2)
+    sd_k = semdedup_k(emb)
+    cent = S.kmeans_int_centroids(emb, k=sd_k, n_iter=2)
 
     waves_dir = scratch_dir("fdcs_semdd_waves_")
     for i in range(3):
@@ -2738,7 +2739,7 @@ def stream_semdedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def merge(bdf: DataFrame, batch_id: int) -> None:
-        assigned = S.assign_to_centroids(bdf, cent).join(
+        assigned = S.assign_to_centroids(bdf, cent, k=sd_k).join(
             bdf.select("vec_id", "embedding"), "vec_id"
         )
         new = assigned.localCheckpoint()

@@ -1456,3 +1456,28 @@ def test_cosine_pairs_tiled_exact(spark):
             tuple(r) for r in cosine_pairs(df, "blk", th, chunk_target=4).collect()
         )
         assert got4 == want, f"threshold {th}: chunk_target=4 diverged"
+
+
+def test_assign_gemm_matches_hof_path(spark):
+    """r13: the cogroup-GEMM k-means assignment (`_assign_gemm`, the
+    SF-aware-k fast path) must be BIT-identical to the broadcast-crossJoin
+    HOF argmin — same cluster, same exact int64 dist², including the
+    (dist², cid) tie-break — on data with planted exact ties."""
+    import random
+
+    from flink_dts_connector_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_int_centroids,
+    )
+
+    rng = random.Random(19)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    # planted ties: duplicate vectors so several centroids sit at equal d2
+    rows += [(1000 + i, rows[i % 20][1]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cent = kmeans_int_centroids(df, k=18, n_iter=1)  # >= ASSIGN_GEMM_MIN_K
+    hof = assign_to_centroids(df, cent)  # k=None -> HOF path
+    gemm = assign_to_centroids(df, cent, k=18)  # GEMM path
+    want = sorted(tuple(r) for r in hof.collect())
+    got = sorted(tuple(r) for r in gemm.collect())
+    assert got == want

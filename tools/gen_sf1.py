@@ -23,7 +23,14 @@ exactly like TPC-H, where nation/region do not scale with SF.
 Output: <repo>/sf1_data/*.parquet (gitignored). Deterministic: pure
 column arithmetic over the seed-pinned sf0.1 fixtures, no RNG.
 
-Usage: python tools/gen_sf1.py [out_dir]
+Usage: python tools/gen_sf1.py [out_dir] [--copies N] [--tables a,b,c]
+
+r13: ``--copies 100 --tables documents,embeddings,events`` builds the sf10
+SUBSET for the third decade step (BENCH_r13_sf10.json) — same re-keying
+and per-copy decorrelation laws, two orders of magnitude over sf0.1. The
+token suffix `_c<k>` grows with k, so the documents MASS ratio vs sf0.1
+exceeds the ×100 row ratio — per SCALING.md's r12 rule every linearity
+claim divides by SUM(LENGTH(text)), not row counts.
 """
 
 from __future__ import annotations
@@ -64,12 +71,29 @@ def main() -> None:
     import duckdb
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, "sf1_data")
+    args = sys.argv[1:]
+    copies = COPIES
+    tables = None
+    pos = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--copies":
+            copies = int(args[i + 1])
+            i += 2
+        elif args[i] == "--tables":
+            tables = args[i + 1].split(",")
+            i += 2
+        else:
+            pos.append(args[i])
+            i += 1
+    out_dir = pos[0] if pos else os.path.join(repo, "sf1_data")
+    keyed = {t: c for t, c in KEYED.items() if tables is None or t in tables}
+    unscaled = [t for t in UNSCALED if tables is None or t in tables]
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
 
     strides: dict[tuple[str, str], int] = {}
-    for tbl, cols in KEYED.items():
+    for tbl, cols in keyed.items():
         for _, src in cols.items():
             if src not in strides:
                 strides[src] = (
@@ -78,20 +102,20 @@ def main() -> None:
                     ).fetchone()[0]
                 )
 
-    for tbl in UNSCALED:
+    for tbl in unscaled:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')) "
             f"TO '{out_dir}/{tbl}.parquet' (FORMAT PARQUET)"
         )
         print(f"{tbl}: copied unscaled")
 
-    for tbl, cols in KEYED.items():
+    for tbl, cols in keyed.items():
         desc = con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')"
         ).fetchall()
         names = [d[0] for d in desc]
         selects = []
-        for k in range(COPIES):
+        for k in range(copies):
             exprs = []
             for c in names:
                 if c in cols:
