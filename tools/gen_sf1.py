@@ -25,12 +25,23 @@ column arithmetic over the seed-pinned sf0.1 fixtures, no RNG.
 
 Usage: python tools/gen_sf1.py [out_dir] [--copies N] [--tables a,b,c]
 
-r13: ``--copies 100 --tables documents,embeddings,events`` builds the sf10
-SUBSET for the third decade step (BENCH_r13_sf10.json) — same re-keying
-and per-copy decorrelation laws, two orders of magnitude over sf0.1. The
-token suffix `_c<k>` grows with k, so the documents MASS ratio vs sf0.1
-exceeds the ×100 row ratio — per SCALING.md's r12 rule every linearity
-claim divides by SUM(LENGTH(text)), not row counts.
+r13: ``--copies 100 --tables documents,embeddings,events --embed-rotate``
+builds the sf10 SUBSET for the third decade step (BENCH_r13_sf10.json) —
+same re-keying and decorrelation laws, two orders of magnitude over
+sf0.1. The token suffix `_c<k>` grows with k, so the documents MASS
+ratio vs sf0.1 exceeds the ×100 row ratio — per SCALING.md's r12 rule
+every linearity claim divides by SUM(LENGTH(text)), not row counts.
+
+``--embed-rotate`` replaces the first-component nudge with a per-copy
+CIRCULAR ROTATION (+ whole-vector negation for copies ≥ 64): the nudge
+is decorrelation enough for exact-duplicate stacking but NOT for
+threshold-cosine at 0.35 — at 100 copies every vector would gain ~99
+near-twins (cos ≈ 1), a ×copies² DATA-SEMANTICS pair explosion that
+would swamp the implementation measurement, the embedding analogue of
+the documents problem the `_c<k>` suffix solves. Rotation preserves
+norms and component distributions while sending copy-twin cosines to
+~0/−1 ((rot, neg) is unique per copy below 128). sf1_data keeps the
+historical nudge law — its oracle sweeps pin that fixture.
 """
 
 from __future__ import annotations
@@ -74,6 +85,7 @@ def main() -> None:
     args = sys.argv[1:]
     copies = COPIES
     tables = None
+    embed_rotate = False
     pos = []
     i = 0
     while i < len(args):
@@ -83,6 +95,9 @@ def main() -> None:
         elif args[i] == "--tables":
             tables = args[i + 1].split(",")
             i += 2
+        elif args[i] == "--embed-rotate":
+            embed_rotate = True
+            i += 1
         else:
             pos.append(args[i])
             i += 1
@@ -125,10 +140,21 @@ def main() -> None:
                         f"regexp_replace(text, '(\\S+)', '\\1_c{k}', 'g') AS text"
                     )
                 elif tbl == "embeddings" and c == "embedding" and k > 0:
-                    exprs.append(
-                        "CAST(list_prepend(embedding[1] + "
-                        f"{k / 1000.0}, embedding[2:]) AS FLOAT[]) AS embedding"
-                    )
+                    if embed_rotate:
+                        rot, neg = k % 64, k >= 64
+                        base = (
+                            "embedding"
+                            if rot == 0
+                            else f"list_concat(embedding[{rot + 1}:], embedding[1:{rot}])"
+                        )
+                        if neg:
+                            base = f"list_transform({base}, v -> -v)"
+                        exprs.append(f"CAST({base} AS FLOAT[]) AS embedding")
+                    else:
+                        exprs.append(
+                            "CAST(list_prepend(embedding[1] + "
+                            f"{k / 1000.0}, embedding[2:]) AS FLOAT[]) AS embedding"
+                        )
                 else:
                     exprs.append(c)
             selects.append(
