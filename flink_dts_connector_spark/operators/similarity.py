@@ -850,7 +850,16 @@ def _assign_gemm(
         import numpy as np
 
         if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"_id": [], "cluster": [], "dist2": [], "v": []})
+            # typed empties: a bare [] column is float64, which Arrow
+            # cannot convert to bigint / list<bigint>
+            return pd.DataFrame(
+                {
+                    "_id": pd.Series([], dtype="int64"),
+                    "cluster": pd.Series([], dtype="int64"),
+                    "dist2": pd.Series([], dtype="int64"),
+                    "v": pd.Series([], dtype=object),
+                }
+            )
         right = right.sort_values("cid")
         V = np.array([np.asarray(x) for x in left["v"]], dtype=np.float64)
         C = np.array([np.asarray(x) for x in right["c"]], dtype=np.float64)
@@ -863,7 +872,9 @@ def _assign_gemm(
                 "_id": left[id_col].to_numpy(),
                 "cluster": right["cid"].to_numpy()[arg],
                 "dist2": D[np.arange(len(V)), arg].astype(np.int64),
-                "v": left["v"],
+                # plain lists: Arrow's ndarray-of-ndarrays re-conversion to
+                # list<int64> is not implemented for every batch shape
+                "v": [np.asarray(x).tolist() for x in left["v"]],
             }
         )
 
