@@ -57,6 +57,12 @@ PYTHON_OK_PREFIXES = (
     "multimodal_",  # media decode stub (mapInPandas)
     "dedup_simhash",  # vectorized numpy sign aggregation (pandas_udf)
     "proj_udtf_",  # Python UDTF API-surface demo — declarative twin is the hot path
+    # r13: the tiled exact-GEMM cosine pair join (applyInPandas tile verify)
+    # and the cogroup-GEMM k-means assignment — SCALING.md §r13; both are
+    # the documented BLAS-rate replacements for interpreted HOF hot loops
+    "neardup_cosine_pairs",
+    "dedup_embedding_components",
+    "curate_semdedup",
 )
 
 
