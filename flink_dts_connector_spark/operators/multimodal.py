@@ -4069,73 +4069,84 @@ def _mp3_spec_granule_bits(doc_id: int, k: int, g: int) -> list[tuple[int, int]]
     return out
 
 
+def _mp3_spectrum_frame(doc_id: int, k: int, mdb: int = 0):
+    """One coded spectrum-tier frame: (header, side_info, main_data,
+    frame_size). ``mdb`` lands in the 9-bit main_data_begin field — 0 for
+    the reservoir-free spectrum tier, the closed-form reservoir law for
+    the r13 reservoir tier (which places ``main_data`` in the cross-frame
+    logical stream instead of this frame's own body)."""
+    p = mp3_sideinfo_params(doc_id)
+    pad = (doc_id + k) % 2
+    size = mp3_frame_size(p["bitrate_idx"], p["sr_idx"], pad)
+    b2 = (p["bitrate_idx"] << 4) | (p["sr_idx"] << 2) | (pad << 1)
+    header = bytes((0xFF, 0xFB, b2, 0xC4))  # mono, original
+    laws = [mp3_spectrum_law(doc_id, k, g) for g in range(2)]
+    part2 = []
+    for g, law in enumerate(laws):
+        bands = mp3_sf_bands(law)
+        if g == 1 and law["scfsi"]:
+            bands = [
+                b for b in bands
+                if not (law["scfsi"] >> (3 - _scfsi_group(b[1]))) & 1
+            ]
+        part2.append(bands)
+    part3 = [_mp3_spec_granule_bits(doc_id, k, g) for g in range(2)]
+    w = _MsbBitWriter()
+    w.put(mdb, 9)  # main_data_begin
+    w.put(0, 5)
+    w.put(laws[0]["scfsi"], 4)
+    for g, law in enumerate(laws):
+        p23 = sum(b[3] for b in part2[g]) + sum(nb for _, nb in part3[g])
+        w.put(p23, 12)
+        w.put(law["bvs"], 9)  # field must match the coded spectrum
+        w.put(law["global_gain"], 8)
+        w.put(law["sfc"], 4)
+        w.put(law["wsf"], 1)
+        if law["wsf"]:
+            w.put(law["block_type"], 2)
+            w.put(law["mixed"], 1)
+            for j in range(2):
+                w.put(law["ts"][j], 5)
+            for j in range(3):
+                w.put(law["subblock_gain"][j], 3)
+        else:
+            for j in range(3):
+                w.put(law["ts"][j], 5)
+            w.put(law["region0"], 4)
+            w.put(law["region1"], 3)
+        w.put(law["preflag"], 1)
+        w.put(law["sfs"], 1)
+        w.put(law["c1ts"], 1)
+    si = w.flush()
+    assert len(si) == 17
+    md = _MsbBitWriter()
+    for g, law in enumerate(laws):
+        for kind, i, win, slen in part2[g]:
+            if slen:
+                md.put(mp3_sf_value(doc_id, k, g, i, win, slen), slen)
+        for v, nb in part3[g]:
+            md.put(v, nb)
+    return header, si, md.flush(), size
+
+
 def encode_mp3_spectrum(doc_id: int) -> bytes:
     """CBR MPEG-1 Layer III mono frames whose main data carries GENUINE
     part2 scale-factor bits (the r12 tier, reused verbatim) followed by a
     GENUINE part3 Huffman spectrum: region-routed pair codes, linbits
     escapes, sign bits, then the count1 quad region —
     part2_3_length = part2 + part3 EXACTLY (no filler inside the coded
-    region; the decoder re-derives the quad count from the field)."""
+    region; the decoder re-derives the quad count from the field).
+    main_data_begin = 0 throughout: each frame's main data lives in its
+    own body (the reservoir variant is `encode_mp3_reservoir`)."""
     p = mp3_sideinfo_params(doc_id)
     out = bytearray()
     for k in range(p["n_frames"]):
-        pad = (doc_id + k) % 2
-        size = mp3_frame_size(p["bitrate_idx"], p["sr_idx"], pad)
-        b2 = (p["bitrate_idx"] << 4) | (p["sr_idx"] << 2) | (pad << 1)
-        out += bytes((0xFF, 0xFB, b2, 0xC4))  # mono, original
-        laws = [mp3_spectrum_law(doc_id, k, g) for g in range(2)]
-        part2 = []
-        for g, law in enumerate(laws):
-            bands = mp3_sf_bands(law)
-            if g == 1 and law["scfsi"]:
-                bands = [
-                    b for b in bands
-                    if not (law["scfsi"] >> (3 - _scfsi_group(b[1]))) & 1
-                ]
-            part2.append(bands)
-        part3 = [_mp3_spec_granule_bits(doc_id, k, g) for g in range(2)]
-        w = _MsbBitWriter()
-        w.put(0, 9)  # main_data_begin = 0 (reservoir loud-rejected)
-        w.put(0, 5)
-        w.put(laws[0]["scfsi"], 4)
-        for g, law in enumerate(laws):
-            p23 = sum(b[3] for b in part2[g]) + sum(nb for _, nb in part3[g])
-            w.put(p23, 12)
-            w.put(law["bvs"], 9)  # field must match the coded spectrum
-            w.put(law["global_gain"], 8)
-            w.put(law["sfc"], 4)
-            w.put(law["wsf"], 1)
-            if law["wsf"]:
-                w.put(law["block_type"], 2)
-                w.put(law["mixed"], 1)
-                for j in range(2):
-                    w.put(law["ts"][j], 5)
-                for j in range(3):
-                    w.put(law["subblock_gain"][j], 3)
-            else:
-                for j in range(3):
-                    w.put(law["ts"][j], 5)
-                w.put(law["region0"], 4)
-                w.put(law["region1"], 3)
-            w.put(law["preflag"], 1)
-            w.put(law["sfs"], 1)
-            w.put(law["c1ts"], 1)
-        si = w.flush()
-        assert len(si) == 17
-        out += si
-        md = _MsbBitWriter()
-        for g, law in enumerate(laws):
-            for kind, i, win, slen in part2[g]:
-                if slen:
-                    md.put(mp3_sf_value(doc_id, k, g, i, win, slen), slen)
-            for v, nb in part3[g]:
-                md.put(v, nb)
-        main = md.flush()
+        header, si, main, size = _mp3_spectrum_frame(doc_id, k, mdb=0)
         body = size - 4 - 17
         if len(main) > body:
             raise AssertionError("spectrum overflows the frame body")
         v = (doc_id * 7 + k * 13) % 251
-        out += main + bytes([v]) * (body - len(main))
+        out += header + si + main + bytes([v]) * (body - len(main))
     return bytes(out)
 
 
@@ -4148,6 +4159,130 @@ def _mp3_huff_read(r: _MsbBitReader, dec: dict, maxlen: int):
         if hit is not None:
             return hit
     raise ValueError("invalid Huffman prefix in part3")
+
+
+def _mp3_mono_frame_header(
+    raw: bytes, pos: int, bitrate, srate
+) -> tuple[int, int, int]:
+    """Validate one mono MPEG-1 Layer III CBR frame header at ``pos`` and
+    return (frame_size, kbps, sample_rate). Raises ValueError on lost
+    sync, non-MPEG-1/Layer-III, CRC frames, stereo mode bits, invalid
+    bitrate/sample-rate indexes, a CBR violation against the stream's
+    established (bitrate, srate), or a torn body. Shared by the spectrum
+    and reservoir frame walks."""
+    if pos + 4 > len(raw):
+        raise ValueError("torn frame header")
+    b0, b1, b2, b3 = raw[pos], raw[pos + 1], raw[pos + 2], raw[pos + 3]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise ValueError(f"lost frame sync at byte {pos}")
+    if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
+        raise ValueError("MPEG-1 Layer III only")
+    if not (b1 & 0x1):
+        raise ValueError("CRC-protected frames unsupported")
+    if (b3 >> 6) != 0x3:
+        raise ValueError("spectrum tier is mono-only")
+    bidx, sidx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+    if bidx in (0, 15) or sidx == 3:
+        raise ValueError("invalid bitrate/sample-rate index")
+    kbps, sr = MP3_BITRATE_KBPS[bidx], MP3_SAMPLE_RATES[sidx]
+    if bitrate is None:
+        bitrate, srate = kbps, sr
+    elif (kbps, sr) != (bitrate, srate):
+        raise ValueError("VBR stream (CBR walk expected)")
+    size = 144 * kbps * 1000 // sr + pad
+    if size < 4 + 17 or pos + size > len(raw):
+        raise ValueError("torn frame body")
+    return size, bitrate, srate
+
+
+def _mp3_part23_walk(r: "_MsbBitReader", si: dict, agg: dict) -> None:
+    """Decode part2 (scale factors) + part3 (Huffman spectrum) for BOTH
+    granules of one mono frame from reader ``r``, positioned at the
+    frame's main-data start, updating the ``agg`` counters in place
+    (n_pairs, region2_pairs, n_esc, sum_abs, sum_lin, checksum, n_quads,
+    rzero_total). Shared by the spectrum tier (r reads the frame's own
+    body; main_data_begin = 0) and the reservoir tier (r reads the
+    assembled cross-frame main-data stream at the back-pointer target).
+    Raises ValueError on any violation — see `mp3_spectrum_features`."""
+    _, dec_a = mp3_count1_codebook()
+    scfsi = si["scfsi"]
+    if scfsi and any(
+        g["wsf"] and g["block_type"] == 2 for g in si["granules"]
+    ):
+        raise ValueError("scfsi reuse against a short-block granule")
+    for g, gr in enumerate(si["granules"]):
+        start = r.pos
+        # --- part2: consume the scale-factor bits (r12 machinery)
+        sfc = gr["sfc"]
+        law_like = {
+            "wsf": gr["wsf"], "block_type": gr["block_type"],
+            "mixed": gr.get("mixed", 0),
+            "slen1": MP3_SLEN1[sfc], "slen2": MP3_SLEN2[sfc],
+        }
+        for kind, i, win, slen in mp3_sf_bands(law_like):
+            if (
+                g == 1
+                and kind == "long"
+                and bool((scfsi >> (3 - _scfsi_group(i))) & 1)
+            ):
+                continue
+            if slen:
+                r.bits(slen)
+        # --- part3: big_values region
+        bv = gr["big_values"]
+        if gr["wsf"]:
+            b0_, b1_ = 36, 576
+        else:
+            bnd = MP3_SPEC_SFB_BOUNDS
+            b0_ = bnd[min(gr["region0"] + 1, 22)]
+            b1_ = max(b0_, bnd[min(gr["region0"] + gr["region1"] + 2, 22)])
+        ts = gr["table_select"]
+        for i in range(bv):
+            reg = 0 if 2 * i < b0_ else (1 if 2 * i < b1_ else 2)
+            if reg == 2:
+                agg["region2_pairs"] += 1
+            if reg >= len(ts):
+                raise ValueError("region2 pair in a window-switched granule")
+            t = ts[reg]
+            if t in (4, 14):
+                raise ValueError(f"unused Huffman table {t} selected")
+            if t == 0:
+                continue
+            _, dec, n, linbits = mp3_huff_codebook(t)
+            x, y = _mp3_huff_read(r, dec, MP3_PAIR_CODE_MAXLEN)
+            for sample, v in ((2 * i, x), (2 * i + 1, y)):
+                av = v
+                if t >= 16 and v == 15:
+                    lin = r.bits(linbits)
+                    av += lin
+                    agg["sum_lin"] += lin
+                    agg["n_esc"] += 1
+                if v:
+                    sgn = -1 if r.bits(1) else 1
+                    agg["sum_abs"] += av
+                    agg["checksum"] += sgn * av * (1 + sample)
+            agg["n_pairs"] += 1
+        # --- part3: count1 region until part2_3_length is exhausted
+        quads = 0
+        sample = 2 * bv
+        while r.pos - start < gr["part23"]:
+            if sample + 4 > 576:
+                raise ValueError("count1 region overruns the 576-line granule")
+            if gr["c1ts"]:
+                q = r.bits(4)
+            else:
+                q = _mp3_huff_read(r, dec_a, MP3_QUAD_CODE_MAXLEN)
+            for o in range(4):
+                if (q >> (3 - o)) & 1:
+                    sgn = -1 if r.bits(1) else 1
+                    agg["sum_abs"] += 1
+                    agg["checksum"] += sgn * (1 + sample + o)
+            quads += 1
+            sample += 4
+        if r.pos - start != gr["part23"]:
+            raise ValueError("part2+part3 bits disagree with part2_3_length")
+        agg["n_quads"] += quads
+        agg["rzero_total"] += 576 - sample
 
 
 def mp3_spectrum_features(raw: bytes):
@@ -4172,121 +4307,25 @@ def mp3_spectrum_features(raw: bytes):
     pos = 0
     frames = 0
     bitrate = srate = None
-    n_pairs = n_quads = n_esc = sum_abs = sum_lin = checksum = 0
-    rzero_total = region2_pairs = 0
-    enc_a, dec_a = mp3_count1_codebook()
+    agg = dict.fromkeys(
+        ("n_pairs", "n_quads", "n_esc", "sum_abs", "sum_lin", "checksum",
+         "rzero_total", "region2_pairs"), 0,
+    )
     while pos < len(raw):
-        if pos + 4 > len(raw):
-            raise ValueError("torn frame header")
-        b0, b1, b2, b3 = raw[pos], raw[pos + 1], raw[pos + 2], raw[pos + 3]
-        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
-            raise ValueError(f"lost frame sync at byte {pos}")
-        if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
-            raise ValueError("MPEG-1 Layer III only")
-        if not (b1 & 0x1):
-            raise ValueError("CRC-protected frames unsupported")
-        if (b3 >> 6) != 0x3:
-            raise ValueError("spectrum tier is mono-only")
-        bidx, sidx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
-        if bidx in (0, 15) or sidx == 3:
-            raise ValueError("invalid bitrate/sample-rate index")
-        kbps, sr = MP3_BITRATE_KBPS[bidx], MP3_SAMPLE_RATES[sidx]
-        if bitrate is None:
-            bitrate, srate = kbps, sr
-        elif (kbps, sr) != (bitrate, srate):
-            raise ValueError("VBR stream (CBR walk expected)")
-        size = 144 * kbps * 1000 // sr + pad
-        if size < 4 + 17 or pos + size > len(raw):
-            raise ValueError("torn frame body")
+        size, bitrate, srate = _mp3_mono_frame_header(raw, pos, bitrate, srate)
         si = mp3_parse_sideinfo(raw[pos + 4 : pos + 4 + 17], channels=1)
         if si["main_data_begin"] != 0:
             raise ValueError("bit reservoir (main_data_begin != 0) unsupported")
-        scfsi = si["scfsi"]
-        if scfsi and any(
-            g["wsf"] and g["block_type"] == 2 for g in si["granules"]
-        ):
-            raise ValueError("scfsi reuse against a short-block granule")
         r = _MsbBitReader(raw[pos + 4 + 17 : pos + size])
-        for g, gr in enumerate(si["granules"]):
-            start = r.pos
-            # --- part2: consume the scale-factor bits (r12 machinery)
-            sfc = gr["sfc"]
-            law_like = {
-                "wsf": gr["wsf"], "block_type": gr["block_type"],
-                "mixed": gr.get("mixed", 0),
-                "slen1": MP3_SLEN1[sfc], "slen2": MP3_SLEN2[sfc],
-            }
-            for kind, i, win, slen in mp3_sf_bands(law_like):
-                if (
-                    g == 1
-                    and kind == "long"
-                    and bool((scfsi >> (3 - _scfsi_group(i))) & 1)
-                ):
-                    continue
-                if slen:
-                    r.bits(slen)
-            # --- part3: big_values region
-            bv = gr["big_values"]
-            if gr["wsf"]:
-                b0_, b1_ = 36, 576
-            else:
-                bnd = MP3_SPEC_SFB_BOUNDS
-                b0_ = bnd[min(gr["region0"] + 1, 22)]
-                b1_ = max(b0_, bnd[min(gr["region0"] + gr["region1"] + 2, 22)])
-            ts = gr["table_select"]
-            for i in range(bv):
-                reg = 0 if 2 * i < b0_ else (1 if 2 * i < b1_ else 2)
-                if reg == 2:
-                    region2_pairs += 1
-                if reg >= len(ts):
-                    raise ValueError("region2 pair in a window-switched granule")
-                t = ts[reg]
-                if t in (4, 14):
-                    raise ValueError(f"unused Huffman table {t} selected")
-                if t == 0:
-                    continue
-                _, dec, n, linbits = mp3_huff_codebook(t)
-                x, y = _mp3_huff_read(r, dec, MP3_PAIR_CODE_MAXLEN)
-                for sample, v in ((2 * i, x), (2 * i + 1, y)):
-                    av = v
-                    if t >= 16 and v == 15:
-                        lin = r.bits(linbits)
-                        av += lin
-                        sum_lin += lin
-                        n_esc += 1
-                    if v:
-                        sgn = -1 if r.bits(1) else 1
-                        sum_abs += av
-                        checksum += sgn * av * (1 + sample)
-                n_pairs += 1
-            # --- part3: count1 region until part2_3_length is exhausted
-            quads = 0
-            sample = 2 * bv
-            while r.pos - start < gr["part23"]:
-                if sample + 4 > 576:
-                    raise ValueError("count1 region overruns the 576-line granule")
-                if gr["c1ts"]:
-                    q = r.bits(4)
-                else:
-                    q = _mp3_huff_read(r, dec_a, MP3_QUAD_CODE_MAXLEN)
-                for o in range(4):
-                    if (q >> (3 - o)) & 1:
-                        sgn = -1 if r.bits(1) else 1
-                        sum_abs += 1
-                        checksum += sgn * (1 + sample + o)
-                quads += 1
-                sample += 4
-            if r.pos - start != gr["part23"]:
-                raise ValueError("part2+part3 bits disagree with part2_3_length")
-            n_quads += quads
-            rzero_total += 576 - sample
+        _mp3_part23_walk(r, si, agg)
         frames += 1
         pos += size
     if frames == 0:
         raise ValueError("no MPEG frames")
     return (
-        frames, n_pairs, n_quads, n_esc, sum_abs, sum_lin, checksum,
-        rzero_total, region2_pairs, len(raw),
+        frames, agg["n_pairs"], agg["n_quads"], agg["n_esc"],
+        agg["sum_abs"], agg["sum_lin"], agg["checksum"],
+        agg["rzero_total"], agg["region2_pairs"], len(raw),
     )
 
 
@@ -4338,4 +4377,222 @@ def decode_mp3_spectrum(
         " n_count1_quads bigint, n_esc bigint, sum_abs bigint,"
         " sum_linval bigint, checksum bigint, rzero_total bigint,"
         " region2_pairs bigint, n_bytes bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MP3 bit-RESERVOIR tier (r13) — the next structural step past the Huffman
+# spectrum: frames whose side info carries a NON-ZERO main_data_begin
+# (§2.4.1.7: a 9-bit byte back-pointer into previously transmitted frame
+# bodies), so a frame's main data — the same genuine part2 scale-factor bits
+# + part3 Huffman spectrum as the spectrum tier — no longer lives in the
+# frame's own body. Decoding requires the real reservoir discipline every
+# Layer III decoder implements: assemble the cross-frame logical main-data
+# stream (the concatenation of all frame bodies after their side info),
+# locate each frame's main data at slab_offset − main_data_begin, decode
+# part2+part3 bit-exactly from there, and skip the ancillary/stuffing bytes
+# between one frame's main-data end and the next frame's back-pointer
+# target. The fixture's main_data_begin follows a CLOSED-FORM recurrence
+# (`mp3_reservoir_mdb`, mirrored by the SQL oracle's recursive CTE) whose
+# per-frame steps are bounded by ±52 bytes — provably feasible because the
+# spectrum law's worst-case main data is 215 bytes against a ≥ 267-byte
+# frame body (the spectrum tier's frame-fit bound), leaving ≥ 52 bytes of
+# slack per frame regardless of doc_id. Violations a real decoder rejects
+# raise loudly: a first-frame back-pointer (reservoir underrun — nothing
+# transmitted yet), a back-pointer past the transmitted stream, overlapping
+# main-data regions, main data spilling past its own frame's body, and
+# every spectrum-tier rejection (unused tables, part2_3_length desync,
+# count1 overrun, lost sync, VBR drift).
+# ---------------------------------------------------------------------------
+
+#: the provable per-frame slack (smallest body 267 − worst-case main 215):
+#: reservoir steps stay within ±MP3_RESERVOIR_STEP so every doc_id encodes
+MP3_RESERVOIR_STEP = 52
+
+
+def mp3_reservoir_mdb(doc_id: int, k: int) -> int:
+    """Closed-form main_data_begin for frame ``k`` (mirrored by the SQL
+    oracle's recursive CTE): R_0 = 0 (nothing transmitted yet — the spec
+    forces a zero back-pointer on the first frame); R_k = max(0, min(511,
+    R_{k-1} + ((doc_id·31 + 17·k) mod 105) − 52)). Steps lie in
+    [−52, +52] = ±MP3_RESERVOIR_STEP, so the stuffing that realizes the
+    target is never negative (see the tier banner's slack argument), and
+    R_k ≤ 52·k < the transmitted-slab total, so the back-pointer is
+    always satisfiable."""
+    r = 0
+    for j in range(1, k + 1):
+        r = max(0, min(511, r + ((doc_id * 31 + 17 * j) % 105) - 52))
+    return r
+
+
+def mp3_reservoir_layout(doc_id: int) -> list[dict]:
+    """Per-frame layout of the logical main-data stream (used by the
+    encoder and the stuffing-invariance tests): for each frame k —
+    frame_size, slab (body bytes), b (coded main-data bytes), mdb,
+    stuff (ancillary bytes appended after this frame's main data),
+    s (slab offset where frame k's body begins in the stream) and
+    main_start = s − mdb (where its main data begins)."""
+    p = mp3_sideinfo_params(doc_id)
+    nf = p["n_frames"]
+    rows = []
+    s = 0
+    for k in range(nf):
+        _, _, main, size = _mp3_spectrum_frame(doc_id, k, mdb=0)
+        slab = size - 4 - 17
+        mdb = mp3_reservoir_mdb(doc_id, k)
+        nxt = mp3_reservoir_mdb(doc_id, k + 1) if k + 1 < nf else 0
+        stuff = mdb + slab - len(main) - nxt
+        if stuff < 0:
+            raise AssertionError("reservoir step exceeds the frame-fit slack")
+        rows.append({
+            "k": k, "size": size, "slab": slab, "b": len(main),
+            "mdb": mdb, "stuff": stuff, "s": s, "main_start": s - mdb,
+        })
+        s += slab
+    return rows
+
+
+def encode_mp3_reservoir(doc_id: int) -> bytes:
+    """CBR MPEG-1 Layer III mono frames with a GENUINE bit reservoir: the
+    same spectrum-tier main data per frame (part2 scale factors + part3
+    Huffman spectrum, bit-identical laws), but packed into the cross-frame
+    logical stream at `mp3_reservoir_layout` positions — frame k's main
+    data starts main_data_begin bytes BEFORE its own body, inside earlier
+    frames' unused space, with deterministic stuffing bytes realizing the
+    closed-form reservoir recurrence. The stream is then sliced back into
+    fixed-size CBR frame bodies. Invariant (tested): the decoded features
+    equal the reservoir-free spectrum tier's on every shared column."""
+    layout = mp3_reservoir_layout(doc_id)
+    stream = bytearray()
+    frames = []
+    for row in layout:
+        k = row["k"]
+        header, si, main, _ = _mp3_spectrum_frame(doc_id, k, mdb=row["mdb"])
+        frames.append((header, si, row["slab"]))
+        v = (doc_id * 7 + k * 13) % 251
+        stream += main + bytes([v]) * row["stuff"]
+    out = bytearray()
+    s = 0
+    for header, si, slab in frames:
+        out += header + si + stream[s : s + slab]
+        s += slab
+    assert s == len(stream)
+    return bytes(out)
+
+
+def mp3_reservoir_features(raw: bytes):
+    """Two-pass reservoir-aware decode of one mono MPEG-1 Layer III
+    stream. Pass 1 walks frames (same CBR/header/side-info validation as
+    the spectrum tier) and concatenates every frame body into the logical
+    main-data stream. Pass 2 decodes each frame's part2+part3 from
+    slab_offset − main_data_begin in that stream — the real bit-reservoir
+    discipline — enforcing: first-frame main_data_begin = 0 (underrun),
+    back-pointers within the transmitted stream, non-overlapping
+    main-data regions in stream order, main data ending inside its own
+    frame's body, and the spectrum tier's exact part2_3_length
+    accounting. Ancillary/stuffing bytes between regions are skipped,
+    never decoded.
+
+    Returns (n_frames, n_big_pairs, n_count1_quads, n_esc, sum_abs,
+    sum_linval, checksum, rzero_total, region2_pairs, max_mdb, sum_mdb,
+    n_reservoir_frames, n_bytes) — the spectrum aggregates plus the
+    reservoir shape; the checksum breaks if the assembly misplaces a
+    single bit."""
+    raw = bytes(raw)
+    pos = 0
+    bitrate = srate = None
+    slabs = bytearray()
+    frames = []  # (side_info, slab_start, slab_len)
+    while pos < len(raw):
+        size, bitrate, srate = _mp3_mono_frame_header(raw, pos, bitrate, srate)
+        si = mp3_parse_sideinfo(raw[pos + 4 : pos + 4 + 17], channels=1)
+        frames.append((si, len(slabs), size - 4 - 17))
+        slabs += raw[pos + 4 + 17 : pos + size]
+        pos += size
+    if not frames:
+        raise ValueError("no MPEG frames")
+    stream = bytes(slabs)
+    agg = dict.fromkeys(
+        ("n_pairs", "n_quads", "n_esc", "sum_abs", "sum_lin", "checksum",
+         "rzero_total", "region2_pairs"), 0,
+    )
+    max_mdb = sum_mdb = n_res = 0
+    prev_end_bits = 0
+    for si, s_k, slab_k in frames:
+        mdb = si["main_data_begin"]
+        if mdb > s_k:
+            raise ValueError(
+                "reservoir underrun: main_data_begin points before the "
+                "transmitted stream"
+            )
+        start = s_k - mdb
+        if start * 8 < prev_end_bits:
+            raise ValueError("reservoir overlap: main-data regions collide")
+        r = _MsbBitReader(stream[start:])
+        _mp3_part23_walk(r, si, agg)
+        end_bits = start * 8 + r.pos
+        if end_bits > (s_k + slab_k) * 8:
+            raise ValueError("main data spills past its own frame body")
+        prev_end_bits = end_bits
+        max_mdb = max(max_mdb, mdb)
+        sum_mdb += mdb
+        n_res += 1 if mdb > 0 else 0
+    return (
+        len(frames), agg["n_pairs"], agg["n_quads"], agg["n_esc"],
+        agg["sum_abs"], agg["sum_lin"], agg["checksum"],
+        agg["rzero_total"], agg["region2_pairs"], max_mdb, sum_mdb,
+        n_res, len(raw),
+    )
+
+
+def attach_mp3_reservoir_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One reservoir-real mono MP3 payload per row."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_mp3_reservoir(int(i)) for i in ids]
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "mp3", "n_bytes": len(p), "width": 0, "height": 0,
+                 "duration_ms": 0}
+                for p in payloads
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_mp3_reservoir(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Reservoir feature stage over `mp3_reservoir_features` (Arrow-batched
+    mapInPandas; bytes never leave the executor)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [mp3_reservoir_features(bytes(b)) for b in pdf[media_col]]
+            cols = [
+                "n_frames", "n_big_pairs", "n_count1_quads", "n_esc",
+                "sum_abs", "sum_linval", "checksum", "rzero_total",
+                "region2_pairs", "max_mdb", "sum_mdb", "n_reservoir_frames",
+                "n_bytes",
+            ]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for ci, name in enumerate(cols):
+                out[name] = [p[ci] for p in parsed]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, n_frames bigint, n_big_pairs bigint,"
+        " n_count1_quads bigint, n_esc bigint, sum_abs bigint,"
+        " sum_linval bigint, checksum bigint, rzero_total bigint,"
+        " region2_pairs bigint, max_mdb bigint, sum_mdb bigint,"
+        " n_reservoir_frames bigint, n_bytes bigint",
     )

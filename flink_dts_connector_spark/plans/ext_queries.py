@@ -10070,10 +10070,12 @@ _MP3_SFB_BOUNDS_SQL = (
 )
 
 
-@register(
-    "multimodal_mp3_spectrum",
-    oracle=f"""
-WITH p AS (
+# The spectrum-law CTE chain (frame/granule/pair/quad value laws and their
+# aggregates) is shared by the spectrum and reservoir oracles — the
+# reservoir tier carries bit-identical main data, so every spectrum
+# aggregate column has the same closed form; the reservoir oracle appends
+# a recursive CTE for the main_data_begin recurrence on top.
+_MP3_SPECTRUM_ORACLE_CTES = f"""p AS (
   SELECT doc_id, 2 + doc_id % 4 AS nf,
          CASE 7 + doc_id % 5 WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
                              WHEN 10 THEN 160 ELSE 192 END AS kbps,
@@ -10164,8 +10166,10 @@ WITH p AS (
   FROM grb GROUP BY doc_id
 ), fagg AS (
   SELECT doc_id, ANY_VALUE(nf) AS nf, SUM(fsize) AS n_bytes FROM fr GROUP BY doc_id
-)
-SELECT f.doc_id,
+)"""
+
+#: the shared final-SELECT columns (spectrum aggregate surface)
+_MP3_SPECTRUM_ORACLE_COLS = """
        CAST(f.nf AS BIGINT) AS n_frames,
        CAST(COALESCE(p2.n_big_pairs, 0) AS BIGINT) AS n_big_pairs,
        CAST(g2.n_count1_quads AS BIGINT) AS n_count1_quads,
@@ -10174,7 +10178,14 @@ SELECT f.doc_id,
        CAST(COALESCE(p2.sum_linval, 0) AS BIGINT) AS sum_linval,
        CAST(COALESCE(p2.cks_p, 0) + COALESCE(q2.cks_q, 0) AS BIGINT) AS checksum,
        CAST(g2.rzero_total AS BIGINT) AS rzero_total,
-       CAST(COALESCE(p2.region2_pairs, 0) AS BIGINT) AS region2_pairs,
+       CAST(COALESCE(p2.region2_pairs, 0) AS BIGINT) AS region2_pairs"""
+
+
+@register(
+    "multimodal_mp3_spectrum",
+    oracle=f"""
+WITH {_MP3_SPECTRUM_ORACLE_CTES}
+SELECT f.doc_id,{_MP3_SPECTRUM_ORACLE_COLS},
        CAST(f.n_bytes AS BIGINT) AS n_bytes
 FROM fagg f
 JOIN gagg g2 USING (doc_id)
@@ -10205,3 +10216,57 @@ def multimodal_mp3_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = M.attach_mp3_spectrum_media(docs)
     return M.decode_mp3_spectrum(media)
+
+
+@register(
+    "multimodal_mp3_reservoir",
+    oracle=f"""
+WITH RECURSIVE {_MP3_SPECTRUM_ORACLE_CTES},
+rec AS (
+  SELECT doc_id, 0 AS k, 0 AS r, nf FROM p
+  UNION ALL
+  SELECT doc_id, k + 1,
+         GREATEST(0, LEAST(511, r + ((doc_id * 31 + 17 * (k + 1)) % 105) - 52)),
+         nf
+  FROM rec WHERE k + 1 < nf
+),
+mdbagg AS (
+  SELECT doc_id, MAX(r) AS max_mdb, SUM(r) AS sum_mdb,
+         SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS n_reservoir_frames
+  FROM rec GROUP BY doc_id
+)
+SELECT f.doc_id,{_MP3_SPECTRUM_ORACLE_COLS},
+       CAST(m.max_mdb AS BIGINT) AS max_mdb,
+       CAST(m.sum_mdb AS BIGINT) AS sum_mdb,
+       CAST(m.n_reservoir_frames AS BIGINT) AS n_reservoir_frames,
+       CAST(f.n_bytes AS BIGINT) AS n_bytes
+FROM fagg f
+JOIN gagg g2 USING (doc_id)
+JOIN mdbagg m USING (doc_id)
+LEFT JOIN pagg p2 USING (doc_id)
+LEFT JOIN qagg q2 USING (doc_id)
+""",
+    tags=("ext", "multimodal", "codec", "audio"),
+)
+def multimodal_mp3_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: MP3 Layer III BIT RESERVOIR (§2.4.1.7 main_data_begin ≠ 0) —
+    the next structural step past the Huffman-spectrum tier, and the
+    first slice of the previously loud-rejected reservoir contract.
+    Every document's frames carry the SAME genuine part2+part3 main data
+    as the spectrum tier, but packed into the cross-frame logical stream:
+    each frame's side info back-points main_data_begin bytes into earlier
+    frames' bodies, with deterministic ancillary stuffing realizing a
+    closed-form reservoir recurrence (R_0 = 0; R_k = clamp(R_{k-1} +
+    ((doc_id·31 + 17·k) mod 105) − 52, 0, 511) — steps bounded by the
+    provable ≥ 52-byte per-frame slack, so every doc_id encodes). The
+    decode stage implements the real reservoir discipline: assemble the
+    stream from frame bodies, locate each frame's main data at
+    slab_offset − main_data_begin, decode part2+part3 bit-exactly, skip
+    ancillary gaps, and loud-reject underrun/overlap/spill violations.
+    The spectrum checksum column breaks if the assembly misplaces one
+    bit; max_mdb/sum_mdb/n_reservoir_frames pin the reservoir shape to
+    the oracle's recursive-CTE replay of the recurrence. 154/205 sampled
+    doc_ids carry a live (non-zero) reservoir."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_mp3_reservoir_media(docs)
+    return M.decode_mp3_reservoir(media)
