@@ -2721,6 +2721,395 @@ def decode_avc_headers(
     )
 
 
+# ---------------------------------------------------------------------------
+# AVC (H.264) SLICE HEADERS (r13) — the next structural step past the r11
+# SPS/PPS tier: the §7.3.3 slice_header() grammar of every slice NAL in an
+# Annex-B stream, which is CONDITIONAL on parsed parameter-set state — the
+# slice's pic_parameter_set_id resolves a PPS, the PPS resolves an SPS, and
+# the SPS/PPS fields drive the field widths and presence flags downstream
+# (frame_num is u(log2_max_frame_num_minus4+4); pic_order_cnt_lsb exists
+# only for poc_type 0 and takes its width from the SPS; cabac_init_idc
+# exists only under entropy_coding_mode for non-I slices; deblocking
+# offsets only when the PPS enables the control flag). REAL machinery:
+# exp-Golomb ue/se fields, the ref_pic_list_modification loop (§7.3.3.1:
+# modification_of_pic_nums_idc runs until 3), the dec_ref_pic_marking
+# grammar (§7.3.3.3: IDR flags vs the adaptive MMCO loop until op 0), and
+# the conformance checks a real decoder applies — IDR slices must be
+# reference NALs with frame_num = 0 (§7.4.3), slice_type ≤ 9,
+# cabac_init_idc ≤ 2, QpY = 26 + pic_init_qp_minus26 + slice_qp_delta in
+# [0, 51], deblocking idc ≤ 2 and offsets in [−6, 6]. Emulation-prevention
+# de-escaping applies to every NAL. DISCLOSED BOUNDARIES (loud-rejected,
+# same contract as the section banner): slice DATA (CABAC/CAVLC residuals)
+# stays opaque — the parse stops at the end of slice_header() and the
+# remaining bits are skipped; pred_weight_table (B slices under
+# weighted_bipred_idc 1) and SP/SI slice types are out of the fixture
+# population and rejected loudly if encountered.
+# ---------------------------------------------------------------------------
+
+
+def avc_slice_law(doc_id: int, s: int) -> dict:
+    """Deterministic per-slice law (mirrored by the SQL oracle). Slice 0
+    is the IDR; the slice_type pool excludes B when the PPS carries
+    weighted_bipred_idc 1 (pred_weight_table is a disclosed boundary) and
+    SP/SI throughout. All values are in their spec ranges by
+    construction: QpY ∈ [6, 46] ⊂ [0, 51] for every doc_id."""
+    p = avc_fixture_params(doc_id)
+    if s == 0:
+        st = (2, 7)[doc_id % 2]  # IDR picture: I slice
+    else:
+        # stride 5 is coprime with both pool sizes, so every slice type in
+        # the pool appears as s advances (a stride of 3 would alias with
+        # the mod-3 bipred law and silently exclude B slices everywhere)
+        pool = (0, 2, 5, 7) if p["bipred"] == 1 else (0, 1, 2, 5, 6, 7)
+        st = pool[(doc_id + 5 * s) % len(pool)]
+    kind = st % 5  # 0=P 1=B 2=I
+    idr = s == 0
+    ref_idc = 3 if idr else 2 * ((doc_id + s) % 2)
+    law = {
+        "idr": idr,
+        "ref_idc": ref_idc,
+        "first_mb": s * 8,
+        "slice_type": st,
+        "kind": kind,
+        "frame_num": 0 if idr else (doc_id + s) % (1 << (p["log2mfn"] + 4)),
+        "idr_pic_id": doc_id % 17 if idr else 0,
+        "poc_lsb": (
+            (doc_id * 3 + 7 * s) % (1 << (p["poc_lsb"] + 4))
+            if p["poc_type"] == 0 else 0
+        ),
+        "direct_spatial": (doc_id + s) % 2 if kind == 1 else 0,
+        "ref_override": (doc_id + s) % 2 if kind in (0, 1) else 0,
+        "l0_active": (doc_id + s) % 4,
+        "l1_active": (doc_id + 2 * s) % 3,
+        "listmod": 1 if kind in (0, 1) and (doc_id + s) % 3 == 0 else 0,
+        "listmod_idc": (doc_id + s) % 2,  # 0 = subtract, 1 = add
+        "listmod_diff": (doc_id + 5 * s) % 7,
+        "mmco": (
+            1 if not idr and ref_idc and (doc_id + 7 * s) % 4 == 1 else 0
+        ),
+        "mmco_diff": (doc_id + s) % 9,
+        "no_output": doc_id % 2 if idr else 0,
+        "cabac_init": (doc_id + s) % 3 if p["cabac"] and kind != 2 else 0,
+        "qp_delta": ((doc_id * 5 + 11 * s) % 31) - 15,
+        "deblock_idc": (doc_id + s) % 3,
+        "alpha": ((doc_id + s) % 13) - 6,
+        "beta": ((doc_id * 3 + s) % 13) - 6,
+        "filler": 1 + (doc_id + s) % 3,
+    }
+    return law
+
+
+def encode_avc_slice(doc_id: int, s: int) -> bytes:
+    """One slice NAL (header byte + escaped EBSP): the §7.3.3 header per
+    `avc_slice_law`, then `filler` opaque 'slice data' bytes (the
+    undecoded residual stand-in)."""
+    p = avc_fixture_params(doc_id)
+    law = avc_slice_law(doc_id, s)
+    w = _MsbBitWriter()
+    _ue_write(w, law["first_mb"])
+    _ue_write(w, law["slice_type"])
+    _ue_write(w, p["pps_id"])
+    w.put(law["frame_num"], p["log2mfn"] + 4)
+    if law["idr"]:
+        _ue_write(w, law["idr_pic_id"])
+    if p["poc_type"] == 0:
+        w.put(law["poc_lsb"], p["poc_lsb"] + 4)
+    if law["kind"] == 1:
+        w.put(law["direct_spatial"], 1)
+    if law["kind"] in (0, 1):
+        w.put(law["ref_override"], 1)
+        if law["ref_override"]:
+            _ue_write(w, law["l0_active"])
+            if law["kind"] == 1:
+                _ue_write(w, law["l1_active"])
+        # ref_pic_list_modification (§7.3.3.1), list 0
+        w.put(law["listmod"], 1)
+        if law["listmod"]:
+            _ue_write(w, law["listmod_idc"])
+            _ue_write(w, law["listmod_diff"])
+            _ue_write(w, 3)  # terminator
+        if law["kind"] == 1:
+            w.put(0, 1)  # no list-1 modification in the fixture
+    if law["ref_idc"]:
+        if law["idr"]:
+            w.put(law["no_output"], 1)
+            w.put(0, 1)  # long_term_reference_flag
+        else:
+            w.put(law["mmco"], 1)  # adaptive_ref_pic_marking_mode_flag
+            if law["mmco"]:
+                _ue_write(w, 1)  # memory_management_control_operation
+                _ue_write(w, law["mmco_diff"])
+                _ue_write(w, 0)  # terminator
+    if p["cabac"] and law["kind"] != 2:
+        _ue_write(w, law["cabac_init"])
+    _se_write(w, law["qp_delta"])
+    _ue_write(w, law["deblock_idc"])
+    if law["deblock_idc"] != 1:
+        _se_write(w, law["alpha"])
+        _se_write(w, law["beta"])
+    v = (doc_id * 7 + s * 13) % 251
+    for _ in range(law["filler"]):
+        w.put(v, 8)
+    rbsp = w.flush()
+    nal_type = 5 if law["idr"] else 1
+    hdr = (law["ref_idc"] << 5) | nal_type
+    return bytes((hdr,)) + _ebsp_escape(rbsp)
+
+
+def avc_n_slices(doc_id: int) -> int:
+    return 2 + doc_id % 5
+
+
+def encode_avc_stream(doc_id: int) -> bytes:
+    """Annex-B stream: SPS + PPS (the r11 config, reused verbatim) then
+    `avc_n_slices` slice NALs — slice 0 the IDR, the rest per-law
+    P/B/I — each with a genuine §7.3.3 header and opaque residuals."""
+    out = bytearray(encode_avc_config(doc_id))
+    sc = b"\x00\x00\x00\x01"
+    for s in range(avc_n_slices(doc_id)):
+        out += sc + encode_avc_slice(doc_id, s)
+    return bytes(out)
+
+
+def avc_slice_features(raw: bytes):
+    """Parse one Annex-B stream: SPS + PPS (full r11 field walk via
+    `avc_config_features` semantics, re-deriving the state the slice
+    grammar needs) then EVERY slice NAL's §7.3.3 header, stopping at the
+    header's end (slice data is opaque by disclosed contract). Enforces
+    the cross-checks a real decoder applies — the slice's PPS id must
+    match the shipped PPS, IDR slices must be reference NALs with
+    frame_num = 0, slice_type ≤ 9 with SP/SI and weighted-B loud-rejected,
+    cabac_init_idc ≤ 2, QpY ∈ [0, 51], deblocking idc ≤ 2 with offsets in
+    [−6, 6], and emulation-prevention de-escaping on every NAL.
+
+    Returns (n_slices, n_idr, n_i, n_p, n_b, sum_frame_num, sum_poc_lsb,
+    sum_idr_pic_id, n_ref_override, sum_l0_active, n_listmod,
+    sum_listmod_diff, n_mmco, sum_mmco_diff, sum_cabac_init, sum_qp_delta,
+    sum_alpha, sum_beta, n_direct_spatial, checksum, n_bytes) where
+    checksum = Σ (1+s)·(3·frame_num + 5·poc_lsb + 7·qp_delta +
+    11·slice_type + 13·first_mb) — one misparsed field anywhere in the
+    conditional grammar breaks it."""
+    raw = bytes(raw)
+    sc = b"\x00\x00\x00\x01"
+    if not raw.startswith(sc):
+        raise ValueError("missing start code")
+    nal_payloads = raw[4:].split(sc)
+    if len(nal_payloads) < 3:
+        raise ValueError("stream needs SPS, PPS and at least one slice")
+    cfg_blob = sc + nal_payloads[0] + sc + nal_payloads[1]
+    cfg = avc_config_features(cfg_blob)
+    poc_type, cabac = cfg[5], cfg[6]
+    init_qp = cfg[7]
+
+    # re-read the SPS/PPS fields the slice grammar needs but the config
+    # feature tuple doesn't carry (field widths + pps id + bipred mode)
+    sps_rbsp, _ = _ebsp_unescape(nal_payloads[0][1:])
+    r = _MsbBitReader(sps_rbsp)
+    profile = r.bits(8)
+    r.bits(16)
+    _ue_read(r)  # sps_id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        _ue_read(r); _ue_read(r); _ue_read(r); r.bits(2)
+    log2mfn4 = _ue_read(r) + 4
+    sps_poc_type = _ue_read(r)
+    poc_lsb_bits = _ue_read(r) + 4 if sps_poc_type == 0 else 0
+    pps_rbsp, _ = _ebsp_unescape(nal_payloads[1][1:])
+    r = _MsbBitReader(pps_rbsp)
+    pps_id = _ue_read(r)
+    _ue_read(r)
+    r.bits(2)
+    _ue_read(r); _ue_read(r); _ue_read(r)
+    r.bits(1)
+    bipred = r.bits(2)
+
+    counts = [0, 0, 0]  # P, B, I
+    n_idr = n_override = n_listmod = n_mmco = n_direct = 0
+    sum_fn = sum_poc = sum_idr_id = sum_l0 = sum_lm_diff = 0
+    sum_mmco_diff = sum_ci = sum_qpd = sum_a = sum_b = checksum = 0
+    n_slices = 0
+    for s, nal in enumerate(nal_payloads[2:]):
+        if not nal:
+            raise ValueError("empty slice NAL")
+        hdr = nal[0]
+        if hdr & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        ref_idc, nal_type = hdr >> 5, hdr & 0x1F
+        if nal_type not in (1, 5):
+            raise ValueError(f"unexpected NAL type {nal_type} after config")
+        idr = nal_type == 5
+        if idr and ref_idc == 0:
+            raise ValueError("IDR slice must be a reference NAL (§7.4.1)")
+        rbsp, _ = _ebsp_unescape(nal[1:])
+        r = _MsbBitReader(rbsp)
+        first_mb = _ue_read(r)
+        st = _ue_read(r)
+        if st > 9:
+            raise ValueError(f"invalid slice_type {st}")
+        kind = st % 5
+        if kind in (3, 4):
+            raise ValueError("SP/SI slices unsupported (disclosed boundary)")
+        slice_pps = _ue_read(r)
+        if slice_pps != pps_id:
+            raise ValueError(
+                f"slice references PPS {slice_pps}, stream carries {pps_id}"
+            )
+        frame_num = r.bits(log2mfn4)
+        if idr and frame_num != 0:
+            raise ValueError("IDR frame_num must be 0 (§7.4.3)")
+        idr_pic_id = 0
+        if idr:
+            idr_pic_id = _ue_read(r)
+        poc_lsb = 0
+        if sps_poc_type == 0:
+            poc_lsb = r.bits(poc_lsb_bits)
+        if kind == 1:
+            if bipred == 1:
+                raise ValueError(
+                    "pred_weight_table (weighted B) unsupported "
+                    "(disclosed boundary)"
+                )
+            n_direct += r.bits(1)
+        if kind in (0, 1):
+            override = r.bits(1)
+            if override:
+                n_override += 1
+                sum_l0 += _ue_read(r)
+                if kind == 1:
+                    _ue_read(r)  # l1 active (not aggregated)
+            if r.bits(1):  # ref_pic_list_modification_flag_l0
+                n_listmod += 1
+                while True:
+                    idc = _ue_read(r)
+                    if idc == 3:
+                        break
+                    if idc > 3:
+                        raise ValueError(f"invalid modification idc {idc}")
+                    if idc == 2:
+                        _ue_read(r)  # long_term_pic_num
+                    else:
+                        sum_lm_diff += _ue_read(r)
+            if kind == 1 and r.bits(1):
+                raise ValueError("list-1 modification out of fixture population")
+        if ref_idc:
+            if idr:
+                r.bits(1)  # no_output_of_prior_pics
+                if r.bits(1):
+                    raise ValueError("long-term IDR reference unsupported")
+            elif r.bits(1):  # adaptive marking
+                n_mmco += 1
+                while True:
+                    op = _ue_read(r)
+                    if op == 0:
+                        break
+                    if op > 6:
+                        raise ValueError(f"invalid MMCO op {op}")
+                    if op in (1, 3):
+                        sum_mmco_diff += _ue_read(r)
+                    if op in (2,):
+                        _ue_read(r)
+                    if op in (3, 6):
+                        _ue_read(r)
+                    if op == 4:
+                        _ue_read(r)
+        if cabac and kind != 2:
+            ci = _ue_read(r)
+            if ci > 2:
+                raise ValueError(f"invalid cabac_init_idc {ci}")
+            sum_ci += ci
+        qp_delta = _se_read(r)
+        qpy = init_qp + qp_delta
+        if not 0 <= qpy <= 51:
+            raise ValueError(f"QpY {qpy} outside [0, 51]")
+        didc = _ue_read(r)
+        if didc > 2:
+            raise ValueError(f"invalid disable_deblocking_filter_idc {didc}")
+        alpha = beta = 0
+        if didc != 1:
+            alpha = _se_read(r)
+            beta = _se_read(r)
+            if not (-6 <= alpha <= 6 and -6 <= beta <= 6):
+                raise ValueError("deblocking offset outside [-6, 6]")
+        # slice data begins here — opaque by disclosed contract
+        counts[kind] += 1
+        n_idr += idr
+        sum_fn += frame_num
+        sum_poc += poc_lsb
+        sum_idr_id += idr_pic_id
+        sum_qpd += qp_delta
+        sum_a += alpha
+        sum_b += beta
+        checksum += (1 + s) * (
+            3 * frame_num + 5 * poc_lsb + 7 * qp_delta + 11 * st
+            + 13 * first_mb
+        )
+        n_slices += 1
+    return (
+        n_slices, n_idr, counts[2], counts[0], counts[1], sum_fn, sum_poc,
+        sum_idr_id, n_override, sum_l0, n_listmod, sum_lm_diff, n_mmco,
+        sum_mmco_diff, sum_ci, sum_qpd, sum_a, sum_b, n_direct, checksum,
+        len(raw),
+    )
+
+
+def attach_avc_stream_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One Annex-B SPS+PPS+slices stream per row."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_avc_stream(int(i)) for i in ids]
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "h264", "n_bytes": len(p), "width": 0, "height": 0,
+                 "duration_ms": 0}
+                for p in payloads
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_avc_slice_headers(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Slice-header feature stage over `avc_slice_features` (Arrow-batched
+    mapInPandas; bytes never leave the executor)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [avc_slice_features(bytes(x)) for x in pdf[media_col]]
+            # n_bytes stays out of the oracle-compared surface: exp-Golomb
+            # field lengths + emulation escapes make it bit-layout-
+            # dependent, not value-law closed form (tests cover it)
+            cols = [
+                "n_slices", "n_idr", "n_i", "n_p", "n_b", "sum_frame_num",
+                "sum_poc_lsb", "sum_idr_pic_id", "n_ref_override",
+                "sum_l0_active", "n_listmod", "sum_listmod_diff", "n_mmco",
+                "sum_mmco_diff", "sum_cabac_init", "sum_qp_delta",
+                "sum_alpha", "sum_beta", "n_direct_spatial", "checksum",
+            ]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for ci, name in enumerate(cols):
+                out[name] = [p[ci] for p in parsed]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, n_slices bigint, n_idr bigint, n_i bigint,"
+        " n_p bigint, n_b bigint, sum_frame_num bigint, sum_poc_lsb bigint,"
+        " sum_idr_pic_id bigint, n_ref_override bigint, sum_l0_active bigint,"
+        " n_listmod bigint, sum_listmod_diff bigint, n_mmco bigint,"
+        " sum_mmco_diff bigint, sum_cabac_init bigint, sum_qp_delta bigint,"
+        " sum_alpha bigint, sum_beta bigint, n_direct_spatial bigint,"
+        " checksum bigint",
+    )
+
+
 def attach_mp3_sideinfo_mixed_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One side-info-real MP3 payload per row, channel mode alternating by
     doc (odd docs stereo) — the parser must switch the 17/32-byte layout

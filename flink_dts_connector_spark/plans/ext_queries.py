@@ -9867,6 +9867,112 @@ def multimodal_avc_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_avc_slice_headers",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         2 + doc_id % 5 AS nf,
+         doc_id % 3 AS bipred,
+         doc_id % 2 AS cabac,
+         doc_id % 5 AS log2mfn,
+         CASE doc_id % 2 WHEN 0 THEN 0 ELSE 2 END AS poc_type,
+         (doc_id + 1) % 5 AS poclsb
+  FROM documents
+), sl AS (
+  SELECT doc_id, nf, bipred, cabac, log2mfn, poc_type, poclsb, s.s,
+         CASE WHEN s.s = 0 THEN CASE doc_id % 2 WHEN 0 THEN 2 ELSE 7 END
+              WHEN bipred = 1 THEN
+                CASE (doc_id + 5 * s.s) % 4
+                     WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 5 ELSE 7 END
+              ELSE
+                CASE (doc_id + 5 * s.s) % 6
+                     WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                     WHEN 3 THEN 5 WHEN 4 THEN 6 ELSE 7 END
+         END AS st
+  FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS s) s
+), f AS (
+  SELECT doc_id, s, st, st % 5 AS kind,
+         CASE WHEN s = 0 THEN 1 ELSE 0 END AS idr,
+         CASE WHEN s = 0 THEN 3 ELSE 2 * ((doc_id + s) % 2) END AS ref_idc,
+         CASE WHEN s = 0 THEN 0
+              ELSE (doc_id + s) % (1 << (log2mfn + 4)) END AS fn,
+         CASE WHEN poc_type = 0
+              THEN (doc_id * 3 + 7 * s) % (1 << (poclsb + 4))
+              ELSE 0 END AS poc,
+         CASE WHEN s = 0 THEN doc_id % 17 ELSE 0 END AS idr_id,
+         CASE WHEN st % 5 = 1 THEN (doc_id + s) % 2 ELSE 0 END AS direct,
+         CASE WHEN st % 5 IN (0, 1) THEN (doc_id + s) % 2 ELSE 0 END AS ov,
+         CASE WHEN st % 5 IN (0, 1) AND (doc_id + s) % 2 = 1
+              THEN (doc_id + s) % 4 ELSE 0 END AS l0c,
+         CASE WHEN st % 5 IN (0, 1) AND (doc_id + s) % 3 = 0
+              THEN 1 ELSE 0 END AS lm,
+         CASE WHEN st % 5 IN (0, 1) AND (doc_id + s) % 3 = 0
+              THEN (doc_id + 5 * s) % 7 ELSE 0 END AS lmd,
+         CASE WHEN s > 0 AND (doc_id + s) % 2 = 1 AND (doc_id + 7 * s) % 4 = 1
+              THEN 1 ELSE 0 END AS mm,
+         CASE WHEN s > 0 AND (doc_id + s) % 2 = 1 AND (doc_id + 7 * s) % 4 = 1
+              THEN (doc_id + s) % 9 ELSE 0 END AS mmd,
+         CASE WHEN cabac = 1 AND st % 5 <> 2
+              THEN (doc_id + s) % 3 ELSE 0 END AS ci,
+         ((doc_id * 5 + 11 * s) % 31) - 15 AS qpd,
+         CASE WHEN (doc_id + s) % 3 <> 1
+              THEN ((doc_id + s) % 13) - 6 ELSE 0 END AS alpha,
+         CASE WHEN (doc_id + s) % 3 <> 1
+              THEN ((doc_id * 3 + s) % 13) - 6 ELSE 0 END AS beta
+  FROM sl
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_slices,
+       CAST(SUM(idr) AS BIGINT) AS n_idr,
+       CAST(SUM(CASE WHEN kind = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_i,
+       CAST(SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       CAST(SUM(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(SUM(fn) AS BIGINT) AS sum_frame_num,
+       CAST(SUM(poc) AS BIGINT) AS sum_poc_lsb,
+       CAST(SUM(idr_id) AS BIGINT) AS sum_idr_pic_id,
+       CAST(SUM(ov) AS BIGINT) AS n_ref_override,
+       CAST(SUM(l0c) AS BIGINT) AS sum_l0_active,
+       CAST(SUM(lm) AS BIGINT) AS n_listmod,
+       CAST(SUM(lmd) AS BIGINT) AS sum_listmod_diff,
+       CAST(SUM(mm) AS BIGINT) AS n_mmco,
+       CAST(SUM(mmd) AS BIGINT) AS sum_mmco_diff,
+       CAST(SUM(ci) AS BIGINT) AS sum_cabac_init,
+       CAST(SUM(qpd) AS BIGINT) AS sum_qp_delta,
+       CAST(SUM(alpha) AS BIGINT) AS sum_alpha,
+       CAST(SUM(beta) AS BIGINT) AS sum_beta,
+       CAST(SUM(direct) AS BIGINT) AS n_direct_spatial,
+       CAST(SUM((1 + s) * (3 * fn + 5 * poc + 7 * qpd + 11 * st + 13 * 8 * s))
+            AS BIGINT) AS checksum
+FROM f GROUP BY doc_id
+""",
+    tags=("ext", "multimodal", "codec", "video"),
+)
+def multimodal_avc_slice_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: AVC (H.264) SLICE HEADERS (§7.3.3) — the next structural step
+    past the r11 SPS/PPS tier. Every document carries an Annex-B stream
+    (SPS + PPS + 2..6 slice NALs, slice 0 the IDR) whose slice headers
+    are genuinely bit-packed and re-parsed: the grammar is CONDITIONAL on
+    parsed parameter-set state (PPS id cross-check, frame_num width from
+    the SPS via the PPS→SPS indirection, pic_order_cnt_lsb only under
+    poc_type 0 at SPS-declared width, cabac_init_idc only under
+    entropy_coding_mode for non-I slices, deblocking offsets under the
+    PPS control flag), with the §7.3.3.1 ref-pic-list-modification loop
+    (idc until 3), the §7.3.3.3 dec_ref_pic_marking grammar (IDR flags vs
+    the adaptive MMCO loop until op 0), and real conformance checks (IDR
+    ⇒ reference NAL with frame_num = 0; slice_type ≤ 9; QpY ∈ [0, 51];
+    deblocking offsets in [−6, 6]). Emulation-prevention de-escape on
+    every NAL. Disclosed boundaries, loud-rejected: slice DATA stays
+    opaque; pred_weight_table (weighted-B) and SP/SI are out of the
+    population. The checksum column covers frame_num, poc_lsb, qp_delta,
+    slice_type, and first_mb per slice position — one misparsed field in
+    the conditional grammar breaks it. The oracle replays the per-slice
+    value laws in closed form."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_avc_stream_media(docs)
+    return M.decode_avc_slice_headers(media)
+
+
+@register(
     "text_rake_keywords",
     oracle=f"""
 WITH toks AS (
