@@ -186,6 +186,11 @@ HEADLINE = [
     # document); stream_pagerank_maintenance stays registry-only like the
     # other multi-lifecycle availableNow flagships.
     "multimodal_mp3_spectrum",
+    # r13 continuation: the bit-reservoir tier (cross-frame main_data
+    # assembly) and the AVC slice-header walk — both per-document decode
+    # scans, the throughput shape the headline set exists to track.
+    "multimodal_mp3_reservoir",
+    "multimodal_avc_slice_headers",
 ]
 
 # The compact machine line (what the driver records as BENCH_r{N}.json) can't
@@ -226,6 +231,8 @@ COMPACT_PINNED = [
     "multimodal_mp3_scalefactors",
     # r13 appends
     "multimodal_mp3_spectrum",
+    "multimodal_mp3_reservoir",
+    "multimodal_avc_slice_headers",
 ]
 
 

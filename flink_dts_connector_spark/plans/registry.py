@@ -90,7 +90,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     # AVC SPS/PPS exp-Golomb headers (Annex-B start codes,
     # emulation-prevention de-escape, PPS→SPS cross-check)
     "multimodal_mp3_sideinfo_mixed",
-    "multimodal_avc_headers",
+    # r13 rotation (mid-round): the AVC slice-header tier SUBSUMES the
+    # r11 SPS/PPS config row — avc_slice_features runs the full §7.3.2
+    # config parse (incl. the PPS→SPS cross-check and emulation
+    # de-escape) before the §7.3.3 slice grammar, so the displaced
+    # multimodal_avc_headers (sweep-green since r11) keeps its shape
+    # gated through this row
+    "multimodal_avc_slice_headers",
     # aggregation batteries
     "events_incremental_window_maintenance",  # r4 cont.: MV maintenance == full recompute (grouping sets stays sweep-green)
     # r9 rotation: the seasonal decomposition (integer-exact moments over a
