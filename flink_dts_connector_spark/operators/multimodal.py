@@ -2747,12 +2747,15 @@ def decode_avc_headers(
 # ---------------------------------------------------------------------------
 
 
-def avc_slice_law(doc_id: int, s: int) -> dict:
+def avc_slice_law(doc_id: int, s: int, weighted: bool = False) -> dict:
     """Deterministic per-slice law (mirrored by the SQL oracle). Slice 0
-    is the IDR; the slice_type pool excludes B when the PPS carries
-    weighted_bipred_idc 1 (pred_weight_table is a disclosed boundary) and
-    SP/SI throughout. All values are in their spec ranges by
-    construction: QpY ∈ [6, 46] ⊂ [0, 51] for every doc_id."""
+    is the IDR; SP/SI stay out of the pool throughout. In the base tier
+    (``weighted=False``) the pool also excludes B when the PPS carries
+    weighted_bipred_idc 1 (pred_weight_table is that tier's disclosed
+    boundary); the weighted tier (r13 continuation) uses the full pool so
+    weighted-B slices appear and carry a §7.3.3.2 pred_weight_table. All
+    values are in their spec ranges by construction: QpY ∈ [6, 46] ⊂
+    [0, 51] for every doc_id."""
     p = avc_fixture_params(doc_id)
     if s == 0:
         st = (2, 7)[doc_id % 2]  # IDR picture: I slice
@@ -2760,7 +2763,10 @@ def avc_slice_law(doc_id: int, s: int) -> dict:
         # stride 5 is coprime with both pool sizes, so every slice type in
         # the pool appears as s advances (a stride of 3 would alias with
         # the mod-3 bipred law and silently exclude B slices everywhere)
-        pool = (0, 2, 5, 7) if p["bipred"] == 1 else (0, 1, 2, 5, 6, 7)
+        pool = (
+            (0, 2, 5, 7) if p["bipred"] == 1 and not weighted
+            else (0, 1, 2, 5, 6, 7)
+        )
         st = pool[(doc_id + 5 * s) % len(pool)]
     kind = st % 5  # 0=P 1=B 2=I
     idr = s == 0
@@ -2799,12 +2805,35 @@ def avc_slice_law(doc_id: int, s: int) -> dict:
     return law
 
 
-def encode_avc_slice(doc_id: int, s: int) -> bytes:
+def avc_weight_law(doc_id: int, s: int, x: int, i: int) -> dict:
+    """Per-(list x, ref i) pred_weight_table entry law (§7.3.3.2,
+    mirrored by the SQL oracle). Weights/offsets stay inside the spec's
+    [−128, 127] by construction."""
+    return {
+        "lw_flag": (doc_id + s + i + 9 * x) % 2,
+        "lw": ((doc_id + 3 * i + s + x) % 33) - 16,
+        "lo": ((doc_id * 2 + i + x) % 31) - 15,
+        "cw_flag": (doc_id + s + 2 * i + 5 * x) % 2,
+        "cw": [((doc_id + i + j + x) % 29) - 14 for j in range(2)],
+        "co": [((doc_id + 5 * i + j + 3 * x) % 27) - 13 for j in range(2)],
+    }
+
+
+def avc_weight_denoms(doc_id: int, s: int) -> tuple[int, int]:
+    """(luma_log2_weight_denom, chroma_log2_weight_denom) law."""
+    return (doc_id + s) % 8, (doc_id + 2 * s) % 8
+
+
+def encode_avc_slice(doc_id: int, s: int, weighted: bool = False) -> bytes:
     """One slice NAL (header byte + escaped EBSP): the §7.3.3 header per
     `avc_slice_law`, then `filler` opaque 'slice data' bytes (the
-    undecoded residual stand-in)."""
+    undecoded residual stand-in). With ``weighted=True``, B slices under
+    weighted_bipred_idc 1 carry a genuine §7.3.3.2 pred_weight_table
+    (denoms, per-ref luma/chroma weight flags and se(v) weight/offset
+    pairs over the EFFECTIVE l0/l1 active counts — the override values
+    when present, the PPS defaults otherwise)."""
     p = avc_fixture_params(doc_id)
-    law = avc_slice_law(doc_id, s)
+    law = avc_slice_law(doc_id, s, weighted=weighted)
     w = _MsbBitWriter()
     _ue_write(w, law["first_mb"])
     _ue_write(w, law["slice_type"])
@@ -2830,6 +2859,29 @@ def encode_avc_slice(doc_id: int, s: int) -> bytes:
             _ue_write(w, 3)  # terminator
         if law["kind"] == 1:
             w.put(0, 1)  # no list-1 modification in the fixture
+    if weighted and law["kind"] == 1 and p["bipred"] == 1:
+        # pred_weight_table (§7.3.3.2) — present for B slices under
+        # weighted_bipred_idc 1 (weighted_pred_flag is 0 in the fixture,
+        # so P slices never carry one)
+        ld, cd = avc_weight_denoms(doc_id, s)
+        _ue_write(w, ld)
+        _ue_write(w, cd)  # ChromaArrayType is 1 throughout the fixture
+        eff = (
+            law["l0_active"] if law["ref_override"] else p["l0"],
+            law["l1_active"] if law["ref_override"] else p["l1"],
+        )
+        for x in range(2):
+            for i in range(eff[x] + 1):
+                wl = avc_weight_law(doc_id, s, x, i)
+                w.put(wl["lw_flag"], 1)
+                if wl["lw_flag"]:
+                    _se_write(w, wl["lw"])
+                    _se_write(w, wl["lo"])
+                w.put(wl["cw_flag"], 1)
+                if wl["cw_flag"]:
+                    for j in range(2):
+                        _se_write(w, wl["cw"][j])
+                        _se_write(w, wl["co"][j])
     if law["ref_idc"]:
         if law["idr"]:
             w.put(law["no_output"], 1)
@@ -2871,7 +2923,18 @@ def encode_avc_stream(doc_id: int) -> bytes:
     return bytes(out)
 
 
-def avc_slice_features(raw: bytes):
+def encode_avc_weighted_stream(doc_id: int) -> bytes:
+    """The weighted tier's Annex-B stream: full slice-type pool (B slices
+    appear for every doc), and B slices under weighted_bipred_idc 1 carry
+    a genuine pred_weight_table."""
+    out = bytearray(encode_avc_config(doc_id))
+    sc = b"\x00\x00\x00\x01"
+    for s in range(avc_n_slices(doc_id)):
+        out += sc + encode_avc_slice(doc_id, s, weighted=True)
+    return bytes(out)
+
+
+def avc_slice_features(raw: bytes, weighted: bool = False):
     """Parse one Annex-B stream: SPS + PPS (full r11 field walk via
     `avc_config_features` semantics, re-deriving the state the slice
     grammar needs) then EVERY slice NAL's §7.3.3 header, stopping at the
@@ -2888,7 +2951,16 @@ def avc_slice_features(raw: bytes):
     sum_alpha, sum_beta, n_direct_spatial, checksum, n_bytes) where
     checksum = Σ (1+s)·(3·frame_num + 5·poc_lsb + 7·qp_delta +
     11·slice_type + 13·first_mb) — one misparsed field anywhere in the
-    conditional grammar breaks it."""
+    conditional grammar breaks it.
+
+    With ``weighted=True`` (the r13 weighted tier), B slices under
+    weighted_bipred_idc 1 parse a genuine §7.3.3.2 pred_weight_table over
+    the EFFECTIVE l0/l1 active counts (override values when present, the
+    PPS defaults otherwise), with denoms ≤ 7 and weights/offsets in
+    [−128, 127] enforced, and the return tuple grows
+    (n_weight_tables, sum_weight_denoms, n_luma_weights, sum_luma_weight,
+    sum_luma_offset, n_chroma_weights, sum_chroma_weight,
+    sum_chroma_offset, weight_checksum)."""
     raw = bytes(raw)
     sc = b"\x00\x00\x00\x01"
     if not raw.startswith(sc):
@@ -2918,7 +2990,9 @@ def avc_slice_features(raw: bytes):
     pps_id = _ue_read(r)
     _ue_read(r)
     r.bits(2)
-    _ue_read(r); _ue_read(r); _ue_read(r)
+    _ue_read(r)  # num_slice_groups_minus1
+    pps_l0_default = _ue_read(r)
+    pps_l1_default = _ue_read(r)
     r.bits(1)
     bipred = r.bits(2)
 
@@ -2926,6 +3000,8 @@ def avc_slice_features(raw: bytes):
     n_idr = n_override = n_listmod = n_mmco = n_direct = 0
     sum_fn = sum_poc = sum_idr_id = sum_l0 = sum_lm_diff = 0
     sum_mmco_diff = sum_ci = sum_qpd = sum_a = sum_b = checksum = 0
+    n_wt = sum_wd = n_lw = sum_lw = sum_lo = n_cw = sum_cw = sum_co = 0
+    wck = 0
     n_slices = 0
     for s, nal in enumerate(nal_payloads[2:]):
         if not nal:
@@ -2963,19 +3039,21 @@ def avc_slice_features(raw: bytes):
         if sps_poc_type == 0:
             poc_lsb = r.bits(poc_lsb_bits)
         if kind == 1:
-            if bipred == 1:
+            if bipred == 1 and not weighted:
                 raise ValueError(
                     "pred_weight_table (weighted B) unsupported "
                     "(disclosed boundary)"
                 )
             n_direct += r.bits(1)
+        eff_l0, eff_l1 = pps_l0_default, pps_l1_default
         if kind in (0, 1):
             override = r.bits(1)
             if override:
                 n_override += 1
-                sum_l0 += _ue_read(r)
+                eff_l0 = _ue_read(r)
+                sum_l0 += eff_l0
                 if kind == 1:
-                    _ue_read(r)  # l1 active (not aggregated)
+                    eff_l1 = _ue_read(r)
             if r.bits(1):  # ref_pic_list_modification_flag_l0
                 n_listmod += 1
                 while True:
@@ -2990,6 +3068,45 @@ def avc_slice_features(raw: bytes):
                         sum_lm_diff += _ue_read(r)
             if kind == 1 and r.bits(1):
                 raise ValueError("list-1 modification out of fixture population")
+        if weighted and kind == 1 and bipred == 1:
+            # pred_weight_table (§7.3.3.2) over the EFFECTIVE active
+            # counts — the real grammar-state dependency: a decoder that
+            # forgets the override (or the PPS defaults) desyncs here
+            ld = _ue_read(r)
+            cd = _ue_read(r)  # ChromaArrayType 1 throughout the fixture
+            if ld > 7 or cd > 7:
+                raise ValueError("log2 weight denom exceeds 7")
+            n_wt += 1
+            sum_wd += ld + cd
+            wck += (1 + s) * (17 * ld + 19 * cd)
+            for x, eff in ((0, eff_l0), (1, eff_l1)):
+                for i in range(eff + 1):
+                    if r.bits(1):  # luma_weight_lX_flag
+                        lw = _se_read(r)
+                        lo = _se_read(r)
+                        if not (-128 <= lw <= 127 and -128 <= lo <= 127):
+                            raise ValueError(
+                                "luma weight/offset outside [-128, 127]"
+                            )
+                        n_lw += 1
+                        sum_lw += lw
+                        sum_lo += lo
+                        wck += (1 + s) * (1 + i) * (2 + x) * (3 * lw + 5 * lo)
+                    if r.bits(1):  # chroma_weight_lX_flag
+                        for j in range(2):
+                            cw = _se_read(r)
+                            co = _se_read(r)
+                            if not (-128 <= cw <= 127 and -128 <= co <= 127):
+                                raise ValueError(
+                                    "chroma weight/offset outside [-128, 127]"
+                                )
+                            n_cw += 1
+                            sum_cw += cw
+                            sum_co += co
+                            wck += (
+                                (1 + s) * (1 + i) * (2 + x)
+                                * (7 * cw + 11 * co)
+                            )
         if ref_idc:
             if idr:
                 r.bits(1)  # no_output_of_prior_pics
@@ -3043,11 +3160,16 @@ def avc_slice_features(raw: bytes):
             + 13 * first_mb
         )
         n_slices += 1
-    return (
+    base = (
         n_slices, n_idr, counts[2], counts[0], counts[1], sum_fn, sum_poc,
         sum_idr_id, n_override, sum_l0, n_listmod, sum_lm_diff, n_mmco,
         sum_mmco_diff, sum_ci, sum_qpd, sum_a, sum_b, n_direct, checksum,
         len(raw),
+    )
+    if not weighted:
+        return base
+    return base + (
+        n_wt, sum_wd, n_lw, sum_lw, sum_lo, n_cw, sum_cw, sum_co, wck,
     )
 
 
@@ -3107,6 +3229,74 @@ def decode_avc_slice_headers(
         " sum_mmco_diff bigint, sum_cabac_init bigint, sum_qp_delta bigint,"
         " sum_alpha bigint, sum_beta bigint, n_direct_spatial bigint,"
         " checksum bigint",
+    )
+
+
+def attach_avc_weighted_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One weighted-tier Annex-B stream per row."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_avc_weighted_stream(int(i)) for i in ids]
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "h264", "n_bytes": len(p), "width": 0, "height": 0,
+                 "duration_ms": 0}
+                for p in payloads
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_avc_weighted_slices(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Weighted slice-header feature stage over
+    `avc_slice_features(weighted=True)` (Arrow-batched mapInPandas)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [
+                avc_slice_features(bytes(x), weighted=True)
+                for x in pdf[media_col]
+            ]
+            cols = [
+                "n_slices", "n_idr", "n_i", "n_p", "n_b", "sum_frame_num",
+                "sum_poc_lsb", "sum_idr_pic_id", "n_ref_override",
+                "sum_l0_active", "n_listmod", "sum_listmod_diff", "n_mmco",
+                "sum_mmco_diff", "sum_cabac_init", "sum_qp_delta",
+                "sum_alpha", "sum_beta", "n_direct_spatial", "checksum",
+                None,  # n_bytes: bit-layout-dependent, not oracle-compared
+                "n_weight_tables", "sum_weight_denoms", "n_luma_weights",
+                "sum_luma_weight", "sum_luma_offset", "n_chroma_weights",
+                "sum_chroma_weight", "sum_chroma_offset", "weight_checksum",
+            ]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for ci, name in enumerate(cols):
+                if name is not None:
+                    out[name] = [p[ci] for p in parsed]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, n_slices bigint, n_idr bigint, n_i bigint,"
+        " n_p bigint, n_b bigint, sum_frame_num bigint, sum_poc_lsb bigint,"
+        " sum_idr_pic_id bigint, n_ref_override bigint, sum_l0_active bigint,"
+        " n_listmod bigint, sum_listmod_diff bigint, n_mmco bigint,"
+        " sum_mmco_diff bigint, sum_cabac_init bigint, sum_qp_delta bigint,"
+        " sum_alpha bigint, sum_beta bigint, n_direct_spatial bigint,"
+        " checksum bigint, n_weight_tables bigint, sum_weight_denoms bigint,"
+        " n_luma_weights bigint, sum_luma_weight bigint,"
+        " sum_luma_offset bigint, n_chroma_weights bigint,"
+        " sum_chroma_weight bigint, sum_chroma_offset bigint,"
+        " weight_checksum bigint",
     )
 
 

@@ -9973,6 +9973,159 @@ def multimodal_avc_slice_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_avc_weighted_pred",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         2 + doc_id % 5 AS nf,
+         doc_id % 3 AS bipred,
+         doc_id % 2 AS cabac,
+         doc_id % 5 AS log2mfn,
+         CASE doc_id % 2 WHEN 0 THEN 0 ELSE 2 END AS poc_type,
+         (doc_id + 1) % 5 AS poclsb
+  FROM documents
+), sl AS (
+  SELECT doc_id, nf, bipred, cabac, log2mfn, poc_type, poclsb, s.s,
+         CASE WHEN s.s = 0 THEN CASE doc_id % 2 WHEN 0 THEN 2 ELSE 7 END
+              ELSE
+                CASE (doc_id + 5 * s.s) % 6
+                     WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                     WHEN 3 THEN 5 WHEN 4 THEN 6 ELSE 7 END
+         END AS st
+  FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS s) s
+), f AS (
+  SELECT doc_id, bipred, s, st, st % 5 AS kind,
+         CASE WHEN s = 0 THEN 1 ELSE 0 END AS idr,
+         CASE WHEN s = 0 THEN 3 ELSE 2 * ((doc_id + s) % 2) END AS ref_idc,
+         CASE WHEN s = 0 THEN 0
+              ELSE (doc_id + s) % (1 << (log2mfn + 4)) END AS fn,
+         CASE WHEN poc_type = 0
+              THEN (doc_id * 3 + 7 * s) % (1 << (poclsb + 4))
+              ELSE 0 END AS poc,
+         CASE WHEN s = 0 THEN doc_id % 17 ELSE 0 END AS idr_id,
+         CASE WHEN st % 5 = 1 THEN (doc_id + s) % 2 ELSE 0 END AS direct,
+         CASE WHEN st % 5 IN (0, 1) THEN (doc_id + s) % 2 ELSE 0 END AS ov,
+         CASE WHEN st % 5 IN (0, 1) AND (doc_id + s) % 2 = 1
+              THEN (doc_id + s) % 4 ELSE 0 END AS l0c,
+         CASE WHEN st % 5 IN (0, 1) AND (doc_id + s) % 3 = 0
+              THEN 1 ELSE 0 END AS lm,
+         CASE WHEN st % 5 IN (0, 1) AND (doc_id + s) % 3 = 0
+              THEN (doc_id + 5 * s) % 7 ELSE 0 END AS lmd,
+         CASE WHEN s > 0 AND (doc_id + s) % 2 = 1 AND (doc_id + 7 * s) % 4 = 1
+              THEN 1 ELSE 0 END AS mm,
+         CASE WHEN s > 0 AND (doc_id + s) % 2 = 1 AND (doc_id + 7 * s) % 4 = 1
+              THEN (doc_id + s) % 9 ELSE 0 END AS mmd,
+         CASE WHEN cabac = 1 AND st % 5 <> 2
+              THEN (doc_id + s) % 3 ELSE 0 END AS ci,
+         ((doc_id * 5 + 11 * s) % 31) - 15 AS qpd,
+         CASE WHEN (doc_id + s) % 3 <> 1
+              THEN ((doc_id + s) % 13) - 6 ELSE 0 END AS alpha,
+         CASE WHEN (doc_id + s) % 3 <> 1
+              THEN ((doc_id * 3 + s) % 13) - 6 ELSE 0 END AS beta
+  FROM sl
+), base AS (
+  SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_slices,
+       CAST(SUM(idr) AS BIGINT) AS n_idr,
+       CAST(SUM(CASE WHEN kind = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_i,
+       CAST(SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       CAST(SUM(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(SUM(fn) AS BIGINT) AS sum_frame_num,
+       CAST(SUM(poc) AS BIGINT) AS sum_poc_lsb,
+       CAST(SUM(idr_id) AS BIGINT) AS sum_idr_pic_id,
+       CAST(SUM(ov) AS BIGINT) AS n_ref_override,
+       CAST(SUM(l0c) AS BIGINT) AS sum_l0_active,
+       CAST(SUM(lm) AS BIGINT) AS n_listmod,
+       CAST(SUM(lmd) AS BIGINT) AS sum_listmod_diff,
+       CAST(SUM(mm) AS BIGINT) AS n_mmco,
+       CAST(SUM(mmd) AS BIGINT) AS sum_mmco_diff,
+       CAST(SUM(ci) AS BIGINT) AS sum_cabac_init,
+       CAST(SUM(qpd) AS BIGINT) AS sum_qp_delta,
+       CAST(SUM(alpha) AS BIGINT) AS sum_alpha,
+       CAST(SUM(beta) AS BIGINT) AS sum_beta,
+       CAST(SUM(direct) AS BIGINT) AS n_direct_spatial,
+       CAST(SUM((1 + s) * (3 * fn + 5 * poc + 7 * qpd + 11 * st + 13 * 8 * s))
+            AS BIGINT) AS checksum
+  FROM f GROUP BY doc_id
+), ws AS (
+  SELECT doc_id, s,
+         (doc_id + s) % 8 AS ld, (doc_id + 2 * s) % 8 AS cd,
+         CASE WHEN ov = 1 THEN (doc_id + s) % 4 ELSE doc_id % 3 END AS eff0,
+         CASE WHEN ov = 1 THEN (doc_id + 2 * s) % 3 ELSE doc_id % 2 END AS eff1
+  FROM f WHERE kind = 1 AND bipred = 1
+), we AS (
+  SELECT doc_id, s, x.x AS x, i.i AS i,
+         (doc_id + s + i.i + 9 * x.x) % 2 AS lwf,
+         ((doc_id + 3 * i.i + s + x.x) % 33) - 16 AS lw,
+         ((doc_id * 2 + i.i + x.x) % 31) - 15 AS lo,
+         (doc_id + s + 2 * i.i + 5 * x.x) % 2 AS cwf,
+         (((doc_id + i.i + 0 + x.x) % 29) - 14)
+           + (((doc_id + i.i + 1 + x.x) % 29) - 14) AS cw01,
+         (((doc_id + 5 * i.i + 0 + 3 * x.x) % 27) - 13)
+           + (((doc_id + 5 * i.i + 1 + 3 * x.x) % 27) - 13) AS co01
+  FROM ws,
+       LATERAL (SELECT unnest(generate_series(0, 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(
+           0, CASE x.x WHEN 0 THEN eff0 ELSE eff1 END)) AS i) i
+), wdagg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_wt, SUM(ld + cd) AS swd,
+         SUM((1 + s) * (17 * ld + 19 * cd)) AS wckd
+  FROM ws GROUP BY doc_id
+), wagg AS (
+  SELECT doc_id,
+         SUM(lwf) AS nlw,
+         SUM(CASE WHEN lwf = 1 THEN lw ELSE 0 END) AS slw,
+         SUM(CASE WHEN lwf = 1 THEN lo ELSE 0 END) AS slo,
+         SUM(cwf * 2) AS ncw,
+         SUM(CASE WHEN cwf = 1 THEN cw01 ELSE 0 END) AS scw,
+         SUM(CASE WHEN cwf = 1 THEN co01 ELSE 0 END) AS sco,
+         SUM(CASE WHEN lwf = 1
+                  THEN (1 + s) * (1 + i) * (2 + x) * (3 * lw + 5 * lo)
+                  ELSE 0 END
+             + CASE WHEN cwf = 1
+                  THEN (1 + s) * (1 + i) * (2 + x) * (7 * cw01 + 11 * co01)
+                  ELSE 0 END) AS wcke
+  FROM we GROUP BY doc_id
+)
+SELECT b.*,
+       CAST(COALESCE(d.n_wt, 0) AS BIGINT) AS n_weight_tables,
+       CAST(COALESCE(d.swd, 0) AS BIGINT) AS sum_weight_denoms,
+       CAST(COALESCE(w.nlw, 0) AS BIGINT) AS n_luma_weights,
+       CAST(COALESCE(w.slw, 0) AS BIGINT) AS sum_luma_weight,
+       CAST(COALESCE(w.slo, 0) AS BIGINT) AS sum_luma_offset,
+       CAST(COALESCE(w.ncw, 0) AS BIGINT) AS n_chroma_weights,
+       CAST(COALESCE(w.scw, 0) AS BIGINT) AS sum_chroma_weight,
+       CAST(COALESCE(w.sco, 0) AS BIGINT) AS sum_chroma_offset,
+       CAST(COALESCE(d.wckd, 0) + COALESCE(w.wcke, 0) AS BIGINT)
+            AS weight_checksum
+FROM base b
+LEFT JOIN wdagg d USING (doc_id)
+LEFT JOIN wagg w USING (doc_id)
+""",
+    tags=("ext", "multimodal", "codec", "video"),
+)
+def multimodal_avc_weighted_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: AVC pred_weight_table (§7.3.3.2) — lifts the slice-header
+    tier's weighted-B disclosed boundary. The fixture uses the FULL
+    slice-type pool (B slices for every doc), and B slices under
+    weighted_bipred_idc 1 carry a genuine pred_weight_table: luma/chroma
+    log2 weight denoms, then per reference index over the EFFECTIVE
+    l0/l1 active counts — the slice override values when present, the
+    PPS defaults otherwise (the real grammar-state dependency: a decoder
+    that forgets either desyncs immediately) — luma weight flags with
+    se(v) weight/offset pairs, chroma flags with Cb/Cr pairs. Conformance
+    enforced: denoms ≤ 7, weights/offsets in [−128, 127]. The
+    weight_checksum column weights every entry by (slice, list, ref
+    index) position; the base checksum still covers the surrounding
+    header fields. Oracle replays the per-entry laws with nested
+    generate_series over lists and effective ref counts."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_avc_weighted_media(docs)
+    return M.decode_avc_weighted_slices(media)
+
+
+@register(
     "text_rake_keywords",
     oracle=f"""
 WITH toks AS (

@@ -170,3 +170,80 @@ def test_checksum_sensitivity():
             if got != want:
                 changed += 1
     assert changed > total * 0.5, f"{changed}/{total} slice flips caught"
+
+
+def test_weighted_tier_population_and_replay():
+    """The weighted tier (full pool + pred_weight_table under
+    weighted_bipred_idc 1): tables really appear, and every weight
+    aggregate equals a direct law replay over the EFFECTIVE l0/l1
+    active counts."""
+    n_wt = n_lw = n_cw = 0
+    for d in DOCS:
+        f = M.avc_slice_features(M.encode_avc_weighted_stream(d), weighted=True)
+        assert len(f) == 30
+        p = M.avc_fixture_params(d)
+        exp = [0] * 9
+        for s in range(M.avc_n_slices(d)):
+            law = M.avc_slice_law(d, s, weighted=True)
+            if law["kind"] != 1 or p["bipred"] != 1:
+                continue
+            ld, cd = M.avc_weight_denoms(d, s)
+            exp[0] += 1
+            exp[1] += ld + cd
+            exp[8] += (1 + s) * (17 * ld + 19 * cd)
+            eff = (
+                law["l0_active"] if law["ref_override"] else p["l0"],
+                law["l1_active"] if law["ref_override"] else p["l1"],
+            )
+            for x in range(2):
+                for i in range(eff[x] + 1):
+                    wl = M.avc_weight_law(d, s, x, i)
+                    if wl["lw_flag"]:
+                        exp[2] += 1
+                        exp[3] += wl["lw"]
+                        exp[4] += wl["lo"]
+                        exp[8] += (
+                            (1 + s) * (1 + i) * (2 + x)
+                            * (3 * wl["lw"] + 5 * wl["lo"])
+                        )
+                    if wl["cw_flag"]:
+                        for j in range(2):
+                            exp[5] += 1
+                            exp[6] += wl["cw"][j]
+                            exp[7] += wl["co"][j]
+                            exp[8] += (
+                                (1 + s) * (1 + i) * (2 + x)
+                                * (7 * wl["cw"][j] + 11 * wl["co"][j])
+                            )
+        assert list(f[21:]) == exp, d
+        n_wt += exp[0]
+        n_lw += exp[2]
+        n_cw += exp[5]
+    assert n_wt > 20 and n_lw > 50 and n_cw > 100
+
+
+def test_weighted_tier_conformance_rejections():
+    # a doc with bipred 1 whose weighted stream has a B slice
+    d = next(
+        d for d in range(60)
+        if M.avc_fixture_params(d)["bipred"] == 1
+        and any(
+            M.avc_slice_law(d, s, weighted=True)["kind"] == 1
+            for s in range(M.avc_n_slices(d))
+        )
+    )
+    # denom out of range
+    with mock.patch.object(M, "avc_weight_denoms", return_value=(9, 0)):
+        bad = M.encode_avc_weighted_stream(d)
+    with pytest.raises(ValueError, match="denom"):
+        M.avc_slice_features(bad, weighted=True)
+    # luma weight outside [-128, 127]
+    good_wl = M.avc_weight_law(d, 1, 0, 0)
+    tampered = dict(good_wl, lw_flag=1, lw=200)
+    with mock.patch.object(M, "avc_weight_law", return_value=tampered):
+        bad2 = M.encode_avc_weighted_stream(d)
+    with pytest.raises(ValueError, match=r"\[-128, 127\]"):
+        M.avc_slice_features(bad2, weighted=True)
+    # the base tier still loud-rejects weighted-B streams
+    with pytest.raises(ValueError, match="pred_weight_table"):
+        M.avc_slice_features(M.encode_avc_weighted_stream(d))
