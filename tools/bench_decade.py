@@ -38,6 +38,9 @@ MASS = {
     "search_chunk_ann": "doc_chars",
     # media payload size is a doc_id law -> scales with doc ROWS
     "multimodal_mp3_spectrum": "doc_rows",
+    "multimodal_mp3_reservoir": "doc_rows",
+    "multimodal_avc_slice_headers": "doc_rows",
+    "multimodal_avc_weighted_pred": "doc_rows",
     # embedding row mass
     "neardup_cosine_pairs": "emb_rows",
     "dedup_embedding_components": "emb_rows",
