@@ -4147,41 +4147,47 @@ MP3_SLEN1 = (0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
 MP3_SLEN2 = (0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
 
 
-def mp3_sf_law(doc_id: int, k: int, g: int) -> dict:
-    """Per-(frame k, granule g) fixture law for the scale-factor tier
-    (mono; mirrored by the SQL oracle). Block type is FRAME-level (no g
-    term) so a channel is long-long (scfsi meaningful) or windowed-windowed
-    (scfsi forced 0), exactly the split §2.4.2.7's reuse rule needs.
-    part2_3_length is part2_length plus a modular Huffman-bit count, so
-    the parser's part2 ≤ part23 check holds by construction and any band
-    miscount breaks it."""
-    wsf = 1 if (doc_id + k) % 3 == 0 else 0
-    bt = (2 if (doc_id + k) % 2 == 0 else 1) if wsf else 0
-    mixed = (doc_id + 2 * k) % 2 if wsf else 0
-    sfc = (doc_id + k + 2 * g) % 16
-    scfsi = (doc_id + 3 * k) % 16 if wsf == 0 else 0
+def mp3_sf_law(doc_id: int, k: int, g: int, c: int = 0) -> dict:
+    """Per-(frame k, granule g, channel c) fixture law for the
+    scale-factor tier (mirrored by the SQL oracle; ``c=0`` is bit-for-bit
+    the original mono law — every c-term vanishes). Block type is
+    FRAME-level per channel (no g term) so a channel is long-long (scfsi
+    meaningful) or windowed-windowed (scfsi forced 0), exactly the split
+    §2.4.2.7's reuse rule needs. part2_3_length is part2_length plus a
+    modular Huffman-bit count, so the parser's part2 ≤ part23 check holds
+    by construction and any band miscount breaks it."""
+    wsf = 1 if (doc_id + k + 5 * c) % 3 == 0 else 0
+    bt = (2 if (doc_id + k + c) % 2 == 0 else 1) if wsf else 0
+    mixed = (doc_id + 2 * k + c) % 2 if wsf else 0
+    sfc = (doc_id + k + 2 * g + 3 * c) % 16
+    scfsi = (doc_id + 3 * k + 7 * c) % 16 if wsf == 0 else 0
     law = {
         "wsf": wsf, "block_type": bt, "mixed": mixed, "sfc": sfc,
         "scfsi": scfsi,
         "slen1": MP3_SLEN1[sfc], "slen2": MP3_SLEN2[sfc],
-        "big_values": (doc_id + k * 17 + g * 29) % 289,
-        "global_gain": (doc_id * 13 + k * 7 + g * 3) % 256,
-        "table_select": [(doc_id + k + 7 * g + 11 * j) % 32 for j in range(3)],
-        "subblock_gain": [(doc_id + k + g + j) % 8 for j in range(3)],
-        "region0": (doc_id + k + g) % 16,
-        "region1": (doc_id * 7 + k) % 8,
-        "preflag": (doc_id + k) % 2,
-        "sfs": (doc_id + g) % 2,
-        "c1ts": (k + g) % 2,
+        "big_values": (doc_id + k * 17 + g * 29 + c * 41) % 289,
+        "global_gain": (doc_id * 13 + k * 7 + g * 3 + c * 5) % 256,
+        "table_select": [
+            (doc_id + k + 7 * g + 11 * j + 13 * c) % 32 for j in range(3)
+        ],
+        "subblock_gain": [(doc_id + k + g + j + c) % 8 for j in range(3)],
+        "region0": (doc_id + k + g + c) % 16,
+        "region1": (doc_id * 7 + k + c) % 8,
+        "preflag": (doc_id + k + c) % 2,
+        "sfs": (doc_id + g + c) % 2,
+        "c1ts": (k + g + c) % 2,
     }
     return law
 
 
-def mp3_sf_value(doc_id: int, k: int, g: int, i: int, w: int, slen: int) -> int:
+def mp3_sf_value(
+    doc_id: int, k: int, g: int, i: int, w: int, slen: int, c: int = 0
+) -> int:
     """Transmitted scale-factor value for band i, window w (0 for long
     bands): modular in the slen-bit range (slen = 0 → value 0, since
-    x % 1 == 0 — the untransmitted-band case falls out of the law)."""
-    return (doc_id + 3 * k + 5 * g + 11 * i + 17 * w) % (1 << slen)
+    x % 1 == 0 — the untransmitted-band case falls out of the law).
+    ``c=0`` is the original mono law."""
+    return (doc_id + 3 * k + 5 * g + 11 * i + 17 * w + 7 * c) % (1 << slen)
 
 
 def mp3_sf_bands(law: dict) -> list[tuple[str, int, int, int]]:
@@ -4573,22 +4579,29 @@ def mp3_count1_codebook():
     return enc, dec
 
 
-def mp3_spectrum_law(doc_id: int, k: int, g: int) -> dict:
-    """Spectrum fixture law (mirrored by the SQL oracle). Pair count is
-    capped at 15 and quad count at 11 so the provable worst case per
+def mp3_spectrum_law(
+    doc_id: int, k: int, g: int, c: int = 0, channels: int = 1
+) -> dict:
+    """Spectrum fixture law (mirrored by the SQL oracle); ``c=0,
+    channels=1`` is bit-for-bit the original mono law. Mono caps pair
+    count at 15 and quad count at 11 so the provable worst case per
     granule — part2 ≤ 126 + 15 pairs · (12-bit code + 2·13 linbits +
     2 signs) + 11 quads · (8 + 4) bits ≤ 858 bits — fits the smallest
     fixture frame body (267 bytes = 2136 bits for both granules) and the
-    12-bit part2_3_length field for EVERY doc_id."""
-    law = mp3_sf_law(doc_id, k, g)
+    12-bit part2_3_length field for EVERY doc_id. Stereo tightens the
+    caps to 7 pairs / 5 quads: worst case 126 + 7·40 + 5·12 = 466 bits
+    per granule-channel, 4 · 466 = 1864 bits ≤ the smallest stereo body
+    (252 bytes = 2016 bits after the 32-byte side info)."""
+    law = mp3_sf_law(doc_id, k, g, c)
     ts = []
     for j in range(3):
-        t = (doc_id + k + 7 * g + 11 * j) % 32
+        t = (doc_id + k + 7 * g + 11 * j + 13 * c) % 32
         ts.append({4: 5, 14: 15}.get(t, t))
+    bvs_cap, n1_cap = (16, 12) if channels == 1 else (8, 6)
     return {
         **law,
-        "bvs": ((doc_id + k * 17 + g * 29) % 289) % 16,
-        "n1": (doc_id * 3 + k + g * 5) % 12,
+        "bvs": ((doc_id + k * 17 + g * 29 + c * 41) % 289) % bvs_cap,
+        "n1": (doc_id * 3 + k + g * 5 + c * 7) % n1_cap,
         "ts": ts,
     }
 
@@ -4606,14 +4619,18 @@ def mp3_spec_regions(law: dict) -> tuple[int, int]:
     return b0, b1
 
 
-def mp3_spec_sign(doc_id: int, k: int, g: int, s: int) -> int:
-    """Sign bit for the non-zero value at sample ``s`` (1 = negative)."""
-    return (doc_id + 5 * k + 3 * g + s) % 2
+def mp3_spec_sign(doc_id: int, k: int, g: int, s: int, c: int = 0) -> int:
+    """Sign bit for the non-zero value at sample ``s`` (1 = negative);
+    ``c=0`` is the original mono law."""
+    return (doc_id + 5 * k + 3 * g + s + 9 * c) % 2
 
 
-def _mp3_spec_granule_bits(doc_id: int, k: int, g: int) -> list[tuple[int, int]]:
-    """The granule's part3 as (value, nbits) tuples in bitstream order."""
-    law = mp3_spectrum_law(doc_id, k, g)
+def _mp3_spec_granule_bits(
+    doc_id: int, k: int, g: int, c: int = 0, channels: int = 1
+) -> list[tuple[int, int]]:
+    """The granule-channel's part3 as (value, nbits) tuples in bitstream
+    order; ``c=0, channels=1`` is bit-for-bit the original mono law."""
+    law = mp3_spectrum_law(doc_id, k, g, c, channels)
     b0, b1 = mp3_spec_regions(law)
     out: list[tuple[int, int]] = []
     for i in range(law["bvs"]):
@@ -4622,29 +4639,31 @@ def _mp3_spec_granule_bits(doc_id: int, k: int, g: int) -> list[tuple[int, int]]
         if t == 0:
             continue
         enc, _, n, linbits = mp3_huff_codebook(t)
-        x = (doc_id + 2 * k + 3 * g + 5 * i + r) % n
-        y = (doc_id + k + 7 * i + 3 * r) % n
+        x = (doc_id + 2 * k + 3 * g + 5 * i + r + 7 * c) % n
+        y = (doc_id + k + 7 * i + 3 * r + 5 * c) % n
         code, ln = enc[(x, y)]
         out.append((code, ln))
         if t >= 16 and x == 15:
-            out.append(((doc_id + 11 * i) % (1 << linbits), linbits))
+            out.append(((doc_id + 11 * i + 3 * c) % (1 << linbits), linbits))
         if x:
-            out.append((mp3_spec_sign(doc_id, k, g, 2 * i), 1))
+            out.append((mp3_spec_sign(doc_id, k, g, 2 * i, c), 1))
         if t >= 16 and y == 15:
-            out.append(((doc_id + 13 * i) % (1 << linbits), linbits))
+            out.append(((doc_id + 13 * i + 5 * c) % (1 << linbits), linbits))
         if y:
-            out.append((mp3_spec_sign(doc_id, k, g, 2 * i + 1), 1))
+            out.append((mp3_spec_sign(doc_id, k, g, 2 * i + 1, c), 1))
     enc_a, _ = mp3_count1_codebook()
     base = 2 * law["bvs"]
     for j in range(law["n1"]):
-        q = (doc_id + k + g + 13 * j) % 16
+        q = (doc_id + k + g + 13 * j + 3 * c) % 16
         if law["c1ts"]:
             out.append((q, 4))
         else:
             out.append(enc_a[q])
         for o in range(4):
             if (q >> (3 - o)) & 1:
-                out.append((mp3_spec_sign(doc_id, k, g, base + 4 * j + o), 1))
+                out.append(
+                    (mp3_spec_sign(doc_id, k, g, base + 4 * j + o, c), 1)
+                )
     return out
 
 
@@ -4740,15 +4759,17 @@ def _mp3_huff_read(r: _MsbBitReader, dec: dict, maxlen: int):
     raise ValueError("invalid Huffman prefix in part3")
 
 
-def _mp3_mono_frame_header(
-    raw: bytes, pos: int, bitrate, srate
-) -> tuple[int, int, int]:
-    """Validate one mono MPEG-1 Layer III CBR frame header at ``pos`` and
-    return (frame_size, kbps, sample_rate). Raises ValueError on lost
-    sync, non-MPEG-1/Layer-III, CRC frames, stereo mode bits, invalid
-    bitrate/sample-rate indexes, a CBR violation against the stream's
-    established (bitrate, srate), or a torn body. Shared by the spectrum
-    and reservoir frame walks."""
+def _mp3_frame_header(
+    raw: bytes, pos: int, bitrate, srate, allow_stereo: bool = False
+) -> tuple[int, int, int, int]:
+    """Validate one MPEG-1 Layer III CBR frame header at ``pos`` and
+    return (frame_size, kbps, sample_rate, channels). Raises ValueError
+    on lost sync, non-MPEG-1/Layer-III, CRC frames, invalid mode bits
+    (stereo only with ``allow_stereo``; joint-stereo/dual-channel always
+    rejected — out of the fixture population), invalid bitrate/
+    sample-rate indexes, a CBR violation against the stream's established
+    (bitrate, srate), or a torn body. Shared by the spectrum, reservoir,
+    and mixed-channel frame walks."""
     if pos + 4 > len(raw):
         raise ValueError("torn frame header")
     b0, b1, b2, b3 = raw[pos], raw[pos + 1], raw[pos + 2], raw[pos + 3]
@@ -4758,8 +4779,15 @@ def _mp3_mono_frame_header(
         raise ValueError("MPEG-1 Layer III only")
     if not (b1 & 0x1):
         raise ValueError("CRC-protected frames unsupported")
-    if (b3 >> 6) != 0x3:
+    mode = b3 >> 6
+    if mode == 0x3:
+        channels = 1
+    elif mode == 0x0 and allow_stereo:
+        channels = 2
+    elif mode == 0x0:
         raise ValueError("spectrum tier is mono-only")
+    else:
+        raise ValueError("joint-stereo/dual-channel out of fixture population")
     bidx, sidx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
     if bidx in (0, 15) or sidx == 3:
         raise ValueError("invalid bitrate/sample-rate index")
@@ -4769,8 +4797,17 @@ def _mp3_mono_frame_header(
     elif (kbps, sr) != (bitrate, srate):
         raise ValueError("VBR stream (CBR walk expected)")
     size = 144 * kbps * 1000 // sr + pad
-    if size < 4 + 17 or pos + size > len(raw):
+    si_len = 17 if channels == 1 else 32
+    if size < 4 + si_len or pos + size > len(raw):
         raise ValueError("torn frame body")
+    return size, bitrate, srate, channels
+
+
+def _mp3_mono_frame_header(
+    raw: bytes, pos: int, bitrate, srate
+) -> tuple[int, int, int]:
+    """Mono-only wrapper kept for the spectrum/reservoir walks."""
+    size, bitrate, srate, _ = _mp3_frame_header(raw, pos, bitrate, srate)
     return size, bitrate, srate
 
 
@@ -4784,12 +4821,18 @@ def _mp3_part23_walk(r: "_MsbBitReader", si: dict, agg: dict) -> None:
     assembled cross-frame main-data stream at the back-pointer target).
     Raises ValueError on any violation — see `mp3_spectrum_features`."""
     _, dec_a = mp3_count1_codebook()
-    scfsi = si["scfsi"]
-    if scfsi and any(
-        g["wsf"] and g["block_type"] == 2 for g in si["granules"]
-    ):
-        raise ValueError("scfsi reuse against a short-block granule")
-    for g, gr in enumerate(si["granules"]):
+    channels = len(si["granules"]) // 2
+    scfsi_ch = si["scfsi_ch"]
+    for c in range(channels):
+        if scfsi_ch[c] and any(
+            si["granules"][g * channels + c]["wsf"]
+            and si["granules"][g * channels + c]["block_type"] == 2
+            for g in range(2)
+        ):
+            raise ValueError("scfsi reuse against a short-block granule")
+    for idx, gr in enumerate(si["granules"]):
+        g, c = idx // channels, idx % channels
+        scfsi = scfsi_ch[c]
         start = r.pos
         # --- part2: consume the scale-factor bits (r12 machinery)
         sfc = gr["sfc"]
@@ -4840,6 +4883,8 @@ def _mp3_part23_walk(r: "_MsbBitReader", si: dict, agg: dict) -> None:
                     sgn = -1 if r.bits(1) else 1
                     agg["sum_abs"] += av
                     agg["checksum"] += sgn * av * (1 + sample)
+                    if c:
+                        agg["sum_abs_ch1"] += av
             agg["n_pairs"] += 1
         # --- part3: count1 region until part2_3_length is exhausted
         quads = 0
@@ -4856,6 +4901,8 @@ def _mp3_part23_walk(r: "_MsbBitReader", si: dict, agg: dict) -> None:
                     sgn = -1 if r.bits(1) else 1
                     agg["sum_abs"] += 1
                     agg["checksum"] += sgn * (1 + sample + o)
+                    if c:
+                        agg["sum_abs_ch1"] += 1
             quads += 1
             sample += 4
         if r.pos - start != gr["part23"]:
@@ -4888,7 +4935,7 @@ def mp3_spectrum_features(raw: bytes):
     bitrate = srate = None
     agg = dict.fromkeys(
         ("n_pairs", "n_quads", "n_esc", "sum_abs", "sum_lin", "checksum",
-         "rzero_total", "region2_pairs"), 0,
+         "rzero_total", "region2_pairs", "sum_abs_ch1"), 0,
     )
     while pos < len(raw):
         size, bitrate, srate = _mp3_mono_frame_header(raw, pos, bitrate, srate)
@@ -5093,7 +5140,7 @@ def mp3_reservoir_features(raw: bytes):
     stream = bytes(slabs)
     agg = dict.fromkeys(
         ("n_pairs", "n_quads", "n_esc", "sum_abs", "sum_lin", "checksum",
-         "rzero_total", "region2_pairs"), 0,
+         "rzero_total", "region2_pairs", "sum_abs_ch1"), 0,
     )
     max_mdb = sum_mdb = n_res = 0
     prev_end_bits = 0
@@ -5174,4 +5221,209 @@ def decode_mp3_reservoir(
         " sum_linval bigint, checksum bigint, rzero_total bigint,"
         " region2_pairs bigint, max_mdb bigint, sum_mdb bigint,"
         " n_reservoir_frames bigint, n_bytes bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MP3 MIXED-CHANNEL spectrum tier (r13) — the spectrum decode generalized
+# over the channel dimension: even docs are mono (17-byte side info, 2
+# granule structs), odd docs are STEREO (32-byte side info, 4 granule-
+# channel structs in (granule, channel) order, per-channel scfsi), the
+# same corpus split as the r11 side-info-mixed gate row. The part2+part3
+# walk is the SAME shared `_mp3_part23_walk` (now channel-aware: scfsi
+# reuse resolves against the OWNING channel's 4-bit field, and a channel-1
+# magnitude accumulator pins channel routing); the laws gain c-terms that
+# vanish at c = 0, so the mono tiers are bit-identical to before. Stereo
+# tightens the fixture caps (7 pairs / 5 quads per granule-channel) so the
+# provable worst case — 4 · 466 = 1864 bits — fits the smallest stereo
+# body (252 bytes) for every doc_id; see `mp3_spectrum_law`. Joint-stereo
+# (mode 01: intensity/MS flags in mode_extension) stays OUT of the
+# population and is loud-rejected at the header walk — a disclosed
+# boundary (its spectral reconstruction is decode-side arithmetic, not
+# bitstream grammar).
+# ---------------------------------------------------------------------------
+
+
+def encode_mp3_spectrum_mixed(doc_id: int) -> bytes:
+    """CBR MPEG-1 Layer III frames with genuine part2+part3 main data in
+    BOTH channel modes: channels = 1 + doc_id % 2 (even docs mono — byte-
+    compatible with the mono spectrum law at c = 0 — odd docs stereo with
+    per-(granule, channel) laws and per-channel scfsi)."""
+    p = mp3_sideinfo_params(doc_id)
+    channels = 1 + doc_id % 2
+    si_len = 17 if channels == 1 else 32
+    out = bytearray()
+    for k in range(p["n_frames"]):
+        pad = (doc_id + k) % 2
+        size = mp3_frame_size(p["bitrate_idx"], p["sr_idx"], pad)
+        b2 = (p["bitrate_idx"] << 4) | (p["sr_idx"] << 2) | (pad << 1)
+        b3 = 0xC4 if channels == 1 else 0x04
+        out += bytes((0xFF, 0xFB, b2, b3))
+        laws = [
+            [mp3_spectrum_law(doc_id, k, g, c, channels) for c in range(channels)]
+            for g in range(2)
+        ]
+        part2 = [[None] * channels for _ in range(2)]
+        part3 = [[None] * channels for _ in range(2)]
+        for g in range(2):
+            for c in range(channels):
+                law = laws[g][c]
+                bands = mp3_sf_bands(law)
+                if g == 1 and law["scfsi"]:
+                    bands = [
+                        b for b in bands
+                        if not (law["scfsi"] >> (3 - _scfsi_group(b[1]))) & 1
+                    ]
+                part2[g][c] = bands
+                part3[g][c] = _mp3_spec_granule_bits(doc_id, k, g, c, channels)
+        w = _MsbBitWriter()
+        w.put(0, 9)  # main_data_begin = 0 (the reservoir is its own tier)
+        w.put(0, 5 if channels == 1 else 3)
+        for c in range(channels):
+            w.put(laws[0][c]["scfsi"], 4)
+        for g in range(2):
+            for c in range(channels):
+                law = laws[g][c]
+                p23 = (
+                    sum(b[3] for b in part2[g][c])
+                    + sum(nb for _, nb in part3[g][c])
+                )
+                w.put(p23, 12)
+                w.put(law["bvs"], 9)
+                w.put(law["global_gain"], 8)
+                w.put(law["sfc"], 4)
+                w.put(law["wsf"], 1)
+                if law["wsf"]:
+                    w.put(law["block_type"], 2)
+                    w.put(law["mixed"], 1)
+                    for j in range(2):
+                        w.put(law["ts"][j], 5)
+                    for j in range(3):
+                        w.put(law["subblock_gain"][j], 3)
+                else:
+                    for j in range(3):
+                        w.put(law["ts"][j], 5)
+                    w.put(law["region0"], 4)
+                    w.put(law["region1"], 3)
+                w.put(law["preflag"], 1)
+                w.put(law["sfs"], 1)
+                w.put(law["c1ts"], 1)
+        si = w.flush()
+        assert len(si) == si_len
+        out += si
+        md = _MsbBitWriter()
+        for g in range(2):
+            for c in range(channels):
+                for kind, i, win, slen in part2[g][c]:
+                    if slen:
+                        md.put(
+                            mp3_sf_value(doc_id, k, g, i, win, slen, c), slen
+                        )
+                for v, nb in part3[g][c]:
+                    md.put(v, nb)
+        main = md.flush()
+        body = size - 4 - si_len
+        if len(main) > body:
+            raise AssertionError("mixed spectrum overflows the frame body")
+        v = (doc_id * 7 + k * 13) % 251
+        out += main + bytes([v]) * (body - len(main))
+    return bytes(out)
+
+
+def mp3_spectrum_mixed_features(raw: bytes):
+    """Frame-walk + side-info + part2+part3 decode of one MPEG-1 Layer
+    III stream in EITHER channel mode (mono or stereo — the mode bits
+    pick the 17/32-byte side-info layout, the granule-struct count, and
+    per-channel scfsi resolution; a mid-stream mode switch is rejected
+    like a VBR violation). Joint-stereo/dual-channel are loud-rejected
+    (disclosed boundary). Returns (n_frames, n_channels, n_big_pairs,
+    n_count1_quads, n_esc, sum_abs, sum_linval, checksum, rzero_total,
+    region2_pairs, sum_abs_ch1, n_bytes) — sum_abs_ch1 pins channel
+    routing (0 for mono streams by construction)."""
+    raw = bytes(raw)
+    pos = 0
+    frames = 0
+    bitrate = srate = None
+    stream_channels = None
+    agg = dict.fromkeys(
+        ("n_pairs", "n_quads", "n_esc", "sum_abs", "sum_lin", "checksum",
+         "rzero_total", "region2_pairs", "sum_abs_ch1"), 0,
+    )
+    while pos < len(raw):
+        size, bitrate, srate, channels = _mp3_frame_header(
+            raw, pos, bitrate, srate, allow_stereo=True
+        )
+        if stream_channels is None:
+            stream_channels = channels
+        elif channels != stream_channels:
+            raise ValueError("channel-mode switch mid-stream")
+        si_len = 17 if channels == 1 else 32
+        si = mp3_parse_sideinfo(raw[pos + 4 : pos + 4 + si_len], channels=channels)
+        if si["main_data_begin"] != 0:
+            raise ValueError("bit reservoir (main_data_begin != 0) unsupported")
+        r = _MsbBitReader(raw[pos + 4 + si_len : pos + size])
+        _mp3_part23_walk(r, si, agg)
+        frames += 1
+        pos += size
+    if frames == 0:
+        raise ValueError("no MPEG frames")
+    return (
+        frames, stream_channels, agg["n_pairs"], agg["n_quads"],
+        agg["n_esc"], agg["sum_abs"], agg["sum_lin"], agg["checksum"],
+        agg["rzero_total"], agg["region2_pairs"], agg["sum_abs_ch1"],
+        len(raw),
+    )
+
+
+def attach_mp3_spectrum_mixed_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One spectrum-real MP3 payload per row, channel mode alternating by
+    doc parity (odd docs stereo)."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_mp3_spectrum_mixed(int(i)) for i in ids]
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "mp3", "n_bytes": len(p), "width": 0, "height": 0,
+                 "duration_ms": 0}
+                for p in payloads
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_mp3_spectrum_mixed(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mixed-channel spectrum feature stage (Arrow-batched mapInPandas)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [
+                mp3_spectrum_mixed_features(bytes(b)) for b in pdf[media_col]
+            ]
+            cols = [
+                "n_frames", "n_channels", "n_big_pairs", "n_count1_quads",
+                "n_esc", "sum_abs", "sum_linval", "checksum", "rzero_total",
+                "region2_pairs", "sum_abs_ch1", "n_bytes",
+            ]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for ci, name in enumerate(cols):
+                out[name] = [p[ci] for p in parsed]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, n_frames bigint, n_channels bigint,"
+        " n_big_pairs bigint, n_count1_quads bigint, n_esc bigint,"
+        " sum_abs bigint, sum_linval bigint, checksum bigint,"
+        " rzero_total bigint, region2_pairs bigint, sum_abs_ch1 bigint,"
+        " n_bytes bigint",
     )

@@ -10324,6 +10324,12 @@ def _mp3_spec_ts(j: str) -> str:
     return f"CASE WHEN {t} = 4 THEN 5 WHEN {t} = 14 THEN 15 ELSE {t} END"
 
 
+def _mp3_spec_mixed_ts(j: str) -> str:
+    """Channel-aware table select law (the mixed tier's 13·c term)."""
+    t = f"(doc_id + k + 7 * g.g + 11 * {j} + 13 * c.c) % 32"
+    return f"CASE WHEN {t} = 4 THEN 5 WHEN {t} = 14 THEN 15 ELSE {t} END"
+
+
 _MP3_SFB_BOUNDS_SQL = (
     "[0,4,8,12,16,20,24,30,36,44,52,62,74,90,110,134,162,196,238,288,342,418,576]"
 )
@@ -10529,3 +10535,153 @@ def multimodal_mp3_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = M.attach_mp3_reservoir_media(docs)
     return M.decode_mp3_reservoir(media)
+
+
+@register(
+    "multimodal_mp3_spectrum_mixed",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 4 AS nf, 1 + doc_id % 2 AS ch,
+         CASE 7 + doc_id % 5 WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                             WHEN 10 THEN 160 ELSE 192 END AS kbps,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr
+  FROM documents
+), fr AS (
+  SELECT doc_id, nf, ch, kbps, sr, k.k,
+         144 * kbps * 1000 // sr + (doc_id + k.k) % 2 AS fsize
+  FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS k) k
+), gr AS (
+  SELECT doc_id, ch, k, g.g, c.c,
+         CASE WHEN (doc_id + k + 5 * c.c) % 3 = 0 THEN 1 ELSE 0 END AS wsf,
+         (doc_id + k + g.g + c.c) % 16 AS r0,
+         (doc_id * 7 + k + c.c) % 8 AS r1,
+         ((doc_id + k * 17 + g.g * 29 + c.c * 41) % 289)
+           % (CASE ch WHEN 1 THEN 16 ELSE 8 END) AS bvs,
+         (doc_id * 3 + k + g.g * 5 + c.c * 7)
+           % (CASE ch WHEN 1 THEN 12 ELSE 6 END) AS n1,
+         {_mp3_spec_mixed_ts("0")} AS t0,
+         {_mp3_spec_mixed_ts("1")} AS t1,
+         {_mp3_spec_mixed_ts("2")} AS t2
+  FROM fr,
+       LATERAL (SELECT unnest(generate_series(0, 1)) AS g) g,
+       LATERAL (SELECT unnest(generate_series(0, ch - 1)) AS c) c
+), grb AS (
+  SELECT *,
+         CASE WHEN wsf = 1 THEN 36
+              ELSE {_MP3_SFB_BOUNDS_SQL}[LEAST(r0 + 1, 22) + 1] END AS b0,
+         CASE WHEN wsf = 1 THEN 576
+              ELSE GREATEST(
+                CASE WHEN wsf = 1 THEN 36
+                     ELSE {_MP3_SFB_BOUNDS_SQL}[LEAST(r0 + 1, 22) + 1] END,
+                {_MP3_SFB_BOUNDS_SQL}[LEAST(r0 + r1 + 2, 22) + 1]) END AS b1
+  FROM gr
+), pr AS (
+  SELECT doc_id, k, g, c, i.i,
+         CASE WHEN 2 * i.i < b0 THEN 0 WHEN 2 * i.i < b1 THEN 1 ELSE 2 END AS r,
+         CASE CASE WHEN 2 * i.i < b0 THEN 0 WHEN 2 * i.i < b1 THEN 1 ELSE 2 END
+              WHEN 0 THEN t0 WHEN 1 THEN t1 ELSE t2 END AS t
+  FROM grb, LATERAL (SELECT unnest(generate_series(0, bvs - 1)) AS i) i
+), prv AS (
+  SELECT doc_id, k, g, c, i, r, t,
+         {_mp3_spec_xlen_case("t")} AS xl,
+         {_mp3_spec_linbits_case("t")} AS lb
+  FROM pr
+), prx AS (
+  SELECT doc_id, k, g, c, i, r, t, lb,
+         CASE WHEN xl = 0 THEN 0
+              ELSE (doc_id + 2 * k + 3 * g + 5 * i + r + 7 * c) % xl END AS x,
+         CASE WHEN xl = 0 THEN 0
+              ELSE (doc_id + k + 7 * i + 3 * r + 5 * c) % xl END AS y
+  FROM prv
+), prc AS (
+  SELECT doc_id, k, g, c, i, r, t,
+         CASE WHEN t >= 16 AND x = 15 THEN 1 ELSE 0 END AS ex,
+         CASE WHEN t >= 16 AND y = 15 THEN 1 ELSE 0 END AS ey,
+         x + CASE WHEN t >= 16 AND x = 15
+                  THEN (doc_id + 11 * i + 3 * c) % (1 << lb) ELSE 0 END AS ax,
+         y + CASE WHEN t >= 16 AND y = 15
+                  THEN (doc_id + 13 * i + 5 * c) % (1 << lb) ELSE 0 END AS ay,
+         CASE WHEN t >= 16 AND x = 15
+              THEN (doc_id + 11 * i + 3 * c) % (1 << lb) ELSE 0 END AS lvx,
+         CASE WHEN t >= 16 AND y = 15
+              THEN (doc_id + 13 * i + 5 * c) % (1 << lb) ELSE 0 END AS lvy,
+         1 - 2 * ((doc_id + 5 * k + 3 * g + 2 * i + 9 * c) % 2) AS sgx,
+         1 - 2 * ((doc_id + 5 * k + 3 * g + 2 * i + 1 + 9 * c) % 2) AS sgy
+  FROM prx
+), pagg AS (
+  SELECT doc_id,
+         SUM(CASE WHEN t <> 0 THEN 1 ELSE 0 END) AS n_big_pairs,
+         SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS region2_pairs,
+         SUM(ex + ey) AS n_esc,
+         SUM(lvx + lvy) AS sum_linval,
+         SUM(ax + ay) AS sum_abs_p,
+         SUM(CASE WHEN c = 1 THEN ax + ay ELSE 0 END) AS sum_abs_ch1_p,
+         SUM(CASE WHEN ax > 0 THEN sgx * ax * (2 * i + 1) ELSE 0 END
+             + CASE WHEN ay > 0 THEN sgy * ay * (2 * i + 2) ELSE 0 END) AS cks_p
+  FROM prc GROUP BY doc_id
+), qd AS (
+  SELECT doc_id, k, g, c, bvs, j.j,
+         (doc_id + k + g + 13 * j.j + 3 * c) % 16 AS q
+  FROM grb, LATERAL (SELECT unnest(generate_series(0, n1 - 1)) AS j) j
+), qb AS (
+  SELECT doc_id, k, g, c, j, o.o,
+         (q // CASE o.o WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) % 2 AS bit,
+         2 * bvs + 4 * j + o.o AS s
+  FROM qd, LATERAL (SELECT unnest(generate_series(0, 3)) AS o) o
+), qagg AS (
+  SELECT doc_id,
+         SUM(bit) AS sum_abs_q,
+         SUM(CASE WHEN c = 1 THEN bit ELSE 0 END) AS sum_abs_ch1_q,
+         SUM(CASE WHEN bit = 1
+                  THEN (1 - 2 * ((doc_id + 5 * k + 3 * g + s + 9 * c) % 2)) * (1 + s)
+                  ELSE 0 END) AS cks_q
+  FROM qb GROUP BY doc_id
+), gagg AS (
+  SELECT doc_id,
+         SUM(n1) AS n_count1_quads,
+         SUM(576 - 2 * bvs - 4 * n1) AS rzero_total
+  FROM grb GROUP BY doc_id
+), fagg AS (
+  SELECT doc_id, ANY_VALUE(nf) AS nf, ANY_VALUE(ch) AS ch,
+         SUM(fsize) AS n_bytes
+  FROM fr GROUP BY doc_id
+)
+SELECT f.doc_id,
+       CAST(f.nf AS BIGINT) AS n_frames,
+       CAST(f.ch AS BIGINT) AS n_channels,
+       CAST(COALESCE(p2.n_big_pairs, 0) AS BIGINT) AS n_big_pairs,
+       CAST(g2.n_count1_quads AS BIGINT) AS n_count1_quads,
+       CAST(COALESCE(p2.n_esc, 0) AS BIGINT) AS n_esc,
+       CAST(COALESCE(p2.sum_abs_p, 0) + COALESCE(q2.sum_abs_q, 0) AS BIGINT) AS sum_abs,
+       CAST(COALESCE(p2.sum_linval, 0) AS BIGINT) AS sum_linval,
+       CAST(COALESCE(p2.cks_p, 0) + COALESCE(q2.cks_q, 0) AS BIGINT) AS checksum,
+       CAST(g2.rzero_total AS BIGINT) AS rzero_total,
+       CAST(COALESCE(p2.region2_pairs, 0) AS BIGINT) AS region2_pairs,
+       CAST(COALESCE(p2.sum_abs_ch1_p, 0) + COALESCE(q2.sum_abs_ch1_q, 0)
+            AS BIGINT) AS sum_abs_ch1,
+       CAST(f.n_bytes AS BIGINT) AS n_bytes
+FROM fagg f
+JOIN gagg g2 USING (doc_id)
+LEFT JOIN pagg p2 USING (doc_id)
+LEFT JOIN qagg q2 USING (doc_id)
+""",
+    tags=("ext", "multimodal", "codec", "audio"),
+)
+def multimodal_mp3_spectrum_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: MIXED-CHANNEL Huffman spectrum — the part2+part3 decode
+    generalized over the channel dimension, the same mono/stereo corpus
+    split as the r11 side-info-mixed gate row: even docs mono (bit-
+    identical to `multimodal_mp3_spectrum`'s payloads at c = 0), odd docs
+    STEREO — 32-byte side info, four granule-channel structs in
+    (granule, channel) order, per-channel scfsi reuse resolution, and
+    channel-parameterized value/sign/table laws with stereo-tightened
+    frame-fit caps (7 pairs / 5 quads per granule-channel; the 4·466-bit
+    worst case fits the 252-byte stereo body provably). sum_abs_ch1 pins
+    channel routing — swapping any channel's coded region breaks it (and
+    the per-channel laws break the global checksum). Joint-stereo stays
+    loud-rejected (disclosed boundary: mode 01 is decode-side arithmetic,
+    not bitstream grammar). The oracle replays every law over the
+    (frame, granule, channel) lattice."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_mp3_spectrum_mixed_media(docs)
+    return M.decode_mp3_spectrum_mixed(media)
