@@ -89,7 +89,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     # layouts, scfsi, granule window-switching — the stronger variant) and
     # AVC SPS/PPS exp-Golomb headers (Annex-B start codes,
     # emulation-prevention de-escape, PPS→SPS cross-check)
-    "multimodal_mp3_sideinfo_mixed",
+    # r13 rotation (mid-round): the MIXED-CHANNEL spectrum tier SUBSUMES
+    # the r11 side-info-mixed row — mp3_spectrum_mixed_features runs the
+    # identical 17/32-byte side-info parse (per-channel scfsi, granule
+    # window-switching, both layouts) before decoding the part2+part3
+    # payload the side-info tier stops short of; the displaced
+    # multimodal_mp3_sideinfo_mixed (gated since r12) stays sweep-green
+    "multimodal_mp3_spectrum_mixed",
     # r13 rotation (mid-round): the AVC slice-header tier SUBSUMES the
     # r11 SPS/PPS config row — avc_slice_features runs the full §7.3.2
     # config parse (incl. the PPS→SPS cross-check and emulation
