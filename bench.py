@@ -191,6 +191,9 @@ HEADLINE = [
     # scans, the throughput shape the headline set exists to track.
     "multimodal_mp3_reservoir",
     "multimodal_avc_slice_headers",
+    # r13 continuation 2: the mixed-channel spectrum walk (mono+stereo
+    # corpus, per-channel scfsi) — same per-document decode shape.
+    "multimodal_mp3_spectrum_mixed",
 ]
 
 # The compact machine line (what the driver records as BENCH_r{N}.json) can't
@@ -233,6 +236,7 @@ COMPACT_PINNED = [
     "multimodal_mp3_spectrum",
     "multimodal_mp3_reservoir",
     "multimodal_avc_slice_headers",
+    "multimodal_mp3_spectrum_mixed",
 ]
 
 
