@@ -3417,7 +3417,12 @@ def decode_mp3_features(
 # ---------------------------------------------------------------------------
 
 MP4_TIMESCALES = (600, 1000, 90000)
-MP4_CONTAINERS = (b"moov", b"trak", b"mdia", b"minf", b"stbl")
+MP4_CONTAINERS = (
+    b"moov", b"trak", b"mdia", b"minf", b"stbl",
+    # fragmented-movie containers (r13 fMP4 tier; absent from the flat
+    # fixtures, so the earlier tiers' walks are unchanged)
+    b"mvex", b"moof", b"traf",
+)
 
 
 def mp4_fixture_params(doc_id: int) -> dict:
@@ -5426,4 +5431,413 @@ def decode_mp3_spectrum_mixed(
         " sum_abs bigint, sum_linval bigint, checksum bigint,"
         " rzero_total bigint, region2_pairs bigint, sum_abs_ch1 bigint,"
         " n_bytes bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# FRAGMENTED MP4 tier (r13) — the streaming/DASH shape of ISO-BMFF
+# (ISO 14496-12 §8.8): a movie box whose sample tables are EMPTY plus an
+# mvex/trex carrying track-level defaults, followed by movie fragments —
+# moof(mfhd sequence + traf(tfhd + tfdt + trun)) + mdat pairs. What makes
+# the grammar real: tfhd and trun FLAGS gate which fields are present, and
+# the effective per-sample size/duration resolves through the spec's
+# three-level precedence (trun per-sample > tfhd fragment default > trex
+# track default); trun's data_offset is relative to the moof start under
+# default-base-is-moof and must land exactly on the mdat payload; tfdt's
+# baseMediaDecodeTime must equal the running sum of all previous
+# fragments' durations; mfhd sequence numbers must increment from 1.
+# Violations a real demuxer rejects raise loudly: sequence breaks, tfdt
+# drift, a tfhd referencing an unknown track, data offsets missing the
+# payload, trun size sums disagreeing with the mdat length, torn boxes.
+# Sample payloads stay opaque deterministic filler per the section banner.
+# ---------------------------------------------------------------------------
+
+
+def mp4_frag_params(doc_id: int) -> dict:
+    """Track-level fragmented-MP4 law (mirrored by the SQL oracle)."""
+    return {
+        "n_frags": 2 + doc_id % 4,
+        "timescale": (1000, 12288, 44100)[doc_id % 3],
+        "track_id": 1 + doc_id % 3,
+        "trex_dur": 500 + doc_id % 100,
+        "trex_size": 20 + doc_id % 30,
+    }
+
+
+def mp4_frag_law(doc_id: int, f: int) -> dict:
+    """Per-fragment law: which defaults are overridden and where sample
+    sizes/durations come from (the three-level precedence)."""
+    return {
+        "n_samples": 1 + (doc_id + f) % 5,
+        "trun_sizes": (doc_id + f) % 2 == 1,
+        "tfhd_size_override": (doc_id + 3 * f) % 3 == 0,
+        "tfhd_size": 15 + (doc_id + f) % 25,
+        "trun_durs": (doc_id + 7 * f) % 3 == 0,
+        "tfhd_dur_override": (doc_id + 5 * f) % 4 == 0,
+        "tfhd_dur": 300 + (doc_id + f) % 80,
+    }
+
+
+def mp4_frag_sample_size(doc_id: int, f: int, j: int) -> int:
+    return 10 + (doc_id + f + 3 * j) % 40
+
+
+def mp4_frag_sample_dur(doc_id: int, f: int, j: int) -> int:
+    return 100 + (doc_id + f + 5 * j) % 50
+
+
+def mp4_frag_fill(doc_id: int, f: int, j: int) -> int:
+    return (doc_id * 7 + f * 13 + j * 3) % 251
+
+
+def mp4_frag_effective(doc_id: int, f: int, j: int) -> tuple[int, int]:
+    """(size, duration) for sample j of fragment f through the spec
+    precedence: trun per-sample > tfhd fragment default > trex default."""
+    p = mp4_frag_params(doc_id)
+    law = mp4_frag_law(doc_id, f)
+    if law["trun_sizes"]:
+        size = mp4_frag_sample_size(doc_id, f, j)
+    elif law["tfhd_size_override"]:
+        size = law["tfhd_size"]
+    else:
+        size = p["trex_size"]
+    if law["trun_durs"]:
+        dur = mp4_frag_sample_dur(doc_id, f, j)
+    elif law["tfhd_dur_override"]:
+        dur = law["tfhd_dur"]
+    else:
+        dur = p["trex_dur"]
+    return size, dur
+
+
+def encode_mp4_fragmented(doc_id: int) -> bytes:
+    """ftyp + fragmented moov (empty sample tables + mvex/trex defaults)
+    + per-fragment moof/mdat pairs per the laws above. trun data offsets
+    are moof-relative (default-base-is-moof) and land exactly on each
+    fragment's mdat payload; tfdt carries the true running decode time."""
+    import struct
+
+    p = mp4_frag_params(doc_id)
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isom" + b"iso6"
+    )
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, p["timescale"], 0)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", p["track_id"] + 1),
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, p["track_id"], 0, 0)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 0, 0),
+    )
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, p["timescale"], 0, 0x55C4, 0),
+    )
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"\x00"
+    )
+    nmhd = _mp4_full(b"nmhd", 0, 0, b"")
+    entry = _mp4_box(b"mp4a", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8)
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    # fragmented movies carry EMPTY sample tables (§8.8.1)
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">I", 0))
+    stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">I", 0))
+    stsz = _mp4_full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = _mp4_full(b"stco", 0, 0, struct.pack(">I", 0))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", nmhd + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    trex = _mp4_full(
+        b"trex", 0, 0,
+        struct.pack(">IIIII", p["track_id"], 1, p["trex_dur"],
+                    p["trex_size"], 0),
+    )
+    mvex = _mp4_box(b"mvex", trex)
+    moov = _mp4_box(b"moov", mvhd + trak + mvex)
+
+    out = bytearray(ftyp + moov)
+    decode_time = 0
+    for f in range(p["n_frags"]):
+        law = mp4_frag_law(doc_id, f)
+        n = law["n_samples"]
+        mfhd = _mp4_full(b"mfhd", 0, 0, struct.pack(">I", f + 1))
+        tfhd_flags = 0x20000  # default-base-is-moof
+        tfhd_body = struct.pack(">I", p["track_id"])
+        if law["tfhd_dur_override"]:
+            tfhd_flags |= 0x8
+            tfhd_body += struct.pack(">I", law["tfhd_dur"])
+        if law["tfhd_size_override"]:
+            tfhd_flags |= 0x10
+            tfhd_body += struct.pack(">I", law["tfhd_size"])
+        tfhd = _mp4_full(b"tfhd", 0, tfhd_flags, tfhd_body)
+        tfdt = _mp4_full(b"tfdt", 0, 0, struct.pack(">I", decode_time))
+        trun_flags = 0x1  # data-offset-present
+        if law["trun_durs"]:
+            trun_flags |= 0x100
+        if law["trun_sizes"]:
+            trun_flags |= 0x200
+
+        def build_trun(data_off: int) -> bytes:
+            body = struct.pack(">I", n) + struct.pack(">i", data_off)
+            for j in range(n):
+                if law["trun_durs"]:
+                    body += struct.pack(">I", mp4_frag_sample_dur(doc_id, f, j))
+                if law["trun_sizes"]:
+                    body += struct.pack(">I", mp4_frag_sample_size(doc_id, f, j))
+            return _mp4_full(b"trun", 0, trun_flags, body)
+
+        def build_moof(data_off: int) -> bytes:
+            traf = _mp4_box(b"traf", tfhd + tfdt + build_trun(data_off))
+            return _mp4_box(b"moof", mfhd + traf)
+
+        # trun's fields are fixed-width, so the moof length is
+        # offset-invariant: lay out once with 0, rebuild with the real
+        # moof-relative payload offset (moof size + mdat header)
+        moof_len = len(build_moof(0))
+        moof = build_moof(moof_len + 8)
+        payload = bytearray()
+        for j in range(n):
+            size, dur = mp4_frag_effective(doc_id, f, j)
+            payload += bytes([mp4_frag_fill(doc_id, f, j)]) * size
+            decode_time += dur
+        out += moof + _mp4_box(b"mdat", bytes(payload))
+    return bytes(out)
+
+
+def _mp4_read_box(raw: bytes, pos: int) -> tuple[bytes, int, int]:
+    """(tag, body_start, body_end) of the box at ``pos``; raises on torn
+    or over-running boxes (32-bit sizes only — the fixture's shape)."""
+    if pos + 8 > len(raw):
+        raise ValueError("torn box header")
+    size = int.from_bytes(raw[pos : pos + 4], "big")
+    tag = raw[pos + 4 : pos + 8]
+    if size < 8 or pos + size > len(raw):
+        raise ValueError(f"torn box {tag!r}")
+    return tag, pos + 8, pos + size
+
+
+def mp4_fragmented_features(raw: bytes):
+    """Demux one fragmented ISO-BMFF stream: ftyp + moov (mvhd timescale,
+    mvex/trex track defaults, EMPTY sample tables) then moof/mdat pairs,
+    enforcing everything a real fMP4 demuxer checks — mfhd sequence
+    numbers increment from 1, tfhd references the trex track and carries
+    default-base-is-moof, tfdt equals the running decode time, trun's
+    data offset (moof-relative) lands exactly on the mdat payload, and
+    the resolved sample sizes (trun > tfhd > trex precedence) tile the
+    mdat payload exactly. Returns (n_frags, n_samples, total_duration,
+    sum_sample_bytes, n_trun_size_frags, n_tfhd_size_frags,
+    n_trex_size_frags, n_trun_dur_frags, payload_sum, last_decode_time,
+    checksum, n_bytes) where checksum = Σ (1+f)·(3·frag_duration +
+    5·frag_bytes + 7·n_samples_f)."""
+    import struct
+
+    raw = bytes(raw)
+    tag, b0, b1 = _mp4_read_box(raw, 0)
+    if tag != b"ftyp":
+        raise ValueError("first box must be ftyp")
+    pos = b1
+    tag, b0, b1 = _mp4_read_box(raw, pos)
+    if tag != b"moov":
+        raise ValueError("second box must be moov")
+    boxes: list = []
+    _mp4_walk(raw, b0, b1, 1, boxes)
+    by_tag: dict = {}
+    for t, s, e, depth in boxes:
+        by_tag.setdefault(t, []).append((s, e))
+    for t in (b"mvhd", b"trex", b"stsz"):
+        if len(by_tag.get(t, [])) != 1:
+            raise ValueError(f"expected exactly one {t!r} box")
+    v0, _ = by_tag[b"mvhd"][0]
+    if raw[v0] != 0:
+        raise ValueError("mvhd version 1 unsupported")
+    _, _, timescale, _ = struct.unpack_from(">IIII", raw, v0 + 4)
+    x0, x1 = by_tag[b"trex"][0]
+    track_id, _, trex_dur, trex_size, _ = struct.unpack_from(">IIIII", raw, x0 + 4)
+    z0, _ = by_tag[b"stsz"][0]
+    _, n_movie_samples = struct.unpack_from(">II", raw, z0 + 4)
+    if n_movie_samples != 0:
+        raise ValueError("fragmented movie must carry empty sample tables")
+
+    pos = b1
+    n_frags = n_samples = total_dur = sum_bytes = 0
+    n_ts = n_fs = n_xs = n_td = 0
+    payload_sum = 0
+    decode_time = 0
+    last_tfdt = 0
+    checksum = 0
+    while pos < len(raw):
+        moof_start = pos
+        tag, m0, m1 = _mp4_read_box(raw, pos)
+        if tag != b"moof":
+            raise ValueError(f"expected moof, got {tag!r}")
+        inner: list = []
+        _mp4_walk(raw, m0, m1, 1, inner)
+        itag = {t: (s, e) for t, s, e, _ in inner}
+        for t in (b"mfhd", b"traf", b"tfhd", b"tfdt", b"trun"):
+            if t not in itag:
+                raise ValueError(f"moof missing {t!r}")
+        s, _ = itag[b"mfhd"]
+        (seq,) = struct.unpack_from(">I", raw, s + 4)
+        if seq != n_frags + 1:
+            raise ValueError(
+                f"fragment sequence break: mfhd {seq} at fragment {n_frags}"
+            )
+        s, e = itag[b"tfhd"]
+        tfhd_flags = int.from_bytes(raw[s + 1 : s + 4], "big")
+        if not tfhd_flags & 0x20000:
+            raise ValueError(
+                "tfhd without default-base-is-moof (out of fixture population)"
+            )
+        off = s + 4
+        (tid,) = struct.unpack_from(">I", raw, off)
+        off += 4
+        if tid != track_id:
+            raise ValueError(f"tfhd references unknown track {tid}")
+        if tfhd_flags & 0x2:
+            off += 4  # sample_description_index
+        tfhd_dur = tfhd_size = None
+        if tfhd_flags & 0x8:
+            (tfhd_dur,) = struct.unpack_from(">I", raw, off)
+            off += 4
+        if tfhd_flags & 0x10:
+            (tfhd_size,) = struct.unpack_from(">I", raw, off)
+            off += 4
+        s, _ = itag[b"tfdt"]
+        if raw[s] != 0:
+            raise ValueError("tfdt version 1 unsupported")
+        (base_dt,) = struct.unpack_from(">I", raw, s + 4)
+        if base_dt != decode_time:
+            raise ValueError(
+                f"tfdt drift: fragment {seq} claims {base_dt}, "
+                f"running decode time is {decode_time}"
+            )
+        last_tfdt = base_dt
+        s, e = itag[b"trun"]
+        trun_flags = int.from_bytes(raw[s + 1 : s + 4], "big")
+        if not trun_flags & 0x1:
+            raise ValueError("trun without data-offset (out of fixture population)")
+        off = s + 4
+        (cnt,) = struct.unpack_from(">I", raw, off)
+        off += 4
+        (data_off,) = struct.unpack_from(">i", raw, off)
+        off += 4
+        if trun_flags & 0x4:
+            off += 4  # first_sample_flags
+        sizes = []
+        durs = []
+        for _j in range(cnt):
+            if trun_flags & 0x100:
+                (d,) = struct.unpack_from(">I", raw, off)
+                off += 4
+                durs.append(d)
+            if trun_flags & 0x200:
+                (sz,) = struct.unpack_from(">I", raw, off)
+                off += 4
+                sizes.append(sz)
+            if trun_flags & 0x400:
+                off += 4  # sample_flags
+            if trun_flags & 0x800:
+                off += 4  # composition offset
+        if off > e:
+            raise ValueError("trun entries overrun the box")
+        # resolve through the spec precedence
+        if not sizes:
+            fill_size = tfhd_size if tfhd_size is not None else trex_size
+            sizes = [fill_size] * cnt
+            n_fs += tfhd_size is not None
+            n_xs += tfhd_size is None
+        else:
+            n_ts += 1
+        if not durs:
+            durs = [tfhd_dur if tfhd_dur is not None else trex_dur] * cnt
+        else:
+            n_td += 1
+        tag, d0, d1 = _mp4_read_box(raw, m1)
+        if tag != b"mdat":
+            raise ValueError("moof not followed by its mdat")
+        if moof_start + data_off != d0:
+            raise ValueError("trun data offset misses the mdat payload")
+        if sum(sizes) != d1 - d0:
+            raise ValueError("trun sample sizes disagree with the mdat length")
+        payload_sum += sum(raw[d0:d1])
+        frag_bytes = sum(sizes)
+        frag_dur = sum(durs)
+        decode_time += frag_dur
+        total_dur += frag_dur
+        sum_bytes += frag_bytes
+        n_samples += cnt
+        checksum += (1 + n_frags) * (
+            3 * frag_dur + 5 * frag_bytes + 7 * cnt
+        )
+        n_frags += 1
+        pos = d1
+    if n_frags == 0:
+        raise ValueError("no movie fragments")
+    _ = timescale
+    return (
+        n_frags, n_samples, total_dur, sum_bytes, n_ts, n_fs, n_xs, n_td,
+        payload_sum, last_tfdt, checksum, len(raw),
+    )
+
+
+def attach_mp4_fragmented_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One fragmented ISO-BMFF payload per row."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_mp4_fragmented(int(i)) for i in ids]
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "mp4", "n_bytes": len(p), "width": 0, "height": 0,
+                 "duration_ms": 0}
+                for p in payloads
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_mp4_fragmented(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fragmented-MP4 feature stage (Arrow-batched mapInPandas)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [
+                mp4_fragmented_features(bytes(b)) for b in pdf[media_col]
+            ]
+            cols = [
+                "n_fragments", "n_samples", "total_duration",
+                "sum_sample_bytes", "n_trun_size_frags", "n_tfhd_size_frags",
+                "n_trex_size_frags", "n_trun_dur_frags", "payload_sum",
+                "last_decode_time", "checksum",
+                None,  # n_bytes: box-layout-dependent, tests cover it
+            ]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for ci, name in enumerate(cols):
+                if name is not None:
+                    out[name] = [p[ci] for p in parsed]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, n_fragments bigint, n_samples bigint,"
+        " total_duration bigint, sum_sample_bytes bigint,"
+        " n_trun_size_frags bigint, n_tfhd_size_frags bigint,"
+        " n_trex_size_frags bigint, n_trun_dur_frags bigint,"
+        " payload_sum bigint, last_decode_time bigint, checksum bigint",
     )

@@ -10685,3 +10685,80 @@ def multimodal_mp3_spectrum_mixed(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = t(spark, sf_dir, "documents")
     media = M.attach_mp3_spectrum_mixed_media(docs)
     return M.decode_mp3_spectrum_mixed(media)
+
+
+@register(
+    "multimodal_mp4_fragmented",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         2 + doc_id % 4 AS nf,
+         500 + doc_id % 100 AS trex_dur,
+         20 + doc_id % 30 AS trex_size
+  FROM documents
+), fr AS (
+  SELECT doc_id, nf, trex_dur, trex_size, f.f,
+         1 + (doc_id + f.f) % 5 AS n,
+         CASE WHEN (doc_id + f.f) % 2 = 1 THEN 1 ELSE 0 END AS trun_sizes,
+         CASE WHEN (doc_id + 3 * f.f) % 3 = 0 THEN 1 ELSE 0 END AS size_ov,
+         15 + (doc_id + f.f) % 25 AS tfhd_size,
+         CASE WHEN (doc_id + 7 * f.f) % 3 = 0 THEN 1 ELSE 0 END AS trun_durs,
+         CASE WHEN (doc_id + 5 * f.f) % 4 = 0 THEN 1 ELSE 0 END AS dur_ov,
+         300 + (doc_id + f.f) % 80 AS tfhd_dur
+  FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f
+), sm AS (
+  SELECT doc_id, nf, f, n, trun_sizes, size_ov, trun_durs, dur_ov, j.j,
+         CASE WHEN trun_sizes = 1 THEN 10 + (doc_id + f + 3 * j.j) % 40
+              WHEN size_ov = 1 THEN tfhd_size
+              ELSE trex_size END AS size,
+         CASE WHEN trun_durs = 1 THEN 100 + (doc_id + f + 5 * j.j) % 50
+              WHEN dur_ov = 1 THEN tfhd_dur
+              ELSE trex_dur END AS dur,
+         (doc_id * 7 + f * 13 + j.j * 3) % 251 AS fill
+  FROM fr, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS j) j
+), fagg AS (
+  SELECT doc_id, nf, f, ANY_VALUE(n) AS n,
+         ANY_VALUE(trun_sizes) AS trun_sizes, ANY_VALUE(size_ov) AS size_ov,
+         ANY_VALUE(trun_durs) AS trun_durs,
+         SUM(size) AS fb, SUM(dur) AS fd, SUM(fill * size) AS fps
+  FROM sm GROUP BY doc_id, nf, f
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(nf) AS BIGINT) AS n_fragments,
+       CAST(SUM(n) AS BIGINT) AS n_samples,
+       CAST(SUM(fd) AS BIGINT) AS total_duration,
+       CAST(SUM(fb) AS BIGINT) AS sum_sample_bytes,
+       CAST(SUM(trun_sizes) AS BIGINT) AS n_trun_size_frags,
+       CAST(SUM(CASE WHEN trun_sizes = 0 AND size_ov = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tfhd_size_frags,
+       CAST(SUM(CASE WHEN trun_sizes = 0 AND size_ov = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_trex_size_frags,
+       CAST(SUM(trun_durs) AS BIGINT) AS n_trun_dur_frags,
+       CAST(SUM(fps) AS BIGINT) AS payload_sum,
+       CAST(SUM(CASE WHEN f < nf - 1 THEN fd ELSE 0 END)
+            AS BIGINT) AS last_decode_time,
+       CAST(SUM((1 + f) * (3 * fd + 5 * fb + 7 * n)) AS BIGINT) AS checksum
+FROM fagg GROUP BY doc_id
+""",
+    tags=("ext", "multimodal", "codec", "video"),
+)
+def multimodal_mp4_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: FRAGMENTED MP4 (ISO 14496-12 §8.8, the streaming/DASH shape)
+    — the next container step past the flat and chunked ISO-BMFF tiers:
+    a movie box with EMPTY sample tables plus mvex/trex track defaults,
+    then moof/mdat fragment pairs whose grammar is flag-conditional —
+    tfhd and trun flags gate which fields are present, and each sample's
+    effective size/duration resolves through the spec's three-level
+    precedence (trun per-sample > tfhd fragment default > trex track
+    default; all three paths live in the population). Conformance a real
+    fMP4 demuxer enforces, loud-rejected on violation: mfhd sequence
+    numbers increment from 1, tfdt equals the running decode time,
+    tfhd references the trex track with default-base-is-moof, trun's
+    moof-relative data offset lands exactly on the mdat payload, and the
+    resolved sizes tile the mdat length exactly. payload_sum covers every
+    payload byte; the checksum weights (duration, bytes, count) by
+    fragment position. The oracle replays the laws over the
+    (fragment, sample) lattice."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_mp4_fragmented_media(docs)
+    return M.decode_mp4_fragmented(media)
