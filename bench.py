@@ -194,6 +194,10 @@ HEADLINE = [
     # r13 continuation 2: the mixed-channel spectrum walk (mono+stereo
     # corpus, per-channel scfsi) — same per-document decode shape.
     "multimodal_mp3_spectrum_mixed",
+    # r13 continuation 3: weighted-B slice headers and the fragmented-MP4
+    # demux — per-document decode scans like the rest of the codec family.
+    "multimodal_avc_weighted_pred",
+    "multimodal_mp4_fragmented",
 ]
 
 # The compact machine line (what the driver records as BENCH_r{N}.json) can't
@@ -237,6 +241,8 @@ COMPACT_PINNED = [
     "multimodal_mp3_reservoir",
     "multimodal_avc_slice_headers",
     "multimodal_mp3_spectrum_mixed",
+    "multimodal_avc_weighted_pred",
+    "multimodal_mp4_fragmented",
 ]
 
 
