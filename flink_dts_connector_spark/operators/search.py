@@ -116,6 +116,23 @@ def bm25_topk(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size(tokens(text_col)).cast("bigint")).alias("sum_dl"),
     )
+    return bm25_topk_from_index(
+        post, stats, k=k, n_terms=n_terms, terms_per_query=terms_per_query
+    )
+
+
+def bm25_topk_from_index(
+    post: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    n_terms: int = 8,
+    terms_per_query: int = 2,
+) -> DataFrame:
+    """Serve the BM25 ranking from a MATERIALIZED inverted index
+    (``post`` = (token, doc_id, tf, dl) rows) and corpus stats
+    (one (n_docs, sum_dl) row) — the maintenance twin's serving path;
+    `bm25_topk` builds both from raw docs and delegates here, so the
+    streamed index provably scores through the identical plan."""
     qterms = top_query_terms(post, n_terms=n_terms, terms_per_query=terms_per_query)
     hits = post.join(F.broadcast(qterms), "token").crossJoin(F.broadcast(stats))
     idf6 = F.expr("((n_docs - df) * 1000000) div n_docs")

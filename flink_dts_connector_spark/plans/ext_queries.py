@@ -2165,9 +2165,10 @@ def curate_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.chunk_windows(t(spark, sf_dir, "documents"), window=64, stride=48)
 
 
-@register(
-    "search_bm25_topk",
-    oracle=f"""
+#: the BM25 top-k oracle — shared verbatim with the streaming maintenance
+#: twin (`stream_bm25_maintenance`): the twin's converged index serves the
+#: identical ranking, so the same SQL is the correct oracle for both.
+BM25_TOPK_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
 ), post AS (
@@ -2207,7 +2208,12 @@ FROM (
          ) AS BIGINT) AS rank
   FROM scored
 ) WHERE rank <= 10
-""",
+"""
+
+
+@register(
+    "search_bm25_topk",
+    oracle=BM25_TOPK_ORACLE,
     tags=("ext", "search", "topk"),
 )
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

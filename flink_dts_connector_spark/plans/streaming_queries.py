@@ -3459,3 +3459,103 @@ def stream_minhash_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     if state["batches"] < 2:
         raise AssertionError(f"expected multiple micro-batches, got {state['batches']}")
     return state["pairs"]
+
+
+# the twin's converged index serves the batch ranking exactly, so the
+# batch oracle IS its oracle (safe import: ext_queries does not import
+# this module)
+from flink_dts_connector_spark.plans.ext_queries import BM25_TOPK_ORACLE
+
+
+@register(
+    "stream_bm25_maintenance",
+    oracle=BM25_TOPK_ORACLE,
+    tags=("ext", "streaming", "search", "maintenance"),
+)
+def stream_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING BM25 index maintenance — the search family's delta ≡
+    rebuild twin (the dedup trio got theirs in r11–r12; retrieval
+    gets its own here): documents arrive in 3 interleaved waves; each
+    micro-batch tokenizes ONLY the delta docs into inverted-index
+    postings rows (token, doc_id, tf, dl) plus one partial
+    (n_docs, sum_dl) stats row, and APPENDS both to state — no corpus
+    document is ever re-tokenized, because postings are per-document
+    facts and the corpus statistics BM25 needs (df per token, n_docs,
+    Σdl) are additive over disjoint waves. After the last wave the
+    ranking is served FROM the maintained index through the exact
+    scoring path the batch query uses (`bm25_topk_from_index` — the
+    same code `search_bm25_topk`'s `bm25_topk` delegates to), so the
+    converged result hash-matches the batch oracle verbatim.
+
+    Why delta ≡ rebuild is exact: postings(union of waves) ≡
+    union(postings(wave)) — tokenization is per-row; df/stats fold as
+    sums. The served ranking is a pure function of (postings, stats).
+    State = the inverted index itself, O(corpus tokens); per-batch work
+    = O(delta tokens). At 100 TB the state is a bucketed-by-token table
+    (the module docstring's persisted-index design) and each wave is one
+    append + a partition-local stats update; serving cost equals the
+    batch ranker on the materialized index — which is the point of
+    maintaining one."""
+    from flink_dts_connector_spark.operators import search as SR
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    waves_dir = scratch_dir("fdcs_bm25m_waves_")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(waves_dir)
+
+    post_empty = spark.createDataFrame(
+        [], "token string, doc_id bigint, tf bigint, dl bigint"
+    )
+    stats_empty = spark.createDataFrame([], "n_docs bigint, sum_dl bigint")
+    state = {
+        "post": post_empty.localCheckpoint(),
+        "stats": stats_empty.localCheckpoint(),
+        "batches": 0,
+    }
+
+    def merge(bdf: DataFrame, batch_id: int) -> None:
+        new = bdf.localCheckpoint()
+        if new.isEmpty():
+            return
+        delta_post = SR.postings(new).select(
+            "token", "doc_id", F.col("tf").cast("bigint").alias("tf"), "dl"
+        )
+        delta_stats = new.select(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(SR.tokens("text")).cast("bigint")).alias("sum_dl"),
+        )
+        state["post"] = state["post"].unionByName(delta_post).localCheckpoint()
+        state["stats"] = (
+            state["stats"].unionByName(delta_stats).localCheckpoint()
+        )
+        state["batches"] += 1
+
+    with pinned_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", scratch_dir("fdcs_bm25m_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(waves_dir, ignore_errors=True)
+    if state["batches"] < 2:
+        raise AssertionError(
+            f"expected multiple micro-batches, got {state['batches']}"
+        )
+    merged_stats = state["stats"].agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    )
+    return SR.bm25_topk_from_index(state["post"], merged_stats, k=10)
+
