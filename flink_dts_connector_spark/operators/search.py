@@ -277,6 +277,24 @@ def trigram_substring_search(
     min_match_doc. Hash-equality with the brute-force contains() oracle
     proves the probe loses no matches."""
     dtri = trigram_postings(docs, id_col, text_col)
+    texts = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    return trigram_search_from_index(dtri, texts, patterns, k_rarest, pattern_col)
+
+
+def trigram_search_from_index(
+    dtri: DataFrame,
+    texts: DataFrame,
+    patterns: DataFrame,
+    k_rarest: int = 3,
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Serve the substring search from a MATERIALIZED trigram index
+    (``dtri`` = (tri, doc_id) rows) and text store (``texts`` =
+    (doc_id, _text)) — the maintenance twin's serving path;
+    `trigram_substring_search` builds both from raw docs and delegates
+    here, so the streamed index probes through the identical plan."""
     dfreq = dtri.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
 
     ptri = patterns.select(
@@ -300,10 +318,9 @@ def trigram_substring_search(
         .where(F.col("hit") == F.col("need"))
         .select("pattern", "doc_id")
     )
-    ver = cand.join(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")),
-        "doc_id",
-    ).withColumn("m", F.expr("instr(_text, pattern) > 0"))
+    ver = cand.join(texts, "doc_id").withColumn(
+        "m", F.expr("instr(_text, pattern) > 0")
+    )
     return ver.groupBy("pattern").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
         F.sum(F.when(F.col("m"), 1).otherwise(0)).cast("bigint").alias("n_matches"),

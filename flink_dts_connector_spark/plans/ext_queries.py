@@ -9131,9 +9131,10 @@ def multimodal_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_mp4_features(media)
 
 
-@register(
-    "search_trigram_substring",
-    oracle="""
+#: shared verbatim with the streaming maintenance twin
+#: (`stream_trigram_maintenance`): the twin's converged index serves the
+#: identical probe + verification, so the same SQL oracles both.
+TRIGRAM_SUBSTRING_ORACLE = """
 WITH pats AS (
   SELECT DISTINCT substr(text, 11, 12) AS pattern
   FROM documents WHERE doc_id % 397 = 3 AND doc_id < 5000 AND length(text) >= 60
@@ -9171,7 +9172,12 @@ SELECT pattern,
        CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
        CAST(MIN(CASE WHEN m THEN doc_id END) AS BIGINT) AS min_match_doc
 FROM ver GROUP BY pattern
-""",
+"""
+
+
+@register(
+    "search_trigram_substring",
+    oracle=TRIGRAM_SUBSTRING_ORACLE,
     tags=("ext", "search", "index"),
 )
 def search_trigram_substring(spark: SparkSession, sf_dir: str) -> DataFrame:

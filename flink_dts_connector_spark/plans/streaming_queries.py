@@ -3559,3 +3559,101 @@ def stream_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return SR.bm25_topk_from_index(state["post"], merged_stats, k=10)
 
+
+
+# same sharing rationale as the BM25 twin above
+from flink_dts_connector_spark.plans.ext_queries import TRIGRAM_SUBSTRING_ORACLE
+
+
+@register(
+    "stream_trigram_maintenance",
+    oracle=TRIGRAM_SUBSTRING_ORACLE,
+    tags=("ext", "streaming", "search", "maintenance"),
+)
+def stream_trigram_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING trigram-index maintenance — the substring-search twin of
+    the BM25 maintenance query above: documents arrive in 3 interleaved
+    waves; each micro-batch extracts ONLY the delta docs' distinct
+    trigrams into (tri, doc_id) postings and appends them — plus the
+    delta text rows (the verification store) — to state. No corpus
+    document is ever re-shingled: trigram postings are per-document
+    facts, and the probe's df ranking (rarest-3 per pattern) is computed
+    at serve time from the CONVERGED index, exactly as the batch query
+    computes it from its one-shot index. The fixed-workload pattern
+    population (doc_id % 397 = 3, < 5000 — the r11 scaling contract) is
+    drawn from the maintained text store after the last wave, then the
+    identical serving path the batch query delegates to
+    (`trigram_search_from_index`) probes and verifies — so the converged
+    result hash-matches the batch oracle verbatim.
+
+    State = the trigram index + text store, O(corpus); per-batch work =
+    O(delta trigrams). At 100 TB both state tables bucket by their join
+    keys (tri / doc_id) and each wave is one append; serving equals the
+    batch prober on the materialized index."""
+    from flink_dts_connector_spark.operators import search as SR
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    waves_dir = scratch_dir("fdcs_trgm_waves_")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(waves_dir)
+
+    tri_empty = spark.createDataFrame([], "tri string, doc_id bigint")
+    txt_empty = spark.createDataFrame([], "doc_id bigint, _text string")
+    state = {
+        "tri": tri_empty.localCheckpoint(),
+        "texts": txt_empty.localCheckpoint(),
+        "batches": 0,
+    }
+
+    def merge(bdf: DataFrame, batch_id: int) -> None:
+        new = bdf.localCheckpoint()
+        if new.isEmpty():
+            return
+        state["tri"] = (
+            state["tri"].unionByName(SR.trigram_postings(new)).localCheckpoint()
+        )
+        state["texts"] = (
+            state["texts"]
+            .unionByName(
+                new.select("doc_id", F.col("text").alias("_text"))
+            )
+            .localCheckpoint()
+        )
+        state["batches"] += 1
+
+    with pinned_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(waves_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", scratch_dir("fdcs_trgm_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(waves_dir, ignore_errors=True)
+    if state["batches"] < 2:
+        raise AssertionError(
+            f"expected multiple micro-batches, got {state['batches']}"
+        )
+    pats = (
+        state["texts"]
+        .where(
+            (F.col("doc_id") % 397 == 3)
+            & (F.col("doc_id") < 5000)
+            & (F.length("_text") >= 60)
+        )
+        .select(F.expr("substring(_text, 11, 12)").alias("pattern"))
+        .distinct()
+    )
+    return SR.trigram_search_from_index(
+        state["tri"], state["texts"], pats, k_rarest=3
+    )
