@@ -41,6 +41,11 @@ MASS = {
     "multimodal_mp3_reservoir": "doc_rows",
     "multimodal_avc_slice_headers": "doc_rows",
     "multimodal_avc_weighted_pred": "doc_rows",
+    "multimodal_mp3_spectrum_mixed": "doc_rows",
+    "multimodal_mp4_fragmented": "doc_rows",
+    # index-maintenance twins tokenize/shingle the text corpus
+    "stream_bm25_maintenance": "doc_chars",
+    "stream_trigram_maintenance": "doc_chars",
     # embedding row mass
     "neardup_cosine_pairs": "emb_rows",
     "dedup_embedding_components": "emb_rows",
