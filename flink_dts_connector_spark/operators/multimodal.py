@@ -5841,3 +5841,263 @@ def decode_mp4_fragmented(
         " n_trex_size_frags bigint, n_trun_dur_frags bigint,"
         " payload_sum bigint, last_decode_time bigint, checksum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# ANIMATED GIF89a tier (r13) — lifts the flat GIF tier's single-frame and
+# local-color-table boundaries: a real GIF89a animation with the NETSCAPE2.0
+# looping application extension, a Graphic Control Extension (disposal
+# method, delay, transparency flag + index) before EVERY frame, frames that
+# are SUB-RECTANGLES of the logical screen at per-frame offsets, per-frame
+# LOCAL color tables on odd frames (the active palette switches per frame —
+# a decoder that keeps using the global table gets every odd frame's channel
+# sums wrong), and transparent pixels excluded from the channel sums (the
+# GCE's actual semantics). The LZW layer is the flat tier's from-scratch
+# variable-width codec, reused verbatim per frame. Conformance loud-rejects:
+# frames exceeding the logical screen, malformed GCE block sizes, an
+# unterminated stream, a missing trailer, interlace (still a disclosed
+# boundary), and every LZW structural error.
+# ---------------------------------------------------------------------------
+
+GIF_ANIM_SCREEN = (8, 6)
+
+
+def gif_anim_params(doc_id: int) -> dict:
+    return {
+        "n_frames": 2 + doc_id % 4,
+        "loop": doc_id % 4,  # 0 = loop forever (the NETSCAPE meaning)
+    }
+
+
+def gif_anim_frame_law(doc_id: int, k: int) -> dict:
+    """Per-frame geometry/GCE law. Rects fit the 8×6 logical screen by
+    construction (left ≤ 2 + w ≤ 6; top ≤ 1 + h ≤ 5)."""
+    return {
+        "w": 3 + (doc_id + k) % 4,
+        "h": 3 + (doc_id + 2 * k) % 3,
+        "left": (doc_id + k) % 3,
+        "top": (doc_id + 2 * k) % 2,
+        "local": k % 2 == 1,
+        "disposal": 1 + (doc_id + k) % 2,
+        "delay_cs": 4 + (doc_id + 3 * k) % 96,
+        "transp": (doc_id + k) % 2 == 1,
+        "t_idx": (doc_id + 11 * k) % 256,
+    }
+
+
+def _gif_local_palette(k: int, i: int) -> tuple[int, int, int]:
+    """Frame-k local color table entry i — distinct from the global law
+    so palette routing is observable in the sums."""
+    return ((i + 7 * k) % 256, (2 * i + 11 * k) % 256, (3 * i + 13 * k) % 256)
+
+
+def gif_anim_index(doc_id: int, k: int, x: int, y: int) -> int:
+    """Pixel index law for frame k at frame-local (x, y)."""
+    return (3 * doc_id + 5 * x + 17 * y + 29 * k) % 256
+
+
+def encode_gif_animated(doc_id: int) -> bytes:
+    """A real GIF89a animation per the laws above: logical screen with the
+    global table, NETSCAPE2.0 loop extension, then per frame a GCE +
+    image descriptor (+ local table on odd frames) + LZW sub-blocks."""
+    import struct
+
+    p = gif_anim_params(doc_id)
+    sw, sh = GIF_ANIM_SCREEN
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes(_gif_palette(i))
+    # NETSCAPE2.0 looping application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", p["loop"]) + b"\x00"
+    for k in range(p["n_frames"]):
+        law = gif_anim_frame_law(doc_id, k)
+        gce_flags = (law["disposal"] << 2) | (1 if law["transp"] else 0)
+        out += b"\x21\xf9\x04" + bytes((gce_flags,))
+        out += struct.pack("<H", law["delay_cs"])
+        out += bytes((law["t_idx"] if law["transp"] else 0, 0))
+        iflags = 0x87 if law["local"] else 0x00  # local table, 256 entries
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", law["left"], law["top"], law["w"], law["h"], iflags
+        )
+        if law["local"]:
+            for i in range(256):
+                out += bytes(_gif_local_palette(k, i))
+        idx = bytes(
+            gif_anim_index(doc_id, k, x, y)
+            for y in range(law["h"])
+            for x in range(law["w"])
+        )
+        out.append(8)
+        stream = _lzw_encode_gif(idx)
+        for i in range(0, len(stream), 255):
+            block = stream[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_animated_features(raw: bytes):
+    """REAL animated-GIF decode: signature + logical screen + global
+    table, the NETSCAPE2.0 loop extension, then per frame the GCE
+    (disposal, delay, transparency), the image descriptor (offsets must
+    keep the frame inside the logical screen), the per-frame LOCAL color
+    table when flagged, sub-block reassembly and the from-scratch LZW
+    decode, and channel sums through the frame's ACTIVE palette with
+    transparent pixels excluded. Returns (n_frames, loop_count,
+    sum_delay_cs, n_local_frames, n_disposal_restore, sum_w, sum_h,
+    n_transparent_px, sum_r, sum_g, sum_b, checksum, n_bytes) where
+    checksum = Σ (1+k)·(r_k + 2·g_k + 3·b_k + 5·delay_k). Raises
+    ValueError loudly on every structural violation."""
+    import struct
+
+    if len(raw) < 13 or raw[:6] != b"GIF89a":
+        raise ValueError("not a GIF89a payload")
+    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", raw, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("animated tier requires a global color table")
+    n_gct = 2 << (flags & 0x07)
+    gpal = [tuple(raw[pos + 3 * i : pos + 3 * i + 3]) for i in range(n_gct)]
+    pos += 3 * n_gct
+    # NETSCAPE2.0 loop extension
+    if raw[pos : pos + 2] != b"\x21\xff":
+        raise ValueError("missing application extension")
+    if raw[pos + 2] != 11 or raw[pos + 3 : pos + 14] != b"NETSCAPE2.0":
+        raise ValueError("unknown application extension")
+    if raw[pos + 14] != 3 or raw[pos + 15] != 1:
+        raise ValueError("malformed looping sub-block")
+    (loop,) = struct.unpack_from("<H", raw, pos + 16)
+    if raw[pos + 18] != 0:
+        raise ValueError("unterminated application extension")
+    pos += 19
+    n_frames = sum_delay = n_local = n_disp2 = sum_w = sum_h = 0
+    n_transp = sum_r = sum_g = sum_b = checksum = 0
+    while pos < len(raw) and raw[pos] != 0x3B:
+        if raw[pos : pos + 2] != b"\x21\xf9":
+            raise ValueError("expected a Graphic Control Extension")
+        if raw[pos + 2] != 4:
+            raise ValueError("GCE block size must be 4")
+        gflags = raw[pos + 3]
+        disposal = (gflags >> 2) & 0x7
+        transp = gflags & 0x1
+        (delay,) = struct.unpack_from("<H", raw, pos + 4)
+        t_idx = raw[pos + 6]
+        if raw[pos + 7] != 0:
+            raise ValueError("unterminated GCE")
+        pos += 8
+        if pos >= len(raw) or raw[pos] != 0x2C:
+            raise ValueError("expected image descriptor after GCE")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", raw, pos + 1)
+        if left + w > sw or top + h > sh:
+            raise ValueError("frame exceeds the logical screen")
+        if iflags & 0x40:
+            raise ValueError("interlace unsupported (disclosed boundary)")
+        pos += 10
+        pal = gpal
+        if iflags & 0x80:
+            n_lct = 2 << (iflags & 0x07)
+            pal = [
+                tuple(raw[pos + 3 * i : pos + 3 * i + 3]) for i in range(n_lct)
+            ]
+            pos += 3 * n_lct
+            n_local += 1
+        if pos >= len(raw):
+            raise ValueError("torn frame")
+        min_code = raw[pos]
+        pos += 1
+        stream = bytearray()
+        while True:
+            if pos >= len(raw):
+                raise ValueError("unterminated sub-block stream")
+            ln = raw[pos]
+            pos += 1
+            if ln == 0:
+                break
+            stream += raw[pos : pos + ln]
+            pos += ln
+        idx = _lzw_decode_gif(bytes(stream), w * h, min_code)
+        fr = fg = fb = 0
+        for i in idx:
+            if transp and i == t_idx:
+                n_transp += 1
+                continue
+            if i >= len(pal):
+                raise ValueError("pixel index outside the active palette")
+            r, g, b = pal[i]
+            fr += r
+            fg += g
+            fb += b
+        sum_r += fr
+        sum_g += fg
+        sum_b += fb
+        sum_delay += delay
+        n_disp2 += disposal == 2
+        sum_w += w
+        sum_h += h
+        checksum += (1 + n_frames) * (fr + 2 * fg + 3 * fb + 5 * delay)
+        n_frames += 1
+    if pos >= len(raw) or raw[pos] != 0x3B:
+        raise ValueError("missing GIF trailer")
+    if n_frames == 0:
+        raise ValueError("no frames")
+    return (
+        n_frames, loop, sum_delay, n_local, n_disp2, sum_w, sum_h,
+        n_transp, sum_r, sum_g, sum_b, checksum, len(raw),
+    )
+
+
+def attach_gif_animated_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One animated-GIF payload per row."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_gif_animated(int(i)) for i in ids]
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "gif", "n_bytes": len(p), "width": GIF_ANIM_SCREEN[0],
+                 "height": GIF_ANIM_SCREEN[1], "duration_ms": 0}
+                for p in payloads
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_gif_animated(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Animated-GIF feature stage (Arrow-batched mapInPandas)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [gif_animated_features(bytes(b)) for b in pdf[media_col]]
+            # n_bytes stays out of the oracle-compared surface: the LZW
+            # stream length is content-dependent (tests cover it)
+            cols = [
+                "n_frames", "loop_count", "sum_delay_cs", "n_local_frames",
+                "n_disposal_restore", "sum_w", "sum_h", "n_transparent_px",
+                "sum_r", "sum_g", "sum_b", "checksum", None,
+            ]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for ci, name in enumerate(cols):
+                if name is not None:
+                    out[name] = [p[ci] for p in parsed]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, n_frames bigint, loop_count bigint,"
+        " sum_delay_cs bigint, n_local_frames bigint,"
+        " n_disposal_restore bigint, sum_w bigint, sum_h bigint,"
+        " n_transparent_px bigint, sum_r bigint, sum_g bigint,"
+        " sum_b bigint, checksum bigint",
+    )

@@ -10774,3 +10774,87 @@ def multimodal_mp4_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = M.attach_mp4_fragmented_media(docs)
     return M.decode_mp4_fragmented(media)
+
+
+@register(
+    "multimodal_gif_animated",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 4 AS nf, doc_id % 4 AS loop_count
+  FROM documents
+), fr AS (
+  SELECT doc_id, nf, loop_count, k.k,
+         3 + (doc_id + k.k) % 4 AS w,
+         3 + (doc_id + 2 * k.k) % 3 AS h,
+         k.k % 2 AS loc,
+         1 + (doc_id + k.k) % 2 AS disposal,
+         4 + (doc_id + 3 * k.k) % 96 AS delay_cs,
+         (doc_id + k.k) % 2 AS transp,
+         (doc_id + 11 * k.k) % 256 AS t_idx
+  FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS k) k
+), px AS (
+  SELECT doc_id, k, loc, transp, t_idx, x.x, y.y,
+         (3 * doc_id + 5 * x.x + 17 * y.y + 29 * k) % 256 AS i
+  FROM fr,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y
+), pxc AS (
+  SELECT doc_id, k,
+         CASE WHEN transp = 1 AND i = t_idx THEN 1 ELSE 0 END AS tr,
+         CASE WHEN loc = 1 THEN (i + 7 * k) % 256 ELSE i END AS r,
+         CASE WHEN loc = 1 THEN (2 * i + 11 * k) % 256
+              ELSE (2 * i) % 256 END AS g,
+         CASE WHEN loc = 1 THEN (3 * i + 13 * k) % 256
+              ELSE (3 * i) % 256 END AS b
+  FROM px
+), fagg AS (
+  SELECT doc_id, k,
+         SUM(tr) AS ntr,
+         SUM(CASE WHEN tr = 0 THEN r ELSE 0 END) AS fr_,
+         SUM(CASE WHEN tr = 0 THEN g ELSE 0 END) AS fg_,
+         SUM(CASE WHEN tr = 0 THEN b ELSE 0 END) AS fb_
+  FROM pxc GROUP BY doc_id, k
+), j AS (
+  SELECT f.doc_id, f.k, f.delay_cs, f.loc, f.disposal, f.w, f.h,
+         f.nf, f.loop_count, a.ntr, a.fr_, a.fg_, a.fb_
+  FROM fr f JOIN fagg a ON a.doc_id = f.doc_id AND a.k = f.k
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(nf) AS BIGINT) AS n_frames,
+       CAST(ANY_VALUE(loop_count) AS BIGINT) AS loop_count,
+       CAST(SUM(delay_cs) AS BIGINT) AS sum_delay_cs,
+       CAST(SUM(loc) AS BIGINT) AS n_local_frames,
+       CAST(SUM(CASE WHEN disposal = 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_disposal_restore,
+       CAST(SUM(w) AS BIGINT) AS sum_w,
+       CAST(SUM(h) AS BIGINT) AS sum_h,
+       CAST(SUM(ntr) AS BIGINT) AS n_transparent_px,
+       CAST(SUM(fr_) AS BIGINT) AS sum_r,
+       CAST(SUM(fg_) AS BIGINT) AS sum_g,
+       CAST(SUM(fb_) AS BIGINT) AS sum_b,
+       CAST(SUM((1 + k) * (fr_ + 2 * fg_ + 3 * fb_ + 5 * delay_cs))
+            AS BIGINT) AS checksum
+FROM j GROUP BY doc_id
+""",
+    tags=("ext", "multimodal", "codec", "image"),
+)
+def multimodal_gif_animated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: ANIMATED GIF89a — lifts the flat GIF tier's single-frame and
+    local-color-table boundaries: every document carries a real GIF89a
+    animation (the NETSCAPE2.0 looping application extension, a Graphic
+    Control Extension before every frame with disposal method / delay /
+    transparency flag + index, frames as SUB-RECTANGLES of the logical
+    screen at per-frame offsets, per-frame LOCAL color tables on odd
+    frames, and the flat tier's from-scratch variable-width LZW per
+    frame). The decode maps every pixel through the frame's ACTIVE
+    palette — a decoder that keeps using the global table gets every
+    odd frame's channel sums wrong — and excludes transparent pixels
+    from the sums (the GCE's actual semantics). Conformance loud-rejects
+    frames exceeding the logical screen, malformed GCE/application
+    blocks, missing trailer, and all LZW structural damage; interlace
+    stays a disclosed boundary. The n_bytes column is excluded (LZW
+    output length is content-dependent); everything else replays in
+    closed form over the (frame, x, y) lattice."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_gif_animated_media(docs)
+    return M.decode_gif_animated(media)
