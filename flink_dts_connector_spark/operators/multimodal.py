@@ -6101,3 +6101,282 @@ def decode_gif_animated(
         " n_transparent_px bigint, sum_r bigint, sum_g bigint,"
         " sum_b bigint, checksum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG ADAM7 INTERLACE tier (r13) — lifts the PNG tier's non-interlace
+# boundary: interlace method 1 splits the image into SEVEN passes, each a
+# sub-image over the lattice (x0 + i·dx, y0 + j·dy); every pass carries its
+# OWN filtered scanlines (filter prediction references the previous row OF
+# THE SAME PASS, not the image row above), empty passes (zero width or
+# height at small dimensions — common in this fixture's 4–8 px images)
+# contribute NO bytes at all (not even filter bytes — the classic decoder
+# bug), and reconstruction de-interlaces each pass's pixels back to their
+# absolute coordinates. The fixture reuses the flat PNG tier's pixel law,
+# so the de-interlaced channel sums must equal the non-interlaced tier's —
+# and a pass-weighted checksum (Σ (1+pass(x,y))·(r+2g+3b), the Adam7
+# pattern replayed by the SQL oracle as a CASE over (x mod 8, y mod 8))
+# pins the de-interlace MAPPING, not just the multiset of pixel values.
+# ---------------------------------------------------------------------------
+
+#: Adam7 passes as (x0, y0, dx, dy), in transmission order
+PNG_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def png_adam7_pass(x: int, y: int) -> int:
+    """1-based Adam7 pass owning absolute pixel (x, y) — the standard
+    8×8 pattern (mirrored by the SQL oracle's CASE)."""
+    if y % 2 == 1:
+        return 7
+    if y % 8 == 0:
+        if x % 8 == 0:
+            return 1
+        if x % 8 == 4:
+            return 2
+        return 4 if x % 4 == 2 else 6
+    if y % 4 == 2:
+        return 5 if x % 2 == 0 else 6
+    # y % 8 == 4
+    if x % 4 == 0:
+        return 3
+    return 4 if x % 4 == 2 else 6
+
+
+def encode_png_interlaced(width: int, height: int, pixel_fn) -> bytes:
+    """Build a real Adam7-interlaced PNG (IHDR interlace = 1): the IDAT
+    stream is the concatenation of the seven passes' independently
+    filtered sub-images; scanline j of pass p uses filter (p + j) % 5 so
+    every filter type appears across the population; empty passes emit
+    nothing."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    bpp = 3
+    raw = bytearray()
+    for p, (x0, y0, dx, dy) in enumerate(PNG_ADAM7_PASSES):
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        prior = bytes(pw * bpp)
+        for j in range(ph):
+            cur = bytearray()
+            for i in range(pw):
+                r, g, b = pixel_fn(x0 + i * dx, y0 + j * dy)
+                cur += bytes((r & 0xFF, g & 0xFF, b & 0xFF))
+            ftype = (p + j) % 5
+            raw.append(ftype)
+            for i in range(pw * bpp):
+                left = cur[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                ul = prior[i - bpp] if i >= bpp else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = left
+                elif ftype == 2:
+                    pred = up
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                raw.append((cur[i] - pred) & 0xFF)
+            prior = bytes(cur)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_interlaced(raw: bytes):
+    """REAL Adam7 decode: signature + chunk walk with CRC-32 checks,
+    IHDR must declare 8-bit RGB interlace 1, inflate IDAT, then per pass
+    reconstruct the sub-image through all five filters (prior row = the
+    SAME pass's previous row) and de-interlace to absolute coordinates.
+    The inflated stream must be consumed EXACTLY (an empty pass that
+    wrongly emitted a filter byte, or a miscounted sub-image, desyncs
+    loudly). Returns (width, height, pixels) with pixels[y][x] =
+    (r, g, b); raises ValueError on any structural damage."""
+    import struct
+    import zlib
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    seen_end = False
+    while pos < len(raw):
+        if pos + 8 > len(raw):
+            raise ValueError("torn chunk header")
+        (ln,) = struct.unpack_from(">I", raw, pos)
+        tag = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + ln]
+        if len(body) != ln or pos + 12 + ln > len(raw):
+            raise ValueError("torn chunk body")
+        (crc,) = struct.unpack_from(">I", raw, pos + 8 + ln)
+        if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError(f"CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            seen_end = True
+        pos += 12 + ln
+    if ihdr is None or not seen_end:
+        raise ValueError("missing IHDR/IEND")
+    w, h, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", ihdr)
+    if (depth, ctype, comp, filt) != (8, 2, 0, 0):
+        raise ValueError("interlaced tier expects 8-bit RGB")
+    if ilace != 1:
+        raise ValueError("interlace method must be Adam7 in this tier")
+    stream = zlib.decompress(bytes(idat))
+    bpp = 3
+    pixels = [[None] * w for _ in range(h)]
+    off = 0
+    for p, (x0, y0, dx, dy) in enumerate(PNG_ADAM7_PASSES):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        prior = bytes(pw * bpp)
+        for j in range(ph):
+            if off >= len(stream):
+                raise ValueError("IDAT stream too short for the pass plan")
+            ftype = stream[off]
+            off += 1
+            if ftype > 4:
+                raise ValueError(f"invalid filter type {ftype}")
+            line = bytearray(stream[off : off + pw * bpp])
+            if len(line) != pw * bpp:
+                raise ValueError("torn scanline")
+            off += pw * bpp
+            for i in range(pw * bpp):
+                left = line[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                ul = prior[i - bpp] if i >= bpp else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = left
+                elif ftype == 2:
+                    pred = up
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                line[i] = (line[i] + pred) & 0xFF
+            for i in range(pw):
+                pixels[y0 + j * dy][x0 + i * dx] = tuple(
+                    line[i * bpp : i * bpp + 3]
+                )
+            prior = bytes(line)
+    if off != len(stream):
+        raise ValueError("IDAT stream longer than the pass plan")
+    for y in range(h):
+        for x in range(w):
+            if pixels[y][x] is None:
+                raise ValueError("de-interlace left a hole")
+    return w, h, pixels
+
+
+def png_interlaced_features(raw: bytes):
+    """(width, height, n_passes_nonempty, sum_r, sum_g, sum_b, checksum,
+    n_bytes) from one Adam7 PNG — checksum = Σ (1+pass(x,y))·(r+2g+3b)
+    pins the de-interlace mapping pixel-for-pixel."""
+    w, h, pixels = decode_png_interlaced(raw)
+    n_passes = sum(
+        1
+        for (x0, y0, dx, dy) in PNG_ADAM7_PASSES
+        if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0
+    )
+    sr = sg = sb = ck = 0
+    for y in range(h):
+        for x in range(w):
+            r, g, b = pixels[y][x]
+            sr += r
+            sg += g
+            sb += b
+            ck += (1 + png_adam7_pass(x, y)) * (r + 2 * g + 3 * b)
+    return w, h, n_passes, sr, sg, sb, ck, len(raw)
+
+
+def attach_png_interlaced_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Adam7 PNG fixture — the SAME dimension and pixel laws as the flat
+    PNG tier, so the de-interlaced sums must agree with it."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 4 + i % 5, 5 + i % 4
+                payloads.append(
+                    encode_png_interlaced(
+                        w,
+                        h,
+                        lambda x, y, i=i: (
+                            (3 * i + 5 * x + 17 * y) % 256,
+                            (7 * i + 11 * x + 2 * y) % 256,
+                            (i + 13 * x + 3 * y) % 256,
+                        ),
+                    )
+                )
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "png", "n_bytes": len(p), "width": 4 + int(i) % 5,
+                 "height": 5 + int(i) % 4, "duration_ms": 0}
+                for i, p in zip(ids, payloads)
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_png_interlaced_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Adam7 feature stage (Arrow-batched mapInPandas)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [
+                png_interlaced_features(bytes(b)) for b in pdf[media_col]
+            ]
+            # n_bytes excluded: deflate output length is content-dependent
+            cols = [
+                "width", "height", "n_passes", "sum_r", "sum_g", "sum_b",
+                "checksum", None,
+            ]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            for ci, name in enumerate(cols):
+                if name is not None:
+                    out[name] = [p[ci] for p in parsed]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, width bigint, height bigint, n_passes bigint,"
+        " sum_r bigint, sum_g bigint, sum_b bigint, checksum bigint",
+    )

@@ -10858,3 +10858,65 @@ def multimodal_gif_animated(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = M.attach_gif_animated_media(docs)
     return M.decode_gif_animated(media)
+
+
+@register(
+    "multimodal_png_interlaced",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 5 + doc_id % 4 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, x.x, y.y,
+         (3 * doc_id + 5 * x.x + 17 * y.y) % 256 AS r,
+         (7 * doc_id + 11 * x.x + 2 * y.y) % 256 AS g,
+         (doc_id + 13 * x.x + 3 * y.y) % 256 AS b,
+         CASE WHEN y.y % 2 = 1 THEN 7
+              WHEN y.y % 8 = 0 THEN
+                CASE WHEN x.x % 8 = 0 THEN 1 WHEN x.x % 8 = 4 THEN 2
+                     WHEN x.x % 4 = 2 THEN 4 ELSE 6 END
+              WHEN y.y % 4 = 2 THEN
+                CASE WHEN x.x % 2 = 0 THEN 5 ELSE 6 END
+              ELSE
+                CASE WHEN x.x % 4 = 0 THEN 3 WHEN x.x % 4 = 2 THEN 4
+                     ELSE 6 END
+         END AS pass
+  FROM p,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(w) AS BIGINT) AS width,
+       CAST(ANY_VALUE(h) AS BIGINT) AS height,
+       CAST((CASE WHEN ANY_VALUE(w) > 0 AND ANY_VALUE(h) > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN ANY_VALUE(w) > 4 THEN 1 ELSE 0 END)
+          + (CASE WHEN ANY_VALUE(h) > 4 THEN 1 ELSE 0 END)
+          + (CASE WHEN ANY_VALUE(w) > 2 THEN 1 ELSE 0 END)
+          + (CASE WHEN ANY_VALUE(h) > 2 THEN 1 ELSE 0 END)
+          + (CASE WHEN ANY_VALUE(w) > 1 THEN 1 ELSE 0 END)
+          + (CASE WHEN ANY_VALUE(h) > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_passes,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM((1 + pass) * (r + 2 * g + 3 * b)) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id
+""",
+    tags=("ext", "multimodal", "codec", "image"),
+)
+def multimodal_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: PNG ADAM7 INTERLACE — lifts the PNG tier's non-interlace
+    boundary: every document carries an interlace-method-1 PNG whose
+    IDAT is the concatenation of SEVEN independently filtered passes
+    (sub-images over (x0 + i·dx, y0 + j·dy); filter prediction references
+    the previous row OF THE SAME PASS; empty passes at these 4–8 px
+    dimensions contribute no bytes at all — not even filter bytes, the
+    classic decoder bug), reconstructed through all five filters and
+    de-interlaced back to absolute coordinates with EXACT stream
+    consumption enforced. The fixture reuses the flat PNG tier's pixel
+    law, so the de-interlaced channel sums must equal that tier's — and
+    the checksum Σ (1+pass(x,y))·(r+2g+3b) pins the de-interlace MAPPING
+    pixel-for-pixel (the oracle replays the published Adam7 8×8 pattern
+    as a CASE over (x mod 8, y mod 8)). CRC-32 verified per chunk."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_png_interlaced_media(docs)
+    return M.decode_png_interlaced_features(media)
