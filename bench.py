@@ -198,6 +198,13 @@ HEADLINE = [
     # demux — per-document decode scans like the rest of the codec family.
     "multimodal_avc_weighted_pred",
     "multimodal_mp4_fragmented",
+    # r13 continuation 4: animated GIF (per-frame LZW + palette routing)
+    # and Adam7 PNG (7-pass reconstruction) — same shape. The two search
+    # maintenance twins stay registry-only like the other multi-lifecycle
+    # availableNow flagships (fixed streaming-lifecycle cost, not
+    # throughput).
+    "multimodal_gif_animated",
+    "multimodal_png_interlaced",
 ]
 
 # The compact machine line (what the driver records as BENCH_r{N}.json) can't
@@ -243,6 +250,8 @@ COMPACT_PINNED = [
     "multimodal_mp3_spectrum_mixed",
     "multimodal_avc_weighted_pred",
     "multimodal_mp4_fragmented",
+    "multimodal_gif_animated",
+    "multimodal_png_interlaced",
 ]
 
 
