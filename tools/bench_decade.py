@@ -43,6 +43,8 @@ MASS = {
     "multimodal_avc_weighted_pred": "doc_rows",
     "multimodal_mp3_spectrum_mixed": "doc_rows",
     "multimodal_mp4_fragmented": "doc_rows",
+    "multimodal_gif_animated": "doc_rows",
+    "multimodal_png_interlaced": "doc_rows",
     # index-maintenance twins tokenize/shingle the text corpus
     "stream_bm25_maintenance": "doc_chars",
     "stream_trigram_maintenance": "doc_chars",
