@@ -6380,3 +6380,219 @@ def decode_png_interlaced_features(
         schema="doc_id bigint, width bigint, height bigint, n_passes bigint,"
         " sum_r bigint, sum_g bigint, sum_b bigint, checksum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# ID3v2.4 tier (r13) — the structural step past the v2.3 tag tier, covering
+# exactly what changed in the 2.4 revision of the spec: FRAME sizes become
+# syncsafe (4 × 7 bits — a v2.3-style big-endian frame size with a high bit
+# set must be rejected, not misparsed), text frames may carry UTF-8
+# (encoding byte 3; this fixture uses it throughout), and the tag may end
+# in a 10-byte FOOTER ("3DI" + mirrored version/flags/size, enabling
+# reverse scanning) which the spec makes MUTUALLY EXCLUSIVE with padding
+# (§3.1) — both directions enforced. Unsynchronisation, the extended
+# header, and per-frame format flags (data-length indicator etc.) stay out
+# of the fixture population and are loud-rejected (disclosed boundaries).
+# ---------------------------------------------------------------------------
+
+
+def id3v24_fixture_fields(doc_id: int) -> tuple[str, str, str, int, bool]:
+    """(title, artist, track, padding, footer) — footer on odd docs;
+    padding only when there is NO footer (the §3.1 exclusivity, baked
+    into the law so every fixture is conformant)."""
+    footer = doc_id % 2 == 1
+    return (
+        f"doc-{doc_id}",
+        f"src-{doc_id % 7}",
+        str(doc_id % 30 + 1),
+        0 if footer else doc_id % 5,
+        footer,
+    )
+
+
+def _syncsafe4(n: int) -> bytes:
+    return bytes(((n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F))
+
+
+def _id3v24_text_frame(frame_id: bytes, text: str) -> bytes:
+    body = b"\x03" + text.encode("utf-8")  # encoding 3 = UTF-8
+    return frame_id + _syncsafe4(len(body)) + b"\x00\x00" + body
+
+
+def encode_mp3_tagged_v24(doc_id: int) -> bytes:
+    """MP3 stream with an ID3v2.4 tag: UTF-8 text frames with SYNCSAFE
+    frame sizes, padding XOR footer per the law, then the v2.3 tier's
+    CBR frame stream law (128 kbps, no padding bits)."""
+    title, artist, track, padding, footer = id3v24_fixture_fields(doc_id)
+    frames = (
+        _id3v24_text_frame(b"TIT2", title)
+        + _id3v24_text_frame(b"TPE1", artist)
+        + _id3v24_text_frame(b"TRCK", track)
+    )
+    body = frames + b"\x00" * padding
+    m = len(body)
+    flags = 0x10 if footer else 0x00
+    out = bytearray()
+    out += b"ID3" + bytes((4, 0, flags)) + _syncsafe4(m)
+    out += body
+    if footer:
+        out += b"3DI" + bytes((4, 0, flags)) + _syncsafe4(m)
+    sr_idx = doc_id % 3
+    n_frames = 2 + doc_id % 3
+    for k in range(n_frames):
+        size = mp3_frame_size(9, sr_idx, 0)
+        b2 = (9 << 4) | (sr_idx << 2)
+        out += bytes((0xFF, 0xFB, b2, 0xC4))
+        v = (doc_id * 3 + k * 19) % 251
+        out += bytes([v]) * (size - 4)
+    return bytes(out)
+
+
+def id3v24_features(raw: bytes):
+    """Parse one ID3v2.4-tagged MP3: version-4 header (unsync/extended-
+    header/experimental flags loud-rejected — disclosed boundaries),
+    syncsafe tag size, frames with SYNCSAFE sizes (any size byte with the
+    high bit set is the v2.3 grammar — rejected, never misparsed), UTF-8
+    encoding enforced, padding-XOR-footer exclusivity both ways, footer
+    mirror verification ("3DI" + version/flags/size equal to the
+    header's), then the CBR audio-frame walk. Returns (title, artist,
+    track, n_tag_frames, tag_bytes, has_footer, padding_bytes, n_frames,
+    sample_rate, n_bytes)."""
+    raw = bytes(raw)
+    if raw[:3] != b"ID3" or len(raw) < 10:
+        raise ValueError("no ID3v2 tag")
+    if raw[3] != 4:
+        raise ValueError("only ID3v2.4 supported in this tier")
+    flags = raw[5]
+    if flags & 0x80:
+        raise ValueError("unsynchronisation unsupported (disclosed boundary)")
+    if flags & 0x40:
+        raise ValueError("extended header unsupported (disclosed boundary)")
+    if flags & 0x20:
+        raise ValueError("experimental tags unsupported")
+    footer = bool(flags & 0x10)
+    if (raw[6] | raw[7] | raw[8] | raw[9]) & 0x80:
+        raise ValueError("non-syncsafe ID3v2 size")
+    size = (raw[6] << 21) | (raw[7] << 14) | (raw[8] << 7) | raw[9]
+    end = 10 + size
+    tag_end = end + (10 if footer else 0)
+    if tag_end > len(raw):
+        raise ValueError("torn ID3v2.4 tag")
+    pos = 10
+    fields = {}
+    n_frames_tag = 0
+    padding = 0
+    while pos < end:
+        if raw[pos] == 0:
+            if footer:
+                raise ValueError(
+                    "padding and footer are mutually exclusive (§3.1)"
+                )
+            if any(raw[pos:end]):
+                raise ValueError("garbage inside ID3v2.4 padding")
+            padding = end - pos
+            break
+        if pos + 10 > end:
+            raise ValueError("torn frame header")
+        fid = raw[pos : pos + 4]
+        if (raw[pos + 4] | raw[pos + 5] | raw[pos + 6] | raw[pos + 7]) & 0x80:
+            raise ValueError(
+                "non-syncsafe frame size (v2.3 grammar inside a v2.4 tag)"
+            )
+        fsz = (
+            (raw[pos + 4] << 21) | (raw[pos + 5] << 14)
+            | (raw[pos + 6] << 7) | raw[pos + 7]
+        )
+        if raw[pos + 8] or raw[pos + 9]:
+            raise ValueError("frame format flags unsupported (disclosed)")
+        if pos + 10 + fsz > end:
+            raise ValueError(f"frame {fid!r} overruns the tag")
+        body = raw[pos + 10 : pos + 10 + fsz]
+        if not body or body[0] != 3:
+            raise ValueError("v2.4 tier expects UTF-8 text frames")
+        fields[fid.decode("ascii")] = body[1:].decode("utf-8")
+        n_frames_tag += 1
+        pos += 10 + fsz
+    if footer:
+        f = raw[end : end + 10]
+        if f[:3] != b"3DI":
+            raise ValueError("missing ID3v2.4 footer")
+        if f[3:6] != raw[3:6] or f[6:10] != raw[6:10]:
+            raise ValueError("footer does not mirror the header")
+    for k in ("TIT2", "TPE1", "TRCK"):
+        if k not in fields:
+            raise ValueError(f"missing {k} frame")
+    # audio frame walk (the v2.3 tier's CBR law)
+    pos = tag_end
+    n_audio = 0
+    srate = None
+    while pos < len(raw):
+        if raw[pos] != 0xFF or (raw[pos + 1] & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        bidx, sidx = raw[pos + 2] >> 4, (raw[pos + 2] >> 2) & 0x3
+        if bidx in (0, 15) or sidx == 3:
+            raise ValueError("invalid bitrate/sample-rate index")
+        sr = MP3_SAMPLE_RATES[sidx]
+        if srate is None:
+            srate = sr
+        elif sr != srate:
+            raise ValueError("VBR stream (CBR walk expected)")
+        size = 144 * MP3_BITRATE_KBPS[bidx] * 1000 // sr + ((raw[pos + 2] >> 1) & 1)
+        if pos + size > len(raw):
+            raise ValueError("torn frame body")
+        n_audio += 1
+        pos += size
+    return (
+        fields["TIT2"], fields["TPE1"], fields["TRCK"], n_frames_tag,
+        tag_end, 1 if footer else 0, padding, n_audio, srate, len(raw),
+    )
+
+
+def attach_id3v24_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One ID3v2.4-tagged MP3 payload per row."""
+    from collections.abc import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_mp3_tagged_v24(int(i)) for i in ids]
+            out = pd.DataFrame({"doc_id": ids, "media": payloads})
+            out["meta"] = [
+                {"codec": "mp3", "n_bytes": len(p), "width": 0, "height": 0,
+                 "duration_ms": 0}
+                for p in payloads
+            ]
+            yield out[["doc_id", "media", "meta"]]
+
+    return df.select(id_col).mapInPandas(
+        fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
+    )
+
+
+def decode_id3v24_metadata(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """ID3v2.4 feature stage (Arrow-batched mapInPandas)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parsed = [id3v24_features(bytes(b)) for b in pdf[media_col]]
+            out = {"doc_id": pdf[id_col].astype("int64")}
+            cols = [
+                "title", "artist", "track", "n_tag_frames", "tag_bytes",
+                "has_footer", "padding_bytes", "n_frames", "sample_rate",
+                "n_bytes",
+            ]
+            for ci, name in enumerate(cols):
+                out[name] = [p[ci] for p in parsed]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        fn,
+        schema="doc_id bigint, title string, artist string, track string,"
+        " n_tag_frames bigint, tag_bytes bigint, has_footer bigint,"
+        " padding_bytes bigint, n_frames bigint, sample_rate bigint,"
+        " n_bytes bigint",
+    )

@@ -10920,3 +10920,52 @@ def multimodal_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = M.attach_png_interlaced_media(docs)
     return M.decode_png_interlaced_features(media)
+
+
+@register(
+    "multimodal_id3v24_metadata",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         'doc-' || CAST(doc_id AS VARCHAR) AS title,
+         'src-' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+         CAST(doc_id % 30 + 1 AS VARCHAR) AS track,
+         doc_id % 2 AS foot,
+         CASE WHEN doc_id % 2 = 1 THEN 0 ELSE doc_id % 5 END AS pad,
+         2 + doc_id % 3 AS nf,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr
+  FROM documents
+), q AS (
+  SELECT *,
+         10 + (11 + length(title)) + (11 + length(artist))
+            + (11 + length(track)) + pad + 10 * foot AS tag_bytes
+  FROM p
+)
+SELECT doc_id, title, artist, track,
+       CAST(3 AS BIGINT) AS n_tag_frames,
+       CAST(tag_bytes AS BIGINT) AS tag_bytes,
+       CAST(foot AS BIGINT) AS has_footer,
+       CAST(pad AS BIGINT) AS padding_bytes,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(tag_bytes + nf * (144 * 128 * 1000 // sr) AS BIGINT) AS n_bytes
+FROM q
+""",
+    tags=("ext", "multimodal", "codec", "audio", "metadata"),
+)
+def multimodal_id3v24_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: ID3v2.4 metadata extraction — the structural step past the
+    v2.3 tag tier, covering exactly what the 2.4 revision changed: FRAME
+    sizes become syncsafe (a v2.3-style size byte with the high bit set
+    is rejected as the wrong grammar, never misparsed), text frames carry
+    UTF-8 (encoding byte 3, enforced), and odd docs end the tag in a
+    10-byte FOOTER ("3DI" + mirrored version/flags/size, verified) which
+    the spec makes MUTUALLY EXCLUSIVE with padding (§3.1 — both
+    directions enforced; even docs carry padding instead).
+    Unsynchronisation, the extended header, and per-frame format flags
+    stay loud-rejected disclosed boundaries. The CBR audio-frame walk
+    after the tag is the v2.3 tier's. All columns replay in closed
+    form."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_id3v24_media(docs)
+    return M.decode_id3v24_metadata(media)
