@@ -205,6 +205,8 @@ HEADLINE = [
     # throughput).
     "multimodal_gif_animated",
     "multimodal_png_interlaced",
+    # r13 continuation 5: the ID3v2.4 tag walk (syncsafe frames, footer).
+    "multimodal_id3v24_metadata",
 ]
 
 # The compact machine line (what the driver records as BENCH_r{N}.json) can't
@@ -252,6 +254,7 @@ COMPACT_PINNED = [
     "multimodal_mp4_fragmented",
     "multimodal_gif_animated",
     "multimodal_png_interlaced",
+    "multimodal_id3v24_metadata",
 ]
 
 
