@@ -45,6 +45,7 @@ MASS = {
     "multimodal_mp4_fragmented": "doc_rows",
     "multimodal_gif_animated": "doc_rows",
     "multimodal_png_interlaced": "doc_rows",
+    "multimodal_id3v24_metadata": "doc_rows",
     # index-maintenance twins tokenize/shingle the text corpus
     "stream_bm25_maintenance": "doc_chars",
     "stream_trigram_maintenance": "doc_chars",
