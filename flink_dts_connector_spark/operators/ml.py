@@ -47,8 +47,19 @@ def nb_confusion(
     with Laplace +1 smoothing, V = |vocab|, T_c = class token mass,
     prior_c = ilog2(D div D_c). Lowest total surprisal wins; ties break to
     the lexicographically smallest class name (min over argmin set)."""
-    toks = docs.select(
-        F.col(id_col), F.col(class_col).alias("_cls"), F.explode(tokens(text_col)).alias("w")
+    # r13 single-row-group guard (same as text's add_ngrams): spread the
+    # compact (id, class, text) rows across cores BEFORE the explode — the
+    # tokenize+explode below is evaluated by BOTH the per-doc and the
+    # per-class aggregation branches, and on a one-row-group fixture scan
+    # it would otherwise run twice on one core.
+    narrow = docs.select(
+        F.col(id_col), F.col(class_col).alias("_cls"), F.col(text_col).alias("__text")
+    )
+    narrow = narrow.repartition(
+        narrow.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    toks = narrow.select(
+        F.col(id_col), F.col("_cls"), F.explode(tokens("__text")).alias("w")
     )
     dt = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
     cnt = toks.groupBy("_cls", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))

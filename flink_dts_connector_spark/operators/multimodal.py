@@ -44,6 +44,28 @@ SUPPORTED_FAKE_CODEC = "fake"
 MEDIA_META_FIELDS = "codec string, n_bytes bigint, width int, height int, duration_ms bigint"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a (tiny) driver-of-work frame across the session's cores
+    before a per-row Python stage.
+
+    The fixture tables arrive as ONE parquet file with ONE row group, so a
+    scan plans a single input split and every attach→decode mapInPandas
+    chain downstream of it runs serially on one core (r13 measurement:
+    the whole codec family's bench cost ≈ per-doc encode+decode × |docs|
+    on one core). Repartitioning the id column (8 bytes/row) costs a
+    negligible shuffle and lets the payload encode/decode — the actual
+    work — run on every core. Scale-adaptive: the target is the session's
+    defaultParallelism, and a frame that already has at least that many
+    partitions (the 100 TB case, where the scan itself is thousands of
+    splits) passes through untouched, so this never REDUCES parallelism
+    and the shuffle only exists where the input was under-split."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def attach_media(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -52,6 +74,7 @@ def attach_media(
     reader's output; here it feeds the plumbing tests."""
     payload = F.encode(F.col(text_col), "UTF-8")
     n = F.octet_length(payload).cast("bigint")
+    df = _spread(df.select(F.col(id_col), F.col(text_col)))
     return df.select(
         F.col(id_col),
         payload.alias("media"),
@@ -293,7 +316,7 @@ def attach_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -517,7 +540,7 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -691,7 +714,7 @@ def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -985,7 +1008,7 @@ def attach_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -1444,7 +1467,7 @@ def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -1808,7 +1831,7 @@ def attach_jpeg_color_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -1966,7 +1989,7 @@ def attach_mp3_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out = pd.DataFrame({"doc_id": ids, "media": payloads, "meta": metas})
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -2078,21 +2101,64 @@ class _MsbBitWriter:
 
 
 class _MsbBitReader:
-    """Plain MSB-first bit reader over a bounded buffer slice."""
+    """Plain MSB-first bit reader over a bounded buffer slice.
+
+    r13: byte-accumulator implementation — `bits(n)` is O(1) amortized
+    (refill one byte at a time into a small int accumulator) instead of a
+    per-bit Python loop; same API (`pos` is the consumed bit position),
+    same exhaustion error, same values. `bits()` was the single hottest
+    function in the codec family's per-document decode profile."""
+
+    __slots__ = ("data", "_bytepos", "_acc", "_navail")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0  # bit position
+        self._bytepos = 0
+        self._acc = 0
+        self._navail = 0
+
+    @property
+    def pos(self) -> int:  # consumed bit position (read-only)
+        return self._bytepos * 8 - self._navail
 
     def bits(self, n: int) -> int:
-        if self.pos + n > len(self.data) * 8:
-            raise ValueError("torn side-info bitfield")
-        v = 0
-        for _ in range(n):
-            byte = self.data[self.pos >> 3]
-            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return v
+        acc, navail, bp = self._acc, self._navail, self._bytepos
+        if navail < n:
+            data, ln = self.data, len(self.data)
+            while navail < n:
+                if bp >= ln:
+                    raise ValueError("torn side-info bitfield")
+                acc = (acc << 8) | data[bp]
+                bp += 1
+                navail += 8
+        navail -= n
+        self._acc = acc & ((1 << navail) - 1)
+        self._navail = navail
+        self._bytepos = bp
+        return acc >> navail
+
+    def remaining(self) -> int:
+        return (len(self.data) - self._bytepos) * 8 + self._navail
+
+    def peek_padded(self, n: int) -> int:
+        """The next ``n`` bits WITHOUT consuming them, zero-padded past
+        the end of the buffer (refilling the accumulator does not move
+        ``pos``). Fast-prefix support for the table-driven Huffman read."""
+        acc, navail, bp = self._acc, self._navail, self._bytepos
+        data, ln = self.data, len(self.data)
+        while navail < n and bp < ln:
+            acc = (acc << 8) | data[bp]
+            bp += 1
+            navail += 8
+        self._acc, self._navail, self._bytepos = acc, navail, bp
+        if navail >= n:
+            return (acc >> (navail - n)) & ((1 << n) - 1)
+        return (acc << (n - navail)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        """Consume ``n`` bits already made available by `peek_padded`."""
+        self._navail -= n
+        self._acc &= (1 << self._navail) - 1
 
 
 def mp3_sideinfo_params(doc_id: int) -> dict:
@@ -2330,7 +2396,7 @@ def attach_mp3_sideinfo_media(df: DataFrame, id_col: str = "doc_id") -> DataFram
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -2679,7 +2745,7 @@ def attach_avc_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -3189,7 +3255,7 @@ def attach_avc_stream_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -3248,7 +3314,7 @@ def attach_avc_weighted_media(df: DataFrame, id_col: str = "doc_id") -> DataFram
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -3318,7 +3384,7 @@ def attach_mp3_sideinfo_mixed_media(df: DataFrame, id_col: str = "doc_id") -> Da
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -3542,7 +3608,7 @@ def attach_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out = pd.DataFrame({"doc_id": ids, "media": payloads, "meta": metas})
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -3825,7 +3891,7 @@ def attach_tagged_mp3_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -4093,7 +4159,7 @@ def attach_chunked_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -4411,7 +4477,7 @@ def attach_mp3_scalefactor_media(df: DataFrame, id_col: str = "doc_id") -> DataF
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -4753,14 +4819,42 @@ def encode_mp3_spectrum(doc_id: int) -> bytes:
     return bytes(out)
 
 
+_MP3_HUFF_LUTS: dict[int, list] = {}
+
+
+def _huff_lut(dec: dict, maxlen: int) -> list:
+    """Flat ``2**maxlen``-entry decode table for a canonical decode map:
+    entry[w] = (symbol, code_len) for the unique code that prefixes the
+    ``maxlen``-bit word ``w`` (prefix property ⇒ at most one). Cached by
+    the decode map's identity — the maps themselves are process-lifetime
+    singletons in `_MP3_CODEBOOKS`."""
+    lut = _MP3_HUFF_LUTS.get(id(dec))
+    if lut is None:
+        lut = [None] * (1 << maxlen)
+        for (ln, code), sym in dec.items():
+            base = code << (maxlen - ln)
+            for suffix in range(1 << (maxlen - ln)):
+                lut[base | suffix] = (sym, ln)
+        _MP3_HUFF_LUTS[id(dec)] = lut
+    return lut
+
+
 def _mp3_huff_read(r: _MsbBitReader, dec: dict, maxlen: int):
-    """MSB-first prefix walk against a canonical decode map."""
-    code = 0
-    for ln in range(1, maxlen + 1):
-        code = (code << 1) | r.bits(1)
-        hit = dec.get((ln, code))
-        if hit is not None:
-            return hit
+    """MSB-first prefix decode against a canonical decode map (r13: one
+    flat-table lookup over ``maxlen`` peeked bits instead of a per-bit
+    prefix walk — identical symbols, identical torn-buffer / invalid-
+    prefix rejections at the same inputs)."""
+    hit = _huff_lut(dec, maxlen)[r.peek_padded(maxlen)]
+    if hit is not None:
+        sym, ln = hit
+        if ln <= r.remaining():
+            r.skip(ln)
+            return sym
+        # the matched code only completed thanks to zero padding past the
+        # buffer end — the per-bit walk runs out of bits here
+        raise ValueError("torn side-info bitfield")
+    if r.remaining() < maxlen:
+        raise ValueError("torn side-info bitfield")
     raise ValueError("invalid Huffman prefix in part3")
 
 
@@ -4976,7 +5070,7 @@ def attach_mp3_spectrum_media(df: DataFrame, id_col: str = "doc_id") -> DataFram
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -5192,7 +5286,7 @@ def attach_mp3_reservoir_media(df: DataFrame, id_col: str = "doc_id") -> DataFra
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -5397,7 +5491,7 @@ def attach_mp3_spectrum_mixed_media(df: DataFrame, id_col: str = "doc_id") -> Da
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -5803,7 +5897,7 @@ def attach_mp4_fragmented_media(df: DataFrame, id_col: str = "doc_id") -> DataFr
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -6065,7 +6159,7 @@ def attach_gif_animated_media(df: DataFrame, id_col: str = "doc_id") -> DataFram
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -6347,7 +6441,7 @@ def attach_png_interlaced_media(df: DataFrame, id_col: str = "doc_id") -> DataFr
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 
@@ -6564,7 +6658,7 @@ def attach_id3v24_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 

@@ -46,12 +46,27 @@ _NUM_C, _DEN_TF, _DEN_CONST, _DEN_DL = 22, 10, 3, 9
 _TF_CAP = 1000
 
 
-def postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", spread: bool = True
+) -> DataFrame:
     """Inverted-index postings ``(token, doc_id, tf, dl)`` — one explode +
-    one hash agg keyed by (token, doc); dl rides along via first()."""
-    toks = tokens(text_col)
-    ex = df.select(
-        F.col(id_col).alias("doc_id"),
+    one hash agg keyed by (token, doc); dl rides along via first().
+
+    ``spread`` is the same single-row-group guard as text's `add_ngrams`
+    (r13): the fixture tables are one-row-group parquet, so without it the
+    tokenize+explode — the index build's heavy stage — runs on ONE scan
+    task; hash-repartitioning the compact (id, text) rows to the session's
+    parallelism first costs one tiny shuffle and parallelizes the explode.
+    A well-split input at scale keeps ``spread=False`` semantics anyway
+    (the repartition is a no-op cost-wise next to the explode)."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    if spread:
+        narrow = narrow.repartition(
+            narrow.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+    toks = tokens("__text")
+    ex = narrow.select(
+        F.col("doc_id"),
         F.size(toks).cast("bigint").alias("dl"),
         F.explode(toks).alias("token"),
     )
@@ -240,15 +255,26 @@ def rrf_topk(
 # ---------------------------------------------------------------------------
 
 
-def trigram_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def trigram_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", spread: bool = True
+) -> DataFrame:
     """(trigram, doc_id) inverted index — each document's DISTINCT character
-    trigrams via one JVM-side transform + explode (no Python)."""
+    trigrams via one JVM-side transform + explode (no Python).
+
+    ``spread``: single-row-group guard (see `postings`) — the per-doc
+    transform+array_distinct+explode is the build's heavy stage and must
+    not be serialized onto one scan task."""
     # CASE-gated: Spark's sequence(1, 0) is DESCENDING [1, 0], so an
     # ungated expression would emit bogus sub-3-char postings for short
     # docs (ADVICE r10). Sub-trigram docs contribute no postings, matching
     # the DuckDB oracle's empty generate_series.
-    tri = F.expr(_trigram_set_sql(text_col))
-    return df.select(F.col(id_col).alias("doc_id"), F.explode(tri).alias("tri"))
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    if spread:
+        narrow = narrow.repartition(
+            narrow.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+    tri = F.expr(_trigram_set_sql("__text"))
+    return narrow.select(F.col("doc_id"), F.explode(tri).alias("tri"))
 
 
 def _trigram_set_sql(col: str) -> str:

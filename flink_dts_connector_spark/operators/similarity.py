@@ -51,6 +51,18 @@ def cosine_q(dot: Column, n1: Column, n2: Column) -> Column:
     return dot.cast("double") / F.sqrt(n1.cast("double") * n2.cast("double"))
 
 
+def _spread_by(df: DataFrame, key: str) -> DataFrame:
+    """Single-row-group guard (r13 — the same guard as text's `add_ngrams`
+    and dedup's `_shingled`): hash-repartition a compact projection to the
+    session's parallelism so the per-row scoring/quantization work
+    downstream does not serialize onto the fixture scan's single task.
+    The shuffle moves each (id, embedding) row once, pre-explode; at real
+    scale a well-split input makes this one cheap extra exchange next to
+    the scoring pass it parallelizes, and downstream per-id operations
+    reuse the hash partitioning."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 def brute_force_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -69,7 +81,7 @@ def brute_force_topk(
         F.col(query_id_col),
         quantized(emb_col).alias("_qe"),
     ).withColumn("_qn", norm_sq_q(F.col("_qe")))
-    it = items.select(
+    it = _spread_by(items.select(F.col(id_col), F.col(emb_col)), id_col).select(
         F.col(id_col),
         quantized(emb_col).alias("_ie"),
     ).withColumn("_in", norm_sq_q(F.col("_ie")))
@@ -129,7 +141,8 @@ def lsh_topk(
         .withColumn("_qn", norm_sq_q(F.col("_qe")))
     )
     it = (
-        items.select(
+        _spread_by(items.select(F.col(id_col), F.col(emb_col)), id_col)
+        .select(
             F.col(id_col),
             quantized(emb_col).alias("_ie"),
             signbit_bucket(emb_col).alias("_bucket"),
@@ -193,7 +206,8 @@ def lsh_multiprobe_topk(
         )
     )
     it = (
-        items.select(
+        _spread_by(items.select(F.col(id_col), F.col(emb_col)), id_col)
+        .select(
             F.col(id_col),
             quantized(emb_col).alias("_ie"),
             signbit_bucket(emb_col).alias("_bucket"),
@@ -284,6 +298,32 @@ def cosine_pairs(
         F.col(id_col).cast("bigint").alias("_id"),
         quantized(emb_col).alias("_qe"),
     )
+
+    # r13 optimization: when EVERY block already fits in one chunk, the
+    # chunking/prune machinery below is a ~8-shuffle no-op (one chunk per
+    # block, one unpruned (0,0) tile per block) — the whole pair set comes
+    # out of the same `_tile_pairs` GEMM either way. Detect that with one
+    # tiny aggregate over (block, count) and go straight to one GEMM tile
+    # per block: bit-identical output (the b-empty branch of `_tile_pairs`
+    # is exactly what the full path runs on a one-chunk block), one
+    # shuffle instead of ~8. The check is data-derived, so the full
+    # machinery still engages the moment any block outgrows a chunk (the
+    # corpus-growth case the r12 verdict flagged); small inputs — delta
+    # micro-batches of the streaming dedup twins, small-SF sweeps — skip
+    # the fixed overhead. `applyInPandas` requires a deterministic plan,
+    # which q is (scan + projection).
+    max_block = (
+        q.groupBy("_blk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_mx"))
+        .first()["_mx"]
+    )
+    if max_block is not None and max_block <= chunk_target:
+        qs = q.withColumn("_side", F.lit(0))
+        return qs.groupBy("_blk").applyInPandas(
+            _tile_pairs_pd(th), "a_id bigint, b_id bigint, score double"
+        )
+
     wb = W.partitionBy("_blk")
     wo = W.partitionBy("_blk").orderBy("_id")
     base = (
@@ -398,6 +438,19 @@ def cosine_pairs(
         & (tiles["_ci"] != tiles["_cj"]),
     ).select("_blk", "_ci", "_cj", "_id", "_qe", F.lit(1).alias("_side"))
 
+    return (
+        rows_a.unionByName(rows_b)
+        .groupBy("_blk", "_ci", "_cj")
+        .applyInPandas(_tile_pairs_pd(th), "a_id bigint, b_id bigint, score double")
+    )
+
+
+def _tile_pairs_pd(th: float):
+    """The exact tile-GEMM scorer shared by `cosine_pairs`' full tiled
+    path and its single-chunk-per-block fast path (same function → the
+    two paths are bit-identical by construction)."""
+    import pandas as pd
+
     def _tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
@@ -429,11 +482,7 @@ def cosine_pairs(
             {"a_id": ida[ii][keep], "b_id": ida[jj][keep], "score": sc[ii, jj][keep]}
         )
 
-    return (
-        rows_a.unionByName(rows_b)
-        .groupBy("_blk", "_ci", "_cj")
-        .applyInPandas(_tile_pairs, "a_id bigint, b_id bigint, score double")
-    )
+    return _tile_pairs
 
 
 def cosine_pairs_delta(
@@ -535,7 +584,9 @@ def pq_encode(
     join (codebooks are tiny) + one map-side-combined argmin aggregate;
     the item table streams through once."""
     sub_rows = _subvectors(
-        items.select(F.col(id_col), quantized(emb_col).alias("_qe")),
+        _spread_by(items.select(F.col(id_col), F.col(emb_col)), id_col).select(
+            F.col(id_col), quantized(emb_col).alias("_qe")
+        ),
         id_col, n_sub, "xq",
     )
     d2 = F.aggregate(
@@ -637,7 +688,7 @@ def ivf_assign_cells(
     c = centroids.select(
         F.col(centroid_id_col), quantized(emb_col).alias("_ce")
     ).withColumn("_cn", norm_sq_q(F.col("_ce")))
-    it = items.select(
+    it = _spread_by(items.select(F.col(id_col), F.col(emb_col)), id_col).select(
         F.col(id_col), F.col(emb_col), quantized(emb_col).alias("_ie")
     ).withColumn("_in", norm_sq_q(F.col("_ie")))
     scored = it.crossJoin(F.broadcast(c)).select(
@@ -768,7 +819,12 @@ def kmeans_int_centroids(
     centroid rows after ``n_iter`` exact Lloyd rounds — reusable to assign
     vectors that arrive LATER (the SemDeDup production shape: cluster
     once, assign forever). Same init/update laws as the fused function."""
-    q = items.select(F.col(id_col), quantized(emb_col).alias("v"))
+    # single-row-group guard: `q`'s lineage re-executes per Lloyd round
+    # (assignment + update) — spread the compact rows once so the HOF
+    # argmin work of every round runs on all cores (r13)
+    q = _spread_by(items.select(F.col(id_col), F.col(emb_col)), id_col).select(
+        F.col(id_col), quantized(emb_col).alias("v")
+    )
     w_init = W.orderBy(id_col)
     cent = (
         q.orderBy(id_col)
@@ -1042,7 +1098,8 @@ def power_iteration_top_dir(
     sum (groupBy dim, dim rows out); v is always a broadcast dim-row
     table; the corpus is scanned once per round, never shuffled on its
     own key. Returns (dim 1-based, component at ``scale``)."""
-    ex = items.select(
+    # single-row-group guard: `ex` re-executes per round (r13)
+    ex = _spread_by(items.select(F.col(id_col), F.col(emb_col)), id_col).select(
         F.col(id_col).alias("rid"), F.posexplode(quantized(emb_col)).alias("pos", "x")
     )
     spark = items.sparkSession
@@ -1218,7 +1275,8 @@ def sq8_topk(
     compression tier."""
     dims = sq8_train_dims(items, emb_col)
     it = (
-        items.select(F.col(id_col), quantized(emb_col).alias("_ie"))
+        _spread_by(items.select(F.col(id_col), F.col(emb_col)), id_col)
+        .select(F.col(id_col), quantized(emb_col).alias("_ie"))
         .crossJoin(F.broadcast(dims))
         .select(
             id_col,
