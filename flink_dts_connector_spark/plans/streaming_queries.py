@@ -2675,6 +2675,13 @@ def stream_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: append-only streaming state (stream_semdedup_maintenance): compact the
+#: per-batch frame lists into one checkpoint after this many batches, so the
+#: lazy-union lineage depth is bounded for long-lived streams while the
+#: common path pays only O(batch) materialization per micro-batch
+_STATE_COMPACT_EVERY = 16
+
+
 def _semdedup_oracle() -> str:
     from flink_dts_connector_spark.plans.ext_queries import (
         _SEMDEDUP_TAIL,
@@ -2728,28 +2735,44 @@ def stream_semdedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             waves_dir
         )
 
-    roster_empty = spark.createDataFrame(
-        [], "vec_id bigint, cluster bigint, dist2 bigint, embedding array<float>"
-    )
-    losers_empty = spark.createDataFrame([], "vec_id bigint")
-    state = {
-        "roster": roster_empty.localCheckpoint(),
-        "losers": losers_empty.localCheckpoint(),
-        "batches": 0,
-    }
+    # r13 optimization (guide §1.2 step 1 — fix the algorithm's per-batch
+    # materialization): state is APPEND-ONLY. The old merge re-materialized
+    # the WHOLE roster with localCheckpoint every batch — O(corpus) disk+
+    # serialize per micro-batch, the one step that contradicted the
+    # "O(new + affected mass) per batch" contract. Now each batch
+    # checkpoints only its own arrivals (`new`, O(batch)) and its own loser
+    # ids (tiny), and the roster any batch sees is the LAZY union of the
+    # prior batches' already-checkpointed frames — no bytes move to build
+    # it. Results are identical: the union enumerates exactly the same
+    # roster rows, and the converged loser set is the same distinct union.
+    # Plan-size guard for real deployments: after _STATE_COMPACT_EVERY
+    # batches the frame lists are compacted into one checkpoint each, so
+    # the union lineage stays O(1) deep per compaction window instead of
+    # growing with stream lifetime.
+    state = {"rosters": [], "losers": [], "batches": 0}
+    roster_schema = "vec_id bigint, cluster bigint, dist2 bigint, embedding array<float>"
+
+    def roster_df() -> DataFrame:
+        if not state["rosters"]:
+            return spark.createDataFrame([], roster_schema)
+        out = state["rosters"][0]
+        for fr in state["rosters"][1:]:
+            out = out.unionByName(fr)
+        return out
 
     def merge(bdf: DataFrame, batch_id: int) -> None:
+        roster = roster_df()
         assigned = S.assign_to_centroids(bdf, cent, k=sd_k).join(
             bdf.select("vec_id", "embedding"), "vec_id"
         )
-        new = assigned.localCheckpoint()
+        new = assigned.select("vec_id", "cluster", "dist2", "embedding").localCheckpoint()
         pairs = S.cosine_pairs_delta(
             new.select("vec_id", "cluster", "embedding"),
-            state["roster"].select("vec_id", "cluster", "embedding"),
+            roster.select("vec_id", "cluster", "embedding"),
             block_col="cluster",
             threshold=0.35,
         )
-        d_all = state["roster"].select("vec_id", "dist2").unionByName(
+        d_all = roster.select("vec_id", "dist2").unionByName(
             new.select("vec_id", "dist2")
         )
         scored = pairs.join(
@@ -2767,16 +2790,16 @@ def stream_semdedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(F.col("b_id"))
             .alias("vec_id")
-        )
-        state["losers"] = (
-            state["losers"].unionByName(batch_losers).distinct().localCheckpoint()
-        )
-        state["roster"] = (
-            state["roster"]
-            .unionByName(new.select("vec_id", "cluster", "dist2", "embedding"))
-            .localCheckpoint()
-        )
+        ).distinct().localCheckpoint()
+        state["rosters"].append(new)
+        state["losers"].append(batch_losers)
         state["batches"] += 1
+        if len(state["rosters"]) >= _STATE_COMPACT_EVERY:
+            state["rosters"] = [roster_df().localCheckpoint()]
+            lo = state["losers"][0]
+            for fr in state["losers"][1:]:
+                lo = lo.unionByName(fr)
+            state["losers"] = [lo.distinct().localCheckpoint()]
 
     with pinned_shuffle_partitions(spark):
         stream = (
@@ -2797,8 +2820,12 @@ def stream_semdedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     if state["batches"] < 2:
         raise AssertionError(f"expected multiple micro-batches, got {state['batches']}")
 
-    flagged = state["roster"].join(
-        state["losers"].withColumn("dropped", F.lit(1)), "vec_id", "left"
+    roster = roster_df()
+    losers = state["losers"][0]
+    for fr in state["losers"][1:]:
+        losers = losers.unionByName(fr)
+    flagged = roster.join(
+        losers.distinct().withColumn("dropped", F.lit(1)), "vec_id", "left"
     ).withColumn("dropped", F.coalesce(F.col("dropped"), F.lit(0)))
     return flagged.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
