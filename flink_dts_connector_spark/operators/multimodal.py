@@ -807,6 +807,20 @@ def _gif_palette(i: int) -> tuple[int, int, int]:
     return (i, (2 * i) % 256, (3 * i) % 256)
 
 
+#: literal single-byte strings 0..255 (shared by the LZW table builders —
+#: r13: rebuilding these per CLEAR dominated the tiny-frame GIF walk)
+_GIF_LITERALS = [bytes([i]) for i in range(256)]
+_GIF_BASE_TABLES: dict[int, dict] = {}
+
+
+def _gif_base_table(min_code_size: int) -> dict:
+    base = _GIF_BASE_TABLES.get(min_code_size)
+    if base is None:
+        base = {bytes([i]): i for i in range(1 << min_code_size)}
+        _GIF_BASE_TABLES[min_code_size] = base
+    return base
+
+
 def _lzw_encode_gif(data: bytes, min_code_size: int = 8) -> bytes:
     """GIF-flavor LZW: emit CLEAR, then variable-width codes (LSB-first),
     growing the code width when the next free code reaches 2^width; on a
@@ -825,7 +839,7 @@ def _lzw_encode_gif(data: bytes, min_code_size: int = 8) -> bytes:
             nbits -= 8
 
     def fresh() -> tuple[dict, int, int]:
-        return ({bytes([i]): i for i in range(1 << min_code_size)}, end + 1,
+        return (_gif_base_table(min_code_size).copy(), end + 1,
                 min_code_size + 1)
 
     table, next_code, width = fresh()
@@ -863,12 +877,14 @@ def _lzw_decode_gif(data: bytes, n_expected: int, min_code_size: int = 8) -> byt
         nonlocal pos
         if (pos + size + 7) // 8 > len(data):
             raise ValueError("LZW stream truncated")
-        val = 0
-        for k in range(size):
-            byte = data[(pos + k) >> 3]
-            val |= ((byte >> ((pos + k) & 7)) & 1) << k
+        # LSB-first read via one int slice (r13: was a per-bit loop);
+        # same values, same truncation check above
+        first = pos >> 3
+        val = int.from_bytes(
+            data[first : (pos + size + 7) >> 3], "little"
+        ) >> (pos & 7)
         pos += size
-        return val
+        return val & ((1 << size) - 1)
 
     out = bytearray()
     table: list[bytes] = []
@@ -877,7 +893,10 @@ def _lzw_decode_gif(data: bytes, n_expected: int, min_code_size: int = 8) -> byt
     while True:
         code = get(width)
         if code == clear:
-            table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+            if min_code_size <= 8:
+                table = _GIF_LITERALS[: 1 << min_code_size] + [b"", b""]
+            else:  # malformed size: keep the original (raising) behavior
+                table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
             width = min_code_size + 1
             prev = None
             continue
@@ -917,8 +936,7 @@ def encode_gif(width: int, height: int, index_fn) -> bytes:
     # logical screen: size, flags (global table, 8-bit color, 256 entries),
     # background index 0, aspect 0
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
-    for i in range(256):
-        out += bytes(_gif_palette(i))
+    out += _gif_global_palette_bytes()
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
     idx = bytes(
         index_fn(x, y) & 0xFF for y in range(height) for x in range(width)
@@ -1261,9 +1279,29 @@ class _JpegBitReader:
         return (self._acc >> self._n) & 1
 
     def bits(self, n: int) -> int:
+        # chunked consumption from the current byte (r13): identical refill
+        # order and marker errors to the per-bit loop — a refill still only
+        # happens when the next bit is actually needed, one byte at a time
+        # (eager multi-byte prefetch would trip on RSTn markers the per-bit
+        # walk never reads)
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        while n:
+            if self._n == 0:
+                b = self._d[self._i]
+                self._i += 1
+                if b == 0xFF:
+                    nxt = self._d[self._i]
+                    self._i += 1
+                    if nxt != 0x00:
+                        raise ValueError(
+                            f"marker 0xff{nxt:02x} inside entropy data"
+                        )
+                self._acc = b
+                self._n = 8
+            take = n if n < self._n else self._n
+            self._n -= take
+            v = (v << take) | ((self._acc >> self._n) & ((1 << take) - 1))
+            n -= take
         return v
 
     def restart(self) -> int:
@@ -1277,7 +1315,17 @@ class _JpegBitReader:
         return b1 - 0xD0
 
 
+_JPEG_DECODE_CACHE: dict[tuple, dict] = {}
+
+
 def _jpeg_build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    # r13: cached by content — the fixture re-sends the same canonical
+    # tables in every payload, and rebuilding them per document showed up
+    # in the decode profile. Same table object semantics (read-only use).
+    key = (tuple(bits), tuple(vals))
+    cached = _JPEG_DECODE_CACHE.get(key)
+    if cached is not None:
+        return cached
     table: dict[tuple[int, int], int] = {}
     code = k = 0
     for length in range(1, 17):
@@ -1286,18 +1334,42 @@ def _jpeg_build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int]
             code += 1
             k += 1
         code <<= 1
+    if len(_JPEG_DECODE_CACHE) < 256:  # bound the cache for adversarial input
+        _JPEG_DECODE_CACHE[key] = table
     return table
 
 
 def _jpeg_read_huff(r: _JpegBitReader, table: dict) -> int:
+    # r13: the per-bit walk inlines the reader's refill (one byte at a
+    # time, same de-stuffing/marker errors in the same input order) —
+    # `bit()` method calls dominated the baseline decode profile
     code = length = 0
-    while True:
-        code = (code << 1) | r.bit()
-        length += 1
-        if (length, code) in table:
-            return table[(length, code)]
-        if length > 16:
-            raise ValueError("invalid Huffman code")
+    d = r._d
+    i, acc, n = r._i, r._acc, r._n
+    try:
+        while True:
+            if n == 0:
+                b = d[i]
+                i += 1
+                if b == 0xFF:
+                    nxt = d[i]
+                    i += 1
+                    if nxt != 0x00:
+                        raise ValueError(
+                            f"marker 0xff{nxt:02x} inside entropy data"
+                        )
+                acc = b
+                n = 8
+            n -= 1
+            code = (code << 1) | ((acc >> n) & 1)
+            length += 1
+            key = (length, code)
+            if key in table:
+                return table[key]
+            if length > 16:
+                raise ValueError("invalid Huffman code")
+    finally:
+        r._i, r._acc, r._n = i, acc, n
 
 
 def _jpeg_extend(v: int, s: int) -> int:
@@ -1393,6 +1465,7 @@ def decode_jpeg_gray(raw: bytes):
     img = np.zeros((h, w), dtype=np.uint8)
     pred = 0
     mcu = 0
+    coef = np.zeros((8, 8))  # reused per block (fully reset below)
     for by in range(h // 8):
         for bx in range(w // 8):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -1403,7 +1476,7 @@ def decode_jpeg_gray(raw: bytes):
             mcu += 1
             s = _jpeg_read_huff(r, dc_t)
             pred += _jpeg_extend(r.bits(s), s) if s else 0
-            coef = np.zeros((8, 8))
+            coef.fill(0.0)
             coef[0, 0] = pred * q[0]
             kidx = 0
             while kidx < 63:
@@ -1420,9 +1493,9 @@ def decode_jpeg_gray(raw: bytes):
                 rr, cc = _JPEG_ZZ[kidx]
                 coef[rr, cc] = v * q[kidx]
             px = A @ coef @ A.T + 128.0
-            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = np.clip(
-                np.round(px), 0, 255
-            ).astype(np.uint8)
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
+                px.round().clip(0, 255).astype(np.uint8)
+            )
     return img
 
 
@@ -1757,13 +1830,15 @@ def decode_jpeg_color(raw: bytes):
     }
     pred = {1: 0, 2: 0, 3: 0}
 
+    coef = np.zeros((8, 8))  # reused per block (fully reset below)
+
     def read_block(cid: int, bx: int, by: int) -> None:
         td, ta = scan_tables[cid]
         dc_t, ac_t = hts[0x00 | td], hts[0x10 | ta]
         q = qt[comp_q[cid]]
         s = _jpeg_read_huff(r, dc_t)
         pred[cid] += _jpeg_extend(r.bits(s), s) if s else 0
-        coef = np.zeros((8, 8))
+        coef.fill(0.0)
         coef[0, 0] = pred[cid] * q[0]
         kidx = 0
         while kidx < 63:
@@ -1780,9 +1855,9 @@ def decode_jpeg_color(raw: bytes):
             rr, cc = _JPEG_ZZ[kidx]
             coef[rr, cc] = v * q[kidx]
         px = A @ coef @ A.T + 128.0
-        planes[cid][by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = np.clip(
-            np.round(px), 0, 255
-        ).astype(np.uint8)
+        planes[cid][by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
+            px.round().clip(0, 255).astype(np.uint8)
+        )
 
     mcu = 0
     for my in range(h // 16):
@@ -2098,6 +2173,23 @@ class _MsbBitWriter:
             self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
             self.acc = self.nbits = 0
         return bytes(self.out)
+
+
+def _pack_msb(pairs) -> bytes:
+    """MSB-first pack of ``(value, nbits)`` pairs, zero-padded to a byte —
+    byte-identical to feeding the pairs through `_MsbBitWriter` and
+    flushing, but via one big-int accumulator + a single ``to_bytes``
+    (r13: ~3× less per-frame packing work than the per-call writer; the
+    same fit guard raises on the same inputs)."""
+    acc = 0
+    nbits = 0
+    for v, nb in pairs:
+        if v < 0 or v >> nb:
+            raise ValueError(f"value {v} does not fit in {nb} bits")
+        acc = (acc << nb) | v
+        nbits += nb
+    pad = (-nbits) % 8
+    return ((acc << pad) if pad else acc).to_bytes((nbits + pad) // 8, "big")
 
 
 class _MsbBitReader:
@@ -4697,11 +4789,15 @@ def mp3_spec_sign(doc_id: int, k: int, g: int, s: int, c: int = 0) -> int:
 
 
 def _mp3_spec_granule_bits(
-    doc_id: int, k: int, g: int, c: int = 0, channels: int = 1
+    doc_id: int, k: int, g: int, c: int = 0, channels: int = 1, law: dict | None = None
 ) -> list[tuple[int, int]]:
     """The granule-channel's part3 as (value, nbits) tuples in bitstream
-    order; ``c=0, channels=1`` is bit-for-bit the original mono law."""
-    law = mp3_spectrum_law(doc_id, k, g, c, channels)
+    order; ``c=0, channels=1`` is bit-for-bit the original mono law.
+    ``law`` lets a caller that already derived the granule's law skip the
+    re-derivation (it must equal ``mp3_spectrum_law(doc_id, k, g, c,
+    channels)``)."""
+    if law is None:
+        law = mp3_spectrum_law(doc_id, k, g, c, channels)
     b0, b1 = mp3_spec_regions(law)
     out: list[tuple[int, int]] = []
     for i in range(law["bvs"]):
@@ -4759,43 +4855,43 @@ def _mp3_spectrum_frame(doc_id: int, k: int, mdb: int = 0):
                 if not (law["scfsi"] >> (3 - _scfsi_group(b[1]))) & 1
             ]
         part2.append(bands)
-    part3 = [_mp3_spec_granule_bits(doc_id, k, g) for g in range(2)]
-    w = _MsbBitWriter()
-    w.put(mdb, 9)  # main_data_begin
-    w.put(0, 5)
-    w.put(laws[0]["scfsi"], 4)
+    part3 = [
+        _mp3_spec_granule_bits(doc_id, k, g, law=laws[g]) for g in range(2)
+    ]
+    sip = [(mdb, 9), (0, 5), (laws[0]["scfsi"], 4)]
     for g, law in enumerate(laws):
         p23 = sum(b[3] for b in part2[g]) + sum(nb for _, nb in part3[g])
-        w.put(p23, 12)
-        w.put(law["bvs"], 9)  # field must match the coded spectrum
-        w.put(law["global_gain"], 8)
-        w.put(law["sfc"], 4)
-        w.put(law["wsf"], 1)
+        sip.append((p23, 12))
+        sip.append((law["bvs"], 9))  # field must match the coded spectrum
+        sip.append((law["global_gain"], 8))
+        sip.append((law["sfc"], 4))
+        sip.append((law["wsf"], 1))
         if law["wsf"]:
-            w.put(law["block_type"], 2)
-            w.put(law["mixed"], 1)
+            sip.append((law["block_type"], 2))
+            sip.append((law["mixed"], 1))
             for j in range(2):
-                w.put(law["ts"][j], 5)
+                sip.append((law["ts"][j], 5))
             for j in range(3):
-                w.put(law["subblock_gain"][j], 3)
+                sip.append((law["subblock_gain"][j], 3))
         else:
             for j in range(3):
-                w.put(law["ts"][j], 5)
-            w.put(law["region0"], 4)
-            w.put(law["region1"], 3)
-        w.put(law["preflag"], 1)
-        w.put(law["sfs"], 1)
-        w.put(law["c1ts"], 1)
-    si = w.flush()
+                sip.append((law["ts"][j], 5))
+            sip.append((law["region0"], 4))
+            sip.append((law["region1"], 3))
+        sip.append((law["preflag"], 1))
+        sip.append((law["sfs"], 1))
+        sip.append((law["c1ts"], 1))
+    si = _pack_msb(sip)
     assert len(si) == 17
-    md = _MsbBitWriter()
-    for g, law in enumerate(laws):
-        for kind, i, win, slen in part2[g]:
-            if slen:
-                md.put(mp3_sf_value(doc_id, k, g, i, win, slen), slen)
-        for v, nb in part3[g]:
-            md.put(v, nb)
-    return header, si, md.flush(), size
+    mdp = []
+    for g in range(2):
+        mdp.extend(
+            (mp3_sf_value(doc_id, k, g, i, win, slen), slen)
+            for kind, i, win, slen in part2[g]
+            if slen
+        )
+        mdp.extend(part3[g])
+    return header, si, _pack_msb(mdp), size
 
 
 def encode_mp3_spectrum(doc_id: int) -> bytes:
@@ -4839,12 +4935,11 @@ def _huff_lut(dec: dict, maxlen: int) -> list:
     return lut
 
 
-def _mp3_huff_read(r: _MsbBitReader, dec: dict, maxlen: int):
-    """MSB-first prefix decode against a canonical decode map (r13: one
-    flat-table lookup over ``maxlen`` peeked bits instead of a per-bit
-    prefix walk — identical symbols, identical torn-buffer / invalid-
-    prefix rejections at the same inputs)."""
-    hit = _huff_lut(dec, maxlen)[r.peek_padded(maxlen)]
+def _mp3_huff_read_lut(r: _MsbBitReader, lut: list, maxlen: int):
+    """`_mp3_huff_read` against a pre-fetched flat table (r13: the hot
+    part3 loops hoist the `_huff_lut` cache lookup out of the per-symbol
+    path — the table only changes at region boundaries)."""
+    hit = lut[r.peek_padded(maxlen)]
     if hit is not None:
         sym, ln = hit
         if ln <= r.remaining():
@@ -4856,6 +4951,14 @@ def _mp3_huff_read(r: _MsbBitReader, dec: dict, maxlen: int):
     if r.remaining() < maxlen:
         raise ValueError("torn side-info bitfield")
     raise ValueError("invalid Huffman prefix in part3")
+
+
+def _mp3_huff_read(r: _MsbBitReader, dec: dict, maxlen: int):
+    """MSB-first prefix decode against a canonical decode map (r13: one
+    flat-table lookup over ``maxlen`` peeked bits instead of a per-bit
+    prefix walk — identical symbols, identical torn-buffer / invalid-
+    prefix rejections at the same inputs)."""
+    return _mp3_huff_read_lut(r, _huff_lut(dec, maxlen), maxlen)
 
 
 def _mp3_frame_header(
@@ -4920,6 +5023,7 @@ def _mp3_part23_walk(r: "_MsbBitReader", si: dict, agg: dict) -> None:
     assembled cross-frame main-data stream at the back-pointer target).
     Raises ValueError on any violation — see `mp3_spectrum_features`."""
     _, dec_a = mp3_count1_codebook()
+    lut_a = _huff_lut(dec_a, MP3_QUAD_CODE_MAXLEN)
     channels = len(si["granules"]) // 2
     scfsi_ch = si["scfsi_ch"]
     for c in range(channels):
@@ -4958,6 +5062,8 @@ def _mp3_part23_walk(r: "_MsbBitReader", si: dict, agg: dict) -> None:
             b0_ = bnd[min(gr["region0"] + 1, 22)]
             b1_ = max(b0_, bnd[min(gr["region0"] + gr["region1"] + 2, 22)])
         ts = gr["table_select"]
+        cur_t = None  # hoisted per-table codebook + flat LUT (r13)
+        lut = linbits = None
         for i in range(bv):
             reg = 0 if 2 * i < b0_ else (1 if 2 * i < b1_ else 2)
             if reg == 2:
@@ -4969,8 +5075,11 @@ def _mp3_part23_walk(r: "_MsbBitReader", si: dict, agg: dict) -> None:
                 raise ValueError(f"unused Huffman table {t} selected")
             if t == 0:
                 continue
-            _, dec, n, linbits = mp3_huff_codebook(t)
-            x, y = _mp3_huff_read(r, dec, MP3_PAIR_CODE_MAXLEN)
+            if t != cur_t:
+                _, dec, n, linbits = mp3_huff_codebook(t)
+                lut = _huff_lut(dec, MP3_PAIR_CODE_MAXLEN)
+                cur_t = t
+            x, y = _mp3_huff_read_lut(r, lut, MP3_PAIR_CODE_MAXLEN)
             for sample, v in ((2 * i, x), (2 * i + 1, y)):
                 av = v
                 if t >= 16 and v == 15:
@@ -4994,7 +5103,7 @@ def _mp3_part23_walk(r: "_MsbBitReader", si: dict, agg: dict) -> None:
             if gr["c1ts"]:
                 q = r.bits(4)
             else:
-                q = _mp3_huff_read(r, dec_a, MP3_QUAD_CODE_MAXLEN)
+                q = _mp3_huff_read_lut(r, lut_a, MP3_QUAD_CODE_MAXLEN)
             for o in range(4):
                 if (q >> (3 - o)) & 1:
                     sgn = -1 if r.bits(1) else 1
@@ -5186,16 +5295,34 @@ def encode_mp3_reservoir(doc_id: int) -> bytes:
     frames' unused space, with deterministic stuffing bytes realizing the
     closed-form reservoir recurrence. The stream is then sliced back into
     fixed-size CBR frame bodies. Invariant (tested): the decoded features
-    equal the reservoir-free spectrum tier's on every shared column."""
-    layout = mp3_reservoir_layout(doc_id)
+    equal the reservoir-free spectrum tier's on every shared column.
+
+    r13: the layout is derived inline (the `mp3_reservoir_mdb` recurrence
+    stepped incrementally) so each frame is built ONCE — the old
+    `mp3_reservoir_layout` pass built every frame a first time just to
+    read its main-data length, then this loop built it again (2× the
+    per-record encode; `mp3_reservoir_layout` remains as the layout's
+    specification and for the stuffing-invariance tests)."""
+    p = mp3_sideinfo_params(doc_id)
+    nf = p["n_frames"]
     stream = bytearray()
     frames = []
-    for row in layout:
-        k = row["k"]
-        header, si, main, _ = _mp3_spectrum_frame(doc_id, k, mdb=row["mdb"])
-        frames.append((header, si, row["slab"]))
+    mdb = 0
+    for k in range(nf):
+        header, si, main, size = _mp3_spectrum_frame(doc_id, k, mdb=mdb)
+        slab = size - 4 - 17
+        nxt = (
+            max(0, min(511, mdb + ((doc_id * 31 + 17 * (k + 1)) % 105) - 52))
+            if k + 1 < nf
+            else 0
+        )
+        stuff = mdb + slab - len(main) - nxt
+        if stuff < 0:
+            raise AssertionError("reservoir step exceeds the frame-fit slack")
+        frames.append((header, si, slab))
         v = (doc_id * 7 + k * 13) % 251
-        stream += main + bytes([v]) * row["stuff"]
+        stream += main + bytes([v]) * stuff
+        mdb = nxt
     out = bytearray()
     s = 0
     for header, si, slab in frames:
@@ -5374,12 +5501,12 @@ def encode_mp3_spectrum_mixed(doc_id: int) -> bytes:
                         if not (law["scfsi"] >> (3 - _scfsi_group(b[1]))) & 1
                     ]
                 part2[g][c] = bands
-                part3[g][c] = _mp3_spec_granule_bits(doc_id, k, g, c, channels)
-        w = _MsbBitWriter()
-        w.put(0, 9)  # main_data_begin = 0 (the reservoir is its own tier)
-        w.put(0, 5 if channels == 1 else 3)
+                part3[g][c] = _mp3_spec_granule_bits(
+                    doc_id, k, g, c, channels, law=law
+                )
+        sip = [(0, 9), (0, 5 if channels == 1 else 3)]
         for c in range(channels):
-            w.put(laws[0][c]["scfsi"], 4)
+            sip.append((laws[0][c]["scfsi"], 4))
         for g in range(2):
             for c in range(channels):
                 law = laws[g][c]
@@ -5387,40 +5514,39 @@ def encode_mp3_spectrum_mixed(doc_id: int) -> bytes:
                     sum(b[3] for b in part2[g][c])
                     + sum(nb for _, nb in part3[g][c])
                 )
-                w.put(p23, 12)
-                w.put(law["bvs"], 9)
-                w.put(law["global_gain"], 8)
-                w.put(law["sfc"], 4)
-                w.put(law["wsf"], 1)
+                sip.append((p23, 12))
+                sip.append((law["bvs"], 9))
+                sip.append((law["global_gain"], 8))
+                sip.append((law["sfc"], 4))
+                sip.append((law["wsf"], 1))
                 if law["wsf"]:
-                    w.put(law["block_type"], 2)
-                    w.put(law["mixed"], 1)
+                    sip.append((law["block_type"], 2))
+                    sip.append((law["mixed"], 1))
                     for j in range(2):
-                        w.put(law["ts"][j], 5)
+                        sip.append((law["ts"][j], 5))
                     for j in range(3):
-                        w.put(law["subblock_gain"][j], 3)
+                        sip.append((law["subblock_gain"][j], 3))
                 else:
                     for j in range(3):
-                        w.put(law["ts"][j], 5)
-                    w.put(law["region0"], 4)
-                    w.put(law["region1"], 3)
-                w.put(law["preflag"], 1)
-                w.put(law["sfs"], 1)
-                w.put(law["c1ts"], 1)
-        si = w.flush()
+                        sip.append((law["ts"][j], 5))
+                    sip.append((law["region0"], 4))
+                    sip.append((law["region1"], 3))
+                sip.append((law["preflag"], 1))
+                sip.append((law["sfs"], 1))
+                sip.append((law["c1ts"], 1))
+        si = _pack_msb(sip)
         assert len(si) == si_len
         out += si
-        md = _MsbBitWriter()
+        mdp = []
         for g in range(2):
             for c in range(channels):
-                for kind, i, win, slen in part2[g][c]:
-                    if slen:
-                        md.put(
-                            mp3_sf_value(doc_id, k, g, i, win, slen, c), slen
-                        )
-                for v, nb in part3[g][c]:
-                    md.put(v, nb)
-        main = md.flush()
+                mdp.extend(
+                    (mp3_sf_value(doc_id, k, g, i, win, slen, c), slen)
+                    for kind, i, win, slen in part2[g][c]
+                    if slen
+                )
+                mdp.extend(part3[g][c])
+        main = _pack_msb(mdp)
         body = size - 4 - si_len
         if len(main) > body:
             raise AssertionError("mixed spectrum overflows the frame body")
@@ -5990,6 +6116,29 @@ def gif_anim_index(doc_id: int, k: int, x: int, y: int) -> int:
     return (3 * doc_id + 5 * x + 17 * y + 29 * k) % 256
 
 
+#: r13 caches for the per-frame palette byte blocks (the 256-entry table
+#: builds dominated the tiny-frame animated-GIF encode; the laws are pure
+#: functions of (k, i) so the rendered blocks are process-lifetime constants)
+_GIF_GPAL_BYTES: list[bytes] = []
+_GIF_LPAL_BYTES: dict[int, bytes] = {}
+
+
+def _gif_global_palette_bytes() -> bytes:
+    if not _GIF_GPAL_BYTES:
+        _GIF_GPAL_BYTES.append(
+            b"".join(bytes(_gif_palette(i)) for i in range(256))
+        )
+    return _GIF_GPAL_BYTES[0]
+
+
+def _gif_local_palette_bytes(k: int) -> bytes:
+    blk = _GIF_LPAL_BYTES.get(k)
+    if blk is None:
+        blk = b"".join(bytes(_gif_local_palette(k, i)) for i in range(256))
+        _GIF_LPAL_BYTES[k] = blk
+    return blk
+
+
 def encode_gif_animated(doc_id: int) -> bytes:
     """A real GIF89a animation per the laws above: logical screen with the
     global table, NETSCAPE2.0 loop extension, then per frame a GCE +
@@ -6000,8 +6149,7 @@ def encode_gif_animated(doc_id: int) -> bytes:
     sw, sh = GIF_ANIM_SCREEN
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", sw, sh, 0xF7, 0, 0)
-    for i in range(256):
-        out += bytes(_gif_palette(i))
+    out += _gif_global_palette_bytes()
     # NETSCAPE2.0 looping application extension
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", p["loop"]) + b"\x00"
     for k in range(p["n_frames"]):
@@ -6015,8 +6163,7 @@ def encode_gif_animated(doc_id: int) -> bytes:
             "<HHHHB", law["left"], law["top"], law["w"], law["h"], iflags
         )
         if law["local"]:
-            for i in range(256):
-                out += bytes(_gif_local_palette(k, i))
+            out += _gif_local_palette_bytes(k)
         idx = bytes(
             gif_anim_index(doc_id, k, x, y)
             for y in range(law["h"])
@@ -6054,7 +6201,9 @@ def gif_animated_features(raw: bytes):
     if not flags & 0x80:
         raise ValueError("animated tier requires a global color table")
     n_gct = 2 << (flags & 0x07)
-    gpal = [tuple(raw[pos + 3 * i : pos + 3 * i + 3]) for i in range(n_gct)]
+    # palettes are kept as (offset, n_entries) views into raw — building
+    # 256-tuple lists per doc dominated the tiny-frame walk (r13)
+    g_off = pos
     pos += 3 * n_gct
     # NETSCAPE2.0 loop extension
     if raw[pos : pos + 2] != b"\x21\xff":
@@ -6090,13 +6239,11 @@ def gif_animated_features(raw: bytes):
         if iflags & 0x40:
             raise ValueError("interlace unsupported (disclosed boundary)")
         pos += 10
-        pal = gpal
+        p_off, n_pal = g_off, n_gct
         if iflags & 0x80:
-            n_lct = 2 << (iflags & 0x07)
-            pal = [
-                tuple(raw[pos + 3 * i : pos + 3 * i + 3]) for i in range(n_lct)
-            ]
-            pos += 3 * n_lct
+            n_pal = 2 << (iflags & 0x07)
+            p_off = pos
+            pos += 3 * n_pal
             n_local += 1
         if pos >= len(raw):
             raise ValueError("torn frame")
@@ -6118,12 +6265,12 @@ def gif_animated_features(raw: bytes):
             if transp and i == t_idx:
                 n_transp += 1
                 continue
-            if i >= len(pal):
+            if i >= n_pal:
                 raise ValueError("pixel index outside the active palette")
-            r, g, b = pal[i]
-            fr += r
-            fg += g
-            fb += b
+            b3 = p_off + 3 * i
+            fr += raw[b3]
+            fg += raw[b3 + 1]
+            fb += raw[b3 + 2]
         sum_r += fr
         sum_g += fg
         sum_b += fb

@@ -182,3 +182,32 @@ def test_coded_region_tamper_is_caught():
                 if got != want:
                     changed += 1
     assert changed > total * 0.6, f"{changed}/{total} reservoir flips caught"
+
+
+def test_fused_encode_matches_layout_specification():
+    """r13 optimization guard: `encode_mp3_reservoir` derives the layout
+    inline (each frame built once, the mdb recurrence stepped
+    incrementally). This test re-encodes from `mp3_reservoir_layout` — the
+    two-pass specification the old encoder implemented literally — and
+    pins byte equality, so the fused path can never drift from the
+    layout law."""
+    from flink_dts_connector_spark.operators.multimodal import (
+        _mp3_spectrum_frame,
+    )
+
+    for d in DOCS:
+        layout = mp3_reservoir_layout(d)
+        stream = bytearray()
+        frames = []
+        for row in layout:
+            k = row["k"]
+            header, si, main, _ = _mp3_spectrum_frame(d, k, mdb=row["mdb"])
+            frames.append((header, si, row["slab"]))
+            v = (d * 7 + k * 13) % 251
+            stream += main + bytes([v]) * row["stuff"]
+        ref = bytearray()
+        s = 0
+        for header, si, slab in frames:
+            ref += header + si + stream[s : s + slab]
+            s += slab
+        assert bytes(ref) == encode_mp3_reservoir(d)
