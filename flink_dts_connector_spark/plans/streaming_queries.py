@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from flink_dts_connector_spark.plans.registry import register
 from flink_dts_connector_spark.plans.relational import dec, dsum
-from flink_dts_connector_spark.session import load_table
+from flink_dts_connector_spark.session import load_table, table_rows
 from flink_dts_connector_spark.streaming.runner import (
     pinned_shuffle_partitions,
     read_stream_table,
@@ -57,7 +57,9 @@ def stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum(dec("value"), "total_value"))
     )
-    out = run_to_memory(agg, output_mode="append")
+    out = run_to_memory(
+        agg, output_mode="append", rows=table_rows(sf_dir, "events")
+    )
     return out.select(
         F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
     )
@@ -259,7 +261,9 @@ def stream_partition_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_dts_source(spark)
     env = spark.readStream.format("dts").option("path", raw_dir).load()
     per_part = track_partition_watermarks(env.select("kafka_partition", "ts"), delay_sec=600)
-    sink = run_to_memory(per_part, output_mode="update")
+    sink = run_to_memory(
+        per_part, output_mode="update", rows=table_rows(sf_dir, "orders")
+    )
     return safe_watermark(sink)
 
 
@@ -457,7 +461,9 @@ def stream_late_data_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = track_partition_watermarks(
         phase1_stream.select("kafka_partition", "ts"), delay_sec=86400
     )
-    sink = run_to_memory(per_part, output_mode="update")
+    sink = run_to_memory(
+        per_part, output_mode="update", rows=table_rows(sf_dir, "events")
+    )
     latest = sink.groupBy("kafka_partition").agg(
         F.max("max_ts").alias("max_ts"),
         F.max("partition_watermark").alias("partition_watermark"),
@@ -523,7 +529,12 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     State-partition count is pinned for the run: each shuffle partition
     owns TWO join state stores, so a vanilla 200-partition session pays
     400 store setups per micro-batch — the count is frozen at the first
-    checkpoint anyway, so pin it to the core count (restored after)."""
+    checkpoint anyway, so pin it to the core count (restored after).
+    r13 note: this family deliberately KEEPS compute-based partitioning —
+    an interval join buffers ~every input row AND pays a per-row probe, so
+    the volume-sized rule (`adaptive_stream_partitions`, applied to the
+    cheap-per-row stateful aggs) serializes real work here; measured
+    6.7 s → 7.9 s at 2 partitions vs cores."""
     with pinned_shuffle_partitions(spark):
         return _run_interval_join(spark, sf_dir)
 
@@ -1001,7 +1012,7 @@ def stream_txn_atomic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_dir = scratch_dir("fdcs_txnstream_raw_")
     ckpt = scratch_dir("fdcs_txnstream_ckpt_")
     register_dts_source(spark)
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "orders")):
         for wave in range(int(n_waves)):
             waved.where(F.col("wave") == wave).drop("wave").repartition(2).write.mode(
                 "append"
@@ -1114,7 +1125,7 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": [int(user)], "t1_us": [t1], "t2_us": [t2], "t3_us": [t3]}
         )
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "events")):
         staged = stream.groupBy("user_id").applyInPandasWithState(
             fn,
             outputStructType=out_schema,
@@ -1292,7 +1303,7 @@ def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("offset") < 10000000000) & (F.col("offset") % 4).isin(1, 2),  # updates
         (F.col("offset") >= 10000000000) | (F.col("offset") % 4 == 3),  # deletes + hb/ddl
     ]
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "orders")):
         for cond in waves:
             raw.where(cond).repartition(2).write.mode("append").parquet(raw_dir)
             q = (
@@ -1374,7 +1385,7 @@ def stream_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["prof"] = merged.localCheckpoint()
         state["batches"] += 1
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "events")):
         stream = (
             spark.readStream.schema(empty.schema)
             .option("maxFilesPerTrigger", "1")
@@ -1450,7 +1461,7 @@ def stream_count_min_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_stream_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("w")
     )
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "events")):
         cells = SK.cms_build(ev, item_col="w", depth=4, width=256).withColumnRenamed(
             "c", "n"
         )
@@ -1536,7 +1547,7 @@ def stream_kmv_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["sk"] = merged.localCheckpoint()
         state["batches"] += 1
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "events")):
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
@@ -1624,7 +1635,7 @@ def stream_fixed_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept = state["totals"].join(changed.select("o_orderpriority"), "o_orderpriority", "left_anti")
         state["totals"] = kept.unionByName(changed).localCheckpoint()
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "orders")):
         stream = (
             spark.readStream.schema("value string")
             .option("maxFilesPerTrigger", "1")
@@ -1773,7 +1784,7 @@ def stream_profiled_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     total = ev.count()
     rows = []
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "events")):
         for arm, delay_ms in (("default_10min", 600000), ("profiled", rec_delay_ms)):
             agg = (
                 spark.readStream.schema("event_id long, ts timestamp")
@@ -1884,7 +1895,7 @@ def stream_hll_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["regs"] = SK.hll_merge(state["regs"], batch_regs).localCheckpoint()
         state["batches"] += 1
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "events")):
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
@@ -1976,7 +1987,7 @@ def stream_store_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_trigger = max(1, -(-n_files // 2))  # ceil(n/2): batch2 gets the rest
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "orders")):
         env = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", str(per_trigger))
@@ -2053,7 +2064,7 @@ def stream_jvm_prefiltered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     generate_cdc_bytes(spark, sf_dir).select("value").repartition(4).write.mode(
         "overwrite"
     ).parquet(raw_dir)
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "orders")):
         raw = spark.readStream.schema("value binary").parquet(raw_dir)
         pre = prefilter(raw, tables=[f"{DB}.{TBL}"], ops=["UPDATE", "DELETE"])
         env = decode_cdc(pre, tables=[f"{DB}.{TBL}"], ops=["UPDATE", "DELETE"])
@@ -2109,7 +2120,7 @@ def stream_jvm_typed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     generate_cdc_bytes(spark, sf_dir).select("value").repartition(4).write.mode(
         "overwrite"
     ).parquet(raw_dir)
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "orders")):
         raw = spark.readStream.schema("value binary").parquet(raw_dir)
         typed = decode_typed_jvm(raw, ORDERS_CDC_SCHEMA, ORDERS_FIELDS, f"{DB}.{TBL}")
         agg = typed.groupBy("op").agg(
@@ -2186,7 +2197,7 @@ def stream_histogram_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["cells"] = SK.histogram_merge(state["cells"], batch_cells).localCheckpoint()
         state["batches"] += 1
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "orders")):
         stream = (
             spark.readStream.schema(orders.schema)
             .option("maxFilesPerTrigger", "1")
@@ -2287,7 +2298,7 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state["batches"] += 1
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "events")):
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", "1")
@@ -2354,7 +2365,7 @@ def stream_seasonal_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state["batches"] += 1
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "events")):
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", "1")
@@ -2446,7 +2457,7 @@ def _failover_phase_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             spark, broker, topic, sid="SID42", user="alice", password="s3cret",
             offsets_by_timestamp=offsets_by_timestamp, source_format="kafka_fake",
         ).select("id", "operation", "kafka_partition", "kafka_offset", "kafka_timestamp")
-        with pinned_shuffle_partitions(spark):
+        with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "orders")):
             q = (
                 env.writeStream.format("parquet")
                 .option("path", out)
@@ -2643,7 +2654,7 @@ def stream_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["cells"] = merged.localCheckpoint()
         state["batches"] += 1
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "documents")):
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", "1")
@@ -2801,7 +2812,7 @@ def stream_semdedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lo = lo.unionByName(fr)
             state["losers"] = [lo.distinct().localCheckpoint()]
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "embeddings")):
         stream = (
             spark.readStream.schema(emb.schema)
             .option("maxFilesPerTrigger", "1")
@@ -2963,7 +2974,7 @@ def stream_labelprop_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state["batches"] += 1
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "documents")):
         stream = (
             spark.readStream.schema(pairs.schema)
             .option("maxFilesPerTrigger", "1")
@@ -3147,7 +3158,7 @@ def stream_pagerank_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["ranks"] = spliced.localCheckpoint()
         state["batches"] += 1
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "documents")):
         stream = (
             spark.readStream.schema(pairs.schema)
             .option("maxFilesPerTrigger", "1")
@@ -3248,7 +3259,7 @@ def _group_resume_phase_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str
             password="s3cret", group_starting_offsets=group_start,
             source_format="kafka_fake", extra=extra,
         ).select("id", "operation", "kafka_partition", "kafka_offset")
-        with pinned_shuffle_partitions(spark):
+        with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "orders")):
             q = (
                 env.writeStream.format("parquet")
                 .option("path", out)
@@ -3289,7 +3300,7 @@ def _group_resume_phase_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str
             "maxRecordsPerTrigger": str(max(n_prefix // 4, 1)),
         },
     ).select("id", "operation", "kafka_partition", "kafka_offset")
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "orders")):
         q1 = (
             env1.writeStream.foreachBatch(sink_1)
             .option("checkpointLocation", scratch_dir("fdcs_group_ckpt_"))
@@ -3467,7 +3478,7 @@ def stream_minhash_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state["batches"] += 1
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "documents")):
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", "1")
@@ -3560,7 +3571,7 @@ def stream_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state["batches"] += 1
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "documents")):
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", "1")
@@ -3651,7 +3662,7 @@ def stream_trigram_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state["batches"] += 1
 
-    with pinned_shuffle_partitions(spark):
+    with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "documents")):
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", "1")

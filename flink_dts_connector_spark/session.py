@@ -85,6 +85,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_TABLE_ROWS_CACHE: dict[str, int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count of one driver table from the parquet FOOTER (driver-side
+    metadata read, no Spark job) — the input-volume hint behind the r13
+    scale-adaptive streaming partition rule
+    (`streaming.runner.adaptive_stream_partitions`). The fixture contract
+    is one file per table; a directory-table deployment would swap this
+    for the table format's manifest row count."""
+    path = table_path(sf_dir, name)
+    n = _TABLE_ROWS_CACHE.get(path)
+    if n is None:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(path).metadata.num_rows
+        _TABLE_ROWS_CACHE[path] = n
+    return n
+
+
 _NANOS_COLS_CACHE: dict[str, tuple[str, ...]] = {}
 
 

