@@ -3101,12 +3101,21 @@ SEMDEDUP_K_SQL = (
 )
 
 
-def semdedup_k(emb) -> int:
+def semdedup_k(emb, sf_dir: str | None = None) -> int:
     """Spark-side twin of SEMDEDUP_K_SQL — one scalar count (control
-    metadata, not data movement)."""
+    metadata, not data movement). With ``sf_dir`` the count comes from the
+    embeddings parquet FOOTER (r13: driver-side metadata read instead of a
+    Spark count job — the full un-filtered table is exactly what both
+    callers pass, so the two counts are identical by construction)."""
     import math
 
-    return max(SEMDEDUP_K_FLOOR, math.ceil(emb.count() / SEMDEDUP_K_DIVISOR))
+    if sf_dir is not None:
+        from flink_dts_connector_spark.session import table_rows
+
+        n = table_rows(sf_dir, "embeddings")
+    else:
+        n = emb.count()
+    return max(SEMDEDUP_K_FLOOR, math.ceil(n / SEMDEDUP_K_DIVISOR))
 
 
 def _kmeans_oracle(
@@ -9436,7 +9445,7 @@ def curate_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cluster id, and the loser set is a semi-join back — the published
     SemDeDup recipe mapped 1:1 onto shuffle-bounded primitives."""
     emb = t(spark, sf_dir, "embeddings")
-    assign = S.kmeans_int_clusters(emb, k=semdedup_k(emb), n_iter=2).localCheckpoint()
+    assign = S.kmeans_int_clusters(emb, k=semdedup_k(emb, sf_dir), n_iter=2).localCheckpoint()
     clustered = emb.join(assign.select("vec_id", "cluster"), "vec_id")
     pairs = S.cosine_pairs(clustered, block_col="cluster", threshold=0.35)
     d = assign.select("vec_id", "dist2")

@@ -2737,7 +2737,7 @@ def stream_semdedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # r13: SF-aware k (same rule as curate_semdedup — the twins must block
     # on the same clustering or delta != rebuild)
-    sd_k = semdedup_k(emb)
+    sd_k = semdedup_k(emb, sf_dir)
     cent = S.kmeans_int_centroids(emb, k=sd_k, n_iter=2)
 
     waves_dir = scratch_dir("fdcs_semdd_waves_")

@@ -35,7 +35,15 @@ def main() -> int:
         q = qs[name]
         try:
             df = q.fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().explainString("formatted")
+            # df.explain prints to stdout; capture it (the py4j
+            # explainString(String) overload is not exposed in Spark 4.1)
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
         except Exception as e:  # noqa: BLE001
             print(f"SKIP {name}: {type(e).__name__}: {e}")
             continue
