@@ -27,7 +27,9 @@ from flink_dts_connector_spark.session import load_table, table_rows
 from flink_dts_connector_spark.streaming.runner import (
     pinned_shuffle_partitions,
     read_stream_table,
+    read_waves,
     run_to_memory,
+    write_waves,
     scratch_dir,
 )
 
@@ -1357,10 +1359,7 @@ def stream_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "value", "ts", "event_id"
     )
     waves_dir = scratch_dir("fdcs_prof_waves_")
-    for i in range(3):
-        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(
-            waves_dir
-        )
+    write_waves(ev, F.col("event_id") % 3, waves_dir)
 
     empty = spark.createDataFrame(
         [], "user_id bigint, event_type string, value double, ts timestamp, event_id bigint"
@@ -1386,11 +1385,7 @@ def stream_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["batches"] += 1
 
     with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "events")):
-        stream = (
-            spark.readStream.schema(empty.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves_dir)
-        )
+        stream = read_waves(spark, empty.schema, waves_dir)
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", scratch_dir("fdcs_prof_ckpt_"))
@@ -1524,10 +1519,7 @@ def stream_kmv_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
     waves_dir = scratch_dir("fdcs_kmv_waves_")
-    for i in range(3):
-        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(
-            waves_dir
-        )
+    write_waves(ev, F.col("event_id") % 3, waves_dir)
 
     empty = spark.createDataFrame([], "g string, h bigint")
     state = {"sk": empty.localCheckpoint(), "batches": 0}
@@ -1548,11 +1540,7 @@ def stream_kmv_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["batches"] += 1
 
     with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "events")):
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves_dir)
-        )
+        stream = read_waves(spark, ev.schema, waves_dir)
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", scratch_dir("fdcs_kmv_ckpt_"))
@@ -1622,8 +1610,7 @@ def stream_fixed_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wave by record id parity-ish: op byte + low hex digit keeps I/UB/UA/D
     # interleaved across batches
     wave = F.conv(F.substring("value", 17, 1), 16, 10).cast("bigint") % 3
-    for i in range(3):
-        wire.where(wave == i).coalesce(1).write.mode("append").parquet(waves_dir)
+    write_waves(wire, wave, waves_dir)
 
     empty = spark.createDataFrame(
         [], "o_orderpriority string, sum_cents bigint, n_orders bigint"
@@ -1636,11 +1623,7 @@ def stream_fixed_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["totals"] = kept.unionByName(changed).localCheckpoint()
 
     with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "orders")):
-        stream = (
-            spark.readStream.schema("value string")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves_dir)
-        )
+        stream = read_waves(spark, "value string", waves_dir)
         dec = decode_fixed(stream)
         s = fixed_sign("op")
         agg = dec.groupBy("o_orderpriority").agg(
@@ -1882,10 +1865,7 @@ def stream_hll_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
     waves_dir = scratch_dir("fdcs_hll_waves_")
-    for i in range(3):
-        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(
-            waves_dir
-        )
+    write_waves(ev, F.col("event_id") % 3, waves_dir)
 
     empty = spark.createDataFrame([], "g string, j bigint, r bigint")
     state = {"regs": empty.localCheckpoint(), "batches": 0}
@@ -1896,11 +1876,7 @@ def stream_hll_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["batches"] += 1
 
     with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "events")):
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves_dir)
-        )
+        stream = read_waves(spark, ev.schema, waves_dir)
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", scratch_dir("fdcs_hll_ckpt_"))
@@ -2618,10 +2594,7 @@ def stream_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     waves_dir = scratch_dir("fdcs_media_waves_")
-    for i in range(3):
-        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(
-            waves_dir
-        )
+    write_waves(docs, F.col("doc_id") % 3, waves_dir)
 
     empty = spark.createDataFrame(
         [],
@@ -2655,11 +2628,7 @@ def stream_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["batches"] += 1
 
     with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "documents")):
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves_dir)
-        )
+        stream = read_waves(spark, docs.schema, waves_dir)
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", scratch_dir("fdcs_media_ckpt_"))
@@ -2741,10 +2710,7 @@ def stream_semdedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = S.kmeans_int_centroids(emb, k=sd_k, n_iter=2)
 
     waves_dir = scratch_dir("fdcs_semdd_waves_")
-    for i in range(3):
-        emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.mode("append").parquet(
-            waves_dir
-        )
+    write_waves(emb, F.col("vec_id") % 3, waves_dir)
 
     # r13 optimization (guide §1.2 step 1 — fix the algorithm's per-batch
     # materialization): state is APPEND-ONLY. The old merge re-materialized
@@ -2813,11 +2779,7 @@ def stream_semdedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             state["losers"] = [lo.distinct().localCheckpoint()]
 
     with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "embeddings")):
-        stream = (
-            spark.readStream.schema(emb.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves_dir)
-        )
+        stream = read_waves(spark, emb.schema, waves_dir)
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", scratch_dir("fdcs_semdd_ckpt_"))
@@ -3430,10 +3392,7 @@ def stream_minhash_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     waves_dir = scratch_dir("fdcs_mhm_waves_")
-    for i in range(3):
-        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(
-            waves_dir
-        )
+    write_waves(docs, F.col("doc_id") % 3, waves_dir)
 
     index_empty = spark.createDataFrame(
         [], "id bigint, band int, r0 bigint, r1 bigint, r2 bigint, r3 bigint"
@@ -3479,11 +3438,7 @@ def stream_minhash_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["batches"] += 1
 
     with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "documents")):
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves_dir)
-        )
+        stream = read_waves(spark, docs.schema, waves_dir)
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", scratch_dir("fdcs_mhm_ckpt_"))

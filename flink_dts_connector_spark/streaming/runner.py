@@ -104,6 +104,36 @@ def pinned_shuffle_partitions(
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def write_waves(df: DataFrame, wave_col, waves_dir: str, n_waves: int = 3) -> None:
+    """Stage a frame as ``n_waves`` arrival files in ONE Spark job (r13):
+    the wave loop (`for i in range(n): df.where(...%n==i).coalesce(1)
+    .write.append`) paid one full job per wave — n scans, n commits.
+    `partitionBy` on the derived wave key writes every wave's file in one
+    pass; hash partitioning sends each wave value to one task, so the
+    directory holds exactly one data file per wave. Pair with
+    `read_waves`, whose ``recursiveFileLookup`` reads the nested files
+    WITHOUT partition-column inference — the streamed schema and the
+    per-file wave membership are byte-identical to the loop's output."""
+    (
+        df.withColumn("_wave", wave_col.cast("int"))
+        .repartition(n_waves, "_wave")
+        .write.partitionBy("_wave")
+        .mode("overwrite")
+        .parquet(waves_dir)
+    )
+
+
+def read_waves(spark: SparkSession, schema, waves_dir: str) -> DataFrame:
+    """File-per-trigger stream over a `write_waves` directory (one
+    micro-batch per wave file, exactly like the old flat layout)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(waves_dir)
+    )
+
+
 def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Streaming read of one driver parquet table (schema from the batch
     reader, incl. the nanos→µs timestamp conversion in load_table)."""
