@@ -2152,10 +2152,7 @@ def stream_histogram_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     waves_dir = scratch_dir("fdcs_hq_waves_")
-    for i in range(3):
-        orders.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(waves_dir)
+    write_waves(orders, F.col("o_orderkey") % 3, waves_dir)
 
     empty = spark.createDataFrame([], "g string, bucket bigint, c bigint")
     state = {"cells": empty.localCheckpoint(), "batches": 0}
@@ -2174,11 +2171,7 @@ def stream_histogram_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["batches"] += 1
 
     with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "orders")):
-        stream = (
-            spark.readStream.schema(orders.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves_dir)
-        )
+        stream = read_waves(spark, orders.schema, waves_dir)
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", scratch_dir("fdcs_hq_ckpt_"))
@@ -2250,10 +2243,7 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "ts", "value"
     )
     waves_dir = scratch_dir("fdcs_drift_waves_")
-    for i in range(3):
-        events.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(waves_dir)
+    write_waves(events, F.col("event_id") % 3, waves_dir)
 
     empty = spark.createDataFrame(
         [], "event_type string, bucket bigint, c0 bigint, c1 bigint"
@@ -2275,11 +2265,7 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["batches"] += 1
 
     with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "events")):
-        stream = (
-            spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves_dir)
-        )
+        stream = read_waves(spark, events.schema, waves_dir)
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", scratch_dir("fdcs_drift_ckpt_"))
@@ -2323,10 +2309,7 @@ def stream_seasonal_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events").select("event_id", "ts")
     waves_dir = scratch_dir("fdcs_seas_waves_")
-    for i in range(3):
-        events.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(waves_dir)
+    write_waves(events, F.col("event_id") % 3, waves_dir)
 
     empty = spark.createDataFrame([], "day date, n bigint")
     state = {"cells": empty.localCheckpoint(), "batches": 0}
@@ -2342,11 +2325,7 @@ def stream_seasonal_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["batches"] += 1
 
     with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "events")):
-        stream = (
-            spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves_dir)
-        )
+        stream = read_waves(spark, events.schema, waves_dir)
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", scratch_dir("fdcs_seas_ckpt_"))
@@ -2861,10 +2840,9 @@ def stream_labelprop_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.jaccard_pairs(docs, threshold_pct=30).select("a_id", "b_id")
 
     waves_dir = scratch_dir("fdcs_lpm_waves_")
-    for i in range(3):
-        pairs.where((F.col("a_id") * 31 + F.col("b_id")) % 3 == i).coalesce(
-            1
-        ).write.mode("append").parquet(waves_dir)
+    # r13: ONE job — the wave loop re-ran the whole jaccard_pairs subtree
+    # once per wave (3 full pair computations to stage 3 files)
+    write_waves(pairs, (F.col("a_id") * 31 + F.col("b_id")) % 3, waves_dir)
 
     state = {
         "edges": spark.createDataFrame([], "a_id bigint, b_id bigint").localCheckpoint(),
@@ -2937,11 +2915,7 @@ def stream_labelprop_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["batches"] += 1
 
     with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "documents")):
-        stream = (
-            spark.readStream.schema(pairs.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves_dir)
-        )
+        stream = read_waves(spark, pairs.schema, waves_dir)
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", scratch_dir("fdcs_lpm_ckpt_"))
@@ -3019,10 +2993,8 @@ def stream_pagerank_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.jaccard_pairs(docs, threshold_pct=30).select("a_id", "b_id")
 
     waves_dir = scratch_dir("fdcs_prm_waves_")
-    for i in range(3):
-        pairs.where((F.col("a_id") * 31 + F.col("b_id")) % 3 == i).coalesce(
-            1
-        ).write.mode("append").parquet(waves_dir)
+    # r13: ONE job (was 3 full jaccard_pairs computations — see labelprop)
+    write_waves(pairs, (F.col("a_id") * 31 + F.col("b_id")) % 3, waves_dir)
 
     n_rounds = 5
     rcols = [f"r{t}" for t in range(1, n_rounds + 1)]
@@ -3121,11 +3093,7 @@ def stream_pagerank_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["batches"] += 1
 
     with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "documents")):
-        stream = (
-            spark.readStream.schema(pairs.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves_dir)
-        )
+        stream = read_waves(spark, pairs.schema, waves_dir)
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", scratch_dir("fdcs_prm_ckpt_"))
@@ -3494,10 +3462,7 @@ def stream_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     waves_dir = scratch_dir("fdcs_bm25m_waves_")
-    for i in range(3):
-        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(waves_dir)
+    write_waves(docs, F.col("doc_id") % 3, waves_dir)
 
     post_empty = spark.createDataFrame(
         [], "token string, doc_id bigint, tf bigint, dl bigint"
@@ -3527,11 +3492,7 @@ def stream_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["batches"] += 1
 
     with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "documents")):
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves_dir)
-        )
+        stream = read_waves(spark, docs.schema, waves_dir)
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", scratch_dir("fdcs_bm25m_ckpt_"))
@@ -3588,10 +3549,7 @@ def stream_trigram_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     waves_dir = scratch_dir("fdcs_trgm_waves_")
-    for i in range(3):
-        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(waves_dir)
+    write_waves(docs, F.col("doc_id") % 3, waves_dir)
 
     tri_empty = spark.createDataFrame([], "tri string, doc_id bigint")
     txt_empty = spark.createDataFrame([], "doc_id bigint, _text string")
@@ -3618,11 +3576,7 @@ def stream_trigram_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["batches"] += 1
 
     with pinned_shuffle_partitions(spark, rows=table_rows(sf_dir, "documents")):
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(waves_dir)
-        )
+        stream = read_waves(spark, docs.schema, waves_dir)
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", scratch_dir("fdcs_trgm_ckpt_"))
