@@ -25,6 +25,7 @@ from flink_dts_connector_spark.plans.registry import register
 from flink_dts_connector_spark.plans.relational import dec, dsum
 from flink_dts_connector_spark.session import load_table, table_rows
 from flink_dts_connector_spark.streaming.runner import (
+    JOIN_STATE_ROWS_PER_PARTITION,
     pinned_shuffle_partitions,
     read_stream_table,
     read_waves,
@@ -531,14 +532,16 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     State-partition count is pinned for the run: each shuffle partition
     owns TWO join state stores, so a vanilla 200-partition session pays
     400 store setups per micro-batch — the count is frozen at the first
-    checkpoint anyway, so pin it to the core count (restored after).
-    r13 note: this family deliberately KEEPS compute-based partitioning —
-    an interval join buffers ~every input row AND pays a per-row probe, so
-    the volume-sized rule (`adaptive_stream_partitions`, applied to the
-    cheap-per-row stateful aggs) serializes real work here; measured
-    6.7 s → 7.9 s at 2 partitions vs cores."""
-    with pinned_shuffle_partitions(spark):
-        return _run_interval_join(spark, sf_dir)
+    checkpoint anyway. r13 kept this family on core-count partitioning
+    after measuring the agg-density volume rule (2 partitions) at 7.9 s vs
+    6.7 s — but r14's full partition sweep (checksum off, min-of-3
+    interleaved) shows BOTH extremes lose: 2 → 7.9, 8 → 2.27, 32 → 4.63 s.
+    The per-store commit overhead at cores-many stores costs more than the
+    probe parallelism buys at this volume, so the family now derives its
+    count from input volume at the join density
+    (JOIN_STATE_ROWS_PER_PARTITION — see the constant's measured basin),
+    which still grows to 8×cores with data."""
+    return _run_interval_join(spark, sf_dir)
 
 
 def _interval_join_frame(
@@ -580,7 +583,12 @@ def _run_interval_join(
     spark: SparkSession, sf_dir: str, how: str = "inner"
 ) -> DataFrame:
     j = _interval_join_frame(spark, sf_dir, how)
-    out = run_to_memory(j, output_mode="append")
+    out = run_to_memory(
+        j,
+        output_mode="append",
+        rows=table_rows(sf_dir, "events"),
+        rows_per_partition=JOIN_STATE_ROWS_PER_PARTITION,
+    )
     return out.select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
 
 
@@ -628,8 +636,7 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the cleanup predicate is `purchase_ts <= watermark − 1 ms`.
     Purchases above that are still buffered when the bounded run ends and
     legitimately never emit."""
-    with pinned_shuffle_partitions(spark):
-        return _run_interval_join(spark, sf_dir, how="left_outer")
+    return _run_interval_join(spark, sf_dir, how="left_outer")
 
 
 @register(
@@ -648,10 +655,14 @@ def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     one qualifying view emits exactly once, on first match — the streaming
     "has a preceding view" existence filter. No null/eviction path, so the
     oracle is simply the distinct matched left side."""
-    with pinned_shuffle_partitions(spark):
-        j = _interval_join_frame(spark, sf_dir, how="left_semi")
-        out = run_to_memory(j, output_mode="append")
-        return out.select("purchase_id", "user_id", "purchase_ts")
+    j = _interval_join_frame(spark, sf_dir, how="left_semi")
+    out = run_to_memory(
+        j,
+        output_mode="append",
+        rows=table_rows(sf_dir, "events"),
+        rows_per_partition=JOIN_STATE_ROWS_PER_PARTITION,
+    )
+    return out.select("purchase_id", "user_id", "purchase_ts")
 
 
 @register(
@@ -685,13 +696,17 @@ def stream_chained_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     match could still land in it, so the emission cutoff is
     window_end <= global_watermark − 1 h — with the same min-of-sides
     ms-floored global watermark the outer join pinned."""
-    with pinned_shuffle_partitions(spark):
-        j = _interval_join_frame(spark, sf_dir, how="inner")
-        agg = j.groupBy(F.window("purchase_ts", "1 hour")).agg(
-            F.count(F.lit(1)).alias("n")
-        )
-        out = run_to_memory(agg, output_mode="append")
-        return out.select(F.col("window.start").alias("window_start"), "n")
+    j = _interval_join_frame(spark, sf_dir, how="inner")
+    agg = j.groupBy(F.window("purchase_ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_to_memory(
+        agg,
+        output_mode="append",
+        rows=table_rows(sf_dir, "events"),
+        rows_per_partition=JOIN_STATE_ROWS_PER_PARTITION,
+    )
+    return out.select(F.col("window.start").alias("window_start"), "n")
 
 
 @register(
@@ -739,16 +754,20 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     watermark passes it (≤ wm − 1 ms), but an unmatched view must outlive
     wm − 1 h − 1 ms, because a view can still match purchases up to one
     interval in its future. The oracle encodes both eviction depths."""
-    with pinned_shuffle_partitions(spark):
-        j = _interval_join_frame(spark, sf_dir, how="full_outer")
-        out = run_to_memory(j, output_mode="append")
-        return out.select(
-            "purchase_id",
-            "view_id",
-            F.coalesce(F.col("user_id"), F.col("v_uid")).alias("user_id"),
-            "purchase_ts",
-            "view_ts",
-        )
+    j = _interval_join_frame(spark, sf_dir, how="full_outer")
+    out = run_to_memory(
+        j,
+        output_mode="append",
+        rows=table_rows(sf_dir, "events"),
+        rows_per_partition=JOIN_STATE_ROWS_PER_PARTITION,
+    )
+    return out.select(
+        "purchase_id",
+        "view_id",
+        F.coalesce(F.col("user_id"), F.col("v_uid")).alias("user_id"),
+        "purchase_ts",
+        "view_ts",
+    )
 
 
 @register(
@@ -793,16 +812,20 @@ def stream_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFram
     because a buffered view could still match a purchase up to 1 h after
     it). Same min-of-sides ms-floored global watermark as the other outer
     modes; the oracle encodes the closed form."""
-    with pinned_shuffle_partitions(spark):
-        j = _interval_join_frame(spark, sf_dir, how="right_outer")
-        out = run_to_memory(j, output_mode="append")
-        return out.select(
-            "purchase_id",
-            "view_id",
-            F.coalesce(F.col("user_id"), F.col("v_uid")).alias("user_id"),
-            "purchase_ts",
-            "view_ts",
-        )
+    j = _interval_join_frame(spark, sf_dir, how="right_outer")
+    out = run_to_memory(
+        j,
+        output_mode="append",
+        rows=table_rows(sf_dir, "events"),
+        rows_per_partition=JOIN_STATE_ROWS_PER_PARTITION,
+    )
+    return out.select(
+        "purchase_id",
+        "view_id",
+        F.coalesce(F.col("user_id"), F.col("v_uid")).alias("user_id"),
+        "purchase_ts",
+        "view_ts",
+    )
 
 
 def _rebuild_manifest_sql() -> str:
@@ -2738,6 +2761,18 @@ def stream_semdedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             d_all.withColumnRenamed("vec_id", "b_id").withColumnRenamed("dist2", "db"),
             "b_id",
         )
+        # r14 (guide §1.2 step 1, fewer jobs): the loser set is NOT
+        # checkpointed per batch — every frame it derives from (`new`, the
+        # prior rosters, the centroids) is already a checkpointed/stable
+        # frame, so the plan stays valid after the micro-batch ends and
+        # after waves_dir is removed. Each batch's pair scoring then runs
+        # ONCE, inside the final rollup job (AQE schedules the three
+        # batches' independent pair subtrees concurrently) instead of as a
+        # per-batch eager localCheckpoint job — r14 job drill: 66 → ~55
+        # sequential jobs, the two biggest per-batch jobs (0.7 s + 1.6 s)
+        # folded into the rollup. The compaction path below still
+        # materializes pending loser frames, so lineage depth stays
+        # bounded for long-lived streams.
         batch_losers = scored.select(
             F.when(
                 (F.col("da") > F.col("db"))
@@ -2746,7 +2781,7 @@ def stream_semdedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(F.col("b_id"))
             .alias("vec_id")
-        ).distinct().localCheckpoint()
+        ).distinct()
         state["rosters"].append(new)
         state["losers"].append(batch_losers)
         state["batches"] += 1

@@ -35,8 +35,20 @@ def scratch_dir(prefix: str) -> str:
 #: so a deployment can retune it without touching query code.
 STATE_ROWS_PER_PARTITION = 64 * 1024
 
+#: the same rule for state-HEAVY operators (stream-stream interval joins):
+#: they buffer ~every input row on both sides AND pay a per-row probe, so
+#: the optimum sits at a 4x smaller rows-per-store target than the cheap
+#: agg rule. Measured r14 (sf0.1 interval join, 100k events, checksum off,
+#: min-of-3 interleaved): 4 parts 2.64 s, 6 -> 2.44, 8 -> 2.27, 12 -> 3.14,
+#: 16 -> 3.89, 32 (r13 setting) -> 4.63, 2 (the agg rule's answer, r13
+#: measurement) -> 7.9 s. ceil(100k/16k) = 7 lands in the measured basin;
+#: the count still grows linearly with input volume to the 8 x cores cap.
+JOIN_STATE_ROWS_PER_PARTITION = 16 * 1024
 
-def adaptive_stream_partitions(spark: SparkSession, rows: int) -> int:
+
+def adaptive_stream_partitions(
+    spark: SparkSession, rows: int, rows_per_partition: int = STATE_ROWS_PER_PARTITION
+) -> int:
     """Scale-ADAPTIVE streaming shuffle/state partition count: derived from
     the input's row volume, not from the local core count (r13, guide §2.2
     "fewer, larger partitions" + the round rule that partitioning must
@@ -62,15 +74,23 @@ def adaptive_stream_partitions(spark: SparkSession, rows: int) -> int:
     (stream-stream interval joins' per-row probes, fingerprint dedup)
     keep compute-based partitioning: the same rule measured
     stream_stream_interval_join 6.7 s → 7.9 s and stream_corpus_ingest
-    3.8 s → 5.1 s, so those call sites deliberately stay un-hinted."""
+    3.8 s → 5.1 s, so those call sites deliberately stay un-hinted.
+
+    r14: ``rows_per_partition`` parameterizes the density — interval joins
+    pass JOIN_STATE_ROWS_PER_PARTITION (state-heavy ops want 4× more
+    stores per row mass than cheap aggs; see that constant's measured
+    basin), everything else keeps the agg default."""
     cores = spark.sparkContext.defaultParallelism
-    need = max(1, -(-rows // STATE_ROWS_PER_PARTITION))
+    need = max(1, -(-rows // rows_per_partition))
     return min(need, 8 * cores)
 
 
 @contextlib.contextmanager
 def pinned_shuffle_partitions(
-    spark: SparkSession, n: int | None = None, rows: int | None = None
+    spark: SparkSession,
+    n: int | None = None,
+    rows: int | None = None,
+    rows_per_partition: int = STATE_ROWS_PER_PARTITION,
 ):
     """Pin `spark.sql.shuffle.partitions` (default: core count) for the
     duration of a stateful streaming query definition+run, restoring after.
@@ -94,7 +114,7 @@ def pinned_shuffle_partitions(
     RocksDB is the right switch only when per-partition state exceeds the
     executor heap."""
     if n is None and rows is not None:
-        n = adaptive_stream_partitions(spark, rows)
+        n = adaptive_stream_partitions(spark, rows, rows_per_partition)
     n_parts = str(n if n is not None else spark.sparkContext.defaultParallelism)
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n_parts)
@@ -159,17 +179,22 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def run_to_memory(
-    sdf: DataFrame, output_mode: str = "append", rows: int | None = None
+    sdf: DataFrame,
+    output_mode: str = "append",
+    rows: int | None = None,
+    rows_per_partition: int = STATE_ROWS_PER_PARTITION,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
     sink; returns the sink contents as a batch DataFrame.
 
     ``rows=`` (r13): the source's row volume; when given, the stream runs
     under `adaptive_stream_partitions`-sized shuffle/state partitioning
-    (see `pinned_shuffle_partitions`) instead of the session default."""
+    (see `pinned_shuffle_partitions`) instead of the session default.
+    ``rows_per_partition=`` (r14): the density target — interval joins pass
+    JOIN_STATE_ROWS_PER_PARTITION."""
     name = f"q_{uuid.uuid4().hex[:12]}"
     ckpt = scratch_dir("fdcs_ckpt_")
-    with pinned_shuffle_partitions(sdf.sparkSession, rows=rows):
+    with pinned_shuffle_partitions(sdf.sparkSession, rows=rows, rows_per_partition=rows_per_partition):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
