@@ -44,7 +44,19 @@ SUPPORTED_FAKE_CODEC = "fake"
 MEDIA_META_FIELDS = "codec string, n_bytes bigint, width int, height int, duration_ms bigint"
 
 
-def _spread(df: DataFrame) -> DataFrame:
+#: cheap-class spread gate: a µs-per-doc stage only outruns the round-robin
+#: exchange it would pay (which also touches every row, plus a job barrier)
+#: once the serialized stage is seconds of work — ≥ this many rows PER CORE.
+#: r14 measurement behind the number: at 5k docs the unconditional r13
+#: exchange made the two cheap-class rows *slower* (multimodal_bmp_features
+#: 2.47 → 5.92 normalized, multimodal_decode_features 1.34 → 2.38) while
+#: every heavy codec (JPEG/PNG/MP3: ms-per-doc) kept winning. The gate is
+#: rows-per-core, so the SAME formula spreads a cheap stage at cluster
+#: scale (100 TB of docs ≫ threshold × cores) and skips it on a fixture.
+CHEAP_SPREAD_MIN_ROWS_PER_CORE = 16 * 1024
+
+
+def _spread(df: DataFrame, rows: int | None = None, heavy: bool = True) -> DataFrame:
     """Spread a (tiny) driver-of-work frame across the session's cores
     before a per-row Python stage.
 
@@ -58,23 +70,36 @@ def _spread(df: DataFrame) -> DataFrame:
     defaultParallelism, and a frame that already has at least that many
     partitions (the 100 TB case, where the scan itself is thousands of
     splits) passes through untouched, so this never REDUCES parallelism
-    and the shuffle only exists where the input was under-split."""
+    and the shuffle only exists where the input was under-split.
+
+    r14: ``heavy=False`` marks a per-doc stage in the µs class (BMP byte
+    arithmetic, the fake decode, metadata-only plans); those spread only
+    when the caller-provided ``rows`` (parquet-footer metadata) clears
+    CHEAP_SPREAD_MIN_ROWS_PER_CORE × cores — below it the exchange is a
+    measured net loss. The early return also skips the plan→RDD partition
+    probe entirely on the gated path."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    if not heavy and (rows is None or rows < CHEAP_SPREAD_MIN_ROWS_PER_CORE * target):
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 
 
 def attach_media(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", rows: int | None = None
 ) -> DataFrame:
     """Synthesize an opaque media column from text (deterministic fake
     payload) + its metadata struct. In production this is the parquet/blob
-    reader's output; here it feeds the plumbing tests."""
+    reader's output; here it feeds the plumbing tests.
+
+    ``rows`` (r14): footer row count for the cheap-class spread gate — the
+    payload here is built by JVM built-ins and the downstream fake decode
+    is µs/doc, so the spread exchange only pays past the gate."""
     payload = F.encode(F.col(text_col), "UTF-8")
     n = F.octet_length(payload).cast("bigint")
-    df = _spread(df.select(F.col(id_col), F.col(text_col)))
+    df = _spread(df.select(F.col(id_col), F.col(text_col)), rows=rows, heavy=False)
     return df.select(
         F.col(id_col),
         payload.alias("media"),
@@ -283,11 +308,17 @@ def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
     return bytes(out)
 
 
-def attach_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_bmp_media(
+    df: DataFrame, id_col: str = "doc_id", rows: int | None = None
+) -> DataFrame:
     """Deterministic BMP fixture: one real BMP per row, dimensions and
     pixels derived from the id (w = 4 + id%5, h = 3 + id%4, channel values
     linear in (id, x, y) mod 256) — so a SQL oracle can reproduce every
-    per-channel sum in closed form without parsing bytes."""
+    per-channel sum in closed form without parsing bytes.
+
+    ``rows`` (r14): footer row count for the cheap-class spread gate — the
+    fixture images are tens of pixels, so encode+decode is µs/doc and the
+    spread exchange only pays past the gate (see _spread)."""
     from collections.abc import Iterator as _It
 
     def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
@@ -316,7 +347,7 @@ def attach_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield out[["doc_id", "media", "meta"]]
 
-    return _spread(df.select(id_col)).mapInPandas(
+    return _spread(df.select(id_col), rows=rows, heavy=False).mapInPandas(
         fn, schema=f"doc_id bigint, media binary, meta struct<{MEDIA_META_FIELDS}>"
     )
 

@@ -19,7 +19,7 @@ from flink_dts_connector_spark.operators import similarity as S
 from flink_dts_connector_spark.operators import text as X
 from flink_dts_connector_spark.plans import _snapshots as SNAP
 from flink_dts_connector_spark.plans.registry import register
-from flink_dts_connector_spark.session import load_table
+from flink_dts_connector_spark.session import load_table, table_rows
 
 # Shared DuckDB fragments -----------------------------------------------------
 
@@ -1013,7 +1013,9 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing end-to-end: text → opaque media bytes + meta
     struct → Arrow-batched fake decode → feature rows. (Oracle works because
     the corpus is ASCII: UTF-8 byte sum == codepoint sum.)"""
-    media = M.attach_media(t(spark, sf_dir, "documents"))
+    media = M.attach_media(
+        t(spark, sf_dir, "documents"), rows=table_rows(sf_dir, "documents")
+    )
     return M.decode_media(media)
 
 
@@ -1030,7 +1032,9 @@ FROM documents
 def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only frame-sampling plan (1 row per sampled frame) — never
     touches the payload column (the laziness contract for media bytes)."""
-    media = M.attach_media(t(spark, sf_dir, "documents"))
+    media = M.attach_media(
+        t(spark, sf_dir, "documents"), rows=table_rows(sf_dir, "documents")
+    )
     return M.frame_sample_plan(media, every_ms=1000)
 
 
@@ -1060,7 +1064,9 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     upscale) over metadata only — integer cross-multiplication picks the
     binding dimension, integer division sizes the other, so both engines
     agree exactly; degenerate (zero) dims pass through flagged unscaled."""
-    media = M.attach_media(t(spark, sf_dir, "documents"))
+    media = M.attach_media(
+        t(spark, sf_dir, "documents"), rows=table_rows(sf_dir, "documents")
+    )
     return M.resize_plan(media, max_w=256, max_h=192)
 
 
@@ -6212,7 +6218,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     inp = docs.select("doc_id", "text").unionByName(edited)
-    media = M.attach_media(inp)
+    media = M.attach_media(inp, rows=table_rows(sf_dir, "documents"))
     # payload bytes back to the byte-per-char view the stripe hash slices
     decoded = media.select(
         "doc_id", F.decode(F.col("media"), "UTF-8").alias("text")
@@ -6435,7 +6441,7 @@ def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stubbed" gap for one real format (jpeg/png/gif have since joined the
     sample-exact tier, mp3/mp4 the container tier)."""
     docs = t(spark, sf_dir, "documents")
-    media = M.attach_bmp_media(docs)
+    media = M.attach_bmp_media(docs, rows=table_rows(sf_dir, "documents"))
     return M.decode_bmp_features(media)
 
 
@@ -7832,7 +7838,7 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipeline with zero media libraries; jpeg/png keep the
     disclosed stub contract."""
     docs = t(spark, sf_dir, "documents")
-    media = M.attach_bmp_media(docs)
+    media = M.attach_bmp_media(docs, rows=table_rows(sf_dir, "documents"))
     return M.decode_bmp_features(M.resize_bmp_half(media))
 
 

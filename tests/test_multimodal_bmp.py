@@ -62,3 +62,50 @@ def test_decode_rejects_unsupported_bpp(spark):
     bad = spark.createDataFrame([(1, bytes(raw))], "doc_id long, media binary")
     with pytest.raises(Exception, match="unsupported BMP"):
         decode_bmp_features(bad).collect()
+
+
+def test_spread_gate_cheap_vs_heavy(spark):
+    """r14 cheap-class spread gate: a µs-per-doc stage skips the
+    round-robin exchange below CHEAP_SPREAD_MIN_ROWS_PER_CORE × cores and
+    re-engages it past the threshold (same formula at every scale); heavy
+    stages keep the unconditional single-row-group guard."""
+    from flink_dts_connector_spark.operators.multimodal import (
+        CHEAP_SPREAD_MIN_ROWS_PER_CORE,
+        _spread,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    small = spark.range(100).coalesce(1)
+
+    def n_exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    # cheap + tiny rows metadata -> pass-through, no exchange
+    assert n_exchanges(_spread(small, rows=100, heavy=False)) == 0
+    # cheap + no metadata -> conservative pass-through
+    assert n_exchanges(_spread(small, heavy=False)) == 0
+    # cheap + rows past the per-core threshold -> the exchange re-engages
+    big_rows = CHEAP_SPREAD_MIN_ROWS_PER_CORE * cores
+    assert n_exchanges(_spread(small, rows=big_rows, heavy=False)) == 1
+    # heavy (default) keeps the unconditional guard on an under-split frame
+    assert n_exchanges(_spread(small)) == 1
+    # an already-wide frame passes through even on the heavy path
+    wide = spark.range(10_000).repartition(cores)
+    assert _spread(wide).rdd.getNumPartitions() == cores
+
+
+def test_attach_bmp_media_gated_output_identical(spark):
+    """The gate changes partitioning only: attach+decode rows are identical
+    with and without the spread exchange."""
+    from flink_dts_connector_spark.operators.multimodal import (
+        CHEAP_SPREAD_MIN_ROWS_PER_CORE,
+    )
+
+    docs = spark.range(64).withColumnRenamed("id", "doc_id")
+    gated = decode_bmp_features(attach_bmp_media(docs, rows=64))
+    spread = decode_bmp_features(
+        attach_bmp_media(
+            docs, rows=CHEAP_SPREAD_MIN_ROWS_PER_CORE * spark.sparkContext.defaultParallelism
+        )
+    )
+    assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, spread.collect()))
