@@ -280,6 +280,15 @@ def contaminated_ids(
         .select(F.explode("__g").alias("g"))
         .distinct()
     )
+    # r14 measured NEGATIVE (kept out): spreading the corpus side
+    # (`add_ngrams(spread_by=id_col)`, the `_shingled` guard) looked like
+    # the fix for the 1-task shingle jobs the job drill caught, but the
+    # interleaved min-of-3 bench says otherwise — curate_incremental
+    # 12.35 → 17.67 normalized (the spread exchange lands inside its
+    # broadcast-pipelined region/carry legs, each of which re-reads the
+    # corpus), curate_pipeline_manifest flat (10.10 → 9.60). The semi-join
+    # keeps pipelining into the scan; at real scale a well-split input
+    # parallelizes this leg by itself.
     return (
         add_ngrams(df.select(F.col(id_col), F.col(text_col)), text_col, "__g", n, distinct=True)
         .select(F.col(id_col), F.explode("__g").alias("g"))

@@ -772,10 +772,22 @@ def positional_grams(
     """(id, pos, g): md5 of the k-token gram starting at 1-based token
     position pos — the positional index both span extractors join on.
     Docs shorter than k produce no rows (Spark's descending `sequence`
-    trap is guarded)."""
+    trap is guarded).
+
+    r14 single-row-group guard (the `_shingled` idiom): the per-gram
+    transform lambda runs interpreted, so an under-split input serializes
+    the whole gram explode on one core — the r14 job drill caught
+    neardup_shared_spans spending 0.6-0.7 s in back-to-back 1-task jobs
+    here. The compact (id, text) rows repartition once, only when the
+    input has fewer partitions than cores; the (id, gram) self-join
+    downstream shuffles on g regardless."""
     from flink_dts_connector_spark.operators.text import tokens
 
-    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("v"))
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    target = narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target, "id")
+    toks = narrow.select("id", tokens("__t").alias("v"))
     starts = F.when(
         F.size("v") >= k, F.sequence(F.lit(0), F.size("v") - k)
     ).otherwise(F.array().cast("array<int>"))

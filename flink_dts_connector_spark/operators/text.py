@@ -177,13 +177,19 @@ def add_ngrams(
     ``spread_by``: optionally hash-repartition the input by this column to
     ``defaultParallelism`` first. Guards the single-row-group-parquet case
     (one scan task) by shuffling COMPACT pre-explode rows once; downstream
-    groupBy on the same key reuses the hash partitioning. Skip it when the
-    input is already well partitioned."""
+    groupBy on the same key reuses the hash partitioning. r14: the
+    repartition is now CONDITIONAL on the input being under-split (fewer
+    partitions than cores, the `_spread` idiom) — a well-split 100 TB scan
+    passes through instead of collapsing thousands of scan partitions down
+    to the core count, so the exchange exists only where the input was the
+    bottleneck."""
     from pyspark.ml.feature import NGram
 
     toks_col, raw_col = f"__{out_col}_toks", f"__{out_col}_raw"
     if spread_by is not None:
-        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, spread_by)
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target, spread_by)
     # tokens(null) would NPE inside NGram's Scala UDF; '' tokenizes to [""]
     # which n-grams (n>1) to [] — same result the expression path gives null.
     staged = df.withColumn(
