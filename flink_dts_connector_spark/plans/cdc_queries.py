@@ -831,10 +831,17 @@ def cdc_signed_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chg = _typed_changelog(spark, sf_dir)
     # the Python wire decode is the expensive subtree and both the cells and
-    # the exact counts consume it — materialize it once
+    # the exact counts consume it — materialize it once. r14: EAGERLY, via
+    # localCheckpoint, not a lazy persist: the cells/exact/probe consumer
+    # stages materialize concurrently under AQE, and concurrent first
+    # readers of a lazy cache each re-run the full Python decode (the r14
+    # job drill caught three overlapping 1.17 s jobs doing exactly that —
+    # block-store locks don't serialize the compute, they only dedupe the
+    # stored result). One eager job decodes once; consumers read the
+    # checkpointed rows.
     signed = chg.select(
         F.col("o_orderpriority").alias("w"), sign_col("op").alias("s")
-    ).persist()
+    ).localCheckpoint()
     cells = SK.cms_build(signed, item_col="w", depth=4, width=256, weight_col="s")
     exact = (
         signed.groupBy("w")
@@ -842,18 +849,12 @@ def cdc_signed_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("exact_n") > 0)
     )
     est = SK.cms_estimate(cells, exact.select("w"), "w", depth=4, width=256)
-    out = exact.join(est, "w").select(
+    return exact.join(est, "w").select(
         F.col("w").alias("o_orderpriority"),
         "exact_n",
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_n")).cast("bigint").alias("overestimate"),
     )
-    # materialize the (tiny, per-priority) report so the persisted decode
-    # subtree can be released before returning — no cache leak across a
-    # multi-query registry sweep
-    out = out.localCheckpoint()
-    signed.unpersist()
-    return out
 
 
 @register(

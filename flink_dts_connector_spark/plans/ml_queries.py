@@ -75,16 +75,21 @@ def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
     # one corpus pass: the exact type counts; the sketch is then built from
     # the (token, count) frame with weights — each DISTINCT token is hashed
     # once per row instead of once per occurrence (cells are identical by
-    # linearity), and the corpus explode is never recomputed
+    # linearity), and the corpus explode is never recomputed.
+    # r14: EAGER localCheckpoint, not a lazy persist — AQE materializes the
+    # sketch/candidate/probe consumer stages concurrently, and concurrent
+    # first readers of a lazy cache each recompute the corpus explode
+    # (block-store locks don't serialize the compute). One eager job runs
+    # the pass exactly once; no cache to unpersist afterwards.
     exact = (
         items.groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
-        .persist()
+        .localCheckpoint()
     )
     sketch = SK.cms_build(exact, item_col="w", depth=4, width=256, weight_col="exact_n")
     cand = exact.orderBy(F.desc("exact_n"), F.asc("w")).limit(20)
     est = SK.cms_estimate(sketch, cand.select("w", "exact_n"), "w", depth=4, width=256)
-    out = (
+    return (
         cand.join(est, "w")
         .select(
             F.col("w").alias("token"),
@@ -92,12 +97,7 @@ def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
             "cms_estimate",
             (F.col("cms_estimate") - F.col("exact_n")).cast("bigint").alias("overestimate"),
         )
-        # 20-row report: materialize it so the persisted token-count frame
-        # can be released (no cache leak across a registry sweep)
-        .localCheckpoint()
     )
-    exact.unpersist()
-    return out
 
 
 _SQL_KMV_SKETCH = f"""
@@ -788,10 +788,14 @@ def sketch_count_min_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_dts_connector_spark.operators.text import tokens
 
     items = t(spark, sf_dir, "documents").select(F.explode(tokens("text")).alias("w"))
+    # r14: eager localCheckpoint (same fix as sketch_count_min_heavy_hitters)
+    # — the three width branches materialize concurrently under AQE, and a
+    # lazy persist lets each concurrent first reader recompute the corpus
+    # explode instead of sharing one pass
     exact = (
         items.groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
-        .persist()
+        .localCheckpoint()
     )
     cand = exact.orderBy(F.desc("exact_n"), F.asc("w")).limit(20)
     out = None
@@ -816,9 +820,6 @@ def sketch_count_min_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     assert out is not None
-    # 3-row report: materialize, then release the cached token counts
-    out = out.localCheckpoint()
-    exact.unpersist()
     return out
 
 
