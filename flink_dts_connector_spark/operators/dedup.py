@@ -452,27 +452,29 @@ def minhash_band_index_md5(
     rows = num_hashes // bands
     sh = _shingled(df, id_col, text_col, n).where(F.size("sh") > 0)
     ex = sh.select("id", F.explode("sh").alias("s")).withColumn("h", md5_hash_mod_p(F.col("s")))
+    # r14: the permuted-min aggregates and the band structs are built as
+    # SQL strings (ONE py4j round-trip per F.expr) instead of nested Column
+    # operator calls (~8 round-trips each) — this operator alone cost ~0.6 s
+    # of driver socket round-trips per query BUILD (profiled: the
+    # dedup_minhash_probe row spent 1.3-1.8 s building its plan, 5.6k py4j
+    # calls). Expressions are unchanged term-for-term; results identical.
     mins = ex.groupBy("id").agg(
         *[
-            F.min((F.lit(2 * j + 1) * F.col("h") + F.lit(1000003 * (j + 1))) % F.lit(_P)).alias(
-                f"m{j}"
+            F.expr(
+                f"min(({2 * j + 1} * h + {1000003 * (j + 1)}) % {_P}) AS m{j}"
             )
             for j in range(num_hashes)
         ]
     )
+    band_structs = ", ".join(
+        "struct({b} AS band, {rs})".format(
+            b=b,
+            rs=", ".join(f"m{b * rows + r} AS r{r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
     return mins.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        *[F.col(f"m{b * rows + r}").alias(f"r{r}") for r in range(rows)],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "id", F.expr(f"explode(array({band_structs})) AS bk")
     ).select("id", "bk.*")
 
 

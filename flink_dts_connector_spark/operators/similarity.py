@@ -499,7 +499,19 @@ def cosine_pairs_delta(
     the union over all deltas enumerates every corpus pair EXACTLY once
     (``old`` must exclude ``new``). Per-batch work is |new| × |affected
     block members|, never |corpus|² — the delta bound that makes streaming
-    dedup maintenance linear in arrivals."""
+    dedup maintenance linear in arrivals.
+
+    r14 negative result (measured, kept out): rewriting the cross leg as
+    chunked GEMM tiles (`_tile_pairs_pd` with the old side hash-chunked
+    per block, new replicated per chunk) was built, pinned bit-equal, and
+    A/B'd interleaved — it LOST: min-of-3 noop 0.88 → 1.12 s at fixture
+    mass, 1.65 → 2.40 s at ×10, parity only at ×30. The premise was
+    wrong: `zip_with`/`aggregate` dots are whole-stage-codegen'd on Spark
+    4 (not interpreted), so the broadcast-join column path already scores
+    pairs at JVM rate with zero extra shuffles, while the GEMM route pays
+    two joins + a grouped-Arrow boundary per batch. Same conclusion as
+    r13's nb_confusion single-tokenize rewrite: don't trade a shuffle-free
+    codegen pipeline for a Python-boundary stage at these masses."""
     n = new.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("n_id"),

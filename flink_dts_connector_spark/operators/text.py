@@ -270,8 +270,19 @@ def hash_embedding(
     doc. No corpus shuffle beyond the one (doc, bucket) agg."""
     from flink_dts_connector_spark.operators.dedup import md5_number_lower_mod
 
-    ex = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    # r14 single-row-group guard (the `_spread` idiom): the explode + md5
+    # per token runs BEFORE the (doc, bucket) agg's exchange, so an
+    # under-split input serializes the whole corpus hash on one core (the
+    # r14 job drill caught text_hash_embedding spending 0.75 s in a 1-task
+    # job here). Repartition the compact (id, text) rows once, only when
+    # the input has fewer partitions than cores; a well-split scan passes
+    # through untouched.
+    narrow = df.select(F.col(id_col), F.col(text_col).alias("__txt"))
+    target = narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target, id_col)
+    ex = narrow.select(
+        F.col(id_col), F.explode(tokens("__txt")).alias("__t")
     ).select(
         id_col,
         md5_number_lower_mod(F.col("__t"), 2 * dim).alias("__hb"),
@@ -561,9 +572,19 @@ def rake_keywords(
     text; nothing is per-document iterative."""
     from pyspark.sql import Window as W
 
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(text_col)).alias("i", "w"),
+    # r14 single-row-group guard (the `_spread` idiom): the posexplode of
+    # every token runs inside the scan task, upstream of the first
+    # (doc_id) window exchange — an under-split input serializes it on one
+    # core. Spread the compact (id, text) rows once, only when the input
+    # has fewer partitions than cores; hash-partitioning by doc_id means
+    # the island window right below reuses the partitioning.
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__txt"))
+    target = narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target, "doc_id")
+    toks = narrow.select(
+        "doc_id",
+        F.posexplode(tokens("__txt")).alias("i", "w"),
     )
     ns = toks.where(~F.col("w").isin(*stopwords)).withColumn(
         "island",

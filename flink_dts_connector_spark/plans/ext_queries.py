@@ -1487,7 +1487,17 @@ def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket only gets a window) produces the identical set WITHOUT a global
     sort — the difference between "sort 100 TB" and "sort |distinct
     scores| rows"."""
-    docs = t(spark, sf_dir, "documents")
+    # r14 single-row-group guard (the `_spread` idiom): the tokenize +
+    # regexp scoring projection runs upstream of any exchange, and
+    # `token_budget_select` consumes the scored frame TWICE (per-score
+    # totals + the kept-docs join) — an under-split scan paid the serial
+    # scoring twice (r14 job drill: 0.42 s 1-task + 0.38 s legs). One
+    # conditional hash repartition spreads the scoring AND gives both
+    # consumers an identical Exchange subtree for ReuseExchange.
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
     toks = X.token_count("text")
     non_alnum = F.length("text") - F.length(
         F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9]", "")
@@ -5023,7 +5033,19 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings: no global sort, no driver round-trip. Returns every
     occurrence with its 1-based token position — the hit list a
     highlighter consumes."""
-    d = t(spark, sf_dir, "documents").select("doc_id", X.tokens("text").alias("toks"))
+    # r14 single-row-group guard (the `_spread` idiom): `tri` is consumed
+    # TWICE (counts subtree + the final hit join), and the trigram
+    # explode+concat runs upstream of any exchange — an under-split scan
+    # therefore paid the serial explode twice (r14 job drill: 0.48 s +
+    # 0.38 s back-to-back 1-task jobs). One conditional hash repartition
+    # both spreads the explode across cores AND gives the two consumers an
+    # identical Exchange subtree, which ReuseExchange dedupes — the
+    # explode now runs once.
+    d = t(spark, sf_dir, "documents").select("doc_id", F.col("text"))
+    target = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target, "doc_id")
+    d = d.select("doc_id", X.tokens("text").alias("toks"))
     sz = F.size("toks")
     idx = F.when(sz >= 3, F.sequence(F.lit(1), sz - 2)).otherwise(
         F.array().cast("array<int>")
