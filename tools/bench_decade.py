@@ -61,6 +61,13 @@ MASS = {
     "stream_hourly_windows": "event_rows",
     "events_spatial_neighbor_pairs_salted": "event_rows",
     "stream_stream_interval_join": "event_rows",
+    # r14 session-2 touched rows
+    "sketch_count_min_heavy_hitters": "doc_chars",
+    "text_hash_embedding": "doc_chars",
+    "search_phrase_positions": "doc_chars",
+    "curate_token_budget": "doc_chars",
+    # CDC rows derive their changelog mass from the orders table
+    "cdc_signed_count_sketch": "order_rows",
 }
 
 RUNS = 2
@@ -79,6 +86,9 @@ def _mass(con, d: str) -> dict:
     ).fetchone()[0]
     out["event_rows"] = con.execute(
         f"SELECT COUNT(*) FROM read_parquet('{d}/events.parquet')"
+    ).fetchone()[0]
+    out["order_rows"] = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{d}/orders.parquet')"
     ).fetchone()[0]
     return out
 
