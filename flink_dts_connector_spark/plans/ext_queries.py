@@ -2008,7 +2008,22 @@ def curate_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental ≡ full-rebuild equivalence proof. At 100 TB this is the
     difference between processing a nightly delta and re-sharding the
     corpus (the CDC mandate applied to the curation surface)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    # r14 session 2: the pipeline's ~6 legs (prior-kept rebuild, snapshot
+    # diff, old/new fingerprint semi-joins, region gate, region shingles)
+    # each re-ran the corpus scan+projection — on the fixture's one-row-
+    # group parquet that is ~6 sequential single-task legs (job drill:
+    # 0.92 s + 0.73 s + 0.36 s single-task jobs). Spreading inside
+    # `add_ngrams` was measured WORSE (see contaminated_ids — an exchange
+    # per broadcast leg); instead, when the scan is under-split, spread +
+    # EAGERLY materialize the compact corpus projection ONCE — every leg
+    # then reads 32-partition checkpointed blocks in parallel and the
+    # scan+projection runs exactly once. A well-split input (the 100 TB
+    # case) skips both the shuffle and the checkpoint entirely — N
+    # parallel re-scans of a well-split table are the cheaper shape there.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id").localCheckpoint()
     old = docs.where(F.col("doc_id") % 11 != 0)
     new = docs.where(F.col("doc_id") % 17 != 0).withColumn(
         "text",
