@@ -68,6 +68,7 @@ MASS = {
     "curate_token_budget": "doc_chars",
     # CDC rows derive their changelog mass from the orders table
     "cdc_signed_count_sketch": "order_rows",
+    "curate_incremental_pipeline": "doc_chars",
 }
 
 RUNS = 2
